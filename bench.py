@@ -1,0 +1,60 @@
+"""Headline bench: run the bench-tagged declared queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Results are materialized with the no-op sink (full execution, no driver
+collection) so timings measure the distributed plan, not toPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_fs_ceph_spark.registry import load_all
+from hadoop_fs_ceph_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    specs = load_all()
+    bench_specs = {n: s for n, s in sorted(specs.items()) if s.bench}
+    spark = get_spark("bench", driver_memory="24g")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file listing once so per-query numbers measure the plans
+    next(iter(bench_specs.values())).fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_specs.items():
+        start = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

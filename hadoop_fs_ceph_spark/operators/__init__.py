@@ -1,0 +1,21 @@
+"""Declared operators. Importing this package registers every query.
+
+Module map (SURVEY.md §2B families):
+* relational   — scan/filter/project + flagship aggregation slice
+* joins        — inner/outer/semi/anti/cross/theta/as-of, broadcast vs SMJ
+* aggregates   — multi-key, distinct, rollup/cube, stats, percentiles
+* windows      — ranking, lag/lead, frames, top-k per group
+* setops_sort  — union/intersect/except, multi-key sort, limits
+* scalar_funcs — string/date/math/conditional/cast families
+* json_array   — JSON props, array + higher-order functions
+* sources      — format round-trips, partitioned writes, catalog surface
+* udfs         — scalar UDF, pandas UDF, grouped agg/map, mapInPandas
+* streaming_q  — Structured Streaming (availableNow) window aggregations
+* dedup        — exact, minhash-LSH, simhash, n-gram jaccard, embedding
+* similarity   — cosine brute-force top-k, LSH-bucketed ANN, IVF
+* text         — token stats, language-ID, quality scores, fingerprints
+"""
+
+from hadoop_fs_ceph_spark.operators import (  # noqa: F401
+    relational,
+)

@@ -1,0 +1,122 @@
+"""DuckDB differential-oracle harness.
+
+Mirrors the driver's t2 gate: for each declared query, run the Spark plan
+and the ANSI-SQL oracle on the same parquet tables, canonicalize (columns
+sorted by name, rows sorted by stringified values, timestamps as UTC ISO),
+and compare. Used by tests/test_oracle_differential.py and handy
+standalone:  python -m hadoop_fs_ceph_spark.oracle [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import pandas as pd
+
+from hadoop_fs_ceph_spark.catalog import TESTDATA_TABLES
+
+
+def duckdb_connection(sf_dir: str):
+    """DuckDB connection with the driver's table views pre-registered."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def _cell(v) -> str:
+    """Canonical string for one value (drives row sorting + comparison)."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<NULL>"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.1f}"
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Columns sorted by name, every cell stringified, rows sorted."""
+    out = pd.DataFrame()
+    for c in sorted(df.columns):
+        out[c] = df[c].map(_cell)
+    if len(out):
+        out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+@dataclass
+class DiffResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> DiffResult:
+    a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
+    if list(a.columns) != list(b.columns):
+        return DiffResult(name, False, f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}")
+    if len(a) != len(b):
+        return DiffResult(name, False, f"row counts differ: spark={len(a)} oracle={len(b)}")
+    if a.equals(b):
+        return DiffResult(name, True)
+    # localize the first few mismatching cells for debugging
+    mism = []
+    for col in a.columns:
+        neq = a[col] != b[col]
+        if neq.any():
+            i = int(neq.idxmax())
+            mism.append(f"{col}[row {i}]: spark={a[col][i]!r} oracle={b[col][i]!r}")
+        if len(mism) >= 5:
+            break
+    return DiffResult(name, False, "value mismatch: " + "; ".join(mism))
+
+
+def run_one(spark, con, spec, sf_dir: str) -> DiffResult:
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        return DiffResult(spec.name, True, f"rows-only check: {len(sdf)} rows")
+    odf = con.sql(spec.oracle).df()
+    return compare(spec.name, sdf, odf)
+
+
+def main() -> None:
+    import sys
+
+    from hadoop_fs_ceph_spark.registry import load_all
+    from hadoop_fs_ceph_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    specs = load_all()
+    spark = get_spark("oracle-diff")
+    con = duckdb_connection(sf_dir)
+    failed = 0
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        try:
+            r = run_one(spark, con, spec, sf_dir)
+        except Exception as e:  # noqa: BLE001 - harness reports, caller decides
+            r = DiffResult(name, False, f"exception: {e}")
+        status = "OK  " if r.ok else "FAIL"
+        print(f"{status} {name} {r.detail}")
+        failed += 0 if r.ok else 1
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
