@@ -40,9 +40,11 @@ def _fixsum(col: Column | str, scale: int) -> Column:
 
 def _sql_fixsum(expr: str, scale: int) -> str:
     shift = f"{10**scale}.0"
+    # Parenthesized so textual substitution into larger expressions keeps
+    # the same evaluation (and hence IEEE rounding) order as the Spark side.
     return (
-        f"CAST(CAST(SUM(CAST(ROUND(({expr}) * {shift}) AS BIGINT)) AS BIGINT) AS DOUBLE)"
-        f" / {shift}"
+        f"(CAST(CAST(SUM(CAST(ROUND(({expr}) * {shift}) AS BIGINT)) AS BIGINT) AS DOUBLE)"
+        f" / {shift})"
     )
 
 

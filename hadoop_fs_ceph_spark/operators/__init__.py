@@ -17,5 +17,9 @@ Module map (SURVEY.md §2B families):
 """
 
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401
+    aggregates,
+    joins,
     relational,
+    setops_sort,
+    windows,
 )

@@ -1,0 +1,258 @@
+"""Aggregation family: multi-key + HAVING, distinct, rollup/cube/grouping
+sets, statistical moments, percentiles, ordered collect, min_by/max_by,
+approximate distinct.
+
+All shuffles here carry only the group keys (partial aggregation is
+map-side); rollup/cube expand rows *after* partial aggregation in Spark's
+expand operator, so the shuffle stays proportional to the grouped data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.canonical import (
+    davg,
+    dstddev_samp,
+    dsum,
+    dvar_samp,
+    sql_davg,
+    sql_dstddev_samp,
+    sql_dsum,
+    sql_dvar_samp,
+)
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+
+@query(
+    "agg_multikey_having",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')},
+           {sql_davg('o_totalprice', 'avg_price')},
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    HAVING COUNT(*) > 5
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    tags=("aggregate",),
+)
+def agg_multikey_having(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+            davg("o_totalprice", "avg_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .filter(F.col("n_orders") > 5)
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("aggregate", "distinct"),
+)
+def agg_count_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) — Spark plans this as a two-phase expand +
+    aggregate; the shuffle carries (group key, distinct value) pairs."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "rollup"),
+)
+def agg_rollup(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate", "cube"),
+)
+def agg_cube(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_shipdate,
+           GROUPING(l_returnflag, l_shipdate) AS gid,
+           {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+    GROUP BY GROUPING SETS ((l_returnflag), (l_shipdate), ())
+    """,
+    tags=("aggregate", "rollup"),
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via the SQL surface (DataFrame rollup/cube
+    are special cases; arbitrary sets are a SQL-level feature)."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_shipdate,
+               grouping_id(l_returnflag, l_shipdate) AS gid,
+               CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_price
+        FROM gs_lineitem
+        WHERE l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+        GROUP BY GROUPING SETS ((l_returnflag), (l_shipdate), ())
+        """
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {sql_davg('c_acctbal', 'avg_bal')},
+           {sql_dstddev_samp('c_acctbal', 'stddev_bal')},
+           {sql_dvar_samp('c_acctbal', 'var_bal')},
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_stats_moments(spark, sf_dir):
+    """stddev/variance from deterministic fixed-point moments (see
+    canonical.py; engine-native stddev differs across engines in the last
+    bits because of accumulation order)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        davg("c_acctbal", "avg_bal"),
+        dstddev_samp("c_acctbal", "stddev_bal"),
+        dvar_samp("c_acctbal", "var_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS median,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "percentile"),
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``), rounded to absorb interpolation-formula ulps."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("median"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("aggregate", "collect"),
+)
+def agg_collect_sorted(spark, sf_dir):
+    """collect_set + sort, emitted as a joined string (canonical,
+    order-stable representation for cross-engine comparison)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments")
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_orderstatus,
+           max_by(o_orderkey, o_totalprice) AS priciest_order,
+           min_by(o_orderkey, o_totalprice) AS cheapest_order,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("aggregate",),
+)
+def agg_min_max_by(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    oracle=None,  # approximate: verified by tolerance vs exact in pytest
+    tags=("aggregate", "approx"),
+)
+def agg_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct estimate — the 100 TB path for distinct
+    counting (constant memory per group vs expand+shuffle for exact).
+    Tolerance-checked against the exact count in tests/test_approx.py."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

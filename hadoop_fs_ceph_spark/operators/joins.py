@@ -1,0 +1,339 @@
+"""Join family: inner/outer/semi/anti/cross/theta/as-of; broadcast vs SMJ.
+
+Scale posture per join:
+* fact⋈dim joins broadcast the dimension explicitly (``F.broadcast``) —
+  no shuffle of the fact side; at 100 TB the dim tables (region, nation,
+  part, supplier, even customer) stay far below executor memory.
+* fact⋈fact joins (lineitem⋈orders) shuffle on the join key; AQE handles
+  skew splitting. Plan shape asserted in tests/test_plans.py.
+* The as-of join deliberately avoids the naive range-join pair blowup:
+  it is union + window (one shuffle on the partition key), the only
+  formulation that survives 100 TB event streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.canonical import dsum, sql_dsum
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+
+@query(
+    "join_inner_hash",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice', 'total_price')}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("join",),
+    bench=True,
+)
+def join_inner_hash(spark, sf_dir):
+    """Inner equi-join orders⋈customer (broadcast dim at any scale)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    oracle=f"""
+    SELECT p.p_brand,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    tags=("join", "broadcast"),
+    bench=True,
+)
+def join_broadcast_dim(spark, sf_dir):
+    """Fact⋈dim with explicit broadcast: the filter on the dim side is
+    applied *before* broadcast, so only matching part keys ship to
+    executors; revenue agg shuffles only #brands rows."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "join_sortmerge_facts",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice', 'sum_price')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("join", "sortmerge"),
+    bench=True,
+)
+def join_sortmerge_facts(spark, sf_dir):
+    """Fact⋈fact (lineitem⋈orders): at 100 TB both sides exceed broadcast
+    range, so this is the shuffle-join path — AQE picks SMJ or shuffled
+    hash and splits skewed l_orderkey partitions at runtime."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_extendedprice", "sum_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_recent_orders,
+           COALESCE(MAX(o.o_totalprice), -1.0) AS max_recent_price
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders
+               WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') o
+      ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join", "outer"),
+)
+def join_left_outer(spark, sf_dir):
+    """Left outer join preserving customers with zero recent orders
+    (COUNT over the null-extended side → 0; MAX → NULL → sentinel)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_recent_orders"),
+            F.coalesce(F.max("o_totalprice"), F.lit(-1.0)).alias("max_recent_price"),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n.n_name, s.s_suppkey, s.s_name
+    FROM supplier s
+    RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    tags=("join", "outer"),
+)
+def join_right_outer(spark, sf_dir):
+    """Right outer join: every nation appears even with no suppliers."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "n_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(cn.n_cust, 0) AS n_cust,
+           COALESCE(sn.n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join of two pre-aggregated sides (nations with only
+    customers, only suppliers, or both)."""
+    cn = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > 300000)
+    """,
+    tags=("join", "semi"),
+)
+def join_left_semi(spark, sf_dir):
+    """Left semi join = EXISTS: customers with a big urgent order.
+    Semi joins ship only the join key of the right side — cheapest of the
+    join family at scale."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    """,
+    tags=("join", "anti"),
+)
+def join_left_anti(spark, sf_dir):
+    """Left anti join = NOT EXISTS: customers with no recent orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_acctbal")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CASE WHEN r.r_regionkey = n.n_regionkey THEN 1 ELSE 0 END AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark, sf_dir):
+    """Cross join of two bounded dims (cardinality |r|×|n| is constant —
+    cross joins are only ever declared over bounded inputs)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("r_regionkey") == F.col("n_regionkey"), 1).otherwise(0).alias("is_home"),
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s.s_suppkey,
+           COUNT(*) AS n_richer_cust,
+           MIN(c.c_custkey) AS first_cust
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND c.c_acctbal > s.s_acctbal
+    GROUP BY s.s_suppkey
+    """,
+    tags=("join", "theta"),
+)
+def join_theta_range(spark, sf_dir):
+    """Theta join: equi key (nationkey) + range predicate (acctbal).
+    The equi component keeps it a hash/SMJ join with the range as a
+    post-join filter — never a cartesian."""
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (c.c_acctbal > s.s_acctbal))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_cust"), F.min("c_custkey").alias("first_cust"))
+    )
+
+
+@query(
+    "join_asof_event",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), carried AS (
+      SELECT *,
+             LAST_VALUE(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id,
+             LAST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+      FROM tagged
+    )
+    SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts,
+           click_event_id, click_ts
+    FROM carried WHERE kind = 1
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_event(spark, sf_dir):
+    """As-of join: for each purchase, the latest click by the same user at
+    or before the purchase timestamp.
+
+    Implemented union-and-carry: tag both event kinds, sort within user
+    (clicks before purchases at equal ts), and carry the last click forward
+    with ``last(..., ignorenulls)``. One shuffle on user_id, zero pair
+    blowup — this is the only as-of formulation that scales to 100 TB event
+    logs (a range join materializes every click≤purchase pair)."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("kind") == 0, F.col("event_id"))
+    click_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    return (
+        tagged.withColumn("click_event_id", F.last(click_id, ignorenulls=True).over(w))
+        .withColumn("click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_event_id",
+            "click_ts",
+        )
+    )

@@ -1,0 +1,163 @@
+"""Window-function family: ranking, lag/lead, running/rows frames, range
+frames, top-k per group.
+
+Scale posture: every window partitions on a real key (nation, user,
+customer) — one shuffle per distinct partitioning, reused across functions
+sharing the spec. No global (unpartitioned) windows anywhere: those
+serialize the dataset through a single task at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+
+@query(
+    "win_ranking",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS seg_rank,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS seg_dense_rank,
+           NTILE(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def win_ranking(spark, sf_dir):
+    """row_number/ntile over a total order; rank/dense_rank over a
+    tie-producing key (ranks are well-defined under ties)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    wseg = Window.partitionBy("c_nationkey").orderBy("c_mktsegment")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wseg).alias("seg_rank"),
+        F.dense_rank().over(wseg).alias("seg_dense_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           LAG(value) OVER w AS prev_value,
+           LAG(value, 2, -1.0) OVER w AS prev2_value,
+           LEAD(event_type) OVER w AS next_type,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def win_lag_lead(spark, sf_dir):
+    """lag/lead with defaults + inter-event gap in exact integer µs."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(SUM(CAST(ROUND(o_totalprice * 10000.0) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS running_spend,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def win_running_sum(spark, sf_dir):
+    """Running aggregate over an explicit ROWS frame (fixed-point sum for
+    cross-engine determinism, same scheme as canonical.py)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fixed = F.round(F.col("o_totalprice") * 10000.0).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(fixed).over(w).cast("double") / 10000.0).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                          RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING) AS n_peers
+    FROM customer
+    """,
+    tags=("window", "frame"),
+)
+def win_range_frame(spark, sf_dir):
+    """RANGE frame over a value ordering: peers within ±500 of each
+    customer's balance (count is tie-safe). PySpark's ``rangeBetween``
+    only accepts integer offsets, so the double-valued frame is expressed
+    through the SQL window syntax."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.expr(
+            "count(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal "
+            "RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING)"
+        ).alias("n_peers"),
+    )
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def win_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer. At scale Spark pushes a per-partition
+    top-k (WindowGroupLimit) below the shuffle, so only ≤k rows per key
+    per mapper move."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        ).filter(F.col("rn") <= 3)
+    )
