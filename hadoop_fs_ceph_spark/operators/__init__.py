@@ -19,7 +19,9 @@ Module map (SURVEY.md §2B families):
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     aggregates,
     joins,
+    json_array,
     relational,
+    scalar_funcs,
     setops_sort,
     windows,
 )

@@ -1,0 +1,189 @@
+"""JSON / map / array / higher-order function family.
+
+Exercised on ``events.props`` (JSON strings) and ``embeddings.embedding``
+(array<float>, dim 64) plus tokenized ``documents.text``.
+
+Higher-order parity: Spark ``aggregate(arr, 0.0, (acc,x) -> acc+x)`` is a
+sequential left fold; DuckDB ``list_reduce`` folds left using the first
+element as init — identical IEEE result because ``0.0 + x == x`` exactly.
+Embedding floats are widened float→double (exact) before any arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+
+@query(
+    "fn_json_family",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_key,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                THEN 'high' ELSE 'low' END AS k_bucket
+    FROM events WHERE event_id % 10 = 4
+    """,
+    tags=("function", "json"),
+)
+def fn_json_family(spark, sf_dir):
+    """get_json_object path extraction + typed parse + missing-key NULL."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 4)
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_key"),
+        F.when(k.cast("int") > 50, "high").otherwise("low").alias("k_bucket"),
+    )
+
+
+@query(
+    "fn_json_map",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("function", "json", "map"),
+)
+def fn_json_map(spark, sf_dir):
+    """from_json into a typed map, element_at access, aggregate over the
+    extracted value — schema-on-read over semi-structured props."""
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.select("event_type", F.element_at(m, "k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "fn_array_family",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    )
+    SELECT doc_id,
+           len(tok) AS n_tokens,
+           len(list_distinct(tok)) AS n_unique,
+           CAST(list_contains(tok, 'spark') AS BOOLEAN) AS has_spark,
+           array_to_string(list_sort(list_distinct(tok))[1:4], ',') AS first_uniq,
+           tok[1] AS first_tok,
+           tok[len(tok)] AS last_tok
+    FROM toks WHERE doc_id % 5 = 2
+    """,
+    tags=("function", "array"),
+)
+def fn_array_family(spark, sf_dir):
+    """size / distinct / contains / sort+slice / element_at over token
+    arrays (arrays emitted as joined strings for canonical comparison)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    tok = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique"),
+        F.array_contains(tok, "spark").alias("has_spark"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(tok)), 1, 4), ",").alias("first_uniq"),
+        F.element_at(tok, 1).alias("first_tok"),
+        F.element_at(tok, -1).alias("last_tok"),
+    )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+    SELECT vec_id, label,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (acc, x) -> acc + x) AS norm_sq,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (acc, x) -> acc + x) AS comp_sum,
+           CAST(embedding[1] AS DOUBLE) AS first_comp
+    FROM embeddings WHERE vec_id % 10 = 3
+    """,
+    tags=("function", "array", "higher_order"),
+)
+def fn_higher_order(spark, sf_dir):
+    """transform / filter / aggregate (fold) over embedding vectors — the
+    no-UDF vector-math path (all JVM-side, codegen'd)."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 3)
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        "label",
+        fold(sq).alias("norm_sq"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        fold(dbl).alias("comp_sum"),
+        F.element_at("embedding", 1).cast("double").alias("first_comp"),
+    )
+
+
+@query(
+    "fn_explode_tf",
+    oracle="""
+    SELECT token, COUNT(*) AS tf FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 20
+    """,
+    tags=("function", "array", "explode"),
+    bench=True,
+)
+def fn_explode_tf(spark, sf_dir):
+    """explode → term-frequency top-20: the flatten-then-aggregate shape
+    (shuffle carries (token, partial count), not the exploded rows)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "fn_zip_with_dot",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           list_reduce(list_transform(generate_series(1, 64),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)),
+                       (acc, x) -> acc + x) AS dot0
+    FROM embeddings e, q
+    WHERE e.vec_id % 25 = 1
+    """,
+    tags=("function", "array", "higher_order"),
+)
+def fn_zip_with_dot(spark, sf_dir):
+    """zip_with + fold = dot product against a (broadcast) query vector —
+    the primitive under all cosine-similarity operators."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    pair = e.filter(F.col("vec_id") % 25 == 1).crossJoin(F.broadcast(q))
+    prods = F.zip_with("embedding", "qe", lambda a, b: a.cast("double") * b.cast("double"))
+    return pair.select(
+        "vec_id",
+        F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x).alias("dot0"),
+    )

@@ -89,7 +89,10 @@ def run_one(spark, con, spec, sf_dir: str) -> DiffResult:
     sdf = spec.fn(spark, sf_dir).toPandas()
     if spec.oracle is None:
         return DiffResult(spec.name, True, f"rows-only check: {len(sdf)} rows")
-    odf = con.sql(spec.oracle).df()
+    # Arrow preserves DATE (date32) and DECIMAL columns as date/Decimal
+    # objects like Spark's toPandas does; .df() would degrade them to
+    # datetime64/float64 and produce spurious representation mismatches.
+    odf = con.sql(spec.oracle).arrow().to_pandas()
     return compare(spec.name, sdf, odf)
 
 
