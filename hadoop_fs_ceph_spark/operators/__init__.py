@@ -23,5 +23,8 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     relational,
     scalar_funcs,
     setops_sort,
+    sources_q,
+    streaming_q,
+    udfs,
     windows,
 )

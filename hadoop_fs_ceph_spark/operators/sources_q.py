@@ -1,0 +1,153 @@
+"""Source/sink declared queries: format round-trips, partitioned writes,
+catalog-mediated access.
+
+Each round-trip writes a deterministic projection to scratch space, reads
+it back through the engine's reader, and aggregates; the oracle runs the
+same aggregate on the original parquet — so a hash match proves the
+write→read cycle is lossless (the reference-surface guarantee: bytes out
+== bytes in, ``CephRgwOutputStream``/``CephRgwInputStream``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.canonical import dsum, sql_dsum
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.sources import read_csv, read_json, read_orc, write_table
+from hadoop_fs_ceph_spark.tables import t
+
+SCRATCH = os.path.join(tempfile.gettempdir(), "hfcs_scratch")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(SCRATCH, tag, name)
+
+
+_ORDERS_AGG_SQL = f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice', 'sum_price')},
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+def _orders_agg(df):
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "sum_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+@query("src_csv_roundtrip", oracle=_ORDERS_AGG_SQL, tags=("source", "csv"))
+def src_csv_roundtrip(spark, sf_dir):
+    """parquet → CSV (header) → read with explicit schema → aggregate.
+    Timestamps round-trip via an explicit ISO format; doubles via Spark's
+    shortest-repr serialization (lossless)."""
+    o = t(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "csv_orders")
+    write_table(o, path, format="csv", mode="overwrite", header="true",
+                timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    )
+    return _orders_agg(read_csv(spark, path, schema))
+
+
+@query("src_json_roundtrip", oracle=_ORDERS_AGG_SQL, tags=("source", "json"))
+def src_json_roundtrip(spark, sf_dir):
+    """parquet → JSON lines → schema'd read-back → aggregate."""
+    o = t(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "json_orders")
+    write_table(o, path, format="json", mode="overwrite",
+                timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    )
+    return _orders_agg(read_json(spark, path, schema))
+
+
+@query("src_orc_roundtrip", oracle=_ORDERS_AGG_SQL, tags=("source", "orc"))
+def src_orc_roundtrip(spark, sf_dir):
+    """parquet → ORC → read-back → aggregate (DuckDB lacks ORC, so the
+    oracle runs on the original parquet — a hash match proves the ORC
+    cycle lossless)."""
+    o = t(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "orc_orders")
+    write_table(o, path, format="orc", mode="overwrite")
+    return _orders_agg(read_orc(spark, path))
+
+
+@query(
+    "src_partitioned_write",
+    oracle="""
+    SELECT o_orderstatus, YEAR(o_orderdate) AS yr, COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus, YEAR(o_orderdate)
+    """,
+    tags=("source", "partitioned"),
+)
+def src_partitioned_write(spark, sf_dir):
+    """Hive-style partitioned write (partitionBy status, year) and
+    read-back with partition-column recovery; the count-per-partition must
+    survive the layout change. Partition pruning over this layout is
+    asserted in tests/test_plans.py."""
+    o = t(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    path = _scratch(sf_dir, "part_orders")
+    write_table(o, path, mode="overwrite", partition_by=["o_orderstatus", "yr"])
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus", "yr")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("o_orderstatus", F.col("yr").cast("int").alias("yr"), "n")
+    )
+
+
+@query(
+    "src_catalog_access",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("source", "catalog"),
+)
+def src_catalog_access(spark, sf_dir):
+    """Access through the name→path catalog (the reference-surface layer:
+    mount → lookup → read, SURVEY.md §2A rows 1/8/9)."""
+    from hadoop_fs_ceph_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    n = cat.table("nation")
+    r = cat.table("region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@query(
+    "src_file_metadata",
+    oracle=None,  # file paths/sizes are engine-internal; rows-only check
+    tags=("source", "metadata"),
+)
+def src_file_metadata(spark, sf_dir):
+    """The listStatus/getFileStatus analog: per-file metadata via Spark's
+    hidden ``_metadata`` column (path, size, mtime → SURVEY.md §2A rows
+    8-9)."""
+    from hadoop_fs_ceph_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    return cat.table_files("lineitem").select("file_name", "file_size", "row_count")

@@ -1,0 +1,231 @@
+"""Structured Streaming declared queries over ``events``.
+
+Each query builds a streaming plan, drains it with ``availableNow`` (finite
+input ⇒ finite run), and returns the sink table — so the driver can verify
+streaming semantics against the batch-SQL oracle. Complete-mode sinks hold
+the final aggregate state; the stateful custom operator emits cumulative
+state per batch and keeps the last emission per key (batch-count
+independent). Append-mode watermark eviction (which deliberately withholds
+the unfinalized tail) is exercised in tests/test_streaming.py instead,
+where the expected drop is computable.
+
+Fixed-point value sums follow canonical.py. Window/session boundary
+arithmetic is done in integer microseconds in the oracles to stay
+timezone-free.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.streaming import events_stream, run_to_memory
+from hadoop_fs_ceph_spark.tables import t
+
+_FIXSUM_VALUE = (
+    "CAST(CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0"
+)
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + (epoch_us(ts) // 3600000000 * 3600) * INTERVAL 1 SECOND AS w_start,
+           event_type,
+           COUNT(*) AS n,
+           {_FIXSUM_VALUE} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregate, streaming (availableNow ⇒ the
+    complete-mode sink equals the batch grouping — the batch-equivalence
+    contract)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 1000000.0).cast("long")).cast("double") / 1000000.0).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+    return run_to_memory(agg, "stream_tumbling_window", "complete")
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + ((epoch_us(ts) // 900000000 - k) * 900) * INTERVAL 1 SECOND AS w_start,
+           COUNT(*) AS n,
+           {_FIXSUM_VALUE} AS sum_value
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+    GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding window (1 h width, 15 min slide): every event lands in
+    exactly 4 windows; oracle replicates the assignment with integer-µs
+    grid arithmetic."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 1000000.0).cast("long")).cast("double") / 1000000.0).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "sum_value")
+    )
+    return run_to_memory(agg, "stream_sliding_window", "complete")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session_window(spark, sf_dir):
+    """Session windows (30-min gap) per user. Oracle is the gaps-and-
+    islands formulation; a new session starts when the gap is ≥ the
+    timeout (Spark extends a session only while the next event is strictly
+    inside last_ts + gap)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "stream_session_window", "complete")
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """Streaming dropDuplicates within a 10-minute watermark. Only the
+    deduped keys are emitted (which physical row 'wins' depends on arrival
+    order — the key set is the deterministic contract)."""
+    s = events_stream(spark, sf_dir)
+    dedup = (
+        s.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(dedup, "stream_dedup_watermark", "append")
+
+
+@query(
+    "stream_running_count",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_running_count(spark, sf_dir):
+    """Stateful running count per key (complete mode: the sink holds the
+    final counts — the streaming state after draining the input)."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_to_memory(agg, "stream_running_count", "complete")
+
+
+@query(
+    "stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {_FIXSUM_VALUE} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static join: streaming events enriched against the static
+    customer dimension (broadcast per microbatch), then aggregated."""
+    s = events_stream(spark, sf_dir)
+    c = t(spark, sf_dir, "customer")
+    joined = s.join(F.broadcast(c), s.user_id == c.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 1000000.0).cast("long")).cast("double") / 1000000.0).alias("sum_value"),
+    )
+    return run_to_memory(agg, "stream_static_join", "complete")
+
+
+@query(
+    "stream_custom_state",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "custom"),
+)
+def stream_custom_state(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, max). Cumulative state is emitted every batch; the
+    final emission per key (largest count) is kept, so the result is
+    independent of microbatch slicing."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
+
+    s = events_stream(spark, sf_dir)
+    tracked = s.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, n_events bigint, max_value double",
+        stateStructType="n bigint, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sunk = run_to_memory(tracked, "stream_custom_state", "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "max_value")
+    )

@@ -1,0 +1,153 @@
+"""UDF surface: scalar Python UDF, vectorized pandas UDF, grouped-agg
+pandas UDF, applyInPandas (grouped map), mapInPandas.
+
+Policy (SURVEY.md §7 phase 3): built-ins first — everything here is also
+expressible as column expressions, and the oracles prove the UDFs compute
+exactly that. UDFs exist as *declared surface* for logic Spark lacks.
+Everything is Arrow-batched (pandas UDFs) except the one deliberate
+row-at-a-time scalar UDF that documents the slow path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType
+
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+
+@query(
+    "udf_scalar_python",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                WHEN o_orderpriority = '2-HIGH' THEN 2
+                WHEN o_orderpriority = '3-MEDIUM' THEN 3
+                WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 4
+                ELSE 5 END AS priority_class
+    FROM orders WHERE o_orderkey % 20 = 9
+    """,
+    tags=("udf",),
+)
+def udf_scalar_python(spark, sf_dir):
+    """Row-at-a-time Python UDF (the documented slow path: one Python
+    round-trip per row; compare udf_pandas_vectorized)."""
+    ranks = {"1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3, "4-NOT SPECIFIED": 4}
+
+    @F.udf(returnType=IntegerType())
+    def priority_class(p: str) -> int:
+        return ranks.get(p, 5)
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 9)
+    return o.select("o_orderkey", "o_orderpriority", priority_class("o_orderpriority").alias("priority_class"))
+
+
+@query(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem WHERE l_orderkey % 30 = 5
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas_vectorized(spark, sf_dir):
+    """Arrow-batched pandas UDF (Series→Series): vectorized numpy ops on
+    whole columns; per-row IEEE arithmetic is still bit-deterministic."""
+
+    @F.pandas_udf(DoubleType())
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 30 == 5)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "pandas", "aggregate"),
+)
+def udf_grouped_agg(spark, sf_dir):
+    """Grouped-aggregate pandas UDF: weighted mean per group. Rounded at
+    1e-6 because pandas uses pairwise summation vs the oracle's sequential
+    sum (≈1e-10 relative divergence)."""
+
+    @F.pandas_udf(DoubleType())
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 6).alias("weighted_avg_price")
+    )
+
+
+@query(
+    "udf_apply_in_pandas",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 6) AS z_score
+    FROM events
+    """,
+    tags=("udf", "pandas", "grouped_map"),
+)
+def udf_apply_in_pandas(spark, sf_dir):
+    """Grouped-map applyInPandas: per-user z-score normalization — the
+    'custom per-group computation' surface. Rounded at 1e-6 to absorb
+    pandas-vs-SQL moment-algorithm divergence (~1e-13)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "z_score": ((pdf["value"] - mu) / sd).round(6),
+            }
+        )
+
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(
+        zscore, schema="user_id bigint, event_id bigint, z_score double"
+    )
+
+
+@query(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT event_id, user_id, value * 1.1 AS boosted
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("udf", "pandas", "map"),
+)
+def udf_map_in_pandas(spark, sf_dir):
+    """mapInPandas: streaming per-batch transform (filter + project) —
+    the UDTF-like surface; batch boundaries don't affect the result."""
+
+    def boost(batches):
+        for pdf in batches:
+            hit = pdf[pdf["event_type"] == "purchase"]
+            yield pd.DataFrame(
+                {
+                    "event_id": hit["event_id"],
+                    "user_id": hit["user_id"],
+                    "boosted": hit["value"] * 1.1,
+                }
+            )
+
+    e = t(spark, sf_dir, "events")
+    return e.mapInPandas(boost, schema="event_id bigint, user_id bigint, boosted double")

@@ -1,0 +1,40 @@
+"""Format readers. All scans are split-parallel (the Spark-side analog of
+the reference's virtual-block sizing, ``CephRgwFileSystem.java:112``):
+``spark.sql.files.maxPartitionBytes`` carves objects into read tasks the
+same way the connector's fabricated 32 MiB block size drives input splits.
+
+CSV/JSON take an explicit schema: at 100 TB, schema inference is a full
+extra pass over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("timestampFormat", timestamp_format)
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

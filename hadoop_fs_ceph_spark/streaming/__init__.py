@@ -1,0 +1,13 @@
+"""Structured Streaming surface.
+
+The reference feeds engines a byte-stream filesystem; its streaming analog
+in Spark is the file stream source over a table directory. Every streaming
+operator here reads the ``events`` table with ``readStream``, applies
+watermarked/windowed transformations, and drains with ``availableNow`` —
+so each declared streaming query is a *finite* run whose result must equal
+the equivalent batch query (and, where SQL-expressible, the DuckDB oracle).
+"""
+
+from hadoop_fs_ceph_spark.streaming.runner import events_stream, run_to_memory
+
+__all__ = ["events_stream", "run_to_memory"]

@@ -1,0 +1,63 @@
+"""Streaming building blocks: the events file-stream source and a
+finite-drain runner (availableNow → memory sink).
+
+At production scale the same plans run unchanged against an unbounded
+directory (or Kafka) with a real sink; ``availableNow`` is the bounded
+verification mode. Checkpoint dirs are per-run scratch — a real deployment
+points them at durable storage.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events table directory.
+
+    Schema comes from a batch read (streaming file sources require an
+    explicit schema — inference would be an extra full pass at scale).
+    ``ts`` arrives as raw parquet NANOS (read as long) and is floored to
+    microseconds exactly like the batch path in ``tables.t``.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    # The file stream source requires a *directory*; stream the sf_dir and
+    # glob-filter down to the events table file(s).
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain a streaming DataFrame with availableNow into a memory sink
+    and return the resulting (batch) table."""
+    spark = sdf.sparkSession
+    checkpoint = os.path.join(
+        tempfile.gettempdir(), "hfcs_ckpt", f"{name}-{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,53 @@
+"""Streaming semantics beyond the oracle checks:
+
+* append mode + watermark must *withhold* windows that the watermark has
+  not finalized when the input drains (late-data discipline) — exactly the
+  windows within 10 minutes of the max event time.
+* batch equivalence: the complete-mode streaming aggregate equals the same
+  aggregation run as a batch query.
+"""
+
+import pyspark.sql.functions as F
+
+from hadoop_fs_ceph_spark.streaming import events_stream, run_to_memory
+from hadoop_fs_ceph_spark.tables import t
+
+
+def test_append_watermark_withholds_tail(spark, sf_dir):
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    streamed = run_to_memory(agg, "t_append_wm", "append").collect()
+
+    batch = t(spark, sf_dir, "events")
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    full = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "n")
+        .collect()
+    )
+    import datetime
+
+    wm = max_ts - datetime.timedelta(minutes=10)
+    expected = {(r.w_start, r.n) for r in full if r.w_end <= wm}
+    got = {(r.w_start, r.n) for r in streamed}
+    assert got == expected
+    # sanity: something was withheld (the unfinalized tail) and something emitted
+    assert len(got) < len(full)
+    assert len(got) > 0
+
+
+def test_streaming_equals_batch_counts(spark, sf_dir):
+    s = events_stream(spark, sf_dir)
+    streamed = run_to_memory(
+        s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")), "t_equiv", "complete"
+    )
+    batch = t(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert {(r.event_type, r.n) for r in streamed.collect()} == {
+        (r.event_type, r.n) for r in batch.collect()
+    }
