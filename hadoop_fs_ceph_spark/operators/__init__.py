@@ -18,13 +18,16 @@ Module map (SURVEY.md §2B families):
 
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     aggregates,
+    dedup,
     joins,
     json_array,
     relational,
     scalar_funcs,
     setops_sort,
+    similarity,
     sources_q,
     streaming_q,
+    text,
     udfs,
     windows,
 )

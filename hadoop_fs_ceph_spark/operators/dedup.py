@@ -1,0 +1,303 @@
+"""Deduplication family (north-star LLM-pipeline operators).
+
+Exact (key + content-hash), MinHash+LSH fuzzy, SimHash hamming, blocked
+character-n-gram Jaccard, and embedding-cosine near-dup — each expressed
+as the composition a 100 TB corpus run needs:
+
+* candidate generation is ALWAYS an equality join on a bounded blocking
+  key (LSH band bucket, SimHash band, length bucket, coarse label) —
+  never a cartesian product;
+* the exact verify step (true Jaccard / cosine) runs only on candidate
+  pairs;
+* everything is `pyspark.sql.functions` composition — no UDFs, no
+  collect(), shuffle keys explicit in the plan.
+
+Portable polynomial hashes keep every query DuckDB-oracle-checkable; the
+production tier swaps in ``xxhash64`` with the identical pipeline shape
+(see ``hadoop_fs_ceph_spark.functions``). The reference repo has no
+dedup analog (it is a FileSystem connector, SURVEY.md §0); these
+operators are the engine layer above it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.functions.similarity import (
+    N_BANDS,
+    band_hash,
+    minhash_signature,
+    simhash,
+    sql_band_hash,
+    sql_minhash_signature,
+    sql_simhash,
+)
+from hadoop_fs_ceph_spark.functions.text import (
+    poly_hash,
+    shingles,
+    sql_poly_hash,
+    sql_shingles,
+    tokens,
+)
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+# Shared SQL fragments (single source for query + oracle parity).
+_SQL_TOK = "string_split(text, chr(32))"
+_SQL_HASHES = f"list_transform({sql_shingles('tok')}, s -> {sql_poly_hash('s')})"
+
+
+@query(
+    "dedup_exact_keep_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tags=("dedup", "exact", "window"),
+)
+def dedup_exact_keep_latest(spark, sf_dir):
+    """Exact dedup by key with keep-latest semantics: one surviving row
+    per user_id (newest ts, event_id as the deterministic tie-break) —
+    the `dropDuplicates`-with-an-ordering-contract shape, done as a
+    ranking window so the survivor is well-defined at any parallelism."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@query(
+    "dedup_exact_content",
+    oracle=f"""
+    SELECT {sql_poly_hash("text")} AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper
+    FROM documents
+    GROUP BY content_hash
+    """,
+    tags=("dedup", "exact", "hash"),
+)
+def dedup_exact_content(spark, sf_dir):
+    """Exact content dedup: group documents by full-text hash, keep the
+    lowest doc_id. One shuffle on the hash; at 100 TB the hash (8 bytes)
+    replaces the document text as the shuffle key."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(poly_hash(F.col("text")).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def _minhash_docs(spark, sf_dir):
+    """documents → (doc_id, sh: distinct 3-word shingles, sig: MinHash-16).
+
+    Built as *stacked projections* so Catalyst keeps each expensive alias a
+    single computed column (CollapseProject only inlines cheap or
+    single-use aliases): the shingle set and the hash array are computed
+    once per document, and the 16 signature slots read the hash array —
+    not 16 inlined copies of the whole pipeline. The result is persisted
+    because the LSH plan references it four times (both sides of the band
+    self-join + the two verify joins); without it Spark would recompute
+    the signature pipeline per reference. At production scale this
+    materialization is the "signatures table" of a dedup run."""
+    d = t(spark, sf_dir, "documents")
+    sh = F.array_distinct(shingles(tokens("text"), 3))
+    return (
+        d.select("doc_id", sh.alias("sh"))
+        .select("doc_id", "sh", F.transform("sh", lambda s: poly_hash(s)).alias("hh"))
+        .select("doc_id", "sh", minhash_signature(F.col("hh")).alias("sig"))
+        .persist()
+    )
+
+
+_SQL_MINHASH_DOCS = f"""
+    SELECT doc_id,
+           list_distinct({sql_shingles(_SQL_TOK)}) AS sh,
+           {sql_minhash_signature(f"list_transform(list_distinct({sql_shingles(_SQL_TOK)}), s -> {sql_poly_hash('s')})")} AS sig
+    FROM documents
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH docs AS ({_SQL_MINHASH_DOCS}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {sql_band_hash('sig', b)} AS bh FROM docs" for b in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(x.sh, y.sh))
+             / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+    FROM cand c
+    JOIN docs x ON x.doc_id = c.doc_a
+    JOIN docs y ON y.doc_id = c.doc_b
+    WHERE len(list_intersect(x.sh, y.sh))
+            / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8
+    """,
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """Fuzzy dedup, the full MinHash+LSH pipeline: 3-word shingles →
+    16-hash MinHash signature → 4 bands × 4 rows → candidate pairs via
+    equality join on (band, band-hash) → exact shingle-Jaccard verify at
+    ≥ 0.8.
+
+    Scale shape: the bands relation is (doc_id, band, hash) — 4 slim rows
+    per document; candidates come from a shuffle on the band hash, so the
+    all-pairs blowup is bounded by bucket sizes. Only candidate pairs
+    (≪ n²) ever touch the shingle arrays again, via two hash joins back
+    to the signature relation."""
+    docs = _minhash_docs(spark, sf_dir)
+    bands = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("k"),
+    ).select("doc_id", "k.band", "k.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+_SQL_SIMHASH_DOCS = f"""
+    SELECT doc_id,
+           {sql_simhash(f"list_transform(list_distinct({_SQL_TOK}), s -> {sql_poly_hash('s')})")} AS sim
+    FROM documents
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH docs AS ({_SQL_SIMHASH_DOCS}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, sim, {b} AS band, (sim >> {4 * b}) & 15 AS nib FROM docs" for b in range(4))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.sim, b.sim)) AS hamming
+      FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 16-bit majority-vote fingerprint over distinct
+    token hashes; candidates share at least one 4-bit band (pigeonhole:
+    hamming ≤ 3 over 4 bands guarantees a clean band), verified by
+    popcount(xor) ≤ 3.
+
+    Production tier is the same plan with a 64-bit simhash and 16-bit
+    bands — the fingerprint is one BIGINT however wide the input."""
+    d = t(spark, sf_dir, "documents")
+    docs = (
+        d.select(
+            "doc_id",
+            F.transform(F.array_distinct(tokens("text")), lambda s: poly_hash(s)).alias("th"),
+        )
+        .select("doc_id", simhash(F.col("th")).alias("sim"))
+        .persist()  # referenced by both sides of the band self-join
+    )
+    bands = docs.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("sim", 4 * b).bitwiseAND(F.lit(15)).alias("nib"),
+                )
+                for b in range(4)
+            ])
+        ).alias("k"),
+    ).select("doc_id", "sim", "k.band", "k.nib")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.nib") == F.col("b.nib")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             len(string_split(text, chr(32))) // 16 AS blk,
+             list_distinct(list_transform(generate_series(1, length(text) - 3),
+                           i -> text[i : i + 3])) AS g
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.g, b.g))
+             / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+    FROM grams a JOIN grams b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.g, b.g))
+            / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+    """,
+    tags=("dedup", "ngram", "jaccard"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Character-4-gram Jaccard near-dup with length-bucket blocking:
+    pairs are generated only within the same token-count bucket
+    (÷16) — near-identical documents land in the same bucket, and bucket
+    size bounds the quadratic verify. Complements MinHash-LSH: exact
+    n-gram Jaccard, cheaper candidates, coarser recall."""
+    d = t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        (F.size(tokens("text")) / F.lit(16)).cast("long").alias("blk"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 3),
+                lambda i: F.substr("text", i, F.lit(4)),
+            )
+        ).alias("g"),
+    ).persist()  # referenced by both sides of the block self-join
+    a, b = grams.alias("a"), grams.alias("b")
+    jac = F.size(F.array_intersect("a.g", "b.g")) / F.size(F.array_union("a.g", "b.g"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )

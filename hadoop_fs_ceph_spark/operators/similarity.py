@@ -1,0 +1,159 @@
+"""Similarity-search family (north-star LLM-pipeline operators) over
+``embeddings`` (array<float>, dim 64).
+
+Brute-force cosine top-k is the baseline; sign-bit LSH bucketing and
+coarse-partition (IVF-style) search are the scale paths. All vector math
+is higher-order column expressions (`zip_with` + sequential `aggregate`
+fold) — JVM-side, no UDFs, bit-identical to the DuckDB oracle.
+
+Scale notes (100 TB): the query vector travels as a broadcast (one-row
+dimension table); candidate generation is an equality join on a bucket
+key; per-vector top-k is a ranking window inside the coarse partition,
+never a global sort of all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.functions.similarity import cosine, sql_cosine
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+# Sign-bit LSH: bucket = 4 sign bits of the first 4 components. At
+# production scale this generalizes to b random-hyperplane bits; the
+# first-components variant keeps the oracle exactly portable.
+_N_SIGN_BITS = 4
+_SQL_BUCKET = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(_N_SIGN_BITS)
+)
+
+
+def _bucket(col: str = "embedding") -> Column:
+    acc = F.lit(0)
+    for i in range(_N_SIGN_BITS):
+        acc = acc + F.when(F.element_at(col, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc
+
+
+@query(
+    "sim_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {sql_cosine("e.embedding", "q.qe")} AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "knn", "bruteforce"),
+    bench=True,
+)
+def sim_knn_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k against one query vector: broadcast the
+    query, score every vector (map-only), global top-10 via
+    TakeOrderedAndProject (no full sort materialized)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "sim_ann_lsh_bucket",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
+    q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT e.vec_id, {sql_cosine("e.embedding", "q.qe")} AS cos_sim
+    FROM b e JOIN q ON e.bucket = q.qb
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 5
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def sim_ann_lsh_bucket(spark, sf_dir):
+    """ANN via sign-bit LSH: score only the vectors in the query's
+    hyperplane-sign bucket (here ~1/16 of the table) — the
+    candidates-then-rank shape of a production IVF/LSH index, as one
+    equality join on the bucket key."""
+    e = t(spark, sf_dir, "embeddings").withColumn("bucket", _bucket())
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@query(
+    "sim_nn_per_label",
+    oracle=f"""
+    SELECT a.vec_id, b.vec_id AS nn_id,
+           {sql_cosine("a.embedding", "b.embedding")} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+    WHERE a.vec_id % 5 = 0
+    QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY cos_sim DESC, b.vec_id) = 1
+    """,
+    tags=("similarity", "knn", "ivf"),
+)
+def sim_nn_per_label(spark, sf_dir):
+    """Nearest neighbor per vector within its coarse partition (label =
+    IVF cell): self-join bounded by the partition key, ranking window
+    picks the argmax — the all-vectors kNN shape where partition size,
+    not n², bounds the work."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("nn_id"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nn_id")
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_id") != F.col("nn_id"))
+        .select("vec_id", "nn_id", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nn_id", "cos_sim")
+    )
+
+
+@query(
+    "sim_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine("a.embedding", "b.embedding")} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sql_cosine("a.embedding", "b.embedding")} > 0.4
+    """,
+    tags=("similarity", "dedup", "embedding"),
+)
+def sim_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: all same-label pairs above a
+    cosine threshold — the semantic-dedup primitive. Blocking on the
+    coarse label bounds the pair count; production raises the threshold
+    (0.99) and feeds survivors to the dedup keeper policy."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") > 0.4)
+    )

@@ -1,0 +1,182 @@
+"""Text-analysis family (north-star LLM-pipeline operators) over
+``documents``.
+
+Tokenization, quality heuristics, language-ID, and content
+fingerprinting — all pure ``pyspark.sql.functions`` composition (no UDFs:
+the whole family stays inside whole-stage codegen). Each query has an
+exact DuckDB twin generated from the same builders in
+``hadoop_fs_ceph_spark.functions.text``, so double arithmetic is
+bit-identical across engines (int/int division + sequential folds).
+
+Scale notes (100 TB): every query is embarrassingly parallel per-document
+map work except the final aggregate; nothing shuffles more than
+(group-key, partial-agg) rows. The reference repo offers no analog —
+this is the engine layer the connector exists to feed (SURVEY.md §0;
+reference is a FileSystem connector, `CephRgwFileSystem.java:98-147`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.functions.text import (
+    LANG_STOPWORDS,
+    lang_scores,
+    poly_hash,
+    sql_lang_score,
+    sql_poly_hash,
+    tokens,
+    word_tokens_regex,
+)
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+_EN = LANG_STOPWORDS["en"]
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS tok,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS wtok
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           len(tok) AS n_tokens,
+           len(wtok) AS n_words,
+           len(list_distinct(tok)) AS n_unique,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(tok, x -> CAST(len(x) AS BIGINT))),
+                       (a, b) -> a + b) / len(tok) AS avg_token_len
+    FROM toks
+    """,
+    tags=("text", "tokenize"),
+    bench=True,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens, BPE-ish regex word pieces,
+    unique-token count, mean token length — the per-document stats a
+    training-data pipeline computes on every shard."""
+    d = t(spark, sf_dir, "documents")
+    tok = tokens("text")
+    tok_lens = F.transform(tok, lambda x: F.length(x).cast("long"))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(tok).alias("n_tokens"),
+        F.size(word_tokens_regex("text")).alias("n_words"),
+        F.size(F.array_distinct(tok)).alias("n_unique"),
+        (
+            F.aggregate(tok_lens, F.lit(0).cast("long"), lambda a, b: a + b) / F.size(tok)
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, length(text) AS nc, string_split(text, ' ') AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           (nc - length(regexp_replace(text, '[a-z]', '', 'g'))) / nc AS alpha_ratio,
+           (nc - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / nc AS punct_ratio,
+           len(list_filter(tok, x -> list_contains({list(_EN)!r}, x))) / len(tok)
+             AS stopword_ratio,
+           CAST(len(tok) BETWEEN 5 AND 200
+                AND (nc - length(regexp_replace(text, '[a-z]', '', 'g'))) / nc > 0.5
+                AS BOOLEAN) AS passes_quality
+    FROM toks
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark, sf_dir):
+    """Quality heuristics: alphabetic ratio, punctuation ratio, English
+    stopword density, plus the composite keep/drop gate a corpus filter
+    applies before training."""
+    d = t(spark, sf_dir, "documents")
+    nc = F.length("text")
+    tok = tokens("text")
+    alpha = (nc - F.length(F.regexp_replace("text", "[a-z]", ""))) / nc
+    punct = (nc - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))) / nc
+    stop = F.size(
+        F.filter(tok, lambda x: x.isin(*_EN))
+    ) / F.size(tok)
+    return d.select(
+        "doc_id",
+        alpha.alias("alpha_ratio"),
+        punct.alias("punct_ratio"),
+        stop.alias("stopword_ratio"),
+        (F.size(tok).between(5, 200) & (alpha > 0.5)).alias("passes_quality"),
+    )
+
+
+def _sql_lang_pred() -> tuple[str, str]:
+    """Nested-CASE argmax over per-language scores (first max wins,
+    language order en→de→es→fr→zh — mirrored exactly in the Spark chain)."""
+    langs = list(LANG_STOPWORDS)
+    pred, best = f"'{langs[0]}'", f"s_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"GREATEST({best}, s_{lang})"
+    return pred, best
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {", ".join(f"{sql_lang_score('list_distinct(string_split(text, chr(32)))', lg)} AS s_{lg}" for lg in LANG_STOPWORDS)}
+      FROM documents
+    )
+    SELECT lang, {_sql_lang_pred()[0]} AS pred_lang, COUNT(*) AS n
+    FROM scored
+    GROUP BY lang, pred_lang
+    """,
+    tags=("text", "lang_id"),
+)
+def text_lang_id(spark, sf_dir):
+    """Language-ID via stopword-overlap scoring (n-gram heuristic tier),
+    reported as a labeled-vs-predicted confusion matrix."""
+    d = t(spark, sf_dir, "documents")
+    scores = lang_scores(F.array_distinct(tokens("text")))
+    langs = list(scores)
+    pred, best = F.lit(langs[0]), scores[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(scores[lang] > best, lang).otherwise(pred)
+        best = F.greatest(best, scores[lang])
+    return (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_poly_hash("text")} AS fp_raw,
+           {sql_poly_hash("array_to_string(list_sort(list_distinct(string_split(text, chr(32)))), chr(32))")}
+             AS fp_bag
+    FROM documents WHERE doc_id % 4 = 1
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: rolling polynomial hash of the raw text
+    plus an order-insensitive bag-of-words fingerprint (hash of the sorted
+    distinct-token string) — the keys exact/near dedup joins on.
+
+    Portable tier shown here (oracle-checkable); production tier swaps
+    ``poly_hash`` for ``xxhash64`` with the same pipeline shape."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    bag = F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
+    return d.select(
+        "doc_id",
+        poly_hash(F.col("text")).alias("fp_raw"),
+        poly_hash(bag).alias("fp_bag"),
+    )

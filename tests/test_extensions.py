@@ -1,0 +1,74 @@
+"""Property tests for the north-star extension operators (dedup /
+similarity / text) — beyond oracle equality, these check semantic
+invariants: LSH recall against exact ground truth, dedup key uniqueness,
+cosine range/order sanity.
+"""
+
+import pytest
+
+from hadoop_fs_ceph_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def exact_dup_pairs(duck, sf_dir):
+    """Ground-truth near-dup pairs: exact all-pairs 3-word-shingle Jaccard
+    >= 0.8 (no blocking — the quadratic truth the LSH path approximates)."""
+    rows = duck.sql(f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+                   FROM read_parquet('{sf_dir}/documents.parquet')),
+        s AS (SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(tok) - 2),
+                                   i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+              FROM t WHERE len(tok) >= 3)
+        SELECT a.doc_id, b.doc_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    """).fetchall()
+    return {(a, b) for a, b in rows}
+
+
+def test_minhash_lsh_full_recall(spark, sf_dir, exact_dup_pairs):
+    """LSH candidates + exact verify must recover every true pair
+    (banding at 4x4 makes a miss at J>=0.8 a ~1e-3 event; the planted
+    pairs sit at J>=0.9 where misses are ~1e-4)."""
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert exact_dup_pairs, "fixtures should contain planted near-duplicates"
+    assert exact_dup_pairs <= got
+    # precision is 1.0 by construction (exact Jaccard verify) — check anyway
+    assert got <= exact_dup_pairs
+
+
+def test_exact_dedup_key_unique(spark, sf_dir):
+    df = SPECS["dedup_exact_keep_latest"].fn(spark, sf_dir)
+    assert df.count() == df.select("user_id").distinct().count()
+
+
+def test_knn_cosine_sane(spark, sf_dir):
+    rows = SPECS["sim_knn_bruteforce"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    sims = [r.cos_sim for r in rows]
+    assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_scores_match_bruteforce(spark, duck, sf_dir):
+    """Sign-LSH returns genuine vectors whose cosine matches the exact
+    (numpy) score — the bucketing must never distort the metric."""
+    import numpy as np
+
+    ann = {r.vec_id: r.cos_sim for r in SPECS["sim_ann_lsh_bucket"].fn(spark, sf_dir).collect()}
+    assert len(ann) == 5
+    emb = duck.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in emb}
+    q = vecs[0]
+    for vid, s in ann.items():
+        truth = float(vecs[vid] @ q / (np.linalg.norm(vecs[vid]) * np.linalg.norm(q)))
+        assert abs(s - truth) < 1e-9
