@@ -21,6 +21,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     dedup,
     joins,
     json_array,
+    multimodal,
     relational,
     scalar_funcs,
     setops_sort,

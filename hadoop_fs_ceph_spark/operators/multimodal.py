@@ -1,0 +1,165 @@
+"""Multimodal-column family: opaque ``binary`` payloads + typed metadata,
+decode / feature-extract / frame-sample as Arrow-batched Python stages.
+
+The driver tables carry no real image/audio bytes, so payloads are the
+UTF-8 bytes of ``documents.text`` — which makes every byte-level result
+independently checkable by the DuckDB oracle while exercising the REAL
+multimodal plumbing end-to-end: a BinaryType column through Parquet/Arrow,
+`mapInPandas` batch iteration, per-row byte slicing, and a typed output
+schema. The decode step for actual media is a clearly-marked STUB
+(`_decode_media`): the image/audio libraries are not in this container,
+so it raises ``NotImplementedError`` — the deterministic byte-feature
+path below is what runs and what the oracle checks.
+
+Scale notes (100 TB): payload bytes never hit the driver; `mapInPandas`
+streams Arrow batches executor-side, so memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of blob size;
+frame explosion multiplies rows, not payload copies (each frame slice is
+a view of its chunk only).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+FRAME_BYTES = 64
+
+
+def _decode_media(modality: str, payload: bytes):
+    """STUB — real media decode (image resize, audio resample, video frame
+    extraction) needs PIL/soundfile/av, none of which ship in this
+    environment. The Spark-side plumbing (binary column, Arrow batching,
+    output schema) is identical for the real thing."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - always taken here
+        raise NotImplementedError(
+            f"media decode for {modality!r} requires imaging/audio libraries "
+            "not present in this environment; use the deterministic "
+            "byte-feature path instead"
+        ) from exc
+
+
+def _blobs(spark, sf_dir):
+    """documents → (doc_id, blob: binary payload, modality)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("blob"),
+        F.lit("text/plain").alias("modality"),
+    )
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS checksum
+    FROM documents
+    """,
+    tags=("multimodal", "binary", "metadata"),
+)
+def mm_binary_metadata(spark, sf_dir):
+    """Typed metadata over an opaque binary column: byte length + content
+    checksum — computed JVM-side (no Python), the catalog row a multimodal
+    lakehouse keeps alongside each payload."""
+    return _blobs(spark, sf_dir).select(
+        "doc_id",
+        "modality",
+        F.length("blob").alias("n_bytes"),
+        F.sha2("blob", 256).alias("checksum"),
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    i AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (n - 1) // {FRAME_BYTES})) AS fi
+      FROM b
+    ),
+    f AS (
+      SELECT doc_id, CAST(fi AS INTEGER) AS frame_no,
+             substring(text, CAST(fi * {FRAME_BYTES} + 1 AS INTEGER), {FRAME_BYTES}) AS frame
+      FROM i
+    )
+    SELECT doc_id, frame_no,
+           octet_length(encode(frame)) AS frame_bytes,
+           sha256(frame) AS frame_sha
+    FROM f
+    """,
+    tags=("multimodal", "binary", "pandas"),
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling: one output row per fixed-size chunk of the payload
+    (the video-frame / audio-window shape), via ``mapInPandas`` — binary
+    in, typed rows out, Arrow batches end to end. Python is justified
+    here: per-frame byte slicing + digest is exactly the non-relational
+    inner loop real decoders have."""
+    out_schema = "doc_id long, frame_no int, frame_bytes int, frame_sha string"
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                for i in range(0, len(b), FRAME_BYTES):
+                    chunk = b[i : i + FRAME_BYTES]
+                    rows.append(
+                        (did, i // FRAME_BYTES, len(chunk), hashlib.sha256(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "frame_bytes", "frame_sha"]
+            )
+
+    return _blobs(spark, sf_dir).mapInPandas(sample, out_schema)
+
+
+@query(
+    "mm_byte_features",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           CAST(len(codes) AS BIGINT) AS n_bytes,
+           CAST(list_sum(codes) AS BIGINT) AS byte_sum,
+           list_min(codes) AS byte_min,
+           list_max(codes) AS byte_max
+    FROM c
+    """,
+    tags=("multimodal", "binary", "pandas", "features"),
+)
+def mm_byte_features(spark, sf_dir):
+    """Feature extraction from the raw payload via ``mapInPandas`` — the
+    deterministic stand-in for an image/audio feature extractor (see
+    ``_decode_media`` for the gated real-decode stub). Integer features
+    (sum/min/max over bytes) keep the oracle comparison exact."""
+    out_schema = "doc_id long, n_bytes long, byte_sum long, byte_min long, byte_max long"
+
+    def features(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                rows.append((did, len(b), sum(b), min(b), max(b)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "byte_sum", "byte_min", "byte_max"]
+            )
+
+    return (
+        _blobs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 0)
+        .mapInPandas(features, out_schema)
+    )

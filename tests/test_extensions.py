@@ -72,3 +72,28 @@ def test_ann_scores_match_bruteforce(spark, duck, sf_dir):
     for vid, s in ann.items():
         truth = float(vecs[vid] @ q / (np.linalg.norm(vecs[vid]) * np.linalg.norm(q)))
         assert abs(s - truth) < 1e-9
+
+
+def test_media_decode_stub_is_gated():
+    """Real media decode must fail loudly (NotImplementedError), never
+    silently fake an image/audio decode."""
+    from hadoop_fs_ceph_spark.operators.multimodal import _decode_media
+
+    with pytest.raises(NotImplementedError):
+        _decode_media("image/png", b"\x89PNG")
+
+
+def test_frame_sample_reassembles(spark, sf_dir):
+    """Frames per document must tile the payload exactly: count = ceil(n/64),
+    sizes sum to n_bytes."""
+    import math
+
+    meta = {r.doc_id: r.n_bytes for r in SPECS["mm_binary_metadata"].fn(spark, sf_dir).collect()}
+    frames = SPECS["mm_frame_sample"].fn(spark, sf_dir).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(meta)
+    for did, fr in by_doc.items():
+        assert len(fr) == math.ceil(meta[did] / 64)
+        assert sum(f.frame_bytes for f in fr) == meta[did]
