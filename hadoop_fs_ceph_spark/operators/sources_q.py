@@ -115,6 +115,40 @@ def src_partitioned_write(spark, sf_dir):
 
 
 @query(
+    "src_save_modes",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "savemode"),
+)
+def src_save_modes(spark, sf_dir):
+    """Save-mode semantics — the engine's mirror of the reference's
+    CreateFlag contract (`CephRgwFileSystem.java:263-274`): errorifexists
+    must refuse an existing target (FileAlreadyExistsException analog),
+    overwrite replaces it, and append adds table-level data — new files in
+    the directory, exactly how object storage gets 'append' even though
+    byte-append is unsupported (`CephRgwFileSystem.java:304-308`).
+
+    The returned counts prove the sequence: overwrite(1x) → errorifexists
+    rejected (still 1x) → append(+1x) = 2x the source rows."""
+    o = t(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "modes_orders")
+    write_table(o, path, mode="overwrite")
+    try:
+        write_table(o, path, mode="errorifexists")
+    except Exception:
+        pass  # contract: existing target must be refused
+    else:  # pragma: no cover - would be a save-mode contract violation
+        raise AssertionError("errorifexists overwrote an existing target")
+    write_table(o, path, mode="append")
+    return spark.read.parquet(path).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
     "src_catalog_access",
     oracle="""
     SELECT r.r_name, COUNT(*) AS n_nations

@@ -1,0 +1,113 @@
+"""Physical-plan assertions — the 100 TB posture checks.
+
+Correct answers are necessary but not sufficient: these tests pin the
+*plan shapes* that keep the declared queries viable at cluster scale —
+broadcast for bounded dims, sort-merge for fact-fact, predicate pushdown
+and column pruning into the parquet scan, partition pruning over
+partitioned layouts, and whole-stage codegen on the hot paths.
+"""
+
+import re
+
+import pytest
+
+from hadoop_fs_ceph_spark.registry import load_all
+from hadoop_fs_ceph_spark.tables import t
+
+SPECS = load_all()
+
+
+def plan_of(df, mode: str = "formatted", execute: bool = False) -> str:
+    """Full explain string (formatted mode doesn't truncate scan fields);
+    ``execute=True`` materializes first so AQE's *final* plan is shown."""
+    if execute:
+        # drive THIS DataFrame's own QueryExecution so AQE finalizes it
+        # (a separate sink action would plan a fresh QueryExecution)
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    """A bounded dimension side must broadcast — no shuffle of the fact."""
+    plan = plan_of(SPECS["join_broadcast_dim"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fact_fact_join_sort_merges(spark, sf_dir):
+    """Two fact tables must sort-merge join (hash-partitioned both sides),
+    never broadcast — a broadcast of a fact table dies at scale."""
+    plan = plan_of(SPECS["join_sortmerge_facts"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+
+
+def test_q6_filter_pushdown_and_pruning(spark, sf_dir):
+    """Filters must reach the parquet scan (PushedFilters) and the scan
+    must read only referenced columns (ReadSchema)."""
+    plan = plan_of(SPECS["q6_forecast_revenue"].fn(spark, sf_dir))
+    scan = plan[plan.index("Scan parquet") :]
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", scan)
+    assert pushed and pushed.group(1).strip(), "no filters pushed to parquet scan"
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    assert schema is not None
+    cols = {c.split(":")[0] for c in schema.group(1).split(",") if c}
+    assert cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_flagship_uses_wholestage_codegen(spark, sf_dir):
+    """The scan→filter→agg pipeline must run inside whole-stage codegen —
+    rendered as ``*(n)`` stage prefixes in the final adaptive plan."""
+    plan = plan_of(SPECS["q1_pricing_summary"].fn(spark, sf_dir), execute=True)
+    assert "isFinalPlan=true" in plan
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), "agg not codegen'd"
+
+
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir):
+    """A filter on the partition column must prune directories at plan
+    time (PartitionFilters on the scan), not scan-then-filter."""
+    import os
+
+    from hadoop_fs_ceph_spark.operators.sources_q import _scratch
+
+    SPECS["src_partitioned_write"].fn(spark, sf_dir).collect()  # materialize layout
+    path = _scratch(sf_dir, "part_orders")
+    assert os.path.isdir(path)
+    df = spark.read.parquet(path).filter("o_orderstatus = 'F'").select("o_orderkey")
+    plan = plan_of(df)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "o_orderstatus" in pf.group(1)
+
+
+def test_knn_topk_avoids_global_sort(spark, sf_dir):
+    """Global top-k must be TakeOrderedAndProject (per-partition heap +
+    merge), never a full Exchange+Sort of all scored rows."""
+    plan = plan_of(SPECS["sim_knn_bruteforce"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_driver_collect_in_operators():
+    """No operator implementation may pull data to the driver — scan the
+    operator sources for `.collect(` / `.toPandas(` outside tests."""
+    import pathlib
+
+    ops = pathlib.Path("hadoop_fs_ceph_spark")
+    offenders = []
+    for p in ops.rglob("*.py"):
+        src = p.read_text()
+        if ".collect(" in src or ".toPandas(" in src:
+            if p.name not in ("oracle.py",):  # harness, not an operator
+                offenders.append(str(p))
+    assert not offenders, f"driver-side collection in: {offenders}"
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "sim_embedding_near_dup"])
+def test_pair_generation_never_cartesian(spark, sf_dir, name):
+    """Candidate-pair generation must be an equality join on a blocking
+    key — a CartesianProduct/BroadcastNestedLoop node means the operator
+    degenerates to all-pairs at scale."""
+    plan = plan_of(SPECS[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
