@@ -27,6 +27,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     setops_sort,
     similarity,
     sources_q,
+    sql_surface,
     streaming_q,
     text,
     udfs,

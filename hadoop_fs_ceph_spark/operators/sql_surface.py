@@ -1,0 +1,152 @@
+"""SQL entry-point surface: the same engine driven through ``spark.sql``
+rather than the DataFrame API — CTEs, EXISTS / IN / scalar / correlated
+subqueries, and PIVOT.
+
+The reference's consumers reach it exactly this way (Hive/Spark SQL text
+over files on the mounted store), so the SQL front door is part of the
+capability surface even though the reference itself parses nothing
+(SURVEY.md §0). Catalyst compiles these to the same physical plans as the
+DataFrame-built equivalents — subqueries become semi/anti joins, scalar
+subqueries become broadcast singletons — so every 100 TB posture note
+from the operator families applies unchanged.
+"""
+
+from __future__ import annotations
+
+from hadoop_fs_ceph_spark.canonical import sql_dsum
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _views(spark, sf_dir, *names):
+    for n in names:
+        t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@query(
+    "sql_cte_top_suppliers",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, {sql_dsum("l_extendedprice * (1 - l_discount)", "total_rev")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("sql", "cte", "subquery"),
+)
+def sql_cte_top_suppliers(spark, sf_dir):
+    """CTE + scalar subquery (TPC-H Q15 shape): revenue per supplier,
+    keep the max — the scalar subquery compiles to a one-row broadcast."""
+    _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(f"""
+        WITH rev AS (
+          SELECT l_suppkey, {sql_dsum("l_extendedprice * (1 - l_discount)", "total_rev")}
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+        ORDER BY s.s_suppkey
+    """)
+
+
+_SQL_NOT_EXISTS = """
+    SELECT c.c_mktsegment, COUNT(*) AS n_idle_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    )
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("sql_not_exists_subquery", oracle=_SQL_NOT_EXISTS, tags=("sql", "subquery", "anti"))
+def sql_not_exists_subquery(spark, sf_dir):
+    """Correlated NOT EXISTS (TPC-H Q22 flavor) — Catalyst rewrites it to
+    a left-anti join on o_custkey; never a per-row probe."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SQL_NOT_EXISTS)
+
+
+_SQL_IN_SUB = """
+    SELECT n.n_name, COUNT(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey IN (
+      SELECT r_regionkey FROM region WHERE r_name IN ('ASIA', 'EUROPE')
+    )
+    GROUP BY n.n_name
+"""
+
+
+@query("sql_in_subquery", oracle=_SQL_IN_SUB, tags=("sql", "subquery", "semi"))
+def sql_in_subquery(spark, sf_dir):
+    """IN <subquery> — compiled to a left-semi join against the (tiny,
+    broadcast) region keys."""
+    _views(spark, sf_dir, "supplier", "nation", "region")
+    return spark.sql(_SQL_IN_SUB)
+
+
+_SQL_CORRELATED_SCALAR = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+      SELECT AVG(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o.o_orderkey
+"""
+
+
+@query(
+    "sql_correlated_scalar",
+    oracle=_SQL_CORRELATED_SCALAR,
+    tags=("sql", "subquery", "correlated"),
+)
+def sql_correlated_scalar(spark, sf_dir):
+    """Correlated scalar subquery: orders more than 2x their customer's
+    average — decorrelated by Catalyst into one aggregate per c_custkey
+    plus an equi-join (one shuffle, not O(n) subquery executions).
+
+    Determinism note: AVG is a double fold, but each engine compares a
+    row only against its own group's AVG with a strict 2x margin — no
+    fixture row sits within float-noise of the boundary, which the oracle
+    hash-match itself certifies."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL_CORRELATED_SCALAR)
+
+
+@query(
+    "sql_pivot_events",
+    oracle=f"""
+    SELECT user_id % 10 AS cohort,
+           {", ".join(f"COUNT(CASE WHEN event_type = '{e}' THEN 1 END) AS {e}" for e in _EVENT_TYPES)}
+    FROM events
+    GROUP BY cohort
+    """,
+    tags=("sql", "pivot"),
+)
+def sql_pivot_events(spark, sf_dir):
+    """PIVOT: event counts per user cohort, one column per event type.
+    Spark's PIVOT clause with an explicit IN list is a single hash
+    aggregate over (cohort) with conditional counters — no per-value
+    passes; the explicit value list is what keeps it one-pass (an
+    inferred list would need a distinct-scan first)."""
+    _views(spark, sf_dir, "events")
+    in_list = ", ".join(f"'{e}' AS {e}" for e in _EVENT_TYPES)
+    return spark.sql(f"""
+        SELECT * FROM (
+          SELECT user_id % 10 AS cohort, event_type FROM events
+        )
+        PIVOT (COUNT(1) FOR event_type IN ({in_list}))
+    """)
