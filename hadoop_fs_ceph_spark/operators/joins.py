@@ -94,16 +94,17 @@ def join_broadcast_dim(spark, sf_dir):
 )
 def join_sortmerge_facts(spark, sf_dir):
     """Fact⋈fact (lineitem⋈orders): at 100 TB both sides exceed broadcast
-    range, so this is the shuffle-join path — the explicit ``merge`` hint
-    pins SMJ (what a real fact-fact plan must be) even at test scale,
-    where AQE would otherwise demote to broadcast; AQE still splits skewed
-    l_orderkey partitions at runtime."""
+    range, so this is the shuffle-join path — AQE picks SMJ there and
+    splits skewed l_orderkey partitions at runtime; at test scale it may
+    legitimately broadcast the filtered orders side instead. The SMJ plan
+    shape is pinned in tests/test_plans.py by disabling auto-broadcast,
+    not by hinting here — hints would pessimize every scale."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
     )
     return (
-        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_extendedprice", "sum_price"))
         .orderBy("o_orderpriority")

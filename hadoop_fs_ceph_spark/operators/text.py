@@ -59,16 +59,26 @@ def text_token_stats(spark, sf_dir):
     unique-token count, mean token length — the per-document stats a
     training-data pipeline computes on every shard."""
     d = t(spark, sf_dir, "documents")
-    tok = tokens("text")
-    tok_lens = F.transform(tok, lambda x: F.length(x).cast("long"))
+    # stacked select: tokenize ONCE per document, then derive the stats —
+    # CollapseProject keeps the non-cheap split() a single computed column
     return d.select(
         "doc_id",
         "n_chars",
-        F.size(tok).alias("n_tokens"),
+        tokens("text").alias("tok"),
         F.size(word_tokens_regex("text")).alias("n_words"),
-        F.size(F.array_distinct(tok)).alias("n_unique"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.size("tok").alias("n_tokens"),
+        "n_words",
+        F.size(F.array_distinct("tok")).alias("n_unique"),
         (
-            F.aggregate(tok_lens, F.lit(0).cast("long"), lambda a, b: a + b) / F.size(tok)
+            F.aggregate(
+                F.transform("tok", lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            )
+            / F.size("tok")
         ).alias("avg_token_len"),
     )
 
@@ -98,18 +108,23 @@ def text_quality_score(spark, sf_dir):
     applies before training."""
     d = t(spark, sf_dir, "documents")
     nc = F.length("text")
-    tok = tokens("text")
     alpha = (nc - F.length(F.regexp_replace("text", "[a-z]", ""))) / nc
     punct = (nc - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))) / nc
-    stop = F.size(
-        F.filter(tok, lambda x: x.isin(*_EN))
-    ) / F.size(tok)
     return d.select(
         "doc_id",
+        tokens("text").alias("tok"),
         alpha.alias("alpha_ratio"),
         punct.alias("punct_ratio"),
-        stop.alias("stopword_ratio"),
-        (F.size(tok).between(5, 200) & (alpha > 0.5)).alias("passes_quality"),
+    ).select(
+        "doc_id",
+        "alpha_ratio",
+        "punct_ratio",
+        (F.size(F.filter("tok", lambda x: x.isin(*_EN))) / F.size("tok")).alias(
+            "stopword_ratio"
+        ),
+        (F.size("tok").between(5, 200) & (F.col("alpha_ratio") > 0.5)).alias(
+            "passes_quality"
+        ),
     )
 
 

@@ -38,9 +38,15 @@ def test_dim_join_broadcasts(spark, sf_dir):
 
 
 def test_fact_fact_join_sort_merges(spark, sf_dir):
-    """Two fact tables must sort-merge join (hash-partitioned both sides),
-    never broadcast — a broadcast of a fact table dies at scale."""
-    plan = plan_of(SPECS["join_sortmerge_facts"].fn(spark, sf_dir))
+    """Two fact tables must sort-merge join (hash-partitioned both sides)
+    once neither side fits broadcast — simulated here by disabling
+    auto-broadcast, which is what 100 TB table sizes do for real."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(SPECS["join_sortmerge_facts"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan
 
 
