@@ -256,3 +256,40 @@ def agg_approx_count_distinct(spark, sf_dir):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "skew", "salt"),
+)
+def agg_salted_skew(spark, sf_dir):
+    """Salted two-stage aggregation for skewed keys: events has only 5
+    event_type values, so a naive groupBy sends each key's entire volume
+    to one reducer. Stage 1 aggregates on (event_type, salt16) — 16-way
+    fan-out per hot key; stage 2 re-aggregates the 16 partials per key.
+    Partial aggregates are exact (counts + pre-scaled integer cents), so
+    the result is bit-identical to the unsalted plan the oracle runs.
+
+    At 100 TB this is the pattern for heavy-hitter keys that AQE's
+    skew-join splitting doesn't cover (it handles joins, not
+    aggregations); map-side partial aggregation already mitigates — the
+    salt guarantees bounded reducer input regardless of key skew."""
+    e = t(spark, sf_dir, "events")
+    salted = (
+        e.withColumn("salt", (F.col("event_id") % 16).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("psum"),
+        )
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").alias("sum_cents"),
+    )

@@ -185,3 +185,50 @@ def src_file_metadata(spark, sf_dir):
 
     cat = Catalog(spark, sf_dir)
     return cat.table_files("lineitem").select("file_name", "file_size", "row_count")
+
+
+@query(
+    "src_bucketed_join",
+    oracle=f"""
+    SELECT l.l_orderkey, COUNT(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice', 'sum_price')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 50 = 0
+    GROUP BY l.l_orderkey
+    """,
+    tags=("source", "bucketed", "join"),
+)
+def src_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join: both fact tables written bucketBy(8) +
+    sortBy on the join key, then joined — Spark matches the bucket specs
+    and sort-merge joins with NO shuffle exchange on either side (asserted
+    in tests/test_plans.py). At 100 TB this is the difference between a
+    join that re-shuffles both tables every run and one that reads
+    pre-co-located buckets; the bucketed write is the reference's
+    virtual-block idea (split-friendly layout) taken one step further:
+    key-aligned layout."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    names = {}
+    for tbl, key, cols in (
+        ("orders", "o_orderkey", ["o_orderkey"]),
+        ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"]),
+    ):
+        name = f"b_{tbl}_{tag}"
+        names[tbl] = name
+        (
+            t(spark, sf_dir, tbl)
+            .select(*cols)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", _scratch(sf_dir, f"bucketed_{tbl}"))
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table(names["orders"]).filter(F.col("o_orderkey") % 50 == 0)
+    li = spark.table(names["lineitem"])
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_extendedprice", "sum_price"))
+    )

@@ -117,3 +117,17 @@ def test_pair_generation_never_cartesian(spark, sf_dir, name):
     plan = plan_of(SPECS[name].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucketed co-located tables must sort-merge join straight off the
+    bucketed scans — zero hash-partitioning exchanges anywhere in the
+    plan (the groupBy on the same key also reuses the bucketing)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(SPECS["src_bucketed_join"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
