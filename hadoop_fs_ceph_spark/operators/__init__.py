@@ -30,6 +30,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     sql_surface,
     streaming_q,
     text,
+    tpch_suite,
     udfs,
     windows,
 )

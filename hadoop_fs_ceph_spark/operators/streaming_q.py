@@ -229,3 +229,58 @@ def stream_custom_state(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "max_value")
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS purchase_id, b.event_id AS view_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase' AND b.event_type = 'view'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "stream_stream"),
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join: purchases joined to the views that follow
+    them within 30 minutes, both sides unbounded streams. Watermarks on
+    both sides plus the time-bound join condition let Spark evict join
+    state once a purchase can no longer match (the unbounded-state
+    problem every streaming join must solve); availableNow drains the
+    finite input so the emitted matches equal the batch join the oracle
+    runs."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts"))
+        & (F.col("v_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        (F.unix_micros(F.col("v_ts")) - F.unix_micros(F.col("p_ts"))).alias("lag_us"),
+    )
+    return run_to_memory(joined, "stream_stream_join", "append")

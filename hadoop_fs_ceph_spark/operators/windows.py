@@ -161,3 +161,51 @@ def win_topk_per_group(spark, sf_dir):
             F.row_number().over(w).alias("rn"),
         ).filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flags
+    )
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    tags=("window", "sessionize", "frame"),
+)
+def win_sessionize(spark, sf_dir):
+    """Batch sessionization — the lag + gap-flag + running-sum idiom:
+    a >30 min silence starts a new session; the running sum of new-session
+    flags numbers sessions per user. Two window passes over the same
+    (user_id | ts, event_id) order ⇒ ONE shuffle: Catalyst collapses both
+    window operators onto one partitioning/ordering. The streaming twin is
+    ``stream_session_window`` (session_window does this with state)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "is_new", F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_no", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
