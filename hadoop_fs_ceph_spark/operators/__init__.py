@@ -10,10 +10,16 @@ Module map (SURVEY.md §2B families):
 * json_array   — JSON props, array + higher-order functions
 * sources      — format round-trips, partitioned writes, catalog surface
 * udfs         — scalar UDF, pandas UDF, grouped agg/map, mapInPandas
-* streaming_q  — Structured Streaming (availableNow) window aggregations
-* dedup        — exact, minhash-LSH, simhash, n-gram jaccard, embedding
-* similarity   — cosine brute-force top-k, LSH-bucketed ANN, IVF
+* streaming_q  — Structured Streaming (availableNow): windows, watermark
+                 dedup, stateful counts, stream-static + stream-stream join
+* sql_surface  — spark.sql front door: CTEs, subqueries, PIVOT
+* tpch_suite   — composite TPC-H shapes (Q3/Q5/Q18) over the star schema
+* dedup        — exact, minhash-LSH (+ connected-component clustering),
+                 simhash, n-gram jaccard
+* similarity   — cosine brute-force top-k, sign-LSH ANN, per-label NN,
+                 embedding near-dup
 * text         — token stats, language-ID, quality scores, fingerprints
+* multimodal   — binary payloads: metadata, frame sampling, byte features
 """
 
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401

@@ -301,3 +301,77 @@ def dedup_ngram_jaccard(spark, sf_dir):
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE docs AS ({_SQL_MINHASH_DOCS}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {sql_band_hash('sig', b)} AS bh FROM docs" for b in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN docs x ON x.doc_id = c.doc_a
+                  JOIN docs y ON y.doc_id = c.doc_b
+      WHERE len(list_intersect(x.sh, y.sh))
+              / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    """,
+    tags=("dedup", "cluster", "iterative"),
+)
+def dedup_cluster_cc(spark, sf_dir):
+    """Duplicate clustering: connected components over the verified
+    MinHash-LSH near-dup pairs via iterative min-label propagation — each
+    document's cluster id is the smallest doc_id reachable through dup
+    edges, i.e. the canonical keeper its group dedups to.
+
+    The loop is pure DataFrame joins (labels ⋈ edges → min per node),
+    persisted per round; near-dup components are cliques-or-chains of
+    tiny diameter, so a fixed 4 rounds reaches the fixpoint here (each
+    round halves the distance to the component minimum — 4 rounds covers
+    diameter 15). At real scale this becomes the alternating
+    large-star/small-star formulation — identical join shapes, fewer
+    rounds — with each round's labels checkpointed to parquet; the oracle
+    is a recursive-CTE transitive closure over the same pairs."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(4):
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.doc_a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

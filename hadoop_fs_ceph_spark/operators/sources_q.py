@@ -232,3 +232,84 @@ def src_bucketed_join(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_extendedprice", "sum_price"))
     )
+
+
+@query(
+    "src_upsert_merge",
+    oracle=f"""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+             COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+             COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+      FROM orders b FULL JOIN updates u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM merged GROUP BY o_orderstatus
+    """,
+    tags=("source", "upsert", "merge"),
+)
+def src_upsert_merge(spark, sf_dir):
+    """MERGE/upsert on a plain-parquet lake: updates full-outer-joined to
+    the base snapshot, update wins per column, result is the next
+    snapshot. This is the copy-on-write merge a table format (Delta/
+    Iceberg) performs internally — expressed directly so the engine can
+    maintain mutable tables on immutable object storage (the reference's
+    world: no byte-level update, `CephRgwFileSystem.java:304-308`).
+
+    At scale: the join shuffles on the primary key; with the base laid
+    out bucketed by key (src_bucketed_join) the rewrite touches only the
+    buckets containing updates."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    b, u = o.alias("b"), upd.alias("u")
+    merged = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full").select(
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+            for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        ]
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )
+
+
+@query(
+    "src_delete_rewrite",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = b.o_custkey AND c.c_custkey % 25 = 3
+    )
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "delete", "anti"),
+)
+def src_delete_rewrite(spark, sf_dir):
+    """Targeted delete on an immutable lake (the GDPR/right-to-erasure
+    shape): the delete-set (customers to forget) anti-joins the base
+    table and the survivors become the next snapshot. The delete-set is
+    tiny → broadcast anti-join: one pass over the base, no shuffle."""
+    o = t(spark, sf_dir, "orders")
+    forget = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 25 == 3)
+        .select("c_custkey")
+    )
+    survivors = o.join(
+        F.broadcast(forget), o.o_custkey == forget.c_custkey, "left_anti"
+    )
+    return survivors.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )
