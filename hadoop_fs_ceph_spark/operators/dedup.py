@@ -110,7 +110,12 @@ def _minhash_docs(spark, sf_dir):
     return (
         d.select("doc_id", sh.alias("sh"))
         .select("doc_id", "sh", F.transform("sh", lambda s: poly_hash(s)).alias("hh"))
-        .select("doc_id", "sh", minhash_signature(F.col("hh")).alias("sig"))
+        .select(
+            "doc_id",
+            "sh",
+            F.size("sh").alias("n_sh"),
+            minhash_signature(F.col("hh")).alias("sig"),
+        )
         .persist()
     )
 
@@ -135,14 +140,14 @@ _SQL_MINHASH_DOCS = f"""
       FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
       WHERE a.doc_id < b.doc_id
     )
-    SELECT c.doc_a, c.doc_b,
-           len(list_intersect(x.sh, y.sh))
-             / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
-    FROM cand c
-    JOIN docs x ON x.doc_id = c.doc_a
-    JOIN docs y ON y.doc_id = c.doc_b
-    WHERE len(list_intersect(x.sh, y.sh))
-            / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(x.sh, y.sh))
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+      FROM cand c
+      JOIN docs x ON x.doc_id = c.doc_a
+      JOIN docs y ON y.doc_id = c.doc_b
+    ) WHERE jaccard >= 0.8
     """,
     tags=("dedup", "minhash", "lsh"),
     bench=True,
@@ -175,13 +180,26 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+    # |A∩B| / (|A| + |B| - |A∩B|): one array op per pair (the union array
+    # is never materialized — set sizes are exact ints, so the jaccard
+    # double is bit-identical to the intersect/union form)
     return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("ni"),
+            "na",
+            "nb",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= 0.8)
     )
 
@@ -264,12 +282,12 @@ def dedup_simhash(spark, sf_dir):
                            i -> text[i : i + 3])) AS g
       FROM documents
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.g, b.g))
-             / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
-    FROM grams a JOIN grams b ON a.blk = b.blk AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.g, b.g))
-            / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.g, b.g))
+               / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+      FROM grams a JOIN grams b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
     """,
     tags=("dedup", "ngram", "jaccard"),
 )
@@ -291,13 +309,19 @@ def dedup_ngram_jaccard(spark, sf_dir):
         ).alias("g"),
     ).persist()  # referenced by both sides of the block self-join
     a, b = grams.alias("a"), grams.alias("b")
-    jac = F.size(F.array_intersect("a.g", "b.g")) / F.size(F.array_union("a.g", "b.g"))
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+            F.size(F.array_intersect("a.g", "b.g")).alias("ni"),
+            F.size("a.g").alias("na"),
+            F.size("b.g").alias("nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
-from hadoop_fs_ceph_spark.functions.similarity import cosine, sql_cosine
+from hadoop_fs_ceph_spark.functions.similarity import cosine, dot, norm, sql_cosine, sql_dot
 from hadoop_fs_ceph_spark.registry import query
 from hadoop_fs_ceph_spark.tables import t
 
@@ -40,8 +40,10 @@ def _bucket(col: str = "embedding") -> Column:
 @query(
     "sim_knn_bruteforce",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id, {sql_cosine("e.embedding", "q.qe")} AS cos_sim
+    WITH q AS (SELECT embedding AS qe, SQRT({sql_dot("embedding", "embedding")}) AS qn
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           {sql_dot("e.embedding", "q.qe")} / (SQRT({sql_dot("e.embedding", "e.embedding")}) * q.qn) AS cos_sim
     FROM embeddings e, q
     WHERE e.vec_id <> 0
     ORDER BY cos_sim DESC, e.vec_id
@@ -52,14 +54,20 @@ def _bucket(col: str = "embedding") -> Column:
 )
 def sim_knn_bruteforce(spark, sf_dir):
     """Brute-force cosine top-k against one query vector: broadcast the
-    query, score every vector (map-only), global top-10 via
+    query WITH its norm precomputed (one fold total, not one per scored
+    row), score every vector (map-only), global top-10 via
     TakeOrderedAndProject (no full sort materialized)."""
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), norm(F.col("embedding")).alias("qn")
+    )
     return (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .select("vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"))
+        .select(
+            "vec_id",
+            (dot(F.col("embedding"), F.col("qe")) / (norm(F.col("embedding")) * F.col("qn"))).alias("cos_sim"),
+        )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
