@@ -91,3 +91,41 @@ def lang_scores(tok: Column) -> dict[str, Column]:
 def sql_lang_score(tok_expr: str, lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
     return f"len(list_intersect(list_distinct({tok_expr}), [{words}]))"
+
+
+def token_hashes(tok: Column) -> Column:
+    """Per-token polynomial hashes — the char-level fold runs ONCE per
+    token; all shingle/minhash machinery above works on these ints."""
+    return F.transform(tok, lambda s: poly_hash(s))
+
+
+def sql_token_hashes(tok_expr: str) -> str:
+    return f"list_transform({tok_expr}, s -> {sql_poly_hash('s')})"
+
+
+def hashed_shingles(th: Column, n: int = 3, mod: int = MOD) -> Column:
+    """n-gram shingle hashes combined from token hashes: 3 integer ops
+    per shingle instead of re-folding every character of the (tripled)
+    shingle text. h = ((h1*131 + h2) % mod * 131 + h3) % mod."""
+
+    def combine(i: Column) -> Column:
+        acc = F.element_at(th, i)
+        for k in range(1, n):
+            acc = (acc * 131 + F.element_at(th, i + k)) % F.lit(mod)
+        return acc
+
+    return F.when(
+        F.size(th) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(th) - (n - 1)), combine),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def sql_hashed_shingles(th_expr: str, n: int = 3, mod: int = MOD) -> str:
+    acc = f"{th_expr}[i]"
+    for k in range(1, n):
+        acc = f"(({acc}) * 131 + {th_expr}[i + {k}]) % {mod}"
+    return (
+        f"CASE WHEN len({th_expr}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({th_expr}) - {n - 1}), i -> {acc}) "
+        f"ELSE [] END"
+    )

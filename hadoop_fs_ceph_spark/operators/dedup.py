@@ -34,18 +34,18 @@ from hadoop_fs_ceph_spark.functions.similarity import (
     sql_simhash,
 )
 from hadoop_fs_ceph_spark.functions.text import (
+    hashed_shingles,
     poly_hash,
-    shingles,
+    sql_hashed_shingles,
     sql_poly_hash,
-    sql_shingles,
+    sql_token_hashes,
     tokens,
 )
 from hadoop_fs_ceph_spark.registry import query
 from hadoop_fs_ceph_spark.tables import t
 
-# Shared SQL fragments (single source for query + oracle parity).
+# Shared SQL fragment (single source for query + oracle parity).
 _SQL_TOK = "string_split(text, chr(32))"
-_SQL_HASHES = f"list_transform({sql_shingles('tok')}, s -> {sql_poly_hash('s')})"
 
 
 @query(
@@ -106,25 +106,27 @@ def _minhash_docs(spark, sf_dir):
     the signature pipeline per reference. At production scale this
     materialization is the "signatures table" of a dedup run."""
     d = t(spark, sf_dir, "documents")
-    sh = F.array_distinct(shingles(tokens("text"), 3))
     return (
-        d.select("doc_id", sh.alias("sh"))
-        .select("doc_id", "sh", F.transform("sh", lambda s: poly_hash(s)).alias("hh"))
+        d.select("doc_id", F.transform(tokens("text"), lambda s: poly_hash(s)).alias("th"))
+        .select("doc_id", F.array_distinct(hashed_shingles(F.col("th"), 3)).alias("sh"))
         .select(
             "doc_id",
             "sh",
             F.size("sh").alias("n_sh"),
-            minhash_signature(F.col("hh")).alias("sig"),
+            minhash_signature(F.col("sh")).alias("sig"),
         )
         .persist()
     )
 
 
 _SQL_MINHASH_DOCS = f"""
-    SELECT doc_id,
-           list_distinct({sql_shingles(_SQL_TOK)}) AS sh,
-           {sql_minhash_signature(f"list_transform(list_distinct({sql_shingles(_SQL_TOK)}), s -> {sql_poly_hash('s')})")} AS sig
-    FROM documents
+    SELECT doc_id, sh, {sql_minhash_signature("sh")} AS sig
+    FROM (
+      SELECT doc_id, list_distinct({sql_hashed_shingles("th")}) AS sh
+      FROM (
+        SELECT doc_id, {sql_token_hashes(_SQL_TOK)} AS th FROM documents
+      )
+    )
 """
 
 
@@ -153,10 +155,12 @@ _SQL_MINHASH_DOCS = f"""
     bench=True,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """Fuzzy dedup, the full MinHash+LSH pipeline: 3-word shingles →
-    16-hash MinHash signature → 4 bands × 4 rows → candidate pairs via
-    equality join on (band, band-hash) → exact shingle-Jaccard verify at
-    ≥ 0.8.
+    """Fuzzy dedup, the full MinHash+LSH pipeline: per-token hash (one
+    char-level fold over the text) → 3-gram shingle hashes (3 integer ops
+    each — never re-hashing the tripled shingle text) → 16-hash MinHash
+    signature → 4 bands × 4 rows → candidate pairs via equality join on
+    (band, band-hash) → exact hashed-shingle-set Jaccard verify at ≥ 0.8
+    (int-set intersection, the standard hashed-shingle formulation).
 
     Scale shape: the bands relation is (doc_id, band, hash) — 4 slim rows
     per document; candidates come from a shuffle on the band hash, so the
