@@ -1,0 +1,80 @@
+"""Cross-operator algebraic invariants (SURVEY.md §5.2.5) — checks that
+hold by construction of relational algebra, independent of the data:
+join cardinality orderings, set-op count arithmetic, dedup idempotence.
+"""
+
+import pyspark.sql.functions as F
+
+from hadoop_fs_ceph_spark.registry import load_all
+from hadoop_fs_ceph_spark.tables import t
+
+SPECS = load_all()
+
+
+def test_join_cardinality_ordering(spark, sf_dir):
+    """semi ≤ inner-distinct-left ≤ inner ≤ cross, on the same key."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cond = c.c_custkey == o.o_custkey
+    n_semi = c.join(o, cond, "left_semi").count()
+    n_inner = c.join(o, cond).count()
+    n_left = c.join(o, cond, "left").count()
+    n_cross = c.count() * o.count()
+    assert n_semi <= n_inner <= n_cross
+    assert n_left >= c.count()  # outer preserves every left row
+    # semi counts distinct matching left rows
+    assert n_semi == c.join(o, cond).select("c_custkey").distinct().count()
+
+
+def test_semi_plus_anti_partitions_left(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cond = c.c_custkey == o.o_custkey
+    n_semi = c.join(o, cond, "left_semi").count()
+    n_anti = c.join(o, cond, "left_anti").count()
+    assert n_semi + n_anti == c.count()
+
+
+def test_union_all_additivity_and_distinct_bound(spark, sf_dir):
+    a = t(spark, sf_dir, "orders").filter("o_orderkey % 2 = 0")
+    b = t(spark, sf_dir, "orders").filter("o_orderkey % 3 = 0")
+    u_all = a.unionByName(b)
+    assert u_all.count() == a.count() + b.count()
+    assert u_all.distinct().count() <= u_all.count()
+    # except/intersect arithmetic: |A| = |A∩B| + |A\B| (A, B duplicate-free)
+    n_int = a.intersect(b).count()
+    n_exc = a.exceptAll(b).count()
+    assert n_int + n_exc == a.count()
+
+
+def test_dedup_idempotent(spark, sf_dir):
+    from pyspark.sql import Window
+
+    once = SPECS["dedup_exact_keep_latest"].fn(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    twice = (
+        once.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    assert once.count() == twice.count()
+    assert once.exceptAll(twice).count() == 0
+
+
+def test_lsh_pairs_are_canonical_and_thresholded(spark, sf_dir):
+    rows = SPECS["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b  # canonical pair orientation, no mirrors
+        assert r.jaccard >= 0.8
+    assert len({(r.doc_a, r.doc_b) for r in rows}) == len(rows)  # no dup pairs
+
+
+def test_cluster_ids_are_component_minima(spark, sf_dir):
+    """Every cluster id must be a member of its own cluster and be its
+    minimum — the keeper contract of dedup_cluster_cc."""
+    rows = SPECS["dedup_cluster_cc"].fn(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
