@@ -293,3 +293,25 @@ def agg_salted_skew(spark, sf_dir):
         F.sum("pn").alias("n"),
         F.sum("psum").alias("sum_cents"),
     )
+
+
+@query(
+    "agg_hll_sketch_merge",
+    oracle=None,  # sketch estimate: tolerance-checked in tests/test_approx.py
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_hll_sketch_merge(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches): per-status customer
+    sketches unioned into a global distinct estimate — the two-level
+    pattern for distributed distinct at scale: partial sketches are tiny,
+    exact-mergeable, and reusable across rollup levels (unlike an exact
+    countDistinct, which needs the full key shuffle every time)."""
+    o = t(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg(F.col("o_custkey").cast("string")).alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_status.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_customers"),
+        F.sum("n_rows").alias("total_rows"),
+    )

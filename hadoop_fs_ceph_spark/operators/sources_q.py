@@ -313,3 +313,31 @@ def src_delete_rewrite(spark, sf_dir):
     return survivors.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
     )
+
+
+@query(
+    "src_text_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+           MIN(length(text)) AS min_len,
+           MAX(length(text)) AS max_len
+    FROM documents
+    """,
+    tags=("source", "text"),
+)
+def src_text_roundtrip(spark, sf_dir):
+    """Plain text-file sink/source: one line per document out, lines back
+    in — the lowest-common-denominator format (raw byte streams are all
+    the reference's FileSystem actually moves; structure is always layered
+    on top)."""
+    d = t(spark, sf_dir, "documents").select("text")
+    path = _scratch(sf_dir, "text_docs")
+    d.write.mode("overwrite").text(path)
+    back = spark.read.text(path)  # column: value
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value").cast("long")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )

@@ -49,3 +49,13 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
         err = max(n // 1000, 1) + 1
         lo, hi = vals[max(rank - err, 0)], vals[min(rank + err, n - 1)]
         assert lo <= got <= hi, f"q={q}: {got} outside [{lo}, {hi}]"
+
+
+def test_hll_sketch_merge_matches_exact(spark, sf_dir):
+    """Merged per-group sketches must estimate the global distinct within
+    HLL error (lgK=12 default → ~1.6% rsd; allow 5%)."""
+    est = SPECS["agg_hll_sketch_merge"].fn(spark, sf_dir).collect()[0]
+    o = t(spark, sf_dir, "orders")
+    exact = o.select("o_custkey").distinct().count()
+    assert abs(est.distinct_customers - exact) <= max(0.05 * exact, 2)
+    assert est.total_rows == o.count()
