@@ -284,3 +284,52 @@ def stream_stream_join(spark, sf_dir):
         (F.unix_micros(F.col("v_ts")) - F.unix_micros(F.col("p_ts"))).alias("lag_us"),
     )
     return run_to_memory(joined, "stream_stream_join", "append")
+
+
+@query(
+    "stream_file_sink",
+    oracle="""
+    WITH m AS (SELECT MAX(ts) AS mx FROM events),
+    w AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + (epoch_us(ts) // 3600000000 * 3600) * INTERVAL 1 SECOND AS w_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT w.w_start, w.n FROM w, m
+    WHERE w.w_start + INTERVAL 1 HOUR <= m.mx - INTERVAL 10 MINUTES
+    """,
+    tags=("streaming", "sink", "watermark"),
+)
+def stream_file_sink(spark, sf_dir):
+    """The production sink path: watermarked tumbling aggregate written to
+    a parquet directory in append mode with a checkpoint — Spark's
+    exactly-once file sink (manifest + checkpoint; rerunning never
+    duplicates output). Append mode emits only watermark-finalized
+    windows, so the result is exactly the windows whose end precedes
+    max(event time) − 10 min — which is what the oracle computes; the
+    unfinalized tail stays in state (its absence is the late-data
+    discipline, also exercised in tests/test_streaming.py)."""
+    import os
+    import tempfile
+    import uuid
+
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    base = os.path.join(tempfile.gettempdir(), "hfcs_sink", uuid.uuid4().hex[:8])
+    out, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
