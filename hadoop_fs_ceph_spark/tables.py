@@ -21,6 +21,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts becomes a zoned TIMESTAMP via timestamp_micros; pin the
+        # session to UTC so its rendering matches DuckDB regardless of how
+        # the consuming session was built (all other tables are ntz).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
