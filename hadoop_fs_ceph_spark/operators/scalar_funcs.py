@@ -209,3 +209,77 @@ def fn_cast_family(spark, sf_dir):
         F.col("o_orderdate").cast("date").alias("date_cast"),
         F.lit("2000-06-15 12:30:00").cast("timestamp").cast("date").alias("literal_ts_date"),
     )
+
+
+@query(
+    "fn_na_cleaning",
+    oracle="""
+    WITH dirty AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderstatus, 'P') AS status,
+             CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT o_orderkey,
+           COALESCE(status, 'UNKNOWN') AS status,
+           COALESCE(price, 0.0) AS price
+    FROM dirty
+    WHERE NOT (status IS NULL AND price IS NULL)
+      AND o_orderkey % 7 = 0
+    """,
+    tags=("function", "null", "cleaning"),
+)
+def fn_na_cleaning(spark, sf_dir):
+    """Data-cleaning surface (DataFrameNaFunctions): inject NULLs, then
+    na.drop(how='all' over the data columns) + na.fill with per-column
+    defaults — the standardize-missing-values pass every ingest runs."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    dirty = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status"),
+        F.when(F.col("o_totalprice") < 50000, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    return dirty.na.drop(how="all", subset=["status", "price"]).na.fill(
+        {"status": "UNKNOWN", "price": 0.0}
+    )
+
+
+@query(
+    "fn_posexplode_outer",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(32)), x -> x = 'spark' OR x = 'hash') AS h
+      FROM documents WHERE doc_id % 6 = 1
+    ),
+    grid AS (
+      SELECT doc_id,
+             CASE WHEN len(h) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE h END AS h2
+      FROM hits
+    ),
+    z AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(h2))) AS pos1,
+             unnest(h2) AS hit
+      FROM grid
+    )
+    SELECT doc_id,
+           CASE WHEN hit IS NULL THEN NULL ELSE pos1 - 1 END AS pos,
+           hit
+    FROM z
+    """,
+    tags=("function", "array", "explode", "outer"),
+)
+def fn_posexplode_outer(spark, sf_dir):
+    """posexplode_outer: flatten with positions, KEEPING rows whose array
+    is empty (as a NULL row) — the outer variant every flatten-then-join
+    pipeline needs so empty documents don't silently vanish."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 1)
+    hits = F.filter(
+        F.split("text", " "), lambda x: (x == "spark") | (x == "hash")
+    )
+    return d.select("doc_id", hits.alias("h")).select(
+        "doc_id", F.posexplode_outer("h").alias("pos", "hit")
+    )
