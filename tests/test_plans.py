@@ -131,3 +131,26 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+# Queries whose plan legitimately contains a nested-loop/cartesian node:
+# a deliberate tiny-dims cross join, and broadcasts of one-row query
+# vectors (BroadcastNestedLoopJoin with a single-row build side).
+_INTENTIONAL_CROSS = {"join_cross", "fn_zip_with_dot", "sim_knn_bruteforce"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, s in SPECS.items()
+        if "streaming" not in s.tags and n not in _INTENTIONAL_CROSS
+    ),
+)
+def test_no_accidental_cartesian_anywhere(spark, sf_dir, name):
+    """Fleet-wide guard: no declared batch query may contain a cartesian
+    or nested-loop join unless explicitly allow-listed — the failure mode
+    that silently works at test scale and melts at 100 TB."""
+    plan = plan_of(SPECS[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
