@@ -187,3 +187,25 @@ def fn_zip_with_dot(spark, sf_dir):
         "vec_id",
         F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x).alias("dot0"),
     )
+
+
+@query(
+    "fn_json_roundtrip",
+    oracle="""
+    SELECT event_id, event_type AS rt_type, value AS rt_value
+    FROM events WHERE event_id % 9 = 5
+    """,
+    tags=("function", "json", "roundtrip"),
+)
+def fn_json_roundtrip(spark, sf_dir):
+    """Serialize→parse losslessness: struct → to_json → from_json →
+    fields. The oracle reads the original columns, so a hash match proves
+    the JSON cycle loses nothing (doubles survive via shortest-repr)."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 5)
+    j = F.to_json(F.struct("event_type", "value"))
+    parsed = F.from_json(j, "event_type string, value double")
+    return e.select(
+        "event_id",
+        parsed.getField("event_type").alias("rt_type"),
+        parsed.getField("value").alias("rt_value"),
+    )
