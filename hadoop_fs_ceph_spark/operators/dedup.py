@@ -403,3 +403,77 @@ def dedup_cluster_cc(spark, sf_dir):
             .persist()
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query(
+    "dedup_minhash_lsh_prod",
+    oracle=None,  # production tier: pair-set equality vs the portable tier
+    # is asserted in tests/test_extensions.py (xxhash64 is JVM-only, so no
+    # DuckDB twin exists by construction)
+    tags=("dedup", "minhash", "lsh", "production"),
+    bench=True,
+)
+def dedup_minhash_lsh_prod(spark, sf_dir):
+    """The PRODUCTION tier of dedup_minhash_lsh: identical pipeline shape
+    (token hash → shingle combine → MinHash-16 → 4×4 LSH bands →
+    candidate join → exact hashed-shingle Jaccard ≥ 0.8) with xxhash64
+    as the token hash — one JVM codegen'd call per token instead of a
+    per-character fold. This is the tier a 100 TB run uses; the portable
+    polynomial tier exists so the SAME pipeline stays DuckDB-checkable.
+    Pair-set equality between the tiers is asserted in tests (the verify
+    stage makes the emitted pairs hash-function-independent, modulo
+    astronomically unlikely collisions)."""
+    d = t(spark, sf_dir, "documents")
+    # pmod bounds the 64-bit hash into the combine-safe domain (< 2^31),
+    # keeping the shingle arithmetic overflow-free under ANSI semantics
+    docs = (
+        d.select(
+            "doc_id",
+            F.transform(
+                tokens("text"), lambda s: F.pmod(F.xxhash64(s), F.lit(2_147_483_647))
+            ).alias("th"),
+        )
+        .select("doc_id", F.array_distinct(hashed_shingles(F.col("th"), 3)).alias("sh"))
+        .select(
+            "doc_id",
+            "sh",
+            F.size("sh").alias("n_sh"),
+            minhash_signature(F.col("sh")).alias("sig"),
+        )
+        .persist()
+    )
+    bands = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("k"),
+    ).select("doc_id", "k.band", "k.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("ni"),
+            "na",
+            "nb",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )

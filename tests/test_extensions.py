@@ -97,3 +97,18 @@ def test_frame_sample_reassembles(spark, sf_dir):
     for did, fr in by_doc.items():
         assert len(fr) == math.ceil(meta[did] / 64)
         assert sum(f.frame_bytes for f in fr) == meta[did]
+
+
+def test_production_tier_finds_identical_pairs(spark, sf_dir):
+    """The xxhash64 production tier and the oracle-portable polynomial
+    tier must emit the SAME near-dup pairs: the exact-Jaccard verify
+    stage makes the result hash-function-independent."""
+    portable = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    prod = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in SPECS["dedup_minhash_lsh_prod"].fn(spark, sf_dir).collect()
+    }
+    assert portable == prod
