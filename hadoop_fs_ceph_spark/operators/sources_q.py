@@ -341,3 +341,43 @@ def src_text_roundtrip(spark, sf_dir):
         F.min(F.length("value")).alias("min_len"),
         F.max(F.length("value")).alias("max_len"),
     )
+
+
+@query(
+    "src_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_channel, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+    FROM unioned GROUP BY o_channel
+    """,
+    tags=("source", "schema_evolution"),
+)
+def src_schema_evolution(spark, sf_dir):
+    """Schema evolution on a plain-parquet table: generation 1 files lack
+    a column that generation 2 adds; reading with mergeSchema unifies
+    them (old rows surface NULL). This is how a lake table grows columns
+    without rewriting history — the schema lives in the files, exactly
+    the reference's world where the FS stores only bytes."""
+    o = t(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "evolve_orders")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    gen1.write.mode("overwrite").parquet(path)
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, "web").otherwise("store").alias("o_channel"),
+    )
+    gen2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("o_channel").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
+    )
