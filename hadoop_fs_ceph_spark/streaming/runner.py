@@ -46,18 +46,23 @@ def run_to_memory(
     output_mode: str = "complete",
 ) -> DataFrame:
     """Drain a streaming DataFrame with availableNow into a memory sink
-    and return the resulting (batch) table."""
+    and return the resulting (batch) table.
+
+    The sink table name is uniquified per invocation: a memory sink in
+    append mode otherwise accumulates across re-runs of the same declared
+    query within one session (fresh checkpoint ⇒ full replay ⇒ doubled
+    rows)."""
     spark = sdf.sparkSession
-    checkpoint = os.path.join(
-        tempfile.gettempdir(), "hfcs_ckpt", f"{name}-{uuid.uuid4().hex[:8]}"
-    )
+    run_id = uuid.uuid4().hex[:8]
+    table = f"{name}_{run_id}"
+    checkpoint = os.path.join(tempfile.gettempdir(), "hfcs_ckpt", f"{name}-{run_id}")
     q = (
         sdf.writeStream.format("memory")
-        .queryName(name)
+        .queryName(table)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.table(table)
