@@ -17,6 +17,7 @@ reference is a FileSystem connector, `CephRgwFileSystem.java:98-147`).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hadoop_fs_ceph_spark.functions.text import (
@@ -194,4 +195,53 @@ def text_fingerprint(spark, sf_dir):
         "doc_id",
         poly_hash(F.col("text")).alias("fp_raw"),
         poly_hash(bag).alias("fp_bag"),
+    )
+
+
+@query(
+    "text_tfidf_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, chr(32))) AS token
+        FROM documents
+      ) GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+             t.tf * 1000000 // d.df AS score
+      FROM tf t JOIN df d ON t.token = d.token
+    )
+    SELECT doc_id, token, tf, df, score FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) <= 3
+    """,
+    tags=("text", "tfidf", "window"),
+)
+def text_tfidf_terms(spark, sf_dir):
+    """Top-3 distinctive terms per document, TF-IDF shape with an exact
+    integer score (tf·10⁶ ÷ df, floor) — ln-based idf differs in the last
+    ulp across libm implementations, so the declared operator scores in
+    exact arithmetic and stays hash-matchable; a production variant is
+    free to use log-idf.
+
+    Plan: explode → (doc, token) tf agg → token df agg → join back →
+    per-doc ranking window. The df relation is vocabulary-sized (small),
+    so the join broadcasts; the only data-sized shuffles are the two
+    aggregates."""
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("score", F.floor(F.col("tf") * 1_000_000 / F.col("df")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "score")
     )
