@@ -278,49 +278,81 @@ def dedup_simhash(spark, sf_dir):
 
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
-    WITH grams AS (
+    oracle=f"""
+    WITH docs AS ({_SQL_MINHASH_DOCS}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {sql_band_hash('sig', b)} AS bh FROM docs" for b in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    ),
+    grams AS (
       SELECT doc_id,
-             len(string_split(text, chr(32))) // 16 AS blk,
              list_distinct(list_transform(generate_series(1, length(text) - 3),
                            i -> text[i : i + 3])) AS g
       FROM documents
     )
     SELECT doc_a, doc_b, jaccard FROM (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             len(list_intersect(a.g, b.g))
-               / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
-      FROM grams a JOIN grams b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(x.g, y.g))
+               / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
+      FROM cand c
+      JOIN grams x ON x.doc_id = c.doc_a
+      JOIN grams y ON y.doc_id = c.doc_b
     ) WHERE jaccard >= 0.5
     """,
     tags=("dedup", "ngram", "jaccard"),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Character-4-gram Jaccard near-dup with length-bucket blocking:
-    pairs are generated only within the same token-count bucket
-    (÷16) — near-identical documents land in the same bucket, and bucket
-    size bounds the quadratic verify. Complements MinHash-LSH: exact
-    n-gram Jaccard, cheaper candidates, coarser recall."""
-    d = t(spark, sf_dir, "documents")
-    grams = d.select(
+    """Character-4-gram Jaccard near-dup: candidates from the MinHash-LSH
+    bands (reusing the persisted signature relation — bounded bucket
+    sizes at ANY corpus size), verified with the exact char-gram metric.
+    Complements dedup_minhash_lsh by verifying on a different similarity
+    granularity (character-level catches word-reordering edits that word
+    shingles overweight).
+
+    An attribute-bucket blocking (e.g. by document length) was rejected:
+    its bucket populations grow linearly with the corpus, so the in-block
+    quadratic verify melts at scale — hash-diverse LSH buckets don't."""
+    docs = _minhash_docs(spark, sf_dir)
+    bands = docs.select(
         "doc_id",
-        (F.size(tokens("text")) / F.lit(16)).cast("long").alias("blk"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("k"),
+    ).select("doc_id", "k.band", "k.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    grams = t(spark, sf_dir, "documents").select(
+        "doc_id",
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.length("text") - 3),
                 lambda i: F.substr("text", i, F.lit(4)),
             )
         ).alias("g"),
-    ).persist()  # referenced by both sides of the block self-join
-    a, b = grams.alias("a"), grams.alias("b")
+    )
+    x = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    y = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.size(F.array_intersect("a.g", "b.g")).alias("ni"),
-            F.size("a.g").alias("na"),
-            F.size("b.g").alias("nb"),
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ga", "gb")).alias("ni"),
+            F.size("ga").alias("na"),
+            F.size("gb").alias("nb"),
         )
         .select(
             "doc_a",
