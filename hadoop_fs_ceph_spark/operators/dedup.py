@@ -238,8 +238,12 @@ def dedup_simhash(spark, sf_dir):
     hamming ≤ 3 over 4 bands guarantees a clean band), verified by
     popcount(xor) ≤ 3.
 
-    Production tier is the same plan with a 64-bit simhash and 16-bit
-    bands — the fingerprint is one BIGINT however wide the input."""
+    Scale note: expected band-bucket population is n / 2^band_bits, so
+    band width must GROW with the corpus (here 4 bits for 500–5000 docs;
+    a 64-bit simhash with 16-bit bands at warehouse scale — the
+    permuted-prefix-table formulation of Manku et al.'s web dedup).
+    Band width is the knob that keeps the candidate join sub-quadratic;
+    the fingerprint stays one BIGINT however wide the input."""
     d = t(spark, sf_dir, "documents")
     docs = (
         d.select(

@@ -121,7 +121,10 @@ def sim_nn_per_label(spark, sf_dir):
     """Nearest neighbor per vector within its coarse partition (label =
     IVF cell): self-join bounded by the partition key, ranking window
     picks the argmax — the all-vectors kNN shape where partition size,
-    not n², bounds the work."""
+    not n², bounds the work. Scale note: IVF keeps cells bounded by
+    growing the cell COUNT with the corpus (k ≈ √n centroids), so the
+    per-cell quadratic stays ~n per cell and ~n^1.5 total — the label
+    column stands in for that assignment here."""
     e = t(spark, sf_dir, "embeddings")
     a = e.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id"), F.col("label"), F.col("embedding").alias("ea")
