@@ -283,3 +283,27 @@ def fn_posexplode_outer(spark, sf_dir):
     return d.select("doc_id", hits.alias("h")).select(
         "doc_id", F.posexplode_outer("h").alias("pos", "hit")
     )
+
+
+@query(
+    "fn_try_family",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           TRY_CAST(event_type AS DOUBLE) AS bad_double,
+           value / NULLIF(CAST(event_id % 5 AS DOUBLE), 0.0) AS safe_div
+    FROM events WHERE event_id % 11 = 7
+    """,
+    tags=("function", "try", "null"),
+)
+def fn_try_family(spark, sf_dir):
+    """Error-safe evaluation: try_cast returns NULL instead of raising
+    under ANSI semantics (malformed input is data, not an exception at
+    100 TB), and try_divide maps division-by-zero to NULL."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 7)
+    return e.select(
+        "event_id",
+        F.try_to_number(F.get_json_object("props", "$.k"), F.lit("999999")).cast("int").alias("k_int"),
+        F.col("event_type").try_cast("double").alias("bad_double"),
+        F.try_divide(F.col("value"), (F.col("event_id") % 5).cast("double")).alias("safe_div"),
+    )

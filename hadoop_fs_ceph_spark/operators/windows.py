@@ -209,3 +209,30 @@ def win_sessionize(spark, sf_dir):
         F.min("ts").alias("session_start"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           ntile(5) OVER w AS bucket
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "distribution"),
+)
+def win_distribution(spark, sf_dir):
+    """Distribution window functions: percent_rank ((rank-1)/(n-1)),
+    cume_dist (rank/n), ntile — rank-based doubles are exact int ratios,
+    so both engines agree bit-for-bit given the deterministic tie-break."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(5).over(w).alias("bucket"),
+    )
