@@ -151,3 +151,75 @@ def udf_map_in_pandas(spark, sf_dir):
 
     e = t(spark, sf_dir, "events")
     return e.mapInPandas(boost, schema="event_id bigint, user_id bigint, boosted double")
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT o_orderkey,
+           FLOOR((o_totalprice * 1.0825) * 100.0 + 0.5) / 100.0 AS with_tax
+    FROM orders WHERE o_orderkey % 13 = 4
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_arrow_optimized(spark, sf_dir):
+    """Arrow-optimized Python UDF (useArrow=True): scalar signature,
+    Arrow-batched transport — Spark 3.5+'s cheap upgrade for existing
+    row-style UDFs that can't be rewritten as pandas UDFs. Rounding is
+    floor(x+0.5) because Python's round() is half-EVEN while SQL ROUND
+    is half-away — floor is the portable spelling."""
+    import math
+
+    from pyspark.sql.functions import udf
+
+    @udf("double", useArrow=True)
+    def with_tax(price: float) -> float:
+        return math.floor((price * 1.0825) * 100.0 + 0.5) / 100.0
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 4)
+    return o.select("o_orderkey", with_tax("o_totalprice").alias("with_tax"))
+
+
+@query(
+    "udf_pandas_iterator",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) AS BIGINT) AS net_cents
+    FROM lineitem WHERE l_orderkey % 40 = 11
+    """,
+    tags=("udf", "pandas", "iterator"),
+)
+def udf_pandas_iterator(spark, sf_dir):
+    """Iterator-of-series pandas UDF: amortizes expensive per-worker
+    setup (model load, dictionary mmap) across ALL batches of a
+    partition — the signature that matters when the UDF carries weights.
+    The \"expensive state\" here is just a constant, but the plumbing
+    (one init per worker, then per-batch vectorized work) is the real
+    shape."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _net_cents(batches):
+        import numpy as np
+
+        scale = 100.0  # stands in for per-worker loaded state
+        for prices in batches:
+            # floor(x+0.5), not .round(): numpy/pandas round half-EVEN,
+            # SQL ROUND half-away — floor is the portable spelling
+            yield pd.Series(np.floor(prices * scale + 0.5).astype("int64"))
+
+    # real annotation objects (this module stringifies inline annotations
+    # via `from __future__ import annotations`, which pandas_udf rejects)
+    _net_cents.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    net_cents = pandas_udf(_net_cents, "long")
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 40 == 11)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey", "l_linenumber", net_cents(net).alias("net_cents")
+    )
