@@ -209,3 +209,37 @@ def fn_json_roundtrip(spark, sf_dir):
         parsed.getField("event_type").alias("rt_type"),
         parsed.getField("value").alias("rt_value"),
     )
+
+
+@query(
+    "fn_map_family",
+    oracle="""
+    WITH m AS (
+      SELECT event_id,
+             map(['k'], [CAST(json_extract_string(props, '$.k') AS INTEGER)]) AS base
+      FROM events WHERE event_id % 12 = 6
+    )
+    SELECT event_id,
+           array_to_string(list_sort(map_keys(base)), ',') AS keys_csv,
+           CAST(map_values(base)[1] AS INTEGER) AS k_val,
+           len(map_keys(base)) AS n_entries
+    FROM m
+    """,
+    tags=("function", "map"),
+)
+def fn_map_family(spark, sf_dir):
+    """MapType construction + introspection: build a typed map from
+    arrays, then map_keys / map_values / size — canonicalized to sorted
+    CSV so map iteration order (undefined in both engines) can't leak
+    into the comparison."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 12 == 6)
+    base = F.map_from_arrays(
+        F.array(F.lit("k")),
+        F.array(F.get_json_object("props", "$.k").cast("int")),
+    )
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(base)), ",").alias("keys_csv"),
+        F.element_at(F.map_values(base), 1).alias("k_val"),
+        F.size(F.map_keys(base)).alias("n_entries"),
+    )
