@@ -152,3 +152,133 @@ def q18_large_orders(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("tpch", "subquery", "semi"),
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders (in a date window) having at least one line
+    shipped after the order date — correlated EXISTS compiled to a
+    left-semi join on the order key; the lineitem side carries only
+    (l_orderkey, l_shipdate) into the join."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate)
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum(_REV, "revenue")},
+           ANY_VALUE(c.c_mktsegment) AS segment
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: customers who returned the most revenue — the
+    churn-analysis join tree with a selective fact filter (returnflag
+    pushed to the lineitem scan) and top-k on the aggregate."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dsum(F.expr(_REV), "revenue"),
+            F.any_value("c_mktsegment").alias("segment"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle=f"""
+    SELECT {sql_dsum(f"CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REV} ELSE 0.0 END", "promo_rev")},
+           {sql_dsum(_REV, "total_rev")}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    tags=("tpch", "join", "conditional"),
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promotional revenue share for one month — a
+    broadcast dimension join with conditional aggregation (the CASE rides
+    inside the fixed-point sum, so both engines accumulate identically)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.expr(_REV)
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(dsum(promo, "promo_rev"), dsum(rev, "total_rev"))
+    )
+
+
+@query(
+    "q19_disjunctive",
+    oracle=f"""
+    SELECT {sql_dsum(_REV, "revenue")}, COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 5)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 10)
+       OR (p.p_size BETWEEN 40 AND 50 AND l.l_quantity < 3)
+    """,
+    tags=("tpch", "join", "disjunctive"),
+)
+def q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst's CNF
+    conversion extracts the common single-side conjuncts so part of the
+    disjunction still pushes into each scan — the canonical test that
+    predicate pushdown survives disjunctions."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 10))
+        | (F.col("p_size").between(40, 50) & (F.col("l_quantity") < 3))
+    )
+    return j.filter(cond).agg(
+        dsum(F.expr(_REV), "revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
