@@ -333,3 +333,67 @@ def stream_file_sink(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {_FIXSUM_VALUE} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "sink", "upsert"),
+)
+def stream_foreachbatch_upsert(spark, sf_dir):
+    """foreachBatch upsert: each micro-batch's updated aggregates are
+    merged into a NEW versioned parquet snapshot (read version N, merge
+    on key, write version N+1) — the copy-on-write maintenance loop that
+    gives a streaming job a mutable table on immutable object storage
+    (byte-level update doesn't exist there; the reference documents the
+    same constraint for append, `CephRgwFileSystem.java:304-308`).
+    Update output mode emits each key's current total when it changes, so
+    replace-on-key merging converges to the batch aggregate regardless of
+    how the input was split into micro-batches."""
+    import os
+    import tempfile
+    import uuid
+
+    base = os.path.join(tempfile.gettempdir(), "hfcs_upsert", uuid.uuid4().hex[:8])
+    os.makedirs(base, exist_ok=True)
+
+    def upsert(batch_df, batch_id: int):
+        cur = os.path.join(base, f"v{batch_id}")
+        prev = os.path.join(base, f"v{batch_id - 1}")
+        if batch_id > 0 and os.path.isdir(prev):
+            old = batch_df.sparkSession.read.parquet(prev)
+            o, n = old.alias("o"), batch_df.alias("n")
+            merged = o.join(n, F.col("o.event_type") == F.col("n.event_type"), "full").select(
+                F.coalesce(F.col("n.event_type"), F.col("o.event_type")).alias("event_type"),
+                F.coalesce(F.col("n.n"), F.col("o.n")).alias("n"),
+                F.coalesce(F.col("n.sum_value"), F.col("o.sum_value")).alias("sum_value"),
+            )
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(cur)
+
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 1000000.0).cast("long")).cast("double") / 1000000.0).alias("sum_value"),
+    )
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    ckpt = _os.path.join(_tempfile.gettempdir(), "hfcs_ckpt", f"fbu-{_uuid.uuid4().hex[:8]}")
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = max(
+        (d for d in os.listdir(base) if d.startswith("v")), key=lambda v: int(v[1:])
+    )
+    return spark.read.parquet(os.path.join(base, latest))
