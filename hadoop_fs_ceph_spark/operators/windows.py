@@ -236,3 +236,39 @@ def win_distribution(spark, sf_dir):
         F.cume_dist().over(w).alias("cd"),
         F.ntile(5).over(w).alias("bucket"),
     )
+
+
+@query(
+    "win_gap_fill",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+      FROM events WHERE user_id % 10 = 3
+    )
+    SELECT user_id, event_id,
+           LAST_VALUE(purchase_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_purchase_value
+    FROM base
+    """,
+    tags=("window", "gap_fill", "ignore_nulls"),
+)
+def win_gap_fill(spark, sf_dir):
+    """Fill-forward (gap fill): carry each user's last purchase value
+    across their subsequent events — last_value with ignoreNulls over a
+    running frame, the time-series imputation idiom. One shuffle on the
+    entity key; the frame never materializes history (running state)."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 3)
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
