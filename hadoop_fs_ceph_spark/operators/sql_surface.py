@@ -150,3 +150,25 @@ def sql_pivot_events(spark, sf_dir):
         )
         PIVOT (COUNT(1) FOR event_type IN ({in_list}))
     """)
+
+
+_SQL_NOT_IN = """
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE c.c_nationkey NOT IN (
+      SELECT n.n_nationkey FROM nation n
+      WHERE n.n_regionkey = 0 AND n.n_nationkey IS NOT NULL
+    )
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("sql_not_in_subquery", oracle=_SQL_NOT_IN, tags=("sql", "subquery", "anti", "null"))
+def sql_not_in_subquery(spark, sf_dir):
+    """NOT IN <subquery> — compiled to a null-aware anti join. The
+    explicit IS NOT NULL guard in the subquery is load-bearing semantics,
+    not style: one NULL in a NOT IN list makes EVERY row's predicate
+    UNKNOWN and the result empty, the classic silent-data-loss trap. The
+    guard pins the well-defined variant in both engines."""
+    _views(spark, sf_dir, "customer", "nation")
+    return spark.sql(_SQL_NOT_IN)
