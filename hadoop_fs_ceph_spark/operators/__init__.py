@@ -13,7 +13,9 @@ Module map (SURVEY.md §2B families):
 * streaming_q  — Structured Streaming (availableNow): windows, watermark
                  dedup, stateful counts, stream-static + stream-stream join
 * sql_surface  — spark.sql front door: CTEs, subqueries, PIVOT
-* tpch_suite   — composite TPC-H shapes (Q3/Q5/Q18) over the star schema
+* tpch_suite   — composite TPC-H shapes (Q1/Q3/Q4/Q5/Q6/Q10/Q14/Q18/Q19)
+* tpch_suite2  — the remaining 13 TPC-H shapes (Q2/Q7/Q8/Q9/Q11/Q12/Q13/
+                 Q15/Q16/Q17/Q20/Q21/Q22), adapted to the reduced schema
 * dedup        — exact, minhash-LSH (+ connected-component clustering),
                  simhash, n-gram jaccard
 * similarity   — cosine brute-force top-k, sign-LSH ANN, per-label NN,
@@ -37,6 +39,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     streaming_q,
     text,
     tpch_suite,
+    tpch_suite2,
     udfs,
     windows,
 )

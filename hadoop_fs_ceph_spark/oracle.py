@@ -52,7 +52,10 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     """Columns sorted by name, every cell stringified, rows sorted."""
     out = pd.DataFrame()
     for c in sorted(df.columns):
-        out[c] = df[c].map(_cell)
+        # astype(object): an *empty* mapped column keeps its source dtype
+        # (e.g. int32 from Spark vs int64 from DuckDB) and DataFrame.equals
+        # compares dtypes — pin both sides to object so empty==empty holds.
+        out[c] = df[c].map(_cell).astype(object)
     if len(out):
         out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
     return out

@@ -134,9 +134,18 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
 
 
 # Queries whose plan legitimately contains a nested-loop/cartesian node:
-# a deliberate tiny-dims cross join, and broadcasts of one-row query
-# vectors (BroadcastNestedLoopJoin with a single-row build side).
-_INTENTIONAL_CROSS = {"join_cross", "fn_zip_with_dot", "sim_knn_bruteforce"}
+# a deliberate tiny-dims cross join, broadcasts of one-row query vectors,
+# and scalar-subquery thresholds joined in as one-row broadcasts (Q11's
+# global stock value, Q15's max revenue, Q22's average balance) — all
+# BroadcastNestedLoopJoin with a single-row build side.
+_INTENTIONAL_CROSS = {
+    "join_cross",
+    "fn_zip_with_dot",
+    "sim_knn_bruteforce",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+}
 
 
 @pytest.mark.parametrize(
