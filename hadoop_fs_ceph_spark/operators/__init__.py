@@ -16,6 +16,8 @@ Module map (SURVEY.md §2B families):
 * tpch_suite   — composite TPC-H shapes (Q1/Q3/Q4/Q5/Q6/Q10/Q14/Q18/Q19)
 * tpch_suite2  — the remaining 13 TPC-H shapes (Q2/Q7/Q8/Q9/Q11/Q12/Q13/
                  Q15/Q16/Q17/Q20/Q21/Q22), adapted to the reduced schema
+* scale_ops    — scale-technique plans: skew-salted join, bin-bucketed
+                 interval join, IVF cell-probe ANN
 * dedup        — exact, minhash-LSH (+ connected-component clustering),
                  simhash, n-gram jaccard
 * similarity   — cosine brute-force top-k, sign-LSH ANN, per-label NN,
@@ -31,6 +33,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     json_array,
     multimodal,
     relational,
+    scale_ops,
     scalar_funcs,
     setops_sort,
     similarity,

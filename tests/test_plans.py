@@ -142,6 +142,7 @@ _INTENTIONAL_CROSS = {
     "join_cross",
     "fn_zip_with_dot",
     "sim_knn_bruteforce",
+    "sim_ivf_cells",  # 8-row centroid table + 1-row query vector broadcasts
     "q11_important_stock",
     "q15_top_supplier",
     "q22_global_sales_opportunity",
