@@ -18,6 +18,7 @@ Module map (SURVEY.md §2B families):
                  Q15/Q16/Q17/Q20/Q21/Q22), adapted to the reduced schema
 * scale_ops    — scale-technique plans: skew-salted join, bin-bucketed
                  interval join, IVF cell-probe ANN
+* funcs2       — digest/bitwise/date-spine/edit-distance function wave
 * dedup        — exact, minhash-LSH (+ connected-component clustering),
                  simhash, n-gram jaccard
 * similarity   — cosine brute-force top-k, sign-LSH ANN, per-label NN,
@@ -29,6 +30,7 @@ Module map (SURVEY.md §2B families):
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     aggregates,
     dedup,
+    funcs2,
     joins,
     json_array,
     multimodal,

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hadoop_fs_ceph_spark.canonical import (
+    _sql_fixsum as _sql_fix,
     davg,
     dstddev_samp,
     dsum,
@@ -315,3 +316,61 @@ def agg_hll_sketch_merge(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_customers"),
         F.sum("n_rows").alias("total_rows"),
     )
+
+
+@query(
+    "agg_corr_bivariate",
+    oracle=f"""
+    SELECT l_returnflag,
+           ((n * sxy - sx * sy)
+            / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))) AS corr_qty_price,
+           ((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS slope_price_per_qty
+    FROM (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {_sql_fix('l_quantity', 6)} AS sx,
+             {_sql_fix('l_extendedprice', 2)} AS sy,
+             {_sql_fix('l_quantity * l_quantity', 6)} AS sxx,
+             {_sql_fix('l_extendedprice * l_extendedprice', 2)} AS syy,
+             {_sql_fix('l_quantity * l_extendedprice', 2)} AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "statistics", "corr"),
+)
+def agg_corr_bivariate(spark, sf_dir):
+    """Pearson correlation + OLS slope between quantity and price per
+    return flag, built from fixed-point first/second moments instead of
+    the engines' native ``corr``/``regr_slope`` (whose running-update
+    accumulation is order-dependent and diverges across engines). The
+    five sums are exact integers at declared precision; the corr/slope
+    formulas are then scalar double ops — bit-identical. Second-moment
+    scale drops to 10^-2 so price² stays far from int64 overflow at any
+    tested SF (headroom documented in canonical.py)."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def fix(col, scale):
+        shift = float(10**scale)
+        return (
+            F.sum(F.round(col * F.lit(shift)).cast("long")).cast("double") / F.lit(shift)
+        )
+
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        fix(q, 6).alias("sx"),
+        fix(p, 2).alias("sy"),
+        fix(q * q, 6).alias("sxx"),
+        fix(p * p, 2).alias("syy"),
+        fix(q * p, 2).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope_price_per_qty"),
+    ).orderBy("l_returnflag")

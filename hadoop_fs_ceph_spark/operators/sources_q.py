@@ -381,3 +381,18 @@ def src_schema_evolution(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
     )
+
+
+@query("src_parquet_codecs", oracle=_ORDERS_AGG_SQL, tags=("source", "codec"))
+def src_parquet_codecs(spark, sf_dir):
+    """parquet re-encode under different compression codecs (zstd for the
+    write here; snappy is the read-side default) → read-back → aggregate.
+    Codec choice is a pure storage trade (zstd ~2× smaller, snappy
+    fastest to decode) and must be invisible to results — mirroring the
+    reference's byte-transparency contract (`CephRgwOutputStream` writes
+    whatever bytes the format layer hands it). At 100 TB codec choice is
+    a first-order cost knob, so the engine proves re-encoding lossless."""
+    o = t(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "zstd_orders")
+    write_table(o, path, mode="overwrite", compression="zstd")
+    return _orders_agg(spark.read.parquet(path))

@@ -245,3 +245,39 @@ def text_tfidf_terms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tf", "df", "score")
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           substr(regexp_replace(regexp_replace(lower(text),
+                    '[0-9]+', '<NUM>', 'g'),
+                    '[a-z]{9,}', '<LONG>', 'g'), 1, 60) AS masked_prefix,
+           length(regexp_replace(regexp_replace(lower(text),
+                    '[0-9]+', '<NUM>', 'g'),
+                    '[a-z]{9,}', '<LONG>', 'g')) AS masked_len
+    FROM documents
+    WHERE doc_id % 4 = 0
+    ORDER BY doc_id
+    """,
+    tags=("text", "scrub", "regex"),
+)
+def text_pii_scrub(spark, sf_dir):
+    """Pattern-based content scrubbing — the shape of PII redaction in a
+    training-data pipeline (emails/phones/IDs at production; here digit
+    runs and over-long tokens so the synthetic corpus exercises both
+    rules). Spark's regexp_replace is global by default; DuckDB needs the
+    explicit 'g' flag — the patterns themselves are identical in Java
+    regex and RE2. Pure map work: scales linearly, no shuffle at all."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    masked = F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[0-9]+", "<NUM>"),
+        "[a-z]{9,}",
+        "<LONG>",
+    )
+    return d.select(
+        "doc_id",
+        F.substring(masked, 1, 60).alias("masked_prefix"),
+        F.length(masked).alias("masked_len"),
+    ).orderBy("doc_id")
