@@ -19,6 +19,7 @@ Module map (SURVEY.md §2B families):
 * scale_ops    — scale-technique plans: skew-salted join, bin-bucketed
                  interval join, IVF cell-probe ANN
 * funcs2       — digest/bitwise/date-spine/edit-distance function wave
+* tpcds_lite   — TPC-DS shapes: YoY self-join, channel rollup, INTERSECT
 * dedup        — exact, minhash-LSH (+ connected-component clustering),
                  simhash, n-gram jaccard
 * similarity   — cosine brute-force top-k, sign-LSH ANN, per-label NN,
@@ -43,6 +44,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     sql_surface,
     streaming_q,
     text,
+    tpcds_lite,
     tpch_suite,
     tpch_suite2,
     udfs,

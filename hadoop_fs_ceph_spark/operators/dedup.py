@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from hadoop_fs_ceph_spark.functions.similarity import (
     N_BANDS,
+    cosine,
+    sql_cosine,
     band_hash,
     minhash_signature,
     simhash,
@@ -517,4 +519,70 @@ def dedup_minhash_lsh_prod(spark, sf_dir):
             (F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@query(
+    "dedup_hybrid_signal",
+    oracle=f"""
+    WITH j AS (
+      SELECT d.doc_id, d.source, e.label, e.embedding,
+             list_distinct(string_split(lower(d.text), ' ')) AS toks
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {sql_cosine("a.embedding", "b.embedding")} AS cos_sim,
+           len(list_intersect(a.toks, b.toks))
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+             AS jaccard
+    FROM j a JOIN j b
+      ON a.label = b.label AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE {sql_cosine("a.embedding", "b.embedding")} > 0.3
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "hybrid", "embedding", "jaccard"),
+)
+def dedup_hybrid_signal(spark, sf_dir):
+    """Hybrid near-dup signal: semantic (embedding cosine) AND lexical
+    (distinct-token Jaccard) evidence on the same candidate pair — the
+    two-signal policy real training-data dedup uses (cosine alone merges
+    paraphrases; Jaccard alone merges boilerplate). Pairs are blocked on
+    (embedding label × crawl source), so block population stays bounded
+    as the corpus grows (labels ≈ coarse IVF cells, sources grow with the
+    crawl); the cosine filter prunes before the costlier token
+    intersection. Joining documents to embeddings on doc_id = vec_id is
+    the multimodal-column pattern: per-modality tables co-keyed by
+    document id."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
+    )
+    e = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), "label", "embedding"
+    )
+    j = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "source", "label", "embedding", "toks"
+    )
+    a = j.select(
+        F.col("doc_id").alias("doc_a"), "source", "label",
+        F.col("embedding").alias("ea"), F.col("toks").alias("ta"),
+    )
+    b = j.select(
+        F.col("doc_id").alias("doc_b"), "source", "label",
+        F.col("embedding").alias("eb"), F.col("toks").alias("tb"),
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        a.join(b, ["label", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_sim") > 0.3)
+        .select(
+            "doc_a",
+            "doc_b",
+            "cos_sim",
+            (inter / (F.size("ta") + F.size("tb") - inter)).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
     )
