@@ -374,3 +374,47 @@ def agg_corr_bivariate(spark, sf_dir):
         ),
         ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope_price_per_qty"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_histogram_fixed",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    )
+    SELECT LEAST(9, CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT))
+             AS bucket,
+           COUNT(*) AS n
+    FROM orders, bounds
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("aggregate", "histogram", "profiling"),
+)
+def agg_histogram_fixed(spark, sf_dir):
+    """Equal-width 10-bucket histogram of order value — the data-profiling
+    primitive. Min/max come from one scalar aggregate broadcast into the
+    binning pass (two scans, no driver round-trip); each row's bucket is
+    pure arithmetic on exact per-row doubles (MIN/MAX are
+    order-independent, so the bounds — and hence every bucket edge — are
+    bit-identical across engines); the top edge folds into the last
+    bucket. Two map-side-combined shuffles total at any scale."""
+    o = t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 10.0)
+                ),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )

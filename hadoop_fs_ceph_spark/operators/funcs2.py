@@ -152,3 +152,39 @@ def fn_edit_distance(spark, sf_dir):
         F.levenshtein(F.lower("p_name"), F.lower("p_type")).alias("lev_name_type"),
         F.levenshtein("p_brand", F.lit("Brand#1")).alias("lev_brand"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "fn_unpivot_stack",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, value FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    )
+    WHERE l_orderkey % 50 = 0
+    ORDER BY l_orderkey, l_linenumber, metric
+    """,
+    tags=("function", "unpivot", "reshape"),
+)
+def fn_unpivot_stack(spark, sf_dir):
+    """Wide→long reshape (unpivot/melt) of four lineitem measures into
+    (metric, value) rows via ``stack`` — the transpose primitive feature
+    stores and metric pipelines lean on. The oracle spells it as the
+    equivalent UNION ALL. Unpivot is a zero-shuffle Expand: output rows
+    = 4× input, produced map-side; the selective filter is pushed below
+    the expand by Catalyst so only matching rows quadruple."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount, 'tax', l_tax) AS (metric, value)"
+        ),
+    ).orderBy("l_orderkey", "l_linenumber", "metric")

@@ -281,3 +281,44 @@ def text_pii_scrub(spark, sf_dir):
         F.substring(masked, 1, 60).alias("masked_prefix"),
         F.length(masked).alias("masked_len"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_split_assign",
+    oracle="""
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             CASE WHEN (doc_id * 2654435761 + 40503) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761 + 40503) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+    tags=("text", "split", "sampling"),
+)
+def text_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split assignment — hash the stable
+    document id through a Knuth multiplicative mix into [0,100) and cut
+    at 80/90. The same document lands in the same split on every engine,
+    every run, and every re-ingestion ordering — the property random()
+    sampling can't give and exactly what an LLM-data pipeline needs for
+    leak-free eval sets. Integer arithmetic end-to-end (id ≤ ~1e9 keeps
+    the product under 2^62 — no overflow in either engine)."""
+    d = t(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(40503), F.lit(100))
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )

@@ -144,6 +144,7 @@ _INTENTIONAL_CROSS = {
     "sim_knn_bruteforce",
     "sim_ivf_cells",  # 8-row centroid table + 1-row query vector broadcasts
     "q11_important_stock",
+    "agg_histogram_fixed",  # one-row min/max bounds broadcast
     "q15_top_supplier",
     "q22_global_sales_opportunity",
 }
