@@ -172,3 +172,39 @@ def sql_not_in_subquery(spark, sf_dir):
     guard pins the well-defined variant in both engines."""
     _views(spark, sf_dir, "customer", "nation")
     return spark.sql(_SQL_NOT_IN)
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT p_partkey AS start_key, p_partkey AS cur, 0 AS depth
+      FROM part WHERE p_size = 1
+      UNION ALL
+      SELECT start_key, cur // 2, depth + 1 FROM walk WHERE cur > 1
+    )
+    SELECT start_key, MAX(depth) AS chain_len, COUNT(*) AS n_nodes
+    FROM walk GROUP BY start_key ORDER BY start_key
+    """,
+    tags=("sql", "recursive", "cte"),
+)
+def sql_recursive_hierarchy(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE): walk each part key up a
+    synthetic binary-tree hierarchy (k → k div 2 → … → 1), reporting
+    chain length — the BOM/org-chart traversal shape. Each recursion
+    step is one self-join under the hood, so depth is bounded by
+    log₂(max key): ~40 iterations even at trillion-row key spaces, each
+    a shuffle whose frontier shrinks as chains terminate. Integer
+    division spells ``div`` in Spark and ``//`` in DuckDB (plain ``/``
+    would promote to double in both)."""
+    _views(spark, sf_dir, "part")
+    return spark.sql("""
+        WITH RECURSIVE walk AS (
+          SELECT p_partkey AS start_key, p_partkey AS cur, 0 AS depth
+          FROM part WHERE p_size = 1
+          UNION ALL
+          SELECT start_key, cur div 2, depth + 1 FROM walk WHERE cur > 1
+        )
+        SELECT start_key, MAX(depth) AS chain_len, COUNT(*) AS n_nodes
+        FROM walk GROUP BY start_key ORDER BY start_key
+    """)

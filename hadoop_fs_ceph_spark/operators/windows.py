@@ -272,3 +272,80 @@ def win_gap_fill(spark, sf_dir):
         "event_id",
         F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@query(
+    "win_first_last_nth",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey
+    """,
+    tags=("window", "navigation"),
+)
+def win_first_last_nth(spark, sf_dir):
+    """Window navigation functions — first/last/nth order value per
+    customer over the full-partition frame (the default running frame
+    would make last_value degenerate). The (date, key) ordering makes
+    every navigation target unique, so DISTINCT collapses each
+    partition's identical rows to one deterministic summary row."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "win_median_disc",
+    oracle="""
+    SELECT c_mktsegment, c_acctbal AS median_bal FROM (
+      SELECT c_mktsegment, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    )
+    WHERE rn = (n + 1) // 2
+    ORDER BY c_mktsegment
+    """,
+    tags=("window", "median", "percentile"),
+)
+def win_median_disc(spark, sf_dir):
+    """Exact discrete median per group, computed portably: rank every row
+    in its partition and keep the ⌈n/2⌉-th — no interpolation, so unlike
+    ``percentile``/``quantile_cont`` there is no float formula to agree
+    on across engines; the answer is an actual data value. One shuffle
+    on the group key; at scale prefer this over a global sort-based
+    median since each partition ranks independently."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("c_mktsegment", F.col("c_acctbal").alias("median_bal"))
+        .orderBy("c_mktsegment")
+    )
