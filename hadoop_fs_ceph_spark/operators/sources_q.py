@@ -396,3 +396,57 @@ def src_parquet_codecs(spark, sf_dir):
     path = _scratch(sf_dir, "zstd_orders")
     write_table(o, path, mode="overwrite", compression="zstd")
     return _orders_agg(spark.read.parquet(path))
+
+
+@query("src_compact_small_files", oracle=_ORDERS_AGG_SQL, tags=("source", "compaction"))
+def src_compact_small_files(spark, sf_dir):
+    """Small-file compaction — THE object-store maintenance op. A
+    64-way-fragmented copy of orders (the shape streaming ingest leaves
+    behind) is rewritten into ≤4 right-sized files via coalesce (no
+    shuffle: it only glues task outputs); results must be byte-equivalent
+    to the original. Small files are the documented pain point the
+    reference's FH-cache/readonly mode exists for
+    (`CephRgwFileSystem.java:113,485` — metadata lookups dominate); at
+    100 TB the same rewrite runs per-partition with a target file size of
+    ~1 GiB, keyed off AQE advisory partition sizes."""
+    o = t(spark, sf_dir, "orders")
+    frag = _scratch(sf_dir, "frag_orders")
+    write_table(o.repartition(64), frag, mode="overwrite")
+    compacted = _scratch(sf_dir, "compact_orders")
+    write_table(spark.read.parquet(frag).coalesce(4), compacted, mode="overwrite")
+    return _orders_agg(spark.read.parquet(compacted))
+
+
+@query(
+    "src_clustered_write",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum("o_totalprice", "sum_price")}
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "clustering"),
+)
+def src_clustered_write(spark, sf_dir):
+    """Range-clustered write: repartitionByRange + sortWithinPartitions
+    on the query key before writing, so each parquet file covers a narrow
+    o_orderdate span and its row-group min/max statistics let a date
+    filter skip whole files — the object-store substitute for an index
+    (file-level zone maps). The read-back query filters one quarter; its
+    scan touches ~1/8 of the files. Same idea generalizes to multi-column
+    Z-ordering; single-key range clustering is the Spark-native form."""
+    o = t(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "clustered_orders")
+    write_table(
+        o.repartitionByRange(8, "o_orderdate").sortWithinPartitions("o_orderdate"),
+        path,
+        mode="overwrite",
+    )
+    back = spark.read.parquet(path).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )

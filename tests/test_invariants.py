@@ -78,3 +78,19 @@ def test_cluster_ids_are_component_minima(spark, sf_dir):
         by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
     for cid, members in by_cluster.items():
         assert cid == min(members)
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """src_compact_small_files must actually compact: the fragmented copy
+    carries ≥32 part files, the compacted rewrite ≤4 (and the query's
+    oracle equality separately proves the rewrite is lossless)."""
+    import glob
+    import os
+
+    from hadoop_fs_ceph_spark.operators.sources_q import _scratch
+
+    SPECS["src_compact_small_files"].fn(spark, sf_dir).collect()
+    n_frag = len(glob.glob(os.path.join(_scratch(sf_dir, "frag_orders"), "part-*")))
+    n_comp = len(glob.glob(os.path.join(_scratch(sf_dir, "compact_orders"), "part-*")))
+    assert n_frag >= 32, n_frag
+    assert 1 <= n_comp <= 4, n_comp
