@@ -168,3 +168,96 @@ def sim_embedding_near_dup(spark, sf_dir):
         .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
         .filter(F.col("cos_sim") > 0.4)
     )
+
+
+@query(
+    "sim_centroid_per_label",
+    oracle="""
+    WITH u AS (
+      SELECT label, i - 1 AS pos,
+             CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    m AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(ROUND(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS a
+      FROM u GROUP BY label, pos
+    )
+    SELECT label, list(a ORDER BY pos) AS centroid FROM m
+    GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "centroid", "kmeans"),
+)
+def sim_centroid_per_label(spark, sf_dir):
+    """Per-class mean vector (prototype/centroid) — the k-means update
+    step and class-prototype primitive, computed distributed: posexplode
+    each embedding to (label, dim, value), fixed-point-sum per (label,
+    dim) — 10 labels × 64 dims = 640 groups regardless of corpus size —
+    and reassemble the ordered array. The shuffle carries only group
+    partials (map-side combine), so a 100 TB corpus reduces to KB of
+    traffic; fixed-point sums keep each coordinate bit-identical to the
+    oracle at any parallelism. DuckDB lacks WITH ORDINALITY, so its twin
+    indexes the list through a generate_series join."""
+    e = t(spark, sf_dir, "embeddings")
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label", "pos", F.col("v").cast("double").alias("val")
+    )
+    m = exploded.groupBy("label", "pos").agg(
+        (
+            F.sum(F.round(F.col("val") * 1e6).cast("long")).cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1))
+        ).alias("a")
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "a"))), lambda x: x["a"]
+            ).alias("centroid")
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "sim_knn_batch_queries",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < 5
+    )
+    SELECT q.query_id, e.vec_id,
+           {sql_cosine("e.embedding", "q.qe")} AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id >= 5
+    QUALIFY row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY cos_sim DESC, e.vec_id) <= 3
+    ORDER BY query_id, cos_sim DESC, vec_id
+    """,
+    tags=("similarity", "knn", "batch"),
+)
+def sim_knn_batch_queries(spark, sf_dir):
+    """Batched kNN: five query vectors scored against the corpus in ONE
+    pass — the retrieval-service shape (batch your queries, don't rescan
+    per query). The query block broadcasts; every corpus row scores all
+    five queries map-side; a ranking window per query keeps top-3. At
+    scale the corpus is scanned once regardless of batch size, and the
+    window's shuffle carries only (query, candidate, score) rows."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        e.filter(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id", "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cos_sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "cos_sim")
+        .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
+    )

@@ -143,6 +143,7 @@ _INTENTIONAL_CROSS = {
     "fn_zip_with_dot",
     "sim_knn_bruteforce",
     "sim_ivf_cells",  # 8-row centroid table + 1-row query vector broadcasts
+    "sim_knn_batch_queries",  # 5-row query-batch broadcast
     "q11_important_stock",
     "agg_histogram_fixed",  # one-row min/max bounds broadcast
     "q15_top_supplier",
