@@ -26,6 +26,9 @@ Module map (SURVEY.md §2B families):
                  embedding near-dup
 * text         — token stats, language-ID, quality scores, fingerprints
 * multimodal   — binary payloads: metadata, frame sampling, byte features
+* pipeline_quality — deterministic hash sampling (bernoulli/stratified/
+                 fixed-k), per-column table profile, deterministic mode,
+                 z-score outlier flagging
 """
 
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401
@@ -35,6 +38,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     joins,
     json_array,
     multimodal,
+    pipeline_quality,
     relational,
     scale_ops,
     scalar_funcs,

@@ -1,0 +1,313 @@
+"""Pipeline-quality operators: deterministic sampling, table profiling,
+mode aggregation, statistical outlier flagging, and vector normalization.
+
+These are the data-curation steps a large-scale training-data pipeline
+runs between ingest and dedup: carve reproducible samples, profile column
+health, find the modal category, flag price/feature outliers, and L2-
+normalize embeddings before similarity search.
+
+Sampling here is HASH-GATED, not `rand()`-based: the sample membership of
+a row is a pure function of its key, so (a) the oracle can reproduce it
+exactly, (b) re-runs at any parallelism pick the identical sample, and
+(c) at 100 TB the gate is a map-side filter pushed next to the scan — no
+shuffle, no state, no seed coordination across 1000 executors.
+
+Reference parity note: the reference (`CephRgwFileSystem.java`, a
+Hadoop→Ceph FS connector) has no sampling/profile surface; these belong
+to the engine layer of SURVEY.md §2B (north-star pipeline rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.canonical import dsum, sql_dsum
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+# Knuth's multiplicative constant: spreads sequential keys uniformly.
+# Integer arithmetic is exact and identical in both engines; keys here
+# stay far below 2^63 / 2654435761 ≈ 3.5e9, so no overflow under ANSI
+# mode (at larger key domains, pmod the key into a bounded range first).
+_MIX = 2_654_435_761
+_LINE_MIX = 1_000_003
+
+
+def _line_hash(mod: int):
+    return F.pmod(F.col("l_orderkey") * _MIX + F.col("l_linenumber") * _LINE_MIX, F.lit(mod))
+
+
+def _sql_line_hash(mod: int) -> str:
+    return f"((l_orderkey * {_MIX} + l_linenumber * {_LINE_MIX}) % {mod})"
+
+
+@query(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           {sql_dsum("l_extendedprice", "sum_price")}
+    FROM lineitem
+    WHERE {_sql_line_hash(1000)} < 125
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("sampling", "bernoulli", "deterministic"),
+)
+def sample_hash_bernoulli(spark, sf_dir):
+    """12.5 % Bernoulli-style sample gated on a multiplicative hash of the
+    row key, then the usual per-flag rollup over just the sample. The gate
+    is a pure scalar predicate — Catalyst evaluates it right after the
+    scan, map-side, so the 87.5 % of a 100 TB table outside the sample
+    never reaches the shuffle. Unlike `TABLESAMPLE`/`df.sample`, identical
+    membership on every engine, run, and partitioning."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(_line_hash(1000) < 125)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_extendedprice", "sum_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sample_stratified_rates",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_sampled,
+           {sql_dsum("o_totalprice", "sum_price")}
+    FROM orders
+    WHERE (o_orderkey * {_MIX}) % 1000 <
+          CASE WHEN o_orderpriority = '1-URGENT' THEN 500
+               WHEN o_orderpriority = '2-HIGH'   THEN 250
+               ELSE 100 END
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("sampling", "stratified", "deterministic"),
+)
+def sample_stratified_rates(spark, sf_dir):
+    """Stratified sampling with per-stratum rates (URGENT 50 %, HIGH 25 %,
+    rest 10 %) — the class-rebalancing step of a training-data pipeline
+    (oversample rare strata, downsample common ones). One hash per row
+    compared to a CASE-selected threshold: still a single map-side
+    predicate, no per-stratum passes, no `sampleBy` RNG dependence."""
+    o = t(spark, sf_dir, "orders")
+    rate = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 500)
+        .when(F.col("o_orderpriority") == "2-HIGH", 250)
+        .otherwise(100)
+    )
+    return (
+        o.filter(F.pmod(F.col("o_orderkey") * _MIX, F.lit(1000)) < rate)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), dsum("o_totalprice", "sum_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "sample_k_per_stratum",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_returnflag, l_linestatus, l_quantity,
+             row_number() OVER (
+               PARTITION BY l_returnflag, l_linestatus
+               ORDER BY {_sql_line_hash(2147483647)}, l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           {sql_dsum("l_quantity", "sum_qty")}
+    FROM ranked WHERE rn <= 20
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("sampling", "fixed-k", "deterministic"),
+)
+def sample_k_per_stratum(spark, sf_dir):
+    """Exactly-k-per-stratum sample: rank each (returnflag, linestatus)
+    group by row-key hash — a deterministic stand-in for a random order —
+    and keep the first 20. This is the eval-set builder ("20 examples per
+    class"). One shuffle on the stratum key; the per-group rank is a
+    window, not a sort of the whole table; ties broken by the key itself
+    so the pick is total-ordered even under hash collisions."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        _line_hash(2_147_483_647), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_PROFILE_NUM = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR = ("o_orderstatus", "o_orderpriority")
+
+
+def _sql_profile_row(col: str, numeric: bool) -> str:
+    if numeric:
+        mn, mx = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+        ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    else:
+        mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        ms, xs = f"MIN({col})", f"MAX({col})"
+    return (
+        f"SELECT '{col}' AS column_name, COUNT(*) AS n_rows,"
+        f" COUNT(*) - COUNT({col}) AS n_null,"
+        f" COUNT(DISTINCT {col}) AS n_distinct,"
+        f" {mn} AS min_num, {mx} AS max_num, {ms} AS min_str, {xs} AS max_str"
+        f" FROM orders"
+    )
+
+
+@query(
+    "profile_table_stats",
+    oracle=" UNION ALL ".join(
+        _sql_profile_row(c, numeric=c in _PROFILE_NUM)
+        for c in _PROFILE_NUM + _PROFILE_STR
+    )
+    + " ORDER BY column_name",
+    tags=("profile", "data-quality"),
+)
+def profile_table_stats(spark, sf_dir):
+    """Per-column data profile (row count, null count, distinct count,
+    min/max) for the `orders` table — the data-quality report a pipeline
+    emits before training ingestion. All columns profile in ONE pass: a
+    single global aggregate computes every measure (Catalyst plans the
+    multi-distinct via Expand), then an explode of a literal struct array
+    reshapes the one wide row into one row per column — no per-column
+    scans, no driver-side loop. At 100 TB the exact COUNT(DISTINCT) is
+    the only heavy measure; swap it for approx_count_distinct when a
+    1-2 % error is acceptable (kept exact here for the oracle)."""
+    o = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+
+    def row(c: str) -> F.Column:
+        numeric = c in _PROFILE_NUM
+        return F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n").alias("n_rows"),
+            (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            (F.col(f"mn_{c}").cast("double") if numeric else F.lit(None).cast("double")).alias(
+                "min_num"
+            ),
+            (F.col(f"mx_{c}").cast("double") if numeric else F.lit(None).cast("double")).alias(
+                "max_num"
+            ),
+            (F.col(f"mn_{c}") if not numeric else F.lit(None).cast("string")).alias("min_str"),
+            (F.col(f"mx_{c}") if not numeric else F.lit(None).cast("string")).alias("max_str"),
+        )
+
+    return (
+        wide.select(
+            F.explode(F.array(*[row(c) for c in _PROFILE_NUM + _PROFILE_STR])).alias("p")
+        )
+        .select("p.*")
+        .orderBy("column_name")
+    )
+
+
+@query(
+    "agg_mode_tiebreak",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, COUNT(*) AS mode_count
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY COUNT(*) DESC, o_orderpriority) = 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("aggregate", "mode"),
+)
+def agg_mode_tiebreak(spark, sf_dir):
+    """Deterministic MODE: the most frequent priority per order status,
+    ties broken lexicographically (Spark's `F.mode` and DuckDB's `mode()`
+    both leave ties unspecified, so neither is oracle-safe as-is). Shape:
+    count per (status, priority) — partial-aggregated map-side — then a
+    rank-1 window over the tiny counts relation, never over base rows."""
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("mode_count")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("mode_count").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "mode_count",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_S1 = sql_dsum("o_totalprice", "s1")
+_S2 = sql_dsum("o_totalprice * o_totalprice", "s2", scale=2)
+
+
+@query(
+    "outlier_zscore_group",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS nd, {_S1}, {_S2}
+      FROM orders GROUP BY o_orderpriority
+    ),
+    d AS (
+      SELECT o_orderpriority, s1 / nd AS mean,
+             SQRT((s2 - s1 * s1 / nd) / (nd - 1.0)) AS std
+      FROM s
+    )
+    SELECT o.o_orderpriority, COUNT(*) AS n_outliers,
+           MIN(o.o_totalprice) AS min_out, MAX(o.o_totalprice) AS max_out
+    FROM orders o JOIN d ON d.o_orderpriority = o.o_orderpriority
+    WHERE ABS((o.o_totalprice - d.mean) / d.std) > 2.0
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    tags=("outlier", "zscore", "data-quality"),
+)
+def outlier_zscore_group(spark, sf_dir):
+    """Z-score outlier flagging per stratum: rows whose total price sits
+    more than 2 sample standard deviations from their priority's mean.
+    Two passes over the fact — a per-group moment aggregate (5 output
+    rows) and a re-scan joined against the broadcast stats — which is the
+    scale-correct shape: the stats relation is O(groups), never the data.
+    Moments use the fixed-point scheme (squares at 10^-2) so mean/std are
+    bit-identical to the oracle and the >2σ cut lands on identical rows."""
+    o = t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        dsum("o_totalprice", "s1"),
+        dsum(F.col("o_totalprice") * F.col("o_totalprice"), "s2", scale=2),
+    )
+    d = stats.select(
+        "o_orderpriority",
+        (F.col("s1") / F.col("nd")).alias("mean"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("nd")) / (F.col("nd") - F.lit(1.0))).alias(
+            "std"
+        ),
+    )
+    return (
+        o.join(F.broadcast(d), "o_orderpriority")
+        .filter(F.abs((F.col("o_totalprice") - F.col("mean")) / F.col("std")) > 2.0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.min("o_totalprice").alias("min_out"),
+            F.max("o_totalprice").alias("max_out"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -261,3 +261,34 @@ def sim_knn_batch_queries(spark, sf_dir):
         .select("query_id", "vec_id", "cos_sim")
         .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
     )
+
+
+@query(
+    "sim_l2_normalize",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(embedding[1] AS DOUBLE) / SQRT({sql_dot("embedding", "embedding")}) AS c1,
+           CAST(embedding[2] AS DOUBLE) / SQRT({sql_dot("embedding", "embedding")}) AS c2,
+           CAST(embedding[3] AS DOUBLE) / SQRT({sql_dot("embedding", "embedding")}) AS c3,
+           CAST(embedding[4] AS DOUBLE) / SQRT({sql_dot("embedding", "embedding")}) AS c4
+    FROM embeddings ORDER BY vec_id
+    """,
+    tags=("similarity", "normalize", "feature-prep"),
+)
+def sim_l2_normalize(spark, sf_dir):
+    """L2 normalization — the feature-prep step before cosine search
+    (normalized vectors turn cosine into a plain dot product, halving the
+    per-pair fold work downstream). Emits the first four components of
+    each unit vector; the norm is ONE sequential fold per row shared by
+    all four divisions (projected once — Catalyst keeps the repeated
+    alias common). Map-only: no shuffle at any scale."""
+    e = t(spark, sf_dir, "embeddings")
+    nrm = norm(F.col("embedding"))
+    out = e.select("vec_id", "embedding", nrm.alias("nrm"))
+    return out.select(
+        "vec_id",
+        *[
+            (F.element_at("embedding", i + 1).cast("double") / F.col("nrm")).alias(f"c{i + 1}")
+            for i in range(4)
+        ],
+    ).orderBy("vec_id")
