@@ -29,12 +29,17 @@ Module map (SURVEY.md §2B families):
 * pipeline_quality — deterministic hash sampling (bernoulli/stratified/
                  fixed-k), per-column table profile, deterministic mode,
                  z-score outlier flagging
+* analytics_suite — funnel conversion, retention cohorts, market-basket
+                 pairs, gaps-and-islands streaks, cumulative distinct
+* funcs3       — boolean aggregates (count_if/bool_and/bool_or), trig family
 """
 
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     aggregates,
+    analytics_suite,
     dedup,
     funcs2,
+    funcs3,
     joins,
     json_array,
     multimodal,

@@ -1,0 +1,234 @@
+"""Product-analytics composite shapes: funnel conversion, retention
+cohorts, market-basket co-occurrence, gaps-and-islands streaks, and
+cumulative-distinct growth curves.
+
+These are the query shapes an event-pipeline team runs daily on the same
+lake the reference connector was built to feed (Spark-over-object-store;
+`/root/reference/` `README.md:7` — compute/storage separation for exactly
+this kind of log analytics). None needs anything beyond DataFrame
+aggregates, windows, and self-joins.
+
+Scale posture: every shape aggregates down to per-entity rows (user, day,
+pair) BEFORE any join or window; unpartitioned windows only ever run over
+already-aggregated tiny relations (days, not events); the market-basket
+self-join reuses one shuffle on the co-partitioned order key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+
+@query(
+    "ds_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_buy
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+    tags=("analytics", "funnel", "staged-join"),
+)
+def ds_funnel_conversion(spark, sf_dir):
+    """Ordered view->click->purchase funnel: a user advances a stage only
+    with an event strictly AFTER their previous stage's first event. Each
+    stage is one groupBy(user_id) min-timestamp aggregate joined to the
+    prior stage, so the join inputs shrink monotonically and every shuffle
+    carries (user_id, ts) pairs — never raw events. Stage counts are exact
+    integers; the three single-row counts cross-join into one row."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+@query(
+    "ds_retention_cohort",
+    oracle="""
+    WITH fy AS (
+      SELECT o_custkey,
+             MIN(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)) AS cohort_year
+      FROM orders GROUP BY o_custkey
+    ),
+    act AS (
+      SELECT DISTINCT o_custkey,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr
+      FROM orders
+    )
+    SELECT f.cohort_year, a.yr - f.cohort_year AS offset_years,
+           COUNT(*) AS n_active
+    FROM fy f JOIN act a ON f.o_custkey = a.o_custkey
+    GROUP BY f.cohort_year, offset_years
+    ORDER BY f.cohort_year, offset_years
+    """,
+    tags=("analytics", "cohort", "retention"),
+)
+def ds_retention_cohort(spark, sf_dir):
+    """Cohort retention triangle: customers grouped by first-order year,
+    counted as active at each year offset. Both inputs are aggregates of
+    the same orders scan keyed on o_custkey, so the join is between two
+    co-partitioned shrunken relations (|customers| rows each); `act` is
+    already distinct per (customer, year), so COUNT(*) equals distinct
+    active customers with no second dedup pass."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("long")
+    )
+    fy = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort_year"))
+    act = o.select("o_custkey", "yr").distinct()
+    return (
+        fy.join(act, "o_custkey")
+        .select("cohort_year", (F.col("yr") - F.col("cohort_year")).alias("offset_years"))
+        .groupBy("cohort_year", "offset_years")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_year", "offset_years")
+    )
+
+
+@query(
+    "ds_market_basket",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY p1, p2
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT 100
+    """,
+    tags=("analytics", "self-join", "co-occurrence"),
+)
+def ds_market_basket(spark, sf_dir):
+    """Market-basket pair mining: parts co-occurring in the same order,
+    ranked by support. The (order, part) projection is deduplicated once,
+    then self-joined on the order key with p1 < p2 to emit each unordered
+    pair once. Both join sides are the SAME relation shuffled on
+    l_orderkey — Catalyst reuses the exchange — and per-order fan-out is
+    C(lines,2) with lines ≤ 7 in TPC-H-shaped data, so the blowup is
+    bounded (<21× rows) regardless of SF. Final top-100 has a total sort
+    key (count, p1, p2), so LIMIT is deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(100)
+    )
+
+
+@query(
+    "win_streaks_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    seq AS (
+      SELECT user_id, d,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days
+    )
+    SELECT user_id, MIN(d) AS streak_start, COUNT(*) AS streak_len
+    FROM (SELECT user_id, d, d - CAST(rn AS INTEGER) AS island FROM seq)
+    GROUP BY user_id, island
+    HAVING COUNT(*) >= 2
+    ORDER BY user_id, streak_start
+    """,
+    tags=("analytics", "window", "gaps-and-islands"),
+)
+def win_streaks_islands(spark, sf_dir):
+    """Consecutive-day activity streaks (gaps-and-islands): distinct
+    active days per user, row-numbered within user by date; subtracting
+    the row number (in days) from the date collapses each consecutive run
+    onto one island key, and a group-by over (user, island) yields streak
+    start + length. The window partitions on user_id — no global sort —
+    and runs over distinct days, not raw events."""
+    e = t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = days.withColumn("rn", F.row_number().over(w))
+    return (
+        seq.withColumn("island", F.date_sub(F.col("d"), F.col("rn").cast("int")))
+        .groupBy("user_id", "island")
+        .agg(F.min("d").alias("streak_start"), F.count(F.lit(1)).alias("streak_len"))
+        .filter(F.col("streak_len") >= 2)
+        .select("user_id", "streak_start", "streak_len")
+        .orderBy("user_id", "streak_start")
+    )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT d, COUNT(*) AS new_users FROM firsts GROUP BY d)
+    SELECT d, new_users,
+           SUM(new_users) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_users
+    FROM daily ORDER BY d
+    """,
+    tags=("analytics", "window", "cumulative-distinct"),
+)
+def win_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct-user growth curve: running COUNT(DISTINCT) is
+    not incrementally computable as a window, so it is rewritten as the
+    classic first-seen decomposition — each user counts once on their
+    first active day, and the cumulative sum of daily first-seen counts
+    IS the running distinct total. The only unpartitioned window runs
+    over the per-day relation (|days| rows, bounded by the calendar, not
+    by |events|), which is the standard scale-safe shape."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = firsts.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("cum_users", F.sum("new_users").over(w))
+        .select("d", "new_users", "cum_users")
+        .orderBy("d")
+    )

@@ -148,6 +148,7 @@ _INTENTIONAL_CROSS = {
     "agg_histogram_fixed",  # one-row min/max bounds broadcast
     "q15_top_supplier",
     "q22_global_sales_opportunity",
+    "ds_funnel_conversion",  # three one-row stage counts cross-joined
 }
 
 
