@@ -32,6 +32,7 @@ Module map (SURVEY.md §2B families):
 * analytics_suite — funnel conversion, retention cohorts, market-basket
                  pairs, gaps-and-islands streaks, cumulative distinct
 * funcs3       — boolean aggregates (count_if/bool_and/bool_or), trig family
+* funcs4       — calendar-arithmetic datetime family, bigram frequency
 """
 
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401
@@ -40,6 +41,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     dedup,
     funcs2,
     funcs3,
+    funcs4,
     joins,
     json_array,
     multimodal,

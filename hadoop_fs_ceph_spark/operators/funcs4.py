@@ -1,0 +1,111 @@
+"""Fourth function batch: calendar-arithmetic datetime family and
+bigram frequency mining over the documents corpus.
+
+Datetime parity notes (verified empirically, both engines):
+* ``last_day`` / ``date_trunc('week'|'quarter')`` / ``EXTRACT(week)`` /
+  ``dayofyear`` agree exactly.
+* ``dayofweek``: Spark is 1-based (Sunday=1), DuckDB 0-based (Sunday=0)
+  — the oracle adds 1.
+* ``add_months``: DuckDB spells it ``d + TO_MONTHS(n)`` (returns a
+  timestamp — cast back to date).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+
+@query(
+    "fn_calendar_family",
+    oracle="""
+    SELECT o_orderkey,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(DATE_TRUNC('week', o_orderdate) AS DATE) AS week_start,
+           CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(EXTRACT(week FROM o_orderdate) AS INTEGER) AS iso_week,
+           CAST(DAYOFWEEK(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+           CAST(DAYOFYEAR(CAST(o_orderdate AS DATE)) AS INTEGER) AS doy,
+           CAST(CAST(o_orderdate AS DATE) + TO_MONTHS(3) AS DATE) AS plus_quarter,
+           CAST(EXTRACT(year FROM o_orderdate) * 12
+                + EXTRACT(month FROM o_orderdate) - (1992 * 12 + 1)
+                AS INTEGER) AS months_since_epoch
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("function", "datetime", "calendar"),
+)
+def fn_calendar_family(spark, sf_dir):
+    """Calendar arithmetic on order dates: month-end snapping
+    (last_day), ISO week/quarter truncation, ISO week number,
+    day-of-week / day-of-year, month shifting (add_months), and a
+    month-index since the corpus epoch (the portable replacement for
+    fractional months_between, whose day-fraction semantics are
+    engine-specific). Pure JVM date intrinsics inside codegen; the
+    modulo sample keeps oracle rows bounded at any SF."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("week_start"),
+        F.to_date(F.date_trunc("quarter", "o_orderdate")).alias("quarter_start"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofweek(d).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+        F.add_months(d, 3).alias("plus_quarter"),
+        (
+            F.year(d) * F.lit(12) + F.month(d) - F.lit(1992 * 12 + 1)
+        ).cast("int").alias("months_since_epoch"),
+    ).orderBy("o_orderkey")
+
+
+def _bigram_of(tokens):
+    """Factory for the bigram lambda — a plain closure would change the
+    registered HOF arity (PySpark counts Python lambda params)."""
+
+    def gram(i):
+        return F.concat_ws(" ", F.element_at(tokens, i + 1), F.element_at(tokens, i + 2))
+
+    return gram
+
+
+@query(
+    "text_bigram_freq",
+    oracle="""
+    WITH grams AS (
+      SELECT unnest(list_transform(
+               range(1, len(l)), i -> l[i] || ' ' || l[i + 1]
+             )) AS bigram
+      FROM (SELECT string_split(text, ' ') AS l FROM documents)
+    )
+    SELECT bigram, COUNT(*) AS freq
+    FROM grams
+    GROUP BY bigram
+    ORDER BY freq DESC, bigram
+    LIMIT 50
+    """,
+    tags=("text", "ngram", "higher-order"),
+)
+def text_bigram_freq(spark, sf_dir):
+    """Top-50 corpus bigrams: tokenize once per document, build the
+    bigram list with a higher-order transform over an index sequence
+    (no explode-then-self-join — the classic quadratic trap), then
+    explode and count. All JVM-side; per-document work is linear in
+    token count, the shuffle carries (bigram, partial count) pairs from
+    map-side combine, and the top-50 is TakeOrderedAndProject with a
+    total (freq, bigram) key."""
+    docs = t(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    grams = F.transform(F.sequence(F.lit(0), F.size(tokens) - 2), _bigram_of(tokens))
+    return (
+        docs.filter(F.size(tokens) >= 2)
+        .select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "bigram")
+        .limit(50)
+    )
