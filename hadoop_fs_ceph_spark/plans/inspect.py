@@ -1,0 +1,106 @@
+"""Physical-plan inspection utilities.
+
+The reference connector's whole performance story is *storage-level*
+(buffering, virtual blocks, prefetch — SURVEY.md §4.1); in a Spark-native
+engine the equivalent story lives in the physical plan: did the filter
+reach the scan, did the bounded side broadcast, did Python stay off the
+hot path. This module turns those questions into data so tests
+(`tests/test_plans.py`) and users can assert them instead of eyeballing
+``.explain()`` output.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def plan_of(df: DataFrame, mode: str = "formatted", execute: bool = False) -> str:
+    """Full explain string (formatted mode doesn't truncate scan fields);
+    ``execute=True`` materializes first so AQE's *final* plan is shown.
+
+    AQE note: the final plan (``isFinalPlan=true``) only exists after
+    driving THIS DataFrame's own QueryExecution (``df.collect()``) — a
+    separate sink action would plan a fresh QueryExecution.
+    """
+    if execute:
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def scan_info(plan: str) -> list[dict[str, str]]:
+    """Per-scan pushdown facts: one dict per ``Scan parquet`` node with
+    its pushed filters, partition filters, and read schema."""
+    scans = []
+    for m in re.finditer(r"Scan parquet", plan):
+        seg = plan[m.start() : m.start() + 2000]
+        scans.append(
+            {
+                "pushed_filters": _group(seg, r"PushedFilters: \[([^\]]*)\]"),
+                "partition_filters": _group(seg, r"PartitionFilters: \[([^\]]*)\]"),
+                "read_schema": _group(seg, r"ReadSchema: struct<([^>]*)>"),
+            }
+        )
+    return scans
+
+
+def _group(text: str, pattern: str) -> str:
+    m = re.search(pattern, text)
+    return m.group(1).strip() if m else ""
+
+
+@dataclass
+class ScaleAudit:
+    """Boiled-down plan facts that decide 100 TB viability."""
+
+    cartesian: bool  # CartesianProduct / BroadcastNestedLoopJoin present
+    broadcast_joins: int
+    sort_merge_joins: int
+    shuffles: int  # Exchange hashpartitioning count
+    global_sorts: int  # Sort [..], global=true outside TakeOrdered
+    take_ordered: bool  # top-k via per-partition heaps
+    python_on_hot_path: bool  # BatchEvalPython (row-at-a-time UDF)
+    arrow_python: bool  # ArrowEvalPython / pandas-UDF nodes
+    codegen_spans: int  # WholeStageCodegen regions
+    scans: list[dict[str, str]] = field(default_factory=list)
+
+    def problems(self) -> list[str]:
+        """Human-readable red flags (empty list = plan looks scalable)."""
+        out = []
+        if self.cartesian:
+            out.append("cartesian/nested-loop join — O(n·m) at scale")
+        if self.global_sorts > 0 and not self.take_ordered:
+            out.append("global sort without limit — sorts the world")
+        if self.python_on_hot_path:
+            out.append("row-at-a-time Python UDF on the hot path")
+        return out
+
+
+def scale_audit(df: DataFrame, execute: bool = False) -> ScaleAudit:
+    """Audit a DataFrame's physical plan for scale red flags."""
+    plan = plan_of(df, execute=execute)
+    simple = plan_of(df, mode="simple") if not execute else plan
+    return ScaleAudit(
+        cartesian=("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan),
+        broadcast_joins=simple.count("BroadcastHashJoin"),
+        sort_merge_joins=simple.count("SortMergeJoin"),
+        shuffles=simple.count("Exchange hashpartitioning"),
+        global_sorts=len(re.findall(r"\bSort \[.*\], true,", simple)),
+        take_ordered="TakeOrderedAndProject" in simple,
+        python_on_hot_path="BatchEvalPython" in simple,
+        arrow_python="ArrowEvalPython" in simple or "FlatMapGroupsInPandas" in simple,
+        # codegen regions render as "[codegen id : n]" (formatted mode),
+        # "WholeStageCodegen (n)" (tree dump), or "*(n) Op" (executed/simple)
+        codegen_spans=len(
+            set(re.findall(r"codegen id : (\d+)", plan))
+            | set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+            | set(re.findall(r"\*\((\d+)\)", plan))
+        ),
+        scans=scan_info(plan),
+    )

@@ -11,24 +11,11 @@ import re
 
 import pytest
 
+from hadoop_fs_ceph_spark.plans import plan_of, scale_audit
 from hadoop_fs_ceph_spark.registry import load_all
 from hadoop_fs_ceph_spark.tables import t
 
 SPECS = load_all()
-
-
-def plan_of(df, mode: str = "formatted", execute: bool = False) -> str:
-    """Full explain string (formatted mode doesn't truncate scan fields);
-    ``execute=True`` materializes first so AQE's *final* plan is shown."""
-    if execute:
-        # drive THIS DataFrame's own QueryExecution so AQE finalizes it
-        # (a separate sink action would plan a fresh QueryExecution)
-        df.collect()
-        return df._jdf.queryExecution().executedPlan().toString()
-    jvm = df.sparkSession._jvm
-    return df._jdf.queryExecution().explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    )
 
 
 def test_dim_join_broadcasts(spark, sf_dir):
@@ -104,7 +91,8 @@ def test_no_driver_collect_in_operators():
     for p in ops.rglob("*.py"):
         src = p.read_text()
         if ".collect(" in src or ".toPandas(" in src:
-            if p.name not in ("oracle.py",):  # harness, not an operator
+            # harness + plan tooling, not operators
+            if p.name not in ("oracle.py", "inspect.py"):
                 offenders.append(str(p))
     assert not offenders, f"driver-side collection in: {offenders}"
 
@@ -167,3 +155,24 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir, name):
     plan = plan_of(SPECS[name].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_scale_audit_surface(spark, sf_dir):
+    """The user-facing plan auditor: a clean query reports no problems
+    and real facts (scan pushdown, top-k heaps); a deliberately bad one
+    (cross join) is flagged."""
+    df = SPECS["q6_forecast_revenue"].fn(spark, sf_dir)
+    audit = scale_audit(df)
+    assert audit.problems() == []
+    assert not audit.cartesian
+    assert audit.scans and audit.scans[0]["pushed_filters"]
+    # codegen spans are an executed-plan fact (AQE finalizes them)
+    assert scale_audit(df, execute=True).codegen_spans >= 1
+
+    topk = scale_audit(SPECS["topk_global"].fn(spark, sf_dir))
+    assert topk.take_ordered and topk.global_sorts == 0
+
+    li = t(spark, sf_dir, "nation")
+    bad = li.crossJoin(t(spark, sf_dir, "region"))
+    flagged = scale_audit(bad)
+    assert flagged.cartesian and flagged.problems()
