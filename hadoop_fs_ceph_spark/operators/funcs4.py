@@ -109,3 +109,45 @@ def text_bigram_freq(spark, sf_dir):
         .orderBy(F.col("freq").desc(), "bigram")
         .limit(50)
     )
+
+
+@query(
+    "fn_string2_family",
+    oracle="""
+    SELECT c_custkey,
+           REPEAT(LEFT(c_name, 2), 3) AS rep2,
+           REVERSE(c_mktsegment) AS seg_rev,
+           ASCII(c_name) AS first_code,
+           CHR(65 + CAST(c_custkey % 26 AS INTEGER)) AS letter,
+           LEFT(c_name, 8) AS name_l8,
+           RIGHT(c_name, 4) AS name_r4,
+           CAST(POSITION('0' IN c_name) AS INTEGER) AS zero_at,
+           TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS seg_folded,
+           STARTS_WITH(c_name, 'Customer') AS is_cust,
+           ENDS_WITH(c_mktsegment, 'RY') AS seg_ry
+    FROM customer
+    WHERE c_custkey % 53 = 0
+    ORDER BY c_custkey
+    """,
+    tags=("function", "string"),
+)
+def fn_string2_family(spark, sf_dir):
+    """Second string-function wave: repeat, reverse, ascii/chr codec,
+    left/right slicing, substring position, character translation, and
+    prefix/suffix predicates. Every member is a JVM intrinsic with an
+    exact 1:1 oracle equivalent — no collation or locale dependence on
+    ASCII-range fixture data."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 53 == 0)
+    return c.select(
+        "c_custkey",
+        F.repeat(F.left(F.col("c_name"), F.lit(2)), 3).alias("rep2"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.ascii("c_name").alias("first_code"),
+        F.chr(F.lit(65) + (F.col("c_custkey") % 26).cast("int")).alias("letter"),
+        F.left(F.col("c_name"), F.lit(8)).alias("name_l8"),
+        F.right(F.col("c_name"), F.lit(4)).alias("name_r4"),
+        F.locate("0", F.col("c_name")).alias("zero_at"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_folded"),
+        F.startswith(F.col("c_name"), F.lit("Customer")).alias("is_cust"),
+        F.endswith(F.col("c_mktsegment"), F.lit("RY")).alias("seg_ry"),
+    ).orderBy("c_custkey")

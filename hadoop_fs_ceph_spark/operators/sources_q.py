@@ -450,3 +450,36 @@ def src_clustered_write(spark, sf_dir):
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
     )
+
+
+@query("src_csv_dialect", oracle=_ORDERS_AGG_SQL, tags=("source", "csv", "dialect"))
+def src_csv_dialect(spark, sf_dir):
+    """Non-default CSV dialect round-trip: pipe delimiter, single-quote
+    quoting, backslash escape, and an explicit NULL marker (the dialect
+    knobs a lake ingests from third-party dumps with). Reader and writer
+    must agree on every knob for the aggregate to hash-match the
+    original parquet — proving dialect fidelity, not just the happy
+    path. NULLs are injected into a nullable copy of o_orderpriority to
+    force the nullValue marker through the cycle, then the aggregate
+    ignores that column so the oracle stays the shared orders truth."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "o_priority_nullable",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    path = _scratch(sf_dir, "csv_dialect_orders")
+    write_table(
+        o, path, format="csv", mode="overwrite", header="true",
+        timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+        sep="|", quote="'", escape="\\", nullValue="\\N",
+    )
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string, "
+        "o_priority_nullable string"
+    )
+    back = read_csv(
+        spark, path, schema, sep="|", quote="'", escape="\\", nullValue="\\N"
+    )
+    return _orders_agg(back)

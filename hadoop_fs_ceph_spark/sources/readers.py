@@ -23,11 +23,13 @@ def read_csv(
     schema: StructType | str,
     header: bool = True,
     timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    **options: str,
 ) -> DataFrame:
     return (
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .option("timestampFormat", timestamp_format)
+        .options(**options)
         .csv(path)
     )
 
