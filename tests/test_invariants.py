@@ -94,3 +94,23 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     n_comp = len(glob.glob(os.path.join(_scratch(sf_dir, "compact_orders"), "part-*")))
     assert n_frag >= 32, n_frag
     assert 1 <= n_comp <= 4, n_comp
+
+
+def test_funnel_monotone_and_cohort_conservation(spark, sf_dir):
+    """Funnel stages can only shrink (strict event ordering); cohort
+    offset-0 row counts every cohort member exactly once, so the sum of
+    offset-0 actives equals the number of distinct customers."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fs_ceph_spark.tables import t
+
+    row = SPECS["ds_funnel_conversion"].fn(spark, sf_dir).collect()[0]
+    assert row.n_view >= row.n_click >= row.n_purchase >= 0
+
+    cohort = SPECS["ds_retention_cohort"].fn(spark, sf_dir).collect()
+    offset0 = sum(r.n_active for r in cohort if r.offset_years == 0)
+    n_cust = (
+        t(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert offset0 == n_cust
+    assert all(r.offset_years >= 0 for r in cohort)
