@@ -208,3 +208,53 @@ def sql_recursive_hierarchy(spark, sf_dir):
         SELECT start_key, MAX(depth) AS chain_len, COUNT(*) AS n_nodes
         FROM walk GROUP BY start_key ORDER BY start_key
     """)
+
+
+@query(
+    "sql_ddl_dml",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum('o_totalprice', 'revenue')}
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("sql", "ddl", "dml"),
+)
+def sql_ddl_dml(spark, sf_dir):
+    """SQL DDL/DML front door: CREATE TABLE ... USING parquet LOCATION
+    (the catalog analog of the reference's create+mkdirs path,
+    CephRgwFileSystem.java:216-233), INSERT OVERWRITE from a SELECT
+    (idempotent under bench re-runs, unlike INSERT INTO's append), and
+    an aggregate read-back through the session catalog. The external
+    LOCATION keeps data ownership with the path — DROP TABLE removes
+    only metadata, exactly the object-store-friendly contract."""
+    import os
+    import tempfile
+
+    from hadoop_fs_ceph_spark.tables import t as _t
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"eng_ddl_orders_{tag}"
+    path = os.path.join(tempfile.gettempdir(), "hfcs_scratch", tag, "ddl_orders")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_src_ddl")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"""CREATE TABLE {name} (
+              o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE
+            ) USING parquet LOCATION '{path}'"""
+    )
+    spark.sql(
+        f"""INSERT OVERWRITE {name}
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders_src_ddl WHERE o_orderpriority = '1-URGENT'"""
+    )
+    shift = 10**6
+    return spark.sql(
+        f"""SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice * {shift}.0) AS BIGINT)) AS DOUBLE)
+                     / {shift}.0 AS revenue
+            FROM {name}
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus"""
+    )
