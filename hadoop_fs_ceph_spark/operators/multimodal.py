@@ -163,3 +163,62 @@ def mm_byte_features(spark, sf_dir):
         .filter(F.col("doc_id") % 3 == 0)
         .mapInPandas(features, out_schema)
     )
+
+
+THUMB_LEN = 32
+
+
+@query(
+    "mm_resize_decimate",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 4 = 0 AND octet_length(encode(text)) >= 1
+    ),
+    r AS (
+      SELECT doc_id, n,
+             list_transform(range(0, {THUMB_LEN}),
+                            i -> substring(text, CAST(i * n // {THUMB_LEN} + 1 AS INTEGER), 1)
+             ) AS sel
+      FROM b
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS src_bytes,
+           {THUMB_LEN} AS thumb_len,
+           CAST(list_sum(list_transform(sel, ch -> CAST(ascii(ch) AS BIGINT))) AS BIGINT)
+             AS thumb_sum,
+           sha256(array_to_string(sel, '')) AS thumb_sha
+    FROM r
+    """,
+    tags=("multimodal", "binary", "pandas", "resize"),
+)
+def mm_resize_decimate(spark, sf_dir):
+    """Resize/decimate: the payload resampled to a fixed THUMB_LEN-byte
+    thumbnail by nearest-neighbor decimation (index i maps to source
+    offset i·len/N) — the 1-D deterministic stand-in for image resize
+    (the real decoder stays behind ``_decode_media``). Shorter payloads
+    upsample by the same rule, so output shape is ALWAYS fixed — the
+    property batch ML loaders rely on. Arrow-batched ``mapInPandas``;
+    output rows carry the thumbnail digest + checksum-able features, not
+    the payload."""
+    out_schema = "doc_id long, src_bytes long, thumb_len int, thumb_sum long, thumb_sha string"
+
+    def resize(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                n = len(b)
+                sel = bytes(b[i * n // THUMB_LEN] for i in range(THUMB_LEN))
+                rows.append(
+                    (did, n, THUMB_LEN, sum(sel), hashlib.sha256(sel).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "src_bytes", "thumb_len", "thumb_sum", "thumb_sha"],
+            )
+
+    return (
+        _blobs(spark, sf_dir)
+        .filter((F.col("doc_id") % 4 == 0) & (F.length("blob") >= 1))
+        .mapInPandas(resize, out_schema)
+    )
