@@ -151,3 +151,43 @@ def fn_string2_family(spark, sf_dir):
         F.startswith(F.col("c_name"), F.lit("Customer")).alias("is_cust"),
         F.endswith(F.col("c_mktsegment"), F.lit("RY")).alias("seg_ry"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "fn_format_radix_family",
+    oracle="""
+    SELECT p_partkey,
+           hex(p_partkey) AS key_hex,
+           bin(p_partkey % 256) AS key_bin,
+           to_base(p_partkey, 16) AS key_base16,
+           printf('%s=%d@%05.2f', p_brand, CAST(p_size AS INTEGER), p_retailprice)
+             AS label,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           rpad(p_brand, 12, '.') AS brand_padded
+    FROM part
+    WHERE p_partkey % 41 = 0
+    ORDER BY p_partkey
+    """,
+    tags=("function", "format", "radix"),
+)
+def fn_format_radix_family(spark, sf_dir):
+    """Radix conversion (hex / bin / arbitrary base via conv) and
+    printf-style formatting (format_string — same %-spec engine as the
+    oracle's printf), plus pad-to-width. All JVM intrinsics. Note
+    format_string rejects DECIMAL for %f — the price is double already;
+    conv() uppercases like to_base."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 41 == 0)
+    return p.select(
+        "p_partkey",
+        F.hex("p_partkey").alias("key_hex"),
+        F.bin(F.col("p_partkey") % 256).alias("key_bin"),
+        F.conv(F.col("p_partkey").cast("string"), 10, 16).alias("key_base16"),
+        F.format_string(
+            "%s=%d@%05.2f",
+            F.col("p_brand"),
+            F.col("p_size").cast("int"),
+            F.col("p_retailprice"),
+        ).alias("label"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+    ).orderBy("p_partkey")

@@ -258,3 +258,37 @@ def sql_ddl_dml(spark, sf_dir):
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus"""
     )
+
+
+@query(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) c
+    ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+    """,
+    tags=("sql", "lateral", "topk"),
+)
+def sql_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with per-group ORDER BY ... LIMIT —
+    the SQL-standard spelling of top-k per group. Catalyst decorrelates
+    the lateral into a join + per-group limit over the grouped side (no
+    per-row re-execution); the window formulation (`win_topk_per_group`)
+    remains the explicitly-scalable DataFrame twin, this entry pins the
+    SQL front door."""
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+        """
+    )
