@@ -397,3 +397,32 @@ def stream_foreachbatch_upsert(spark, sf_dir):
         (d for d in os.listdir(base) if d.startswith("v")), key=lambda v: int(v[1:])
     )
     return spark.read.parquet(os.path.join(base, latest))
+
+
+@query(
+    "stream_content_dedup",
+    oracle="""
+    SELECT DISTINCT sha256(event_type || '|' || props) AS content_sha
+    FROM events
+    """,
+    tags=("streaming", "dedup", "content-hash"),
+)
+def stream_content_dedup(spark, sf_dir):
+    """Streaming exact-dedup by CONTENT hash (not event id): each
+    payload is fingerprinted JVM-side (sha2 over the normalized
+    type|props string) and dropDuplicates keys on the digest within the
+    watermark — the in-flight twin of `dedup_exact_content`, the shape
+    an ingest pipeline uses to drop re-delivered payloads before they
+    land. State size is one digest per unique payload inside the
+    watermark horizon, independent of payload width."""
+    s = events_stream(spark, sf_dir)
+    fingerprinted = (
+        s.withWatermark("ts", "10 minutes")
+        .withColumn(
+            "content_sha",
+            F.sha2(F.concat_ws("|", F.col("event_type"), F.col("props")), 256),
+        )
+        .dropDuplicates(["content_sha"])
+        .select("content_sha")
+    )
+    return run_to_memory(fingerprinted, "stream_content_dedup", "append")
