@@ -483,3 +483,21 @@ def src_csv_dialect(spark, sf_dir):
         spark, path, schema, sep="|", quote="'", escape="\\", nullValue="\\N"
     )
     return _orders_agg(back)
+
+
+@query("src_multi_path_read", oracle=_ORDERS_AGG_SQL, tags=("source", "multi-path"))
+def src_multi_path_read(spark, sf_dir):
+    """Multi-path scan: one logical table split across two directory
+    roots (the layout object-store lakes grow into — per-ingest-batch
+    prefixes), loaded in a SINGLE `spark.read.parquet(pathA, pathB)`
+    call so both file sets share one scan, one schema, and one set of
+    pushdown filters — not a manual union of two reads. The aggregate
+    hash-matching the unsplit original proves no rows are lost or
+    doubled across the path split."""
+    o = t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    pa = _scratch(sf_dir, "multi_a")
+    pb = _scratch(sf_dir, "multi_b")
+    write_table(o.filter(urgent), pa, format="parquet", mode="overwrite")
+    write_table(o.filter(~urgent), pb, format="parquet", mode="overwrite")
+    return _orders_agg(spark.read.parquet(pa, pb))

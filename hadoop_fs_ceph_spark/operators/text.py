@@ -26,6 +26,8 @@ from hadoop_fs_ceph_spark.functions.text import (
     poly_hash,
     sql_lang_score,
     sql_poly_hash,
+    sql_token_hashes,
+    token_hashes,
     tokens,
     word_tokens_regex,
 )
@@ -321,4 +323,38 @@ def text_split_assign(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy("lang", "split")
+    )
+
+
+@query(
+    "text_hashing_vectorizer",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest({sql_token_hashes("string_split(text, chr(32))")}) AS th
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, CAST(th % 64 AS BIGINT) AS bucket, COUNT(*) AS tf
+    FROM toks
+    GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+    tags=("text", "features", "hashing-trick"),
+)
+def text_hashing_vectorizer(spark, sf_dir):
+    """Hashing-trick feature vectorization: each token maps to one of 64
+    buckets via the portable polynomial hash, and per-(doc, bucket) term
+    frequencies form the sparse feature vector — the fixed-width,
+    vocabulary-free encoder ML pipelines use when a learned vocabulary
+    can't be broadcast. Emitted as sparse (doc_id, bucket, tf) rows:
+    output is bounded by 64/doc regardless of corpus size, hashing is a
+    per-token JVM fold, and the shuffle carries map-combined partial
+    counts keyed on (doc_id, bucket)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    th = token_hashes(tokens("text"))
+    return (
+        d.select("doc_id", F.explode(th).alias("th"))
+        .groupBy("doc_id", (F.col("th") % 64).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy("doc_id", "bucket")
     )
