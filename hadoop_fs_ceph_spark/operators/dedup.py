@@ -586,3 +586,115 @@ def dedup_hybrid_signal(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH docs AS ({_SQL_MINHASH_DOCS}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {sql_band_hash('sig', b)} AS bh FROM docs" for b in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    ),
+    toksets AS (
+      SELECT doc_id, list_distinct(string_split(text, chr(32))) AS ts
+      FROM documents
+    )
+    SELECT doc_a, doc_b, containment FROM (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(x.ts, y.ts))
+               / CAST(least(len(x.ts), len(y.ts)) AS DOUBLE) AS containment
+      FROM cand c
+      JOIN toksets x ON x.doc_id = c.doc_a
+      JOIN toksets y ON y.doc_id = c.doc_b
+    ) WHERE containment >= 0.9
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark, sf_dir):
+    """Containment near-dup: |A∩B| / min(|A|,|B|) over word-token SETS —
+    the metric that catches a document EMBEDDED in a longer one, which
+    Jaccard under-scores (the union term punishes length mismatch).
+    Candidates reuse the same persisted MinHash-LSH band relation as the
+    Jaccard/char-gram verifiers, so the quadratic verify stays bounded
+    by hash-diverse bucket sizes at any corpus size; only the verify
+    metric differs."""
+    docs = _minhash_docs(spark, sf_dir)
+    bands = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("k"),
+    ).select("doc_id", "k.band", "k.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    toksets = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
+    )
+    x = toksets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ta"))
+    y = toksets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("tb"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("ta", "tb"))
+                / F.least(F.size("ta"), F.size("tb")).cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.9)
+    )
+
+
+@query(
+    "dedup_normalized_content",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),
+                            ' +', ' ', 'g') AS canon
+      FROM documents
+    )
+    SELECT canon_id, n_members FROM (
+      SELECT MIN(doc_id) AS canon_id, COUNT(*) AS n_members
+      FROM norm GROUP BY canon
+    ) WHERE n_members >= 1
+    ORDER BY canon_id
+    """,
+    tags=("dedup", "normalize", "exact"),
+)
+def dedup_normalized_content(spark, sf_dir):
+    """Normalization-then-exact-dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace, then group identical canonical forms — the
+    cheap first pass every dedup pipeline runs before fuzzy matching
+    (catches case/punctuation-only re-crawls at hash-groupBy cost, no
+    pair generation at all). Emits one row per canonical cluster with
+    its representative (min doc_id) and size; at scale this is a single
+    shuffle on the canonical-text hash."""
+    d = t(spark, sf_dir, "documents")
+    canon = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")),
+        " +",
+        " ",
+    )
+    return (
+        d.select("doc_id", canon.alias("canon"))
+        .groupBy("canon")
+        .agg(F.min("doc_id").alias("canon_id"), F.count(F.lit(1)).alias("n_members"))
+        .select("canon_id", "n_members")
+        .orderBy("canon_id")
+    )
