@@ -311,3 +311,70 @@ def outlier_zscore_group(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "profile_label_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    packed AS (
+      SELECT user_id,
+             CAST(SUM(cnt) AS DOUBLE) AS n,
+             list(CAST(cnt AS DOUBLE) ORDER BY event_type) AS cs
+      FROM counts GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND(-list_reduce(
+              list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(cs, c -> (c / n) * ln(c / n))),
+              (a, b) -> a + b
+           ), 9) AS entropy
+    FROM packed
+    ORDER BY user_id
+    """,
+    tags=("pipeline-quality", "entropy", "profiling"),
+)
+def profile_label_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type distribution — the
+    class-balance probe a training pipeline runs to find degenerate
+    (single-behavior) or noisy sources. Determinism: class counts are
+    exact integers; the per-class entropy terms are folded in SORTED
+    class order via a left fold (F.aggregate ≡ list_reduce), so every
+    double add happens in the same sequence in both engines; the only
+    residual divergence is ln() itself (JVM Math.log vs libm, ±1 ulp),
+    absorbed by explicit 9-decimal rounding. Two shuffles total (both on
+    user-keyed aggregates); the fold is over ≤ |event types| elements,
+    a constant."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    packed = counts.groupBy("user_id").agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct("event_type", F.col("cnt").cast("double").alias("c")))
+        ).alias("pairs"),
+    )
+    n = F.col("n")
+    terms = F.transform(F.col("pairs"), _entropy_term_factory(n))
+    return packed.select(
+        "user_id",
+        n.cast("long").alias("n_events"),
+        F.round(-F.aggregate(terms, F.lit(0.0), _dadd), 9).alias("entropy"),
+    ).orderBy("user_id")
+
+
+def _entropy_term_factory(n):
+    """Factory keeps the HOF lambda unary (PySpark registers arity from
+    the Python signature — a default-arg closure would make it 2-ary)."""
+
+    def term(p):
+        return (p["c"] / n) * F.log(p["c"] / n)
+
+    return term
+
+
+def _dadd(a, b):
+    return a + b
