@@ -191,3 +191,49 @@ def fn_format_radix_family(spark, sf_dir):
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
         F.rpad("p_brand", 12, ".").alias("brand_padded"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "fn_url_family",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc/'
+               || CAST(doc_id AS VARCHAR) || '?v=' || CAST(n_chars AS VARCHAR)
+               || '&u=1' AS url
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]v=([^&]*)', 1) AS v_param
+    FROM u
+    ORDER BY doc_id
+    """,
+    tags=("function", "url", "parse"),
+)
+def fn_url_family(spark, sf_dir):
+    """URL component extraction over synthesized document URLs:
+    parse_url(HOST / PATH / QUERY key) — the field extraction every
+    web-crawl pipeline runs before per-domain dedup or rate analysis.
+    The oracle mirrors each component with an anchored regexp (the
+    oracle engine has no parse_url), which also pins parse_url's exact
+    component boundaries (host excludes the scheme and slash, path
+    excludes the query, QUERY 'v' returns the bare value)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"), F.col("lang"),
+        F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?v="), F.col("n_chars").cast("string"), F.lit("&u=1"),
+    )
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("v")).alias("v_param"),
+        )
+        .orderBy("doc_id")
+    )
