@@ -9,6 +9,7 @@ expand operator, so the shuffle stays proportional to the grouped data.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hadoop_fs_ceph_spark.canonical import (
@@ -417,4 +418,60 @@ def agg_histogram_fixed(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
+    )
+
+
+@query(
+    "agg_percent_of_total",
+    oracle=f"""
+    WITH per_nation AS (
+      SELECT n.n_name, {sql_dsum("o.o_totalprice", "revenue", 2)}
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, revenue,
+           revenue / (CAST(SUM(CAST(ROUND(revenue * 100.0) AS BIGINT)) OVER () AS DOUBLE) / 100.0) AS share,
+           RANK() OVER (ORDER BY revenue DESC) AS rev_rank
+    FROM per_nation
+    ORDER BY rev_rank, n_name
+    """,
+    tags=("aggregate", "ratio-to-report", "window-over-aggregate"),
+)
+def agg_percent_of_total(spark, sf_dir):
+    """Ratio-to-report: each nation's share of global revenue plus its
+    rank — the window-over-aggregate reporting shape. The unpartitioned
+    window is safe by construction: it runs over the PER-NATION
+    aggregate (bounded by |nations|, not |orders|), after the facts were
+    reduced by a hash aggregate behind two dimension joins (customer
+    broadcast-joined at this size, shuffle-joined at 100 TB — either
+    way the window input stays tiny). The share denominator re-enters
+    the fixed-point domain (integer window sum of the scaled per-group
+    revenues) because even 25 doubles sum order-dependently across
+    engines; integer accumulation is order-free."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice", "revenue", 2))
+    )
+    w_all = Window.partitionBy()
+    return (
+        per_nation.select(
+            "n_name",
+            "revenue",
+            (
+                F.col("revenue")
+                / (
+                    F.sum(F.round(F.col("revenue") * 100).cast("long")).over(w_all).cast("double")
+                    / 100.0
+                )
+            ).alias("share"),
+            F.rank().over(Window.orderBy(F.col("revenue").desc())).alias("rev_rank"),
+        )
+        .orderBy("rev_rank", "n_name")
     )
