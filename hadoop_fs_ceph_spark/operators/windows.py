@@ -349,3 +349,62 @@ def win_median_disc(spark, sf_dir):
         .select("c_mktsegment", F.col("c_acctbal").alias("median_bal"))
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "win_rolling_7day",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderstatus,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS epoch_day,
+             SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS rev_c
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1993-01-01 00:00:00'
+      GROUP BY o_orderstatus, epoch_day
+    )
+    SELECT o_orderstatus,
+           CAST(epoch_day AS BIGINT) AS epoch_day,
+           CAST(SUM(rev_c) OVER (
+             PARTITION BY o_orderstatus ORDER BY epoch_day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS rev_7day
+    FROM daily
+    ORDER BY o_orderstatus, epoch_day
+    """,
+    tags=("window", "range-frame", "time-rolling"),
+)
+def win_rolling_7day(spark, sf_dir):
+    """Time-based rolling aggregate: 7-day trailing revenue per order
+    status, as a RANGE frame over epoch-day — the frame includes value
+    neighbors (days), not row neighbors, so gaps in the calendar shrink
+    the window like a real trailing-week metric must. Everything inside
+    the frame is an INTEGER sum of cent-scaled revenues (order-free;
+    frame-sum order over doubles is engine-specific), downscaled once
+    after the window. Pre-aggregated to one row per (status, day), so
+    the window input is calendar-bounded regardless of |orders|."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1993-01-01").cast("timestamp_ntz")
+    )
+    daily = (
+        o.withColumn(
+            "epoch_day",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+                "long"
+            ),
+        )
+        .groupBy("o_orderstatus", "epoch_day")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "o_orderstatus",
+            "epoch_day",
+            (F.sum("rev_c").over(w).cast("double") / 100.0).alias("rev_7day"),
+        )
+        .orderBy("o_orderstatus", "epoch_day")
+    )
