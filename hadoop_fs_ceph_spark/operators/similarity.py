@@ -292,3 +292,86 @@ def sim_l2_normalize(spark, sf_dir):
             for i in range(4)
         ],
     ).orderBy("vec_id")
+
+
+@query(
+    "sim_ann_recall_report",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qe, bucket AS qb
+      FROM b WHERE vec_id % 100 = 0
+    ),
+    truth AS (
+      SELECT q.qid, e.vec_id AS nn_id
+      FROM b e JOIN q ON e.vec_id <> q.qid
+      QUALIFY row_number() OVER (
+        PARTITION BY q.qid
+        ORDER BY {sql_cosine("e.embedding", "q.qe")} DESC, e.vec_id
+      ) <= 5
+    ),
+    approx AS (
+      SELECT q.qid, e.vec_id AS nn_id
+      FROM b e JOIN q ON e.bucket = q.qb AND e.vec_id <> q.qid
+      QUALIFY row_number() OVER (
+        PARTITION BY q.qid
+        ORDER BY {sql_cosine("e.embedding", "q.qe")} DESC, e.vec_id
+      ) <= 5
+    ),
+    hits AS (
+      SELECT t.qid, COUNT(*) AS n_hits
+      FROM truth t JOIN approx a ON t.qid = a.qid AND t.nn_id = a.nn_id
+      GROUP BY t.qid
+    )
+    SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) / 5.0 AS recall_at_5
+    FROM q LEFT JOIN hits h ON q.qid = h.qid
+    ORDER BY q.qid
+    """,
+    tags=("similarity", "ann", "recall", "evaluation"),
+)
+def sim_ann_recall_report(spark, sf_dir):
+    """Self-evaluating ANN: recall@5 of the sign-LSH bucket index against
+    brute-force truth, per query — the acceptance metric an ANN rollout
+    ships with, computed inside the engine instead of a notebook. Truth
+    is the bounded-batch brute-force (queries broadcast, scores map-side,
+    per-query top-5 via ranking window); the approximate side ranks only
+    the query's bucket. Both candidate sets join on (query, neighbor) to
+    count hits. Scale: cost is |Q|·n for truth — recall evaluation is
+    run on a SAMPLED query set by construction (vec_id % 100), exactly
+    how production recall audits bound the brute-force pass."""
+    e = t(spark, sf_dir, "embeddings").withColumn("bucket", _bucket())
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+
+    def topk(cands):
+        w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), "vec_id")
+        return (
+            cands.select("qid", "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cs"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("qid", F.col("vec_id").alias("nn_id"))
+        )
+
+    truth = topk(e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid")))
+    approx = topk(
+        e.join(F.broadcast(q), F.col("bucket") == F.col("qb")).filter(
+            F.col("vec_id") != F.col("qid")
+        )
+    )
+    hits = truth.join(approx, ["qid", "nn_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0).alias("recall_at_5"),
+        )
+        .orderBy("qid")
+    )

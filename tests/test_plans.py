@@ -137,6 +137,7 @@ _INTENTIONAL_CROSS = {
     "q15_top_supplier",
     "q22_global_sales_opportunity",
     "ds_funnel_conversion",  # three one-row stage counts cross-joined
+    "sim_ann_recall_report",  # sampled query-batch broadcast (truth pass)
 }
 
 
