@@ -232,3 +232,62 @@ def win_cumulative_distinct(spark, sf_dir):
         .select("d", "new_users", "cum_users")
         .orderBy("d")
     )
+
+
+@query(
+    "ds_pareto_concentration",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS rc
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT SUM(rc) AS t, COUNT(*) AS n_cust FROM pc
+    ),
+    ranked AS (
+      SELECT rc, SUM(rc) OVER (
+        ORDER BY rc DESC, o_custkey ROWS UNBOUNDED PRECEDING
+      ) AS cum
+      FROM pc
+    )
+    SELECT COUNT(*) AS n_top_customers,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n_cust FROM tot) AS frac_customers,
+           CAST(MAX(cum) AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)
+             AS share_captured
+    FROM ranked
+    WHERE CAST(cum - rc AS DOUBLE) < 0.8 * CAST((SELECT t FROM tot) AS DOUBLE)
+    """,
+    tags=("analytics", "pareto", "concentration"),
+)
+def ds_pareto_concentration(spark, sf_dir):
+    """Pareto / ABC concentration: how few customers cover 80% of
+    revenue. Per-customer revenues are exact integer cents; the ranked
+    cumulative sum is an integer window (order-free); a customer is kept
+    while the cumulative total BEFORE them is under the 80% line, so the
+    result set crosses the threshold exactly once. The global ranking
+    runs over the per-customer aggregate (≪ facts); at extreme customer
+    cardinality the same audit runs on a revenue-histogram sketch
+    instead — the aggregate-then-rank shape is unchanged. The two
+    scalar totals join in as one-row broadcasts."""
+    o = t(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rc")
+    )
+    tot = pc.agg(
+        F.sum("rc").alias("t"), F.count(F.lit(1)).alias("n_cust")
+    )
+    w = Window.orderBy(F.col("rc").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = pc.select("rc", F.sum("rc").over(w).alias("cum"))
+    kept = ranked.crossJoin(F.broadcast(tot)).filter(
+        (F.col("cum") - F.col("rc")).cast("double") < 0.8 * F.col("t").cast("double")
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_top_customers"),
+        (F.count(F.lit(1)).cast("double") / F.first("n_cust")).alias("frac_customers"),
+        (F.max("cum").cast("double") / F.first("t").cast("double")).alias(
+            "share_captured"
+        ),
+    )

@@ -138,6 +138,7 @@ _INTENTIONAL_CROSS = {
     "q22_global_sales_opportunity",
     "ds_funnel_conversion",  # three one-row stage counts cross-joined
     "sim_ann_recall_report",  # sampled query-batch broadcast (truth pass)
+    "ds_pareto_concentration",  # one-row totals broadcast
 }
 
 
