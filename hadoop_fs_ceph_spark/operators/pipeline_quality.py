@@ -23,6 +23,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hadoop_fs_ceph_spark.canonical import dsum, sql_dsum
+from hadoop_fs_ceph_spark.functions.text import poly_hash, sql_poly_hash
 from hadoop_fs_ceph_spark.registry import query
 from hadoop_fs_ceph_spark.tables import t
 
@@ -378,3 +379,92 @@ def _entropy_term_factory(n):
 
 def _dadd(a, b):
     return a + b
+
+
+@query(
+    "profile_dup_rate_by_source",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, {sql_poly_hash("text")} AS ch FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT ch) AS n_unique,
+           1.0 - COUNT(DISTINCT ch) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM h
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline-quality", "dedup", "profiling"),
+)
+def profile_dup_rate_by_source(spark, sf_dir):
+    """Per-source duplication rate: content-hash distinct count vs raw
+    count per ingest source — the triage report that tells a pipeline
+    team WHICH feed is spraying duplicates before any pair-level dedup
+    runs. One hash-aggregate pass; the distinct count shuffles (source,
+    hash) pairs, 8-byte hashes standing in for document text at any
+    scale."""
+    d = t(spark, sf_dir, "documents")
+    h = d.select("source", poly_hash(F.col("text")).alias("ch"))
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("ch").alias("n_unique"),
+            (
+                F.lit(1.0)
+                - F.countDistinct("ch") / F.count(F.lit(1)).cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "profile_interarrival_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(next_us) AS n_gaps,
+           CAST(SUM(next_us - us) AS BIGINT) AS total_gap_us,
+           (CAST(SUM(next_us - us) AS DOUBLE) / COUNT(next_us)) / 1000000.0
+             AS avg_gap_s
+    FROM seq
+    GROUP BY user_id
+    HAVING COUNT(next_us) >= 1
+    ORDER BY user_id
+    """,
+    tags=("pipeline-quality", "interarrival", "window"),
+)
+def profile_interarrival_gaps(spark, sf_dir):
+    """Inter-event arrival gaps per user: lead() over the per-user time
+    order gives each event's successor; gaps are exact microsecond
+    integers (no float until the final average), with event_id as the
+    tie-break for simultaneous timestamps so the pairing is total-order
+    deterministic. The window partitions on user_id; the aggregate
+    reuses the same shuffle key."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    gap = F.col("next_us") - F.col("us")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("next_us").alias("n_gaps"),
+            F.sum(gap).alias("total_gap_us"),
+            ((F.sum(gap).cast("double") / F.count("next_us")) / 1e6).alias("avg_gap_s"),
+        )
+        .filter(F.col("n_gaps") >= 1)
+        .orderBy("user_id")
+    )
