@@ -291,3 +291,71 @@ def ds_pareto_concentration(spark, sf_dir):
             "share_captured"
         ),
     )
+
+
+@query(
+    "ds_basket_lift",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
+    part_supp AS (SELECT l_partkey, COUNT(*) AS s FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS s12
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY p1, p2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p.p1, p.p2, p.s12,
+           p.s12 / CAST(x.s AS DOUBLE) AS confidence_1to2,
+           (CAST(p.s12 AS DOUBLE) * (SELECT n FROM n_orders))
+             / (CAST(x.s AS DOUBLE) * CAST(y.s AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN part_supp x ON p.p1 = x.l_partkey
+    JOIN part_supp y ON p.p2 = y.l_partkey
+    ORDER BY lift DESC, p.p1, p.p2
+    LIMIT 50
+    """,
+    tags=("analytics", "association-rules", "lift"),
+)
+def ds_basket_lift(spark, sf_dir):
+    """Association-rule metrics over co-purchase pairs: confidence
+    P(p2|p1) and lift P(p1,p2)/(P(p1)P(p2)) for pairs with support ≥ 2.
+    Pair support comes from the bounded market-basket self-join (same
+    exchange-reused shape as ds_market_basket); item supports are one
+    extra aggregate of the SAME deduped projection; the global order
+    count is a one-row broadcast. All counts are exact integers — the
+    confidence/lift doubles are single divisions, identical across
+    engines. Top-50 by a total (lift, p1, p2) key."""
+    li = t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(F.countDistinct("l_orderkey").alias("n"))
+    part_supp = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("s12"))
+        .filter(F.col("s12") >= 2)
+    )
+    x = part_supp.select(F.col("l_partkey").alias("p1"), F.col("s").alias("s1"))
+    y = part_supp.select(F.col("l_partkey").alias("p2"), F.col("s").alias("s2"))
+    return (
+        pairs.join(x, "p1")
+        .join(y, "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "s12",
+            (F.col("s12") / F.col("s1").cast("double")).alias("confidence_1to2"),
+            (
+                (F.col("s12").cast("double") * F.col("n"))
+                / (F.col("s1").cast("double") * F.col("s2").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "p1", "p2")
+        .limit(50)
+    )

@@ -340,3 +340,63 @@ def join_asof_event(spark, sf_dir):
             "click_ts",
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS kind
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    carried AS (
+      SELECT user_id, ts, event_id, kind,
+             FIRST_VALUE(CASE WHEN kind = 1 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view_id,
+             FIRST_VALUE(CASE WHEN kind = 1 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view_ts
+      FROM tagged
+    )
+    SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts,
+           next_view_id, next_view_ts
+    FROM carried WHERE kind = 0
+    """,
+    tags=("join", "asof", "forward"),
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join: for each purchase, the EARLIEST view by the
+    same user at or after the purchase (the "what did they do next"
+    direction; purchases sort before views at equal ts so a same-instant
+    view counts). Same union-and-carry shape as the backward as-of —
+    one shuffle on user_id, zero pair blowup — but carrying with
+    first_value over the forward-unbounded frame instead of last over
+    the trailing frame."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "purchase"))
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    view_id = F.when(F.col("kind") == 1, F.col("event_id"))
+    view_ts = F.when(F.col("kind") == 1, F.col("ts"))
+    return (
+        tagged.withColumn("next_view_id", F.first(view_id, ignorenulls=True).over(w))
+        .withColumn("next_view_ts", F.first(view_ts, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 0)
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "next_view_id",
+            "next_view_ts",
+        )
+    )

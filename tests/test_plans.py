@@ -139,6 +139,7 @@ _INTENTIONAL_CROSS = {
     "ds_funnel_conversion",  # three one-row stage counts cross-joined
     "sim_ann_recall_report",  # sampled query-batch broadcast (truth pass)
     "ds_pareto_concentration",  # one-row totals broadcast
+    "ds_basket_lift",  # one-row order-count broadcast
 }
 
 
