@@ -501,3 +501,57 @@ def src_multi_path_read(spark, sf_dir):
     write_table(o.filter(urgent), pa, format="parquet", mode="overwrite")
     write_table(o.filter(~urgent), pb, format="parquet", mode="overwrite")
     return _orders_agg(spark.read.parquet(pa, pb))
+
+
+@query(
+    "src_dynamic_partition_overwrite",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM (
+      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus <> 'F'
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "partitioned", "dynamic-overwrite"),
+)
+def src_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite: rewrite ONLY the partitions present
+    in the incoming frame (partitionOverwriteMode=dynamic), leaving
+    sibling partitions untouched — the partition-level upsert every
+    object-store lake uses for late-arriving restatements (static mode
+    would wipe the whole table root). Here the 'F' partition is restated
+    with repriced rows while 'O'/'P' survive from the first write; the
+    aggregate hash-matching the reconstructed truth proves exactly one
+    partition changed. At scale this is the idempotent daily-restate
+    primitive: the job rewrites day partitions it saw, never the lake."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = _scratch(sf_dir, "dyn_overwrite_orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    restated = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.parquet(path)
+    shift = 10**6
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * shift).cast("long")).cast("double")
+                / shift
+            ).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
