@@ -42,6 +42,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     funcs2,
     funcs3,
     funcs4,
+    funcs5,
     joins,
     json_array,
     multimodal,

@@ -359,3 +359,67 @@ def ds_basket_lift(spark, sf_dir):
         .orderBy(F.col("lift").desc(), "p1", "p2")
         .limit(50)
     )
+
+
+@query(
+    "ds_attribution_touch",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             first_value(event_type) OVER w AS first_touch,
+             last_value(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS last_touch,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 1000000) AS BIGINT) ELSE 0 END AS pv6
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    u AS (
+      SELECT user_id, first_touch, last_touch, SUM(pv6) AS pv6
+      FROM per GROUP BY user_id, first_touch, last_touch
+    )
+    SELECT first_touch, last_touch,
+           COUNT(*) AS n_users,
+           CAST(CAST(SUM(pv6) AS BIGINT) AS DOUBLE) / 1000000 AS purchase_value
+    FROM u
+    GROUP BY first_touch, last_touch
+    ORDER BY first_touch, last_touch
+    """,
+    tags=("analytics", "attribution"),
+)
+def ds_attribution_touch(spark, sf_dir):
+    """Marketing attribution: each user's journey is credited to its
+    first-touch and last-touch event types (deterministic order: ts
+    with event_id tiebreak), with purchase revenue carried in exact
+    fixed-point micros. One hash aggregate per user computes both
+    touchpoints via min/max over a (ts, event_id, event_type) struct
+    — lexicographic struct ordering replaces two window passes, so
+    the whole journey table reduces in a single shuffle; the final
+    matrix rollup is a second aggregate over ~|event_type|² rows.
+    At 100 TB this is the canonical map-side-combinable shape: no
+    per-user state ever exceeds one struct."""
+    e = t(spark, sf_dir, "events")
+    pv6 = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 1000000).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("fs"),
+        F.max(F.struct("ts", "event_id", "event_type")).alias("ls"),
+        F.sum(pv6).alias("pv6"),
+    )
+    return (
+        per_user.select(
+            F.col("fs.event_type").alias("first_touch"),
+            F.col("ls.event_type").alias("last_touch"),
+            "pv6",
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (F.sum("pv6").cast("double") / F.lit(1000000.0)).alias("purchase_value"),
+        )
+        .orderBy("first_touch", "last_touch")
+    )

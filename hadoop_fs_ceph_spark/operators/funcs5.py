@@ -1,0 +1,183 @@
+"""Fifth function batch: modern-SQL surface — RE2-safe regexp family,
+VARIANT semi-structured extraction (Spark 4), timestamp-interval
+arithmetic, and ordered string aggregation (listagg / string_agg).
+
+Cross-engine parity notes (verified empirically, both engines):
+* DuckDB ``array_to_string(regexp_extract_all(...))`` yields NULL for a
+  no-match (empty list) where Spark ``array_join`` yields ``''`` — the
+  oracle wraps in ``COALESCE(..., '')``.
+* DuckDB ``regexp_extract`` yields ``''`` for a no-match where Spark
+  ``regexp_substr`` yields NULL — the oracle wraps in ``NULLIF(..., '')``
+  (patterns used here cannot match the empty string).
+* ``\\b`` is ASCII-only in RE2 (DuckDB) but Unicode-aware in Java
+  (Spark) — regexp queries restrict to ``lang = 'en'`` ASCII text.
+* Spark ``listagg(...) WITHIN GROUP (ORDER BY ...)`` ≡ DuckDB
+  ``string_agg(... ORDER BY ...)``.
+
+Reference parity: the reference connector has no function surface at all
+(`CephRgwFileSystem.java` is pure FileSystem plumbing); this module is
+part of the engine layer the connector exists to feed (SURVEY.md §2B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+_WORD_PAT = r"\ba[a-z]+"
+
+
+@query(
+    "fn_regexp_family",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '{_WORD_PAT}')) AS INTEGER) AS rc,
+           COALESCE(array_to_string(regexp_extract_all(text, '{_WORD_PAT}'), ','), '')
+             AS all_csv,
+           NULLIF(regexp_extract(text, '{_WORD_PAT}'), '') AS first_hit,
+           regexp_matches(text, '{_WORD_PAT}') AS has_hit,
+           regexp_replace(text, '{_WORD_PAT}', '_', 'g') AS redacted
+    FROM documents
+    WHERE lang = 'en' AND doc_id % 3 = 0
+    ORDER BY doc_id
+    """,
+    tags=("function", "string", "regexp"),
+)
+def fn_regexp_family(spark, sf_dir):
+    """Full regexp surface over the English corpus: match counting
+    (regexp_count), all-matches extraction (regexp_extract_all →
+    csv), first-match (regexp_substr), boolean test (rlike), and
+    global substitution (regexp_replace). All JVM-side codegen'd
+    intrinsics — the regex compiles once per task, so at 100 TB this
+    is a pure map over the scan with zero shuffle. Restricted to
+    ASCII text because RE2's word boundary is ASCII-only."""
+    d = t(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % 3 == 0)
+    )
+    pat = F.lit(_WORD_PAT)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", pat).alias("rc"),
+        F.array_join(F.regexp_extract_all("text", pat, 0), ",").alias("all_csv"),
+        F.regexp_substr("text", pat).alias("first_hit"),
+        F.col("text").rlike(_WORD_PAT).alias("has_hit"),
+        F.regexp_replace("text", _WORD_PAT, "_").alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "fn_variant_family",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+           json_extract_string(props, '$.missing') AS absent,
+           (json_extract(props, '$.k') IS NOT NULL) AS has_k
+    FROM events
+    WHERE event_id % 11 = 0
+    ORDER BY event_id
+    """,
+    tags=("function", "json", "variant"),
+)
+def fn_variant_family(spark, sf_dir):
+    """Semi-structured VARIANT surface (Spark 4): parse once with
+    try_parse_json, then typed path extraction via variant_get —
+    int, string (numeric→string cast), arithmetic on the typed value,
+    a missing path (NULL in both engines), and an existence flag.
+    VARIANT stores a parsed binary encoding, so repeated path reads
+    skip re-tokenizing the JSON text — the 100 TB win over
+    get_json_object, which re-parses the string per call. Oracle is
+    DuckDB's JSON path family over the same props column."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    v = F.try_parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        (F.variant_get(v, "$.k", "long") * 2).alias("k_doubled"),
+        F.variant_get(v, "$.missing", "string").alias("absent"),
+        F.variant_get(v, "$.k", "long").isNotNull().alias("has_k"),
+    ).orderBy("event_id")
+
+
+@query(
+    "fn_interval_family",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 90 MINUTE AS plus_90m,
+           ts - INTERVAL 1 DAY AS minus_1d,
+           CAST(date_diff('second', date_trunc('day', ts), ts) AS BIGINT)
+             AS secs_into_day,
+           CAST(date_diff('hour', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+             AS hours_since_jan1,
+           epoch_us(ts) AS micros,
+           date_trunc('second', ts) + INTERVAL 30 SECOND AS next_half_min
+    FROM events
+    WHERE event_id % 13 = 0
+    ORDER BY event_id
+    """,
+    tags=("function", "datetime", "interval"),
+)
+def fn_interval_family(spark, sf_dir):
+    """Sub-day interval arithmetic on event timestamps: ± INTERVAL
+    shifts, timestampdiff in seconds/hours against day-truncation and
+    a fixed epoch, exact microsecond extraction (unix_micros ≡
+    epoch_us), and second-granularity snapping. Complements the
+    date-level calendar family (funcs4) at timestamp precision; all
+    codegen'd JVM intrinsics, no shuffle beyond the final sample
+    sort."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        (ts + F.expr("INTERVAL 90 MINUTES")).alias("plus_90m"),
+        (ts - F.expr("INTERVAL 1 DAY")).alias("minus_1d"),
+        F.expr("timestampdiff(SECOND, date_trunc('day', ts), ts)")
+        .cast("long")
+        .alias("secs_into_day"),
+        F.expr("timestampdiff(HOUR, TIMESTAMP '2024-01-01', ts)")
+        .cast("long")
+        .alias("hours_since_jan1"),
+        F.unix_micros(ts).alias("micros"),
+        (F.date_trunc("second", ts) + F.expr("INTERVAL 30 SECONDS")).alias(
+            "next_half_min"
+        ),
+    ).orderBy("event_id")
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           string_agg(c_name, ',' ORDER BY c_name) AS names_csv
+    FROM customer
+    WHERE c_custkey % 100 = 0
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("aggregate", "string", "listagg"),
+)
+def agg_string_agg(spark, sf_dir):
+    """Ordered string aggregation: listagg WITHIN GROUP (ORDER BY)
+    per market segment — the SQL:2023 spelling Spark 4 added, vs
+    DuckDB's string_agg ORDER BY. The deterministic intra-group
+    order is the whole point: an unordered concat is
+    partition-order-dependent and can never hash-match. The modulo
+    sample bounds string width at any SF; at 100 TB ordered listagg
+    is a sort-based aggregate, so group width — not table size — is
+    the cost driver."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)").alias(
+                "names_csv"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -400,3 +400,60 @@ def join_asof_forward(spark, sf_dir):
             "next_view_ts",
         )
     )
+
+
+@query(
+    "join_existence_flag",
+    oracle="""
+    SELECT c_mktsegment, has_open, has_final,
+           COUNT(*) AS n_customers
+    FROM (
+      SELECT c_custkey, c_mktsegment,
+             EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+               AS has_open,
+             EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+               AS has_final
+      FROM customer
+    )
+    GROUP BY c_mktsegment, has_open, has_final
+    ORDER BY c_mktsegment, has_open, has_final
+    """,
+    tags=("join", "existence", "mark-join"),
+)
+def join_existence_flag(spark, sf_dir):
+    """Mark join: EXISTS as a retained boolean column rather than a
+    filter (semi/anti discard the flag; analytics wants it as a
+    dimension). Realized as two distinct-projected left joins — the
+    de-duplicated key sets are orders-of-magnitude smaller than the
+    fact table, so AQE broadcasts them and the customer side never
+    shuffles. Segments are then profiled by their (has_open,
+    has_final) lifecycle mix — the portfolio view behind churn
+    dashboards. Oracle is the literal EXISTS-in-SELECT spelling."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders")
+
+    def key_set(status, alias):
+        return (
+            o.filter(F.col("o_orderstatus") == status)
+            .select(F.col("o_custkey").alias(alias))
+            .distinct()
+        )
+
+    open_k = key_set("O", "open_key")
+    final_k = key_set("F", "final_key")
+    flagged = (
+        c.join(open_k, c.c_custkey == open_k.open_key, "left")
+        .join(final_k, c.c_custkey == final_k.final_key, "left")
+        .select(
+            "c_mktsegment",
+            F.col("open_key").isNotNull().alias("has_open"),
+            F.col("final_key").isNotNull().alias("has_final"),
+        )
+    )
+    return (
+        flagged.groupBy("c_mktsegment", "has_open", "has_final")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment", "has_open", "has_final")
+    )

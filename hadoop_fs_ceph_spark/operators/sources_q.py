@@ -555,3 +555,57 @@ def src_dynamic_partition_overwrite(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "src_time_travel",
+    oracle=f"""
+    SELECT 0 AS version, COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 1 AS version, COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    ORDER BY version
+    """,
+    tags=("source", "catalog", "time-travel"),
+)
+def src_time_travel(spark, sf_dir):
+    """Snapshot time travel the way Iceberg/Delta implement it: data
+    files are immutable, a snapshot is a tiny JSON manifest listing
+    member directories, and a commit writes ONLY new files plus a new
+    manifest (v1 = v0's files + the appended delta — zero rewrite).
+    Reading "as of v0" is a multi-path parquet scan over exactly the
+    files v0 listed; the delta written later is invisible to it. At
+    100 TB this is why lake commits are O(delta) not O(table), and why
+    concurrent readers never see torn state: the old manifest keeps
+    resolving to the old immutable file set. The result profiles both
+    snapshots side by side, proving v0 survived the v1 commit."""
+    import json
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = _scratch(sf_dir, "time_travel")
+    base, delta = os.path.join(root, "data", "base"), os.path.join(root, "data", "delta")
+    write_table(o.filter(F.col("o_orderkey") % 3 != 0), base,
+                format="parquet", mode="overwrite")
+    write_table(o.filter(F.col("o_orderkey") % 3 == 0), delta,
+                format="parquet", mode="overwrite")
+    snap_dir = os.path.join(root, "snap")
+    os.makedirs(snap_dir, exist_ok=True)
+    manifests = {0: ["data/base"], 1: ["data/base", "data/delta"]}
+    for v, members in manifests.items():
+        with open(os.path.join(snap_dir, f"v{v}.json"), "w") as fh:
+            json.dump({"version": v, "members": members}, fh)
+
+    def read_snapshot(version):
+        with open(os.path.join(snap_dir, f"v{version}.json")) as fh:
+            members = json.load(fh)["members"]
+        return spark.read.parquet(*[os.path.join(root, m) for m in members])
+
+    def profile(version):
+        return read_snapshot(version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "sum_price"),
+        ).select("version", "n", "sum_price")
+
+    return profile(0).unionByName(profile(1)).orderBy("version")
