@@ -43,6 +43,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     funcs3,
     funcs4,
     funcs5,
+    graph,
     joins,
     json_array,
     multimodal,

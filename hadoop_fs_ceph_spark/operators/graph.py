@@ -1,0 +1,165 @@
+"""Graph operators over the trade network implied by the star schema:
+nations are vertices, and a customer-nation → supplier-nation trade
+relationship (via lineitem⋈orders⋈customer⋈supplier) is an edge.
+
+Both queries use EXACT integer arithmetic so the DuckDB oracle
+hash-matches: PageRank runs on ranks scaled to 10^9 with integer
+division for contribution splitting and damping — identical `div`
+semantics in both engines (all operands positive), zero float drift.
+
+Scale posture: every iteration is one equi-join of the edge relation to
+the (tiny) rank vector plus one map-combined aggregate — the canonical
+distributed PageRank shape (Pregel's per-superstep dataflow). At
+billions of edges the same two shuffles per round apply, with ranks
+checkpointed between rounds; iterations here are unrolled (fixed 3) so
+the whole lineage stays one Catalyst plan. Triangle counting orders the
+vertices (src < mid < dst) so each triangle is produced exactly once —
+the standard degree-ordering trick that bounds the join fan-out.
+
+Reference parity: the reference ships no compute operators at all
+(SURVEY.md §0 — it is a FileSystem connector, `CephRgwFileSystem.java`);
+graph analytics is part of the engine layer built on the lake it feeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+_S = 10**9  # total rank mass, fixed-point
+_N = 25  # nations
+_BASE = (15 * _S // 100) // _N  # (1-d) * S / N with d = 0.85
+
+_EDGES_SQL = """
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+"""
+
+
+def _edges(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.node,
+             CAST({_BASE} + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT)
+               AS rank
+      FROM (SELECT n_nationkey AS node FROM nation) n
+      LEFT JOIN (
+        SELECT e.dst AS node, p.rank // d.deg AS contrib
+        FROM edges e
+        JOIN {prev} p ON e.src = p.node
+        JOIN deg d ON d.src = e.src
+      ) c ON c.node = n.node
+      GROUP BY n.node
+    )"""
+
+
+@query(
+    "graph_pagerank_fixed",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT n_nationkey AS node, CAST({_S // _N} AS BIGINT) AS rank
+           FROM nation),
+    {_pagerank_iter_sql('r0', 'r1')},
+    {_pagerank_iter_sql('r1', 'r2')},
+    {_pagerank_iter_sql('r2', 'r3')}
+    SELECT r3.node AS n_nationkey, n.n_name, r3.rank
+    FROM r3 JOIN nation n ON n.n_nationkey = r3.node
+    ORDER BY r3.rank DESC, n_nationkey
+    """,
+    tags=("graph", "pagerank", "iterative"),
+)
+def graph_pagerank_fixed(spark, sf_dir):
+    """Three unrolled PageRank iterations (d=0.85) over the
+    customer-nation → supplier-nation trade graph, in exact
+    fixed-point arithmetic: ranks are integers summing to ~10^9,
+    each node splits its rank by integer division across out-edges,
+    and damping is `(85*x) div 100`. Per iteration: edge⋈rank join
+    (shuffle on src) + aggregate on dst — the Pregel superstep as
+    dataflow. The left join against the full vertex set keeps
+    dangling nations at the teleport floor. Oracle is the same three
+    iterations as chained CTEs."""
+    edges = _edges(spark, sf_dir).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nation = t(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    r = nodes.withColumn("rank", F.lit(_S // _N).cast("long"))
+    for _ in range(3):
+        contrib = (
+            edges.join(r, edges.src == r.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("contrib"))
+        )
+        summed = contrib.groupBy("node").agg(F.sum("contrib").alias("s"))
+        r = nodes.join(summed, "node", "left").select(
+            "node",
+            (F.lit(_BASE) + F.expr("(85 * coalesce(s, 0)) div 100"))
+            .cast("long")
+            .alias("rank"),
+        )
+    return (
+        r.join(F.broadcast(nation), r.node == nation.n_nationkey)
+        .select(F.col("node").alias("n_nationkey"), "n_name", "rank")
+        .orderBy(F.col("rank").desc(), "n_nationkey")
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({_EDGES_SQL}) WHERE src <> dst
+    )
+    SELECT COUNT(*) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    tags=("graph", "triangles"),
+)
+def graph_triangle_count(spark, sf_dir):
+    """Exact triangle count on the undirected trade graph. Edges are
+    canonicalized to (min, max) vertex order so each triangle
+    (a<b<c) is enumerated exactly once by the two-hop join + closure
+    probe — three scans of one deduplicated edge relation, shuffled
+    on the join vertex. At billions of edges the identical plan runs
+    with degree-based vertex ordering to bound fan-out; no vertex
+    ever materializes its full neighborhood in one task."""
+    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct().persist()
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return tri.crossJoin(n_edges)

@@ -609,3 +609,62 @@ def src_time_travel(spark, sf_dir):
         ).select("version", "n", "sum_price")
 
     return profile(0).unionByName(profile(1)).orderBy("version")
+
+
+@query(
+    "src_nested_struct_roundtrip",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn_a,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+      FROM orders WHERE o_custkey % 50 = 0
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n,
+           MIN(CASE WHEN rn_a = 1 THEN o_orderkey END) AS first_key,
+           MIN(CASE WHEN rn_a = 1 THEN cents END) AS first_cents,
+           MIN(CASE WHEN rn_d = 1 THEN o_orderkey END) AS last_key
+    FROM s GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    tags=("source", "nested", "struct"),
+)
+def src_nested_struct_roundtrip(spark, sf_dir):
+    """Nested-type round trip: per customer, an ARRAY<STRUCT<date,key,
+    cents>> order history (sorted by lexicographic struct order =
+    (date, key) since keys are unique) is built with one aggregate,
+    written to parquet, read back, and unpacked via element_at +
+    dotted field access — the schema shape every feature store and
+    training-manifest table uses (multimodal metadata rides the same
+    ARRAY<STRUCT> rails, SURVEY.md §2B north star). Parquet encodes
+    the nesting losslessly (repeated groups), so pruning still
+    reaches scalar leaves; the oracle reconstructs first/last
+    semantics with rank windows — no nested types needed on the
+    DuckDB side."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    nested = o.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderdate").alias("d"),
+                    F.col("o_orderkey").alias("k"),
+                    F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+                )
+            )
+        ).alias("hist")
+    )
+    path = _scratch(sf_dir, "nested_struct")
+    write_table(nested, path, format="parquet", mode="overwrite")
+    back = spark.read.parquet(path)
+    first = F.element_at("hist", 1)
+    last = F.element_at("hist", F.size("hist"))
+    return back.select(
+        "o_custkey",
+        F.size("hist").cast("long").alias("n"),
+        first.getField("k").alias("first_key"),
+        first.getField("cents").alias("first_cents"),
+        last.getField("k").alias("last_key"),
+    ).orderBy("o_custkey")
