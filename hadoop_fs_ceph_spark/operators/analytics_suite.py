@@ -423,3 +423,126 @@ def ds_attribution_touch(spark, sf_dir):
         )
         .orderBy("first_touch", "last_touch")
     )
+
+
+@query(
+    "ds_rfm_segmentation",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_d,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    withr AS (
+      SELECT o_custkey, freq, cents,
+             date_diff('day', last_d, (SELECT MAX(last_d) FROM m)) AS recency
+      FROM m
+    ),
+    buck AS (
+      SELECT ntile(4) OVER (ORDER BY recency, o_custkey) AS r_bucket,
+             ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_bucket,
+             ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m_bucket,
+             cents
+      FROM withr
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           COUNT(*) AS n_customers,
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100 AS monetary
+    FROM buck
+    GROUP BY r_bucket, f_bucket, m_bucket
+    ORDER BY r_bucket, f_bucket, m_bucket
+    """,
+    tags=("analytics", "rfm", "segmentation"),
+)
+def ds_rfm_segmentation(spark, sf_dir):
+    """RFM segmentation: per customer recency (days since last order,
+    vs the corpus max date), frequency (orders), monetary (exact
+    cents), each quartiled by ntile with custkey tiebreaks so bucket
+    assignment is fully deterministic; segments then profiled by
+    population and revenue. The windows run over the per-CUSTOMER
+    relation (one aggregate shrinks facts first). The unpartitioned
+    ntile is the test-scale formulation; at billions of customers the
+    cutpoints come from percentile_approx and a broadcast CASE —
+    same output contract, no global sort."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    maxd = m.agg(F.max("last_d").alias("maxd"))
+    withr = m.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey", "freq", "cents", F.datediff("maxd", "last_d").alias("recency")
+    )
+    buck = withr.select(
+        F.ntile(4).over(Window.orderBy("recency", "o_custkey")).alias("r_bucket"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
+        .alias("f_bucket"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("cents").desc(), "o_custkey"))
+        .alias("m_bucket"),
+        "cents",
+    )
+    return (
+        buck.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("monetary"),
+        )
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM x
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(cents) AS BIGINT) AS BIGINT) AS total_cents,
+           CAST(2 * CAST(SUM(i * cents) AS BIGINT)
+                - (COUNT(*) + 1) * CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) * CAST(SUM(cents) AS BIGINT) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+    tags=("aggregate", "gini", "inequality"),
+)
+def agg_gini_concentration(spark, sf_dir):
+    """Exact Gini coefficient of customer revenue concentration via
+    the rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
+    ascending-sorted exact cents (custkey tiebreak pins ranks; equal
+    values make rank order immaterial to the sum). All moments are
+    integer until the single final division — bit-identical across
+    engines. Complements ds_pareto_concentration with the standard
+    scalar inequality index; the rank window runs over the
+    per-customer aggregate, never the fact table."""
+    o = t(spark, sf_dir, "orders")
+    x = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = x.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("cents")
+    six = F.sum(F.col("i") * F.col("cents"))
+    return ranked.agg(
+        n.cast("long").alias("n"),
+        sx.cast("long").alias("total_cents"),
+        (
+            (F.lit(2) * six - (n + F.lit(1)) * sx).cast("double")
+            / (n * sx).cast("double")
+        ).alias("gini"),
+    )

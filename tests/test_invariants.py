@@ -114,3 +114,53 @@ def test_funnel_monotone_and_cohort_conservation(spark, sf_dir):
     )
     assert offset0 == n_cust
     assert all(r.offset_years >= 0 for r in cohort)
+
+
+def test_pagerank_mass_and_floor(spark, sf_dir):
+    """Total rank stays ≤ the injected mass (integer division only
+    loses mass, never creates it) and every node keeps at least the
+    teleport floor; ranks are positive."""
+    rows = SPECS["graph_pagerank_fixed"].fn(spark, sf_dir).collect()
+    total = sum(r.rank for r in rows)
+    S = 10**9
+    base = (15 * S // 100) // 25
+    assert len(rows) == 25
+    assert total <= S
+    assert total >= S * 0.90  # div truncation loses < 10% over 3 rounds
+    assert all(r.rank >= base for r in rows)
+
+
+def test_triangle_count_bounds(spark, sf_dir):
+    """0 ≤ triangles ≤ C(E, 3) and the edge count is positive."""
+    row = SPECS["graph_triangle_count"].fn(spark, sf_dir).collect()[0]
+    e = row.n_edges
+    assert e > 0
+    assert 0 <= row.n_triangles <= e * (e - 1) * (e - 2) // 6
+
+
+def test_time_travel_snapshots_additive(spark, sf_dir):
+    """v1 = v0 + delta: row counts and sums are strictly ordered and
+    v1 matches the full table exactly."""
+    rows = {r.version: r for r in SPECS["src_time_travel"].fn(spark, sf_dir).collect()}
+    full = t(spark, sf_dir, "orders").count()
+    assert rows[1].n == full
+    assert rows[0].n < rows[1].n
+    assert rows[0].sum_price < rows[1].sum_price
+
+
+def test_gini_in_unit_interval(spark, sf_dir):
+    row = SPECS["agg_gini_concentration"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.gini <= 1.0
+    assert row.n > 0 and row.total_cents > 0
+
+
+def test_rfm_buckets_partition_customers(spark, sf_dir):
+    """Every customer lands in exactly one (r,f,m) cell; bucket ids
+    are 1..4; cell populations sum to |customers with orders|."""
+    rows = SPECS["ds_rfm_segmentation"].fn(spark, sf_dir).collect()
+    n_cust = (
+        t(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_bucket <= 4 and 1 <= r.f_bucket <= 4 and 1 <= r.m_bucket <= 4
