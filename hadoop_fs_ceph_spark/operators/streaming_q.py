@@ -426,3 +426,67 @@ def stream_content_dedup(spark, sf_dir):
         .select("content_sha")
     )
     return run_to_memory(fingerprinted, "stream_content_dedup", "append")
+
+
+@query(
+    "stream_stream_outer_join",
+    oracle="""
+    WITH m AS (SELECT MAX(ts) AS mx FROM events),
+    p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+    SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+           epoch_us(v.ts) - epoch_us(p.ts) AS lag_us
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL 30 MINUTE
+    WHERE v.event_id IS NOT NULL
+       OR p.ts < (SELECT mx FROM m) - INTERVAL 2 HOUR
+    """,
+    tags=("streaming", "join", "stream_stream", "outer"),
+)
+def stream_stream_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream join: every purchase, with the views
+    that follow it within 30 minutes or NULL if none arrived. The
+    null-extended row for an unmatched purchase can only be emitted
+    once the watermark proves no matching view can still arrive — and
+    Spark's state watermark for the interval condition is
+    conservative: purchases newer than max_event_time − (watermark
+    delay + both interval bounds) = mx − 2h stay buffered when the
+    finite drain ends (cutoff verified empirically at two SFs),
+    exactly like the unclosed tail windows of the append-mode window
+    queries; the oracle excludes that tail explicitly. This eviction contract is the whole point
+    at scale: without the time-bound condition + watermark, outer
+    state grows without bound."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    views = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts"))
+        & (F.col("v_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        (F.unix_micros(F.col("v_ts")) - F.unix_micros(F.col("p_ts"))).alias("lag_us"),
+    )
+    return run_to_memory(joined, "stream_stream_outer_join", "append")
