@@ -181,3 +181,71 @@ def agg_string_agg(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "agg_bitwise_fold",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS all_bits,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS any_bits,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS parity_bits,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("aggregate", "bitwise"),
+)
+def agg_bitwise_fold(spark, sf_dir):
+    """Bitwise aggregate folds (bit_and/bit_or/bit_xor) per order
+    status — commutative+associative integer reductions, so they
+    combine map-side and are order-independent by construction (the
+    only aggregate family that needs NO canonicalization tricks).
+    bit_xor is the classic distributed set-checksum: XOR of all ids
+    detects single-row divergence between two replicas for free."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("o_orderkey").alias("all_bits"),
+            F.bit_or("o_orderkey").alias("any_bits"),
+            F.bit_xor("o_orderkey").alias("parity_bits"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "fn_char_family",
+    oracle="""
+    SELECT c_custkey,
+           translate(c_name, 'aeiou', '-----') AS devoweled,
+           reverse(c_name) AS reversed,
+           repeat(left(c_name, 3), 2) AS stutter,
+           right(c_name, 4) AS tail4,
+           ascii(c_name) AS first_code,
+           chr(ascii(c_name) + 1) AS next_char,
+           length(c_name) AS n_chars
+    FROM customer WHERE c_custkey % 37 = 0
+    ORDER BY c_custkey
+    """,
+    tags=("function", "string", "char"),
+)
+def fn_char_family(spark, sf_dir):
+    """Character-level string surface: translate (per-char mapping),
+    reverse, repeat, left/right slicing, ascii↔chr round trip.
+    All JVM intrinsics inside whole-stage codegen; translate is the
+    cheap PII-masking primitive (single pass, no regex engine)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 37 == 0)
+    return c.select(
+        "c_custkey",
+        F.translate("c_name", "aeiou", "-----").alias("devoweled"),
+        F.reverse("c_name").alias("reversed"),
+        F.repeat(F.left("c_name", F.lit(3)), 2).alias("stutter"),
+        F.right("c_name", F.lit(4)).alias("tail4"),
+        F.ascii("c_name").alias("first_code"),
+        F.chr(F.ascii("c_name") + 1).alias("next_char"),
+        F.length("c_name").alias("n_chars"),
+    ).orderBy("c_custkey")

@@ -223,3 +223,45 @@ def udf_pandas_iterator(spark, sf_dir):
     return li.select(
         "l_orderkey", "l_linenumber", net_cents(net).alias("net_cents")
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           length(event_type) AS type_len
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+    tags=("udf", "arrow", "native"),
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """mapInArrow: the zero-copy tier below mapInPandas — batches arrive
+    as pyarrow.RecordBatch and never materialize a pandas frame, so
+    there is no index/dtype conversion tax (the pandas layer costs
+    ~2× on wide batches). The transform runs entirely in Arrow
+    compute kernels (filter mask, round, cast, utf8_length) — columnar
+    vectorized C++, same execution model as the JVM side. This is the
+    surface for high-throughput byte/tensor pipelines where even
+    pandas overhead matters."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_cents(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            mask = pc.is_in(tbl["event_type"], value_set=pa.array(["purchase", "signup"]))
+            tbl = tbl.filter(mask)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl["event_id"].combine_chunks(),
+                    pc.cast(pc.round(pc.multiply(tbl["value"], 100.0)), pa.int64())
+                    .combine_chunks(),
+                    pc.cast(pc.utf8_length(tbl["event_type"]), pa.int64())
+                    .combine_chunks(),
+                ],
+                names=["event_id", "cents", "type_len"],
+            )
+
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return e.mapInArrow(to_cents, schema="event_id bigint, cents bigint, type_len bigint")
