@@ -546,3 +546,69 @@ def agg_gini_concentration(spark, sf_dir):
             / (n * sx).cast("double")
         ).alias("gini"),
     )
+
+
+@query(
+    "ds_top_movers",
+    oracle="""
+    WITH yearly AS (
+      SELECT c.c_mktsegment,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS yr,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, EXTRACT(year FROM o.o_orderdate)
+    ),
+    ranked AS (
+      SELECT c_mktsegment, yr, cents,
+             CAST(rank() OVER (PARTITION BY yr ORDER BY cents DESC, c_mktsegment)
+                  AS INTEGER) AS rnk
+      FROM yearly
+    )
+    SELECT cur.c_mktsegment, cur.yr, cur.rnk,
+           prev.rnk AS prev_rnk,
+           prev.rnk - cur.rnk AS rank_gain,
+           cur.cents - prev.cents AS cents_delta
+    FROM ranked cur
+    JOIN ranked prev
+      ON prev.c_mktsegment = cur.c_mktsegment AND prev.yr = cur.yr - 1
+    ORDER BY cur.yr, cur.rnk, cur.c_mktsegment
+    """,
+    tags=("analytics", "ranking", "yoy"),
+)
+def ds_top_movers(spark, sf_dir):
+    """Top movers: each segment's revenue rank per year vs its rank the
+    previous year — the leaderboard-delta shape behind "biggest
+    climbers" dashboards. Revenue is exact cents; rank ties break on
+    the segment name so both engines agree. The self-join on
+    (segment, year−1) runs over the tiny yearly aggregate (|segments|
+    × |years| rows), never the fact table — the facts are reduced by
+    one map-combined aggregate first."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    yearly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.col("cents").desc(), "c_mktsegment")
+    ranked = yearly.select(
+        "c_mktsegment", "yr", "cents", F.rank().over(w).cast("int").alias("rnk")
+    )
+    cur, prev = ranked.alias("cur"), ranked.alias("prev")
+    return (
+        cur.join(
+            prev,
+            (F.col("prev.c_mktsegment") == F.col("cur.c_mktsegment"))
+            & (F.col("prev.yr") == F.col("cur.yr") - 1),
+        )
+        .select(
+            F.col("cur.c_mktsegment").alias("c_mktsegment"),
+            F.col("cur.yr").alias("yr"),
+            F.col("cur.rnk").alias("rnk"),
+            F.col("prev.rnk").alias("prev_rnk"),
+            (F.col("prev.rnk") - F.col("cur.rnk")).alias("rank_gain"),
+            (F.col("cur.cents") - F.col("prev.cents")).alias("cents_delta"),
+        )
+        .orderBy("yr", "rnk", "c_mktsegment")
+    )

@@ -265,3 +265,52 @@ def udf_map_in_arrow(spark, sf_dir):
 
     e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return e.mapInArrow(to_cents, schema="event_id bigint, cents bigint, type_len bigint")
+
+
+@query(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents,
+           CAST(MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("udf", "arrow", "grouped"),
+)
+def udf_apply_in_arrow(spark, sf_dir):
+    """applyInArrow: grouped-map over pyarrow.Table per group key —
+    the Arrow-native sibling of applyInPandas. Each market segment
+    arrives as one Arrow table; the reduction (exact fixed-point
+    cents: round → int64 cast → sum/max) runs in Arrow C++ kernels
+    with no pandas materialization. The shuffle is the groupBy hash
+    partitioning; per-group memory is the group's Arrow buffer, which
+    is why production groups this by bounded keys (segments), never
+    high-cardinality ones."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def seg_stats(key, table):
+        cents = pc.cast(pc.round(pc.multiply(table["c_acctbal"], 100.0)), pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "c_mktsegment": [key[0].as_py()],
+                "n": [table.num_rows],
+                "balance_cents": [pc.sum(cents).as_py()],
+                "max_cents": [pc.max(cents).as_py()],
+            }
+        )
+
+    c = t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    return (
+        c.groupBy("c_mktsegment")
+        .applyInArrow(
+            seg_stats,
+            schema="c_mktsegment string, n bigint, balance_cents bigint, max_cents bigint",
+        )
+        .orderBy("c_mktsegment")
+    )

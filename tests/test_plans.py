@@ -139,6 +139,8 @@ _INTENTIONAL_CROSS = {
     "ds_funnel_conversion",  # three one-row stage counts cross-joined
     "sim_ann_recall_report",  # sampled query-batch broadcast (truth pass)
     "ds_pareto_concentration",  # one-row totals broadcast
+    "ds_rfm_segmentation",  # one-row corpus-max-date broadcast
+    "graph_triangle_count",  # one-row edge-count broadcast joined to one-row count
     "ds_basket_lift",  # one-row order-count broadcast
 }
 
