@@ -668,3 +668,56 @@ def src_nested_struct_roundtrip(spark, sf_dir):
         first.getField("cents").alias("first_cents"),
         last.getField("k").alias("last_key"),
     ).orderBy("o_custkey")
+
+
+@query(
+    "src_csv_permissive_corrupt",
+    oracle="""
+    SELECT (doc_id % 7 = 0) AS is_corrupt,
+           COUNT(*) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END) AS BIGINT)
+             AS sum_chars
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("source", "csv", "permissive", "data-quality"),
+)
+def src_csv_permissive_corrupt(spark, sf_dir):
+    """Malformed-record ingest contract: a CSV where every 7th row
+    carries a non-numeric value in a BIGINT column is read in
+    PERMISSIVE mode — the default lake posture: bad fields become
+    NULL, the raw line is preserved in columnNameOfCorruptRecord, and
+    the batch NEVER fails (FAILFAST would kill a 100 TB ingest for
+    one bad row; DROPMALFORMED silently loses data — quarantining via
+    the corrupt column is the auditable middle). The aggregate splits
+    the file by quarantine flag and proves well-formed fields survive
+    parsing next to poisoned ones."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    lines = d.select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("xx")).otherwise(
+                F.col("n_chars").cast("string")
+            ),
+            F.col("source"),
+        ).alias("value")
+    )
+    path = _scratch(sf_dir, "csv_permissive")
+    lines.write.mode("overwrite").text(path)
+    back = spark.read.csv(
+        path,
+        schema="doc_id BIGINT, n_chars BIGINT, source STRING, _corrupt STRING",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    return (
+        back.groupBy(F.col("_corrupt").isNotNull().alias("is_corrupt"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars"),
+        )
+        .orderBy("is_corrupt")
+    )

@@ -292,3 +292,41 @@ def sql_lateral_topk(spark, sf_dir):
         ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
         """
     )
+
+
+@query(
+    "sql_modern_syntax",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS big_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql", "modern", "filter-clause"),
+)
+def sql_modern_syntax(spark, sf_dir):
+    """Modern SQL idioms through the front door: GROUP BY ALL (group on
+    every non-aggregate select item), ORDER BY ALL (total order over
+    the output columns — a free determinism guarantee for the hash
+    compare), and the standard FILTER (WHERE ...) clause on
+    aggregates (conditional aggregation without CASE scaffolding).
+    Catalyst expands these to the same grouped aggregate as the
+    explicit spelling — syntax sugar, identical physical plan, so
+    every aggregate scale note applies unchanged."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderstatus,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 FILTER (WHERE o_totalprice > 200000) AS big_cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
