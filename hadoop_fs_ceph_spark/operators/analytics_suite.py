@@ -612,3 +612,47 @@ def ds_top_movers(spark, sf_dir):
         )
         .orderBy("yr", "rnk", "c_mktsegment")
     )
+
+
+@query(
+    "ds_new_vs_returning",
+    oracle="""
+    WITH cy AS (
+      SELECT DISTINCT o_custkey,
+             CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr
+      FROM orders
+    ),
+    firsts AS (SELECT o_custkey, MIN(yr) AS first_yr FROM cy GROUP BY o_custkey)
+    SELECT cy.yr,
+           COUNT(*) AS n_active,
+           COUNT(*) FILTER (WHERE cy.yr = f.first_yr) AS n_new,
+           COUNT(*) FILTER (WHERE cy.yr > f.first_yr) AS n_returning
+    FROM cy JOIN firsts f ON cy.o_custkey = f.o_custkey
+    GROUP BY cy.yr
+    ORDER BY cy.yr
+    """,
+    tags=("analytics", "growth", "retention"),
+)
+def ds_new_vs_returning(spark, sf_dir):
+    """New-vs-returning decomposition: per year, how many active
+    customers are in their first year vs repeat — the growth-quality
+    split every revenue dashboard leads with. Facts reduce to
+    distinct (customer, year) pairs in one aggregate; first-year is a
+    second aggregate of that same small relation; the join is
+    customer-keyed and AQE-broadcastable. n_new + n_returning =
+    n_active by construction (property-testable)."""
+    o = t(spark, sf_dir, "orders")
+    cy = o.select(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).distinct()
+    firsts = cy.groupBy("o_custkey").agg(F.min("yr").alias("first_yr"))
+    j = cy.join(firsts, "o_custkey")
+    return (
+        j.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count(F.when(F.col("yr") == F.col("first_yr"), 1)).alias("n_new"),
+            F.count(F.when(F.col("yr") > F.col("first_yr"), 1)).alias("n_returning"),
+        )
+        .orderBy("yr")
+    )

@@ -721,3 +721,62 @@ def src_csv_permissive_corrupt(spark, sf_dir):
         )
         .orderBy("is_corrupt")
     )
+
+
+def _z_bits(a: str, b: str, nbits: int = 16) -> str:
+    """SQL expression interleaving the low nbits of two int columns into
+    a Z-order (Morton) value — identical text works in Spark SQL and
+    DuckDB (>>, &, and multiplication by powers of two)."""
+    terms = []
+    for i in range(nbits):
+        terms.append(f"((({a} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({b} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+_Z_EXPR = _z_bits("l_orderkey", "l_partkey")
+
+
+@query(
+    "src_zorder_write",
+    oracle=f"""
+    SELECT COUNT(*) AS n,
+           CAST(SUM({_Z_EXPR}) AS BIGINT) AS sum_z,
+           {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    WHERE l_orderkey % 16 < 2 AND l_partkey % 16 < 2
+    """,
+    tags=("source", "zorder", "clustering"),
+)
+def src_zorder_write(spark, sf_dir):
+    """Z-order (Morton) clustered write: interleave the low bits of the
+    two query keys into one z-value, range-partition + sort the write
+    by it, so files cover compact RECTANGLES of (orderkey, partkey)
+    space — parquet min/max stats then skip files for predicates on
+    EITHER dimension, which single-key range clustering (see
+    src_clustered_write) can only do for one. This is Delta/Iceberg
+    OPTIMIZE ZORDER re-expressed with repartitionByRange — layout-time
+    cost, query-time skipping. The read-back probes a small rectangle;
+    sum_z proves the interleave arithmetic is bit-identical to the
+    oracle's."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    z = F.expr(_Z_EXPR).alias("z")
+    path = _scratch(sf_dir, "zorder_lineitem")
+    write_table(
+        li.select("*", z)
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z"),
+        path,
+        format="parquet",
+        mode="overwrite",
+    )
+    back = spark.read.parquet(path)
+    return back.filter(
+        (F.col("l_orderkey") % 16 < 2) & (F.col("l_partkey") % 16 < 2)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("sum_z"),
+        dsum("l_extendedprice", "sum_price"),
+    )
