@@ -780,3 +780,45 @@ def src_zorder_write(spark, sf_dir):
         F.sum("z").alias("sum_z"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+@query(
+    "src_catalog_rename",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("source", "catalog", "rename"),
+)
+def src_catalog_rename(spark, sf_dir):
+    """Catalog rename lifecycle: create → rename → read via the new
+    name → old name gone. The reference implements rename by
+    delegating to its embedded S3AFileSystem — a non-atomic
+    server-side copy+delete of every object
+    (`CephRgwFileSystem.java:310-313`, SURVEY.md §2A #6); our catalog
+    renames by swapping the name→path pointer, an O(1) metadata
+    operation that never touches data files — the reason lakehouse
+    table formats keep naming OUT of the object store. The aggregate
+    through the post-rename handle proves the data followed the
+    name."""
+    from hadoop_fs_ceph_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    sample = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    path = _scratch(sf_dir, "rename_orders")
+    cat.write_table(sample, "orders_staging", path, mode="overwrite")
+    cat.rename_table("orders_staging", "orders_final")
+    if cat.exists("orders_staging"):  # pragma: no cover - contract violation
+        raise AssertionError("rename left the old name resolvable")
+    back = cat.table("orders_final")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -164,3 +164,22 @@ def test_rfm_buckets_partition_customers(spark, sf_dir):
     assert sum(r.n_customers for r in rows) == n_cust
     for r in rows:
         assert 1 <= r.r_bucket <= 4 and 1 <= r.f_bucket <= 4 and 1 <= r.m_bucket <= 4
+
+
+def test_new_vs_returning_conservation(spark, sf_dir):
+    """n_new + n_returning == n_active per year; first year is all-new."""
+    rows = sorted(
+        SPECS["ds_new_vs_returning"].fn(spark, sf_dir).collect(), key=lambda r: r.yr
+    )
+    for r in rows:
+        assert r.n_new + r.n_returning == r.n_active
+    assert rows[0].n_returning == 0  # nobody can return before existing
+
+
+def test_zorder_rectangle_subset(spark, sf_dir):
+    """The z-clustered rectangle probe returns a subset of the table:
+    0 < n < |lineitem| and sum_z fits the 32-bit Morton domain."""
+    row = SPECS["src_zorder_write"].fn(spark, sf_dir).collect()[0]
+    total = t(spark, sf_dir, "lineitem").count()
+    assert 0 < row.n < total
+    assert 0 <= row.sum_z <= row.n * (2**32 - 1)
