@@ -249,3 +249,34 @@ def fn_char_family(spark, sf_dir):
         F.chr(F.ascii("c_name") + 1).alias("next_char"),
         F.length("c_name").alias("n_chars"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "fn_mask_builtin",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked_default,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', '*', 'g'), '[a-z]', '*', 'g'), '[0-9]', '#', 'g')
+             AS masked_custom
+    FROM customer WHERE c_custkey % 41 = 0
+    ORDER BY c_custkey
+    """,
+    tags=("function", "string", "pii"),
+)
+def fn_mask_builtin(spark, sf_dir):
+    """Built-in mask(): class-preserving PII redaction — uppercase→X,
+    lowercase→x, digit→n (plus a custom-replacement variant) — in one
+    codegen'd pass instead of three regex rewrites; shape (length,
+    character classes) survives for downstream profiling while values
+    are destroyed. The oracle reproduces it with chained
+    regexp_replace, proving the semantic contract. Complements
+    text_pii_scrub (pattern-targeted) with whole-value masking."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 41 == 0)
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_default"),
+        F.mask("c_name", F.lit("*"), F.lit("*"), F.lit("#")).alias("masked_custom"),
+    ).orderBy("c_custkey")

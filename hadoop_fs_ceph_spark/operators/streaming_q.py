@@ -439,8 +439,7 @@ def stream_content_dedup(spark, sf_dir):
     FROM p LEFT JOIN v
       ON p.user_id = v.user_id
      AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL 30 MINUTE
-    WHERE v.event_id IS NOT NULL
-       OR p.ts < (SELECT mx FROM m) - INTERVAL 2 HOUR
+    WHERE p.ts < (SELECT mx FROM m) - INTERVAL 2 HOUR
     """,
     tags=("streaming", "join", "stream_stream", "outer"),
 )
@@ -488,5 +487,17 @@ def stream_stream_outer_join(spark, sf_dir):
         "purchase_id",
         "view_id",
         (F.unix_micros(F.col("v_ts")) - F.unix_micros(F.col("p_ts"))).alias("lag_us"),
+        "p_ts",
     )
-    return run_to_memory(joined, "stream_stream_outer_join", "append")
+    drained = run_to_memory(joined, "stream_stream_outer_join", "append")
+    # Clamp to the region where emission is layout-independent: how much
+    # of the (mx-2h, mx-30m) tail gets its null-extended rows out before
+    # the drain ends depends on how the file source batches (one batch at
+    # small SF, several at sf0.1 => watermark advances mid-stream and
+    # evicts deeper). Below mx-2h every batching emits exactly once.
+    horizon = (
+        t(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("h"))
+        .collect()[0]["h"]
+    )
+    return drained.filter(F.col("p_ts") < F.lit(horizon)).drop("p_ts")

@@ -358,3 +358,62 @@ def text_hashing_vectorizer(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("tf"))
         .orderBy("doc_id", "bucket")
     )
+
+
+_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+@query(
+    "text_bpe_pretokenize",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_BPE_PAT}') AS pieces
+      FROM documents WHERE doc_id % 9 = 2
+    )
+    SELECT doc_id,
+           len(pieces) AS n_pieces,
+           len(list_filter(pieces, p -> p ~ '^[a-z]+$')) AS n_alpha,
+           len(list_filter(pieces, p -> p ~ '^[0-9]+$')) AS n_num,
+           len(pieces) - len(list_filter(pieces, p -> p ~ '^[a-z]+$'))
+             - len(list_filter(pieces, p -> p ~ '^[0-9]+$')) AS n_other,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(pieces, p -> CAST(len(p) AS BIGINT))),
+                (a, b) -> a + b) AS BIGINT) AS total_chars
+    FROM toks
+    ORDER BY doc_id
+    """,
+    tags=("text", "tokenize", "bpe"),
+)
+def text_bpe_pretokenize(spark, sf_dir):
+    """BPE-style pre-tokenization: the regex alternation pass every
+    BPE/byte-level tokenizer runs BEFORE merges — split text into
+    letter runs, digit runs, and punctuation runs (lookahead-free so
+    Java regex and RE2 agree), then profile the piece stream (count,
+    class mix, char mass). total_chars ÷ n_pieces is the
+    chars-per-token ratio used to budget token counts for LLM
+    training corpora at scale — a pure map over the scan, no
+    shuffle."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 2)
+    pieces = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), 0)
+    piece_lens = F.transform(pieces, lambda p: F.length(p).cast("long"))
+    return (
+        d.select("doc_id", pieces.alias("pieces"))
+        .select(
+            "doc_id",
+            F.size("pieces").alias("n_pieces"),
+            F.size(F.filter("pieces", lambda p: p.rlike("^[a-z]+$"))).alias("n_alpha"),
+            F.size(F.filter("pieces", lambda p: p.rlike("^[0-9]+$"))).alias("n_num"),
+            (
+                F.size("pieces")
+                - F.size(F.filter("pieces", lambda p: p.rlike("^[a-z]+$")))
+                - F.size(F.filter("pieces", lambda p: p.rlike("^[0-9]+$")))
+            ).alias("n_other"),
+            F.aggregate(
+                F.transform("pieces", lambda p: F.length(p).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            ).alias("total_chars"),
+        )
+        .orderBy("doc_id")
+    )
