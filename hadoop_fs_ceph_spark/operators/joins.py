@@ -457,3 +457,69 @@ def join_existence_flag(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("c_mktsegment", "has_open", "has_final")
     )
+
+
+@query(
+    "join_dpp_partitioned",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "dpp", "partition-pruning"),
+)
+def join_dpp_partitioned(spark, sf_dir):
+    """Dynamic partition pruning: the fact table is laid out
+    partitioned by status; the dimension side carries the selective
+    filter (status = 'F'); the JOIN key is the partition column — so
+    at plan time Spark injects a DynamicPruning subquery that runs
+    the dim filter FIRST and prunes fact partitions before the scan
+    (asserted in tests/test_plans.py). At 100 TB this is the
+    difference between scanning one partition and scanning the lake
+    when the filter lives in a dimension, not on the fact — static
+    pruning can't see through the join. The oracle is the post-join
+    semantics expressed directly."""
+    from hadoop_fs_ceph_spark.operators.sources_q import _scratch
+    from hadoop_fs_ceph_spark.sources import write_table
+
+    o = t(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "dpp_orders")
+    write_table(o, path, format="parquet", mode="overwrite",
+                partition_by=["o_orderstatus"])
+    fact = spark.read.parquet(path)
+    # The dim is a real table on disk (status → label): its filter sits
+    # on a NON-join attribute whose mapping to the join key is data, not
+    # expressions — Catalyst cannot fold it into a static partition
+    # filter, so pruning the fact scan requires the runtime DPP subquery
+    # (filter the dim first, broadcast the surviving keys, prune).
+    dim_path = _scratch(sf_dir, "dpp_status_dim")
+    write_table(
+        o.select("o_orderstatus")
+        .distinct()
+        .withColumnRenamed("o_orderstatus", "dim_status")
+        .withColumn(
+            "label",
+            F.when(F.col("dim_status") == "F", "final").otherwise("open"),
+        ),
+        dim_path,
+        format="parquet",
+        mode="overwrite",
+    )
+    dim = (
+        spark.read.parquet(dim_path)
+        .filter(F.col("label") == "final")
+        .select("dim_status")
+    )
+    return (
+        fact.join(dim, fact.o_orderstatus == dim.dim_status)
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("yr")
+    )

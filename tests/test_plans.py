@@ -181,3 +181,12 @@ def test_scale_audit_surface(spark, sf_dir):
     bad = li.crossJoin(t(spark, sf_dir, "region"))
     flagged = scale_audit(bad)
     assert flagged.cartesian and flagged.problems()
+
+
+def test_dpp_subquery_injected(spark, sf_dir):
+    """join_dpp_partitioned must carry a DynamicPruningExpression on the
+    partitioned fact scan — the runtime partition-pruning contract (a
+    static PartitionFilter would mean Catalyst folded the dim filter
+    and the query stopped testing DPP)."""
+    plan = plan_of(SPECS["join_dpp_partitioned"].fn(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
