@@ -190,3 +190,32 @@ def test_dpp_subquery_injected(spark, sf_dir):
     and the query stopped testing DPP)."""
     plan = plan_of(SPECS["join_dpp_partitioned"].fn(spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_injectable(spark, sf_dir):
+    """With broadcast off (the 100 TB reality for fact⋈fact), Spark must
+    inject a runtime bloom filter built from the filtered orders side
+    and applied to the lineitem scan side — the shuffle-pruning analog
+    of DPP for non-partition join keys. Thresholds are lowered to make
+    the test-scale tables eligible; at warehouse scale the defaults
+    (10 MB creation / 10 GB application) hit the same path."""
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        plan = plan_of(SPECS["join_sortmerge_facts"].fn(spark, sf_dir))
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    assert "bloom_filter_agg" in plan or "BloomFilter" in plan
