@@ -494,10 +494,13 @@ def stream_stream_outer_join(spark, sf_dir):
     # of the (mx-2h, mx-30m) tail gets its null-extended rows out before
     # the drain ends depends on how the file source batches (one batch at
     # small SF, several at sf0.1 => watermark advances mid-stream and
-    # evicts deeper). Below mx-2h every batching emits exactly once.
-    horizon = (
-        t(spark, sf_dir, "events")
-        .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("h"))
-        .collect()[0]["h"]
+    # evicts deeper). Below mx-2h every batching emits exactly once. The
+    # horizon rides in as a one-row broadcast, never a driver value.
+    horizon = t(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("h")
     )
-    return drained.filter(F.col("p_ts") < F.lit(horizon)).drop("p_ts")
+    return (
+        drained.crossJoin(F.broadcast(horizon))
+        .filter(F.col("p_ts") < F.col("h"))
+        .select("user_id", "purchase_id", "view_id", "lag_us")
+    )
