@@ -504,3 +504,71 @@ def stream_stream_outer_join(spark, sf_dir):
         .filter(F.col("p_ts") < F.col("h"))
         .select("user_id", "purchase_id", "view_id", "lag_us")
     )
+
+
+@query(
+    "stream_incremental_checkpoint",
+    oracle=f"""
+    SELECT 1 AS phase, COUNT(*) AS n, {_FIXSUM_VALUE} AS sum_value
+    FROM events WHERE event_id % 10 <> 0
+    UNION ALL
+    SELECT 2 AS phase, COUNT(*) AS n, {_FIXSUM_VALUE} AS sum_value
+    FROM events WHERE event_id % 10 = 0
+    ORDER BY phase
+    """,
+    tags=("streaming", "checkpoint", "incremental"),
+)
+def stream_incremental_checkpoint(spark, sf_dir):
+    """The exactly-once incremental contract: drain a source directory
+    with availableNow (phase 1), land MORE files, restart the stream
+    FROM THE SAME CHECKPOINT into a fresh sink (phase 2) — the
+    restarted query processes ONLY the new files, because the
+    checkpoint's file-source log records what was committed. This is
+    how every production pipeline tails a lake directory: restarts
+    are cheap, reprocessing is zero, duplicates are impossible. The
+    two phases' disjoint contents hash-prove no row was skipped or
+    replayed."""
+    import os
+    import tempfile
+    import uuid
+
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), "hfcs_incr", run)
+    src = os.path.join(base, "src")
+    ck = os.path.join(base, "ck")
+    e.filter(F.col("event_id") % 10 != 0).write.mode("overwrite").parquet(src)
+
+    out = os.path.join(base, "out")
+    state = {"phase": 1}
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(
+            os.path.join(out, f"phase={state['phase']}")
+        )
+
+    def drain():
+        q = (
+            spark.readStream.schema(e.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    state["phase"] = 2
+    e.filter(F.col("event_id") % 10 == 0).write.mode("append").parquet(src)
+    drain()
+
+    back = spark.read.parquet(out)  # phase= dirs -> partition column
+    return (
+        back.groupBy(F.col("phase").cast("int").alias("phase"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(_FIXSUM_VALUE).alias("sum_value"),
+        )
+        .orderBy("phase")
+    )
