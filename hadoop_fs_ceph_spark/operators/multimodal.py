@@ -222,3 +222,90 @@ def mm_resize_decimate(spark, sf_dir):
         .filter((F.col("doc_id") % 4 == 0) & (F.length("blob") >= 1))
         .mapInPandas(resize, out_schema)
     )
+
+
+@query(
+    "mm_chunked_transfer",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text AS payload FROM documents
+      WHERE doc_id % 13 = 5 AND length(text) = octet_length(encode(text))
+    ),
+    idx AS (
+      SELECT doc_id, payload,
+             unnest(generate_series(0,
+               CAST(ceil(length(payload) / 64.0) - 1 AS BIGINT))) AS i
+      FROM b
+    ),
+    chunks AS (
+      SELECT doc_id, i,
+             substring(payload, CAST(i * 64 + 1 AS INTEGER), 64) AS chunk
+      FROM idx
+    ),
+    re AS (
+      SELECT doc_id,
+             list_reduce(list(chunk ORDER BY i), (a, c) -> a || c) AS payload2,
+             COUNT(*) AS n_chunks
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT r.doc_id,
+           CAST(r.n_chunks AS INTEGER) AS n_chunks,
+           CAST(octet_length(encode(r.payload2)) AS BIGINT) AS total_bytes,
+           (r.payload2 = b.payload) AS ok,
+           sha256(r.payload2) AS digest
+    FROM re r JOIN b ON r.doc_id = b.doc_id
+    ORDER BY r.doc_id
+    """,
+    tags=("multimodal", "binary", "chunking"),
+)
+def mm_chunked_transfer(spark, sf_dir):
+    """Chunked blob transfer: split each binary payload into fixed
+    64-byte chunks (the rails every multi-GB media object rides —
+    chunk rows are individually shuffleable/resumable, so one payload
+    never pins one task's memory), then reassemble in chunk order and
+    prove integrity by byte-equality AND a content digest. The
+    reassembly is a sort_array over (idx, chunk) structs folded with
+    binary concat — the same ordered-fold discipline as the text
+    fingerprints. The reference moves bytes the same way: bounded
+    4 MiB buffers, never whole objects (`CephRgwFileSystem.java:120`,
+    SURVEY.md §2A #16-17)."""
+    # ASCII-only sample: DuckDB cannot slice BLOBs, so the oracle models
+    # the byte stream with chars — identical only when 1 char == 1 byte.
+    # The Spark side still runs the real binary path end to end.
+    d = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 13 == 5)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    b = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    n_chunks = F.ceil(F.length("blob") / 64.0).cast("int")
+    chunks = b.select(
+        "doc_id",
+        "blob",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.expr("substring(blob, CAST(i * 64 + 1 AS INT), 64)").alias("chunk"),
+    )
+    re = chunks.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "chunk"))),
+                lambda s: s.getField("chunk"),
+            ),
+            F.lit(b"").cast("binary"),
+            lambda acc, c: F.concat(acc, c),
+        ).alias("blob2"),
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+    )
+    return (
+        re.join(b, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.length("blob2").cast("long").alias("total_bytes"),
+            (F.col("blob2") == F.col("blob")).alias("ok"),
+            F.sha2(F.decode("blob2", "utf-8"), 256).alias("digest"),
+        )
+        .orderBy("doc_id")
+    )
