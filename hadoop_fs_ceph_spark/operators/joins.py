@@ -523,3 +523,82 @@ def join_dpp_partitioned(spark, sf_dir):
         )
         .orderBy("yr")
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+    pairs AS (
+      SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+             abs(epoch_us(v.ts) - epoch_us(p.ts)) AS gap_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)), v.event_id
+             ) AS rn
+      FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT user_id, purchase_id, view_id, gap_us
+    FROM pairs WHERE rn = 1
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-neighbor as-of join: each purchase pairs with the view
+    closest in time in EITHER direction — the sensor-alignment
+    semantics (match each reading to the nearest reference tick).
+    Composed scale-safely from the two directional as-ofs in ONE
+    union-and-carry pass: a backward window carries the last view ≤ t,
+    a forward window carries the first view ≥ t (same sort, same
+    single shuffle on user_id — Catalyst collapses the two window
+    specs), and the winner is min by (gap, view_id). The naive
+    formulation the oracle uses (all purchase×view pairs per user +
+    rank) is exactly what this avoids: the union-carry never
+    materializes a pair blowup."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "purchase"))
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+    )
+    order = ["ts", "kind", "event_id"]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v_id = F.when(F.col("kind") == 0, F.col("event_id"))
+    v_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    carried = (
+        tagged.withColumn("b_id", F.last(v_id, ignorenulls=True).over(wb))
+        .withColumn("b_ts", F.last(v_ts, ignorenulls=True).over(wb))
+        .withColumn("f_id", F.first(v_id, ignorenulls=True).over(wf))
+        .withColumn("f_ts", F.first(v_ts, ignorenulls=True).over(wf))
+        .filter(F.col("kind") == 1)
+    )
+    gap_b = F.unix_micros("ts") - F.unix_micros("b_ts")
+    gap_f = F.unix_micros("f_ts") - F.unix_micros("ts")
+    pick_back = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull()
+        | (gap_b < gap_f)
+        | ((gap_b == gap_f) & (F.col("b_id") <= F.col("f_id")))
+    )
+    return (
+        carried.withColumn("view_id", F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")))
+        .withColumn("gap_us", F.when(pick_back, gap_b).otherwise(gap_f))
+        .filter(F.col("view_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "view_id",
+            "gap_us",
+        )
+    )
