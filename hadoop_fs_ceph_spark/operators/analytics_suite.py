@@ -656,3 +656,83 @@ def ds_new_vs_returning(spark, sf_dir):
         )
         .orderBy("yr")
     )
+
+
+@query(
+    "ds_cart_abandonment",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, sid,
+             COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+               AS has_browse,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS has_purchase
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT LEAST(n_events, 5) AS len_bucket,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN has_browse = 1 AND has_purchase = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+           CAST(SUM(has_purchase) AS BIGINT) AS n_converted
+    FROM sessions
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "sessionization", "abandonment"),
+)
+def ds_cart_abandonment(spark, sf_dir):
+    """Cart abandonment by session length: sessionize each user's
+    events (30-min inactivity gap, the gaps-and-islands window),
+    classify sessions as browsed-but-not-purchased vs converted, and
+    profile by session size (5+ bucketed). The two windows share one
+    shuffle on user_id (same spec, Catalyst collapses them); session
+    classification is a map-combined aggregate over (user, sid) —
+    the event table never joins itself. The conversion complement
+    makes the result self-auditing: abandoned + converted ≤
+    sessions."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us >= 1800000000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "sid",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        ).alias("has_browse"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_purchase"
+        ),
+    )
+    return (
+        sessions.groupBy(F.least("n_events", F.lit(5)).alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                F.when(
+                    (F.col("has_browse") == 1) & (F.col("has_purchase") == 0), 1
+                ).otherwise(0)
+            ).alias("n_abandoned"),
+            F.sum("has_purchase").alias("n_converted"),
+        )
+        .orderBy("len_bucket")
+    )

@@ -417,3 +417,62 @@ def text_bpe_pretokenize(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_zipf_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freqs AS (SELECT tok, COUNT(*) AS freq FROM toks WHERE tok <> '' GROUP BY tok),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freqs),
+    ranked AS (
+      SELECT tok, freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM freqs
+    )
+    SELECT rnk, tok, CAST(freq AS BIGINT) AS freq,
+           ROUND(-ln(CAST(freq AS DOUBLE) / total) / ln(rnk + 1), 9) AS zipf_coeff
+    FROM ranked, tot
+    WHERE rnk <= 20
+    ORDER BY rnk
+    """,
+    tags=("text", "zipf", "corpus-stats"),
+)
+def text_zipf_profile(spark, sf_dir):
+    """Zipf rank-frequency profile of the corpus: top-20 tokens with
+    their rank and the per-rank Zipf coefficient −ln(p)/ln(rank+1)
+    (≈ the exponent s if the corpus is Zipfian — flat coefficient
+    across ranks = power-law fit). The frequency table is one
+    map-combined aggregate over exploded tokens; ranking is a top-k,
+    and every float op is a PER-ROW scalar on exact integers (freq,
+    rank, total) rounded at 9 digits — no float summation anywhere,
+    so cross-engine determinism is structural, not tolerance-based.
+    Corpus token distributions drive tokenizer-vocab and dedup-
+    threshold decisions in LLM data work."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    tot = freqs.agg(F.sum("freq").cast("long").alias("total"))
+    ranked = freqs.select(
+        "tok",
+        "freq",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "tok")).alias("rnk"),
+    ).filter(F.col("rnk") <= 20)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "tok",
+            F.col("freq").cast("long").alias("freq"),
+            F.round(
+                -F.log(F.col("freq").cast("double") / F.col("total"))
+                / F.log(F.col("rnk") + 1),
+                9,
+            ).alias("zipf_coeff"),
+        )
+        .orderBy("rnk")
+    )
