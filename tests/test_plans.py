@@ -142,6 +142,7 @@ _INTENTIONAL_CROSS = {
     "ds_rfm_segmentation",  # one-row corpus-max-date broadcast
     "graph_triangle_count",  # one-row edge-count broadcast joined to one-row count
     "ds_basket_lift",  # one-row order-count broadcast
+    "text_zipf_profile",  # one-row corpus-total broadcast
 }
 
 
