@@ -280,3 +280,61 @@ def fn_mask_builtin(spark, sf_dir):
         F.mask("c_name").alias("masked_default"),
         F.mask("c_name", F.lit("*"), F.lit("*"), F.lit("#")).alias("masked_custom"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+    WITH halves AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS tok,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE doc_id % 11 = 3 AND len(string_split(text, ' ')) >= 2
+    ),
+    ab AS (
+      SELECT doc_id,
+             tok[1 : CAST(n // 2 AS INTEGER)] AS a,
+             tok[CAST(n // 2 + 1 AS INTEGER) : CAST(n AS INTEGER)] AS b
+      FROM halves
+    )
+    SELECT doc_id,
+           len(list_distinct(list_concat(a, b))) AS n_union,
+           len(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+             AS n_except,
+           len(list_distinct(list_filter(a, x -> list_contains(b, x))))
+             AS n_inter,
+           list_has_any(a, b) AS overlap,
+           len(flatten([a, b])) AS flat_n,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ' ')
+             AS union_csv
+    FROM ab
+    ORDER BY doc_id
+    """,
+    tags=("function", "array", "setops"),
+)
+def fn_array_setops(spark, sf_dir):
+    """Array set algebra on each document's two token halves:
+    array_union / array_except / array_intersect (all distinct-set
+    semantics), arrays_overlap, and flatten — the vocabulary-diff
+    primitives behind incremental dedup (what's new in this shard vs
+    the last) and split-half consistency checks. Sorted-CSV output
+    pins the set content, not just its size; everything is per-row
+    JVM codegen over the scan, zero shuffle before the sample sort."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 3)
+    halves = d.select(
+        "doc_id", F.split("text", " ").alias("tok")
+    ).withColumn("n", F.size("tok")).filter(F.col("n") >= 2)
+    ab = halves.select(
+        "doc_id",
+        F.slice("tok", 1, (F.col("n") / 2).cast("int")).alias("a"),
+        F.expr("slice(tok, CAST(n / 2 AS INT) + 1, n - CAST(n / 2 AS INT))").alias("b"),
+    )
+    return ab.select(
+        "doc_id",
+        F.size(F.array_union("a", "b")).alias("n_union"),
+        F.size(F.array_except("a", "b")).alias("n_except"),
+        F.size(F.array_intersect("a", "b")).alias("n_inter"),
+        F.arrays_overlap("a", "b").alias("overlap"),
+        F.size(F.flatten(F.array("a", "b"))).alias("flat_n"),
+        F.array_join(F.array_sort(F.array_union("a", "b")), " ").alias("union_csv"),
+    ).orderBy("doc_id")
