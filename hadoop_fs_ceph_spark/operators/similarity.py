@@ -375,3 +375,71 @@ def sim_ann_recall_report(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "sim_scalar_quantize",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             unnest(generate_series(0, len(embedding) - 1)) AS dim
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT),
+                             255)
+             END AS code
+      FROM ex JOIN stats USING (dim)
+    )
+    SELECT vec_id,
+           COUNT(*) AS n_dims,
+           CAST(SUM(code) AS BIGINT) AS sum_code,
+           CAST(MAX(code) AS BIGINT) AS max_code
+    FROM q GROUP BY vec_id ORDER BY vec_id
+    """,
+    tags=("similarity", "quantization", "compression"),
+)
+def sim_scalar_quantize(spark, sf_dir):
+    """Scalar (int8-style) quantization of the embedding corpus: per-
+    DIMENSION min/max over the whole corpus (64 tiny groups), then
+    each component maps to an 8-bit code floor((x−mn)·255/(mx−mn)) —
+    the compression step every large-scale ANN index applies before
+    storage (4× smaller than float32, distance error bounded by the
+    cell width). All arithmetic is double (explicit casts both
+    engines) ending in floor → exact integer codes, so the checksum
+    per vector hash-matches with no tolerance. The stats relation is
+    64 rows and broadcasts; codes never leave the executor as
+    floats."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    stats = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    q = ex.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))
+                ).cast("long"),
+                F.lit(255).cast("long"),
+            )
+        )
+        .alias("code"),
+    )
+    return (
+        q.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum("code").alias("sum_code"),
+            F.max("code").alias("max_code"),
+        )
+        .orderBy("vec_id")
+    )
