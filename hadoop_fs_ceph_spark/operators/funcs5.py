@@ -338,3 +338,37 @@ def fn_array_setops(spark, sf_dir):
         F.size(F.flatten(F.array("a", "b"))).alias("flat_n"),
         F.array_join(F.array_sort(F.array_union("a", "b")), " ").alias("union_csv"),
     ).orderBy("doc_id")
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           text AS roundtrip,
+           CAST(octet_length(encode(text)) + 28 AS BIGINT) AS ct_len,
+           TRUE AS ok
+    FROM documents WHERE doc_id % 17 = 4
+    ORDER BY doc_id
+    """,
+    tags=("function", "crypto", "aes"),
+)
+def fn_aes_roundtrip(spark, sf_dir):
+    """Column-level encryption at rest: aes_encrypt (AES-128-GCM,
+    random IV per value) then aes_decrypt with the same key must be
+    the identity — the oracle checks the decrypted text against the
+    source, and the ciphertext length against the GCM layout
+    (12-byte IV ‖ ciphertext ‖ 16-byte tag = n+28, deterministic even
+    though the bytes aren't). This is how PII columns ride through an
+    untrusted lake: opaque binary in parquet, keys only at the
+    compute layer. Both directions are JVM intrinsics — no Python in
+    the loop."""
+    key = F.lit("0123456789abcdef")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 4)
+    ct = F.aes_encrypt(F.col("text"), key)
+    rt = F.decode(F.aes_decrypt(ct, key), "utf-8")
+    return d.select(
+        "doc_id",
+        rt.alias("roundtrip"),
+        F.length(ct).cast("long").alias("ct_len"),
+        (rt == F.col("text")).alias("ok"),
+    ).orderBy("doc_id")

@@ -443,3 +443,81 @@ def sim_scalar_quantize(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "sim_knn_quality_mrr",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id % 100 = 7
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY (list_reduce(list_transform(
+                           generate_series(1, 64),
+                           i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                           (a, b) -> a + b)
+                         / (SQRT(list_reduce(list_transform(generate_series(1, 64),
+                              i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+                              (a, b) -> a + b))
+                          * SQRT(list_reduce(list_transform(generate_series(1, 64),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                              (a, b) -> a + b)))) DESC,
+                        e.vec_id
+             ) AS rnk
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    top10 AS (SELECT * FROM scored WHERE rnk <= 10)
+    SELECT qid, MAX(qlabel) AS qlabel,
+           CAST(COALESCE(MIN(CASE WHEN label = qlabel THEN rnk END), 0) AS INTEGER)
+             AS first_hit_rank,
+           CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_hits_top10
+    FROM top10 GROUP BY qid ORDER BY qid
+    """,
+    tags=("similarity", "knn", "quality", "mrr"),
+)
+def sim_knn_quality_mrr(spark, sf_dir):
+    """Retrieval-quality evaluation of the vector index: for each
+    sampled query vector, rank the corpus by cosine (deterministic
+    ordered-fold dot products, vec_id tiebreak), take top-10, and
+    report the rank of the first same-label neighbor (the integer
+    numerator of MRR) plus precision@10 counts — the recall/MRR
+    scorecard every ANN deployment tracks against ground-truth
+    labels. Integer outputs make the check exact. Scale shape: the
+    query set is a bounded broadcast; scoring is map-side over the
+    corpus; per-query top-10 is a windowed heap, never a global
+    sort."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    top10 = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    hit_rank = F.min(
+        F.when(F.col("label") == F.col("qlabel"), F.col("rnk"))
+    )
+    return (
+        top10.groupBy("qid")
+        .agg(
+            F.max("qlabel").alias("qlabel"),
+            F.coalesce(hit_rank, F.lit(0)).cast("int").alias("first_hit_rank"),
+            F.sum(
+                F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+            ).cast("int").alias("n_hits_top10"),
+        )
+        .orderBy("qid")
+    )

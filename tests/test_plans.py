@@ -143,6 +143,7 @@ _INTENTIONAL_CROSS = {
     "graph_triangle_count",  # one-row edge-count broadcast joined to one-row count
     "ds_basket_lift",  # one-row order-count broadcast
     "text_zipf_profile",  # one-row corpus-total broadcast
+    "sim_knn_quality_mrr",  # bounded query-batch broadcast (eval pass)
 }
 
 
