@@ -408,3 +408,67 @@ def win_rolling_7day(spark, sf_dir):
         )
         .orderBy("o_orderstatus", "epoch_day")
     )
+
+
+@query(
+    "win_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS total
+      FROM daily
+    ),
+    dev AS (
+      SELECT day, cents, n * cents - total AS dev
+      FROM daily, tot
+    ),
+    cusum AS (
+      SELECT day, cents,
+             CAST(SUM(dev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cusum
+      FROM dev
+    )
+    SELECT day, cents, cusum,
+           CAST(row_number() OVER (ORDER BY abs(cusum) DESC, day) AS INTEGER)
+             AS peak_rank
+    FROM cusum
+    QUALIFY peak_rank <= 5
+    ORDER BY peak_rank
+    """,
+    tags=("window", "changepoint", "cusum"),
+)
+def win_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint scan over the daily revenue series: deviation
+    from the global mean is kept INTEGER by scaling (dev = n·xᵢ −
+    total — no division, no float), the running sum is a rows-frame
+    window over the per-DAY relation (bounded by the calendar, the
+    same safety argument as win_cumulative_distinct), and the top-5
+    |CUSUM| days are the changepoint candidates — where the series'
+    level shifted. Exact integers end to end; this is the drift
+    detector a data-quality monitor runs on every ingest metric."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day", "cents", (F.col("n") * F.col("cents") - F.col("total")).alias("dev")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = dev.select(
+        "day", "cents", F.sum("dev").over(wc).cast("long").alias("cusum")
+    )
+    wr = Window.orderBy(F.abs("cusum").desc(), "day")
+    return (
+        cusum.withColumn("peak_rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("peak_rank") <= 5)
+        .orderBy("peak_rank")
+    )

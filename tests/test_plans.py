@@ -144,6 +144,7 @@ _INTENTIONAL_CROSS = {
     "ds_basket_lift",  # one-row order-count broadcast
     "text_zipf_profile",  # one-row corpus-total broadcast
     "sim_knn_quality_mrr",  # bounded query-batch broadcast (eval pass)
+    "win_cusum_changepoint",  # one-row (n, total) broadcast
 }
 
 
