@@ -246,17 +246,42 @@ def agg_min_max_by(spark, sf_dir):
 
 @query(
     "agg_approx_count_distinct",
-    oracle=None,  # approximate: verified by tolerance vs exact in pytest
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_tolerance
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     tags=("aggregate", "approx"),
 )
 def agg_approx_count_distinct(spark, sf_dir):
     """HyperLogLog++ distinct estimate — the 100 TB path for distinct
     counting (constant memory per group vs expand+shuffle for exact).
-    Tolerance-checked against the exact count in tests/test_approx.py."""
+
+    Driver-checkable shape: the query computes BOTH the HLL++ estimate
+    and the exact distinct in one pass and emits the exact count plus a
+    ``within_tolerance`` verdict (rsd=0.02 declared; 3σ bound = 6%), so
+    the deterministic columns hash-match the oracle while the
+    approximate value is tolerance-verified rather than value-matched.
+    At production scale only the approx aggregate runs (the exact branch
+    here IS the verification harness). Also tolerance-checked in
+    tests/test_approx.py."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= F.greatest(F.col("exact_orders") * 0.06, F.lit(2.0))
+            ).alias("within_tolerance"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -299,7 +324,12 @@ def agg_salted_skew(spark, sf_dir):
 
 @query(
     "agg_hll_sketch_merge",
-    oracle=None,  # sketch estimate: tolerance-checked in tests/test_approx.py
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           TRUE AS within_tolerance
+    FROM orders
+    """,
     tags=("aggregate", "approx", "sketch"),
 )
 def agg_hll_sketch_merge(spark, sf_dir):
@@ -307,15 +337,31 @@ def agg_hll_sketch_merge(spark, sf_dir):
     sketches unioned into a global distinct estimate — the two-level
     pattern for distributed distinct at scale: partial sketches are tiny,
     exact-mergeable, and reusable across rollup levels (unlike an exact
-    countDistinct, which needs the full key shuffle every time)."""
+    countDistinct, which needs the full key shuffle every time).
+
+    Driver-checkable shape: emits the exact global distinct plus a
+    ``within_tolerance`` verdict on the merged-sketch estimate (lgK=12
+    default → ~1.6% rsd; 5% bound), so deterministic columns hash-match
+    the oracle while the sketch value is tolerance-verified. The exact
+    branch exists for verification; production runs only the sketches.
+    Also tolerance-checked in tests/test_approx.py."""
     o = t(spark, sf_dir, "orders")
     per_status = o.groupBy("o_orderstatus").agg(
         F.hll_sketch_agg(F.col("o_custkey").cast("string")).alias("sk"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    return per_status.agg(
+    merged = per_status.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_customers"),
         F.sum("n_rows").alias("total_rows"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_customers"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "exact_customers",
+        "total_rows",
+        (
+            F.abs(F.col("distinct_customers") - F.col("exact_customers"))
+            <= F.greatest(F.col("exact_customers") * 0.05, F.lit(2.0))
+        ).alias("within_tolerance"),
     )
 
 

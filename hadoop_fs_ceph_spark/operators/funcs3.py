@@ -20,10 +20,10 @@ from hadoop_fs_ceph_spark.tables import t
     "agg_bool_family",
     oracle="""
     SELECT o_orderstatus,
-           COUNT_IF(o_orderpriority = '1-URGENT') AS n_urgent,
+           CAST(COUNT_IF(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
            BOOL_AND(o_totalprice > 0) AS all_positive,
            BOOL_OR(o_totalprice > 400000) AS any_jumbo,
-           COUNT_IF(o_totalprice BETWEEN 100000 AND 200000) AS n_mid
+           CAST(COUNT_IF(o_totalprice BETWEEN 100000 AND 200000) AS BIGINT) AS n_mid
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus

@@ -48,8 +48,8 @@ def _edges(spark, sf_dir):
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
     )

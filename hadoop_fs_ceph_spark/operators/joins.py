@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from hadoop_fs_ceph_spark.canonical import dsum, sql_dsum
 from hadoop_fs_ceph_spark.registry import query
-from hadoop_fs_ceph_spark.tables import t
+from hadoop_fs_ceph_spark.tables import dim, t
 
 
 @query(
@@ -36,11 +36,13 @@ from hadoop_fs_ceph_spark.tables import t
     bench=True,
 )
 def join_inner_hash(spark, sf_dir):
-    """Inner equi-join orders⋈customer (broadcast dim at any scale)."""
+    """Inner equi-join orders⋈customer. customer is SF-scaled (multi-TB
+    at warehouse scale), so no broadcast hint: AQE broadcasts it at test
+    scale (under the threshold) and shuffle-joins at cluster scale."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     c = t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
         .orderBy("c_mktsegment")
@@ -50,31 +52,34 @@ def join_inner_hash(spark, sf_dir):
 @query(
     "join_broadcast_dim",
     oracle=f"""
-    SELECT p.p_brand,
-           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
-           COUNT(*) AS n_lines
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE p.p_type = 'PROMO'
-    GROUP BY p.p_brand
-    ORDER BY p.p_brand
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c.c_acctbal', 'total_balance')}
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
     """,
     tags=("join", "broadcast"),
     bench=True,
 )
 def join_broadcast_dim(spark, sf_dir):
-    """Fact⋈dim with explicit broadcast: the filter on the dim side is
-    applied *before* broadcast, so only matching part keys ship to
-    executors; revenue agg shuffles only #brands rows."""
-    li = t(spark, sf_dir, "lineitem")
-    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    """Fact⋈dim with an explicit broadcast hint on a TRULY bounded dim:
+    nation is 25 rows at every scale factor, so the hint is honest at
+    100 TB (SF-scaled tables like part/customer must NOT be hinted — a
+    forced broadcast bypasses the threshold and OOMs the driver; they go
+    through AQE instead, see `tables.dim`). The segment filter stays on
+    the probe side and pushes to the parquet scan."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    n = dim(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand")
+        c.join(n, c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_balance"),
         )
-        .orderBy("p_brand")
+        .orderBy("n_name")
     )
 
 

@@ -308,7 +308,7 @@ def src_delete_rewrite(spark, sf_dir):
         .select("c_custkey")
     )
     survivors = o.join(
-        F.broadcast(forget), o.o_custkey == forget.c_custkey, "left_anti"
+        forget, o.o_custkey == forget.c_custkey, "left_anti"
     )
     return survivors.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")

@@ -181,7 +181,7 @@ def stream_static_join(spark, sf_dir):
     customer dimension (broadcast per microbatch), then aggregated."""
     s = events_stream(spark, sf_dir)
     c = t(spark, sf_dir, "customer")
-    joined = s.join(F.broadcast(c), s.user_id == c.c_custkey)
+    joined = s.join(c, s.user_id == c.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(F.round(F.col("value") * 1000000.0).cast("long")).cast("double") / 1000000.0).alias("sum_value"),

@@ -241,7 +241,7 @@ def text_tfidf_terms(spark, sf_dir):
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .withColumn("score", F.floor(F.col("tf") * 1_000_000 / F.col("df")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)

@@ -55,7 +55,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.expr(_REV), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -96,9 +96,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -145,8 +145,8 @@ def q18_large_orders(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(big), li.l_orderkey == big.big_orderkey, "left_semi")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(big, li.l_orderkey == big.big_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
@@ -216,7 +216,7 @@ def q10_returned_revenue(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             dsum(F.expr(_REV), "revenue"),
@@ -250,7 +250,7 @@ def q14_promo_share(spark, sf_dir):
     rev = F.expr(_REV)
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(dsum(promo, "promo_rev"), dsum(rev, "total_rev"))
     )
 
@@ -273,7 +273,7 @@ def q19_disjunctive(spark, sf_dir):
     predicate pushdown survives disjunctions."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 10))

