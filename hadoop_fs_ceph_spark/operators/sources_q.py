@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hadoop_fs_ceph_spark.canonical import dsum, sql_dsum
@@ -821,4 +822,51 @@ def src_catalog_rename(spark, sf_dir):
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "src_scd2_build",
+    oracle="""
+    WITH chg AS (
+      SELECT user_id, ts, event_id, event_type AS status
+      FROM events WHERE user_id % 40 = 7
+    )
+    SELECT user_id, status,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version_no
+    FROM chg
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("source", "scd2", "cdc", "versioning"),
+)
+def src_scd2_build(spark, sf_dir):
+    """SCD Type-2 dimension build from a CDC change feed: each change row
+    becomes a version with [valid_from, valid_to) bounds — valid_to is
+    the NEXT change's timestamp (lead), NULL marks the current version,
+    and version_no is the per-key change ordinal. This is the
+    lake-maintenance pattern that turns the reference's immutable-object
+    write model (create/overwrite only, no in-place update —
+    ``CephRgwOutputStream.java`` append-only buffering) into queryable
+    history: instead of updating a dimension row in place, every change
+    appends and the window derives the validity intervals.
+
+    Scale shape: one window over (user_id | ts, event_id) = one shuffle
+    on the dimension key; both window functions share the frame so
+    Catalyst evaluates them in a single Window operator. The modulo
+    filter stands in for the changed-partition pruning a real CDC batch
+    gets from its partition columns (a partition-column predicate would
+    prune directories; a modulo is evaluated at the scan but not pushed
+    into parquet row-group stats)."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 40 == 7)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("long").alias("version_no"),
     )

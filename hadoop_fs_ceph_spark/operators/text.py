@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 
 from hadoop_fs_ceph_spark.functions.text import (
     LANG_STOPWORDS,
+    hashed_shingles,
     lang_scores,
     poly_hash,
+    sql_hashed_shingles,
     sql_lang_score,
     sql_poly_hash,
     sql_token_hashes,
@@ -475,4 +477,90 @@ def text_zipf_profile(spark, sf_dir):
             ).alias("zipf_coeff"),
         )
         .orderBy("rnk")
+    )
+
+
+_SQL_TOK = "string_split(text, chr(32))"
+# winnowing parameters: k-gram size 3 (hashed_shingles), window 4 — the
+# MOSS guarantee is that any shared token run of length >= w + k - 1 = 6
+# produces at least one shared fingerprint.
+_WINNOW_W = 4
+_STOP_FP_DOCS = 50  # fingerprints present in more docs are boilerplate
+
+
+@query(
+    "text_winnowing_pairs",
+    oracle=f"""
+    WITH kg AS (
+      SELECT doc_id,
+             {sql_hashed_shingles(sql_token_hashes(_SQL_TOK), 3)} AS kg
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(kg) >= {_WINNOW_W}
+             THEN list_transform(generate_series(1, len(kg) - {_WINNOW_W - 1}),
+                                 i -> list_min(kg[i:i+{_WINNOW_W - 1}]))
+             ELSE kg END)) AS fp
+      FROM kg
+    ),
+    rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {_STOP_FP_DOCS}),
+    kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare r ON f.fp = r.fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING COUNT(*) >= 3
+    """,
+    tags=("text", "fingerprint", "winnowing", "dedup"),
+)
+def text_winnowing_pairs(spark, sf_dir):
+    """Winnowing document fingerprints (the MOSS algorithm: Schleimer,
+    Wilkerson & Aiken, SIGMOD'03) driving near-dup candidate pairs: hash
+    every 3-token k-gram, slide a window of 4 k-gram hashes, keep the
+    minimum per window — any shared token run of length >= w+k-1 = 6 is
+    GUARANTEED to share a fingerprint, which positional MinHash sampling
+    cannot promise. Pairs sharing >= 3 rare fingerprints are emitted with
+    their overlap count.
+
+    Scale shape: fingerprinting is map-only per document (array ops in
+    whole-stage codegen, ~2/w of k-grams survive); the candidate join is
+    an equality join on the 8-byte fingerprint, with boilerplate
+    fingerprints (> 50 docs) dropped first so no bucket degenerates —
+    the same bounded-bucket posture as the LSH band join. At 100 TB the
+    (doc_id, fp) relation is the only shuffle and is ~K slim rows per
+    document."""
+    d = t(spark, sf_dir, "documents")
+    kg = d.select(
+        "doc_id", hashed_shingles(token_hashes(tokens("text")), 3).alias("kg")
+    )
+    fps = kg.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("kg") >= _WINNOW_W,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("kg") - (_WINNOW_W - 1)),
+                        lambda i: F.array_min(F.slice(F.col("kg"), i, _WINNOW_W)),
+                    ),
+                ).otherwise(F.col("kg"))
+            )
+        ).alias("fp"),
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= _STOP_FP_DOCS)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
     )
