@@ -564,3 +564,71 @@ def text_winnowing_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 3)
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct({sql_hashed_shingles(sql_token_hashes(_SQL_TOK), 5)})) AS g
+      FROM documents
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    tr AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM tr GROUP BY doc_id),
+    hits AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id)
+    SELECT t.doc_id, t.n_grams, h.n_hits,
+           ROUND(CAST(h.n_hits AS DOUBLE) / t.n_grams, 9) AS contamination,
+           (h.n_hits >= 8 OR CAST(h.n_hits AS DOUBLE) / t.n_grams > 0.1)
+             AS drop_doc
+    FROM tot t JOIN hits h ON t.doc_id = h.doc_id
+    WHERE h.n_hits >= 1
+    """,
+    tags=("text", "decontamination", "ngram", "llm-pipeline"),
+)
+def text_decontaminate(spark, sf_dir):
+    """Train/eval decontamination — the benchmark-overlap scrub every LLM
+    training corpus needs: any training document sharing 5-token n-grams
+    with the held-out evaluation set (stand-in: doc_id % 97 == 0) is
+    scored by overlap count and contamination ratio, with the standard
+    drop rule (>= 8 shared n-grams OR > 10% of the document's n-grams).
+
+    Scale shape: n-grams are hashed per document map-side (3 integer ops
+    per gram over token hashes — the text never re-tokenizes), the join
+    key is an 8-byte gram hash, and the eval side is deduplicated before
+    the join. In a real deployment the eval suite is BOUNDED (benchmarks
+    don't grow with the corpus), so its distinct-gram set broadcasts and
+    the training corpus never shuffles — here the stand-in eval split is
+    SF-scaled, so no hint is forced and AQE picks the strategy. Division
+    operands are exact integers, so the rounded ratio is bit-identical
+    cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(hashed_shingles(token_hashes(tokens("text")), 5))
+        ).alias("g"),
+    )
+    eval_g = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = train.join(eval_g, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        tot.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 9).alias("contamination"),
+            (
+                (F.col("n_hits") >= 8)
+                | (F.col("n_hits") / F.col("n_grams") > 0.1)
+            ).alias("drop_doc"),
+        )
+        .filter(F.col("n_hits") >= 1)
+    )
