@@ -243,3 +243,39 @@ def fn_map_family(spark, sf_dir):
         F.element_at(F.map_values(base), 1).alias("k_val"),
         F.size(F.map_keys(base)).alias("n_entries"),
     )
+
+
+@query(
+    "fn_variant_shred",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(NULL AS VARCHAR) AS missing,
+           'OBJECT<k: BIGINT>' AS vschema
+    FROM events WHERE event_id % 11 = 5
+    """,
+    tags=("function", "json", "variant"),
+)
+def fn_variant_shred(spark, sf_dir):
+    """Spark 4 VARIANT semi-structured type: ``parse_json`` shreds the
+    props JSON once into the binary variant encoding, then typed path
+    extraction (``variant_get``), safe extraction of an absent path
+    (``try_variant_get`` → NULL, no error), and per-row schema
+    introspection (``schema_of_variant`` — asserted against the expected
+    shredded type, which proves the engine sees BIGINT, not strings).
+
+    At scale VARIANT beats JSON strings because the binary encoding is
+    parsed once at scan time and path access is field lookup, not
+    re-parsing; with parquet variant shredding the extracted paths
+    become column chunks with stats. The oracle runs the equivalent
+    string-JSON extraction in DuckDB."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 5)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+        F.schema_of_variant(v).alias("vschema"),
+    )
