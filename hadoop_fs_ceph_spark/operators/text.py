@@ -632,3 +632,53 @@ def text_decontaminate(spark, sf_dir):
         )
         .filter(F.col("n_hits") >= 1)
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH paras AS (
+      SELECT doc_id, n_chars, string_split(text, '. ') AS p FROM documents
+    )
+    SELECT doc_id,
+           len(p) AS n_paras,
+           CAST(len(p) - len(list_distinct(p)) AS BIGINT) AS n_dup_paras,
+           ROUND(CAST(len(p) - len(list_distinct(p)) AS DOUBLE) / len(p), 9)
+             AS dup_para_fraction,
+           (CAST(len(p) - len(list_distinct(p)) AS DOUBLE) / len(p) > 0.3)
+             AS drop_doc
+    FROM paras
+    WHERE len(p) - len(list_distinct(p)) >= 1
+    """,
+    tags=("text", "quality", "repetition", "llm-pipeline"),
+)
+def text_repetition_filter(spark, sf_dir):
+    """Within-document repetition filter (the Gopher/MassiveText quality
+    rule): split each document into sentence-paragraph units, measure the
+    fraction that are exact repeats of an earlier unit, drop documents
+    whose repeated fraction exceeds 30% — boilerplate-heavy and
+    template-generated pages fail exactly this gate.
+
+    Scale shape: pure map-side array work per document (split, distinct,
+    two subtractions) inside whole-stage codegen; only documents with at
+    least one repeated unit are emitted. The fraction divides two exact
+    integers, so the rounded double is bit-identical cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    p = F.split("text", "\\. ")
+    return (
+        d.select(
+            "doc_id",
+            F.size(p).alias("n_paras"),
+            (F.size(p) - F.size(F.array_distinct(p))).cast("long").alias("n_dup_paras"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_dup_paras",
+            F.round(F.col("n_dup_paras") / F.col("n_paras"), 9).alias(
+                "dup_para_fraction"
+            ),
+            (F.col("n_dup_paras") / F.col("n_paras") > 0.3).alias("drop_doc"),
+        )
+        .filter(F.col("n_dup_paras") >= 1)
+    )
