@@ -736,3 +736,55 @@ def ds_cart_abandonment(spark, sf_dir):
         )
         .orderBy("len_bucket")
     )
+
+
+@query(
+    "ds_sequence_pattern",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           regexp_matches(seq, 'v.*c.*p') AS converted,
+           regexp_matches(seq, 'e{2,}') AS error_burst
+    FROM seqs
+    WHERE regexp_matches(seq, 'v.*c.*p') OR regexp_matches(seq, 'e{2,}')
+    ORDER BY user_id
+    """,
+    tags=("analytics", "sequence", "pattern"),
+)
+def ds_sequence_pattern(spark, sf_dir):
+    """Event-sequence pattern matching — the MATCH_RECOGNIZE capability
+    Spark lacks natively, recovered by compiling each user's ordered
+    event history to a compact symbol string (one char per event, first
+    letters are distinct across the five event types) and running
+    regexes over it: ``v.*c.*p`` = the ordered view→click→purchase
+    conversion, ``e{2,}`` = consecutive-error bursts.
+
+    Scale shape: ONE shuffle (groupBy user); per-user state is the
+    bounded symbol string (one byte per event). collect_list's arrival
+    order is nondeterministic, so the struct array is array_sort'ed by
+    (ts, event_id) — a total order — before symbols are joined, making
+    the string, and everything derived from it, deterministic at any
+    parallelism. Regex evaluation is per-row JVM work inside codegen."""
+    e = t(spark, sf_dir, "events")
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    seq = F.array_join(
+        F.transform(ordered, lambda s: F.substring(s["event_type"], 1, 1)), ""
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").cast("long").alias("n_events"),
+            F.col("seq").rlike("v.*c.*p").alias("converted"),
+            F.col("seq").rlike("e{2,}").alias("error_burst"),
+        )
+        .filter(F.col("converted") | F.col("error_burst"))
+        .orderBy("user_id")
+    )
