@@ -330,3 +330,46 @@ def sql_modern_syntax(spark, sf_dir):
         GROUP BY ALL
         ORDER BY ALL
     """)
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE tree AS (
+      SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+      UNION ALL
+      SELECT c.c_custkey, t.depth + 1
+      FROM customer c JOIN tree t ON c.c_custkey // 2 = t.node
+      WHERE c.c_custkey > 1
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM tree GROUP BY depth ORDER BY depth
+    """,
+    tags=("sql", "recursive", "hierarchy"),
+)
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE (new in Spark 4) walking an implicit binary
+    hierarchy over the customer key space (parent = key div 2 — the
+    org-chart / BOM traversal shape without needing a parent column):
+    per-level reachability from the root with depth accounting.
+
+    Scale shape: each recursion level is ONE equi-join between the
+    current frontier and the dimension — the same per-iteration plan the
+    DataFrame loop in ``dedup_cluster_cc`` uses, but driven by the
+    engine's recursion operator; depth is logarithmic in the key space,
+    so the number of iterations is bounded (~log2 |customer|), and every
+    level's join key is the 8-byte node id."""
+    _views(spark, sf_dir, "customer")
+    return spark.sql("""
+        WITH RECURSIVE tree AS (
+          SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1
+          FROM customer c JOIN tree t ON c.c_custkey DIV 2 = t.node
+          WHERE c.c_custkey > 1
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               MIN(node) AS min_node, MAX(node) AS max_node
+        FROM tree GROUP BY depth ORDER BY depth
+    """)
