@@ -870,40 +870,3 @@ def src_scd2_build(spark, sf_dir):
         F.lead("ts").over(w).isNull().alias("is_current"),
         F.row_number().over(w).cast("long").alias("version_no"),
     )
-
-
-@query(
-    "src_codec_roundtrip",
-    oracle=f"""
-    WITH agg AS ({_ORDERS_AGG_SQL})
-    SELECT codec, o_orderstatus, n, sum_price, first_date, last_date
-    FROM agg CROSS JOIN (VALUES ('zstd'), ('snappy')) AS c(codec)
-    ORDER BY codec, o_orderstatus
-    """,
-    tags=("source", "codec", "compression"),
-)
-def src_codec_roundtrip(spark, sf_dir):
-    """Compression-codec round trip: the same table written as
-    zstd-compressed and snappy-compressed parquet, read back through the
-    engine, and aggregated — matching aggregates prove codec choice is
-    lossless, the storage-layer guarantee a connector owes its engines
-    (the reference delegates codecs to the format exactly as we do:
-    bytes out == bytes in, ``CephRgwOutputStream.java``).
-
-    Codec is THE storage/compute trade at 100 TB: zstd ≈ 30% smaller
-    (less object-store I/O and $), snappy decompresses faster per core —
-    the choice is per-table write config, invisible to every reader."""
-    o = t(spark, sf_dir, "orders")
-    out = {}
-    for codec in ("zstd", "snappy"):
-        path = _scratch(sf_dir, f"codec_{codec}")
-        o.write.mode("overwrite").option("compression", codec).parquet(path)
-        out[codec] = _orders_agg(spark.read.parquet(path)).withColumn(
-            "codec", F.lit(codec)
-        )
-    return (
-        out["zstd"]
-        .unionByName(out["snappy"])
-        .select("codec", "o_orderstatus", "n", "sum_price", "first_date", "last_date")
-        .orderBy("codec", "o_orderstatus")
-    )
