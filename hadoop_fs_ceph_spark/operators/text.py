@@ -534,6 +534,10 @@ def text_winnowing_pairs(spark, sf_dir):
     kg = d.select(
         "doc_id", hashed_shingles(token_hashes(tokens("text")), 3).alias("kg")
     )
+    # persisted: referenced by the stop-fingerprint filter AND both sides
+    # of the candidate self-join — without it the tokenize+hash+winnow map
+    # stage recomputes per reference (the "fingerprints table" of a
+    # production run, same posture as the persisted MinHash signatures)
     fps = kg.select(
         "doc_id",
         F.explode(
@@ -547,7 +551,7 @@ def text_winnowing_pairs(spark, sf_dir):
                 ).otherwise(F.col("kg"))
             )
         ).alias("fp"),
-    )
+    ).persist()
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -606,12 +610,14 @@ def text_decontaminate(spark, sf_dir):
     operands are exact integers, so the rounded ratio is bit-identical
     cross-engine."""
     d = t(spark, sf_dir, "documents")
+    # persisted: the gram relation feeds the eval-set distinct AND two
+    # aggregations of the train side — one tokenize+hash pass, not three
     grams = d.select(
         "doc_id",
         F.explode(
             F.array_distinct(hashed_shingles(token_hashes(tokens("text")), 5))
         ).alias("g"),
-    )
+    ).persist()
     eval_g = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     train = grams.filter(F.col("doc_id") % 97 != 0)
     tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
