@@ -112,3 +112,45 @@ def test_production_tier_finds_identical_pairs(spark, sf_dir):
         for r in SPECS["dedup_minhash_lsh_prod"].fn(spark, sf_dir).collect()
     }
     assert portable == prod
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """The MOSS winnowing property: two documents sharing a token run of
+    length >= w + k - 1 (= 6 with k=3, w=4) MUST share at least one
+    selected fingerprint — the recall guarantee positional sampling
+    (plain MinHash) cannot make."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fs_ceph_spark.functions.text import hashed_shingles, token_hashes, tokens
+    from hadoop_fs_ceph_spark.operators.text import _WINNOW_W
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, f"unrelated prefix words here {shared} and a suffix"),
+            (2, f"{shared} totally different continuation tokens follow now"),
+        ],
+        "doc_id long, text string",
+    )
+    kg = docs.select(
+        "doc_id", hashed_shingles(token_hashes(tokens("text")), 3).alias("kg")
+    )
+    fps = kg.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("kg") >= _WINNOW_W,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("kg") - (_WINNOW_W - 1)),
+                        lambda i: F.array_min(F.slice(F.col("kg"), i, _WINNOW_W)),
+                    ),
+                ).otherwise(F.col("kg"))
+            )
+        ).alias("fp"),
+    )
+    sets = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    assert sets[1] & sets[2], "shared 6-token run produced no shared fingerprint"

@@ -24,6 +24,22 @@ def test_dim_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_scaled_dim_join_not_forced_broadcast(spark, sf_dir):
+    """SF-scaled tables (customer/supplier/part) must NOT carry a
+    broadcast hint: with auto-broadcast disabled (the 100 TB reality for
+    those tables) the orders⋈customer join must fall back to sort-merge.
+    A forced hint would keep BroadcastHashJoin here and OOM the driver at
+    warehouse scale."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(SPECS["join_inner_hash"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_fact_fact_join_sort_merges(spark, sf_dir):
     """Two fact tables must sort-merge join (hash-partitioned both sides)
     once neither side fits broadcast — simulated here by disabling
