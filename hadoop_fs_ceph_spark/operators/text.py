@@ -688,3 +688,77 @@ def text_repetition_filter(spark, sf_dir):
         )
         .filter(F.col("n_dup_paras") >= 1)
     )
+
+
+# RAG chunking geometry: 32-token windows, stride 16 (50% overlap)
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 16
+_CHUNK_MOD = 1_000_000_007
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id, {sql_token_hashes(_SQL_TOK)} AS th FROM documents
+      WHERE doc_id % 5 = 2
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(1,
+                      greatest(len(th) - {_CHUNK_LEN - 1}, 1),
+                      {_CHUNK_STRIDE})) AS chunk_start,
+             th
+      FROM th
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(th[chunk_start:chunk_start + {_CHUNK_LEN - 1}]) AS BIGINT)
+             AS n_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          th[chunk_start:chunk_start + {_CHUNK_LEN - 1}]),
+             (a, b) -> (a * 131 + b) % {_CHUNK_MOD}) AS chunk_hash
+    FROM chunks
+    """,
+    tags=("text", "chunking", "rag", "llm-pipeline"),
+)
+def text_chunk_windows(spark, sf_dir):
+    """RAG/embedding chunking: every document split into 32-token windows
+    with stride 16 (50% overlap so no answer span straddles a boundary
+    unseen), each chunk identified by (doc_id, chunk_idx) and
+    content-addressed by an order-sensitive fold hash over its token
+    hashes — the id scheme that lets a re-crawl re-embed ONLY changed
+    chunks (hash-unchanged chunks skip the embedding model, the expensive
+    stage of a RAG ingest).
+
+    Scale shape: pure map-side per-document work — tokenize once, hash
+    per token once, then each window is a slice+fold over the hash array
+    (no per-window re-tokenization); explode emits ~n/stride slim chunk
+    rows and nothing shuffles until a downstream consumer groups them.
+    The modulo filter bounds test output; production chunks every doc."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    th = d.select("doc_id", token_hashes(tokens("text")).alias("th"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("th") - (_CHUNK_LEN - 1), F.lit(1)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    chunk = F.slice(F.col("th"), F.col("chunk_start"), _CHUNK_LEN)
+    return (
+        th.select("doc_id", "th", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            ((F.col("chunk_start") - 1) / _CHUNK_STRIDE)
+            .cast("long")
+            .alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.aggregate(
+                chunk,
+                F.lit(0).cast("long"),
+                lambda a, b: (a * 131 + b) % F.lit(_CHUNK_MOD),
+            ).alias("chunk_hash"),
+        )
+    )
