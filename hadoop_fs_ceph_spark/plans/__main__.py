@@ -1,0 +1,73 @@
+"""Scale-audit CLI: per-query 100 TB posture report.
+
+    python -m hadoop_fs_ceph_spark.plans q5_local_supplier_volume
+    python -m hadoop_fs_ceph_spark.plans --all [sf_dir]   # fleet summary
+
+Per query: join strategies, shuffle count, codegen spans, scan pushdown
+facts, and red flags (cartesian joins, world sorts, row-at-a-time Python).
+``--all`` prints one summary line per declared query and exits non-zero if
+any query has a red flag — the same audit the plan tests pin, but runnable
+ad hoc against any scale directory.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from hadoop_fs_ceph_spark.plans import scale_audit
+from hadoop_fs_ceph_spark.registry import load_all
+from hadoop_fs_ceph_spark.session import get_spark
+from hadoop_fs_ceph_spark.tables import DEFAULT_SF_DIR
+
+
+def _report(name: str, spec, spark, sf_dir: str) -> tuple[str, list[str]]:
+    audit = scale_audit(spec.fn(spark, sf_dir))
+    line = (
+        f"{name}: bhj={audit.broadcast_joins} smj={audit.sort_merge_joins} "
+        f"shuffles={audit.shuffles} codegen={audit.codegen_spans} "
+        f"topk={'y' if audit.take_ordered else 'n'}"
+    )
+    return line, audit.problems()
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    fleet = "--all" in args
+    args = [a for a in args if a != "--all"]
+    names = [a for a in args if not a.startswith("/")]
+    dirs = [a for a in args if a.startswith("/")]
+    sf_dir = dirs[0] if dirs else DEFAULT_SF_DIR
+
+    specs = load_all()
+    if not fleet and not names:
+        print(__doc__)
+        sys.exit(2)
+    if fleet:
+        names = sorted(n for n, s in specs.items() if "streaming" not in s.tags)
+
+    spark = get_spark("scale-audit", driver_memory="8g")
+    spark.sparkContext.setLogLevel("ERROR")
+    flagged = 0
+    for name in names:
+        if name not in specs:
+            print(f"unknown query: {name}")
+            flagged += 1
+            continue
+        try:
+            line, problems = _report(name, specs[name], spark, sf_dir)
+        except Exception as e:  # noqa: BLE001 - CLI reports, caller decides
+            print(f"{name}: ERROR {e}")
+            flagged += 1
+            continue
+        print(line)
+        for p in problems:
+            print(f"  !! {p}")
+            flagged += 1
+        if not fleet:
+            for s in scale_audit(specs[name].fn(spark, sf_dir)).scans:
+                print(f"  scan: {s}")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
