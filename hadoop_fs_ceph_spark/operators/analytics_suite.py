@@ -788,3 +788,82 @@ def ds_sequence_pattern(spark, sf_dir):
         .filter(F.col("converted") | F.col("error_burst"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "ds_repurchase_interval",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE)
+               - lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                                                      ORDER BY o_orderdate, o_orderkey)
+               AS gap_days
+      FROM orders
+    ),
+    seg AS (
+      SELECT c.c_mktsegment, CAST(g.gap_days AS BIGINT) AS gap_days
+      FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+      WHERE g.gap_days IS NOT NULL
+    ),
+    ranked AS (
+      SELECT c_mktsegment, gap_days,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY gap_days, gap_days) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM seg
+    )
+    SELECT c_mktsegment,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_days END)
+             AS median_gap_days
+    FROM ranked
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("analytics", "retention", "median", "interval"),
+)
+def ds_repurchase_interval(spark, sf_dir):
+    """Median time between consecutive orders per market segment — the
+    repeat-purchase cadence metric. Per-customer gaps come from one lag
+    window over (custkey | orderdate, orderkey), diffed at day
+    granularity (datediff — o_orderdate is date-grained); the portable
+    discrete median (rank = ⌈n/2⌉, no interpolation — same technique as
+    win_median_disc) keeps the answer an actual data value, exact in
+    both engines.
+
+    Scale shape: the lag window shuffles once on o_custkey; the
+    customer join attaches the segment to the already-shrunken gap
+    relation; the median ranks within 5 segment partitions of gap rows
+    (≈|orders| rows total, one more shuffle). Integer day gaps — no
+    float anywhere."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    wlag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(wlag))
+        )
+        .cast("long")
+        .alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    seg = gaps.join(c, gaps.o_custkey == c.c_custkey).select("c_mktsegment", "gap_days")
+    wr = Window.partitionBy("c_mktsegment").orderBy("gap_days", "gap_days")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = seg.select(
+        "c_mktsegment",
+        "gap_days",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_days"))
+            ).alias("median_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
