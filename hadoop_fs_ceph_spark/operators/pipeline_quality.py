@@ -468,3 +468,131 @@ def profile_interarrival_gaps(spark, sf_dir):
         .filter(F.col("n_gaps") >= 1)
         .orderBy("user_id")
     )
+
+
+@query(
+    "profile_winsorize_clip",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    bounds AS (
+      SELECT o_orderpriority,
+             MAX(CASE WHEN rn = greatest(1, (5 * n) // 100) THEN o_totalprice END) AS lo,
+             MAX(CASE WHEN rn = least(n, (95 * n) // 100 + 1) THEN o_totalprice END) AS hi
+      FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT r.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN r.o_totalprice < b.lo THEN 1
+                         WHEN r.o_totalprice > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
+           {sql_dsum("least(greatest(r.o_totalprice, b.lo), b.hi)", "sum_winsorized")}
+    FROM ranked r JOIN bounds b ON r.o_orderpriority = b.o_orderpriority
+    GROUP BY r.o_orderpriority
+    ORDER BY r.o_orderpriority
+    """,
+    tags=("profile", "winsorize", "outlier", "preprocessing"),
+)
+def profile_winsorize_clip(spark, sf_dir):
+    """Winsorization — clip, don't drop: per-priority 5th/95th percentile
+    bounds (portable DISCRETE ranks: actual data values at deterministic
+    row numbers, no interpolation) clamp every price before aggregation.
+    The keep-don't-drop alternative to outlier_zscore_group for
+    heavy-tailed features in training-data preprocessing.
+
+    Scale shape: one rank window per group (one shuffle), the 5-row
+    bounds relation joins back (AQE broadcasts it), clipping is map-side,
+    and the final aggregate is partial-combined. Bounds are data values
+    and clipped sums fixed-point, so everything hash-matches."""
+    o = t(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("greatest(1, (5 * n) div 100)"), F.col("o_totalprice"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr("least(n, (95 * n) div 100 + 1)"), F.col("o_totalprice"))
+        ).alias("hi"),
+    )
+    clipped = ranked.join(bounds, "o_orderpriority").select(
+        "o_orderpriority",
+        "o_totalprice",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")).alias("w"),
+    )
+    return (
+        clipped.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") < F.col("lo"))
+                    | (F.col("o_totalprice") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clipped"),
+            dsum("w", "sum_winsorized"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "sample_class_balance",
+    oracle="""
+    WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    rates AS (
+      SELECT lang, n, n // (SELECT MIN(n) FROM cnt) AS k FROM cnt
+    )
+    SELECT d.lang,
+           CAST(MAX(r.n) AS BIGINT) AS n_before,
+           CAST(MAX(r.k) AS BIGINT) AS keep_every_kth,
+           CAST(COUNT(*) AS BIGINT) AS n_after
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE d.doc_id % r.k = 0
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    tags=("sample", "class-balance", "preprocessing"),
+)
+def sample_class_balance(spark, sf_dir):
+    """Class-balance downsampling: majority language classes are thinned
+    by a deterministic keep-every-kth-id rule, k = class_count div
+    min_class_count, so every class lands within ~1× of the smallest —
+    the label-rebalancing step before training on skewed corpora, with a
+    reproducible (id-keyed, not random) keep decision.
+
+    Scale shape: class counts are a 5-row aggregate; the scalar min is a
+    one-row subquery; the rate relation joins back by class label
+    (AQE broadcasts the 5 rows) and the keep filter is map-side — the
+    corpus shuffles only for the final per-class count."""
+    d = t(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    min_n = cnt.agg(F.min("n").alias("m"))
+    rates = cnt.crossJoin(F.broadcast(min_n)).select(
+        "lang", "n", F.expr("n div m").alias("k")
+    )
+    return (
+        d.join(rates, "lang")
+        .filter(F.col("doc_id") % F.col("k") == 0)
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_before"),
+            F.max("k").cast("long").alias("keep_every_kth"),
+            F.count(F.lit(1)).alias("n_after"),
+        )
+        .orderBy("lang")
+    )

@@ -162,6 +162,7 @@ _INTENTIONAL_CROSS = {
     "text_zipf_profile",  # one-row corpus-total broadcast
     "sim_knn_quality_mrr",  # bounded query-batch broadcast (eval pass)
     "win_cusum_changepoint",  # one-row (n, total) broadcast
+    "sample_class_balance",  # one-row min-class-count broadcast
 }
 
 
