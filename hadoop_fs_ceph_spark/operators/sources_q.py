@@ -870,3 +870,83 @@ def src_scd2_build(spark, sf_dir):
         F.lead("ts").over(w).isNull().alias("is_current"),
         F.row_number().over(w).cast("long").alias("version_no"),
     )
+
+
+@query(
+    "src_multi_table_snapshot",
+    oracle=f"""
+    WITH j AS (
+      SELECT l.l_orderkey, l.l_extendedprice, o.o_orderstatus
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey % 4 = 1
+    )
+    SELECT 0 AS version, o_orderstatus, COUNT(*) AS n_lines,
+           {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM j WHERE l_orderkey % 2 = 1 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 1 AS version, o_orderstatus, COUNT(*) AS n_lines,
+           {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM j GROUP BY o_orderstatus
+    ORDER BY version, o_orderstatus
+    """,
+    tags=("source", "catalog", "transaction", "snapshot"),
+)
+def src_multi_table_snapshot(spark, sf_dir):
+    """Cross-table atomic commit: ONE manifest versions the member file
+    sets of BOTH tables (orders + lineitem), so a reader of version v
+    always joins table states that were committed together — never
+    orders@v1 against lineitem@v0, the torn-read hazard of versioning
+    tables independently. The commit protocol is the multi-table
+    generalization of src_time_travel: write the two deltas (immutable
+    files, O(delta)), then publish one new manifest naming both tables'
+    new member lists — the single-file manifest swap IS the transaction
+    boundary, exactly the Iceberg/Delta commit model over a path catalog.
+    The query joins each snapshot's two tables and profiles both
+    versions side by side, proving v0's join view survived the v1
+    commit."""
+    import json
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 1).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    li = li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_semi")
+    root = _scratch(sf_dir, "multi_snap")
+    paths = {
+        ("orders", "base"): o,  # full dim in the base commit
+        ("lineitem", "base"): li.filter(F.col("l_orderkey") % 2 == 1),
+        ("lineitem", "delta"): li.filter(F.col("l_orderkey") % 2 == 0),
+    }
+    for (tbl, part), df in paths.items():
+        write_table(df, os.path.join(root, "data", tbl, part),
+                    format="parquet", mode="overwrite")
+    snap_dir = os.path.join(root, "snap")
+    os.makedirs(snap_dir, exist_ok=True)
+    manifests = {
+        0: {"orders": ["base"], "lineitem": ["base"]},
+        1: {"orders": ["base"], "lineitem": ["base", "delta"]},
+    }
+    for v, members in manifests.items():
+        with open(os.path.join(snap_dir, f"v{v}.json"), "w") as fh:
+            json.dump({"version": v, "tables": members}, fh)
+
+    def snapshot_table(version, tbl):
+        with open(os.path.join(snap_dir, f"v{version}.json")) as fh:
+            members = json.load(fh)["tables"][tbl]
+        return spark.read.parquet(
+            *[os.path.join(root, "data", tbl, m) for m in members]
+        )
+
+    def profile(version):
+        ov = snapshot_table(version, "orders")
+        lv = snapshot_table(version, "lineitem")
+        return (
+            lv.join(ov, lv.l_orderkey == ov.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_extendedprice", "sum_price"))
+            .select(
+                F.lit(version).alias("version"), "o_orderstatus", "n_lines", "sum_price"
+            )
+        )
+
+    return profile(0).unionByName(profile(1)).orderBy("version", "o_orderstatus")
