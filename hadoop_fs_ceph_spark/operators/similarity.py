@@ -521,3 +521,83 @@ def sim_knn_quality_mrr(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id % 100 = 7
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             {sql_cosine('e.embedding', 'q.qv', 64)} AS full_cos,
+             {sql_cosine('e.embedding', 'q.qv', 16)} AS pre_cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    ft AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY full_cos DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 10
+    ),
+    pt AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY pre_cos DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 10
+    )
+    SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           COUNT(*) / 10.0 AS recall_at_10
+    FROM ft f JOIN pt p ON f.qid = p.qid AND f.vec_id = p.vec_id
+    GROUP BY f.qid ORDER BY f.qid
+    """,
+    tags=("similarity", "matryoshka", "recall", "embedding"),
+)
+def sim_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation quality report: top-10 neighbors ranked by
+    the 16-dim embedding PREFIX versus the full 64-dim ranking, reported
+    as recall@10 per query — the measurement that decides whether
+    truncated (4× cheaper to store, scan, and compare) vectors are good
+    enough for first-stage retrieval, with full-dim rescoring reserved
+    for the short list. Prefix scoring is a dim=16 sequential fold over
+    the same arrays (no re-embedding), and both rankings carry a total
+    tie-break (score desc, vec_id) over bit-identical doubles, so the
+    per-query overlap is deterministic cross-engine.
+
+    Scale shape: the bounded query batch broadcasts (1% sample stands in
+    for a fixed eval set); scoring is map-side over the corpus; each
+    ranking is a per-query window (rows ≈ |corpus|×|queries|, the
+    brute-force truth pass an ANN evaluation runs offline)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qv")).alias("full_cos"),
+            cosine(
+                F.slice(F.col("embedding"), 1, 16), F.slice(F.col("qv"), 1, 16)
+            ).alias("pre_cos"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("full_cos").desc(), "vec_id")
+    wp = Window.partitionBy("qid").orderBy(F.col("pre_cos").desc(), "vec_id")
+    ft = scored.withColumn("rn", F.row_number().over(wf)).filter(F.col("rn") <= 10)
+    pt = scored.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= 10)
+    return (
+        ft.select("qid", "vec_id")
+        .join(pt.select("qid", "vec_id"), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select("qid", "n_overlap", (F.col("n_overlap") / 10.0).alias("recall_at_10"))
+        .orderBy("qid")
+    )

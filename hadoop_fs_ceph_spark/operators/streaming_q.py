@@ -572,3 +572,54 @@ def stream_incremental_checkpoint(spark, sf_dir):
         )
         .orderBy("phase")
     )
+
+
+@query(
+    "stream_trending_topk",
+    oracle="""
+    WITH wc AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + (epoch_us(ts) // 86400000000 * 86400) * INTERVAL 1 SECOND
+               AS w_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT w_start, event_type, n,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT w_start, event_type, n,
+             row_number() OVER (PARTITION BY w_start
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM wc
+    )
+    WHERE rnk <= 2
+    ORDER BY w_start, rnk
+    """,
+    tags=("streaming", "window", "rank", "trending"),
+)
+def stream_trending_topk(spark, sf_dir):
+    """Trending detection — per-day top-2 event types by volume: streaming
+    windowed counts (daily tumbling windows in complete mode hold the
+    final per-window state after the drain), then a batch ranking pass
+    over the drained sink picks each window's leaders with a total
+    tie-break (count desc, type asc).
+
+    This split is the production shape: the STREAM maintains only the
+    cheap incrementally-updatable state (windowed counts — rank is not
+    incrementally maintainable without re-sorting per update), and the
+    consumer ranks the tiny per-window aggregate on read. State size is
+    |windows|×|types| rows regardless of event volume; at 100 TB the
+    same plan runs with a watermark bounding window state."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+    drained = run_to_memory(agg, "stream_trending_topk", "complete")
+    wr = Window.partitionBy("w_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        drained.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("w_start", "rnk")
+    )

@@ -163,6 +163,7 @@ _INTENTIONAL_CROSS = {
     "sim_knn_quality_mrr",  # bounded query-batch broadcast (eval pass)
     "win_cusum_changepoint",  # one-row (n, total) broadcast
     "sample_class_balance",  # one-row min-class-count broadcast
+    "sim_matryoshka_recall",  # bounded query-batch broadcast (truth pass)
 }
 
 
