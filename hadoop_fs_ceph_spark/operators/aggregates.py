@@ -521,3 +521,56 @@ def agg_percent_of_total(spark, sf_dir):
         )
         .orderBy("rev_rank", "n_name")
     )
+
+
+@query(
+    "agg_session_window_batch",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("aggregate", "session-window", "batch"),
+)
+def agg_session_window_batch(spark, sf_dir):
+    """The BUILT-IN session_window operator in batch mode: Spark's native
+    gap-based session assignment (30-minute inactivity gap) as a groupBy
+    key — no manual lag/flag/running-sum idiom (that formulation is
+    win_sessionize; this is the engine operator that replaces it). The
+    oracle IS that manual idiom, proving the built-in's session
+    boundaries [start, last+gap) group exactly the rows the classic
+    decomposition groups.
+
+    Scale shape: one shuffle on user_id, then a per-partition merge of
+    overlapping windows — the same plan the streaming twin
+    (stream_session_window) runs with state instead of a sort. Note the
+    built-in closes a session only after a FULL gap of silence (>= gap),
+    matching the >= in the oracle's flag."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -950,3 +950,42 @@ def src_multi_table_snapshot(spark, sf_dir):
         )
 
     return profile(0).unionByName(profile(1)).orderBy("version", "o_orderstatus")
+
+
+@query(
+    "src_partition_evolution",
+    oracle="""
+    SELECT o_orderstatus, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus, yr
+    ORDER BY o_orderstatus, yr
+    """,
+    tags=("source", "partition-evolution", "layout"),
+)
+def src_partition_evolution(spark, sf_dir):
+    """Partition-spec evolution: the table's OLD half lives under the
+    original spec (partitioned by status only), the NEW half under the
+    evolved spec (status, year) — the Iceberg-style migration where old
+    data is never rewritten when the partitioning scheme changes, because
+    rewriting history is exactly the O(table) cost partition evolution
+    exists to avoid. A reader unions the two layouts (each scan prunes by
+    its own spec's directories) and the combined aggregate must equal the
+    unpartitioned truth.
+
+    At 100 TB: new specs apply forward-only; queries filtered on year
+    prune directories in the new half and fall back to parquet row-group
+    stats in the old half — graceful, not wrong, which is the contract."""
+    o = t(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    old_half = o.filter(F.col("o_orderkey") % 2 == 0)
+    new_half = o.filter(F.col("o_orderkey") % 2 == 1)
+    root = _scratch(sf_dir, "part_evolution")
+    p_old, p_new = os.path.join(root, "spec0"), os.path.join(root, "spec1")
+    write_table(old_half, p_old, mode="overwrite", partition_by=["o_orderstatus"])
+    write_table(new_half, p_new, mode="overwrite", partition_by=["o_orderstatus", "yr"])
+    back = spark.read.parquet(p_old).unionByName(spark.read.parquet(p_new))
+    return (
+        back.groupBy("o_orderstatus", F.col("yr").cast("long").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus", "yr")
+    )
