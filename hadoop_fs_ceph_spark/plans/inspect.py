@@ -65,18 +65,25 @@ class ScaleAudit:
     shuffles: int  # Exchange hashpartitioning count
     global_sorts: int  # Sort [..], global=true outside TakeOrdered
     take_ordered: bool  # top-k via per-partition heaps
+    has_aggregate: bool  # any aggregate operator in the plan
     python_on_hot_path: bool  # BatchEvalPython (row-at-a-time UDF)
     arrow_python: bool  # ArrowEvalPython / pandas-UDF nodes
     codegen_spans: int  # WholeStageCodegen regions
     scans: list[dict[str, str]] = field(default_factory=list)
 
     def problems(self) -> list[str]:
-        """Human-readable red flags (empty list = plan looks scalable)."""
+        """Human-readable red flags (empty list = plan looks scalable).
+
+        The global-sort flag fires only when the plan contains NO
+        aggregate: a sort above an aggregation orders a group-key-sized
+        relation (the deterministic-output contract of the declared
+        queries), while a sort of a raw scan/join output really does
+        sort the world at scale."""
         out = []
         if self.cartesian:
             out.append("cartesian/nested-loop join — O(n·m) at scale")
-        if self.global_sorts > 0 and not self.take_ordered:
-            out.append("global sort without limit — sorts the world")
+        if self.global_sorts > 0 and not self.take_ordered and not self.has_aggregate:
+            out.append("global sort of an unaggregated relation — sorts the world")
         if self.python_on_hot_path:
             out.append("row-at-a-time Python UDF on the hot path")
         return out
@@ -93,6 +100,9 @@ def scale_audit(df: DataFrame, execute: bool = False) -> ScaleAudit:
         shuffles=simple.count("Exchange hashpartitioning"),
         global_sorts=len(re.findall(r"\bSort \[.*\], true,", simple)),
         take_ordered="TakeOrderedAndProject" in simple,
+        has_aggregate=any(
+            a in simple for a in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+        ),
         python_on_hot_path="BatchEvalPython" in simple,
         arrow_python="ArrowEvalPython" in simple or "FlatMapGroupsInPandas" in simple,
         # codegen regions render as "[codegen id : n]" (formatted mode),
