@@ -183,3 +183,55 @@ def test_zorder_rectangle_subset(spark, sf_dir):
     total = t(spark, sf_dir, "lineitem").count()
     assert 0 < row.n < total
     assert 0 <= row.sum_z <= row.n * (2**32 - 1)
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    """SCD2 integrity per key: version ordinals are 1..n with no gaps,
+    each version's valid_to equals the next version's valid_from
+    (intervals tile the history with no gap or overlap), and exactly one
+    version — the last — is current (valid_to NULL)."""
+    rows = SPECS["src_scd2_build"].fn(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for uid, versions in by_user.items():
+        versions.sort(key=lambda r: r.version_no)
+        assert [v.version_no for v in versions] == list(range(1, len(versions) + 1))
+        assert sum(1 for v in versions if v.is_current) == 1
+        assert versions[-1].is_current and versions[-1].valid_to is None
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to == b.valid_from, f"gap/overlap for user {uid}"
+            assert a.valid_from <= a.valid_to
+
+
+def test_winsorize_bounds_and_conservation(spark, sf_dir):
+    """Winsorization invariants: clipped count is at most ~10% of the
+    group (5% per tail by construction of the discrete ranks), never
+    negative, and group sizes match the raw table."""
+    rows = SPECS["profile_winsorize_clip"].fn(spark, sf_dir).collect()
+    raw = {
+        r.o_orderpriority: r.n
+        for r in t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.o_orderpriority for r in rows} == set(raw)
+    for r in rows:
+        assert r.n == raw[r.o_orderpriority]
+        # each tail clips < 5% + 1 row (discrete rank rounding)
+        assert 0 <= r.n_clipped <= 2 * (r.n * 5 // 100 + 1)
+
+
+def test_class_balance_within_factor_two(spark, sf_dir):
+    """After downsampling, every class lands within 2x of the smallest
+    original class (keep-every-kth with k = n div min keeps between
+    min/2 and 2*min rows for any residue distribution)."""
+    rows = SPECS["sample_class_balance"].fn(spark, sf_dir).collect()
+    assert rows
+    min_before = min(r.n_before for r in rows)
+    for r in rows:
+        assert r.keep_every_kth == r.n_before // min_before
+        assert r.n_after <= 2 * min_before
+        assert r.n_after >= min_before // 2
