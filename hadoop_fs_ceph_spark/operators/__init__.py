@@ -33,6 +33,17 @@ Module map (SURVEY.md §2B families):
                  pairs, gaps-and-islands streaks, cumulative distinct
 * funcs3       — boolean aggregates (count_if/bool_and/bool_or), trig family
 * funcs4       — calendar-arithmetic datetime family, bigram frequency
+* funcs5       — VARIANT family, interval arithmetic, bitwise folds,
+                 array set-algebra
+* graph        — label propagation (pagerank-fixed), triangle counting
+
+Round-2 additions live inside the family modules: winnowing fingerprints,
+train/eval decontamination, repetition filter, RAG chunking (text);
+SCD2 build, multi-table snapshots, partition evolution (sources);
+sequence patterns, repurchase cadence (analytics_suite); Matryoshka
+recall (similarity); trending top-k (streaming_q); session_window batch
+(aggregates); winsorize + class balance (pipeline_quality); recursive
+CTE (sql_surface).
 """
 
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401
