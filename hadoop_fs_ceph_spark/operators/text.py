@@ -767,3 +767,71 @@ def text_chunk_windows(spark, sf_dir):
             ).alias("chunk_hash"),
         )
     )
+
+
+_PACK_LEN = 256  # tokens per packed training row
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, chr(32))) AS n_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_before,
+           cum_before // {_PACK_LEN} AS start_row,
+           (cum_before + n_tokens - 1) // {_PACK_LEN} AS end_row,
+           ((cum_before + n_tokens - 1) // {_PACK_LEN})
+             > (cum_before // {_PACK_LEN}) AS spans_boundary
+    FROM offs
+    """,
+    tags=("text", "packing", "llm-pipeline"),
+)
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing index — the concat-and-chunk assembly step that
+    turns tokenized documents into fixed-length training rows (256
+    tokens here): a per-shard prefix sum of token counts gives each
+    document its byte-exact offset, from which its first/last training
+    row and whether it straddles a row boundary follow by integer
+    division. Downstream, the actual token assembly is a per-row gather
+    keyed by start_row/end_row; this query computes the index that
+    makes that gather embarrassingly parallel.
+
+    Scale shape: packing is per-shard (window PARTITIONED by source —
+    the crawl shard), never a global prefix sum: each shard's running
+    sum is an independent window over its own doc_id order, which is
+    how production packers parallelize. One shuffle on the shard key;
+    everything after is map-side integer arithmetic."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return offs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_before",
+        F.expr(f"cum_before div {_PACK_LEN}").alias("start_row"),
+        F.expr(f"(cum_before + n_tokens - 1) div {_PACK_LEN}").alias("end_row"),
+        (
+            F.expr(f"(cum_before + n_tokens - 1) div {_PACK_LEN}")
+            > F.expr(f"cum_before div {_PACK_LEN}")
+        ).alias("spans_boundary"),
+    )
