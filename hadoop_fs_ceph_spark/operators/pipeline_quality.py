@@ -596,3 +596,44 @@ def sample_class_balance(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "profile_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("profile", "histogram", "equi-depth", "statistics"),
+)
+def profile_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (quantile-bucket) histogram — the statistics object
+    optimizers and data-profilers prefer over fixed-width bins for
+    skewed columns, because every bucket carries the same row count and
+    the BOUNDARIES encode the distribution: 8 ntile buckets over a total
+    order (value, key — the tie-break makes bucket assignment
+    deterministic at any parallelism), reporting each bucket's
+    population and [lo, hi] range.
+
+    Scale note: ntile over an unpartitioned ORDER BY is a global sort —
+    acceptable for profiling runs and bounded outputs, but at 100 TB the
+    production form samples first or uses approx_percentile boundaries;
+    the exact form here is the oracle-checkable truth those approximate."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
