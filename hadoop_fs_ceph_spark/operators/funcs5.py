@@ -372,3 +372,48 @@ def fn_aes_roundtrip(spark, sf_dir):
         F.length(ct).cast("long").alias("ct_len"),
         (rt == F.col("text")).alias("ok"),
     ).orderBy("doc_id")
+
+
+@query(
+    "fn_collation_family",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS l
+      FROM documents
+    )
+    SELECT lower(l) AS lang_ci,
+           COUNT(*) AS n,
+           COUNT(DISTINCT l) AS n_case_variants
+    FROM m GROUP BY lower(l) ORDER BY lang_ci
+    """,
+    tags=("function", "collation", "string"),
+)
+def fn_collation_family(spark, sf_dir):
+    """Spark 4 string collations: grouping under UTF8_LCASE treats case
+    variants as ONE key at the collation layer — no lower() rewrite of
+    the data — while COUNT(DISTINCT) of the raw (binary-collated) value
+    inside each group counts the surviving case variants. Collation-aware
+    grouping is the engine-level answer to case-insensitive semantics:
+    the comparison/hash changes, the bytes don't, so the column remains
+    byte-faithful for everything downstream (the oracle expresses the
+    same result with an explicit lower(), the pre-collation idiom).
+
+    Mixed-case input is derived deterministically (even doc_ids
+    uppercased). The group representative under a case-insensitive
+    collation is partition-order-dependent, so the output key is
+    lower()'d — the only canonicalization in the query."""
+    d = t(spark, sf_dir, "documents")
+    m = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("l")
+    )
+    return (
+        m.groupBy(F.expr("COLLATE(l, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l").alias("n_case_variants"),
+        )
+        .select(F.lower("k").alias("lang_ci"), "n", "n_case_variants")
+        .orderBy("lang_ci")
+    )
