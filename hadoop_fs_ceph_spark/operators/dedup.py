@@ -369,6 +369,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+_CC_MAX_ROUNDS = 50
+
+
 @query(
     "dedup_cluster_cc",
     oracle=f"""
@@ -403,20 +406,25 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_cluster_cc(spark, sf_dir):
     """Duplicate clustering: connected components over the verified
-    MinHash-LSH near-dup pairs via iterative min-label propagation — each
-    document's cluster id is the smallest doc_id reachable through dup
-    edges, i.e. the canonical keeper its group dedups to.
+    MinHash-LSH near-dup pairs via min-label propagation iterated to
+    FIXPOINT — each document's cluster id is the smallest doc_id
+    reachable through dup edges, i.e. the canonical keeper its group
+    dedups to.
 
-    The loop is pure DataFrame joins (labels ⋈ edges → min per node),
-    persisted per round; the min label spreads one hop per round, so
-    rounds must be ≥ the component diameter. Components of ≥0.8-Jaccard
-    near-dups are near-cliques — the fixtures' are all diameter 1
-    (measured) — so 2 rounds carries a full safety margin while halving
-    the stage count of a longer fixed loop. At real scale this becomes
-    the alternating large-star/small-star formulation — identical join
-    shapes, logarithmic rounds, a convergence check per round, labels
-    checkpointed to parquet; the oracle is a recursive-CTE transitive
-    closure over the same pairs."""
+    Each round is pure DataFrame joins (labels ⋈ edges → min per node);
+    the min label spreads one hop per round, so convergence needs
+    rounds ≥ the component diameter — which is data-dependent and
+    unknowable up front (near-dup CHAINS A~B~C~D occur in real corpora
+    even at a 0.8 threshold). The loop therefore checks convergence
+    every round: a single count of changed labels, stopping at zero.
+    ``localCheckpoint`` (eager) truncates the per-round lineage so the
+    plan does not grow with the diameter; on a cluster, point
+    ``sparkContext.setCheckpointDir`` at durable storage and use
+    ``checkpoint()`` for executor-loss resilience. ``_CC_MAX_ROUNDS``
+    bounds a pathological chain (diameter ≥ 50 would mean the corpus
+    is one giant near-dup snake); hitting it raises rather than
+    returning silently-wrong cluster ids. The oracle is a
+    recursive-CTE transitive closure over the same pairs."""
     # persist the pair relation itself: the symmetric union references it
     # twice, and without the cache each branch re-runs the whole LSH
     # candidate+verify pipeline
@@ -427,24 +435,36 @@ def dedup_cluster_cc(spark, sf_dir):
     labels = (
         edges.select(F.col("doc_a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
-    for _ in range(2):
+    for _round in range(_CC_MAX_ROUNDS):
         nbr_min = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        updated = (
             labels.join(nbr_min, labels.node == nbr_min.doc_a, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()  # eager: materializes + cuts lineage
         )
+        changed = updated.filter(F.col("label") != F.col("old_label")).count()
+        labels = updated.select("node", "label")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_cluster_cc: no fixpoint after {_CC_MAX_ROUNDS} rounds "
+            "(component diameter exceeds the bound — raise _CC_MAX_ROUNDS)"
+        )
+    edges.unpersist()
+    pairs.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -637,3 +637,65 @@ def profile_equidepth_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "profile_equidepth_histogram_approx",
+    oracle="""
+    SELECT CAST(range AS INT) AS bucket,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total,
+           TRUE AS within_tolerance
+    FROM range(1, 9)
+    ORDER BY bucket
+    """,
+    tags=("profile", "histogram", "equi-depth", "approx", "statistics"),
+)
+def profile_equidepth_histogram_approx(spark, sf_dir):
+    """Equi-depth histogram, PRODUCTION form — the runnable-at-100 TB
+    twin of ``profile_equidepth_histogram``: bucket boundaries come from
+    ``percentile_approx`` (Greenwald-Khanna sketch, accuracy=10000 ⇒
+    rank error ≤ n/10000 per boundary — a partial-merge aggregate, NO
+    global sort), bucket assignment is a map-side array lookup against
+    the broadcast one-row boundary relation, and the per-bucket count is
+    an 8-key aggregate. Total cost: two passes over the column, zero
+    world sorts — vs the exact form's single-partition ntile.
+
+    Driver-checkable shape (the ``within_tolerance`` pattern of
+    ``agg_approx_count_distinct``): each bucket's population must land
+    within 10% of the ideal n/8 (sketch guarantee: deviation ≤ 2n/10000
+    per bucket, 50× inside the gate), so the deterministic columns
+    (bucket spine, total rows) hash-match the oracle while the
+    approximate populations are tolerance-verified. The exact ntile
+    form remains the oracle-truth profile this approximates."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice")
+    stats = o.agg(
+        F.percentile_approx(
+            "o_totalprice", [i / 8.0 for i in range(1, 8)], 10000
+        ).alias("cuts"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    counts = (
+        o.join(F.broadcast(stats))  # one-row boundary broadcast (allowlisted)
+        .select(
+            (
+                F.lit(1)
+                + F.size(F.filter("cuts", lambda c: c < F.col("o_totalprice")))
+            ).cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = spark.range(1, 9).select(F.col("id").cast("int").alias("bucket"))
+    return (
+        spine.join(F.broadcast(stats.select("n_total")))
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            "n_total",
+            (
+                F.abs(F.coalesce(F.col("n"), F.lit(0)) - F.col("n_total") / 8.0)
+                <= F.greatest(F.col("n_total") * (0.1 / 8.0), F.lit(2.0))
+            ).alias("within_tolerance"),
+        )
+        .orderBy("bucket")
+    )

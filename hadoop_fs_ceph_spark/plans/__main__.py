@@ -6,8 +6,9 @@
 Per query: join strategies, shuffle count, codegen spans, scan pushdown
 facts, and red flags (cartesian joins, world sorts, row-at-a-time Python).
 ``--all`` prints one summary line per declared query and exits non-zero if
-any query has a red flag — the same audit the plan tests pin, but runnable
-ad hoc against any scale directory.
+any query has an UNALLOWLISTED red flag — the same allowlist
+(`plans/allowlist.py`) the plan tests pin, so exit 0 is the real gate.
+Allowlisted flags still print (prefixed ``ok:``) with their reason.
 """
 
 from __future__ import annotations
@@ -15,19 +16,21 @@ from __future__ import annotations
 import sys
 
 from hadoop_fs_ceph_spark.plans import scale_audit
+from hadoop_fs_ceph_spark.plans.allowlist import split_flags
 from hadoop_fs_ceph_spark.registry import load_all
 from hadoop_fs_ceph_spark.session import get_spark
 from hadoop_fs_ceph_spark.tables import DEFAULT_SF_DIR
 
 
-def _report(name: str, spec, spark, sf_dir: str) -> tuple[str, list[str]]:
+def _report(name: str, spec, spark, sf_dir: str):
     audit = scale_audit(spec.fn(spark, sf_dir))
     line = (
         f"{name}: bhj={audit.broadcast_joins} smj={audit.sort_merge_joins} "
         f"shuffles={audit.shuffles} codegen={audit.codegen_spans} "
         f"topk={'y' if audit.take_ordered else 'n'}"
     )
-    return line, audit.problems()
+    real, allowed = split_flags(name, audit.problems())
+    return line, real, allowed, audit
 
 
 def main() -> None:
@@ -54,17 +57,19 @@ def main() -> None:
             flagged += 1
             continue
         try:
-            line, problems = _report(name, specs[name], spark, sf_dir)
+            line, real, allowed, audit = _report(name, specs[name], spark, sf_dir)
         except Exception as e:  # noqa: BLE001 - CLI reports, caller decides
             print(f"{name}: ERROR {e}")
             flagged += 1
             continue
         print(line)
-        for p in problems:
+        for p in real:
             print(f"  !! {p}")
             flagged += 1
+        for p in allowed:
+            print(f"  ok: {p}")
         if not fleet:
-            for s in scale_audit(specs[name].fn(spark, sf_dir)).scans:
+            for s in audit.scans:
                 print(f"  scan: {s}")
     sys.exit(1 if flagged else 0)
 

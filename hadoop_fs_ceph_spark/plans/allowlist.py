@@ -1,0 +1,103 @@
+"""Shared scale-audit allowlist — ONE source of truth for the plan gate.
+
+Every entry names a declared query whose plan legitimately contains a
+pattern the auditor would otherwise flag, with the reason it is safe at
+scale. Both the fleet pytest (`tests/test_plans.py`) and the audit CLI
+(`python -m hadoop_fs_ceph_spark.plans --all`) read THIS dict — the CLI
+exit code is the same gate the tests pin, so `--all` exiting 0 is a real
+claim, not a default.
+
+An allowlisted flag is still printed by the CLI (as ``ok:``) so the
+posture stays visible; only UNLISTED flags fail the gate.
+"""
+
+from __future__ import annotations
+
+# --- cartesian / nested-loop joins that are bounded by construction -------
+# All are BroadcastNestedLoopJoin with a build side of spec-bounded
+# cardinality: one-row scalar subqueries (totals, maxima, thresholds),
+# tiny fixed dims, or a bounded query batch of an eval pass.
+INTENTIONAL_CROSS: dict[str, str] = {
+    "join_cross": "deliberate tiny-dims cross join (region x nation, 5x25 rows)",
+    "fn_zip_with_dot": "one-row query-vector broadcast",
+    "sim_knn_bruteforce": "one-row query-vector broadcast (declared truth pass)",
+    "sim_ivf_cells": "8-row centroid table + 1-row query vector broadcasts",
+    "sim_knn_batch_queries": "5-row query-batch broadcast",
+    "q11_important_stock": "one-row global stock-value threshold broadcast",
+    "agg_histogram_fixed": "one-row min/max bounds broadcast",
+    "agg_hll_sketch_merge": "one-row exact-count broadcast (verification branch)",
+    "q15_top_supplier": "one-row max-revenue threshold broadcast",
+    "q22_global_sales_opportunity": "one-row average-balance threshold broadcast",
+    "ds_funnel_conversion": "three one-row stage counts cross-joined",
+    "sim_ann_recall_report": "sampled query-batch broadcast (truth pass)",
+    "ds_pareto_concentration": "one-row totals broadcast",
+    "ds_rfm_segmentation": "one-row corpus-max-date broadcast",
+    "graph_triangle_count": "one-row edge-count broadcast joined to one-row count",
+    "ds_basket_lift": "one-row order-count broadcast",
+    "text_zipf_profile": "one-row corpus-total broadcast",
+    "sim_knn_quality_mrr": "bounded query-batch broadcast (eval pass)",
+    "win_cusum_changepoint": "one-row (n, total) broadcast",
+    "sample_class_balance": "one-row min-class-count broadcast",
+    "sim_matryoshka_recall": "bounded query-batch broadcast (truth pass)",
+    "profile_equidepth_histogram_approx": "one-row approx-boundary broadcast + 8-row bucket spine",
+}
+
+# --- global sorts of bounded relations ------------------------------------
+# The auditor flags Sort(global=true) in plans with no aggregate because it
+# cannot see cardinality. These queries sort a relation that is bounded by
+# construction — a fixed demo sample, a verified candidate-pair set, or a
+# per-group-exploded bounded output — purely for deterministic presentation;
+# at scale the sorted relation does not grow with the corpus (or the sort is
+# trivially dropped by consumers that don't need ordered output).
+_FN_DEMO = "function-family demo over a bounded sample relation; ORDER BY is the deterministic-output contract"
+BOUNDED_SORT: dict[str, str] = {
+    "fn_aes_roundtrip": _FN_DEMO,
+    "fn_array_setops": _FN_DEMO,
+    "fn_bitwise_family": _FN_DEMO,
+    "fn_calendar_family": _FN_DEMO,
+    "fn_char_family": _FN_DEMO,
+    "fn_edit_distance": _FN_DEMO,
+    "fn_format_radix_family": _FN_DEMO,
+    "fn_hash_family": _FN_DEMO,
+    "fn_interval_family": _FN_DEMO,
+    "fn_mask_builtin": _FN_DEMO,
+    "fn_regexp_family": _FN_DEMO,
+    "fn_string2_family": _FN_DEMO,
+    "fn_trig_family": _FN_DEMO,
+    "fn_unpivot_stack": _FN_DEMO,
+    "fn_url_family": _FN_DEMO,
+    "fn_variant_family": _FN_DEMO,
+    "dedup_hybrid_signal": "sorts the verified near-dup pair set (candidates after cosine+Jaccard gates, bounded ≪ corpus)",
+    "sim_knn_batch_queries": "sorts |queries| x k rows (5x3) — the ranked answer set, not the corpus",
+    "sim_l2_normalize": "demo slice ordered by doc_id for deterministic output",
+    "sql_lateral_topk": "sorts top-2-per-nation output (bounded by 25 nations x k)",
+    "src_nested_struct_roundtrip": "sorts the read-back demo slice (bounded scratch table)",
+    "text_bpe_pretokenize": "sorts a bounded per-doc token sample for deterministic output",
+    "text_pii_scrub": "sorts the scrubbed demo slice by doc_id",
+    "udf_apply_in_arrow": "sorts the per-group Arrow output (group-count-bounded)",
+    "win_median_disc": "sorts the 5-row per-flag median summary",
+}
+
+# --- declared Python-UDF surface ------------------------------------------
+DECLARED_PYTHON: dict[str, str] = {
+    "udf_scalar_python": "THE declared row-at-a-time scalar-UDF surface demo (udfs.py) — exists to document the slow path, never composed into other queries",
+}
+
+_FLAG_ALLOW = {
+    "cartesian/nested-loop join — O(n·m) at scale": INTENTIONAL_CROSS,
+    "global sort of an unaggregated relation — sorts the world": BOUNDED_SORT,
+    "row-at-a-time Python UDF on the hot path": DECLARED_PYTHON,
+}
+
+
+def split_flags(name: str, problems: list[str]) -> tuple[list[str], list[str]]:
+    """Partition a query's audit problems into (real, allowlisted-with-reason)."""
+    real: list[str] = []
+    allowed: list[str] = []
+    for p in problems:
+        allow = _FLAG_ALLOW.get(p, {})
+        if name in allow:
+            allowed.append(f"{p} [allowlisted: {allow[name]}]")
+        else:
+            real.append(p)
+    return real, allowed

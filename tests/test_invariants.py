@@ -69,6 +69,34 @@ def test_lsh_pairs_are_canonical_and_thresholded(spark, sf_dir):
     assert len({(r.doc_a, r.doc_b) for r in rows}) == len(rows)  # no dup pairs
 
 
+def test_cluster_cc_converges_on_diameter_4_chain(spark, tmp_path):
+    """Planted near-dup CHAIN A~B~C~D (adjacent Jaccard 0.85, chain ends
+    dissimilar): connected components must put all four docs in ONE
+    cluster labeled by the smallest doc_id. A fixed-round propagation
+    (diameter < chain length) returns silently wrong labels here — this
+    pins the iterate-to-fixpoint contract of dedup_cluster_cc."""
+    import pandas as pd
+
+    L, S = 200, 16  # tokens per doc, token shift per chain link
+    toks = [f"tok{i:04d}" for i in range(L + 3 * S)]
+    docs = []
+    for i in range(4):
+        body = " ".join(toks[i * S : i * S + L])
+        docs.append(
+            {"doc_id": i + 1, "text": body, "lang": "en", "source": f"s{i}", "n_chars": len(body)}
+        )
+    d = str(tmp_path / "chain_sf")
+    import os
+
+    os.makedirs(d)
+    pd.DataFrame(docs).to_parquet(os.path.join(d, "documents.parquet"), index=False)
+
+    pairs = {(r.doc_a, r.doc_b) for r in SPECS["dedup_minhash_lsh"].fn(spark, d).collect()}
+    assert pairs == {(1, 2), (2, 3), (3, 4)}  # a path, not a clique
+    got = {(r.doc_id, r.cluster_id) for r in SPECS["dedup_cluster_cc"].fn(spark, d).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+
 def test_cluster_ids_are_component_minima(spark, sf_dir):
     """Every cluster id must be a member of its own cluster and be its
     minimum — the keeper contract of dedup_cluster_cc."""

@@ -137,51 +137,33 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
 
 
-# Queries whose plan legitimately contains a nested-loop/cartesian node:
-# a deliberate tiny-dims cross join, broadcasts of one-row query vectors,
-# and scalar-subquery thresholds joined in as one-row broadcasts (Q11's
-# global stock value, Q15's max revenue, Q22's average balance) — all
-# BroadcastNestedLoopJoin with a single-row build side.
-_INTENTIONAL_CROSS = {
-    "join_cross",
-    "fn_zip_with_dot",
-    "sim_knn_bruteforce",
-    "sim_ivf_cells",  # 8-row centroid table + 1-row query vector broadcasts
-    "sim_knn_batch_queries",  # 5-row query-batch broadcast
-    "q11_important_stock",
-    "agg_histogram_fixed",  # one-row min/max bounds broadcast
-    "agg_hll_sketch_merge",  # one-row exact-count broadcast (verification branch)
-    "q15_top_supplier",
-    "q22_global_sales_opportunity",
-    "ds_funnel_conversion",  # three one-row stage counts cross-joined
-    "sim_ann_recall_report",  # sampled query-batch broadcast (truth pass)
-    "ds_pareto_concentration",  # one-row totals broadcast
-    "ds_rfm_segmentation",  # one-row corpus-max-date broadcast
-    "graph_triangle_count",  # one-row edge-count broadcast joined to one-row count
-    "ds_basket_lift",  # one-row order-count broadcast
-    "text_zipf_profile",  # one-row corpus-total broadcast
-    "sim_knn_quality_mrr",  # bounded query-batch broadcast (eval pass)
-    "win_cusum_changepoint",  # one-row (n, total) broadcast
-    "sample_class_balance",  # one-row min-class-count broadcast
-    "sim_matryoshka_recall",  # bounded query-batch broadcast (truth pass)
-}
+# The cartesian/sort/UDF allowlist is shared with the audit CLI — ONE
+# source of truth (`plans/allowlist.py`), so `python -m
+# hadoop_fs_ceph_spark.plans --all` exiting 0 is the same gate this
+# fleet test pins.
+from hadoop_fs_ceph_spark.plans.allowlist import (  # noqa: E402
+    INTENTIONAL_CROSS,
+    split_flags,
+)
 
 
 @pytest.mark.parametrize(
     "name",
-    sorted(
-        n
-        for n, s in SPECS.items()
-        if "streaming" not in s.tags and n not in _INTENTIONAL_CROSS
-    ),
+    sorted(n for n, s in SPECS.items() if "streaming" not in s.tags),
 )
-def test_no_accidental_cartesian_anywhere(spark, sf_dir, name):
-    """Fleet-wide guard: no declared batch query may contain a cartesian
-    or nested-loop join unless explicitly allow-listed — the failure mode
+def test_fleet_audit_clean(spark, sf_dir, name):
+    """Fleet-wide gate: every declared batch query's scale audit must
+    report ZERO unallowlisted red flags (cartesian joins, world sorts,
+    row-at-a-time Python) — the same audit, allowlist and all, that
+    `python -m hadoop_fs_ceph_spark.plans --all` runs, so the CLI's
+    exit-0 claim is pinned here. Allowlisted patterns carry a reason
+    string in plans/allowlist.py; anything else is the failure mode
     that silently works at test scale and melts at 100 TB."""
-    plan = plan_of(SPECS[name].fn(spark, sf_dir))
-    assert "CartesianProduct" not in plan, name
-    assert "BroadcastNestedLoopJoin" not in plan, name
+    audit = scale_audit(SPECS[name].fn(spark, sf_dir))
+    real, _allowed = split_flags(name, audit.problems())
+    assert real == [], f"{name}: {real}"
+    if name not in INTENTIONAL_CROSS:
+        assert not audit.cartesian, name
 
 
 def test_scale_audit_surface(spark, sf_dir):
