@@ -48,6 +48,9 @@ def main() -> None:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        # drop per-query persisted intermediates so one query's cached
+        # blocks can't crowd executor memory for the next
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

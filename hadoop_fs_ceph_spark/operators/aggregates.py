@@ -546,6 +546,7 @@ def agg_percent_of_total(spark, sf_dir):
     ORDER BY user_id, session_start
     """,
     tags=("aggregate", "session-window", "batch"),
+    bench=True,
 )
 def agg_session_window_batch(spark, sf_dir):
     """The BUILT-IN session_window operator in batch mode: Spark's native

@@ -741,11 +741,16 @@ def ds_cart_abandonment(spark, sf_dir):
 @query(
     "ds_sequence_pattern",
     oracle="""
-    WITH seqs AS (
+    WITH recent AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) <= 4096
+    ),
+    seqs AS (
       SELECT user_id,
              string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
                AS seq
-      FROM events GROUP BY user_id
+      FROM recent GROUP BY user_id
     )
     SELECT user_id,
            CAST(length(seq) AS BIGINT) AS n_events,
@@ -765,19 +770,34 @@ def ds_sequence_pattern(spark, sf_dir):
     regexes over it: ``v.*c.*p`` = the ordered view→click→purchase
     conversion, ``e{2,}`` = consecutive-error bursts.
 
-    Scale shape: ONE shuffle (groupBy user); per-user state is the
-    bounded symbol string (one byte per event). collect_list's arrival
-    order is nondeterministic, so the struct array is array_sort'ed by
-    (ts, event_id) — a total order — before symbols are joined, making
-    the string, and everything derived from it, deterministic at any
-    parallelism. Regex evaluation is per-row JVM work inside codegen."""
+    Scale shape: ONE shuffle (the window and the groupBy share the
+    user_id hash partitioning — Catalyst reuses the exchange); per-user
+    state is HARD-BOUNDED at the 4,096 most recent events (window tail
+    by (ts, event_id) desc, mirrored by the oracle's QUALIFY), so a
+    single hot key can collect at most 4 KB of symbols instead of its
+    whole history — the cap that keeps a skewed user from blowing one
+    task's memory at 100 TB. The window sort spills; collect_list
+    cannot — bounding its input is the correct order of operations.
+    collect_list's arrival order is nondeterministic, so the struct
+    array is array_sort'ed by (ts, event_id) — a total order — before
+    symbols are joined, making the string, and everything derived from
+    it, deterministic at any parallelism. Regex evaluation is per-row
+    JVM work inside codegen."""
     e = t(spark, sf_dir, "events")
+    wtail = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        e.withColumn("rn", F.row_number().over(wtail))
+        .filter(F.col("rn") <= 4096)
+        .drop("rn")
+    )
     ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
     seq = F.array_join(
         F.transform(ordered, lambda s: F.substring(s["event_type"], 1, 1)), ""
     )
     return (
-        e.groupBy("user_id")
+        recent.groupBy("user_id")
         .agg(seq.alias("seq"))
         .select(
             "user_id",

@@ -502,13 +502,20 @@ def dedup_minhash_lsh_prod(spark, sf_dir):
 
     Driver-checkable shape: candidates still come from the xxhash64
     banding, but the verify stage computes the emitted Jaccard over the
-    PORTABLE polynomial-hash shingle sets — the verify stage is
-    hash-function-independent (both hashes are injective on shingles
-    modulo astronomically unlikely collisions), so the surviving pair set
-    equals the portable tier's and the oracle is the portable LSH
-    pipeline. A pure production run skips the portable pass and verifies
-    on the xxhash shingles (same values); pair-set equality between the
-    tiers is additionally asserted in tests/test_extensions.py."""
+    PORTABLE polynomial-hash shingle sets (hash-function-independent:
+    both hashes are injective on shingles modulo astronomically unlikely
+    collisions), and the oracle is the portable LSH pipeline. Tier
+    parity is PROBABILISTIC, not by construction: the two band families
+    hash different signatures, so each catches a true near-dup pair
+    independently — at Jaccard j the per-family miss probability is
+    (1−j⁴)⁴ (4×4 bands), i.e. ~1.4% at j=0.90 and ~0.03% at j=0.95,
+    vanishing as j→1. The current fixtures' weakest pair is j=0.90 and
+    both families catch all 25 pairs (deterministic for FIXED texts;
+    tier equality is asserted in tests/test_extensions.py) — but
+    regenerated fixtures with pairs near the 0.8 threshold could make
+    one family miss a pair the other catches, a recall property of LSH
+    itself, not an engine bug. A pure production run skips the portable
+    pass and verifies on the xxhash shingles (same values)."""
     d = t(spark, sf_dir, "documents")
     # pmod bounds the 64-bit hash into the combine-safe domain (< 2^31),
     # keeping the shingle arithmetic overflow-free under ANSI semantics

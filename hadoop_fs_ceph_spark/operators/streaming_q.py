@@ -623,3 +623,63 @@ def stream_trending_topk(spark, sf_dir):
         .filter(F.col("rnk") <= 2)
         .orderBy("w_start", "rnk")
     )
+
+
+@query(
+    "stream_trending_topk_watermarked",
+    oracle="""
+    WITH m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+    wc AS (
+      SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    fin AS (
+      SELECT w.day_idx, w.event_type, w.n
+      FROM wc w, m
+      WHERE (w.day_idx + 1) * 86400000000 <= m.mx - 3600000000
+    )
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + (day_idx * 86400) * INTERVAL 1 SECOND AS w_start,
+           event_type, n, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT day_idx, event_type, n,
+             row_number() OVER (PARTITION BY day_idx
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM fin
+    )
+    WHERE rnk <= 2
+    ORDER BY w_start, rnk
+    """,
+    tags=("streaming", "window", "rank", "trending", "watermark"),
+)
+def stream_trending_topk_watermarked(spark, sf_dir):
+    """Trending top-2 with BOUNDED state — the production form of
+    ``stream_trending_topk``: a 1-hour watermark on event time lets the
+    engine FINALIZE and EVICT each daily window once the watermark
+    passes its end, so state holds only the open window(s) instead of
+    every window ever seen (complete mode's unbounded growth). Append
+    mode emits exactly the finalized windows: after the availableNow
+    drain the watermark rests at max(ts) − 1 h, so windows with
+    ``w_end ≤ max(ts) − 1 h`` are in the sink and the unfinalized tail
+    is withheld — the deterministic eviction horizon the oracle
+    reproduces with integer-µs arithmetic (and that
+    tests/test_streaming.py pins against the batch window set).
+
+    The ranking pass stays batch-side on the drained sink, same as the
+    complete-mode twin: windowed COUNT state is incrementally
+    maintainable, rank is not."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+    drained = run_to_memory(agg, "stream_trending_topk_wm", "append")
+    wr = Window.partitionBy("w_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        drained.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("w_start", "rnk")
+    )

@@ -513,6 +513,7 @@ _STOP_FP_DOCS = 50  # fingerprints present in more docs are boilerplate
     HAVING COUNT(*) >= 3
     """,
     tags=("text", "fingerprint", "winnowing", "dedup"),
+    bench=True,
 )
 def text_winnowing_pairs(spark, sf_dir):
     """Winnowing document fingerprints (the MOSS algorithm: Schleimer,
@@ -592,6 +593,7 @@ def text_winnowing_pairs(spark, sf_dir):
     WHERE h.n_hits >= 1
     """,
     tags=("text", "decontamination", "ngram", "llm-pipeline"),
+    bench=True,
 )
 def text_decontaminate(spark, sf_dir):
     """Train/eval decontamination — the benchmark-overlap scrub every LLM

@@ -166,6 +166,11 @@ def main() -> None:
         status = "OK  " if r.ok else "FAIL"
         print(f"{status} {name} {r.detail}")
         failed += 0 if r.ok else 1
+        # operators may persist() intermediates (LSH signatures, winnowing
+        # fingerprints) that only pay off within one query's plan — drop
+        # them between queries so cached blocks don't accumulate across a
+        # 250+-query harness run
+        spark.catalog.clearCache()
     sys.exit(1 if failed else 0)
 
 

@@ -15,7 +15,12 @@ SPECS = load_all()
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     spec = SPECS[name]
-    result = run_one(spark, duck, spec, sf_dir)
+    try:
+        result = run_one(spark, duck, spec, sf_dir)
+    finally:
+        # operators may persist() intermediates; drop them between queries
+        # so cached blocks don't accumulate across the 250+-case sweep
+        spark.catalog.clearCache()
     assert result.ok, result.detail
     if spec.oracle is None:
         # rows-only contract: it must at least execute and return a schema

@@ -29,16 +29,26 @@ def test_s3a_storage_conf_shapes():
 
 
 def test_storage_conf_lands_on_session(spark):
-    s = get_spark(
-        "storage-conf-test",
-        storage_conf=s3a_storage_conf(
-            "http://rgw.test:7480", access_key="AKTEST", secret_key="SKTEST"
-        ),
+    # getOrCreate returns the SHARED session: snapshot and restore every
+    # touched fs.s3a.* key so the fake endpoint/credentials don't leak
+    # into the rest of the pytest session.
+    conf = s3a_storage_conf(
+        "http://rgw.test:7480", access_key="AKTEST", secret_key="SKTEST"
     )
-    hconf = s.sparkContext._jsc.hadoopConfiguration()
-    assert hconf.get("fs.s3a.endpoint") == "http://rgw.test:7480"
-    assert hconf.get("fs.s3a.access.key") == "AKTEST"
-    assert hconf.get("fs.s3a.path.style.access") == "true"
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    saved = {k: hconf.get(k) for k in conf}
+    try:
+        s = get_spark("storage-conf-test", storage_conf=conf)
+        hc = s.sparkContext._jsc.hadoopConfiguration()
+        assert hc.get("fs.s3a.endpoint") == "http://rgw.test:7480"
+        assert hc.get("fs.s3a.access.key") == "AKTEST"
+        assert hc.get("fs.s3a.path.style.access") == "true"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                hconf.unset(k)
+            else:
+                hconf.set(k, v)
 
 
 def test_max_partition_bytes_applied(spark):

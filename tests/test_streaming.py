@@ -42,6 +42,34 @@ def test_append_watermark_withholds_tail(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_trending_topk_watermarked_eviction_horizon(spark, sf_dir):
+    """stream_trending_topk_watermarked must emit top-2 rows for EXACTLY
+    the daily windows the 1-hour watermark finalized (w_end ≤ max_ts−1h)
+    and withhold the open tail — the bounded-state contract vs the
+    complete-mode twin, which must agree on every finalized window."""
+    import datetime
+
+    from hadoop_fs_ceph_spark.registry import load_all
+
+    SPECS = load_all()
+    wm_rows = SPECS["stream_trending_topk_watermarked"].fn(spark, sf_dir).collect()
+    full_rows = SPECS["stream_trending_topk"].fn(spark, sf_dir).collect()
+
+    max_ts = t(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=1)
+    finalized = {
+        r.w_start
+        for r in full_rows
+        if r.w_start + datetime.timedelta(days=1) <= horizon
+    }
+    assert {r.w_start for r in wm_rows} == finalized
+    assert len(finalized) > 0  # something emitted
+    assert finalized < {r.w_start for r in full_rows}  # the open tail withheld
+    # on finalized windows, both forms agree row-for-row
+    want = {(r.w_start, r.event_type, r.n, r.rnk) for r in full_rows if r.w_start in finalized}
+    assert {(r.w_start, r.event_type, r.n, r.rnk) for r in wm_rows} == want
+
+
 def test_streaming_equals_batch_counts(spark, sf_dir):
     s = events_stream(spark, sf_dir)
     streamed = run_to_memory(
