@@ -371,10 +371,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 _CC_MAX_ROUNDS = 50
 
-
-@query(
-    "dedup_cluster_cc",
-    oracle=f"""
+# Transitive-closure truth for BOTH connected-components formulations
+# (label propagation and star contraction): smallest doc_id reachable
+# through verified near-dup edges.
+_SQL_CC_ORACLE = f"""
     WITH RECURSIVE docs AS ({_SQL_MINHASH_DOCS}),
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {sql_band_hash('sig', b)} AS bh FROM docs" for b in range(N_BANDS))}
@@ -401,7 +401,12 @@ _CC_MAX_ROUNDS = 50
       SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
     )
     SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
-    """,
+    """
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=_SQL_CC_ORACLE,
     tags=("dedup", "cluster", "iterative"),
 )
 def dedup_cluster_cc(spark, sf_dir):
@@ -466,6 +471,90 @@ def dedup_cluster_cc(spark, sf_dir):
     edges.unpersist()
     pairs.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query(
+    "dedup_cluster_cc_star",
+    oracle=_SQL_CC_ORACLE,
+    tags=("dedup", "cluster", "iterative", "star-contraction"),
+)
+def dedup_cluster_cc_star(spark, sf_dir):
+    """Duplicate clustering via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the formulation whose round count is O(log n) in the
+    component size rather than O(diameter), i.e. the one a 100 TB corpus
+    with long near-dup chains actually wants (label propagation
+    — ``dedup_cluster_cc`` — needs one round per hop).
+
+    Edges are kept canonically as (child > parent); each phase is one
+    shuffle (groupBy node + join back):
+
+    * large-star(u): every neighbor v > u re-points to
+      m = min(Γ(u) ∪ {u}) — emit (v, m);
+    * small-star(u): u and its smaller neighbors all re-point to
+      m = min of that set — emit (u, m) and (v, m) for v < u, v ≠ m.
+
+    Both phases preserve connectivity and strictly flatten the forest;
+    at the fixpoint (checked per round: equal edge count + one-sided
+    ``exceptAll`` containment ⇒ multiset equality) every component is a
+    star centered on its minimum doc_id. Each round's
+    edge set is ``localCheckpoint``-ed (eager) to cut lineage; labels
+    fall directly out of the final stars. Oracle: the same recursive
+    transitive closure as dedup_cluster_cc; equality of the two
+    formulations is additionally pinned in tests/test_invariants.py."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    # canonical child>parent orientation: doc_a < doc_b by construction
+    edges = (
+        pairs.select(F.col("doc_b").alias("c"), F.col("doc_a").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(e):
+        return e.select(F.col("c").alias("u"), F.col("p").alias("v")).unionByName(
+            e.select(F.col("p").alias("u"), F.col("c").alias("v"))
+        )
+
+    def _large_star(e):
+        sym = _sym(e)
+        mn = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mn = mn.select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        return (
+            sym.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("c"), F.col("m").alias("p"))
+            .distinct()
+        )
+
+    def _small_star(e):
+        # group children's smaller neighbors: canonical edges already
+        # point child -> parent with parent < child
+        mn = e.groupBy("c").agg(F.min("p").alias("m"))
+        repointed = (
+            e.join(mn, "c")
+            .filter(F.col("p") != F.col("m"))
+            .select(F.col("p").alias("c"), F.col("m").alias("p"))
+        )
+        self_edges = mn.select(F.col("c"), F.col("m").alias("p"))
+        return repointed.unionByName(self_edges).distinct()
+
+    prev_n = None
+    for _round in range(_CC_MAX_ROUNDS):
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        n = nxt.count()
+        # equal cardinality + one-sided multiset containment ⇒ equality
+        same = prev_n == n and nxt.exceptAll(edges).count() == 0
+        edges, prev_n = nxt, n
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_cluster_cc_star: no fixpoint after {_CC_MAX_ROUNDS} rounds"
+        )
+    pairs.unpersist()
+    roots = edges.select(F.col("p").alias("doc_id"), F.col("p").alias("cluster_id"))
+    members = edges.select(F.col("c").alias("doc_id"), F.col("p").alias("cluster_id"))
+    return members.unionByName(roots).distinct()
 
 
 @query(

@@ -837,3 +837,73 @@ def text_pack_sequences(spark, sf_dir):
             > F.expr(f"cum_before div {_PACK_LEN}")
         ).alias("spans_boundary"),
     )
+
+
+@query(
+    "text_substring_dedup",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id, {sql_token_hashes("string_split(text, chr(32))")} AS th
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest({sql_hashed_shingles("th", 8)}) AS g FROM th
+    ),
+    freq AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) AS dup_fraction,
+           (SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)) > 0.3
+             AS drop_doc
+    FROM grams JOIN freq USING (g)
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "substring", "span"),
+)
+def text_substring_dedup(spark, sf_dir):
+    """Exact duplicated-SUBSTRING detection at 8-token granularity — the
+    span-level complement of document-level fuzzy dedup (Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    re-expressed relationally): a doc's 8-gram is a *duplicated span* if
+    the identical token run appears in ≥2 distinct documents; each doc
+    reports its gram count, duplicated-gram count, duplicated fraction,
+    and the >30% drop verdict. Catches boilerplate/licence blocks and
+    cross-doc copy-paste that whole-doc MinHash misses when the rest of
+    the document differs.
+
+    Scale shape: gram stream is map-side (token hashes → rolling 8-gram
+    combine, 3 int ops per gram — no re-hashing of the span text);
+    cross-doc frequency is ONE shuffle on the gram hash with a
+    partial-merge distinct-doc count; the verdict join is gram-hash
+    equality (never all-pairs) and the per-doc rollup reuses the doc_id
+    partitioning. The gram relation is persisted because frequency and
+    rollup both consume it. At 100 TB the same plan runs with xxhash64
+    grams (8-byte keys) and a min-doc-frequency bloom prefilter before
+    the join; suffix-automaton exactness is deliberately traded for the
+    fixed-k relational form."""
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", token_hashes(tokens("text")).alias("th"))
+        .select("doc_id", F.explode(hashed_shingles(F.col("th"), 8)).alias("g"))
+        .persist()
+    )
+    freq = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    dup_frac = F.col("n_dup_grams") / F.col("n_grams")
+    return (
+        grams.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            dup_frac.alias("dup_fraction"),
+            (dup_frac > 0.3).alias("drop_doc"),
+        )
+    )

@@ -95,6 +95,23 @@ def test_cluster_cc_converges_on_diameter_4_chain(spark, tmp_path):
     assert pairs == {(1, 2), (2, 3), (3, 4)}  # a path, not a clique
     got = {(r.doc_id, r.cluster_id) for r in SPECS["dedup_cluster_cc"].fn(spark, d).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
+    # the O(log n)-round star-contraction formulation must agree
+    star = {
+        (r.doc_id, r.cluster_id) for r in SPECS["dedup_cluster_cc_star"].fn(spark, d).collect()
+    }
+    assert star == got
+
+
+def test_cluster_cc_formulations_agree(spark, sf_dir):
+    """Label propagation and large-star/small-star contraction are two
+    algorithms for the same function — their outputs must be identical
+    on the real fixtures."""
+    a = {(r.doc_id, r.cluster_id) for r in SPECS["dedup_cluster_cc"].fn(spark, sf_dir).collect()}
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in SPECS["dedup_cluster_cc_star"].fn(spark, sf_dir).collect()
+    }
+    assert a == b and len(a) > 0
 
 
 def test_cluster_ids_are_component_minima(spark, sf_dir):
