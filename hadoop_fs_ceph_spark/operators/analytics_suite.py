@@ -887,3 +887,56 @@ def ds_repurchase_interval(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "ds_event_transition",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS prev_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, next_type, COUNT(*) AS n
+      FROM pairs WHERE next_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY prev_type), 8) AS prob
+    FROM counts
+    ORDER BY prev_type, next_type
+    """,
+    tags=("analytics", "markov", "transition", "sequence"),
+)
+def ds_event_transition(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current) — the behavioral model behind funnel
+    diagnosis and next-action prediction, built from consecutive event
+    pairs (lead over the per-user total order, so boundaries between
+    users never fabricate a transition).
+
+    Scale shape: one shuffle on user_id for the lead window, one 25-row
+    aggregate on the (prev, next) pair; the probability normalization is
+    a window over the TYPE-cardinality² aggregate — bounded output, not
+    the event stream. Deterministic at any parallelism; probabilities
+    rounded to 8 dp for cross-engine hashing."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wnorm), 8).alias("prob"),
+    ).orderBy("prev_type", "next_type")

@@ -907,3 +907,50 @@ def text_substring_dedup(spark, sf_dir):
             (dup_frac > 0.3).alias("drop_doc"),
         )
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({sql_token_hashes("string_split(text, chr(32))")}) AS h
+      FROM documents
+    ),
+    freq AS (SELECT h, COUNT(*) AS c FROM tok GROUP BY h),
+    tot AS (SELECT COUNT(*)::DOUBLE AS n FROM tok)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln(c / n)), 8) AS avg_nll
+    FROM tok JOIN freq USING (h) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "language-model", "perplexity"),
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram log-probability quality score — the statistical-LM proxy
+    of the CCNet/Gopher filtering stack (the lightweight stand-in for a
+    perplexity filter): each document's mean negative log-probability
+    under the corpus's own unigram distribution. Gibberish and
+    rare-token soup score high (improbable), templated boilerplate
+    scores low; rank-and-threshold replaces the fixed gate because the
+    scale is corpus-relative.
+
+    Scale shape: token stream is map-side hashing; the unigram table is
+    ONE shuffle with partial-merge counts; the corpus total is a one-row
+    aggregate (broadcast); scoring is a token-hash equality join back to
+    the frequency table (8-byte keys, never text), then a per-doc
+    rollup. Rounded to 8 dp so the cross-engine hash is insensitive to
+    last-ulp libm differences in ln()."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(token_hashes(tokens("text"))).alias("h")).persist()
+    freq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        tok.join(freq, "h")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 8).alias("avg_nll"),
+        )
+    )

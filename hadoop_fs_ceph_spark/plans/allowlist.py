@@ -40,6 +40,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sample_class_balance": "one-row min-class-count broadcast",
     "sim_matryoshka_recall": "bounded query-batch broadcast (truth pass)",
     "profile_equidepth_histogram_approx": "one-row approx-boundary broadcast + 8-row bucket spine",
+    "text_unigram_logprob": "one-row corpus-token-total broadcast",
 }
 
 # --- global sorts of bounded relations ------------------------------------
