@@ -7,6 +7,7 @@ cosine range/order sanity.
 import pytest
 
 from hadoop_fs_ceph_spark.registry import load_all
+from hadoop_fs_ceph_spark.tables import t
 
 SPECS = load_all()
 
@@ -203,3 +204,83 @@ def test_decontaminate_flags_exact_eval_copy(spark, sf_dir):
         expected = r.n_hits >= 8 or r.n_hits / r.n_grams > 0.1
         assert r.drop_doc == expected
         assert 0 < r.contamination <= 1.0
+
+
+def test_substring_dedup_flags_planted_shared_span(spark, tmp_path):
+    """Two docs sharing one exact 10-token run (otherwise disjoint text)
+    must each report ≥3 duplicated 8-grams (10-token run ⇒ 3 shared
+    8-grams); a third unrelated doc must report zero."""
+    import os
+
+    import pandas as pd
+
+    shared = " ".join(f"run{i}" for i in range(10))
+    docs = [
+        {"doc_id": 1, "text": "alpha beta gamma delta " + shared + " eps zeta eta theta"},
+        {"doc_id": 2, "text": "one two three four five " + shared + " six seven eight nine"},
+        {"doc_id": 3, "text": " ".join(f"solo{i}" for i in range(30))},
+    ]
+    for d in docs:
+        d.update({"lang": "en", "source": "s", "n_chars": len(d["text"])})
+    p = str(tmp_path / "span_sf")
+    os.makedirs(p)
+    pd.DataFrame(docs).to_parquet(os.path.join(p, "documents.parquet"), index=False)
+
+    rows = {r.doc_id: r for r in SPECS["text_substring_dedup"].fn(spark, p).collect()}
+    assert rows[1].n_dup_grams >= 3 and rows[2].n_dup_grams >= 3
+    assert rows[1].n_dup_grams == rows[2].n_dup_grams  # symmetric span
+    assert rows[3].n_dup_grams == 0 and not rows[3].drop_doc
+    for r in rows.values():
+        assert 0 <= r.n_dup_grams <= r.n_grams
+
+
+def test_unigram_logprob_orders_rarity(spark, sf_dir, tmp_path):
+    """Sanity of the quality proxy on real fixtures (all scores positive)
+    plus rarity ordering on a planted corpus: a doc of corpus-common
+    tokens must score LOWER (more probable) than a doc of hapax tokens,
+    and identical texts must score identically."""
+    rows = SPECS["text_unigram_logprob"].fn(spark, sf_dir).collect()
+    assert rows and all(r.avg_nll > 0 for r in rows)
+
+    import os
+
+    import pandas as pd
+
+    common = " ".join(["the quick brown fox"] * 5)
+    docs = [
+        {"doc_id": 1, "text": common},
+        {"doc_id": 2, "text": common},  # identical text
+        {"doc_id": 3, "text": " ".join(f"hapax{i}" for i in range(20))},
+    ]
+    for d in docs:
+        d.update({"lang": "en", "source": "s", "n_chars": len(d["text"])})
+    p = str(tmp_path / "nll_sf")
+    os.makedirs(p)
+    pd.DataFrame(docs).to_parquet(os.path.join(p, "documents.parquet"), index=False)
+    got = {r.doc_id: r.avg_nll for r in SPECS["text_unigram_logprob"].fn(spark, p).collect()}
+    assert got[1] == got[2]  # same text -> same score
+    assert got[3] > got[1]  # hapax soup is less probable than common text
+
+
+def test_event_transition_probabilities_normalize(spark, sf_dir):
+    """Each prev_type's outgoing probabilities must sum to 1 (within
+    rounding) and counts must total |events| - |users with >=1 event|."""
+    rows = SPECS["ds_event_transition"].fn(spark, sf_dir).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rs in by_prev.items():
+        assert abs(sum(x.prob for x in rs) - 1.0) < 1e-6, prev
+    e = t(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_equidepth_approx_within_tolerance_everywhere(spark, sf_dir):
+    """The approx histogram's own verdict columns must all be TRUE and
+    the bucket spine complete — the contract the oracle hashes."""
+    rows = SPECS["profile_equidepth_histogram_approx"].fn(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(1, 9))
+    assert all(r.within_tolerance for r in rows)
+    assert len({r.n_total for r in rows}) == 1
