@@ -607,3 +607,91 @@ def join_asof_nearest(spark, sf_dir):
             "gap_us",
         )
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH fulfill AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             CAST(o.o_orderdate AS DATE) AS f_start,
+             MAX(CAST(l.l_shipdate AS DATE)) AS f_end
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+    ),
+    pairs AS (
+      SELECT a.o_custkey, COUNT(*) AS n_overlapping_pairs
+      FROM fulfill a JOIN fulfill b
+        ON a.o_custkey = b.o_custkey
+       AND a.o_orderkey < b.o_orderkey
+       AND a.f_start <= b.f_end
+       AND b.f_start <= a.f_end
+      GROUP BY a.o_custkey
+    ),
+    norder AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM fulfill GROUP BY o_custkey
+    )
+    SELECT p.o_custkey, CAST(n.n_orders AS BIGINT) AS n_orders,
+           CAST(p.n_overlapping_pairs AS BIGINT) AS n_overlapping_pairs
+    FROM pairs p JOIN norder n ON p.o_custkey = n.o_custkey
+    ORDER BY p.o_custkey
+    """,
+    tags=("join", "interval", "overlap", "self-join"),
+)
+def join_interval_overlap(spark, sf_dir):
+    """INTERVAL × INTERVAL overlap join: each order is a FULFILLMENT
+    window [order date, last shipment date]; per customer, count the
+    pairs of their orders whose windows overlap (the classic
+    ``a.start ≤ b.end AND b.start ≤ a.end`` predicate) — concurrent
+    open-order analysis, the interval-pair shape that neither as-of nor
+    point-in-range joins express.
+
+    Scale shape: the interval relation aggregates orders⋈lineitem DOWN
+    to one row per order first; the overlap self-join carries o_custkey
+    as its EQUALITY key — both sides are the SAME relation shuffled
+    once (Catalyst reuses the exchange, like ds_market_basket) — and
+    the theta predicate refines within each customer's ~10-order group
+    (fan-out ≤ C(10,2), a spec constant independent of SF). Never a
+    keyless cartesian; the order count re-joins a per-customer
+    aggregate of the same shuffled relation."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    fulfill = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("f_end"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("f_start"),
+            "f_end",
+        )
+    )
+    a = fulfill.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ok_a"),
+        F.col("f_start").alias("start_a"),
+        F.col("f_end").alias("end_a"),
+    )
+    b = fulfill.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ok_b"),
+        F.col("f_start").alias("start_b"),
+        F.col("f_end").alias("end_b"),
+    )
+    pairs = (
+        a.join(b, "o_custkey")
+        .filter(
+            (F.col("ok_a") < F.col("ok_b"))
+            & (F.col("start_a") <= F.col("end_b"))
+            & (F.col("start_b") <= F.col("end_a"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_overlapping_pairs"))
+    )
+    norder = fulfill.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        pairs.join(norder, "o_custkey")
+        .select("o_custkey", "n_orders", "n_overlapping_pairs")
+        .orderBy("o_custkey")
+    )

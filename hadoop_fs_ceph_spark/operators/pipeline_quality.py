@@ -699,3 +699,94 @@ def profile_equidepth_histogram_approx(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+_MIX_W = {"en": 0.2, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2}
+_MIX_BUDGET = 0.8  # fraction of the corpus token count to keep
+
+_SQL_MIX_W = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in _MIX_W.items())
+    + " END"
+)
+
+
+@query(
+    "sample_token_budget_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, chr(32))) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    by_lang AS (
+      SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS tok_avail FROM toks GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(tok_avail) AS BIGINT) AS tot FROM by_lang),
+    rates AS (
+      SELECT lang, tok_avail,
+             CAST(floor(least(1.0, {_MIX_BUDGET} * tot * ({_SQL_MIX_W}) / tok_avail)
+                        * 10000) AS BIGINT) AS keep_bp
+      FROM by_lang CROSS JOIN tot
+    )
+    SELECT r.lang, r.tok_avail, r.keep_bp,
+           CAST(COUNT(*) AS BIGINT) AS docs_kept,
+           CAST(SUM(t.n_tok) AS BIGINT) AS tokens_kept
+    FROM toks t JOIN rates r ON t.lang = r.lang
+    WHERE (t.doc_id * {_MIX}) % 10000 < r.keep_bp
+    GROUP BY r.lang, r.tok_avail, r.keep_bp
+    ORDER BY r.lang
+    """,
+    tags=("sample", "mixture", "token-budget", "preprocessing"),
+)
+def sample_token_budget_mix(spark, sf_dir):
+    """Token-budget mixture sampling — the data-mixing step of an LLM
+    pipeline: given target LANGUAGE WEIGHTS and a global token budget
+    (80% of the corpus here), compute each language's keep rate
+    r = min(1, budget·w / tokens_available) — over-represented languages
+    are downsampled toward their target share, under-represented ones
+    are kept whole (the min clamps at 1) — and realize the sample with
+    the deterministic multiplicative-hash gate on doc_id, so membership
+    is reproducible on any engine, run, and partitioning (no RNG, no
+    seed coordination across 1000 executors).
+
+    Scale shape: per-language token totals are one partial-merge
+    aggregate over a 5-row key; the rate relation is 5 rows (AQE
+    broadcasts it); the keep gate is a map-side scalar predicate; the
+    final rollup groups the surviving docs by the same 5-row key.
+    The corpus never shuffles un-aggregated. Rates are published in
+    basis points (floor to int) so the keep decision hashes exactly
+    cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    by_lang = toks.groupBy("lang").agg(F.sum("n_tok").cast("long").alias("tok_avail"))
+    tot = by_lang.agg(F.sum("tok_avail").cast("long").alias("tot"))
+    w_expr = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIX_W.items()]
+    )
+    rates = (
+        by_lang.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "tok_avail",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(_MIX_BUDGET) * F.col("tot") * w_expr / F.col("tok_avail"),
+                )
+                * 10000
+            ).cast("long").alias("keep_bp"),
+        )
+    )
+    return (
+        toks.join(rates, "lang")
+        .filter(F.pmod(F.col("doc_id") * _MIX, F.lit(10000)) < F.col("keep_bp"))
+        .groupBy("lang", "tok_avail", "keep_bp")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )

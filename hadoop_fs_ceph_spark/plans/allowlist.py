@@ -41,6 +41,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sim_matryoshka_recall": "bounded query-batch broadcast (truth pass)",
     "profile_equidepth_histogram_approx": "one-row approx-boundary broadcast + 8-row bucket spine",
     "text_unigram_logprob": "one-row corpus-token-total broadcast",
+    "sample_token_budget_mix": "one-row corpus-token-total broadcast into the 5-row rate relation",
 }
 
 # --- global sorts of bounded relations ------------------------------------

@@ -284,3 +284,30 @@ def test_equidepth_approx_within_tolerance_everywhere(spark, sf_dir):
     assert [r.bucket for r in rows] == list(range(1, 9))
     assert all(r.within_tolerance for r in rows)
     assert len({r.n_total for r in rows}) == 1
+
+
+def test_token_budget_mix_bounds(spark, sf_dir):
+    """Mixture sampling invariants: keep rates in [0, 10000] bp, kept
+    tokens never exceed available, clamped languages keep everything,
+    and the realized total lands at-or-under the available corpus."""
+    rows = SPECS["sample_token_budget_mix"].fn(spark, sf_dir).collect()
+    assert rows
+    n_docs_by_lang = {
+        r["lang"]: r["count"]
+        for r in t(spark, sf_dir, "documents").groupBy("lang").count().collect()
+    }
+    for r in rows:
+        assert 0 <= r.keep_bp <= 10000
+        assert 0 < r.tokens_kept <= r.tok_avail
+        if r.keep_bp == 10000:
+            assert r.docs_kept == n_docs_by_lang[r.lang]
+    assert sum(r.tokens_kept for r in rows) < sum(r.tok_avail for r in rows)
+
+
+def test_interval_overlap_bounded_by_pairs(spark, sf_dir):
+    """Overlap-pair count per customer is bounded by C(n_orders, 2) and
+    at least 1 for every emitted row."""
+    rows = SPECS["join_interval_overlap"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_overlapping_pairs <= r.n_orders * (r.n_orders - 1) // 2
