@@ -837,3 +837,117 @@ def dedup_normalized_content(spark, sf_dir):
         .select("canon_id", "n_members")
         .orderBy("canon_id")
     )
+
+
+_SQL_LSH_PAIR_CTES = f"""
+    docs AS ({_SQL_MINHASH_DOCS}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {sql_band_hash('sig', b)} AS bh FROM docs" for b in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    ),
+    lsh_pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN docs x ON x.doc_id = c.doc_a
+                  JOIN docs y ON y.doc_id = c.doc_b
+      WHERE len(list_intersect(x.sh, y.sh))
+              / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8
+    )
+"""
+
+_CURATE_LANGS = ("en", "es", "fr")
+
+
+@query(
+    "pipeline_curation_funnel",
+    oracle=f"""
+    WITH {_SQL_LSH_PAIR_CTES},
+    base AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, chr(32))) AS n_tok
+      FROM documents
+      WHERE lang IN {_CURATE_LANGS!r}
+    ),
+    filt AS (
+      SELECT * FROM base WHERE n_tok BETWEEN 20 AND 1000
+    ),
+    exact AS (
+      SELECT * FROM filt
+      QUALIFY row_number() OVER (PARTITION BY {sql_poly_hash("text")}
+                                 ORDER BY doc_id) = 1
+    ),
+    final AS (
+      SELECT * FROM exact e
+      WHERE NOT EXISTS (SELECT 1 FROM lsh_pairs p WHERE p.doc_b = e.doc_id)
+    )
+    SELECT b.lang,
+           CAST(MAX(b.n_raw) AS BIGINT) AS n_raw,
+           CAST(MAX(COALESCE(q.n_quality, 0)) AS BIGINT) AS n_quality,
+           CAST(MAX(COALESCE(x.n_exact, 0)) AS BIGINT) AS n_exact,
+           CAST(MAX(COALESCE(f.n_final, 0)) AS BIGINT) AS n_final,
+           CAST(MAX(COALESCE(f.tokens_final, 0)) AS BIGINT) AS tokens_final
+    FROM (SELECT lang, COUNT(*) AS n_raw FROM base GROUP BY lang) b
+    LEFT JOIN (SELECT lang, COUNT(*) AS n_quality FROM filt GROUP BY lang) q USING (lang)
+    LEFT JOIN (SELECT lang, COUNT(*) AS n_exact FROM exact GROUP BY lang) x USING (lang)
+    LEFT JOIN (SELECT lang, COUNT(*) AS n_final, SUM(n_tok) AS tokens_final
+               FROM final GROUP BY lang) f USING (lang)
+    GROUP BY b.lang
+    ORDER BY b.lang
+    """,
+    tags=("pipeline", "curation", "funnel", "dedup", "composite"),
+)
+def pipeline_curation_funnel(spark, sf_dir):
+    """END-TO-END curation funnel — the composed pipeline a training-data
+    run executes, as ONE declared query with one oracle: target-language
+    selection → token-count quality gate (20..1000) → exact-content
+    dedup (keep min doc_id per text hash) → near-dup drop (any doc that
+    is the doc_b of a verified MinHash-LSH pair — the canonical-keeper
+    convention), reporting the per-language funnel (raw → quality →
+    exact-deduped → final) plus surviving token volume.
+
+    Scale shape: every stage is the already-proven operator shape —
+    map-side gates, one window on the content hash, the LSH pair set
+    reused as a signature-store artifact (left_anti on its doc_b side),
+    and 5-row funnel aggregates left-joined at the end. Stages never
+    re-scan: flags cascade on one pass of the documents relation. The
+    funnel counts make the pipeline self-auditing (monotone
+    n_raw ≥ n_quality ≥ n_exact ≥ n_final — pinned in
+    tests/test_extensions.py)."""
+    d = t(spark, sf_dir, "documents")
+    base = d.filter(F.col("lang").isin(*_CURATE_LANGS)).select(
+        "doc_id", "lang", "text", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    filt = base.filter((F.col("n_tok") >= 20) & (F.col("n_tok") <= 1000))
+    wx = Window.partitionBy(poly_hash(F.col("text"))).orderBy("doc_id")
+    exact = (
+        filt.withColumn("rn", F.row_number().over(wx)).filter(F.col("rn") == 1).drop("rn")
+    )
+    dropb = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    final = exact.join(dropb, "doc_id", "left_anti")
+
+    n_raw = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n_raw"))
+    n_quality = filt.groupBy("lang").agg(F.count(F.lit(1)).alias("n_quality"))
+    n_exact = exact.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_final = final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum("n_tok").cast("long").alias("tokens_final"),
+    )
+    return (
+        n_raw.join(n_quality, "lang", "left")
+        .join(n_exact, "lang", "left")
+        .join(n_final, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.coalesce("tokens_final", F.lit(0)).alias("tokens_final"),
+        )
+        .orderBy("lang")
+    )

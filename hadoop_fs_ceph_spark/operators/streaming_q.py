@@ -683,3 +683,64 @@ def stream_trending_topk_watermarked(spark, sf_dir):
         .filter(F.col("rnk") <= 2)
         .orderBy("w_start", "rnk")
     )
+
+
+@query(
+    "stream_session_window_watermarked",
+    oracle="""
+    WITH m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                    - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                  >= 1800000000 OR lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS start_us,
+             MAX(epoch_us(ts)) + 1800000000 AS end_us,
+             COUNT(*) AS n_events
+      FROM numbered
+      GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           TIMESTAMP '1970-01-01 00:00:00'
+             + (start_us // 1000000) * INTERVAL 1 SECOND
+             + (start_us % 1000000) * INTERVAL 1 MICROSECOND AS session_start,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM sess CROSS JOIN m
+    WHERE end_us <= mx - 3600000000
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session", "watermark"),
+)
+def stream_session_window_watermarked(spark, sf_dir):
+    """Session windows with BOUNDED state — the production form of
+    ``stream_session_window``: a 1-hour watermark lets the engine
+    finalize and EVICT each session once the watermark passes its end
+    (last event + 30-minute gap), so state holds only sessions that
+    could still extend, not every session ever opened. Append mode
+    emits exactly the finalized sessions: after the availableNow drain
+    the watermark rests at max(ts) − 1 h, so sessions with
+    ``end ≤ max(ts) − 1 h`` are in the sink and any still-open tail is
+    withheld — the deterministic eviction horizon the oracle reproduces
+    from the gaps-and-islands formulation in integer-µs arithmetic."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    drained = run_to_memory(agg, "stream_session_window_wm", "append")
+    return drained.orderBy("user_id", "session_start")

@@ -311,3 +311,14 @@ def test_interval_overlap_bounded_by_pairs(spark, sf_dir):
     assert rows
     for r in rows:
         assert 1 <= r.n_overlapping_pairs <= r.n_orders * (r.n_orders - 1) // 2
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    """The funnel must shrink monotonically per language, and final
+    token volume must be positive where docs survive."""
+    rows = SPECS["pipeline_curation_funnel"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_raw >= r.n_quality >= r.n_exact >= r.n_final >= 0
+        if r.n_final > 0:
+            assert r.tokens_final > 0
