@@ -940,3 +940,85 @@ def ds_event_transition(spark, sf_dir):
         "n",
         F.round(F.col("n") / F.sum("n").over(wnorm), 8).alias("prob"),
     ).orderBy("prev_type", "next_type")
+
+
+_COVER_TTL_US = 300_000_000  # each event keeps its user "active" for 5 min
+
+
+@query(
+    "win_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {_COVER_TTL_US} AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pme
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    ),
+    g AS (
+      SELECT user_id, island, MIN(s) AS st, MAX(e) AS en, COUNT(*) AS ne
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(SUM(ne) AS BIGINT) AS n_events, COUNT(*) AS n_islands,
+           CAST(SUM(en - st) AS BIGINT) AS covered_us
+    FROM g GROUP BY user_id
+    """,
+    tags=("window", "interval", "sweep-line", "sessionize"),
+)
+def win_interval_coverage(spark, sf_dir):
+    """Interval-UNION coverage per user (sweep line over windows): each
+    event opens a 5-minute activity interval; overlapping intervals
+    merge into islands, and the answer is each user's total covered
+    time plus how many disjoint activity islands produced it — distinct
+    from sessionization (gap-based) because coverage measures the union
+    LENGTH of possibly-overlapping validity windows, the shape used for
+    uptime, concurrent-session, and SLA-coverage accounting.
+
+    The classic sweep line as two window passes over ONE shuffle
+    (both windows share the (user_id | s, event_id) spec, so Catalyst
+    collapses them into a single sort): running max of prior interval
+    ends detects island starts (an interval whose start exceeds every
+    earlier end), a running sum numbers the islands, then one aggregate
+    per island and one per user. All arithmetic is integer microseconds
+    — exact cross-engine. Scale shape: windows partition by user_id
+    (cardinality grows with the corpus, no global window), aggregates
+    are partial-merged; nothing holds more than one user's sorted
+    events."""
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_COVER_TTL_US)).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    g = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("st"), F.max("e").alias("en"), F.count(F.lit(1)).alias("ne")
+    )
+    return g.groupBy("user_id").agg(
+        F.sum("ne").alias("n_events"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("en") - F.col("st")).alias("covered_us"),
+    )

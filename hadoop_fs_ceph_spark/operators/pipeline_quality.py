@@ -790,3 +790,117 @@ def sample_token_budget_mix(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+_KS_BUCKETS = 16
+_KS_A, _KS_B = "click", "purchase"
+
+
+@query(
+    "profile_ks_drift",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM base),
+    bk AS (
+      SELECT event_type,
+             LEAST({_KS_BUCKETS}, CAST(FLOOR((value - lo)
+                   / ((hi - lo) / {_KS_BUCKETS}.0)) AS BIGINT)) AS bucket
+      FROM base, bounds
+    ),
+    counts AS (
+      SELECT event_type, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT et.event_type, g.i AS bucket
+      FROM (SELECT DISTINCT event_type FROM base) et,
+           (SELECT unnest(generate_series(0, {_KS_BUCKETS})) AS i) g
+    ),
+    dense AS (
+      SELECT s.event_type, s.bucket, COALESCE(c.c, 0) AS c
+      FROM spine s LEFT JOIN counts c USING (event_type, bucket)
+    ),
+    tot AS (SELECT event_type, COUNT(*) AS n FROM base GROUP BY 1),
+    cum AS (
+      SELECT d.event_type, d.bucket,
+             CAST(SUM(d.c) OVER (PARTITION BY d.event_type ORDER BY d.bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               / t.n AS ecdf
+      FROM dense d JOIN tot t USING (event_type)
+    ),
+    w AS (
+      SELECT a.bucket, a.ecdf AS ecdf_a, b.ecdf AS ecdf_b,
+             ABS(a.ecdf - b.ecdf) AS abs_diff
+      FROM cum a JOIN cum b USING (bucket)
+      WHERE a.event_type = '{_KS_A}' AND b.event_type = '{_KS_B}'
+    )
+    SELECT bucket, ecdf_a, ecdf_b, abs_diff,
+           MAX(abs_diff) OVER () AS ks_stat
+    FROM w
+    """,
+    tags=("profile", "drift", "ks", "distribution"),
+)
+def profile_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift check on a shared value grid:
+    compare the `click` and `purchase` value distributions by their
+    empirical CDFs evaluated at 17 equi-width grid points, reporting the
+    per-point gap and the KS statistic (max gap) — the
+    distribution-drift monitor a pipeline runs between corpus versions
+    or between a training slice and production traffic.
+
+    The exact KS statistic needs a world sort of both samples; the grid
+    form is the scale formulation: one (lo, hi) one-row broadcast, one
+    map-side bucket assignment, one partial-merged count per (group,
+    bucket), then cumulative sums over the FIXED 17-bucket spine — the
+    only windows run over ≤17 rows per group. Resolution is the grid,
+    not the data, which is the standard monitoring trade (a drift gate
+    alerts on gaps far above 1/17). ECDF values divide two exact
+    integers, so every double is bit-identical cross-engine."""
+    base = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        .select("event_type", "value")
+    )
+    bounds = base.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / F.lit(float(_KS_BUCKETS))
+    bk = base.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.lit(_KS_BUCKETS),
+            F.floor((F.col("value") - F.col("lo")) / step).cast("long"),
+        ).alias("bucket"),
+    )
+    counts = bk.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    spine = (
+        base.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(F.explode(F.sequence(F.lit(0), F.lit(_KS_BUCKETS))).alias("bucket"))
+            )
+        )
+    )
+    dense = spine.join(counts, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    tot = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dense.join(tot, "event_type").select(
+        "event_type", "bucket", (F.sum("c").over(wc) / F.col("n")).alias("ecdf")
+    )
+    a = cum.filter(F.col("event_type") == _KS_A).select("bucket", F.col("ecdf").alias("ecdf_a"))
+    b = cum.filter(F.col("event_type") == _KS_B).select("bucket", F.col("ecdf").alias("ecdf_b"))
+    w = a.join(b, "bucket").select(
+        "bucket", "ecdf_a", "ecdf_b", F.abs(F.col("ecdf_a") - F.col("ecdf_b")).alias("abs_diff")
+    )
+    return w.select(
+        "bucket",
+        "ecdf_a",
+        "ecdf_b",
+        "abs_diff",
+        F.max("abs_diff").over(Window.partitionBy()).alias("ks_stat"),
+    )

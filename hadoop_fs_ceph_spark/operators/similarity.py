@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
-from hadoop_fs_ceph_spark.functions.similarity import cosine, dot, norm, sql_cosine, sql_dot
+from hadoop_fs_ceph_spark.functions.similarity import (
+    cosine,
+    dot,
+    norm,
+    sql_cosine,
+    sql_dot,
+    vec_double,
+)
 from hadoop_fs_ceph_spark.registry import query
 from hadoop_fs_ceph_spark.tables import t
 
@@ -601,3 +608,140 @@ def sim_matryoshka_recall(spark, sf_dir):
         .select("qid", "n_overlap", (F.col("n_overlap") / 10.0).alias("recall_at_10"))
         .orderBy("qid")
     )
+
+
+_N_SEM_CELLS = 8
+_SEM_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_semantic_cell",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS sv
+      FROM embeddings WHERE vec_id < {_N_SEM_CELLS}
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, s.seed_id AS cell
+      FROM embeddings e CROSS JOIN seeds s
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {sql_cosine("e.embedding", "s.sv")} DESC, s.seed_id) = 1
+    )
+    SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine("a.embedding", "b.embedding")} AS cos_sim
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {sql_cosine("a.embedding", "b.embedding")} > {_SEM_THRESHOLD}
+    """,
+    tags=("dedup", "similarity", "semantic", "embedding"),
+)
+def dedup_semantic_cell(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: coarse-quantize every
+    embedding to its nearest of K seed centroids (the IVF cell), then
+    emit high-cosine pairs WITHIN each cell only — the cell id is the
+    blocking key that replaces the all-pairs scan, exactly how
+    embedding-level dedup runs over web-scale corpora (cluster first,
+    compare within clusters).
+
+    K=8 deterministic seeds (the lowest vec_ids) keep the oracle
+    portable; production uses k-means centroids with K ~ sqrt(n) and the
+    same two plan shapes. Scale shape: the seed table broadcasts (K
+    rows); assignment is map-side scoring + a per-vector top-1 window
+    (partitioned by vec_id — never global); the pair stage is an
+    EQUALITY join on cell, so candidate count is bounded by cell sizes,
+    never n². The assignment relation is persisted once and reused by
+    both sides of the self-join. Cosines are sequential folds —
+    bit-identical cross-engine."""
+    e = t(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < _N_SEM_CELLS).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("seed_cos").desc(), "seed_id")
+    assigned = (
+        e.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "embedding",
+            "seed_id",
+            cosine(F.col("embedding"), F.col("sv")).alias("seed_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cell"), "embedding")
+        .persist()
+    )
+    a = assigned.select(F.col("vec_id").alias("vec_a"), "cell", F.col("embedding").alias("ea"))
+    b = assigned.select(F.col("vec_id").alias("vec_b"), "cell", F.col("embedding").alias("eb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("cell", "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") > _SEM_THRESHOLD)
+    )
+
+
+_JL_OUT_DIM = 16
+_JL_IN_DIM = 64
+
+
+def _jl_sign(i, j):
+    """Deterministic ±1 from (input dim i, output dim j): parity of a
+    product folded through a large odd prime — nonlinear in (i, j), so
+    the sign matrix is not a degenerate checkerboard (any LINEAR form
+    mod 2 would be), yet exact integer arithmetic in both engines."""
+    return F.when(
+        ((i + 1) * (j + 7) * 104729) % 1000003 % 2 == 0, F.lit(1).cast("long")
+    ).otherwise(F.lit(-1).cast("long"))
+
+
+_SQL_JL_SIGN = (
+    "CASE WHEN ((i + 1) * (j + 7) * 104729) % 1000003 % 2 = 0 "
+    "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END"
+)
+
+
+@query(
+    "sim_random_projection",
+    oracle=f"""
+    SELECT vec_id, label,
+           list_transform(generate_series(0, {_JL_OUT_DIM - 1}), j ->
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(0, {_JL_IN_DIM - 1}), i ->
+                 {_SQL_JL_SIGN}
+                 * CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0)
+                        AS BIGINT))),
+               (a, b) -> a + b) AS DOUBLE) / 1000000.0) AS reduced
+    FROM embeddings
+    """,
+    tags=("similarity", "projection", "dimensionality-reduction"),
+)
+def sim_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 → 16 dims with a
+    DETERMINISTIC ±1 sign matrix derived from (i, j) by integer
+    arithmetic — the dimensionality-reduction step that runs before ANN
+    indexing (4× smaller vectors, pairwise cosines preserved within the
+    JL distortion bound). Sparse/±1 projections (Achlioptas) need no
+    stored matrix at all: every executor re-derives sign(i, j) locally,
+    so NOTHING broadcasts and the operator is pure map work inside
+    whole-stage codegen — at 100 TB the projection adds zero shuffle
+    and zero driver state.
+
+    Components quantize to fixed-point integers BEFORE the signed sum,
+    so each reduced coordinate is an exact integer fold — bit-identical
+    cross-engine regardless of fold order or parallelism."""
+    e = t(spark, sf_dir, "embeddings")
+    qint = F.transform(
+        vec_double(F.col("embedding")),
+        lambda x: F.round(x * F.lit(1e6)).cast("long"),
+    )
+    reduced = F.transform(
+        F.sequence(F.lit(0), F.lit(_JL_OUT_DIM - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.lit(_JL_IN_DIM - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + _jl_sign(i, j) * F.element_at(qint, i + 1),
+        ).cast("double")
+        / F.lit(1e6),
+    )
+    return e.select("vec_id", "label", reduced.alias("reduced"))

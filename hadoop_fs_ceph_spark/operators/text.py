@@ -954,3 +954,103 @@ def text_unigram_logprob(spark, sf_dir):
             F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 8).alias("avg_nll"),
         )
     )
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(w, x -> CAST(len(x) AS BIGINT))),
+                         (a, b) -> a + b) / len(w) AS mean_word_len,
+             len(list_distinct(w)) / len(w) AS frac_unique,
+             list_max(list_transform(list_distinct(w),
+                      u -> len(list_filter(w, x -> x = u)))) / len(w)
+               AS top_word_frac,
+             len(list_filter(w, x -> list_contains({list(_EN)!r}, x)))
+               AS stopword_count
+      FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_unique, top_word_frac,
+           stopword_count,
+           CAST(n_words BETWEEN 8 AND 5000 AS BOOLEAN) AS r_word_count,
+           CAST(mean_word_len BETWEEN 2 AND 12 AS BOOLEAN) AS r_mean_len,
+           CAST(frac_unique >= 0.3 AS BOOLEAN) AS r_unique,
+           CAST(top_word_frac <= 0.2 AS BOOLEAN) AS r_top_word,
+           CAST(stopword_count >= 2 AS BOOLEAN) AS r_stopwords,
+           CAST(n_words BETWEEN 8 AND 5000 AND mean_word_len BETWEEN 2 AND 12
+                AND frac_unique >= 0.3 AND top_word_frac <= 0.2
+                AND stopword_count >= 2 AS BOOLEAN) AS keep_doc
+    FROM stats
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText-style quality-rule battery: the per-document
+    word statistics (word count, mean word length, unique-word fraction,
+    single-word dominance, stopword presence) plus one boolean column
+    per rule and the conjunctive keep/drop verdict — the shape a corpus
+    filter materializes so downstream audits can ask *which* rule
+    rejected a document, not just that one did.
+
+    Scale shape: pure map-side array work per document inside
+    whole-stage codegen — no shuffle at all. ``top_word_frac`` uses the
+    row-local O(n_distinct x n_words) filter-count fold, fine for
+    document-length token arrays; a corpus whose documents run to
+    hundreds of KB would swap that one statistic to the explode +
+    groupBy(doc_id, word) formulation (one extra shuffle) with the rest
+    of the battery unchanged. Every ratio divides two exact integers,
+    so doubles are bit-identical cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    w = word_tokens_regex("text")
+    stats = d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(w, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            )
+            / F.size(w)
+        ).alias("mean_word_len"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("frac_unique"),
+        (
+            F.array_max(
+                F.transform(
+                    F.array_distinct(w),
+                    lambda u: F.size(F.filter(w, lambda x: x == u)),
+                )
+            )
+            / F.size(w)
+        ).alias("top_word_frac"),
+        F.size(F.filter(w, lambda x: x.isin(*_EN))).cast("long").alias("stopword_count"),
+    )
+    rules = {
+        "r_word_count": F.col("n_words").between(8, 5000),
+        "r_mean_len": F.col("mean_word_len").between(2, 12),
+        "r_unique": F.col("frac_unique") >= 0.3,
+        "r_top_word": F.col("top_word_frac") <= 0.2,
+        "r_stopwords": F.col("stopword_count") >= 2,
+    }
+    keep = rules["r_word_count"]
+    for name in list(rules)[1:]:
+        keep = keep & rules[name]
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "frac_unique",
+        "top_word_frac",
+        "stopword_count",
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep_doc"),
+    )

@@ -42,6 +42,8 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "profile_equidepth_histogram_approx": "one-row approx-boundary broadcast + 8-row bucket spine",
     "text_unigram_logprob": "one-row corpus-token-total broadcast",
     "sample_token_budget_mix": "one-row corpus-token-total broadcast into the 5-row rate relation",
+    "dedup_semantic_cell": "K=8 seed-centroid table broadcast for cell assignment",
+    "profile_ks_drift": "one-row (lo, hi) bounds broadcast + fixed 17-bucket grid spine",
 }
 
 # --- global sorts of bounded relations ------------------------------------

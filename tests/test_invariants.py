@@ -280,3 +280,93 @@ def test_class_balance_within_factor_two(spark, sf_dir):
         assert r.keep_every_kth == r.n_before // min_before
         assert r.n_after <= 2 * min_before
         assert r.n_after >= min_before // 2
+
+
+def test_gopher_rules_verdict_is_rule_conjunction(spark, sf_dir):
+    df = SPECS["text_gopher_rules"].fn(spark, sf_dir)
+    rules = ["r_word_count", "r_mean_len", "r_unique", "r_top_word", "r_stopwords"]
+    conj = F.lit(True)
+    for r in rules:
+        conj = conj & F.col(r)
+    assert df.filter(F.col("keep_doc") != conj).count() == 0
+    # ratio statistics live in (0, 1]; dominance can't be below 1/n_words
+    bad = df.filter(
+        (F.col("frac_unique") <= 0)
+        | (F.col("frac_unique") > 1)
+        | (F.col("top_word_frac") > 1)
+        | (F.col("top_word_frac") * F.col("n_words") < 1)
+        | (F.col("mean_word_len") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_semantic_cell_pairs_subset_of_allpairs(spark, sf_dir):
+    pairs = SPECS["dedup_semantic_cell"].fn(spark, sf_dir)
+    assert pairs.filter(F.col("cos_sim") <= 0.4).count() == 0
+    assert pairs.filter(F.col("vec_a") >= F.col("vec_b")).count() == 0
+    # cell blocking only PRUNES the all-pairs candidate set: every emitted
+    # pair must also appear in the unblocked above-threshold pair set
+    from hadoop_fs_ceph_spark.functions.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    full = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cs"))
+        .filter(F.col("cs") > 0.4)
+        .select("vec_a", "vec_b")
+    )
+    assert pairs.select("vec_a", "vec_b").exceptAll(full).count() == 0
+
+
+def test_interval_coverage_bounds(spark, sf_dir):
+    ttl = 300_000_000
+    cov = SPECS["win_interval_coverage"].fn(spark, sf_dir)
+    n_events_total = t(spark, sf_dir, "events").count()
+    agg = cov.agg(F.sum("n_events").alias("s")).collect()[0]
+    assert agg["s"] == n_events_total
+    bad = cov.filter(
+        (F.col("n_islands") > F.col("n_events"))
+        | (F.col("n_islands") < 1)
+        # each island covers at least one full TTL, at most n_events TTLs
+        | (F.col("covered_us") < F.col("n_islands") * ttl)
+        | (F.col("covered_us") > F.col("n_events") * ttl)
+    )
+    assert bad.count() == 0
+
+
+def test_ks_drift_is_max_of_monotone_cdf_gaps(spark, sf_dir):
+    rows = SPECS["profile_ks_drift"].fn(spark, sf_dir).orderBy("bucket").collect()
+    assert len(rows) == 17
+    assert rows[-1]["ecdf_a"] == 1.0 and rows[-1]["ecdf_b"] == 1.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["ecdf_a"] >= prev["ecdf_a"]
+        assert cur["ecdf_b"] >= prev["ecdf_b"]
+    ks = rows[0]["ks_stat"]
+    assert all(r["ks_stat"] == ks for r in rows)
+    assert ks == max(r["abs_diff"] for r in rows)
+    assert 0.0 <= ks <= 1.0
+
+
+def test_random_projection_matches_local_reference(spark, sf_dir):
+    df = SPECS["sim_random_projection"].fn(spark, sf_dir)
+    row = df.orderBy("vec_id").first()
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == row["vec_id"])
+        .first()["embedding"]
+    )
+    assert len(row["reduced"]) == 16
+    for j in range(16):
+        acc = 0
+        for i in range(64):
+            sign = 1 if ((i + 1) * (j + 7) * 104729) % 1000003 % 2 == 0 else -1
+            q = round(float(emb[i]) * 1e6)
+            # Python round is banker's; emulate half-away-from-zero
+            import math
+
+            v = float(emb[i]) * 1e6
+            q = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+            acc += sign * q
+        assert abs(row["reduced"][j] - acc / 1e6) < 1e-12
