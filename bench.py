@@ -36,6 +36,22 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Host-speed calibration probes, reported alongside the timings so
+    # cross-round comparisons can normalize for container/CPU variance
+    # (round-to-round runs land on different hosts; a 1.5-2x per-core
+    # frequency difference otherwise reads as a code regression):
+    # * calib_spark_sec — fixed 32-partition JVM aggregate (parallel
+    #   throughput incl. codegen path)
+    # * calib_py_sec — fixed single-thread Python loop (scalar speed)
+    start = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()
+    calib_spark = round(time.perf_counter() - start, 3)
+    start = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i % 97
+    calib_py = round(time.perf_counter() - start, 3)
+
     # Two timed runs per query, report the min: the first run pays one-time
     # whole-stage-codegen + JIT compilation (~1s for the widest expression
     # trees), which at 100 TB amortizes to nothing — steady-state execution
@@ -61,6 +77,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calib_spark_sec": calib_spark,
+                "calib_py_sec": calib_py,
             }
         )
     )

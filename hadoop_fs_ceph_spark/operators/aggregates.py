@@ -626,3 +626,120 @@ def agg_approx_quantiles_group(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# Count-min sketch geometry: d=4 hash rows x w=256 buckets. Same affine
+# family as MinHash (fixed literals, exact integer arithmetic everywhere).
+_CMS_D = 4
+_CMS_W = 256
+_CMS_P = 2_147_483_647
+_CMS_A = (131, 137, 139, 149)
+_CMS_B = (7, 11, 13, 17)
+
+
+def _sql_cms_bucket(key: str, r: int) -> str:
+    return f"(({key} * {_CMS_A[r]} + {_CMS_B[r]}) % {_CMS_P}) % {_CMS_W}"
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle=f"""
+    WITH rows_in AS (SELECT o_custkey AS k FROM orders),
+    cells AS (
+      SELECT r, bucket, COUNT(*) AS c FROM (
+        {" UNION ALL ".join(f"SELECT {r} AS r, {_sql_cms_bucket('k', r)} AS bucket FROM rows_in" for r in range(_CMS_D))}
+      ) GROUP BY r, bucket
+    ),
+    keys AS (SELECT k, COUNT(*) AS exact_count FROM rows_in GROUP BY k),
+    probes AS (
+      SELECT k, exact_count, r,
+             CASE r {" ".join(f"WHEN {r} THEN {_sql_cms_bucket('k', r)}" for r in range(_CMS_D))} END AS bucket
+      FROM keys, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r)
+    ),
+    est AS (
+      SELECT p.k, p.exact_count, MIN(c.c) AS cms_est
+      FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+      GROUP BY p.k, p.exact_count
+    ),
+    n AS (SELECT COUNT(*) AS total FROM rows_in)
+    SELECT k, cms_est, exact_count,
+           CAST(cms_est >= exact_count AS BOOLEAN) AS never_undercounts,
+           CAST(cms_est - exact_count <= 2.0 * total / {_CMS_W} AS BOOLEAN)
+             AS within_bound
+    FROM est, n
+    ORDER BY cms_est DESC, k
+    LIMIT 20
+    """,
+    tags=("aggregate", "sketch", "cms", "heavy-hitters"),
+)
+def agg_cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters via a count-min sketch (d=4 x w=256), with the
+    sketch's guarantees emitted as verdict columns: the estimate NEVER
+    undercounts (each cell upper-bounds every key hashed into it), and
+    overcounts by at most ~2N/w with high probability — checked here
+    against the exact counts so the differential harness hash-verifies
+    the probabilistic operator deterministically (the same exact+verdict
+    pattern as the approx-distinct and sketch-quantile rows).
+
+    Scale shape: the sketch build is the production path — a map-side
+    d-row expansion folded into d x w = 1024 cells by partial-merged
+    counts, CONSTANT state regardless of key cardinality (this is why a
+    1000-executor topology can maintain it as a streaming accumulator).
+    The probe stage joins each distinct key's d (row, bucket) probes to
+    the 1024-cell relation (broadcast-sized by construction) and takes
+    MIN over rows; top-20 is TakeOrderedAndProject. All arithmetic is
+    exact integers — bit-identical cross-engine."""
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+
+    def bucket(r: int, key="k"):
+        return ((F.col(key) * _CMS_A[r] + _CMS_B[r]) % _CMS_P) % _CMS_W
+
+    cells = (
+        o.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket"))
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.r", "cell.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = o.groupBy("k").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = keys.select(
+        "k",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket"))
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("k", "exact_count", "p.r", "p.bucket")
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("k", "exact_count")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    total = o.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        est.join(F.broadcast(total))
+        .select(
+            "k",
+            "cms_est",
+            "exact_count",
+            (F.col("cms_est") >= F.col("exact_count")).alias("never_undercounts"),
+            (
+                (F.col("cms_est") - F.col("exact_count"))
+                <= 2.0 * F.col("total") / F.lit(_CMS_W)
+            ).alias("within_bound"),
+        )
+        .orderBy(F.col("cms_est").desc(), "k")
+        .limit(20)
+    )

@@ -1022,3 +1022,69 @@ def win_interval_coverage(spark, sf_dir):
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("en") - F.col("st")).alias("covered_us"),
     )
+
+
+_EWMA_ALPHA = 0.25
+_EWMA_TAIL = 32
+
+
+@query(
+    "win_ewma_fold",
+    oracle=f"""
+    WITH tail_ev AS (
+      SELECT user_id, ts, event_id, value FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC)
+              <= {_EWMA_TAIL}
+    ),
+    seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM tail_ev GROUP BY user_id
+    )
+    SELECT user_id, len(vals) AS n_used, vals[-1] AS last_value,
+           list_reduce(vals,
+                       (a, b) -> {_EWMA_ALPHA} * b + {1 - _EWMA_ALPHA} * a)
+             AS ewma
+    FROM seq
+    """,
+    tags=("window", "ewma", "smoothing", "stateful"),
+)
+def win_ewma_fold(spark, sf_dir):
+    """Exponentially-weighted moving average per user — the recursive
+    smoother (acc' = α·x + (1-α)·acc) that no closed-form window frame
+    expresses, computed as a SEQUENTIAL FOLD over each user's ordered
+    recent values: window-tail the last 32 events (hard state bound,
+    same posture as `ds_sequence_pattern` — the window sort spills,
+    collect_list cannot), collect in time order, fold. Because both
+    engines run the identical per-step IEEE expression in the identical
+    order, the smoothed value is bit-identical cross-engine with no
+    tolerance band.
+
+    Scale shape: one window pass + one grouped collect, both
+    partitioned by user_id; per-user state is ≤32 doubles by
+    construction. The streaming twin of this fold is an
+    `applyInPandasWithState` accumulator; batch-side this formulation
+    is exactly how per-key online statistics are backfilled."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    tail_ev = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EWMA_TAIL)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    seq = tail_ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    return seq.select(
+        "user_id",
+        F.size("vals").alias("n_used"),
+        F.element_at("vals", -1).alias("last_value"),
+        F.aggregate(
+            F.slice(F.col("vals"), 2, F.size("vals") - 1),
+            F.element_at("vals", 1),
+            lambda acc, x: F.lit(_EWMA_ALPHA) * x + F.lit(1 - _EWMA_ALPHA) * acc,
+        ).alias("ewma"),
+    )

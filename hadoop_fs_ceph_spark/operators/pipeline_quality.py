@@ -904,3 +904,70 @@ def profile_ks_drift(spark, sf_dir):
         "abs_diff",
         F.max("abs_diff").over(Window.partitionBy()).alias("ks_stat"),
     )
+
+
+@query(
+    "outlier_mad_robust",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, COUNT(*) AS n_outliers,
+           MIN(d.value) AS min_out, MAX(d.value) AS max_out
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE 0.6745 * (d.value - d.med) / m.mad > 3.5
+       OR 0.6745 * (d.value - d.med) / m.mad < -3.5
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    tags=("outlier", "robust", "mad", "profile"),
+)
+def outlier_mad_robust(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation: flag rows
+    whose modified z-score 0.6745*(x - median)/MAD exceeds 3.5 (the
+    Iglewicz-Hoaglin rule). Unlike the mean/stddev z-score (which heavy
+    outliers inflate, masking themselves), median and MAD have a 50%
+    breakdown point — this is the outlier gate a curation pipeline
+    trusts on contaminated data.
+
+    Scale shape: two grouped exact-percentile aggregates (each a
+    per-group sort that Spark distributes by the group key — groups
+    grow with the corpus, no world sort) with the per-group medians
+    broadcast back over the fact rows; medians are rounded to 1e-6 in
+    BOTH engines before deviations, so every downstream double is
+    bit-identical. At 100 TB the exact percentile swaps for the
+    GK-sketch `percentile_approx` twin exactly as the equi-depth
+    histogram family does."""
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = e.join(med, "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    mz = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(mad, "event_type")
+        .filter((mz > 3.5) | (mz < -3.5))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.min("value").alias("min_out"),
+            F.max("value").alias("max_out"),
+        )
+        .orderBy("event_type")
+    )

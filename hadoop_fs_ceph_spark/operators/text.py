@@ -1054,3 +1054,71 @@ def text_gopher_rules(spark, sf_dir):
         *[c.alias(name) for name, c in rules.items()],
         keep.alias("keep_doc"),
     )
+
+
+@query(
+    "text_bigram_entropy",
+    oracle=f"""
+    WITH th AS (
+      SELECT {sql_token_hashes("string_split(text, ' ')")} AS h FROM documents
+    ),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(h)),
+                    i -> {{'cur': h[i], 'nxt': h[i + 1]}})) AS g
+      FROM th
+    ),
+    cnt AS (
+      SELECT g.cur AS cur, g.nxt AS nxt, COUNT(*) AS c FROM bi GROUP BY 1, 2
+    ),
+    tot AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY cur),
+    agg AS (
+      SELECT c.cur, t.n, COUNT(*) AS n_next,
+             ROUND(SUM(-(c.c / t.n) * LN(c.c / t.n)), 8) AS cond_entropy
+      FROM cnt c JOIN tot t USING (cur) GROUP BY c.cur, t.n
+    )
+    SELECT cur, n, n_next, cond_entropy FROM agg
+    ORDER BY n DESC, cur LIMIT 20
+    """,
+    tags=("text", "ngram", "entropy", "language-model"),
+)
+def text_bigram_entropy(spark, sf_dir):
+    """Per-context bigram conditional entropy H(next | cur) for the 20
+    most frequent context tokens — the predictability profile of the
+    corpus's token stream (low-entropy contexts are templated
+    boilerplate; uniformly high entropy flags shuffled/gibberish text).
+    This is the bigram-LM sibling of `text_unigram_logprob`, and feeds
+    the same rank-and-threshold quality gates.
+
+    Scale shape: token hashing is map-side; the ONLY shuffle carries
+    partial-merged ((cur, next), count) pairs — 8-byte keys, never
+    text; the per-context entropy folds the distinct-next rows of one
+    hash partition. Probabilities divide exact integers; the log terms
+    round at 1e-8 AFTER the per-context sum (same posture as
+    `text_unigram_logprob` — collapses last-ulp libm and
+    summation-order differences). Top-20 is TakeOrderedAndProject."""
+    d = t(spark, sf_dir, "documents")
+    th = d.select(token_hashes(tokens("text")).alias("h"))
+    bi = th.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - 1),
+                lambda i: F.struct(
+                    F.element_at("h", i).alias("cur"),
+                    F.element_at("h", i + 1).alias("nxt"),
+                ),
+            )
+        ).alias("g")
+    ).select("g.cur", "g.nxt")
+    cnt = bi.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("cur").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    agg = (
+        cnt.join(tot, "cur")
+        .groupBy("cur", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_next"),
+            F.round(F.sum(-p * F.log(p)), 8).alias("cond_entropy"),
+        )
+        .select("cur", "n", "n_next", "cond_entropy")
+    )
+    return agg.orderBy(F.col("n").desc(), "cur").limit(20)

@@ -44,6 +44,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sample_token_budget_mix": "one-row corpus-token-total broadcast into the 5-row rate relation",
     "dedup_semantic_cell": "K=8 seed-centroid table broadcast for cell assignment",
     "profile_ks_drift": "one-row (lo, hi) bounds broadcast + fixed 17-bucket grid spine",
+    "agg_cms_heavy_hitters": "one-row corpus-total broadcast for the error-bound verdict",
 }
 
 # --- global sorts of bounded relations ------------------------------------

@@ -370,3 +370,61 @@ def test_random_projection_matches_local_reference(spark, sf_dir):
             q = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
             acc += sign * q
         assert abs(row["reduced"][j] - acc / 1e6) < 1e-12
+
+
+def test_cms_never_undercounts_and_ranked(spark, sf_dir):
+    rows = SPECS["agg_cms_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_est"] >= r["exact_count"] >= 1
+        assert r["never_undercounts"]
+    ests = [r["cms_est"] for r in rows]
+    assert ests == sorted(ests, reverse=True)
+
+
+def test_mad_outliers_are_rare_and_extreme(spark, sf_dir):
+    out = SPECS["outlier_mad_robust"].fn(spark, sf_dir)
+    ev = t(spark, sf_dir, "events")
+    totals = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    med = {r["event_type"]: r["m"] for r in
+           ev.groupBy("event_type").agg(
+               F.expr("percentile(value, 0.5)").alias("m")).collect()}
+    for r in out.collect():
+        # robust gate flags a small tail, and every flagged extremum is on
+        # the far side of its group median
+        assert r["n_outliers"] <= 0.10 * totals[r["event_type"]]
+        assert r["max_out"] > med[r["event_type"]]
+
+
+def test_ewma_matches_local_fold_and_bounds(spark, sf_dir):
+    df = SPECS["win_ewma_fold"].fn(spark, sf_dir)
+    bad = df.filter((F.col("n_used") > 32) | (F.col("n_used") < 1)).count()
+    assert bad == 0
+    row = df.orderBy("user_id").first()
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") == row["user_id"])
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(32)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    vals = [r["value"] for r in ev]
+    acc = vals[0]
+    for x in vals[1:]:
+        acc = 0.25 * x + 0.75 * acc
+    assert abs(row["ewma"] - acc) < 1e-9
+    assert min(vals) <= row["ewma"] <= max(vals)
+    assert row["last_value"] == vals[-1]
+
+
+def test_bigram_entropy_bounds(spark, sf_dir):
+    import math
+
+    rows = SPECS["text_bigram_entropy"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n"] >= r["n_next"] >= 1
+        # 0 <= H(next|cur) <= ln(#distinct next tokens)
+        assert -1e-9 <= r["cond_entropy"] <= math.log(r["n_next"]) + 1e-9
