@@ -695,3 +695,81 @@ def join_interval_overlap(spark, sf_dir):
         .select("o_custkey", "n_orders", "n_overlapping_pairs")
         .orderBy("o_custkey")
     )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour staleness bound
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), carried AS (
+      SELECT *,
+             LAST_VALUE(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_id,
+             LAST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ts
+      FROM tagged
+    )
+    SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts,
+           CASE WHEN c_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(c_ts) <= {_ASOF_TOL_US}
+                THEN c_id END AS click_event_id,
+           CASE WHEN c_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(c_ts) <= {_ASOF_TOL_US}
+                THEN epoch_us(ts) - epoch_us(c_ts) END AS gap_us,
+           CAST(c_ts IS NOT NULL
+                AND epoch_us(ts) - epoch_us(c_ts) <= {_ASOF_TOL_US}
+                AS BOOLEAN) AS matched
+    FROM carried WHERE kind = 1
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness TOLERANCE (pandas ``merge_asof``'s
+    ``tolerance=`` semantics): each purchase matches its latest
+    preceding click only if that click is at most 1 hour old —
+    attribution windows, quote-staleness rules, and sensor-alignment
+    joins all need the bound, because an unbounded as-of silently
+    attributes to arbitrarily ancient events.
+
+    Same union-and-carry single-shuffle plan as `join_asof_event`
+    (never a pair-materializing range join); the tolerance is one
+    integer-microsecond comparison applied AFTER the carry, nulling
+    out stale matches. `matched` makes the drop rate directly
+    aggregable."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c_id = F.when(F.col("kind") == 0, F.col("event_id"))
+    c_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    gap = F.unix_micros("ts") - F.unix_micros("c_ts")
+    fresh = F.col("c_ts").isNotNull() & (gap <= _ASOF_TOL_US)
+    return (
+        tagged.withColumn("c_id", F.last(c_id, ignorenulls=True).over(w))
+        .withColumn("c_ts", F.last(c_ts, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(fresh, F.col("c_id")).alias("click_event_id"),
+            F.when(fresh, gap).alias("gap_us"),
+            fresh.alias("matched"),
+        )
+    )

@@ -971,3 +971,70 @@ def outlier_mad_robust(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sample_ab_srm",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    assigned AS (
+      SELECT user_id,
+             CASE WHEN (user_id * {_MIX}) % 100 < 50
+                  THEN 'control' ELSE 'treatment' END AS variant
+      FROM users
+    ),
+    c AS (
+      SELECT
+        CAST(COUNT(*) FILTER (variant = 'control') AS BIGINT) AS n_control,
+        CAST(COUNT(*) FILTER (variant = 'treatment') AS BIGINT) AS n_treatment
+      FROM assigned
+    )
+    SELECT n_control, n_treatment,
+           (n_control + n_treatment) / 2.0 AS expected_each,
+           (n_control - (n_control + n_treatment) / 2.0)
+             * (n_control - (n_control + n_treatment) / 2.0)
+             / ((n_control + n_treatment) / 2.0) * 2.0 AS chi2,
+           CAST((n_control - (n_control + n_treatment) / 2.0)
+             * (n_control - (n_control + n_treatment) / 2.0)
+             / ((n_control + n_treatment) / 2.0) * 2.0 > 3.841 AS BOOLEAN)
+             AS srm_detected
+    FROM c
+    """,
+    tags=("sample", "experiment", "ab-test", "srm"),
+)
+def sample_ab_srm(spark, sf_dir):
+    """Deterministic A/B experiment assignment with a sample-ratio-
+    mismatch (SRM) guardrail: every user hashes to control/treatment by
+    a pure function of their id (the same hash-gated membership contract
+    as the sampling family — re-runs, late events, and any parallelism
+    give the identical split, no seed coordination), then the realized
+    split is chi-square-tested against the declared 50/50 (1 dof,
+    p=0.05 critical value 3.841). SRM is THE standard validity gate an
+    experimentation pipeline runs before reading any metric — a biased
+    assignment invalidates the whole experiment.
+
+    Scale shape: distinct users is one partial-merged aggregate; the
+    assignment is a map-side expression on the aggregate's output; the
+    final test is arithmetic on a one-row relation. Counts are exact
+    integers; the chi-square expression is written identically in both
+    engines, so the statistic is bit-identical."""
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    assigned = users.select(
+        F.when((F.col("user_id") * _MIX) % 100 < 50, "control")
+        .otherwise("treatment")
+        .alias("variant")
+    )
+    c = assigned.agg(
+        F.count(F.when(F.col("variant") == "control", 1)).alias("n_control"),
+        F.count(F.when(F.col("variant") == "treatment", 1)).alias("n_treatment"),
+    )
+    exp_each = (F.col("n_control") + F.col("n_treatment")) / 2.0
+    dev = F.col("n_control") - exp_each
+    chi2 = dev * dev / exp_each * 2.0
+    return c.select(
+        "n_control",
+        "n_treatment",
+        exp_each.alias("expected_each"),
+        chi2.alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )

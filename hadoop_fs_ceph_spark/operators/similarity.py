@@ -745,3 +745,91 @@ def sim_random_projection(spark, sf_dir):
         / F.lit(1e6),
     )
     return e.select("vec_id", "label", reduced.alias("reduced"))
+
+
+@query(
+    "sim_kmeans_update",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS sv
+      FROM embeddings WHERE vec_id < {_N_SEM_CELLS}
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, s.seed_id AS cell
+      FROM embeddings e CROSS JOIN seeds s
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {sql_cosine("e.embedding", "s.sv")} DESC, s.seed_id) = 1
+    ),
+    u AS (
+      SELECT cell, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM assigned, (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    m AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(ROUND(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS a,
+             COUNT(*) AS nc
+      FROM u GROUP BY cell, pos
+    )
+    SELECT cell, CAST(MIN(nc) AS BIGINT) AS n_members,
+           list(a ORDER BY pos) AS centroid
+    FROM m GROUP BY cell ORDER BY cell
+    """,
+    tags=("similarity", "kmeans", "iterative", "clustering"),
+)
+def sim_kmeans_update(spark, sf_dir):
+    """One full Lloyd iteration of k-means, distributed: ASSIGN every
+    vector to its nearest seed centroid (broadcast seeds, map-side
+    scoring, per-vector top-1 window — the same cell assignment
+    `dedup_semantic_cell` blocks on), then UPDATE each cell's centroid
+    as the fixed-point mean of its members. Looping this query's two
+    stages with the output fed back as the next round's seeds IS
+    distributed k-means — each round is one broadcast + one
+    partial-merged aggregate over (cell, dim) groups (K x 64 groups
+    regardless of corpus size), the exact iteration/checkpoint pattern
+    `graph_pagerank_fixed` pins for Pregel-style loops.
+
+    Fixed-point coordinate sums keep each mean bit-identical to the
+    oracle at any parallelism; `n_members` exposes the cluster-size
+    skew a production run watches (empty/withered cells get reseeded)."""
+    e = t(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < _N_SEM_CELLS).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("seed_cos").desc(), "seed_id")
+    assigned = (
+        e.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "embedding",
+            "seed_id",
+            cosine(F.col("embedding"), F.col("sv")).alias("seed_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("seed_id").alias("cell"), "embedding")
+    )
+    m = (
+        assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+        .select("cell", "pos", F.col("v").cast("double").alias("val"))
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("val") * 1e6).cast("long")).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1))
+            ).alias("a"),
+            F.count(F.lit(1)).alias("nc"),
+        )
+    )
+    return (
+        m.groupBy("cell")
+        .agg(
+            F.min("nc").alias("n_members"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "a"))), lambda x: x["a"]
+            ).alias("centroid"),
+        )
+        .orderBy("cell")
+    )

@@ -45,6 +45,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "dedup_semantic_cell": "K=8 seed-centroid table broadcast for cell assignment",
     "profile_ks_drift": "one-row (lo, hi) bounds broadcast + fixed 17-bucket grid spine",
     "agg_cms_heavy_hitters": "one-row corpus-total broadcast for the error-bound verdict",
+    "sim_kmeans_update": "K=8 seed-centroid table broadcast for the assign stage",
 }
 
 # --- global sorts of bounded relations ------------------------------------

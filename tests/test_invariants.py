@@ -428,3 +428,43 @@ def test_bigram_entropy_bounds(spark, sf_dir):
         assert r["n"] >= r["n_next"] >= 1
         # 0 <= H(next|cur) <= ln(#distinct next tokens)
         assert -1e-9 <= r["cond_entropy"] <= math.log(r["n_next"]) + 1e-9
+
+
+def test_kmeans_update_conserves_membership(spark, sf_dir):
+    rows = SPECS["sim_kmeans_update"].fn(spark, sf_dir).collect()
+    total = t(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == total
+    assert len(rows) <= 8
+    for r in rows:
+        assert r["n_members"] >= 1
+        assert len(r["centroid"]) == 64
+
+
+def test_ab_srm_partitions_users(spark, sf_dir):
+    row = SPECS["sample_ab_srm"].fn(spark, sf_dir).collect()[0]
+    n_users = t(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert row["n_control"] + row["n_treatment"] == n_users
+    assert row["expected_each"] == n_users / 2.0
+    assert row["chi2"] >= 0.0
+    assert row["srm_detected"] == (row["chi2"] > 3.841)
+
+
+def test_asof_tolerance_refines_unbounded_asof(spark, sf_dir):
+    tol = SPECS["join_asof_tolerance"].fn(spark, sf_dir)
+    unbounded = SPECS["join_asof_event"].fn(spark, sf_dir)
+    n_purchases = (
+        t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert tol.count() == n_purchases == unbounded.count()
+    bad = tol.filter(
+        (F.col("matched") & (F.col("gap_us") < 0))
+        | (F.col("matched") & (F.col("gap_us") > 3_600_000_000))
+        | (~F.col("matched") & F.col("click_event_id").isNotNull())
+    )
+    assert bad.count() == 0
+    # wherever the tolerant join matches, it matches the SAME click the
+    # unbounded as-of join found
+    j = tol.filter("matched").alias("a").join(
+        unbounded.alias("b"), "purchase_event_id"
+    )
+    assert j.filter(F.col("a.click_event_id") != F.col("b.click_event_id")).count() == 0
