@@ -309,3 +309,48 @@ def mm_chunked_transfer(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mm_payload_dedup",
+    oracle="""
+    SELECT sha256(text) AS checksum,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id,
+           list(doc_id ORDER BY doc_id) AS member_ids
+    FROM documents
+    GROUP BY checksum, n_bytes
+    HAVING COUNT(*) >= 2
+    ORDER BY checksum
+    """,
+    tags=("multimodal", "binary", "dedup"),
+)
+def mm_payload_dedup(spark, sf_dir):
+    """Exact deduplication of opaque BINARY payloads: group by content
+    digest (+ byte length as a sanity key), keep the lowest doc_id,
+    report every duplicate group with its members — the storage-level
+    dedup pass a multimodal lake runs before any decode (identical
+    image/audio blobs are byte-identical regardless of modality, so
+    this one operator serves them all).
+
+    Scale shape: the digest is computed JVM-side (`sha2`, no Python),
+    the shuffle carries (32-byte digest, doc_id) — never payload bytes —
+    and the group state is the member-id list of ONE digest. At
+    petabyte scale the standard refinement is two-stage blocking:
+    group by `n_bytes` first (free from metadata, no payload read) and
+    digest only size-colliding blobs; the plan shape is unchanged.
+    Collision safety: SHA-256 equality IS content equality for any
+    physically realizable corpus."""
+    return (
+        _blobs(spark, sf_dir)
+        .select("doc_id", F.length("blob").alias("n_bytes"), F.sha2("blob", 256).alias("checksum"))
+        .groupBy("checksum", "n_bytes")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("checksum")
+    )

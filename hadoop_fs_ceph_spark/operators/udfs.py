@@ -14,8 +14,11 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType
 
+from hadoop_fs_ceph_spark.functions.similarity import sql_cosine
 from hadoop_fs_ceph_spark.registry import query
 from hadoop_fs_ceph_spark.tables import t
+
+_SQL_COS_EQ = sql_cosine("e.embedding", "q.qe")
 
 
 @query(
@@ -313,4 +316,54 @@ def udf_apply_in_arrow(spark, sf_dir):
             schema="c_mktsegment string, n bigint, balance_cents bigint, max_cents bigint",
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "udf_vectorized_cosine_knn",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_SQL_COS_EQ}, 8) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("udf", "pandas", "similarity", "knn"),
+)
+def udf_vectorized_cosine_knn(spark, sf_dir):
+    """Arrow-vectorized pandas-UDF twin of `sim_knn_bruteforce`: the
+    same brute-force cosine top-10, but scored by a numpy batch kernel
+    instead of JVM higher-order folds — the declared pattern for vector
+    math Spark's built-ins genuinely can't express (learned scoring
+    functions, quantized dot products, custom metrics). Batches cross
+    the JVM->Python boundary once per Arrow batch (never per row);
+    numpy reduces each batch in C.
+
+    numpy's pairwise-blocked summation orders float adds differently
+    from the oracle's sequential fold, so scores round at 1e-8 on BOTH
+    sides before ranking — the documented parity posture for any python
+    kernel (built-in fold twins need no tolerance at all; that contrast
+    is the point of keeping both queries). Top-10 remains
+    TakeOrderedAndProject."""
+    import numpy as np
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+
+    @F.pandas_udf(DoubleType())
+    def batch_cosine(emb: pd.Series, qe: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy())
+        qv = np.asarray(qe.iloc[0], dtype=np.float64)
+        m = m.astype(np.float64)
+        sims = (m @ qv) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+        return pd.Series(np.round(sims, 8))
+
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", batch_cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
     )

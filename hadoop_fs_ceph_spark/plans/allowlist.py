@@ -46,6 +46,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "profile_ks_drift": "one-row (lo, hi) bounds broadcast + fixed 17-bucket grid spine",
     "agg_cms_heavy_hitters": "one-row corpus-total broadcast for the error-bound verdict",
     "sim_kmeans_update": "K=8 seed-centroid table broadcast for the assign stage",
+    "udf_vectorized_cosine_knn": "one-row query-vector broadcast (declared pandas-UDF twin of sim_knn_bruteforce)",
 }
 
 # --- global sorts of bounded relations ------------------------------------

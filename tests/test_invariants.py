@@ -468,3 +468,24 @@ def test_asof_tolerance_refines_unbounded_asof(spark, sf_dir):
         unbounded.alias("b"), "purchase_event_id"
     )
     assert j.filter(F.col("a.click_event_id") != F.col("b.click_event_id")).count() == 0
+
+
+def test_payload_dedup_groups_well_formed(spark, sf_dir):
+    rows = SPECS["mm_payload_dedup"].fn(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["n_copies"] == len(r["member_ids"]) >= 2
+        assert r["keeper_doc_id"] == min(r["member_ids"])
+        assert r["member_ids"] == sorted(r["member_ids"])
+        for m in r["member_ids"]:
+            assert m not in seen  # digest groups partition the duplicates
+            seen.add(m)
+    assert len(seen) <= t(spark, sf_dir, "documents").count()
+
+
+def test_udf_cosine_twin_matches_builtin_fold(spark, sf_dir):
+    udf_rows = SPECS["udf_vectorized_cosine_knn"].fn(spark, sf_dir).collect()
+    fold_rows = SPECS["sim_knn_bruteforce"].fn(spark, sf_dir).collect()
+    assert [r["vec_id"] for r in udf_rows] == [r["vec_id"] for r in fold_rows]
+    for u, f in zip(udf_rows, fold_rows):
+        assert abs(u["cos_sim"] - f["cos_sim"]) < 1e-7
