@@ -472,3 +472,77 @@ def win_cusum_changepoint(spark, sf_dir):
         .filter(F.col("peak_rank") <= 5)
         .orderBy("peak_rank")
     )
+
+
+@query(
+    "win_bollinger_bands",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(ROUND(value * 1000000.0) AS BIGINT) AS qv
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(SUM(qv) OVER w AS BIGINT) AS s1,
+             CAST(SUM(qv * qv) OVER w AS HUGEINT) AS s2,
+             COUNT(*) OVER w AS n
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, value,
+           ROUND(s1 / 1000000.0 / n, 6) AS roll_mean,
+           ROUND(SQRT(GREATEST(0.0, (CAST(s2 AS DOUBLE) / 1e12 - (s1 / 1000000.0)
+                       * (s1 / 1000000.0) / n) / n)), 6) AS roll_std,
+           CAST(n AS BIGINT) AS n_window,
+           CAST(value > s1 / 1000000.0 / n
+                + 2.0 * SQRT(GREATEST(0.0, (CAST(s2 AS DOUBLE) / 1e12
+                              - (s1 / 1000000.0) * (s1 / 1000000.0) / n) / n))
+                AS BOOLEAN) AS above_upper
+    FROM f
+    """,
+    tags=("window", "rolling", "bollinger", "frame"),
+)
+def win_bollinger_bands(spark, sf_dir):
+    """Rolling mean ± volatility bands (Bollinger) per user over a
+    7-event frame, with the breakout flag (value above mean + 2σ) — the
+    rolling anomaly gate for metric streams.
+
+    Frame sums run over FIXED-POINT integers (value·10⁶ as long, its
+    square as a 128-bit-safe product), because engines are free to
+    evaluate a sliding SUM over doubles in any association (segment
+    trees vs running adds) — integer frame sums are exact under every
+    evaluation strategy, so mean and population σ are bit-identical
+    cross-engine after one final rounding. One window shuffle
+    (partitioned by user_id); both SUMs and the COUNT share the frame
+    spec, so Catalyst computes them in a single pass."""
+    e = t(spark, sf_dir, "events")
+    q = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.round(F.col("value") * 1e6).cast("long").alias("qv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    s1 = F.sum("qv").over(w)
+    # qv ~ 5e8 max; qv² ~ 2.5e17 × 7 rows ≈ 1.75e18 < 2^63 — long-safe
+    s2 = F.sum(F.col("qv") * F.col("qv")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    mean = s1 / F.lit(1e6) / n
+    var = (s2.cast("double") / F.lit(1e12) - (s1 / F.lit(1e6)) * (s1 / F.lit(1e6)) / n) / n
+    std = F.sqrt(F.greatest(F.lit(0.0), var))
+    return q.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(mean, 6).alias("roll_mean"),
+        F.round(std, 6).alias("roll_std"),
+        n.cast("long").alias("n_window"),
+        (F.col("value") > mean + 2.0 * std).alias("above_upper"),
+    )

@@ -489,3 +489,17 @@ def test_udf_cosine_twin_matches_builtin_fold(spark, sf_dir):
     assert [r["vec_id"] for r in udf_rows] == [r["vec_id"] for r in fold_rows]
     for u, f in zip(udf_rows, fold_rows):
         assert abs(u["cos_sim"] - f["cos_sim"]) < 1e-7
+
+
+def test_bollinger_bands_window_arithmetic(spark, sf_dir):
+    df = SPECS["win_bollinger_bands"].fn(spark, sf_dir)
+    assert df.count() == t(spark, sf_dir, "events").count()
+    bad = df.filter(
+        (F.col("n_window") < 1)
+        | (F.col("n_window") > 7)
+        | (F.col("roll_std") < 0)
+        # a flagged breakout must actually exceed the rounded band within
+        # rounding slack
+        | (F.col("above_upper") & (F.col("value") <= F.col("roll_mean")))
+    )
+    assert bad.count() == 0
