@@ -1088,3 +1088,150 @@ def win_ewma_fold(spark, sf_dir):
             lambda acc, x: F.lit(_EWMA_ALPHA) * x + F.lit(1 - _EWMA_ALPHA) * acc,
         ).alias("ewma"),
     )
+
+
+@query(
+    "ds_survival_km",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS md FROM orders),
+    cust AS (
+      SELECT o_custkey, list_sort(list(o_orderdate)) AS ds
+      FROM orders GROUP BY o_custkey
+    ),
+    spans AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN len(u.ds) >= 2 THEN 1 ELSE 0 END AS event,
+             CASE WHEN len(u.ds) >= 2
+                  THEN date_diff('day', CAST(u.ds[1] AS DATE), CAST(u.ds[2] AS DATE))
+                  ELSE date_diff('day', CAST(u.ds[1] AS DATE), CAST(m.md AS DATE))
+             END AS dur
+      FROM cust u JOIN customer c ON c.c_custkey = u.o_custkey, maxd m
+    ),
+    seg_tot AS (SELECT segment, COUNT(*) AS n_total FROM spans GROUP BY segment),
+    at_t AS (
+      SELECT segment, dur, CAST(SUM(event) AS BIGINT) AS d_events,
+             CAST(COUNT(*) - SUM(event) AS BIGINT) AS c_censored
+      FROM spans GROUP BY segment, dur
+    ),
+    risk AS (
+      SELECT a.segment, a.dur, a.d_events, a.c_censored,
+             t.n_total
+               - COALESCE(CAST(SUM(a.d_events + a.c_censored) OVER
+                   (PARTITION BY a.segment ORDER BY a.dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS n_at_risk
+      FROM at_t a JOIN seg_tot t USING (segment)
+    ),
+    km AS (
+      SELECT segment, dur, d_events, c_censored, n_at_risk,
+             1.0 - d_events / n_at_risk AS factor
+      FROM risk
+    ),
+    curve AS (
+      SELECT segment, dur, d_events, c_censored, n_at_risk,
+             SUM(CASE WHEN factor > 0 THEN LN(factor) END) OVER w AS cum_log,
+             MAX(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER w AS hit_zero
+      FROM km
+      WINDOW w AS (PARTITION BY segment ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT segment, dur AS t_days, n_at_risk, d_events, c_censored,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE ROUND(EXP(COALESCE(cum_log, 0.0)), 8) END AS survival
+    FROM curve WHERE d_events > 0
+    """,
+    tags=("analytics", "survival", "kaplan-meier", "censoring"),
+)
+def ds_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve per market segment for
+    time-to-second-order, WITH right-censoring: single-order customers
+    are censored at the corpus's last order date instead of being
+    dropped (dropping them is the classic retention-analysis bias —
+    they were still 'at risk'). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over event
+    times, the estimator churn/retention teams publish.
+
+    Scale shape: per-customer spans come from one grouped collect of
+    ~10 dates (spec-bounded); the curve itself runs over per-(segment,
+    duration) AGGREGATED rows — the windows walk distinct durations
+    (bounded by the calendar), never raw customers. The product is
+    taken in log space with a cumulative window sum and rounded at
+    1e-8 (the documented posture for transcendental aggregates);
+    risk-set counts and event counts are exact integers. A zero factor
+    (everyone at risk fails) pins survival to exactly 0 thereafter
+    without ln(0) — both engines short-circuit via the hit_zero flag."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    maxd = o.agg(F.max("o_orderdate").alias("md"))
+    cust = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderdate")).alias("ds")
+    )
+    spans = (
+        cust.join(c, cust.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.size("ds") >= 2, 1).otherwise(0).alias("event"),
+            F.when(
+                F.size("ds") >= 2,
+                F.datediff(
+                    F.element_at("ds", 2).cast("date"),
+                    F.element_at("ds", 1).cast("date"),
+                ),
+            )
+            .otherwise(
+                F.datediff(F.col("md").cast("date"), F.element_at("ds", 1).cast("date"))
+            )
+            .alias("dur"),
+        )
+    )
+    seg_tot = spans.groupBy("segment").agg(F.count(F.lit(1)).alias("n_total"))
+    at_t = spans.groupBy("segment", "dur").agg(
+        F.sum("event").alias("d_events"),
+        (F.count(F.lit(1)) - F.sum("event")).alias("c_censored"),
+    )
+    w_prev = (
+        Window.partitionBy("segment")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        at_t.join(seg_tot, "segment")
+        .select(
+            "segment",
+            "dur",
+            "d_events",
+            "c_censored",
+            (
+                F.col("n_total")
+                - F.coalesce(
+                    F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev),
+                    F.lit(0),
+                )
+            ).alias("n_at_risk"),
+        )
+    )
+    factor = 1.0 - F.col("d_events") / F.col("n_at_risk")
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = risk.withColumn("factor", factor).select(
+        "segment",
+        "dur",
+        "d_events",
+        "c_censored",
+        "n_at_risk",
+        F.sum(F.when(F.col("factor") > 0, F.log("factor"))).over(w_cum).alias("cum_log"),
+        F.max(F.when(F.col("factor") == 0, 1).otherwise(0)).over(w_cum).alias("hit_zero"),
+    )
+    return curve.filter(F.col("d_events") > 0).select(
+        "segment",
+        F.col("dur").alias("t_days"),
+        "n_at_risk",
+        "d_events",
+        "c_censored",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.coalesce(F.col("cum_log"), F.lit(0.0))), 8))
+        .alias("survival"),
+    )

@@ -47,6 +47,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "agg_cms_heavy_hitters": "one-row corpus-total broadcast for the error-bound verdict",
     "sim_kmeans_update": "K=8 seed-centroid table broadcast for the assign stage",
     "udf_vectorized_cosine_knn": "one-row query-vector broadcast (declared pandas-UDF twin of sim_knn_bruteforce)",
+    "ds_survival_km": "one-row corpus-max-date broadcast (censoring horizon)",
 }
 
 # --- global sorts of bounded relations ------------------------------------

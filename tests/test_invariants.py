@@ -503,3 +503,21 @@ def test_bollinger_bands_window_arithmetic(spark, sf_dir):
         | (F.col("above_upper") & (F.col("value") <= F.col("roll_mean")))
     )
     assert bad.count() == 0
+
+
+def test_km_survival_monotone_and_risk_consistent(spark, sf_dir):
+    rows = SPECS["ds_survival_km"].fn(spark, sf_dir).orderBy("segment", "t_days").collect()
+    assert rows
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(r)
+    for seg_rows in by_seg.values():
+        prev_s, prev_n = 1.0 + 1e-12, None
+        for r in seg_rows:
+            assert 0.0 <= r["survival"] <= 1.0
+            assert r["survival"] <= prev_s + 1e-9  # S(t) non-increasing
+            assert r["d_events"] >= 1
+            assert r["d_events"] + r["c_censored"] <= r["n_at_risk"]
+            if prev_n is not None:
+                assert r["n_at_risk"] <= prev_n  # risk set shrinks
+            prev_s, prev_n = r["survival"], r["n_at_risk"]
