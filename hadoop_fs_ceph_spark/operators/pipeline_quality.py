@@ -1038,3 +1038,46 @@ def sample_ab_srm(spark, sf_dir):
         chi2.alias("chi2"),
         (chi2 > 3.841).alias("srm_detected"),
     )
+
+
+_RES_K = 64
+
+
+@query(
+    "sample_reservoir_topk",
+    oracle=f"""
+    WITH pri AS (
+      SELECT event_id, user_id, event_type,
+             (event_id * {_MIX}) % 1000000007 AS priority
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, priority
+    FROM pri
+    ORDER BY priority, event_id
+    LIMIT {_RES_K}
+    """,
+    tags=("sample", "reservoir", "mergeable"),
+)
+def sample_reservoir_topk(spark, sf_dir):
+    """Distributed fixed-size uniform sample (the reservoir-sampling
+    contract) via hash priorities: every row gets a deterministic
+    pseudo-uniform priority from its key, and the sample is the k
+    smallest — per-partition k-element heaps merge associatively
+    (TakeOrderedAndProject), which is exactly the property that lets a
+    1000-executor scan, a streaming accumulator, or a union of shard
+    samples maintain one k-sample with O(k) state each and O(k log k)
+    merges. Unlike rand()-reservoirs, re-runs at any parallelism pick
+    the identical sample, and the oracle can reproduce it exactly
+    (the hash-gated membership contract of the sampling family, with a
+    FIXED size instead of a fixed rate)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            ((F.col("event_id") * _MIX) % 1000000007).alias("priority"),
+        )
+        .orderBy("priority", "event_id")
+        .limit(_RES_K)
+    )

@@ -521,3 +521,13 @@ def test_km_survival_monotone_and_risk_consistent(spark, sf_dir):
             if prev_n is not None:
                 assert r["n_at_risk"] <= prev_n  # risk set shrinks
             prev_s, prev_n = r["survival"], r["n_at_risk"]
+
+
+def test_reservoir_sample_is_topk_of_priorities(spark, sf_dir):
+    rows = SPECS["sample_reservoir_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    pris = [r["priority"] for r in rows]
+    assert pris == sorted(pris)
+    # determinism: a second evaluation picks the identical sample
+    again = SPECS["sample_reservoir_topk"].fn(spark, sf_dir).collect()
+    assert [r["event_id"] for r in rows] == [r["event_id"] for r in again]
