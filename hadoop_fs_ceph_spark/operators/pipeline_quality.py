@@ -1081,3 +1081,95 @@ def sample_reservoir_topk(spark, sf_dir):
         .orderBy("priority", "event_id")
         .limit(_RES_K)
     )
+
+
+_AB_S1 = sql_dsum("value", "s1")
+_AB_S2 = sql_dsum("value * value", "s2", scale=2)
+
+
+@query(
+    "ds_ab_welch_ttest",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN (user_id * {_MIX}) % 100 < 50
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             value
+      FROM events
+    ),
+    s AS (
+      SELECT variant, CAST(COUNT(*) AS DOUBLE) AS nd, {_AB_S1}, {_AB_S2}
+      FROM assigned GROUP BY variant
+    ),
+    m AS (
+      SELECT variant, nd, s1 / nd AS mean,
+             (s2 - s1 * s1 / nd) / (nd - 1.0) AS var
+      FROM s
+    ),
+    w AS (
+      SELECT c.nd AS n_control, t.nd AS n_treatment,
+             c.mean AS mean_control, t.mean AS mean_treatment,
+             (c.mean - t.mean)
+               / SQRT(c.var / c.nd + t.var / t.nd) AS t_stat
+      FROM (SELECT * FROM m WHERE variant = 'control') c,
+           (SELECT * FROM m WHERE variant = 'treatment') t
+    )
+    SELECT CAST(n_control AS BIGINT) AS n_control,
+           CAST(n_treatment AS BIGINT) AS n_treatment,
+           ROUND(mean_control, 8) AS mean_control,
+           ROUND(mean_treatment, 8) AS mean_treatment,
+           ROUND(t_stat, 8) AS t_stat,
+           CAST(ABS(t_stat) > 1.96 AS BOOLEAN) AS significant_95
+    FROM w
+    """,
+    tags=("analytics", "experiment", "ttest", "ab-test"),
+)
+def ds_ab_welch_ttest(spark, sf_dir):
+    """Welch's two-sample t-test on the experiment metric: the readout
+    stage after `sample_ab_srm` validates the split — per-variant mean
+    and unbiased variance from fixed-point first/second moments, the
+    unequal-variance t statistic, and the 95% significance flag. Welch
+    (not pooled Student) because real experiment arms rarely share a
+    variance.
+
+    Scale shape: ONE partial-merged aggregate per variant over the
+    hash-assigned events (two groups, constant state), then one-row
+    arithmetic. The moments use the fixed-point scheme
+    (`canonical.py`), so mean/variance — and therefore the t statistic
+    before its final 1e-8 rounding — are order-independent and
+    bit-identical cross-engine."""
+    assigned = t(spark, sf_dir, "events").select(
+        F.when((F.col("user_id") * _MIX) % 100 < 50, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+        "value",
+    )
+    s = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        dsum("value", "s1"),
+        dsum(F.col("value") * F.col("value"), "s2", scale=2),
+    )
+    m = s.select(
+        "variant",
+        "nd",
+        (F.col("s1") / F.col("nd")).alias("mean"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("nd")) / (F.col("nd") - 1.0)).alias(
+            "var"
+        ),
+    )
+    c = m.filter(F.col("variant") == "control").select(
+        F.col("nd").alias("nc"), F.col("mean").alias("mc"), F.col("var").alias("vc")
+    )
+    tr = m.filter(F.col("variant") == "treatment").select(
+        F.col("nd").alias("nt"), F.col("mean").alias("mt"), F.col("var").alias("vt")
+    )
+    tstat = (F.col("mc") - F.col("mt")) / F.sqrt(
+        F.col("vc") / F.col("nc") + F.col("vt") / F.col("nt")
+    )
+    return c.crossJoin(tr).select(
+        F.col("nc").cast("long").alias("n_control"),
+        F.col("nt").cast("long").alias("n_treatment"),
+        F.round("mc", 8).alias("mean_control"),
+        F.round("mt", 8).alias("mean_treatment"),
+        F.round(tstat, 8).alias("t_stat"),
+        (F.abs(tstat) > 1.96).alias("significant_95"),
+    )

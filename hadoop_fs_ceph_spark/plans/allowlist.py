@@ -48,6 +48,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sim_kmeans_update": "K=8 seed-centroid table broadcast for the assign stage",
     "udf_vectorized_cosine_knn": "one-row query-vector broadcast (declared pandas-UDF twin of sim_knn_bruteforce)",
     "ds_survival_km": "one-row corpus-max-date broadcast (censoring horizon)",
+    "ds_ab_welch_ttest": "two one-row variant-moment relations cross-joined",
 }
 
 # --- global sorts of bounded relations ------------------------------------

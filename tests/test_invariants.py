@@ -531,3 +531,12 @@ def test_reservoir_sample_is_topk_of_priorities(spark, sf_dir):
     # determinism: a second evaluation picks the identical sample
     again = SPECS["sample_reservoir_topk"].fn(spark, sf_dir).collect()
     assert [r["event_id"] for r in rows] == [r["event_id"] for r in again]
+
+
+def test_welch_ttest_consistent_with_srm_split(spark, sf_dir):
+    row = SPECS["ds_ab_welch_ttest"].fn(spark, sf_dir).collect()[0]
+    n_events = t(spark, sf_dir, "events").count()
+    assert row["n_control"] + row["n_treatment"] == n_events
+    assert row["significant_95"] == (abs(row["t_stat"]) > 1.96)
+    # the hash gate assigns by user, so both arms are populated
+    assert row["n_control"] > 0 and row["n_treatment"] > 0
