@@ -833,3 +833,101 @@ def sim_kmeans_update(spark, sf_dir):
         )
         .orderBy("cell")
     )
+
+
+_PQ_M = 8  # subspaces
+_PQ_DSUB = 8  # dims per subspace
+_PQ_K = 4  # codewords per subspace (seed vectors 0..3)
+
+
+def _sql_pq_dist(m: int) -> str:
+    """Integer squared L2 between e's and c's m-th subvector (1e6 fixed point)."""
+    terms = " + ".join(
+        f"(CAST(ROUND(CAST(e.embedding[{m * _PQ_DSUB + j + 1}] AS DOUBLE) * 1000000.0) AS BIGINT)"
+        f" - CAST(ROUND(CAST(c.sv[{m * _PQ_DSUB + j + 1}] AS DOUBLE) * 1000000.0) AS BIGINT))"
+        f" * (CAST(ROUND(CAST(e.embedding[{m * _PQ_DSUB + j + 1}] AS DOUBLE) * 1000000.0) AS BIGINT)"
+        f" - CAST(ROUND(CAST(c.sv[{m * _PQ_DSUB + j + 1}] AS DOUBLE) * 1000000.0) AS BIGINT))"
+        for j in range(_PQ_DSUB)
+    )
+    return f"({terms})"
+
+
+@query(
+    "sim_pq_encode",
+    oracle=f"""
+    WITH cw AS (
+      SELECT vec_id AS code, embedding AS sv FROM embeddings
+      WHERE vec_id < {_PQ_K}
+    ),
+    dists AS (
+      SELECT e.vec_id, c.code,
+             {", ".join(f"{_sql_pq_dist(m)} AS d{m}" for m in range(_PQ_M))}
+      FROM embeddings e CROSS JOIN cw c
+    ),
+    best AS (
+      SELECT vec_id,
+             {", ".join(f"MIN(d{m}) AS min{m}" for m in range(_PQ_M))},
+             {", ".join(f"MIN_BY(code, d{m} * 10 + code) AS c{m}" for m in range(_PQ_M))}
+      FROM dists GROUP BY vec_id
+    )
+    SELECT vec_id,
+           [{", ".join(f"c{m}" for m in range(_PQ_M))}] AS codes,
+           CAST({" + ".join(f"min{m}" for m in range(_PQ_M))} AS BIGINT)
+             AS total_sqerr_fp
+    FROM best
+    """,
+    tags=("similarity", "pq", "quantization", "compression"),
+)
+def sim_pq_encode(spark, sf_dir):
+    """Product-quantization encoding: split each 64-dim embedding into
+    8 subvectors of 8 dims, snap each subvector to its nearest of K=4
+    codewords (seed vectors stand in for per-subspace k-means
+    codebooks), emit the 8-byte code word per vector plus the total
+    squared reconstruction error — the memory layout ANN systems
+    (FAISS-IVFPQ) scan: 64 floats → 8 small ints, 32× smaller, with
+    distances approximated per-subspace by codebook lookup tables.
+
+    Distances are computed in 1e6 fixed-point integers, so the argmin
+    per subspace (ties → lowest codeword) and the error sum are EXACT —
+    no float tolerance anywhere. Scale shape: the K-codeword table
+    broadcasts; encoding is map-side expression work per row (the
+    oracle's cross-join formulation is the same bounded K-row
+    broadcast); nothing shuffles."""
+    e = t(spark, sf_dir, "embeddings")
+    cb = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(F.struct(F.col("vec_id").alias("code"), F.col("embedding").alias("sv")).alias("c"))
+        .agg(F.array_sort(F.collect_list("c")).alias("cb"))
+    )
+
+    def qfp(col, idx):
+        return F.round(F.element_at(col, idx).cast("double") * 1e6).cast("long")
+
+    def dist_to(cw, m):
+        acc = F.lit(0).cast("long")
+        for j in range(_PQ_DSUB):
+            idx = m * _PQ_DSUB + j + 1
+            dlt = qfp(F.col("embedding"), idx) - qfp(cw["sv"], idx)
+            acc = acc + dlt * dlt
+        return acc
+
+    def sub_dists(m):
+        return F.transform(F.col("cb"), lambda cw: dist_to(cw, m))
+
+    enc = e.crossJoin(F.broadcast(cb))
+    mins = [F.array_min(sub_dists(m)).alias(f"min{m}") for m in range(_PQ_M)]
+    codes = [
+        (F.array_position(sub_dists(m), F.array_min(sub_dists(m))) - 1)
+        .cast("long")
+        .alias(f"c{m}")
+        for m in range(_PQ_M)
+    ]
+    best = enc.select("vec_id", *mins, *codes)
+    total = best.select(
+        "vec_id",
+        F.array(*[F.col(f"c{m}") for m in range(_PQ_M)]).alias("codes"),
+        sum([F.col(f"min{m}") for m in range(_PQ_M)], F.lit(0).cast("long")).alias(
+            "total_sqerr_fp"
+        ),
+    )
+    return total

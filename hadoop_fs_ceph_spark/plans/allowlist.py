@@ -49,6 +49,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "udf_vectorized_cosine_knn": "one-row query-vector broadcast (declared pandas-UDF twin of sim_knn_bruteforce)",
     "ds_survival_km": "one-row corpus-max-date broadcast (censoring horizon)",
     "ds_ab_welch_ttest": "two one-row variant-moment relations cross-joined",
+    "sim_pq_encode": "one-row collected K=4 codebook broadcast for map-side encoding",
 }
 
 # --- global sorts of bounded relations ------------------------------------

@@ -540,3 +540,19 @@ def test_welch_ttest_consistent_with_srm_split(spark, sf_dir):
     assert row["significant_95"] == (abs(row["t_stat"]) > 1.96)
     # the hash gate assigns by user, so both arms are populated
     assert row["n_control"] > 0 and row["n_treatment"] > 0
+
+
+def test_pq_codes_shape_and_seed_self_encoding(spark, sf_dir):
+    df = SPECS["sim_pq_encode"].fn(spark, sf_dir)
+    assert df.count() == t(spark, sf_dir, "embeddings").count()
+    bad = df.filter(
+        (F.size("codes") != 8)
+        | (F.array_min("codes") < 0)
+        | (F.array_max("codes") > 3)
+        | (F.col("total_sqerr_fp") < 0)
+    )
+    assert bad.count() == 0
+    # each codeword vector encodes to itself in every subspace with zero error
+    for r in df.filter(F.col("vec_id") < 4).collect():
+        assert r["codes"] == [r["vec_id"]] * 8
+        assert r["total_sqerr_fp"] == 0
