@@ -44,6 +44,17 @@ sequence patterns, repurchase cadence (analytics_suite); Matryoshka
 recall (similarity); trending top-k (streaming_q); session_window batch
 (aggregates); winsorize + class balance (pipeline_quality); recursive
 CTE (sql_surface).
+
+Round-3 additions, likewise in-family: fixpoint + star-contraction CC,
+semantic-cell dedup (dedup/similarity); Gopher rule battery, substring
+dedup, unigram log-prob, bigram entropy (text); k-means Lloyd round, JL
+random projection, PQ encoding (similarity); CMS heavy hitters, sketch
+quantiles (aggregates); grid-KS drift, MAD outliers, A/B SRM + Welch
+t-test, token-budget mix, reservoir top-k (pipeline_quality); interval
+coverage, EWMA fold, KM survival, event transitions (analytics_suite);
+Bollinger bands (windows); interval-overlap + tolerance as-of (joins);
+payload dedup (multimodal); vectorized-cosine twin (udfs); watermarked
+trending top-k + session windows (streaming_q).
 """
 
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401
