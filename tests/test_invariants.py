@@ -556,3 +556,111 @@ def test_pq_codes_shape_and_seed_self_encoding(spark, sf_dir):
     for r in df.filter(F.col("vec_id") < 4).collect():
         assert r["codes"] == [r["vec_id"]] * 8
         assert r["total_sqerr_fp"] == 0
+
+
+def _write_parquet(tmp_path, table, rows):
+    import os
+
+    import pandas as pd
+
+    d = str(tmp_path / "fix_sf")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(rows).to_parquet(os.path.join(d, f"{table}.parquet"), index=False)
+    return d
+
+
+def test_semantic_cell_finds_planted_near_dup(spark, tmp_path):
+    """Two planted near-identical vectors land in one cell and surface as
+    a pair; a far vector in another cell never pairs with them."""
+    import numpy as np
+
+    def unit(i, eps=0.0, seed=0):
+        v = np.zeros(64)
+        v[i] = 1.0
+        if eps:
+            r = np.random.RandomState(seed)
+            v = v + eps * r.standard_normal(64)
+        return [float(x) for x in v]
+
+    rows = [{"vec_id": i, "embedding": unit(i), "label": 0} for i in range(8)]
+    rows.append({"vec_id": 100, "embedding": unit(0, 0.02, 1), "label": 1})
+    rows.append({"vec_id": 101, "embedding": unit(0, 0.02, 2), "label": 1})
+    rows.append({"vec_id": 200, "embedding": unit(5, 0.02, 3), "label": 1})
+    d = _write_parquet(tmp_path, "embeddings", rows)
+    pairs = {
+        (r.vec_a, r.vec_b): r.cell
+        for r in SPECS["dedup_semantic_cell"].fn(spark, d).collect()
+    }
+    assert (100, 101) in pairs and pairs[(100, 101)] == 0
+    # the far vector sits in cell 5 — cell blocking keeps it out of every pair
+    assert all(200 not in p for p in pairs)
+
+
+def test_ks_drift_detects_planted_shift(spark, tmp_path):
+    from datetime import datetime
+
+    rows = []
+    for i in range(400):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": datetime(2024, 1, 1, i % 24),
+                "user_id": i % 40,
+                "event_type": "click" if i % 2 == 0 else "purchase",
+                # clicks live in [0, 1), purchases in [10, 11) — full separation
+                "value": (i % 100) / 100.0 + (0.0 if i % 2 == 0 else 10.0),
+                "props": "{}",
+            }
+        )
+    d = _write_parquet(tmp_path, "events", rows)
+    out = SPECS["profile_ks_drift"].fn(spark, d).collect()
+    ks = out[0]["ks_stat"]
+    assert ks == 1.0  # disjoint supports → maximal drift
+
+
+def test_cms_exact_when_keys_sparse(spark, tmp_path):
+    from datetime import date
+
+    rows = []
+    for k in range(1, 11):
+        for j in range(k):  # key k appears k times
+            rows.append(
+                {
+                    "o_orderkey": len(rows),
+                    "o_custkey": k,
+                    "o_orderstatus": "O",
+                    "o_totalprice": 1.0,
+                    "o_orderdate": date(2024, 1, 1),
+                    "o_orderpriority": "1-URGENT",
+                    "o_clerk": "c",
+                    "o_shippriority": 0,
+                    "o_comment": "",
+                }
+            )
+    d = _write_parquet(tmp_path, "orders", rows)
+    got = SPECS["agg_cms_heavy_hitters"].fn(spark, d).collect()
+    # 10 keys across 4x256 cells: no key collides in all rows, so every
+    # CMS estimate is EXACT and the ranking is the true ranking
+    assert [(r.k, r.cms_est, r.exact_count) for r in got] == [
+        (k, k, k) for k in range(10, 0, -1)
+    ]
+
+
+def test_gopher_rules_planted_violations(spark, tmp_path):
+    long_ok = " ".join(f"word{i % 40}" for i in range(60)) + " the and of to"
+    rows = [
+        {"doc_id": 1, "text": long_ok, "lang": "en", "source": "s", "n_chars": len(long_ok)},
+        {"doc_id": 2, "text": "too short the", "lang": "en", "source": "s", "n_chars": 13},
+        {
+            "doc_id": 3,
+            "text": " ".join(["same"] * 50) + " the and",
+            "lang": "en",
+            "source": "s",
+            "n_chars": 0,
+        },
+    ]
+    d = _write_parquet(tmp_path, "documents", rows)
+    got = {r.doc_id: r for r in SPECS["text_gopher_rules"].fn(spark, d).collect()}
+    assert got[1]["keep_doc"]
+    assert not got[2]["r_word_count"] and not got[2]["keep_doc"]
+    assert not got[3]["r_top_word"] and not got[3]["r_unique"] and not got[3]["keep_doc"]
