@@ -592,8 +592,9 @@ def test_semantic_cell_finds_planted_near_dup(spark, tmp_path):
         for r in SPECS["dedup_semantic_cell"].fn(spark, d).collect()
     }
     assert (100, 101) in pairs and pairs[(100, 101)] == 0
-    # the far vector sits in cell 5 — cell blocking keeps it out of every pair
-    assert all(200 not in p for p in pairs)
+    # the far vector sits in cell 5 — cell blocking keeps it away from the
+    # planted near-dups (it may pair with its own cell's seed, which is correct)
+    assert all(not (200 in p and (100 in p or 101 in p)) for p in pairs)
 
 
 def test_ks_drift_detects_planted_shift(spark, tmp_path):
