@@ -951,3 +951,75 @@ def pipeline_curation_funnel(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, {sql_poly_hash("text")} AS h FROM documents
+      WHERE doc_id % 10 <> 7
+    ),
+    batch AS (
+      SELECT doc_id, {sql_poly_hash("text")} AS h FROM documents
+      WHERE doc_id % 10 = 7
+    ),
+    in_batch_first AS (
+      SELECT doc_id, h FROM batch
+      QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+    ),
+    verdicts AS (
+      SELECT b.doc_id,
+             CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                  WHEN f.doc_id IS NULL THEN 'dup_in_batch'
+                  ELSE 'accept' END AS verdict
+      FROM batch b
+      LEFT JOIN (SELECT DISTINCT h FROM corpus) c ON c.h = b.h
+      LEFT JOIN in_batch_first f ON f.doc_id = b.doc_id
+    )
+    SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM verdicts GROUP BY verdict ORDER BY verdict
+    """,
+    tags=("dedup", "incremental", "ingest"),
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental ingest dedup — the DAILY shape of a production corpus:
+    an incoming batch (here the doc_id%10==7 slice) is deduped in two
+    passes, (1) against the EXISTING corpus by content-hash anti/semi
+    join, (2) within itself keeping the first occurrence per hash; each
+    batch doc gets an explicit verdict (accept / dup_of_corpus /
+    dup_in_batch), the audit trail an ingest pipeline persists.
+
+    Scale shape: the corpus side reduces to DISTINCT 8-byte hashes
+    before the join (never text); both joins are hash-equality on that
+    key; the within-batch pass is a window over the (much smaller)
+    batch. At 100 TB the corpus hash set is exactly the "seen-content"
+    index a dedup service maintains — this query IS its batch-refresh
+    plan, and re-running it is idempotent (accepted docs join the
+    corpus; their dups then classify as dup_of_corpus)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", poly_hash(F.col("text")).alias("h")
+    )
+    corpus_h = d.filter(F.col("doc_id") % 10 != 7).select("h").distinct()
+    batch = d.filter(F.col("doc_id") % 10 == 7)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = (
+        batch.join(corpus_h.withColumn("in_corpus", F.lit(1)), "h", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus").isNotNull(), "dup_of_corpus")
+            .when(F.col("rn") > 1, "dup_in_batch")
+            .otherwise("accept")
+            .alias("verdict"),
+        )
+    )
+    return (
+        flagged.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .orderBy("verdict")
+    )

@@ -665,3 +665,15 @@ def test_gopher_rules_planted_violations(spark, tmp_path):
     assert got[1]["keep_doc"]
     assert not got[2]["r_word_count"] and not got[2]["keep_doc"]
     assert not got[3]["r_top_word"] and not got[3]["r_unique"] and not got[3]["keep_doc"]
+
+
+def test_incremental_dedup_partitions_batch(spark, sf_dir):
+    rows = {r["verdict"]: r for r in SPECS["dedup_incremental_batch"].fn(spark, sf_dir).collect()}
+    batch_n = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 7).count()
+    )
+    assert sum(r["n_docs"] for r in rows.values()) == batch_n
+    all_ids = [i for r in rows.values() for i in r["doc_ids"]]
+    assert len(all_ids) == len(set(all_ids)) == batch_n
+    for r in rows.values():
+        assert r["n_docs"] == len(r["doc_ids"])
