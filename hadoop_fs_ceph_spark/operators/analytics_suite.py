@@ -1235,3 +1235,54 @@ def ds_survival_km(spark, sf_dir):
         .otherwise(F.round(F.exp(F.coalesce(F.col("cum_log"), F.lit(0.0))), 8))
         .alias("survival"),
     )
+
+
+@query(
+    "ds_seasonal_naive_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS actual
+      FROM events GROUP BY event_type, d
+    )
+    SELECT a.event_type, a.d, a.actual, f.actual AS forecast,
+           ABS(a.actual - f.actual) AS abs_err,
+           ABS(a.actual - f.actual) / a.actual AS ape
+    FROM daily a JOIN daily f
+      ON f.event_type = a.event_type AND f.d = a.d - 7
+    ORDER BY a.event_type, a.d
+    """,
+    tags=("analytics", "forecast", "seasonal", "baseline"),
+)
+def ds_seasonal_naive_forecast(spark, sf_dir):
+    """Seasonal-naive forecast baseline: predict each (event_type, day)
+    count with the SAME WEEKDAY one week earlier, scoring absolute and
+    percentage error per day — the baseline every forecasting system
+    must beat before a model earns its keep (and the shape of the
+    backtest join: actuals ⋈ lagged actuals on a calendar key).
+
+    A date-equality self-join of the per-day aggregate, NOT a row-lag
+    window: missing days must yield no forecast rather than silently
+    lagging to the wrong day. Both sides are the same daily relation
+    (one shuffle, exchange reused); row counts are exact ints, so the
+    error ratios are bit-identical cross-engine."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("actual")
+    )
+    f = daily.select(
+        F.col("event_type"),
+        F.date_add("d", 7).alias("d"),
+        F.col("actual").alias("forecast"),
+    )
+    return (
+        daily.join(f, ["event_type", "d"])
+        .select(
+            "event_type",
+            "d",
+            "actual",
+            "forecast",
+            F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+            (F.abs(F.col("actual") - F.col("forecast")) / F.col("actual")).alias("ape"),
+        )
+        .orderBy("event_type", "d")
+    )

@@ -163,3 +163,45 @@ def graph_triangle_count(spark, sf_dir):
     )
     n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return tri.crossJoin(n_edges)
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+      UNION
+      SELECT dst, src FROM edges WHERE src <> dst
+    ),
+    deg AS (SELECT u, COUNT(*) AS degree FROM und GROUP BY u)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           list_sort(list(u)) AS nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+    tags=("graph", "degree", "profile"),
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree distribution of the undirected trade graph: per-node
+    degree (distinct neighbors, self-loops dropped) histogrammed into
+    (degree → node count + node list) — the first profile a graph
+    pipeline materializes, because degree skew decides every downstream
+    join strategy (the heavy-vertex problem triangle counting and CC
+    both order around).
+
+    Scale shape: symmetrize with a UNION-dedup (one shuffle), one
+    partial-merged count per node, one per-degree rollup — state is one
+    long per node then one row per distinct degree. All counts exact."""
+    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    ).distinct()
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sort_array(F.collect_list("u")).alias("nodes"),
+        )
+        .orderBy("degree")
+    )

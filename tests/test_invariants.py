@@ -677,3 +677,21 @@ def test_incremental_dedup_partitions_batch(spark, sf_dir):
     assert len(all_ids) == len(set(all_ids)) == batch_n
     for r in rows.values():
         assert r["n_docs"] == len(r["doc_ids"])
+
+
+def test_degree_distribution_handshake(spark, sf_dir):
+    rows = SPECS["graph_degree_distribution"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_nodes"] == len(r["nodes"])
+        assert 1 <= r["degree"] <= 24  # ≤ N-1 distinct neighbors among 25 nations
+    assert sum(r["n_nodes"] for r in rows) <= 25
+
+
+def test_seasonal_naive_scoring_arithmetic(spark, sf_dir):
+    df = SPECS["ds_seasonal_naive_forecast"].fn(spark, sf_dir)
+    bad = df.filter(
+        (F.col("abs_err") != F.abs(F.col("actual") - F.col("forecast")))
+        | (F.col("ape") < 0)
+        | (F.col("actual") < 1)
+    )
+    assert bad.count() == 0
