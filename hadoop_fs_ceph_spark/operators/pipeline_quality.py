@@ -1173,3 +1173,88 @@ def ds_ab_welch_ttest(spark, sf_dir):
         F.round(tstat, 8).alias("t_stat"),
         (F.abs(tstat) > 1.96).alias("significant_95"),
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), embedded as literals so
+# both engines compare against the IDENTICAL constants (no libm involved).
+_BENFORD_P = (
+    0.301029995664,
+    0.176091259056,
+    0.124938736608,
+    0.096910013008,
+    0.079181246048,
+    0.066946789631,
+    0.057991946978,
+    0.051152522447,
+    0.045757490561,
+)
+_SQL_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in enumerate(_BENFORD_P, start=1)
+) + " END"
+
+
+@query(
+    "profile_benford_check",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM digits),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM digits GROUP BY digit
+    ),
+    spine AS (SELECT unnest(generate_series(1, 9)) AS digit)
+    SELECT s.digit,
+           COALESCE(o.observed, 0) AS observed,
+           {_SQL_BENFORD_CASE.replace("digit", "s.digit")} * n.total AS expected,
+           COALESCE(o.observed, 0) / CAST(n.total AS DOUBLE) AS observed_frac,
+           (COALESCE(o.observed, 0) - {_SQL_BENFORD_CASE.replace("digit", "s.digit")} * n.total)
+             * (COALESCE(o.observed, 0) - {_SQL_BENFORD_CASE.replace("digit", "s.digit")} * n.total)
+             / ({_SQL_BENFORD_CASE.replace("digit", "s.digit")} * n.total) AS chi2_term
+    FROM spine s LEFT JOIN obs o ON o.digit = s.digit, n
+    ORDER BY s.digit
+    """,
+    tags=("profile", "benford", "audit", "quality"),
+)
+def profile_benford_check(spark, sf_dir):
+    """Benford's-law first-digit audit on order totals: observed
+    first-significant-digit counts vs the log10(1+1/d) expectation,
+    with per-digit chi-square terms — the classic fabricated-data /
+    corrupted-feed screen a data-quality pipeline runs on monetary and
+    count columns (organic multiplicative data follows Benford;
+    uniform-generated or truncated feeds visibly don't — the verdict
+    here is the per-digit evidence, not a pass flag, because TPC-H's
+    uniform prices are exactly such a non-Benford feed).
+
+    The expectation constants are embedded LITERALS (no runtime libm),
+    the digit extraction is integer/string ops, and the chi-square
+    terms divide identically-formed doubles — bit-identical
+    cross-engine. Scale: one map-side digit projection, one 9-group
+    partial-merged count, a 9-row spine join; the corpus total is a
+    one-row broadcast."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    n = digits.agg(F.count(F.lit(1)).alias("total"))
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    spine = n.select(F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"), "total")
+    p = F.element_at(F.array(*[F.lit(x) for x in _BENFORD_P]), F.col("digit"))
+    expected = p * F.col("total")
+    observed = F.coalesce(F.col("observed"), F.lit(0))
+    return (
+        spine.join(obs, "digit", "left")
+        .select(
+            "digit",
+            observed.alias("observed"),
+            expected.alias("expected"),
+            (observed / F.col("total").cast("double")).alias("observed_frac"),
+            ((observed - expected) * (observed - expected) / expected).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -695,3 +695,13 @@ def test_seasonal_naive_scoring_arithmetic(spark, sf_dir):
         | (F.col("actual") < 1)
     )
     assert bad.count() == 0
+
+
+def test_benford_spine_complete_and_conserves(spark, sf_dir):
+    rows = SPECS["profile_benford_check"].fn(spark, sf_dir).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    n = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0).count()
+    assert sum(r["observed"] for r in rows) == n
+    assert abs(sum(r["observed_frac"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["expected"] for r in rows) - n) < 1e-3  # Benford probs sum to 1
+    assert all(r["chi2_term"] >= 0 for r in rows)
