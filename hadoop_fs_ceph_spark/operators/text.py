@@ -1122,3 +1122,59 @@ def text_bigram_entropy(spark, sf_dir):
         .select("cur", "n", "n_next", "cond_entropy")
     )
     return agg.orderBy(F.col("n").desc(), "cur").limit(20)
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct({sql_hashed_shingles(sql_token_hashes(_SQL_TOK), 5)})) AS g
+      FROM documents
+    ),
+    first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    scored AS (
+      SELECT gr.doc_id,
+             COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM grams gr JOIN first_seen f ON f.g = gr.g
+      GROUP BY gr.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel, n_novel / n_grams AS novelty
+    FROM scored
+    """,
+    tags=("text", "novelty", "ngram", "curation"),
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Corpus novelty curve: for each document (in doc_id ingest order),
+    the fraction of its distinct 5-gram hashes appearing for the FIRST
+    time in the corpus — the marginal-information measure that tells a
+    curation pipeline when additional data stops adding content (novelty
+    → 0 means you are re-crawling what you already have) and which
+    sources still contribute. The same first-occurrence join is the
+    dedup-aware token-count a training-budget estimate needs.
+
+    Scale shape: gram hashing is map-side (8-byte keys, never text); the
+    ONLY wide operations are one partial-merged MIN per gram hash and
+    one gram→first-doc equality join back; per-doc rollups are exact
+    integers, so the novelty ratios are bit-identical cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(hashed_shingles(token_hashes(tokens("text")), 5))
+        ).alias("g"),
+    ).persist()
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select("doc_id", "n_grams", "n_novel", (F.col("n_novel") / F.col("n_grams")).alias("novelty"))
+    )

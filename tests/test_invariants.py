@@ -705,3 +705,22 @@ def test_benford_spine_complete_and_conserves(spark, sf_dir):
     assert abs(sum(r["observed_frac"] for r in rows) - 1.0) < 1e-9
     assert abs(sum(r["expected"] for r in rows) - n) < 1e-3  # Benford probs sum to 1
     assert all(r["chi2_term"] >= 0 for r in rows)
+
+
+def test_ngram_novelty_first_doc_fully_novel(spark, sf_dir):
+    rows = {r["doc_id"]: r for r in SPECS["text_ngram_novelty"].fn(spark, sf_dir).collect()}
+    first = min(rows)
+    assert rows[first]["novelty"] == 1.0  # nothing precedes the first doc
+    total_novel = sum(r["n_novel"] for r in rows.values())
+    # novel grams across docs == distinct grams in the corpus (each gram is
+    # novel exactly once)
+    from hadoop_fs_ceph_spark.functions.text import hashed_shingles, token_hashes, tokens
+
+    distinct_grams = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.array_distinct(hashed_shingles(token_hashes(tokens("text")), 5))).alias("g"))
+        .distinct()
+        .count()
+    )
+    assert total_novel == distinct_grams
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in rows.values())
