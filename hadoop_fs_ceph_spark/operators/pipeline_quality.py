@@ -1258,3 +1258,127 @@ def profile_benford_check(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+_CUPED_CUT = "2024-01-16"
+
+
+@query(
+    "ds_ab_cuped_adjust",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN (user_id * {_MIX}) % 100 < 50
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                  THEN CAST(ROUND(value * 1000000.0) AS BIGINT) ELSE 0 END)
+                  AS DOUBLE) / 1000000.0 AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                  THEN CAST(ROUND(value * 1000000.0) AS BIGINT) ELSE 0 END)
+                  AS DOUBLE) / 1000000.0 AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum("x", "sx")}, {sql_dsum("y", "sy")},
+             {sql_dsum("x * x", "sxx", scale=2)},
+             {sql_dsum("x * y", "sxy", scale=2)}
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n, sx / n AS xbar,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS th
+      FROM m
+    ),
+    adj AS (
+      SELECT p.variant, p.y,
+             p.y - t.th * (p.x - t.xbar) AS y_adj
+      FROM per_user p, theta t
+    ),
+    v AS (
+      SELECT variant, CAST(COUNT(*) AS DOUBLE) AS nv,
+             {sql_dsum("y", "vy1")}, {sql_dsum("y * y", "vy2", scale=2)},
+             {sql_dsum("y_adj", "va1")}, {sql_dsum("y_adj * y_adj", "va2", scale=2)}
+      FROM adj GROUP BY variant
+    )
+    SELECT variant, CAST(nv AS BIGINT) AS n_users,
+           ROUND(vy1 / nv, 8) AS mean_y,
+           ROUND(va1 / nv, 8) AS mean_y_adj,
+           ROUND((vy2 - vy1 * vy1 / nv) / (nv - 1.0), 6) AS var_y,
+           ROUND((va2 - va1 * va1 / nv) / (nv - 1.0), 6) AS var_y_adj,
+           ROUND(1.0 - ((va2 - va1 * va1 / nv) / (nv - 1.0))
+                 / ((vy2 - vy1 * vy1 / nv) / (nv - 1.0)), 8) AS variance_reduction
+    FROM v ORDER BY variant
+    """,
+    tags=("analytics", "experiment", "cuped", "variance-reduction"),
+)
+def ds_ab_cuped_adjust(spark, sf_dir):
+    """CUPED covariate adjustment for the A/B metric (Deng et al.):
+    per-user pre-period spend x predicts experiment-period spend y, so
+    y* = y − θ(x − x̄) with θ = cov(x,y)/var(x) removes the variance x
+    explains — the standard trick that makes experiments sensitive
+    without more traffic. Reports per-variant adjusted means/variances
+    and the realized variance reduction (means shift only by sampling
+    noise; the CUPED guarantee is on variance).
+
+    Scale shape: one grouped aggregate builds per-user (x, y) with
+    FIXED-POINT sums (order-independent); θ is one fixed-point moment
+    row broadcast back; the per-variant variance pass reuses the same
+    moment scheme. Every double on the way to the rounded outputs is
+    built from exact integers through identically-written expressions —
+    bit-identical cross-engine."""
+    e = t(spark, sf_dir, "events")
+    cut = F.lit(_CUPED_CUT).cast("timestamp_ntz")
+    qv = F.round(F.col("value") * 1e6).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("ts") < cut, qv).otherwise(F.lit(0))).cast("double") / 1e6
+        ).alias("x"),
+        (
+            F.sum(F.when(F.col("ts") >= cut, qv).otherwise(F.lit(0))).cast("double") / 1e6
+        ).alias("y"),
+    ).select(
+        F.when((F.col("user_id") * _MIX) % 100 < 50, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+        "x",
+        "y",
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x", "sx"),
+        dsum("y", "sy"),
+        dsum(F.col("x") * F.col("x"), "sxx", scale=2),
+        dsum(F.col("x") * F.col("y"), "sxy", scale=2),
+    )
+    theta = m.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("th"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "variant",
+        "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("xbar"))).alias("y_adj"),
+    )
+    v = adj.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("nv"),
+        dsum("y", "vy1"),
+        dsum(F.col("y") * F.col("y"), "vy2", scale=2),
+        dsum("y_adj", "va1"),
+        dsum(F.col("y_adj") * F.col("y_adj"), "va2", scale=2),
+    )
+    var_y = (F.col("vy2") - F.col("vy1") * F.col("vy1") / F.col("nv")) / (F.col("nv") - 1.0)
+    var_a = (F.col("va2") - F.col("va1") * F.col("va1") / F.col("nv")) / (F.col("nv") - 1.0)
+    return v.select(
+        "variant",
+        F.col("nv").cast("long").alias("n_users"),
+        F.round(F.col("vy1") / F.col("nv"), 8).alias("mean_y"),
+        F.round(F.col("va1") / F.col("nv"), 8).alias("mean_y_adj"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_a, 6).alias("var_y_adj"),
+        F.round(1.0 - var_a / var_y, 8).alias("variance_reduction"),
+    ).orderBy("variant")

@@ -50,6 +50,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "ds_survival_km": "one-row corpus-max-date broadcast (censoring horizon)",
     "ds_ab_welch_ttest": "two one-row variant-moment relations cross-joined",
     "sim_pq_encode": "one-row collected K=4 codebook broadcast for map-side encoding",
+    "ds_ab_cuped_adjust": "one-row theta/xbar moment broadcast for the adjustment pass",
 }
 
 # --- global sorts of bounded relations ------------------------------------

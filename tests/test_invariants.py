@@ -724,3 +724,15 @@ def test_ngram_novelty_first_doc_fully_novel(spark, sf_dir):
     )
     assert total_novel == distinct_grams
     assert all(0.0 <= r["novelty"] <= 1.0 for r in rows.values())
+
+
+def test_cuped_preserves_population_and_bounds(spark, sf_dir):
+    rows = {r["variant"]: r for r in SPECS["ds_ab_cuped_adjust"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"control", "treatment"}
+    n_users = t(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert rows["control"]["n_users"] + rows["treatment"]["n_users"] == n_users
+    for r in rows.values():
+        assert r["var_y"] > 0 and r["var_y_adj"] > 0
+        assert r["variance_reduction"] < 1.0
+        # adjustment recentres by a bounded shift, it cannot explode the mean
+        assert abs(r["mean_y_adj"] - r["mean_y"]) < 10 * abs(r["mean_y"]) + 1e-9
