@@ -744,3 +744,69 @@ def stream_session_window_watermarked(spark, sf_dir):
     )
     drained = run_to_memory(agg, "stream_session_window_wm", "append")
     return drained.orderBy("user_id", "session_start")
+
+
+_MFT_SLICES = 4
+
+
+@query(
+    "stream_max_files_per_trigger",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT event_id % {_MFT_SLICES} AS g, CAST(COUNT(*) AS BIGINT) AS batch_rows
+      FROM events GROUP BY g
+    )
+    SELECT row_number() OVER (ORDER BY batch_rows, g) AS batch_rank,
+           batch_rows
+    FROM sizes ORDER BY batch_rank
+    """,
+    tags=("streaming", "backpressure", "trigger", "incremental"),
+)
+def stream_max_files_per_trigger(spark, sf_dir):
+    """Bounded micro-batches via ``maxFilesPerTrigger=1`` — the
+    backpressure lever that keeps a directory-tailing stream's batches
+    sized by FILES LANDED, not by however much backlog accumulated
+    (without it, a stream restarted after downtime swallows the whole
+    backlog as one giant batch and falls over exactly when it matters).
+    Four deterministic slices of events land as four files; the drain
+    must process them as (at least) four separate micro-batches, one
+    file each, and the per-batch row counts — collected by a
+    foreachBatch observer — must be exactly the slice sizes.
+
+    File-listing order is not deterministic, so the contract (and the
+    oracle) compares the SORTED multiset of batch sizes; the batch
+    count is pinned by the output row count. State per batch is one
+    integer on the driver (observability metadata, not data)."""
+    import os
+    import tempfile
+    import uuid
+
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    run = uuid.uuid4().hex[:8]
+    src = os.path.join(tempfile.gettempdir(), "hfcs_mft", run, "src")
+    for g in range(_MFT_SLICES):
+        e.filter(F.col("event_id") % _MFT_SLICES == g).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    batch_rows: list[int] = []
+
+    def observe(batch_df, batch_id):
+        n = batch_df.count()
+        if n:
+            batch_rows.append(n)
+
+    q = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(observe)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sizes = sorted(batch_rows)
+    assert len(sizes) == _MFT_SLICES, f"expected {_MFT_SLICES} micro-batches, got {len(sizes)}"
+    return spark.createDataFrame(
+        [(i + 1, int(n)) for i, n in enumerate(sizes)], "batch_rank int, batch_rows long"
+    ).select(F.col("batch_rank"), F.col("batch_rows"))

@@ -79,3 +79,23 @@ def test_streaming_equals_batch_counts(spark, sf_dir):
     assert {(r.event_type, r.n) for r in streamed.collect()} == {
         (r.event_type, r.n) for r in batch.collect()
     }
+
+
+def test_max_files_per_trigger_batches_are_slices(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from hadoop_fs_ceph_spark.registry import load_all
+    from hadoop_fs_ceph_spark.tables import t
+
+    got = load_all()["stream_max_files_per_trigger"].fn(spark, sf_dir).collect()
+    assert len(got) == 4  # one micro-batch per landed file
+    sizes = sorted(r["batch_rows"] for r in got)
+    truth = sorted(
+        r["n"]
+        for r in t(spark, sf_dir, "events")
+        .groupBy((F.col("event_id") % 4).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sizes == truth
+    assert sum(sizes) == t(spark, sf_dir, "events").count()
