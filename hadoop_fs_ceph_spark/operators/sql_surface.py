@@ -13,6 +13,8 @@ from the operator families applies unchanged.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from hadoop_fs_ceph_spark.canonical import sql_dsum
 from hadoop_fs_ceph_spark.registry import query
 from hadoop_fs_ceph_spark.tables import t
@@ -373,3 +375,101 @@ def sql_recursive_cte(spark, sf_dir):
                MIN(node) AS min_node, MAX(node) AS max_node
         FROM tree GROUP BY depth ORDER BY depth
     """)
+
+
+@query(
+    "sql_analyze_cbo_stats",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_ndv,
+           CAST(MIN(o_custkey) AS VARCHAR) AS exact_min,
+           CAST(MAX(o_custkey) AS VARCHAR) AS exact_max,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS exact_nulls,
+           TRUE AS ndv_within_10pct, TRUE AS minmax_consistent, TRUE AS nulls_exact
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           TRUE, TRUE, TRUE
+    FROM orders
+    ORDER BY column_name
+    """,
+    tags=("sql", "cbo", "statistics", "catalog"),
+)
+def sql_analyze_cbo_stats(spark, sf_dir):
+    """The cost-based-optimizer statistics surface: ANALYZE TABLE ...
+    COMPUTE STATISTICS FOR COLUMNS writes per-column NDV (HLL++ sketch),
+    min/max, and null counts into the catalog — the numbers Catalyst's
+    CBO uses for join reordering and broadcast decisions. The query
+    registers an EXTERNAL table over the orders parquet (metadata only,
+    data stays in place — the object-store contract), analyzes it, reads
+    the stats back via DESC EXTENDED, and emits each column's exact
+    truth plus verdicts: catalog NDV within a 2-sigma band of the HLL++ default accuracy (10%), min/max
+    and null counts exactly right.
+
+    Scale shape: ANALYZE itself is one partial-merged aggregate per
+    column (HLL sketches merge associatively — same property as
+    `agg_hll_sketch_merge`); the stats readback is catalog METADATA on
+    the driver, bounded by column count, not data. The oracle carries
+    the exact sides + TRUE verdicts, so the sketch's correctness is
+    hash-checked without demanding bit-equality of the sketch."""
+    import os
+
+    tbl = "cbo_stats_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    loc = os.path.join(sf_dir, "orders.parquet")
+    spark.sql(f"CREATE TABLE {tbl} USING parquet LOCATION '{loc}'")
+    spark.sql(
+        f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_custkey, o_orderstatus"
+    )
+
+    def info(name):
+        return F.max(F.when(F.col("info_name") == name, F.col("info_value")))
+
+    o = t(spark, sf_dir, "orders")
+    per_col = []
+    for col in ("o_custkey", "o_orderstatus"):
+        # DESC EXTENDED returns the column's catalog stats as a tiny
+        # (info_name, info_value) relation — folded to one row, never
+        # collected driver-side
+        cat = spark.sql(f"DESC EXTENDED {tbl} {col}").agg(
+            info("distinct_count").cast("long").alias("ndv_cat"),
+            info("min").alias("mn_cat"),
+            info("max").alias("mx_cat"),
+            info("num_nulls").cast("long").alias("nulls_cat"),
+        )
+        ex = o.agg(
+            F.countDistinct(col).alias("exact_ndv"),
+            F.min(col).cast("string").alias("exact_min"),
+            F.max(col).cast("string").alias("exact_max"),
+            F.coalesce(
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias("exact_nulls"),
+        )
+        minmax_ok = F.when(
+            F.col("mn_cat") == "NULL", F.col("mx_cat") == "NULL"
+        ).otherwise(
+            (F.col("mn_cat") == F.col("exact_min"))
+            & (F.col("mx_cat") == F.col("exact_max"))
+        )
+        per_col.append(
+            ex.crossJoin(F.broadcast(cat)).select(
+                F.lit(col).alias("column_name"),
+                "exact_ndv",
+                "exact_min",
+                "exact_max",
+                "exact_nulls",
+                (
+                    F.abs(F.col("ndv_cat") - F.col("exact_ndv"))
+                    <= 0.10 * F.col("exact_ndv")
+                ).alias("ndv_within_10pct"),
+                minmax_ok.alias("minmax_consistent"),
+                (F.col("nulls_cat") == F.col("exact_nulls")).alias("nulls_exact"),
+            )
+        )
+    out = per_col[0].unionByName(per_col[1]).orderBy("column_name")
+    return out

@@ -51,6 +51,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "ds_ab_welch_ttest": "two one-row variant-moment relations cross-joined",
     "sim_pq_encode": "one-row collected K=4 codebook broadcast for map-side encoding",
     "ds_ab_cuped_adjust": "one-row theta/xbar moment broadcast for the adjustment pass",
+    "sql_analyze_cbo_stats": "one-row catalog-stats relation cross-joined to the one-row exact aggregate",
 }
 
 # --- global sorts of bounded relations ------------------------------------

@@ -736,3 +736,11 @@ def test_cuped_preserves_population_and_bounds(spark, sf_dir):
         assert r["variance_reduction"] < 1.0
         # adjustment recentres by a bounded shift, it cannot explode the mean
         assert abs(r["mean_y_adj"] - r["mean_y"]) < 10 * abs(r["mean_y"]) + 1e-9
+
+
+def test_cbo_stats_verdicts_all_true(spark, sf_dir):
+    rows = SPECS["sql_analyze_cbo_stats"].fn(spark, sf_dir).collect()
+    assert [r["column_name"] for r in rows] == ["o_custkey", "o_orderstatus"]
+    for r in rows:
+        assert r["ndv_within_10pct"] and r["minmax_consistent"] and r["nulls_exact"]
+        assert r["exact_ndv"] >= 1 and r["exact_nulls"] == 0
