@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from hadoop_fs_ceph_spark.canonical import dsum
 from hadoop_fs_ceph_spark.registry import query
 from hadoop_fs_ceph_spark.tables import t
 
@@ -545,4 +546,121 @@ def win_bollinger_bands(spark, sf_dir):
         F.round(std, 6).alias("roll_std"),
         n.cast("long").alias("n_window"),
         (F.col("value") > mean + 2.0 * std).alias("above_upper"),
+    )
+
+
+@query(
+    "win_resample_interpolate",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             (CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0) AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    spine AS (
+      SELECT et.event_type, CAST(g.s AS DATE) AS d
+      FROM (SELECT DISTINCT event_type FROM daily) et,
+           bounds b,
+           (SELECT unnest(generate_series(
+              (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+              INTERVAL 1 DAY)) AS s) g
+    ),
+    joined AS (
+      SELECT s.event_type, s.d, dl.v,
+             CASE WHEN dl.v IS NOT NULL THEN 1 ELSE 0 END AS present
+      FROM spine s LEFT JOIN daily dl USING (event_type, d)
+    ),
+    carried AS (
+      SELECT *,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    )
+    SELECT event_type, d, present,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (date_diff('day', pd, d)
+                                    / CAST(date_diff('day', pd, nd) AS DOUBLE))
+           END, 6) AS value_filled
+    FROM carried
+    """,
+    tags=("window", "resample", "interpolate", "gap-fill"),
+)
+def win_resample_interpolate(spark, sf_dir):
+    """Calendar resampling with LINEAR interpolation: per event type,
+    the daily value total on a complete day spine, missing days filled
+    by interpolating between the nearest present neighbors (edges
+    extend the nearest value) — the time-series regularization step
+    before any rolling statistic or forecast, and strictly stronger
+    than zero/forward fill (`win_gap_fill`), which biases rolling means
+    at gaps.
+
+    Scale shape: the spine is (distinct types × calendar days) —
+    calendar-bounded, not data-bounded; the four carry windows share
+    two sorts per type partition (forward + backward). Daily totals use
+    fixed-point sums; the interpolation fraction divides exact day
+    counts, so filled values are bit-identical cross-engine after one
+    rounding."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        dsum("value", "v")
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("d"),
+        )
+    )
+    joined = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", "v", F.col("v").isNotNull().cast("int").alias("present")
+    )
+    wb = Window.partitionBy("event_type").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("event_type").orderBy("d").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    dcol = F.when(F.col("v").isNotNull(), F.col("d"))
+    carried = joined.select(
+        "event_type",
+        "d",
+        "v",
+        "present",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(dcol, ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(dcol, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                F.datediff("d", "pd")
+                / F.datediff("nd", "pd").cast("double")
+            )
+        )
+    )
+    return carried.select(
+        "event_type", "d", "present", F.round(interp, 6).alias("value_filled")
     )

@@ -52,6 +52,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sim_pq_encode": "one-row collected K=4 codebook broadcast for map-side encoding",
     "ds_ab_cuped_adjust": "one-row theta/xbar moment broadcast for the adjustment pass",
     "sql_analyze_cbo_stats": "one-row catalog-stats relation cross-joined to the one-row exact aggregate",
+    "win_resample_interpolate": "one-row (lo, hi) calendar-bounds broadcast building the day spine",
 }
 
 # --- global sorts of bounded relations ------------------------------------

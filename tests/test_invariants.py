@@ -744,3 +744,22 @@ def test_cbo_stats_verdicts_all_true(spark, sf_dir):
     for r in rows:
         assert r["ndv_within_10pct"] and r["minmax_consistent"] and r["nulls_exact"]
         assert r["exact_ndv"] >= 1 and r["exact_nulls"] == 0
+
+
+def test_resample_interpolation_fills_complete_spine(spark, sf_dir):
+    df = SPECS["win_resample_interpolate"].fn(spark, sf_dir)
+    rows = df.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    spans = {len(v) for v in by_type.values()}
+    assert len(spans) == 1  # every type covers the same complete calendar spine
+    assert df.filter(F.col("value_filled").isNull()).count() == 0
+    # interpolated values sit between (or at) their neighbors' daily totals
+    for ser in by_type.values():
+        ser.sort(key=lambda r: r["d"])
+        present_vals = [r["value_filled"] for r in ser if r["present"] == 1]
+        lo, hi = min(present_vals), max(present_vals)
+        for r in ser:
+            if r["present"] == 0:
+                assert lo - 1e-6 <= r["value_filled"] <= hi + 1e-6
