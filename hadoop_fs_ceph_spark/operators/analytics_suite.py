@@ -1286,3 +1286,90 @@ def ds_seasonal_naive_forecast(spark, sf_dir):
         )
         .orderBy("event_type", "d")
     )
+
+
+_HOLT_A = 0.5  # level smoothing
+_HOLT_B = 0.3  # trend smoothing
+
+
+@query(
+    "win_holt_linear_fold",
+    oracle=f"""
+    WITH tail_ev AS (
+      SELECT user_id, ts, event_id, value FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) <= {_EWMA_TAIL}
+    ),
+    seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM tail_ev GROUP BY user_id
+    ),
+    st AS (
+      SELECT user_id, len(vals) AS n_used,
+             -- state encoded as [level, trend]: DuckDB v1.0.0 mis-evaluates
+             -- STRUCT-typed accumulators in multi-step list_reduce (verified:
+             -- single application correct, folded result wrong), while
+             -- LIST-typed accumulators fold correctly
+             list_reduce(
+               list_prepend([CAST(vals[1] AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                 list_transform(vals[2:], x -> [CAST(x AS DOUBLE),
+                                                CAST(0.0 AS DOUBLE)])),
+               (acc, e) -> [
+                 0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                 0.3 * (0.5 * e[1] + 0.5 * (acc[1] + acc[2])
+                        - acc[1]) + 0.7 * acc[2]]) AS s
+      FROM seq
+    )
+    SELECT user_id, n_used, s[1] AS level, s[2] AS trend,
+           s[1] + s[2] AS forecast_next
+    FROM st
+    """,
+    tags=("window", "holt", "forecast", "stateful"),
+)
+def win_holt_linear_fold(spark, sf_dir):
+    """Holt double-exponential smoothing (level + trend) per user — the
+    next step up from `win_ewma_fold`: the fold state is a STRUCT
+    (level, trend), updated by the classic recurrences l' = αx +
+    (1−α)(l+t), t' = β(l'−l) + (1−β)t; the one-step-ahead forecast
+    l+t is what an alerting pipeline compares the next observation
+    against. Same hard state bound (last 32 events via window tail) and
+    the same bit-identical-fold contract: both engines evaluate the
+    identical per-step expressions in the identical order — including
+    the deliberately duplicated l' subexpression inside t' — so level,
+    trend, and forecast carry no tolerance band at all."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    tail_ev = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EWMA_TAIL)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    seq = tail_ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    a, b = F.lit(_HOLT_A), F.lit(_HOLT_B)
+    one_a, one_b = F.lit(1 - _HOLT_A), F.lit(1 - _HOLT_B)
+
+    def step(acc, x):
+        lvl = a * x + one_a * (acc["l"] + acc["t"])
+        trd = b * (a * x + one_a * (acc["l"] + acc["t"]) - acc["l"]) + one_b * acc["t"]
+        return F.struct(lvl.alias("l"), trd.alias("t"))
+
+    st = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.struct(
+            F.element_at("vals", 1).cast("double").alias("l"),
+            F.lit(0.0).alias("t"),
+        ),
+        step,
+    )
+    return seq.select(
+        "user_id",
+        F.size("vals").alias("n_used"),
+        st["l"].alias("level"),
+        st["t"].alias("trend"),
+        (st["l"] + st["t"]).alias("forecast_next"),
+    )

@@ -763,3 +763,25 @@ def test_resample_interpolation_fills_complete_spine(spark, sf_dir):
         for r in ser:
             if r["present"] == 0:
                 assert lo - 1e-6 <= r["value_filled"] <= hi + 1e-6
+
+
+def test_holt_fold_matches_local_reference(spark, sf_dir):
+    df = SPECS["win_holt_linear_fold"].fn(spark, sf_dir)
+    row = df.orderBy("user_id").first()
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") == row["user_id"])
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(32)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    vals = [r["value"] for r in ev]
+    lvl, trd = vals[0], 0.0
+    for x in vals[1:]:
+        nl = 0.5 * x + 0.5 * (lvl + trd)
+        trd = 0.3 * (0.5 * x + 0.5 * (lvl + trd) - lvl) + 0.7 * trd
+        lvl = nl
+    assert abs(row["level"] - lvl) < 1e-9
+    assert abs(row["trend"] - trd) < 1e-9
+    assert abs(row["forecast_next"] - (lvl + trd)) < 1e-9
