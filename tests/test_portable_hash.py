@@ -39,3 +39,44 @@ def test_poly_hash_cross_engine(spark, strings):
     expected = {s: _py_poly(s) for s in strings}
     assert got_spark == expected
     assert got_duck == expected
+
+
+def test_jl_sign_matrix_is_balanced_and_nonlinear():
+    """The random-projection sign matrix must not be a degenerate
+    pattern: each output dimension's 64 signs should be roughly
+    balanced (JL needs zero-mean entries), and no two output dims may
+    share (or exactly oppose) their whole sign row — either failure
+    collapses the projection's rank."""
+
+    def sign(i, j):
+        return 1 if ((i + 1) * (j + 7) * 104729) % 1000003 % 2 == 0 else -1
+
+    rows = [[sign(i, j) for i in range(64)] for j in range(16)]
+    for r in rows:
+        assert 16 <= sum(1 for x in r if x == 1) <= 48  # balanced-ish
+    for a in range(16):
+        for b in range(a + 1, 16):
+            agree = sum(1 for i in range(64) if rows[a][i] == rows[b][i])
+            assert 8 <= agree <= 56  # not identical, not exact negation
+
+
+def test_cms_hash_rows_spread_keys():
+    """CMS rows must place a key independently: for a block of sequential
+    keys (the worst case for affine hashes), no two of the 4 rows may
+    map every key to identical buckets, and each row must hit many
+    distinct buckets."""
+    P, W = 2_147_483_647, 256
+    A = (131, 137, 139, 149)
+    B = (7, 11, 13, 17)
+
+    def bucket(r, k):
+        return ((k * A[r] + B[r]) % P) % W
+
+    keys = range(1, 1001)
+    per_row = [[bucket(r, k) for k in keys] for r in range(4)]
+    for r in range(4):
+        assert len(set(per_row[r])) >= W // 2
+    for a in range(4):
+        for b in range(a + 1, 4):
+            same = sum(1 for x, y in zip(per_row[a], per_row[b]) if x == y)
+            assert same < 100  # rows disagree on >90% of keys
