@@ -635,6 +635,7 @@ _SEM_THRESHOLD = 0.4
     WHERE {sql_cosine("a.embedding", "b.embedding")} > {_SEM_THRESHOLD}
     """,
     tags=("dedup", "similarity", "semantic", "embedding"),
+    bench=True,
 )
 def dedup_semantic_cell(spark, sf_dir):
     """SemDeDup-style semantic deduplication: coarse-quantize every

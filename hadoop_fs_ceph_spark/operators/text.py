@@ -1145,6 +1145,7 @@ def text_bigram_entropy(spark, sf_dir):
     FROM scored
     """,
     tags=("text", "novelty", "ngram", "curation"),
+    bench=True,
 )
 def text_ngram_novelty(spark, sf_dir):
     """Corpus novelty curve: for each document (in doc_id ingest order),
