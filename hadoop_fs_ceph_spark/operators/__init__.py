@@ -54,7 +54,12 @@ t-test, token-budget mix, reservoir top-k (pipeline_quality); interval
 coverage, EWMA fold, KM survival, event transitions (analytics_suite);
 Bollinger bands (windows); interval-overlap + tolerance as-of (joins);
 payload dedup (multimodal); vectorized-cosine twin (udfs); watermarked
-trending top-k + session windows (streaming_q).
+trending top-k + session windows + maxFilesPerTrigger backpressure
+(streaming_q); Benford audit, CUPED, reservoir top-k (pipeline_quality);
+KM survival, Welch t-test, seasonal-naive + Holt forecasts
+(analytics_suite); Bollinger + calendar interpolation (windows); CBO
+ANALYZE stats (sql_surface); incremental ingest dedup (dedup); degree
+distribution (graph).
 """
 
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401
