@@ -46,20 +46,19 @@ recall (similarity); trending top-k (streaming_q); session_window batch
 CTE (sql_surface).
 
 Round-3 additions, likewise in-family: fixpoint + star-contraction CC,
-semantic-cell dedup (dedup/similarity); Gopher rule battery, substring
-dedup, unigram log-prob, bigram entropy (text); k-means Lloyd round, JL
-random projection, PQ encoding (similarity); CMS heavy hitters, sketch
-quantiles (aggregates); grid-KS drift, MAD outliers, A/B SRM + Welch
-t-test, token-budget mix, reservoir top-k (pipeline_quality); interval
-coverage, EWMA fold, KM survival, event transitions (analytics_suite);
-Bollinger bands (windows); interval-overlap + tolerance as-of (joins);
-payload dedup (multimodal); vectorized-cosine twin (udfs); watermarked
-trending top-k + session windows + maxFilesPerTrigger backpressure
-(streaming_q); Benford audit, CUPED, reservoir top-k (pipeline_quality);
-KM survival, Welch t-test, seasonal-naive + Holt forecasts
-(analytics_suite); Bollinger + calendar interpolation (windows); CBO
-ANALYZE stats (sql_surface); incremental ingest dedup (dedup); degree
-distribution (graph).
+semantic-cell dedup, incremental ingest dedup (dedup/similarity);
+Gopher rule battery, substring dedup, unigram log-prob, bigram entropy,
+n-gram novelty (text); k-means Lloyd round, JL random projection, PQ
+encoding (similarity); CMS heavy hitters, sketch quantiles
+(aggregates); grid-KS drift, MAD outliers, A/B SRM + Welch t-test +
+CUPED, token-budget mix, reservoir top-k, Benford audit
+(pipeline_quality); interval coverage, EWMA + Holt folds, KM survival,
+seasonal-naive forecast, event transitions (analytics_suite);
+Bollinger bands, calendar interpolation (windows); interval-overlap +
+tolerance as-of (joins); binary payload dedup (multimodal);
+vectorized-cosine twin (udfs); watermarked trending top-k + session
+windows, maxFilesPerTrigger backpressure (streaming_q); CBO ANALYZE
+stats (sql_surface); degree distribution (graph).
 """
 
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401
