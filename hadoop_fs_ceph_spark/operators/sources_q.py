@@ -989,3 +989,54 @@ def src_partition_evolution(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderstatus", "yr")
     )
+
+
+@query(
+    "src_merge_on_read_deletes",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_live,
+           {sql_dsum('o_totalprice', 'sum_price')},
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 17 = 5)
+             AS n_deleted
+    FROM orders
+    WHERE o_orderkey % 17 <> 5
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("source", "lakehouse", "merge-on-read", "delete-vector"),
+)
+def src_merge_on_read_deletes(spark, sf_dir):
+    """Merge-on-read row deletes — the Iceberg-v2 / Delta deletion-vector
+    model, the complement of `src_delete_rewrite` (copy-on-write): the
+    base data files are NEVER rewritten; a delete commit writes only a
+    tiny sidecar of deleted row keys, and readers subtract it with an
+    anti-join at scan time. Deletes become O(|deleted|) metadata writes
+    instead of O(|file|) rewrites — the only viable delete path when
+    compliance erasures hit a 100 TB table daily — at the cost of a
+    read-side join until compaction folds the vectors in.
+
+    The query materializes base + sidecar as real parquet (base written
+    once, reused across runs), then serves the MOR read: anti-join on
+    the key, aggregate the surviving rows, and report the delete count
+    from the sidecar alone. At scale the sidecar is broadcast-sized by
+    construction (deletes ≪ base) and the anti-join is AQE-broadcast;
+    the oracle replays the same subtraction relationally."""
+    base_p = _scratch(sf_dir, "mor_base")
+    del_p = _scratch(sf_dir, "mor_deletes")
+    o = t(spark, sf_dir, "orders")
+    if not os.path.exists(base_p):
+        o.write.mode("overwrite").parquet(base_p)
+    # the delete commit: keys only, no data rewrite
+    o.filter(F.col("o_orderkey") % 17 == 5).select("o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(del_p)
+
+    base = spark.read.parquet(base_p)
+    dels = spark.read.parquet(del_p)
+    n_del = dels.agg(F.count(F.lit(1)).alias("n_deleted"))
+    live = base.join(dels, "o_orderkey", "left_anti")
+    return (
+        live.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_live"), dsum("o_totalprice", "sum_price"))
+        .crossJoin(F.broadcast(n_del))
+        .orderBy("o_orderstatus")
+    )

@@ -53,6 +53,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "ds_ab_cuped_adjust": "one-row theta/xbar moment broadcast for the adjustment pass",
     "sql_analyze_cbo_stats": "one-row catalog-stats relation cross-joined to the one-row exact aggregate",
     "win_resample_interpolate": "one-row (lo, hi) calendar-bounds broadcast building the day spine",
+    "src_merge_on_read_deletes": "one-row delete-count broadcast attached to the aggregate",
 }
 
 # --- global sorts of bounded relations ------------------------------------

@@ -785,3 +785,13 @@ def test_holt_fold_matches_local_reference(spark, sf_dir):
     assert abs(row["level"] - lvl) < 1e-9
     assert abs(row["trend"] - trd) < 1e-9
     assert abs(row["forecast_next"] - (lvl + trd)) < 1e-9
+
+
+def test_merge_on_read_equals_copy_on_write_subtraction(spark, sf_dir):
+    rows = SPECS["src_merge_on_read_deletes"].fn(spark, sf_dir).collect()
+    o = t(spark, sf_dir, "orders")
+    n_del_truth = o.filter(F.col("o_orderkey") % 17 == 5).count()
+    live_truth = o.filter(F.col("o_orderkey") % 17 != 5).count()
+    assert all(r["n_deleted"] == n_del_truth for r in rows)
+    assert sum(r["n_live"] for r in rows) == live_truth
+    assert live_truth + n_del_truth == o.count()
