@@ -932,3 +932,71 @@ def sim_pq_encode(spark, sf_dir):
         ),
     )
     return total
+
+
+@query(
+    "sim_two_stage_retrieval",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
+    q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding, q.qe,
+             {sql_cosine("list_transform(generate_series(1, 16), i -> e.embedding[i])",
+                         "list_transform(generate_series(1, 16), i -> q.qe[i])", dim=16)}
+               AS coarse_score
+      FROM b e JOIN q ON e.bucket = q.qb
+      WHERE e.vec_id <> 0
+      ORDER BY coarse_score DESC, e.vec_id
+      LIMIT 8
+    )
+    SELECT vec_id, coarse_score,
+           {sql_cosine("embedding", "qe")} AS exact_score
+    FROM cand
+    ORDER BY exact_score DESC, vec_id
+    LIMIT 3
+    """,
+    tags=("similarity", "retrieval", "two-stage", "rerank"),
+)
+def sim_two_stage_retrieval(spark, sf_dir):
+    """Two-stage retrieval — the production serving shape end-to-end:
+    stage 1 narrows by the LSH bucket (equality join) and ranks a
+    SHORT LIST of 8 by a cheap truncated-prefix (dim-16) cosine; stage
+    2 rescores only the short list at full dimension and returns the
+    final top-3. Coarse recall then exact rerank is how every
+    vector-search system trades accuracy for scan cost (IVF probe →
+    PQ/ADC scan → exact rerank); here each stage's score is visible so
+    the rerank's effect is auditable.
+
+    Scale shape: the query row broadcasts; stage 1 scores only one
+    bucket (~1/2^b of the corpus) on 16 of 64 dims — a 4× cheaper fold
+    — and keeps 8 rows via TakeOrderedAndProject; stage 2's full-dim
+    folds run on exactly 8 rows. Nothing outside the probed bucket is
+    read past the bucket key; both stages' ranks carry total
+    tie-breaks over bit-identical doubles."""
+    e = t(spark, sf_dir, "embeddings").withColumn("bucket", _bucket())
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .select(
+            "vec_id",
+            "embedding",
+            "qe",
+            cosine(F.slice(F.col("embedding"), 1, 16), F.slice(F.col("qe"), 1, 16)).alias(
+                "coarse_score"
+            ),
+        )
+        .orderBy(F.col("coarse_score").desc(), "vec_id")
+        .limit(8)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "coarse_score",
+            cosine(F.col("embedding"), F.col("qe")).alias("exact_score"),
+        )
+        .orderBy(F.col("exact_score").desc(), "vec_id")
+        .limit(3)
+    )

@@ -795,3 +795,18 @@ def test_merge_on_read_equals_copy_on_write_subtraction(spark, sf_dir):
     assert all(r["n_deleted"] == n_del_truth for r in rows)
     assert sum(r["n_live"] for r in rows) == live_truth
     assert live_truth + n_del_truth == o.count()
+
+
+def test_two_stage_retrieval_is_subset_of_bucket(spark, sf_dir):
+    from hadoop_fs_ceph_spark.operators.similarity import _bucket
+
+    rows = SPECS["sim_two_stage_retrieval"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    scores = [r["exact_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    e = t(spark, sf_dir, "embeddings").withColumn("bucket", _bucket())
+    qb = e.filter(F.col("vec_id") == 0).collect()[0]["bucket"]
+    bucket_ids = {
+        r["vec_id"] for r in e.filter(F.col("bucket") == qb).collect()
+    }
+    assert all(r["vec_id"] in bucket_ids for r in rows)
