@@ -1040,3 +1040,75 @@ def src_merge_on_read_deletes(spark, sf_dir):
         .crossJoin(F.broadcast(n_del))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "src_schema_drift_report",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('o_custkey',       'bigint', 'string', 'type_changed'),
+      ('o_orderdate',     'timestamp_ntz', 'timestamp_ntz', 'unchanged'),
+      ('o_orderkey',      'bigint', 'bigint', 'unchanged'),
+      ('o_orderpriority', 'string', 'string', 'unchanged'),
+      ('o_orderstatus',   'string', NULL,     'removed'),
+      ('o_revenue_class', NULL,     'string', 'added'),
+      ('o_totalprice',    'double', 'double', 'unchanged')
+    ) AS t(column_name, v0_type, v1_type, status)
+    ORDER BY column_name
+    """,
+    tags=("source", "schema", "drift", "governance"),
+)
+def src_schema_drift_report(spark, sf_dir):
+    """Schema-drift report between two table versions — the governance
+    check a lake runs before every promotion: columns added, removed,
+    and type-changed between snapshot v0 and snapshot v1, derived from
+    the PARQUET FOOTERS of the two versions (the files are the truth —
+    no registry to trust). v1 deliberately drops a column, adds one,
+    and changes a type, and the report must call out exactly those
+    three against the unchanged remainder.
+
+    Scale shape: schema comes from file metadata (footer reads, no data
+    scan); the diff is a full outer join of two column-name relations —
+    bounded by schema width, not table size. The oracle pins the
+    expected drift rows literally, so any regression in the evolution
+    machinery (or in how Spark round-trips types through parquet)
+    surfaces as a hash mismatch."""
+    o = t(spark, sf_dir, "orders")
+    v0_p = _scratch(sf_dir, "drift_v0")
+    v1_p = _scratch(sf_dir, "drift_v1")
+    o.write.mode("overwrite").parquet(v0_p)
+    (
+        o.select(
+            "o_orderkey",
+            F.col("o_custkey").cast("string").alias("o_custkey"),
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+            F.when(F.col("o_totalprice") > 200000, "high")
+            .otherwise("standard")
+            .alias("o_revenue_class"),
+        )
+        .write.mode("overwrite")
+        .parquet(v1_p)
+    )
+
+    def schema_rows(path, alias):
+        fields = spark.read.parquet(path).schema.fields
+        return spark.createDataFrame(
+            [(f.name, f.dataType.simpleString()) for f in fields],
+            f"column_name string, {alias} string",
+        )
+
+    v0 = schema_rows(v0_p, "v0_type")
+    v1 = schema_rows(v1_p, "v1_type")
+    status = (
+        F.when(F.col("v0_type").isNull(), "added")
+        .when(F.col("v1_type").isNull(), "removed")
+        .when(F.col("v0_type") != F.col("v1_type"), "type_changed")
+        .otherwise("unchanged")
+    )
+    return (
+        v0.join(v1, "column_name", "full_outer")
+        .select("column_name", "v0_type", "v1_type", status.alias("status"))
+        .orderBy("column_name")
+    )

@@ -90,6 +90,7 @@ BOUNDED_SORT: dict[str, str] = {
     "text_pii_scrub": "sorts the scrubbed demo slice by doc_id",
     "udf_apply_in_arrow": "sorts the per-group Arrow output (group-count-bounded)",
     "win_median_disc": "sorts the 5-row per-flag median summary",
+    "src_schema_drift_report": "sorts the schema-width-bounded column diff (7 rows)",
 }
 
 # --- declared Python-UDF surface ------------------------------------------

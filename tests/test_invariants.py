@@ -810,3 +810,18 @@ def test_two_stage_retrieval_is_subset_of_bucket(spark, sf_dir):
         r["vec_id"] for r in e.filter(F.col("bucket") == qb).collect()
     }
     assert all(r["vec_id"] in bucket_ids for r in rows)
+
+
+def test_schema_drift_statuses_partition_columns(spark, sf_dir):
+    rows = SPECS["src_schema_drift_report"].fn(spark, sf_dir).collect()
+    statuses = {r["column_name"]: r["status"] for r in rows}
+    assert statuses["o_orderstatus"] == "removed"
+    assert statuses["o_revenue_class"] == "added"
+    assert statuses["o_custkey"] == "type_changed"
+    for r in rows:
+        if r["status"] == "added":
+            assert r["v0_type"] is None and r["v1_type"] is not None
+        elif r["status"] == "removed":
+            assert r["v1_type"] is None and r["v0_type"] is not None
+        else:
+            assert r["v0_type"] is not None and r["v1_type"] is not None
