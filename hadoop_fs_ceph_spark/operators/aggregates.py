@@ -743,3 +743,49 @@ def agg_cms_heavy_hitters(spark, sf_dir):
         .orderBy(F.col("cms_est").desc(), "k")
         .limit(20)
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority AS pri,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+      FROM orders GROUP BY pri
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_union FROM orders)
+    SELECT pri, n_distinct, n_union FROM per, tot ORDER BY pri
+    """,
+    tags=("aggregate", "bitmap", "distinct", "mergeable"),
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap aggregates (Spark's
+    `bitmap_construct_agg` / `bitmap_or_agg` / `bitmap_count` surface) —
+    the third distinct-counting tier alongside exact expand+shuffle
+    (`agg_count_distinct`) and sketches (`agg_approx_count_distinct`):
+    bitmaps are EXACT like the former and MERGEABLE like the latter.
+    Each (group, 32k-key bucket) reduces to one bitmap; per-group
+    distinct = sum of per-bucket popcounts, and the cross-group UNION
+    distinct comes from OR-merging the same bitmaps — no re-scan,
+    which is why warehouse rollups precompute bitmap columns per
+    segment and answer any distinct-union question by OR + popcount.
+
+    Keys shift by +1 because bit positions are 1-based (key 0 would
+    vanish). The shuffle carries (group, bucket, 4 KB bitmap) — bounded
+    by the key domain, not the row count. The oracle is plain exact
+    COUNT(DISTINCT): bitmaps carry no approximation to tolerate."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"), (F.col("o_custkey") + 1).alias("k")
+    )
+    seg = o.groupBy(
+        "pri", F.expr("bitmap_bucket_number(k)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(k))").alias("bm"))
+    per = seg.groupBy("pri").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct")
+    )
+    tot = (
+        seg.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("u"))
+        .agg(F.sum(F.expr("bitmap_count(u)")).alias("n_union"))
+    )
+    return per.crossJoin(F.broadcast(tot)).orderBy("pri")

@@ -54,6 +54,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sql_analyze_cbo_stats": "one-row catalog-stats relation cross-joined to the one-row exact aggregate",
     "win_resample_interpolate": "one-row (lo, hi) calendar-bounds broadcast building the day spine",
     "src_merge_on_read_deletes": "one-row delete-count broadcast attached to the aggregate",
+    "agg_bitmap_distinct": "one-row union-popcount broadcast attached to the per-group rows",
 }
 
 # --- global sorts of bounded relations ------------------------------------

@@ -825,3 +825,18 @@ def test_schema_drift_statuses_partition_columns(spark, sf_dir):
             assert r["v1_type"] is None and r["v0_type"] is not None
         else:
             assert r["v0_type"] is not None and r["v1_type"] is not None
+
+
+def test_bitmap_distinct_matches_exact(spark, sf_dir):
+    rows = SPECS["agg_bitmap_distinct"].fn(spark, sf_dir).collect()
+    o = t(spark, sf_dir, "orders")
+    truth = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    union_truth = o.select("o_custkey").distinct().count()
+    for r in rows:
+        assert r["n_distinct"] == truth[r["pri"]]
+        assert r["n_union"] == union_truth
