@@ -367,3 +367,79 @@ def udf_vectorized_cosine_knn(spark, sf_dir):
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "udf_cogrouped_asof",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), carried AS (
+      SELECT *,
+             LAST_VALUE(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id
+      FROM tagged
+    )
+    SELECT event_id AS purchase_event_id, user_id, click_event_id
+    FROM carried WHERE kind = 1
+    """,
+    tags=("udf", "cogroup", "pandas", "asof"),
+)
+def udf_cogrouped_asof(spark, sf_dir):
+    """Cogrouped ``applyInPandas`` — the last piece of the grouped-UDF
+    surface: two DataFrames cogrouped on a key, each group pair handed
+    to one pandas function (here ``pd.merge_asof``, the canonical
+    cogroup use case: per-user as-of alignment of two event streams).
+    Its answer must equal the pure-DataFrame union-and-carry as-of
+    (`join_asof_event`) — same oracle — which is exactly the policy of
+    this family: the UDF surface exists for logic Spark lacks, and its
+    correctness is proven by a built-in twin.
+
+    Scale shape: cogroup shuffles both sides on user_id once; each
+    Arrow batch holds ONE user's clicks + purchases (bounded per-user
+    streams), and pandas does per-group work only. Ties (same-ts
+    click/purchase) follow the twin's click-first rule via the
+    direction='backward' inclusive match on a stable sort."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    # NB: the two cogroup sides must not share non-key column names —
+    # Spark's attribute dedup silently drops same-named columns from the
+    # right-side Arrow batch (verified empirically on 4.1)
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("b_ts"), F.col("event_id").alias("b_event_id")
+    )
+
+    def asof(clk: pd.DataFrame, buy: pd.DataFrame) -> pd.DataFrame:
+        if buy.empty:
+            return pd.DataFrame(
+                columns=["purchase_event_id", "user_id", "click_event_id"]
+            )
+        buy = buy.sort_values(["b_ts", "b_event_id"]).reset_index(drop=True)
+        if clk.empty:
+            out = buy[["b_event_id", "user_id"]].copy()
+            out.columns = ["purchase_event_id", "user_id"]
+            out["click_event_id"] = pd.array([None] * len(out), dtype="Int64")
+            return out
+        clk = clk.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        m = pd.merge_asof(
+            buy.rename(columns={"b_ts": "ts"}),
+            clk[["ts", "event_id"]].rename(columns={"event_id": "click_event_id"}),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = m[["b_event_id", "user_id", "click_event_id"]].copy()
+        out.columns = ["purchase_event_id", "user_id", "click_event_id"]
+        out["click_event_id"] = out["click_event_id"].astype("Int64")
+        return out
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(buys.groupBy("user_id"))
+        .applyInPandas(
+            asof, "purchase_event_id long, user_id long, click_event_id long"
+        )
+    )

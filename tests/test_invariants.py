@@ -840,3 +840,12 @@ def test_bitmap_distinct_matches_exact(spark, sf_dir):
     for r in rows:
         assert r["n_distinct"] == truth[r["pri"]]
         assert r["n_union"] == union_truth
+
+
+def test_cogrouped_asof_equals_builtin_twin(spark, sf_dir):
+    cg = SPECS["udf_cogrouped_asof"].fn(spark, sf_dir)
+    tw = SPECS["join_asof_event"].fn(spark, sf_dir).select(
+        "purchase_event_id", "user_id", "click_event_id"
+    )
+    assert cg.count() == tw.count()
+    assert cg.exceptAll(tw).count() == 0 and tw.exceptAll(cg).count() == 0
