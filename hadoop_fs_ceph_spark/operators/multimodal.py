@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hadoop_fs_ceph_spark.registry import query
@@ -353,4 +354,63 @@ def mm_payload_dedup(spark, sf_dir):
         )
         .filter(F.col("n_copies") >= 2)
         .orderBy("checksum")
+    )
+
+
+_SHARD_DOCS = 64
+
+
+@query(
+    "mm_shard_offset_index",
+    oracle=f"""
+    WITH blobs AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             doc_id // {_SHARD_DOCS} AS shard_id,
+             row_number() OVER (PARTITION BY doc_id // {_SHARD_DOCS}
+                                ORDER BY doc_id) - 1 AS pos
+      FROM documents
+    )
+    SELECT shard_id, doc_id, pos, n_bytes,
+           CAST(COALESCE(SUM(n_bytes) OVER (PARTITION BY shard_id ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS byte_offset,
+           CAST(SUM(n_bytes) OVER (PARTITION BY shard_id) AS BIGINT)
+             AS shard_bytes
+    FROM blobs
+    """,
+    tags=("multimodal", "shard", "index", "webdataset"),
+)
+def mm_shard_offset_index(spark, sf_dir):
+    """WebDataset-style shard index for binary payloads: documents group
+    into fixed-size shards (64 payloads each), and every payload gets
+    its ordinal and exact BYTE OFFSET within its shard (running sum of
+    preceding payload sizes) plus the shard's total size — the manifest
+    a multimodal training loader uses to seek straight to sample k of
+    shard s without parsing the archive, and the layout step that turns
+    millions of small blobs into sequential-read shards.
+
+    Scale shape: shard id is a pure key expression (no shuffle to
+    assign); ONE window shuffle partitioned by shard_id computes
+    ordinals, offsets, and totals in a single pass (shared window
+    spec); all arithmetic is exact integers. Payload bytes never move —
+    the index is computed from lengths alone, exactly how a manifest
+    build avoids touching the objects."""
+    blobs = _blobs(spark, sf_dir).select(
+        "doc_id",
+        F.length("blob").alias("n_bytes"),
+        (F.col("doc_id") / _SHARD_DOCS).cast("long").alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("doc_id")
+    return blobs.select(
+        "shard_id",
+        "doc_id",
+        (F.row_number().over(w) - 1).alias("pos"),
+        "n_bytes",
+        F.coalesce(
+            F.sum("n_bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("byte_offset"),
+        F.sum("n_bytes")
+        .over(Window.partitionBy("shard_id"))
+        .alias("shard_bytes"),
     )

@@ -1179,3 +1179,91 @@ def text_ngram_novelty(spark, sf_dir):
         )
         .select("doc_id", "n_grams", "n_novel", (F.col("n_novel") / F.col("n_grams")).alias("novelty"))
     )
+
+
+_FH_DIM = 64
+
+
+@query(
+    "text_feature_hash_embed",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id, unnest({sql_token_hashes(_SQL_TOK)}) AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, h % {_FH_DIM} AS dim,
+             CAST(SUM(CASE WHEN (h // {_FH_DIM}) % 2 = 0 THEN 1 ELSE -1 END)
+                  AS BIGINT) AS w
+      FROM th GROUP BY doc_id, dim
+    ),
+    spine AS (
+      SELECT d.doc_id, g.dim
+      FROM (SELECT DISTINCT doc_id FROM cells) d,
+           (SELECT unnest(generate_series(0, {_FH_DIM - 1})) AS dim) g
+    ),
+    dense AS (
+      SELECT s.doc_id, s.dim, COALESCE(CAST(c.w AS DOUBLE), 0.0) AS w
+      FROM spine s LEFT JOIN cells c USING (doc_id, dim)
+    ),
+    vec AS (
+      SELECT doc_id, list(w ORDER BY dim) AS raw FROM dense GROUP BY doc_id
+    )
+    SELECT doc_id,
+           list_transform(raw, x -> ROUND(x / SQRT(
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(raw, y -> y * y)), (a, b) -> a + b)), 6)) AS embedding
+    FROM vec
+    """,
+    tags=("text", "embedding", "feature-hashing", "vectorize"),
+)
+def text_feature_hash_embed(spark, sf_dir):
+    """Model-free document embeddings via the feature-hashing trick:
+    every token hash lands in one of 64 dimensions (h mod d) with a
+    deterministic ±1 sign (next hash bit), signed counts accumulate per
+    (doc, dim), and the vector is L2-normalized — the classic
+    hashing-vectorizer embedding that gives any text corpus a real
+    `array<double>` embedding column (cosine-comparable, ANN-indexable
+    by every similarity operator in this engine) with NO model and NO
+    vocabulary state. This is the bridge between the text and
+    similarity families: its output schema is the `embeddings` table's.
+
+    Scale shape: token hashing is map-side; ONE shuffle carries
+    partial-merged (doc, dim, signed-count) cells — at most 64 per doc
+    regardless of length; the dense vector reassembles per doc from its
+    own cells. Counts are exact ints; the norm is a sequential fold of
+    identically-built doubles, rounded at 1e-6."""
+    d = t(spark, sf_dir, "documents")
+    th = d.select("doc_id", F.explode(token_hashes(tokens("text"))).alias("h"))
+    cells = (
+        th.select(
+            "doc_id",
+            (F.col("h") % _FH_DIM).alias("dim"),
+            F.when((F.col("h") / _FH_DIM).cast("long") % 2 == 0, 1)
+            .otherwise(-1)
+            .alias("s"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").alias("w"))
+    )
+    dense = cells.groupBy("doc_id").agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
+            lambda dd: F.coalesce(
+                F.element_at(
+                    F.map_from_arrays(
+                        F.collect_list("dim"), F.collect_list(F.col("w").cast("double"))
+                    ),
+                    dd,
+                ),
+                F.lit(0.0),
+            ),
+        ).alias("raw")
+    )
+    norm_sq = F.aggregate(
+        F.transform("raw", lambda y: y * y), F.lit(0.0), lambda a, b: a + b
+    )
+    return dense.select(
+        "doc_id",
+        F.transform("raw", lambda x: F.round(x / F.sqrt(norm_sq), 6)).alias("embedding"),
+    )

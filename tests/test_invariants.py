@@ -849,3 +849,29 @@ def test_cogrouped_asof_equals_builtin_twin(spark, sf_dir):
     )
     assert cg.count() == tw.count()
     assert cg.exceptAll(tw).count() == 0 and tw.exceptAll(cg).count() == 0
+
+
+def test_feature_hash_embeddings_unit_norm(spark, sf_dir):
+    import math
+
+    df = SPECS["text_feature_hash_embed"].fn(spark, sf_dir)
+    assert df.count() == t(spark, sf_dir, "documents").count()
+    for r in df.limit(20).collect():
+        assert len(r["embedding"]) == 64
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert abs(n - 1.0) < 1e-3  # unit norm up to the 1e-6 rounding
+
+
+def test_shard_index_offsets_tile_each_shard(spark, sf_dir):
+    rows = SPECS["mm_shard_offset_index"].fn(spark, sf_dir).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard in by_shard.values():
+        shard.sort(key=lambda r: r["pos"])
+        expect = 0
+        for r in shard:
+            assert r["byte_offset"] == expect  # contiguous, gap-free layout
+            expect += r["n_bytes"]
+        assert all(r["shard_bytes"] == expect for r in shard)
+        assert len(shard) <= 64
