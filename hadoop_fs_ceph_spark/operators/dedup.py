@@ -1023,3 +1023,55 @@ def dedup_incremental_batch(spark, sf_dir):
         )
         .orderBy("verdict")
     )
+
+
+@query(
+    "dedup_keeper_selection",
+    oracle=f"""
+    WITH clusters AS ({_SQL_CC_ORACLE}),
+    sized AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX_BY(doc_id, n_chars * 100000 + doc_id) AS keeper_doc_id,
+           CAST(MAX(n_chars) AS BIGINT) AS keeper_n_chars,
+           list_sort(list(doc_id)) AS member_ids
+    FROM sized GROUP BY cluster_id
+    HAVING COUNT(*) >= 2
+    ORDER BY cluster_id
+    """,
+    tags=("dedup", "cluster", "keeper", "policy"),
+)
+def dedup_keeper_selection(spark, sf_dir):
+    """The keeper-policy step that completes the dedup pipeline: given
+    the connected near-dup clusters (`dedup_cluster_cc`), choose WHICH
+    copy survives by a QUALITY criterion — here longest text, doc_id as
+    the deterministic tie-break — rather than the min-id convention the
+    clustering itself labels with. Production corpora keep the best
+    copy (longest, highest quality score, most recent crawl), and this
+    argmax-per-cluster join is exactly that selection, emitted with the
+    member list so the drop set is auditable.
+
+    Scale shape: clusters are (doc, cluster) pairs — already ≪ corpus;
+    one equality join attaches the quality signal; MAX_BY folds
+    map-side (lexicographic integer key keeps the argmax exact and
+    deterministic in both engines). Only multi-member clusters emit —
+    singletons need no keeper decision."""
+    clusters = dedup_cluster_cc(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sized = clusters.join(d, "doc_id")
+    return (
+        sized.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by("doc_id", F.col("n_chars") * 100000 + F.col("doc_id")).alias(
+                "keeper_doc_id"
+            ),
+            F.max("n_chars").alias("keeper_n_chars"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )

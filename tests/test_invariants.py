@@ -875,3 +875,17 @@ def test_shard_index_offsets_tile_each_shard(spark, sf_dir):
             expect += r["n_bytes"]
         assert all(r["shard_bytes"] == expect for r in shard)
         assert len(shard) <= 64
+
+
+def test_keeper_selection_picks_longest_member(spark, sf_dir):
+    rows = SPECS["dedup_keeper_selection"].fn(spark, sf_dir).collect()
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in t(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    }
+    for r in rows:
+        assert r["keeper_doc_id"] in r["member_ids"]
+        assert r["n_members"] == len(r["member_ids"]) >= 2
+        best = max(r["member_ids"], key=lambda i: (chars[i], i))
+        assert r["keeper_doc_id"] == best
+        assert r["keeper_n_chars"] == chars[best]
