@@ -773,3 +773,74 @@ def join_asof_tolerance(spark, sf_dir):
             fresh.alias("matched"),
         )
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type AS status,
+             ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             CAST(row_number() OVER w AS BIGINT) AS version_no
+      FROM events WHERE event_type <> 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    facts AS (
+      SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.purchase_event_id, f.user_id, f.purchase_ts,
+           d.status AS status_at_purchase, d.version_no
+    FROM facts f LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.purchase_ts
+     AND (d.valid_to IS NULL OR f.purchase_ts < d.valid_to)
+    """,
+    tags=("join", "point-in-time", "scd2", "temporal"),
+)
+def join_point_in_time_scd2(spark, sf_dir):
+    """Point-in-time (PIT) join against SCD2 history — THE feature-store
+    primitive: each purchase retrieves the dimension version that was
+    valid AT ITS TIMESTAMP (here: the user's last non-purchase status),
+    never a later one — the join that makes backtests leakage-free.
+    Consumes exactly the [valid_from, valid_to) intervals
+    `src_scd2_build` produces; purchases before a user's first version
+    survive with NULL status (left join), because silently dropping
+    early facts is how training sets lose their cold-start rows.
+
+    Scale shape: the join's EQUALITY key is user_id — the interval
+    predicate only refines within one user's ~dozens of versions, so
+    there is no range-join blowup; both sides shuffle once on the key.
+    Because [valid_from, valid_to) intervals TILE each user's timeline
+    (pinned by the SCD2 invariant test), at most one version matches
+    per fact — cardinality is exactly |facts|."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version_no"),
+        )
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (dim["user_id"] == facts["user_id"])
+        & (dim["valid_from"] <= facts["purchase_ts"])
+        & (dim["valid_to"].isNull() | (facts["purchase_ts"] < dim["valid_to"]))
+    )
+    return facts.join(dim, cond, "left").select(
+        "purchase_event_id",
+        facts["user_id"].alias("user_id"),
+        "purchase_ts",
+        F.col("status").alias("status_at_purchase"),
+        "version_no",
+    )

@@ -889,3 +889,27 @@ def test_keeper_selection_picks_longest_member(spark, sf_dir):
         best = max(r["member_ids"], key=lambda i: (chars[i], i))
         assert r["keeper_doc_id"] == best
         assert r["keeper_n_chars"] == chars[best]
+
+
+def test_pit_join_cardinality_and_no_leakage(spark, sf_dir):
+    out = SPECS["join_point_in_time_scd2"].fn(spark, sf_dir)
+    n_purchases = (
+        t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    # interval tiling ⇒ exactly one version (or none) per fact
+    assert out.count() == n_purchases
+    assert out.select("purchase_event_id").distinct().count() == n_purchases
+    # no temporal leakage: the matched version can never start after the fact
+    matched = out.filter(F.col("status_at_purchase").isNotNull())
+    e = t(spark, sf_dir, "events")
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy("ts", "event_id")
+    dim = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.row_number().over(w).cast("long").alias("version_no"),
+    )
+    j = matched.join(dim, ["user_id", "version_no"])
+    assert j.filter(F.col("valid_from") > F.col("purchase_ts")).count() == 0
+    assert j.count() == matched.count()
