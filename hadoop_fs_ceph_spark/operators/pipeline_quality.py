@@ -1382,3 +1382,124 @@ def ds_ab_cuped_adjust(spark, sf_dir):
         F.round(var_a, 6).alias("var_y_adj"),
         F.round(1.0 - var_a / var_y, 8).alias("variance_reduction"),
     ).orderBy("variant")
+
+
+_NEYMAN_TARGET = 500  # total sample budget across strata
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority AS stratum, CAST(COUNT(*) AS DOUBLE) AS nh,
+             {sql_dsum("o_totalprice", "s1")},
+             {sql_dsum("o_totalprice * o_totalprice", "s2", scale=2)}
+      FROM orders GROUP BY stratum
+    ),
+    m AS (
+      SELECT stratum, nh,
+             SQRT((s2 - s1 * s1 / nh) / (nh - 1.0)) AS sh
+      FROM s
+    ),
+    tot AS (SELECT CAST(SUM(CAST(ROUND(nh * sh * 100.0) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS denom FROM m),
+    alloc AS (
+      SELECT stratum, nh, sh,
+             LEAST(1.0, {_NEYMAN_TARGET} * (nh * sh) / denom / nh) AS rate
+      FROM m, tot
+    ),
+    gated AS (
+      SELECT o.o_orderpriority AS stratum,
+             CASE WHEN (o.o_orderkey * {_MIX}) % 1000000
+                       < CAST(ROUND(a.rate * 1000000.0) AS BIGINT)
+                  THEN 1 ELSE 0 END AS picked
+      FROM orders o JOIN alloc a ON a.stratum = o.o_orderpriority
+    )
+    SELECT g.stratum,
+           CAST(a.nh AS BIGINT) AS n_stratum,
+           ROUND(a.sh, 6) AS stddev,
+           ROUND(a.rate, 8) AS rate,
+           CAST(SUM(g.picked) AS BIGINT) AS n_sampled,
+           CAST(ABS(SUM(g.picked) - a.rate * a.nh)
+                <= 4.0 * SQRT(a.rate * a.nh) + 1.0 AS BOOLEAN) AS within_4sigma
+    FROM gated g JOIN alloc a ON a.stratum = g.stratum
+    GROUP BY g.stratum, a.nh, a.sh, a.rate
+    ORDER BY g.stratum
+    """,
+    tags=("sample", "stratified", "neyman", "allocation"),
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman-OPTIMAL stratified sampling: each stratum's share of a
+    fixed 500-row budget is proportional to N_h·S_h (its size times its
+    standard deviation) — the allocation that minimizes the variance of
+    the stratified mean estimator, vs the equal/proportional rates of
+    `sample_stratified_rates`. High-variance strata get oversampled
+    exactly as survey theory says they must.
+
+    Rates derive from FIXED-POINT moments (bit-identical doubles), the
+    membership gate is the family's deterministic hash (reproducible at
+    any parallelism, oracle-replayable), and the realized count per
+    stratum is verdict-checked within 4σ of rate·N_h — exact columns
+    plus tolerance booleans, the standard pattern for operators with a
+    statistical contract. Scale shape: one moment aggregate per
+    stratum, a one-row denominator broadcast, one map-side gate pass —
+    no extra shuffle beyond the two grouped aggregates."""
+    o = t(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("double").alias("nh"),
+        dsum("o_totalprice", "s1"),
+        dsum(F.col("o_totalprice") * F.col("o_totalprice"), "s2", scale=2),
+    )
+    m = s.select(
+        "stratum",
+        "nh",
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("nh")) / (F.col("nh") - 1.0)).alias(
+            "sh"
+        ),
+    )
+    # order-independent fixed-point fold: a raw double SUM over strata is
+    # association-order-dependent and could flip the gate threshold's last ulp
+    tot = m.agg(
+        (
+            F.sum(F.round(F.col("nh") * F.col("sh") * 100.0).cast("long")).cast("double")
+            / 100.0
+        ).alias("denom")
+    )
+    alloc = m.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "nh",
+        "sh",
+        F.least(
+            F.lit(1.0),
+            F.lit(_NEYMAN_TARGET) * (F.col("nh") * F.col("sh")) / F.col("denom") / F.col("nh"),
+        ).alias("rate"),
+    )
+    gated = o.join(F.broadcast(alloc), o.o_orderpriority == alloc.stratum).select(
+        "stratum",
+        "nh",
+        "sh",
+        "rate",
+        F.when(
+            (F.col("o_orderkey") * _MIX) % 1_000_000
+            < F.round(F.col("rate") * 1e6).cast("long"),
+            1,
+        )
+        .otherwise(0)
+        .alias("picked"),
+    )
+    return (
+        gated.groupBy("stratum", "nh", "sh", "rate")
+        .agg(F.sum("picked").alias("n_sampled"))
+        .select(
+            "stratum",
+            F.col("nh").cast("long").alias("n_stratum"),
+            F.round("sh", 6).alias("stddev"),
+            F.round("rate", 8).alias("rate"),
+            "n_sampled",
+            (
+                F.abs(F.col("n_sampled") - F.col("rate") * F.col("nh"))
+                <= 4.0 * F.sqrt(F.col("rate") * F.col("nh")) + 1.0
+            ).alias("within_4sigma"),
+        )
+        .orderBy("stratum")
+    )

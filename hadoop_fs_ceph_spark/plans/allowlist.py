@@ -55,6 +55,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "win_resample_interpolate": "one-row (lo, hi) calendar-bounds broadcast building the day spine",
     "src_merge_on_read_deletes": "one-row delete-count broadcast attached to the aggregate",
     "agg_bitmap_distinct": "one-row union-popcount broadcast attached to the per-group rows",
+    "sample_neyman_allocation": "one-row allocation-denominator broadcast into the 5-stratum rate relation",
 }
 
 # --- global sorts of bounded relations ------------------------------------

@@ -913,3 +913,17 @@ def test_pit_join_cardinality_and_no_leakage(spark, sf_dir):
     j = matched.join(dim, ["user_id", "version_no"])
     assert j.filter(F.col("valid_from") > F.col("purchase_ts")).count() == 0
     assert j.count() == matched.count()
+
+
+def test_neyman_allocation_budget_and_ordering(spark, sf_dir):
+    rows = SPECS["sample_neyman_allocation"].fn(spark, sf_dir).collect()
+    assert all(r["within_4sigma"] for r in rows)
+    total = sum(r["n_sampled"] for r in rows)
+    # realized total tracks the 500-row budget within sampling noise
+    assert 350 <= total <= 650
+    # optimality direction: a stratum with larger N_h*S_h never gets a
+    # smaller rate (rates are proportional unless capped at 1)
+    uncapped = [r for r in rows if r["rate"] < 1.0]
+    uncapped.sort(key=lambda r: r["n_stratum"] * r["stddev"])
+    for a, b in zip(uncapped, uncapped[1:]):
+        assert a["rate"] * a["n_stratum"] <= b["rate"] * b["n_stratum"] + 1e-6
