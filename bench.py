@@ -56,23 +56,43 @@ def main() -> None:
 
     calib_pre = _calibrate()
 
-    # Three timed runs per query, report the min: the first run pays one-time
-    # whole-stage-codegen + JIT compilation (~1s for the widest expression
-    # trees), which at 100 TB amortizes to nothing — steady-state execution
-    # is the throughput being measured. Min-of-3 (not 2) because the bench
-    # hosts show bursty contention (observed 40% total swings between
-    # identical runs); the min is the least-contended estimate.
+    # Two timed runs per query as two INTERLEAVED full passes, report the
+    # per-query min: the first pass pays one-time whole-stage-codegen +
+    # JIT compilation (~1s for the widest expression trees), which at
+    # 100 TB amortizes to nothing — steady-state execution is the
+    # throughput being measured. Interleaving matters on these hosts:
+    # contention arrives in multi-second bursts (observed 40% total swings,
+    # single queries 5x), so back-to-back repeats of one query all land in
+    # the same burst, while passes separated by the full suite length give
+    # every query one quiet measurement with high probability — without
+    # growing total runtime past the harness budget.
+    # Two tiers per query:
+    # * COLD (the headline `queries` dict): every run starts with a cleared
+    #   SQL cache, so operators that persist() intermediates pay their full
+    #   pipeline — the number a first execution at 100 TB pays.
+    # * WARM (`queries_warm`): an immediate re-run with the persisted
+    #   intermediates still cached — the steady-state of a pipeline that
+    #   keeps its signature/gram tables materialized, and the semantics
+    #   earlier BENCH_r* rounds effectively reported (min of back-to-back
+    #   runs reused the cache), kept for series continuity.
     timings: dict[str, float] = {}
-    for name, spec in bench_specs.items():
-        best = float("inf")
-        for _ in range(3):
+    warm: dict[str, float] = {}
+    for _pass in range(2):
+        for name, spec in bench_specs.items():
             start = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
-        # drop per-query persisted intermediates so one query's cached
-        # blocks can't crowd executor memory for the next
-        spark.catalog.clearCache()
+            elapsed = time.perf_counter() - start
+            timings[name] = min(timings.get(name, float("inf")), elapsed)
+            start = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm[name] = min(
+                warm.get(name, float("inf")), time.perf_counter() - start
+            )
+            # drop per-query persisted intermediates so one query's cached
+            # blocks can't crowd executor memory for the next
+            spark.catalog.clearCache()
+    timings = {name: round(v, 3) for name, v in timings.items()}
+    warm = {name: round(v, 3) for name, v in warm.items()}
 
     calib_post = _calibrate()
     total = round(sum(timings.values()), 3)
@@ -83,6 +103,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "total_warm": round(sum(warm.values()), 3),
                 "sf": sf,
                 "calib_spark_sec": min(calib_pre[0], calib_post[0]),
                 "calib_py_sec": min(calib_pre[1], calib_post[1]),

@@ -532,8 +532,12 @@ def text_winnowing_pairs(spark, sf_dir):
     (doc_id, fp) relation is the only shuffle and is ~K slim rows per
     document."""
     d = t(spark, sf_dir, "documents")
-    kg = d.select(
-        "doc_id", hashed_shingles(token_hashes(tokens("text")), 3).alias("kg")
+    # staged projection: materialize the token-hash array BEFORE the k-gram
+    # combine references it (size + per-gram element_at) — inlined, each
+    # reference re-evaluates the whole tokenize+hash pipeline (~80x cold
+    # cost, measured); as a multi-use alias Catalyst keeps it a column
+    kg = d.select("doc_id", token_hashes(tokens("text")).alias("th")).select(
+        "doc_id", hashed_shingles(F.col("th"), 3).alias("kg")
     )
     # persisted: referenced by the stop-fingerprint filter AND both sides
     # of the candidate self-join — without it the tokenize+hash+winnow map
@@ -614,12 +618,14 @@ def text_decontaminate(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     # persisted: the gram relation feeds the eval-set distinct AND two
     # aggregations of the train side — one tokenize+hash pass, not three
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(hashed_shingles(token_hashes(tokens("text")), 5))
-        ).alias("g"),
-    ).persist()
+    grams = (
+        d.select("doc_id", token_hashes(tokens("text")).alias("th"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(hashed_shingles(F.col("th"), 5))).alias("g"),
+        )
+        .persist()
+    )
     eval_g = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     train = grams.filter(F.col("doc_id") % 97 != 0)
     tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -1161,12 +1167,14 @@ def text_ngram_novelty(spark, sf_dir):
     one gram→first-doc equality join back; per-doc rollups are exact
     integers, so the novelty ratios are bit-identical cross-engine."""
     d = t(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(hashed_shingles(token_hashes(tokens("text")), 5))
-        ).alias("g"),
-    ).persist()
+    grams = (
+        d.select("doc_id", token_hashes(tokens("text")).alias("th"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(hashed_shingles(F.col("th"), 5))).alias("g"),
+        )
+        .persist()
+    )
     first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (
         grams.join(first_seen, "g")
