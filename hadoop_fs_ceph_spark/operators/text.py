@@ -162,14 +162,23 @@ def text_lang_id(spark, sf_dir):
     """Language-ID via stopword-overlap scoring (n-gram heuristic tier),
     reported as a labeled-vs-predicted confusion matrix."""
     d = t(spark, sf_dir, "documents")
-    scores = lang_scores(F.array_distinct(tokens("text")))
+    # staged: materialize the distinct token array, then the 5 per-language
+    # scores as columns, THEN the argmax chain — the chain references each
+    # score ~3x and each score references the array once per language;
+    # inlined, the split+distinct would re-evaluate per reference (the
+    # same CollapseProject duplication measured on the shingle operators)
+    toked = d.select("lang", F.array_distinct(tokens("text")).alias("tok"))
+    scores = lang_scores(F.col("tok"))
     langs = list(scores)
-    pred, best = F.lit(langs[0]), scores[langs[0]]
+    scored = toked.select(
+        "lang", *[scores[lg].alias(f"s_{lg}") for lg in langs]
+    )
+    pred, best = F.lit(langs[0]), F.col(f"s_{langs[0]}")
     for lang in langs[1:]:
-        pred = F.when(scores[lang] > best, lang).otherwise(pred)
-        best = F.greatest(best, scores[lang])
+        pred = F.when(F.col(f"s_{lang}") > best, lang).otherwise(pred)
+        best = F.greatest(best, F.col(f"s_{lang}"))
     return (
-        d.select("lang", pred.alias("pred_lang"))
+        scored.select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
