@@ -58,7 +58,12 @@ Bollinger bands, calendar interpolation (windows); interval-overlap +
 tolerance as-of (joins); binary payload dedup (multimodal);
 vectorized-cosine twin (udfs); watermarked trending top-k + session
 windows, maxFilesPerTrigger backpressure (streaming_q); CBO ANALYZE
-stats (sql_surface); degree distribution (graph).
+stats (sql_surface); degree distribution (graph); keeper-policy
+selection, novelty curve (dedup/text); two-stage retrieval
+(similarity); merge-on-read deletes, schema-drift report (sources);
+bitmap exact-distinct (aggregates); point-in-time SCD2 join (joins);
+Neyman allocation (pipeline_quality); shard offset index, feature-hash
+embeddings (multimodal/text).
 """
 
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401
