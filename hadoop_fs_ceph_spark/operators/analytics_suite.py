@@ -496,6 +496,128 @@ def ds_rfm_segmentation(spark, sf_dir):
     )
 
 
+# Composite-key multiplier for the approx-RFM tie split: bucket keys are
+# value * _RFM_C + custkey, so equal values order by custkey exactly like
+# ntile's tie-break — but through a sketch instead of a global sort.
+# Holds while custkey < 1e8 (TPC-H custkey at SF 100 is 1.5e7); a wider
+# corpus bumps the constant (or switches the composite to DECIMAL).
+_RFM_C = 100_000_000
+
+
+@query(
+    "ds_rfm_segmentation_approx",
+    oracle="""
+    WITH n AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_total FROM orders
+    )
+    SELECT d.dim, b.bucket, n.n_total, TRUE AS within_tolerance
+    FROM (VALUES ('frequency'), ('monetary'), ('recency')) AS d(dim),
+         (SELECT CAST(range AS INT) AS bucket FROM range(1, 5)) AS b, n
+    ORDER BY dim, bucket
+    """,
+    tags=("analytics", "rfm", "segmentation", "approx"),
+)
+def ds_rfm_segmentation_approx(spark, sf_dir):
+    """RFM quartile bucketing, PRODUCTION form — the runnable-at-100 TB
+    twin of ``ds_rfm_segmentation``: quartile cutpoints come from ONE
+    ``percentile_approx`` aggregate (Greenwald-Khanna sketch, a
+    partial-merge aggregate — NO global sort, NO single-partition
+    window), bucket assignment is a map-side array lookup against the
+    broadcast one-row cutpoint relation.
+
+    The ntile-tie problem is solved structurally: the sketched key is the
+    composite value*C + custkey (descending dims negate the value), so
+    ties split by custkey exactly as the exact form's ntile tie-break
+    does — bucket populations then sit within the sketch's rank error
+    (<= 2n/10000 per bucket at accuracy 10000) of the ideal n/4 even on
+    heavily-tied columns like order frequency.
+
+    Driver-checkable shape (the ``within_tolerance`` pattern of
+    ``profile_equidepth_histogram_approx``): deterministic columns (dim x
+    bucket spine, total customers) hash-match the oracle; each dimension's
+    bucket populations are tolerance-verified at 2% (sketch guarantee is
+    50x inside the gate). The exact ntile form remains the oracle-truth
+    segmentation this approximates."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    maxd = m.agg(F.max("last_d").alias("maxd"))
+    comp = (
+        m.crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "last_d").cast("long").alias("recency"),
+            "freq",
+            "cents",
+        )
+        .select(
+            (F.col("recency") * _RFM_C + F.col("o_custkey")).alias("r_comp"),
+            (-F.col("freq") * _RFM_C + F.col("o_custkey")).alias("f_comp"),
+            (-F.col("cents") * _RFM_C + F.col("o_custkey")).alias("m_comp"),
+        )
+    )
+    cuts = comp.agg(
+        F.percentile_approx("r_comp", [0.25, 0.5, 0.75], 10000).alias("rc"),
+        F.percentile_approx("f_comp", [0.25, 0.5, 0.75], 10000).alias("fc"),
+        F.percentile_approx("m_comp", [0.25, 0.5, 0.75], 10000).alias("mc"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+    def bucket(cut_col, comp_col):
+        return (
+            F.lit(1) + F.size(F.filter(cut_col, lambda c: c < F.col(comp_col)))
+        ).cast("int")
+
+    counts = (
+        comp.crossJoin(F.broadcast(cuts))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("recency").alias("dim"),
+                        bucket(F.col("rc"), "r_comp").alias("bucket"),
+                    ),
+                    F.struct(
+                        F.lit("frequency").alias("dim"),
+                        bucket(F.col("fc"), "f_comp").alias("bucket"),
+                    ),
+                    F.struct(
+                        F.lit("monetary").alias("dim"),
+                        bucket(F.col("mc"), "m_comp").alias("bucket"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.dim", "x.bucket")
+        .groupBy("dim", "bucket")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    dims = spark.range(1).select(
+        F.explode(
+            F.array(F.lit("frequency"), F.lit("monetary"), F.lit("recency"))
+        ).alias("dim")
+    )
+    spine = dims.crossJoin(
+        spark.range(1, 5).select(F.col("id").cast("int").alias("bucket"))
+    ).crossJoin(F.broadcast(cuts.select("n_total")))
+    return (
+        spine.join(counts, ["dim", "bucket"], "left")
+        .select(
+            "dim",
+            "bucket",
+            "n_total",
+            (
+                F.abs(F.coalesce(F.col("nb"), F.lit(0)) - F.col("n_total") / 4.0)
+                <= F.greatest(F.col("n_total") * 0.02, F.lit(3.0))
+            ).alias("within_tolerance"),
+        )
+        .orderBy("dim", "bucket")
+    )
+
+
 @query(
     "agg_gini_concentration",
     oracle="""
@@ -545,6 +667,224 @@ def agg_gini_concentration(spark, sf_dir):
             (F.lit(2) * six - (n + F.lit(1)) * sx).cast("double")
             / (n * sx).cast("double")
         ).alias("gini"),
+    )
+
+
+# Fixed bin count for the binned concentration twins: resolution is the
+# grid, not the data, so the bin relation is a compile-time constant no
+# matter the corpus size (the profile_ks_drift trade).
+_CONC_BINS = 64
+
+_SQL_CONC_X = """
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+"""
+_SQL_CONC_ST = """
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+      FROM x
+"""
+_SQL_CONC_B = f"""
+      SELECT ((cents - lo) * {_CONC_BINS}) // (hi - lo + 1) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(cents) AS BIGINT) AS sb
+      FROM x, st GROUP BY 1
+"""
+
+
+def _conc_bins(x, st):
+    """Per-customer cents -> fixed-width integer bins with (count, sum):
+    map-side bin id against the broadcast one-row bounds, one partial-
+    merged aggregate over at most ``_CONC_BINS`` groups."""
+    return (
+        x.crossJoin(F.broadcast(st))
+        .select(
+            F.expr(
+                f"((cents - lo) * {_CONC_BINS}) div (hi - lo + 1)"
+            ).alias("bin"),
+            "cents",
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum("cents").alias("sb"))
+    )
+
+
+def _conc_customer_cents(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+
+
+@query(
+    "agg_gini_concentration_binned",
+    oracle=f"""
+    WITH x AS ({_SQL_CONC_X}),
+    st AS ({_SQL_CONC_ST}),
+    b AS ({_SQL_CONC_B}),
+    mad AS (
+      SELECT CAST(SUM(ABS(CAST(a.sb AS HUGEINT) * b2.nb
+                          - CAST(b2.sb AS HUGEINT) * a.nb)) AS DOUBLE) AS num
+      FROM b a, b b2
+    )
+    SELECT st.n, st.s AS total_cents,
+           CAST((SELECT COUNT(*) FROM b) AS INTEGER) AS n_bins_used,
+           ROUND(mad.num / (2.0 * CAST(st.n AS DOUBLE) * CAST(st.s AS DOUBLE)), 9)
+             AS gini_binned
+    FROM st, mad
+    """,
+    tags=("aggregate", "gini", "inequality", "approx"),
+)
+def agg_gini_concentration_binned(spark, sf_dir):
+    """Gini concentration, PRODUCTION form — the sort-free twin of
+    ``agg_gini_concentration``: per-customer cents land in a FIXED
+    64-bin value grid (map-side bin id against a broadcast one-row
+    min/max), and the Gini of the grouped data comes from the
+    mean-absolute-difference identity G = Σᵢⱼ|sᵢnⱼ − sⱼnᵢ| / (2nS)
+    over bin (count, sum) pairs — algebraically identical to the
+    trapezoidal Lorenz estimator for grouped data, but needing no bin
+    ordering, no prefix sums, and NO window at all: two aggregates and
+    one 64×64 scalar fold over a collected bin array. Every term is an
+    exact integer (decimal(38) products) until the single final
+    division, so the binned value — not just a tolerance verdict — is
+    bit-identical cross-engine and hash-matched by the oracle.
+
+    Binning error is bounded by within-bin value spread (≤ range/64 per
+    customer), the resolution a concentration MONITOR needs; the exact
+    rank-formula twin stays as the oracle-truth it approximates
+    (tests/test_invariants.py pins their agreement)."""
+    x = _conc_customer_cents(spark, sf_dir)
+    st = x.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+    )
+    b = _conc_bins(x, st)
+    one = b.agg(
+        F.collect_list(F.struct("bin", "nb", "sb")).alias("arr")
+    ).crossJoin(F.broadcast(st))
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    num = F.aggregate(
+        "arr",
+        dec0,
+        lambda acc, p: (
+            acc
+            + F.aggregate(
+                F.col("arr"),
+                dec0,
+                lambda a2, q: (
+                    a2
+                    + F.abs(
+                        p["sb"].cast("decimal(19,0)") * q["nb"].cast("decimal(19,0)")
+                        - q["sb"].cast("decimal(19,0)") * p["nb"].cast("decimal(19,0)")
+                    ).cast("decimal(38,0)")
+                ).cast("decimal(38,0)"),
+            )
+        ).cast("decimal(38,0)"),
+    )
+    return one.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("total_cents"),
+        F.size("arr").cast("int").alias("n_bins_used"),
+        F.round(
+            num.cast("double")
+            / (F.lit(2.0) * F.col("n").cast("double") * F.col("s").cast("double")),
+            9,
+        ).alias("gini_binned"),
+    )
+
+
+@query(
+    "ds_pareto_concentration_binned",
+    oracle=f"""
+    WITH x AS ({_SQL_CONC_X}),
+    st AS ({_SQL_CONC_ST}),
+    b AS ({_SQL_CONC_B}),
+    c AS (
+      SELECT bin, nb, sb,
+             CAST(SUM(sb) OVER (ORDER BY bin DESC) AS BIGINT) AS cum,
+             CAST(SUM(nb) OVER (ORDER BY bin DESC) AS BIGINT) AS ncum
+      FROM b
+    ),
+    k AS (
+      SELECT c.cum, c.ncum, c.nb, c.sb FROM c, st
+      WHERE c.cum * 10 >= st.s * 8
+      ORDER BY c.bin DESC LIMIT 1
+    )
+    SELECT st.n AS n_cust, st.s AS total_cents,
+           k.ncum - k.nb AS n_top_lower, k.ncum AS n_top_upper,
+           ROUND(CAST(k.cum - k.sb AS DOUBLE) / CAST(st.s AS DOUBLE), 9)
+             AS share_lower,
+           ROUND(CAST(k.cum AS DOUBLE) / CAST(st.s AS DOUBLE), 9) AS share_upper
+    FROM st, k
+    """,
+    tags=("analytics", "pareto", "concentration", "approx"),
+)
+def ds_pareto_concentration_binned(spark, sf_dir):
+    """Pareto top-share audit, PRODUCTION form — the sort-free twin of
+    ``ds_pareto_concentration``: instead of ranking every customer in
+    one task, per-customer revenues land in the fixed 64-bin grid and
+    the "how many customers cover 80% of revenue" answer comes from a
+    cumulative scan over the ≤64-row bin array, reported as an explicit
+    [lower, upper] customer-count BRACKET whose width is the crossing
+    bin's population — the honest resolution statement of a binned
+    audit (tighten it by raising the compile-time bin count, never by
+    sorting the corpus). The scan is a sequential fold over the
+    collected bin array (descending value order), so the plan has no
+    window and no global sort; the crossing test cum·10 ≥ 8·S is exact
+    integer arithmetic, making every output column — including the two
+    share doubles — bit-identical cross-engine and fully hash-matched."""
+    x = _conc_customer_cents(spark, sf_dir)
+    st = x.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+    )
+    b = _conc_bins(x, st)
+    one = b.agg(
+        F.collect_list(F.struct("bin", "nb", "sb")).alias("arr")
+    ).crossJoin(F.broadcast(st))
+    lz = F.lit(0).cast("long")
+    init = F.struct(
+        lz.alias("cum"),
+        lz.alias("ncum"),
+        F.lit(False).alias("crossed"),
+        lz.alias("n_lo"),
+        lz.alias("c_lo"),
+        lz.alias("n_hi"),
+        lz.alias("c_hi"),
+    )
+
+    def step(acc, p):
+        new_cum = acc["cum"] + p["sb"]
+        new_n = acc["ncum"] + p["nb"]
+        cross_now = new_cum * 10 >= F.col("s") * 8
+        return F.when(acc["crossed"], acc).otherwise(
+            F.struct(
+                new_cum.alias("cum"),
+                new_n.alias("ncum"),
+                cross_now.alias("crossed"),
+                F.when(cross_now, acc["ncum"]).otherwise(lz).alias("n_lo"),
+                F.when(cross_now, acc["cum"]).otherwise(lz).alias("c_lo"),
+                F.when(cross_now, new_n).otherwise(lz).alias("n_hi"),
+                F.when(cross_now, new_cum).otherwise(lz).alias("c_hi"),
+            )
+        )
+
+    acc = F.aggregate(F.reverse(F.array_sort("arr")), init, step)
+    return one.select(
+        F.col("n").cast("long").alias("n_cust"),
+        F.col("s").cast("long").alias("total_cents"),
+        acc["n_lo"].alias("n_top_lower"),
+        acc["n_hi"].alias("n_top_upper"),
+        F.round(acc["c_lo"].cast("double") / F.col("s").cast("double"), 9).alias(
+            "share_lower"
+        ),
+        F.round(acc["c_hi"].cast("double") / F.col("s").cast("double"), 9).alias(
+            "share_upper"
+        ),
     )
 
 

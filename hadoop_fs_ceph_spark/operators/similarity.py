@@ -836,6 +836,124 @@ def sim_kmeans_update(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_semantic_cell_refined",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS sv
+      FROM embeddings WHERE vec_id < {_N_SEM_CELLS}
+    ),
+    a0 AS (
+      SELECT e.vec_id, e.embedding, s.seed_id AS cell
+      FROM embeddings e CROSS JOIN seeds s
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {sql_cosine("e.embedding", "s.sv")} DESC, s.seed_id) = 1
+    ),
+    u AS (
+      SELECT cell, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM a0, (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    m AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(ROUND(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS a
+      FROM u GROUP BY cell, pos
+    ),
+    cent AS (SELECT cell, list(a ORDER BY pos) AS cv FROM m GROUP BY cell),
+    a1 AS (
+      SELECT e.vec_id, e.embedding, c.cell
+      FROM embeddings e CROSS JOIN cent c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {sql_cosine("e.embedding", "c.cv")} DESC, c.cell) = 1
+    )
+    SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine("a.embedding", "b.embedding")} AS cos_sim
+    FROM a1 a JOIN a1 b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {sql_cosine("a.embedding", "b.embedding")} > {_SEM_THRESHOLD}
+    """,
+    tags=("dedup", "similarity", "semantic", "embedding", "kmeans"),
+)
+def dedup_semantic_cell_refined(spark, sf_dir):
+    """SemDeDup with REFINED centroids — the real centroid pipeline:
+    the K=8 deterministic seed vectors feed one full Lloyd round (the
+    ``sim_kmeans_update`` assign+update shapes), and the resulting
+    fixed-point mean centroids — not the raw seeds — define the cells
+    that near-duplicate pairs block on. This is how production SemDeDup
+    actually runs (k-means the corpus, then compare within clusters);
+    ``dedup_semantic_cell`` keeps the raw-seed formulation as the
+    simplest oracle shape.
+
+    Scale shape, per stage: seed assign = K-row broadcast + map-side
+    scoring + per-vector top-1 window (partitioned by vec_id, never
+    global); centroid update = one partial-merged aggregate over K×64
+    (cell, dim) groups regardless of corpus size; refined assign = the
+    same broadcast shape over the 8-row computed centroid relation; the
+    pair stage is an EQUALITY join on the refined cell id. Fixed-point
+    centroid coordinates (integer sums / 1e6 / count) and sequential
+    cosine folds keep every double bit-identical cross-engine, so the
+    full output — including cos_sim values — hash-matches the oracle."""
+    e = t(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < _N_SEM_CELLS).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
+    )
+    w0 = Window.partitionBy("vec_id").orderBy(F.col("seed_cos").desc(), "seed_id")
+    a0 = (
+        e.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "embedding",
+            "seed_id",
+            cosine(F.col("embedding"), F.col("sv")).alias("seed_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") == 1)
+        .select(F.col("seed_id").alias("cell"), "embedding")
+    )
+    cent = (
+        a0.select("cell", F.posexplode("embedding").alias("pos", "v"))
+        .select("cell", "pos", F.col("v").cast("double").alias("val"))
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("val") * 1e6).cast("long")).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "a"))), lambda x: x["a"]
+            ).alias("cv")
+        )
+    )
+    w1 = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cent_cell")
+    a1 = (
+        e.crossJoin(F.broadcast(cent.select(F.col("cell").alias("cent_cell"), "cv")))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_cell",
+            cosine(F.col("embedding"), F.col("cv")).alias("c_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_cell").alias("cell"), "embedding")
+        .persist()
+    )
+    a = a1.select(F.col("vec_id").alias("vec_a"), "cell", F.col("embedding").alias("ea"))
+    b = a1.select(F.col("vec_id").alias("vec_b"), "cell", F.col("embedding").alias("eb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("cell", "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") > _SEM_THRESHOLD)
+    )
+
+
 _PQ_M = 8  # subspaces
 _PQ_DSUB = 8  # dims per subspace
 _PQ_K = 4  # codewords per subspace (seed vectors 0..3)

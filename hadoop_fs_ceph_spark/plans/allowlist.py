@@ -56,6 +56,10 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "src_merge_on_read_deletes": "one-row delete-count broadcast attached to the aggregate",
     "agg_bitmap_distinct": "one-row union-popcount broadcast attached to the per-group rows",
     "sample_neyman_allocation": "one-row allocation-denominator broadcast into the 5-stratum rate relation",
+    "ds_rfm_segmentation_approx": "one-row percentile_approx cutpoint broadcast + fixed 3x4 dim-bucket spine",
+    "agg_gini_concentration_binned": "one-row (lo,hi,n,s) bounds broadcast + collected 64-bin array fold",
+    "ds_pareto_concentration_binned": "one-row (lo,hi,n,s) bounds broadcast + collected 64-bin array fold",
+    "dedup_semantic_cell_refined": "K=8 seed and refined-centroid table broadcasts (two bounded assign stages)",
 }
 
 # --- global sorts of bounded relations ------------------------------------
@@ -95,6 +99,24 @@ BOUNDED_SORT: dict[str, str] = {
     "src_schema_drift_report": "sorts the schema-width-bounded column diff (7 rows)",
 }
 
+# --- single-partition windows over bounded relations -----------------------
+# An unpartitioned window funnels its whole input through ONE task; that is
+# safe exactly when the windowed relation is bounded by construction — a
+# calendar-day spine, a spec-bounded dim (25 nations), a K-constant centroid
+# table, or a declared oracle-truth twin whose production form exists and is
+# audited separately. Anything else must be reformulated (percentile_approx
+# cutpoints, binned Lorenz, TakeOrdered), not allowlisted.
+SINGLE_PARTITION_WINDOW: dict[str, str] = {
+    "agg_percent_of_total": "windows over the 25-nation aggregate (spec-bounded dim, never grows with SF)",
+    "win_cumulative_distinct": "running window over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
+    "win_cusum_changepoint": "CUSUM fold over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
+    "profile_ks_drift": "final max-gap window over the fixed 18-row ECDF grid relation",
+    "profile_equidepth_histogram": "exact-ntile oracle-truth twin; production form is profile_equidepth_histogram_approx (percentile_approx cutpoints, audited clean)",
+    "ds_rfm_segmentation": "exact-ntile oracle-truth twin; production form is ds_rfm_segmentation_approx (percentile_approx composite cutpoints, audited clean)",
+    "agg_gini_concentration": "exact rank-formula oracle-truth twin; production form is agg_gini_concentration_binned (binned mean-absolute-difference, audited clean)",
+    "ds_pareto_concentration": "exact running-sum oracle-truth twin; production form is ds_pareto_concentration_binned (binned top-share bracket, audited clean)",
+}
+
 # --- declared Python-UDF surface ------------------------------------------
 DECLARED_PYTHON: dict[str, str] = {
     "udf_scalar_python": "THE declared row-at-a-time scalar-UDF surface demo (udfs.py) — exists to document the slow path, never composed into other queries",
@@ -103,6 +125,7 @@ DECLARED_PYTHON: dict[str, str] = {
 _FLAG_ALLOW = {
     "cartesian/nested-loop join — O(n·m) at scale": INTENTIONAL_CROSS,
     "global sort of an unaggregated relation — sorts the world": BOUNDED_SORT,
+    "single-partition window — whole relation funnels through one task": SINGLE_PARTITION_WINDOW,
     "row-at-a-time Python UDF on the hot path": DECLARED_PYTHON,
 }
 

@@ -55,6 +55,22 @@ def _group(text: str, pattern: str) -> str:
     return m.group(1).strip() if m else ""
 
 
+# A Window (or bare Sort) whose required distribution is AllTuples plans
+# as Exchange SinglePartition directly under it — every input row funnels
+# through ONE task. Window and Sort are unary operators, so in the plan
+# dump their child is always the immediately following line; two physical
+# shapes exist (sorted frames insert a partition-local Sort between):
+#   Window ... \n +- Sort ..., false \n    +- Exchange SinglePartition
+#   Window ... \n +- Exchange SinglePartition        (unbounded frame)
+# Aggregates over SinglePartition exchanges are NOT matched: their partial
+# side already reduced each partition to one row, so the exchange moves
+# |partitions| rows, not the relation.
+_SINGLE_PARTITION_WINDOW = re.compile(
+    r"(?:Window|Sort) \[[^\n]*\n[^\n]*?[+:]- (?:Sort \[[^\n]*\n[^\n]*?[+:]- )?"
+    r"Exchange SinglePartition"
+)
+
+
 @dataclass
 class ScaleAudit:
     """Boiled-down plan facts that decide 100 TB viability."""
@@ -69,6 +85,7 @@ class ScaleAudit:
     python_on_hot_path: bool  # BatchEvalPython (row-at-a-time UDF)
     arrow_python: bool  # ArrowEvalPython / pandas-UDF nodes
     codegen_spans: int  # WholeStageCodegen regions
+    single_partition_windows: int = 0  # Exchange SinglePartition feeding Window/Sort
     scans: list[dict[str, str]] = field(default_factory=list)
 
     def problems(self) -> list[str]:
@@ -78,12 +95,23 @@ class ScaleAudit:
         aggregate: a sort above an aggregation orders a group-key-sized
         relation (the deterministic-output contract of the declared
         queries), while a sort of a raw scan/join output really does
-        sort the world at scale."""
+        sort the world at scale.
+
+        The single-partition-window flag is NOT aggregate-suppressed: an
+        unpartitioned window above an aggregate still funnels the whole
+        aggregated relation through one task, and when that relation
+        grows with the corpus (per-customer, per-token, ...) the single
+        task is the scale ceiling no matter how the rest of the plan
+        parallelizes."""
         out = []
         if self.cartesian:
             out.append("cartesian/nested-loop join — O(n·m) at scale")
         if self.global_sorts > 0 and not self.take_ordered and not self.has_aggregate:
             out.append("global sort of an unaggregated relation — sorts the world")
+        if self.single_partition_windows > 0:
+            out.append(
+                "single-partition window — whole relation funnels through one task"
+            )
         if self.python_on_hot_path:
             out.append("row-at-a-time Python UDF on the hot path")
         return out
@@ -105,6 +133,7 @@ def scale_audit(df: DataFrame, execute: bool = False) -> ScaleAudit:
         ),
         python_on_hot_path="BatchEvalPython" in simple,
         arrow_python="ArrowEvalPython" in simple or "FlatMapGroupsInPandas" in simple,
+        single_partition_windows=len(_SINGLE_PARTITION_WINDOW.findall(simple)),
         # codegen regions render as "[codegen id : n]" (formatted mode),
         # "WholeStageCodegen (n)" (tree dump), or "*(n) Op" (executed/simple)
         codegen_spans=len(

@@ -927,3 +927,75 @@ def test_neyman_allocation_budget_and_ordering(spark, sf_dir):
     uncapped.sort(key=lambda r: r["n_stratum"] * r["stddev"])
     for a, b in zip(uncapped, uncapped[1:]):
         assert a["rate"] * a["n_stratum"] <= b["rate"] * b["n_stratum"] + 1e-6
+
+
+def test_gini_binned_tracks_exact(spark, sf_dir):
+    """The sort-free binned Gini must agree with the exact rank-formula
+    twin within the bin-resolution bound: |G_b - G| <= 2/B (within-bin
+    value spread contributes at most one bin width per Lorenz segment).
+    Deterministic columns (n, total_cents) must match exactly."""
+    exact = SPECS["agg_gini_concentration"].fn(spark, sf_dir).collect()[0]
+    binned = SPECS["agg_gini_concentration_binned"].fn(spark, sf_dir).collect()[0]
+    assert binned["n"] == exact["n"]
+    assert binned["total_cents"] == exact["total_cents"]
+    assert 1 <= binned["n_bins_used"] <= 64
+    assert abs(binned["gini_binned"] - exact["gini"]) <= 2.0 / 64
+
+
+def test_pareto_binned_bracket_contains_exact(spark, sf_dir):
+    """The binned Pareto [lower, upper] customer-count bracket must
+    contain the exact answer: bins partition customers by value range,
+    so the exact 80% crossing happens strictly after the fully-included
+    bins (cum_lower < 0.8S) and no later than the crossing bin's end
+    (cum_upper >= 0.8S)."""
+    exact = SPECS["ds_pareto_concentration"].fn(spark, sf_dir).collect()[0]
+    b = SPECS["ds_pareto_concentration_binned"].fn(spark, sf_dir).collect()[0]
+    assert b["n_top_lower"] < exact["n_top_customers"] <= b["n_top_upper"]
+    assert b["share_lower"] < 0.8 <= b["share_upper"] + 1e-9
+    assert b["n_top_lower"] <= b["n_top_upper"] <= b["n_cust"]
+
+
+def test_rfm_approx_spine_and_verdicts(spark, sf_dir):
+    """The approx-RFM output is the full 3x4 dim-bucket spine, every
+    bucket's population within the 2% tolerance gate (sketch rank error
+    is 50x inside it thanks to the composite tie-split key)."""
+    rows = SPECS["ds_rfm_segmentation_approx"].fn(spark, sf_dir).collect()
+    assert len(rows) == 12
+    assert {(r["dim"], r["bucket"]) for r in rows} == {
+        (d, b)
+        for d in ("recency", "frequency", "monetary")
+        for b in (1, 2, 3, 4)
+    }
+    assert all(r["within_tolerance"] for r in rows)
+    n_cust = (
+        t(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert all(r["n_total"] == n_cust for r in rows)
+
+
+def test_semantic_cell_refined_finds_planted_near_dup(spark, tmp_path):
+    """The kmeans-refined SemDeDup must still surface the planted
+    near-identical pair (one Lloyd round moves centroids toward the
+    cluster mass but cannot split a tight near-dup pair), and refined
+    cells must still PRUNE the all-pairs set, never add to it."""
+    import numpy as np
+
+    def unit(i, eps=0.0, seed=0):
+        v = np.zeros(64)
+        v[i] = 1.0
+        if eps:
+            r = np.random.RandomState(seed)
+            v = v + eps * r.standard_normal(64)
+        return [float(x) for x in v]
+
+    rows = [{"vec_id": i, "embedding": unit(i), "label": 0} for i in range(8)]
+    rows.append({"vec_id": 100, "embedding": unit(0, 0.02, 1), "label": 1})
+    rows.append({"vec_id": 101, "embedding": unit(0, 0.02, 2), "label": 1})
+    rows.append({"vec_id": 200, "embedding": unit(5, 0.02, 3), "label": 1})
+    d = _write_parquet(tmp_path, "embeddings", rows)
+    pairs = {
+        (r.vec_a, r.vec_b): r.cell
+        for r in SPECS["dedup_semantic_cell_refined"].fn(spark, d).collect()
+    }
+    assert (100, 101) in pairs
+    assert all(not (200 in p and (100 in p or 101 in p)) for p in pairs)

@@ -223,3 +223,47 @@ def test_runtime_bloom_filter_injectable(spark, sf_dir):
         for k, v in saved.items():
             conf.set(k, v)
     assert "bloom_filter_agg" in plan or "BloomFilter" in plan
+
+
+def test_single_partition_window_flag_active(spark, sf_dir):
+    """The round-4 auditor flag must be ACTIVE: the exact oracle-truth
+    twins really do plan an Exchange SinglePartition under a Window (the
+    shape the flag exists for), the flag string reaches problems(), and
+    the shared allowlist absorbs it with a reason — so any future query
+    that reinvents an unpartitioned window fails test_fleet_audit_clean
+    instead of shipping a one-task bottleneck."""
+    audit = scale_audit(SPECS["agg_gini_concentration"].fn(spark, sf_dir))
+    assert audit.single_partition_windows >= 1
+    probs = audit.problems()
+    assert any("single-partition window" in p for p in probs)
+    real, allowed = split_flags("agg_gini_concentration", probs)
+    assert real == [] and any("oracle-truth twin" in a for a in allowed)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ds_rfm_segmentation_approx",
+        "agg_gini_concentration_binned",
+        "ds_pareto_concentration_binned",
+        "profile_equidepth_histogram_approx",
+        "dedup_semantic_cell_refined",
+    ],
+)
+def test_production_twins_have_no_single_partition_window(spark, sf_dir, name):
+    """Every production twin exists precisely to remove the one-task
+    funnel — its plan must contain ZERO single-partition windows."""
+    audit = scale_audit(SPECS[name].fn(spark, sf_dir))
+    assert audit.single_partition_windows == 0, name
+
+
+def test_zipf_topk_is_take_ordered(spark, sf_dir):
+    """text_zipf_profile's rank-then-filter(rnk<=20) must plan as
+    TakeOrderedAndProject (Catalyst's InferWindowGroupLimit turns the
+    row_number filter into a per-partition-heap top-k), with the window
+    running over the 20-row result — never an Exchange SinglePartition
+    sort of the full distinct vocabulary. Pins the rewrite so a future
+    formulation change can't silently regress to a world sort."""
+    audit = scale_audit(SPECS["text_zipf_profile"].fn(spark, sf_dir))
+    assert audit.take_ordered
+    assert audit.single_partition_windows == 0
