@@ -1713,3 +1713,94 @@ def win_holt_linear_fold(spark, sf_dir):
         st["t"].alias("trend"),
         (st["l"] + st["t"]).alias("forecast_next"),
     )
+
+
+@query(
+    "ds_cohort_ltv_curve",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT f.cohort,
+             CAST((EXTRACT(year FROM o.o_orderdate) * 12
+                   + EXTRACT(month FROM o.o_orderdate))
+                  - (EXTRACT(year FROM f.cohort) * 12
+                     + EXTRACT(month FROM f.cohort)) AS INTEGER) AS age_months,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    cs AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers FROM f GROUP BY 1
+    ),
+    c AS (
+      SELECT cohort, age_months,
+             CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age_months)
+                  AS BIGINT) AS cum_cents
+      FROM r
+    )
+    SELECT strftime(c.cohort, '%Y-%m') AS cohort_month, c.age_months,
+           s.n_customers, c.cum_cents,
+           CAST(c.cum_cents AS DOUBLE) / 100.0
+             / CAST(s.n_customers AS DOUBLE) AS ltv_per_customer
+    FROM c JOIN cs s USING (cohort)
+    ORDER BY cohort_month, age_months
+    """,
+    tags=("analytics", "cohort", "ltv", "retention"),
+)
+def ds_cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue per cohort member tracked by months since
+    acquisition — the payback-period readout (which cohort recoups
+    acquisition cost by month N) that sits one step past
+    ``ds_retention_cohort``'s activity counts. Age is exact integer
+    month arithmetic (year*12+month deltas, not date intervals), revenue
+    is exact cents, and the per-customer LTV divides two exact integers
+    — every column hash-matches the oracle.
+
+    Scale shape: facts reduce to per-customer first-months and to
+    (cohort, age) revenue cells before anything else; the cumulative
+    window partitions by cohort over age rows — BOTH calendar-bounded
+    (months elapsed), never corpus-sized, and the window is partitioned
+    so no single-task funnel exists. The cohort-size join input is
+    |cohorts| rows."""
+    o = t(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    months = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    r = (
+        o.join(f, "o_custkey")
+        .groupBy(
+            "cohort",
+            (months(F.col("o_orderdate")) - months(F.col("cohort")))
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    cs = f.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = r.select("cohort", "age_months", F.sum("cents").over(w).alias("cum_cents"))
+    return (
+        c.join(cs, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            "age_months",
+            "n_customers",
+            "cum_cents",
+            (
+                F.col("cum_cents").cast("double")
+                / F.lit(100.0)
+                / F.col("n_customers").cast("double")
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )

@@ -844,3 +844,54 @@ def join_point_in_time_scd2(spark, sf_dir):
         F.col("status").alias("status_at_purchase"),
         "version_no",
     )
+
+
+@query(
+    "join_salted_replicated",
+    oracle=f"""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY s.s_suppkey
+    """,
+    tags=("join", "skew", "salt"),
+)
+def join_salted_replicated(spark, sf_dir):
+    """Salted replicated join — the manual skew breaker for when a
+    shuffle join's hot key floods one reducer and neither AQE skew-join
+    (which only splits, per-partition) nor broadcast (build side too
+    big) applies: the BUILD side is replicated across 16 salt replicas
+    (explode of a literal salt sequence), the PROBE side derives its
+    salt from a high-cardinality column (l_orderkey % 16), and the join
+    key becomes (suppkey, salt) — every hot key's probe rows now spread
+    over 16 reducers, each finding its own build replica. The supplier
+    relation here is deliberately low-cardinality (10 keys at sf0.001),
+    so EVERY key is hot: the unsalted shuffle plan would put ~1/10th of
+    the fact table on single reducers.
+
+    Salting is semantically transparent — the salt partitions probe rows
+    disjointly and each partition joins the same supplier tuple — so the
+    oracle is the PLAIN join + aggregate, and the fixed-point revenue
+    sum is order-independent by construction (salted partial order
+    differs from unsalted). The 16× build replication is |build|·16
+    rows — trivially bounded for the dim-sized build sides this pattern
+    exists for."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_orderkey") % 16).cast("int")
+    )
+    s_rep = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("salt"),
+    )
+    return (
+        li.join(s_rep, (li.l_suppkey == s_rep.s_suppkey) & (li.salt == s_rep.salt))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

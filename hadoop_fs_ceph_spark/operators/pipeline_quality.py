@@ -1503,3 +1503,150 @@ def sample_neyman_allocation(spark, sf_dir):
         )
         .orderBy("stratum")
     )
+
+
+# PSI smoothing: add-one on counts over the 17-slot grid, so empty
+# buckets contribute a finite, engine-identical term instead of ln(0).
+_PSI_SLOTS = _KS_BUCKETS + 1
+
+
+@query(
+    "profile_psi_drift",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM base),
+    bk AS (
+      SELECT event_type,
+             LEAST({_KS_BUCKETS}, CAST(FLOOR((value - lo)
+                   / ((hi - lo) / {_KS_BUCKETS}.0)) AS BIGINT)) AS bucket
+      FROM base, bounds
+    ),
+    counts AS (
+      SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bk GROUP BY 1, 2
+    ),
+    spine AS (SELECT unnest(generate_series(0, {_KS_BUCKETS})) AS bucket),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1
+    ),
+    ab AS (
+      SELECT s.bucket,
+             COALESCE(a.c, 0) AS n_a, COALESCE(b.c, 0) AS n_b,
+             (SELECT n FROM tot WHERE event_type = '{_KS_A}') AS na,
+             (SELECT n FROM tot WHERE event_type = '{_KS_B}') AS nb
+      FROM spine s
+      LEFT JOIN counts a ON a.bucket = s.bucket AND a.event_type = '{_KS_A}'
+      LEFT JOIN counts b ON b.bucket = s.bucket AND b.event_type = '{_KS_B}'
+    ),
+    per AS (
+      SELECT bucket, n_a, n_b,
+             (CAST(n_a + 1 AS DOUBLE) / CAST(na + {_PSI_SLOTS} AS DOUBLE)
+              - CAST(n_b + 1 AS DOUBLE) / CAST(nb + {_PSI_SLOTS} AS DOUBLE))
+             * ln((CAST(n_a + 1 AS DOUBLE) / CAST(na + {_PSI_SLOTS} AS DOUBLE))
+                  / (CAST(n_b + 1 AS DOUBLE) / CAST(nb + {_PSI_SLOTS} AS DOUBLE)))
+               AS contrib
+      FROM ab
+    ),
+    ttl AS (
+      SELECT ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(contrib ORDER BY bucket)), (a, b) -> a + b), 9) AS psi_total
+      FROM per
+    )
+    SELECT p.bucket, p.n_a, p.n_b, ROUND(p.contrib, 9) AS psi_contrib,
+           t.psi_total,
+           CASE WHEN t.psi_total < 0.1 THEN 'stable'
+                WHEN t.psi_total < 0.25 THEN 'moderate'
+                ELSE 'shifted' END AS drift_verdict
+    FROM per p, ttl t
+    ORDER BY p.bucket
+    """,
+    tags=("profile", "drift", "psi", "distribution"),
+)
+def profile_psi_drift(spark, sf_dir):
+    """Population Stability Index between the `click` and `purchase`
+    value distributions on the shared fixed grid — the drift metric
+    production scorecards actually gate on (PSI < 0.1 stable, 0.1-0.25
+    watch, > 0.25 shifted), complementing ``profile_ks_drift``'s
+    max-gap statistic with a mass-weighted divergence (symmetrized KL).
+    Add-one smoothing over the 17 grid slots keeps empty buckets finite
+    and deterministic.
+
+    Scale shape: identical to the KS grid — one (lo, hi) one-row
+    broadcast, map-side bucket assignment, one partial-merged count per
+    (group, bucket), then everything downstream runs on the FIXED
+    17-row spine. The PSI total is a sequential fold over the collected
+    per-bucket contributions in bucket order (never a float groupBy-sum),
+    so every double — contributions and total — is bit-identical
+    cross-engine; unlike the KS query, no window at all."""
+    base = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        .select("event_type", "value")
+    )
+    bounds = base.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / F.lit(float(_KS_BUCKETS))
+    bk = base.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.lit(_KS_BUCKETS),
+            F.floor((F.col("value") - F.col("lo")) / step).cast("long"),
+        ).alias("bucket"),
+    )
+    counts = bk.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    tot = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.range(0, _KS_BUCKETS + 1).select(F.col("id").alias("bucket"))
+    na = tot.filter(F.col("event_type") == _KS_A).select(F.col("n").alias("na"))
+    nb = tot.filter(F.col("event_type") == _KS_B).select(F.col("n").alias("nb"))
+    ca = counts.filter(F.col("event_type") == _KS_A).select(
+        "bucket", F.col("c").alias("ca")
+    )
+    cb = counts.filter(F.col("event_type") == _KS_B).select(
+        "bucket", F.col("c").alias("cb")
+    )
+    p = (F.col("n_a") + 1).cast("double") / (F.col("na") + _PSI_SLOTS).cast("double")
+    q = (F.col("n_b") + 1).cast("double") / (F.col("nb") + _PSI_SLOTS).cast("double")
+    per = (
+        spine.join(ca, "bucket", "left")
+        .join(cb, "bucket", "left")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).alias("n_a"),
+            F.coalesce("cb", F.lit(0)).alias("n_b"),
+            "na",
+            "nb",
+        )
+        .select("bucket", "n_a", "n_b", ((p - q) * F.log(p / q)).alias("contrib"))
+    )
+    ttl = per.agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "contrib"))),
+                    lambda x: x["contrib"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+            9,
+        ).alias("psi_total")
+    )
+    return (
+        per.crossJoin(F.broadcast(ttl))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.round("contrib", 9).alias("psi_contrib"),
+            "psi_total",
+            F.when(F.col("psi_total") < 0.1, "stable")
+            .when(F.col("psi_total") < 0.25, "moderate")
+            .otherwise("shifted")
+            .alias("drift_verdict"),
+        )
+        .orderBy("bucket")
+    )

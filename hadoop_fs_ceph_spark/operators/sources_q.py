@@ -1112,3 +1112,63 @@ def src_schema_drift_report(spark, sf_dir):
         .select("column_name", "v0_type", "v1_type", status.alias("status"))
         .orderBy("column_name")
     )
+
+
+@query(
+    "src_binaryfile_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+           sha256(text || chr(10)) AS sha_hex
+    FROM documents
+    WHERE lang = 'en' AND doc_id < 100
+    ORDER BY doc_id
+    """,
+    tags=("source", "binary", "multimodal"),
+)
+def src_binaryfile_scan(spark, sf_dir):
+    """The `binaryFile` source — Spark's whole-file ingestion format for
+    opaque media (image/audio/model checkpoints): each file becomes one
+    row of (path, modificationTime, length, content bytes), the entry
+    point of every multimodal decode pipeline (`mm_*` operators consume
+    exactly this shape). Demonstrated end-to-end: a bounded English doc
+    sample (doc_id < 100 — an absolute bound, not SF-scaled) is written
+    as one text file per document via a partitioned text sink, read back
+    with `binaryFile` + `pathGlobFilter`, and verified byte-for-byte —
+    the byte length and sha256 digest of each file's content must match
+    the oracle's recomputation from the source strings (UTF-8 + the text
+    sink's trailing newline).
+
+    Scale shape: binaryFile lists and reads files in parallel across
+    executors (driver holds only the file index); digest/length are
+    map-side; the join back to doc_id is a path-regex projection, no
+    shuffle until the final bounded sort. Whole-file rows mean files
+    must fit an executor's memory — the chunked-transfer operator
+    (`mm_chunked_transfer`) is the declared path for larger blobs."""
+    d = t(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("doc_id") < 100)
+    )
+    path = _scratch(sf_dir, "binfiles")
+    (
+        d.select(F.col("text").alias("value"), "doc_id")
+        .repartition(4)
+        .write.mode("overwrite")
+        .partitionBy("doc_id")
+        .text(path)
+    )
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "false")
+        .load(path)
+    )
+    return (
+        raw.select(
+            F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.length("content").cast("long").alias("n_bytes"),
+            F.sha2("content", 256).alias("sha_hex"),
+        )
+        .orderBy("doc_id")
+    )

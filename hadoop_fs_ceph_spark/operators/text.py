@@ -1284,3 +1284,120 @@ def text_feature_hash_embed(spark, sf_dir):
         "doc_id",
         F.transform("raw", lambda x: F.round(x / F.sqrt(norm_sq), 6)).alias("embedding"),
     )
+
+
+# BM25 constants (Robertson k1/b defaults) and the fixed demo query —
+# three terms present in the corpus vocabulary at every SF. Inlined
+# numeric literals (2.2 = k1+1, 0.25 = 1-b, 0.75 = b) are written
+# IDENTICALLY in both engines so every IEEE operation matches.
+_BM25_TERMS = ("data", "query", "spark")
+_BM25_SQL_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, chr(32))) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_toks
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN ({_BM25_SQL_TERMS}) GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    per AS (
+      SELECT t.doc_id, t.token,
+             ln(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                      / (CAST(d.df AS DOUBLE) + 0.5))
+             * (CAST(t.tf AS DOUBLE) * 2.2)
+             / (CAST(t.tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+                         / (CAST(s.total_toks AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE)))) AS contrib
+      FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id), stats s
+    ),
+    sc AS (
+      SELECT doc_id,
+             CAST(len(list(contrib ORDER BY token)) AS INTEGER) AS n_terms,
+             ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(contrib ORDER BY token)), (a, b) -> a + b), 9) AS bm25
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, bm25 FROM sc
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "bm25", "retrieval", "ranking"),
+)
+def text_bm25_rank(spark, sf_dir):
+    """BM25 document ranking for a fixed 3-term query — the lexical
+    scorer behind virtually every first-stage retrieval system (and the
+    standard hybrid partner of the embedding rankers in
+    ``sim_two_stage_retrieval``): idf(t)·tf·(k1+1) / (tf + k1·(1−b +
+    b·dl/avgdl)) with k1=1.2, b=0.75, idf = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Determinism: tf/df/dl/N are exact integers; every scalar double op
+    is written in the identical order in both engines, and the per-doc
+    score is a SEQUENTIAL fold over term contributions in token order
+    (collect → sort → fold, never a float groupBy-sum whose partial
+    order differs across engines) — bit-identical before the single
+    round(9).
+
+    Scale shape: the corpus-sized work is two map-combined aggregates
+    (per-doc length, per-(doc,term) tf with the term filter pushed to
+    the scan side of the explode); df is |query| rows and broadcasts;
+    stats is one row; the final top-20 is TakeOrderedAndProject. No
+    window, no global sort, nothing driver-side."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tfd, dfd, dld = (
+        F.col("tf").cast("double"),
+        F.col("df").cast("double"),
+        F.col("dl").cast("double"),
+    )
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (dfd + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * (tfd * F.lit(2.2))
+        / (tfd + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * dld / avgdl))
+    )
+    per = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", contrib.alias("contrib"))
+    )
+    sc = per.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("token", "contrib"))).alias("cs")
+    )
+    return (
+        sc.select(
+            "doc_id",
+            F.size("cs").cast("int").alias("n_terms"),
+            F.round(
+                F.aggregate("cs", F.lit(0.0), lambda a, x: a + x["contrib"]), 9
+            ).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

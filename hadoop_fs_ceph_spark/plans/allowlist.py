@@ -60,6 +60,8 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "agg_gini_concentration_binned": "one-row (lo,hi,n,s) bounds broadcast + collected 64-bin array fold",
     "ds_pareto_concentration_binned": "one-row (lo,hi,n,s) bounds broadcast + collected 64-bin array fold",
     "dedup_semantic_cell_refined": "K=8 seed and refined-centroid table broadcasts (two bounded assign stages)",
+    "text_bm25_rank": "one-row (n_docs, total_toks) corpus-stats broadcast",
+    "profile_psi_drift": "one-row group-total and PSI-total broadcasts onto the fixed 17-row grid",
 }
 
 # --- global sorts of bounded relations ------------------------------------
@@ -97,6 +99,7 @@ BOUNDED_SORT: dict[str, str] = {
     "udf_apply_in_arrow": "sorts the per-group Arrow output (group-count-bounded)",
     "win_median_disc": "sorts the 5-row per-flag median summary",
     "src_schema_drift_report": "sorts the schema-width-bounded column diff (7 rows)",
+    "src_binaryfile_scan": "sorts the bounded binaryFile demo sample (doc_id < 100 is an absolute bound, not SF-scaled)",
 }
 
 # --- single-partition windows over bounded relations -----------------------

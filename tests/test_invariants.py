@@ -999,3 +999,95 @@ def test_semantic_cell_refined_finds_planted_near_dup(spark, tmp_path):
     }
     assert (100, 101) in pairs
     assert all(not (200 in p and (100 in p or 101 in p)) for p in pairs)
+
+
+def test_psi_drift_separates_shift_from_stability(spark, tmp_path):
+    """PSI must read 'shifted' on disjoint supports and 'stable' when
+    both event types draw from the identical value sequence; bucket
+    counts must conserve the input."""
+    from datetime import datetime
+
+    def mk(shift):
+        rows = []
+        for i in range(400):
+            rows.append(
+                {
+                    "event_id": i,
+                    "ts": datetime(2024, 1, 1, i % 24),
+                    "user_id": i % 40,
+                    "event_type": "click" if i % 2 == 0 else "purchase",
+                    "value": (i % 100) / 100.0
+                    + (0.0 if i % 2 == 0 else shift),
+                    "props": "{}",
+                }
+            )
+        return rows
+
+    shifted = SPECS["profile_psi_drift"].fn(
+        spark, _write_parquet(tmp_path / "a", "events", mk(10.0))
+    ).collect()
+    assert all(r["drift_verdict"] == "shifted" for r in shifted)
+    assert shifted[0]["psi_total"] > 0.25
+    assert sum(r["n_a"] + r["n_b"] for r in shifted) == 400
+
+    stable = SPECS["profile_psi_drift"].fn(
+        spark, _write_parquet(tmp_path / "b", "events", mk(0.0))
+    ).collect()
+    assert all(r["drift_verdict"] == "stable" for r in stable)
+    # evens feed clicks, odds feed purchases — near-identical, not equal,
+    # so PSI is small-but-nonzero (bucket-boundary + smoothing residue)
+    assert abs(stable[0]["psi_total"]) < 0.1
+
+
+def test_bm25_scores_ordered_and_bounded(spark, sf_dir):
+    rows = SPECS["text_bm25_rank"].fn(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 20
+    assert all(1 <= r["n_terms"] <= 3 for r in rows)
+    assert all(r["bm25"] > 0 for r in rows)  # idf > 0 since df <= N
+    for a, b in zip(rows, rows[1:]):
+        assert a["bm25"] >= b["bm25"]
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must be semantically transparent: identical result set to
+    the plain join + aggregate."""
+    from hadoop_fs_ceph_spark.canonical import dsum
+
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    plain = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+    salted = SPECS["join_salted_replicated"].fn(spark, sf_dir)
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_ltv_curve_monotone_within_cohort(spark, sf_dir):
+    rows = SPECS["ds_cohort_ltv_curve"].fn(spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_month"], []).append(r)
+    for _, rs in by_cohort.items():
+        assert rs[0]["age_months"] == 0  # the acquisition month always exists
+        for a, b in zip(rs, rs[1:]):
+            assert b["age_months"] > a["age_months"]
+            assert b["cum_cents"] >= a["cum_cents"]  # LTV never decreases
+            assert b["n_customers"] == a["n_customers"]
+
+
+def test_binaryfile_scan_round_trips_every_doc(spark, sf_dir):
+    out = SPECS["src_binaryfile_scan"].fn(spark, sf_dir).collect()
+    expected = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("doc_id") < 100))
+        .count()
+    )
+    assert len(out) == expected
+    assert len({r["sha_hex"] for r in out}) == expected  # distinct contents
+    assert all(r["n_bytes"] >= 2 for r in out)
