@@ -789,3 +789,124 @@ def agg_bitmap_distinct(spark, sf_dir):
         .agg(F.sum(F.expr("bitmap_count(u)")).alias("n_union"))
     )
     return per.crossJoin(F.broadcast(tot)).orderBy("pri")
+
+
+# Exact-median refinement: bucket count per pass. Three passes cover a
+# value domain of B^3 ≈ 6.9e10 distinct integers — far above the
+# per-customer cents range at any TPC-H scale factor (~5e9 at SF 100);
+# the is_exact output column verifies convergence instead of trusting it.
+_MED_B = 4096
+_MED_PASSES = 3
+
+
+def _median_refine(x, state):
+    """One histogram-refinement pass: given the one-row ``state``
+    (lo, hi, k) whose invariant is "the k-th smallest value in
+    [lo, hi] is the answer", bucket the in-range rows into _MED_B
+    integer sub-ranges, locate the bucket containing rank k by a
+    sequential fold over the collected (bucket, count) array, and emit
+    the narrowed (lo', hi', k') one-row state. Entirely declarative:
+    the state travels as a broadcast one-row relation, never through
+    the driver."""
+    binned = (
+        x.crossJoin(F.broadcast(state))
+        .filter(F.col("cents").between(F.col("lo"), F.col("hi")))
+        # true integer div — a double divide + cast can round up across an
+        # integer boundary (and loses exactness past 2^53)
+        .select(F.expr(f"((cents - lo) * {_MED_B}) div (hi - lo + 1)").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lz = F.lit(0).cast("long")
+    init = F.struct(
+        lz.alias("cum"),
+        F.lit(False).alias("found"),
+        lz.alias("sel_b"),
+        lz.alias("cum_before"),
+    )
+
+    def step(acc, p):
+        new_cum = acc["cum"] + p["cnt"]
+        now = new_cum >= F.col("k")
+        return F.when(acc["found"], acc).otherwise(
+            F.struct(
+                new_cum.alias("cum"),
+                now.alias("found"),
+                F.when(now, p["b"]).otherwise(lz).alias("sel_b"),
+                F.when(now, acc["cum"]).otherwise(lz).alias("cum_before"),
+            )
+        )
+
+    one = (
+        binned.agg(F.collect_list(F.struct("b", "cnt")).alias("arr"))
+        .crossJoin(F.broadcast(state))
+        .select(F.aggregate(F.array_sort("arr"), init, step).alias("acc"), "lo", "hi", "k")
+    )
+    return one.selectExpr(
+        f"lo + ((acc.sel_b * (hi - lo + 1) + {_MED_B - 1}) div {_MED_B}) AS lo",
+        f"lo + (((acc.sel_b + 1) * (hi - lo + 1) + {_MED_B - 1}) div {_MED_B}) - 1"
+        " AS hi",
+        "k - acc.cum_before AS k",
+    )
+
+
+@query(
+    "agg_exact_median_nosort",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM x)
+    SELECT st.n, r.cents AS median_cents,
+           CAST(r.cents AS DOUBLE) / 100.0 AS median_dollars,
+           TRUE AS is_exact
+    FROM r, st WHERE r.rn = (st.n + 1) // 2
+    """,
+    tags=("aggregate", "median", "exact", "no-sort", "iterative"),
+)
+def agg_exact_median_nosort(spark, sf_dir):
+    """EXACT median with NO sort anywhere — the two-pass distributed-rank
+    idea taken to its clean fixed-depth form: iterative histogram
+    refinement. Pass i buckets the surviving value range into 4096
+    integer sub-ranges (one map-side bucket id + one partial-merged
+    count), a sequential fold over the collected ≤4096-row bucket array
+    finds the bucket containing the target rank, and the narrowed
+    (lo, hi, k) state broadcasts into the next pass as a one-row
+    relation — three passes pin an integer domain of 4096³ ≈ 6.9e10 to a
+    single value. Compare: exact `percentile`/`median` aggregates
+    materialize every value in one aggregation buffer, and the
+    rank-window formulation sorts the world through one task; this plan
+    is three scans, each embarrassingly parallel with combiner-sized
+    shuffles (≤4096 rows), and NOTHING passes through the driver — the
+    state hops executor-to-executor as broadcast relations.
+
+    The answer is the lower median (rank ⌈n/2⌉), exact integer cents;
+    `is_exact` verifies the range actually collapsed to width 1 rather
+    than trusting the domain bound. The per-customer input relation is
+    persisted once and re-scanned per pass."""
+    o = t(spark, sf_dir, "orders")
+    x = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .persist()
+    )
+    state = x.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.expr("(count(1) + 1) div 2").alias("k"),
+    )
+    n_row = x.agg(F.count(F.lit(1)).alias("n"))
+    for _ in range(_MED_PASSES):
+        state = _median_refine(x, state)
+    return (
+        n_row.crossJoin(F.broadcast(state))
+        .select(
+            "n",
+            F.col("lo").alias("median_cents"),
+            (F.col("lo").cast("double") / F.lit(100.0)).alias("median_dollars"),
+            (F.col("hi") == F.col("lo")).alias("is_exact"),
+        )
+    )

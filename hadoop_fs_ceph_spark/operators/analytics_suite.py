@@ -1804,3 +1804,92 @@ def ds_cohort_ltv_curve(spark, sf_dir):
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+@query(
+    "ds_attribution_time_decay",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts AS pts, event_id AS pid,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS pv6
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'signup', 'view')
+    ),
+    pair AS (
+      SELECT p.pid, p.pv6, t.event_type,
+             CAST(1000000 // (1 << (date_diff('day', CAST(t.ts AS DATE),
+                                               CAST(p.pts AS DATE)) // 7))
+                  AS BIGINT) AS w
+      FROM p JOIN tch t ON p.user_id = t.user_id
+      WHERE t.ts <= p.pts
+        AND date_diff('day', CAST(t.ts AS DATE), CAST(p.pts AS DATE)) <= 28
+    ),
+    sw AS (SELECT pid, CAST(SUM(w) AS BIGINT) AS sw FROM pair GROUP BY pid),
+    cr AS (
+      SELECT pr.event_type, pr.pv6 * pr.w // s.sw AS credit6
+      FROM pair pr JOIN sw s USING (pid)
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(CAST(SUM(credit6) AS BIGINT) AS DOUBLE) / 1000000
+             AS credited_value
+    FROM cr GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "attribution", "time-decay"),
+)
+def ds_attribution_time_decay(spark, sf_dir):
+    """Time-decay multi-touch attribution: every purchase's revenue is
+    split across the user's touchpoints (click/signup/view) in the prior
+    28 days, each touch weighted by 2^-(weeks since touch) — the decay
+    model between the first/last-touch extremes of
+    ``ds_attribution_touch``. Weights are EXACT integers (micro-units
+    halved per full week via a shift, never a float pow), the per-touch
+    credit is integer pv·w div Σw, and only the final readback divides
+    to dollars — the whole credit ledger hash-matches the oracle.
+
+    Scale shape: the purchase×touch pairing is an equality join on
+    user_id with the 28-day range predicate applied inside the join —
+    per-user fan-out is (touches within a month), bounded by activity,
+    not corpus size; the per-purchase weight sum is a map-combined
+    aggregate on pid; the channel rollup is |channels| rows. Purchases
+    with no in-window touch drop out (assisted conversions only), the
+    standard attribution-report contract."""
+    e = t(spark, sf_dir, "events")
+    pv6 = F.round(F.col("value") * 1000000).cast("long")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid"),
+        pv6.alias("pv6"),
+    )
+    tch = e.filter(F.col("event_type").isin("click", "signup", "view")).select(
+        F.col("user_id").alias("t_user"), "ts", "event_type"
+    )
+    gap = F.datediff(F.to_date("pts"), F.to_date("ts"))
+    pair = (
+        p.join(tch, p.user_id == tch.t_user)
+        .filter((F.col("ts") <= F.col("pts")) & (gap <= 28))
+        .select("pid", "pv6", "event_type", gap.alias("gap"))
+        .select(
+            "pid",
+            "pv6",
+            "event_type",
+            F.expr("CAST(1000000 div shiftleft(1, gap div 7) AS BIGINT)").alias("w"),
+        )
+    )
+    sw = pair.groupBy("pid").agg(F.sum("w").alias("sw"))
+    cr = pair.join(sw, "pid").select(
+        "event_type",
+        F.expr("CAST((pv6 * w) div sw AS BIGINT)").alias("credit6"),
+    )
+    return (
+        cr.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            (F.sum("credit6").cast("double") / F.lit(1000000)).alias(
+                "credited_value"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -205,3 +205,110 @@ def graph_degree_distribution(spark, sf_dir):
         )
         .orderBy("degree")
     )
+
+
+_LPA_MIN_COOCCUR = 2
+_LPA_ROUNDS = 2
+
+_SQL_LPA_EDGES = f"""
+      SELECT p1 AS src, p2 AS dst, s FROM pairs
+      UNION ALL
+      SELECT p2 AS src, p1 AS dst, s FROM pairs
+"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS s
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY p1, p2
+      HAVING COUNT(*) >= {_LPA_MIN_COOCCUR}
+    ),
+    edges AS ({_SQL_LPA_EDGES}),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+    a1 AS (
+      SELECT e.src AS node, l.lbl, CAST(SUM(e.s) AS BIGINT) AS w
+      FROM edges e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, lbl FROM a1
+      QUALIFY row_number() OVER (PARTITION BY node
+                                 ORDER BY w DESC, lbl) = 1
+    ),
+    a2 AS (
+      SELECT e.src AS node, l.lbl, CAST(SUM(e.s) AS BIGINT) AS w
+      FROM edges e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, lbl FROM a2
+      QUALIFY row_number() OVER (PARTITION BY node
+                                 ORDER BY w DESC, lbl) = 1
+    )
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY 1 ORDER BY 1
+    """,
+    tags=("graph", "community", "label-propagation"),
+)
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by label propagation on the co-purchase part
+    graph (edge = two parts in ≥2 shared orders, weight = co-occurrence
+    count): every node starts as its own label, then for a fixed 2
+    rounds adopts the label with the highest incident edge-weight sum
+    (deterministic tie-break: smallest label) — the semi-synchronous
+    LPA variant whose fixed tie order makes the result a pure function
+    of the graph, so the full community table hash-matches the oracle.
+    Complements the connected-components pair (`dedup_cluster_cc*`):
+    LPA finds DENSE regions, not mere reachability.
+
+    Scale shape per round: one equi-join of the edge relation to the
+    (node, label) vector on dst + one (node, label) weight aggregate +
+    one per-node argmax window partitioned BY NODE — three shuffles,
+    all on graph-sized keys, the Pregel superstep dataflow exactly as
+    `graph_pagerank_fixed` pins it; rounds are unrolled so the lineage
+    is one Catalyst plan (production loops checkpoint per round). Edge
+    weights and votes are exact integers throughout."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= _LPA_MIN_COOCCUR)
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst"), "s"
+    ).unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"), "s"))
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w_arg = Window.partitionBy("node").orderBy(F.col("w").desc(), "lbl")
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("vnode"), "lbl")
+            .agg(F.sum("s").alias("w"))
+        )
+        labels = (
+            votes.select(F.col("vnode").alias("node"), "lbl", "w")
+            .withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("community")
+    )

@@ -61,6 +61,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "ds_pareto_concentration_binned": "one-row (lo,hi,n,s) bounds broadcast + collected 64-bin array fold",
     "dedup_semantic_cell_refined": "K=8 seed and refined-centroid table broadcasts (two bounded assign stages)",
     "text_bm25_rank": "one-row (n_docs, total_toks) corpus-stats broadcast",
+    "agg_exact_median_nosort": "one-row (lo, hi, k) refinement-state broadcasts between histogram passes",
     "profile_psi_drift": "one-row group-total and PSI-total broadcasts onto the fixed 17-row grid",
 }
 

@@ -1091,3 +1091,59 @@ def test_binaryfile_scan_round_trips_every_doc(spark, sf_dir):
     assert len(out) == expected
     assert len({r["sha_hex"] for r in out}) == expected  # distinct contents
     assert all(r["n_bytes"] >= 2 for r in out)
+
+
+def test_exact_median_nosort_planted(spark, tmp_path):
+    """Histogram-refinement median must return the exact lower median on
+    planted odd/even populations spanning a wide value range (forces
+    real multi-pass narrowing), and report is_exact."""
+    import os
+
+    import pandas as pd
+
+    def orders(vals, sub):
+        df = pd.DataFrame(
+            [
+                {
+                    "o_orderkey": i,
+                    "o_custkey": i,  # one order per customer: cents = round(v*100)
+                    "o_orderstatus": "F",
+                    "o_totalprice": v,
+                    "o_orderdate": pd.Timestamp("2024-01-01"),
+                    "o_orderpriority": "1-URGENT",
+                }
+                for i, v in enumerate(vals)
+            ]
+        )
+        # match the driver fixtures' timestamp[ms] physical type
+        df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+        d = str(tmp_path / sub)
+        os.makedirs(d, exist_ok=True)
+        df.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+        return d
+
+    # odd n: median is the middle element; values span ~7 orders of magnitude
+    d = orders([0.01, 1.0, 55.5, 70000.0, 12345678.9], "odd")
+    r = SPECS["agg_exact_median_nosort"].fn(spark, d).collect()[0]
+    assert r["is_exact"] and r["n"] == 5
+    assert r["median_cents"] == 5550
+
+    # even n: LOWER median (rank (n+1)//2 = 3 of 6)
+    d = orders([10.0, 20.0, 30.0, 40.0, 50.0, 60.0], "even")
+    r = SPECS["agg_exact_median_nosort"].fn(spark, d).collect()[0]
+    assert r["is_exact"] and r["median_cents"] == 3000
+
+
+def test_time_decay_attribution_conserves_revenue(spark, sf_dir):
+    """Credits are a partition of each purchase's value (minus integer
+    remainders): total credited value never exceeds total purchase
+    revenue, and every channel's credit is nonnegative."""
+    rows = SPECS["ds_attribution_time_decay"].fn(spark, sf_dir).collect()
+    assert rows and all(r["credited_value"] >= 0 for r in rows)
+    total_purchases = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert sum(r["credited_value"] for r in rows) <= total_purchases + 1e-6
