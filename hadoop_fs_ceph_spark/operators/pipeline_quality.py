@@ -1650,3 +1650,68 @@ def profile_psi_drift(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "profile_partition_skew",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n_rows) AS BIGINT) AS n_total,
+             CAST(MAX(n_rows) AS BIGINT) AS max_rows
+      FROM k
+    )
+    SELECT k.user_id, k.n_rows,
+           CAST(k.n_rows AS DOUBLE) / CAST(st.n_total AS DOUBLE) AS share,
+           CAST(k.n_rows AS DOUBLE)
+             / (CAST(st.n_total AS DOUBLE) / CAST(st.n_keys AS DOUBLE))
+             AS skew_ratio,
+           k.n_rows * st.n_keys > 4 * st.n_total AS needs_salting
+    FROM k, st
+    ORDER BY k.n_rows DESC, k.user_id LIMIT 10
+    """,
+    tags=("profile", "skew", "diagnostics"),
+)
+def profile_partition_skew(spark, sf_dir):
+    """Join/shuffle-key skew diagnostic — the measurement that decides
+    whether a key needs the `join_salted_replicated` /`agg_salted_skew`
+    treatment before a production run: per-key row counts, each hot
+    key's share of the relation and its ratio to the mean key size, and
+    a needs_salting verdict computed in EXACT integer arithmetic
+    (n_rows·n_keys > 4·n_total — no float threshold ambiguity). Top-10
+    hottest keys by TakeOrdered, deterministic key tie-break.
+
+    Scale shape: one map-combined count per key, one three-number
+    global aggregate broadcast back as a single row, per-row scalar
+    ratios, and a per-partition-heap top-k — the whole diagnostic is
+    two passes and never sorts or collects the key relation."""
+    e = t(spark, sf_dir, "events")
+    k = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    st = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("n_total"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    return (
+        k.crossJoin(F.broadcast(st))
+        .select(
+            "user_id",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("n_total").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.col("n_rows").cast("double")
+                / (F.col("n_total").cast("double") / F.col("n_keys").cast("double"))
+            ).alias("skew_ratio"),
+            (F.col("n_rows") * F.col("n_keys") > 4 * F.col("n_total")).alias(
+                "needs_salting"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(10)
+    )

@@ -1172,3 +1172,114 @@ def src_binaryfile_scan(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# Snapshot-expiry fixture: four manifest versions over five data files.
+# v3 is a compaction commit (c0 rewrites f0+f1) plus an append; retaining
+# only the latest snapshot makes f0/f1 expendable while f2 survives by
+# being referenced from the live manifest too.
+_EXPIRY_FILES = {  # file_id -> o_orderkey % 4 residue class it holds
+    "f0": 0,
+    "f1": 1,
+    "f2": 2,
+    "f3": 3,
+}
+_EXPIRY_MANIFESTS = {
+    0: ["f0"],
+    1: ["f0", "f1"],
+    2: ["f0", "f1", "f2"],
+    3: ["c0", "f2", "f3"],
+}
+_EXPIRY_RETAIN_FROM = 3  # versions >= this stay live
+
+
+@query(
+    "src_snapshot_expiry_plan",
+    oracle="""
+    WITH counts AS (
+      SELECT 'c0' AS file_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      UNION ALL
+      SELECT 'f0', CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT 'f1', CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT 'f2', CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 4 = 2
+      UNION ALL
+      SELECT 'f3', CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 4 = 3
+    )
+    SELECT file_id,
+           CASE WHEN file_id IN ('c0', 'f2', 'f3') THEN 'live'
+                ELSE 'expendable' END AS status,
+           n_rows
+    FROM counts ORDER BY file_id
+    """,
+    tags=("source", "lakehouse", "vacuum", "snapshot"),
+)
+def src_snapshot_expiry_plan(spark, sf_dir):
+    """VACUUM planning — the metadata-only computation behind snapshot
+    retention: given the manifest series of `src_time_travel`'s commit
+    model extended with a COMPACTION commit (v3's c0 rewrites f0+f1, so
+    older manifests are the only thing keeping the original files
+    alive), compute which data files become deletable when only the
+    latest snapshot is retained. live = members of retained manifests;
+    expendable = members of expired manifests minus live — pure set
+    algebra over the manifest relation (read through Spark's JSON
+    source, exploded, distinct-anti-joined), never a data scan. The
+    per-file row counts come from reading each parquet file set, proving
+    the plan points at the right bytes; at 100 TB the counts column
+    would come from manifest statistics and the whole operation stays
+    O(|manifests|).
+
+    The expiry decision every lakehouse runs daily (Iceberg
+    expire_snapshots / Delta VACUUM), re-expressed over the same path
+    catalog as the rest of the `src_*` family."""
+    import json
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = _scratch(sf_dir, "snap_expiry")
+    for fid, residue in _EXPIRY_FILES.items():
+        write_table(
+            o.filter(F.col("o_orderkey") % 4 == residue),
+            os.path.join(root, "data", fid),
+            format="parquet",
+            mode="overwrite",
+        )
+    write_table(
+        o.filter(F.col("o_orderkey") % 4 <= 1),
+        os.path.join(root, "data", "c0"),
+        format="parquet",
+        mode="overwrite",
+    )
+    snap_dir = os.path.join(root, "snap")
+    os.makedirs(snap_dir, exist_ok=True)
+    for v, members in _EXPIRY_MANIFESTS.items():
+        with open(os.path.join(snap_dir, f"v{v}.json"), "w") as fh:
+            json.dump({"version": v, "members": members}, fh)
+
+    man = spark.read.json(snap_dir).select(
+        "version", F.explode("members").alias("file_id")
+    )
+    live = (
+        man.filter(F.col("version") >= _EXPIRY_RETAIN_FROM)
+        .select("file_id")
+        .distinct()
+    )
+    expired = (
+        man.filter(F.col("version") < _EXPIRY_RETAIN_FROM)
+        .select("file_id")
+        .distinct()
+    )
+    expendable = expired.join(live, "file_id", "left_anti")
+    plan = live.select("file_id", F.lit("live").alias("status")).unionByName(
+        expendable.select("file_id", F.lit("expendable").alias("status"))
+    )
+    counts = None
+    for fid in sorted(list(_EXPIRY_FILES) + ["c0"]):
+        c = (
+            spark.read.parquet(os.path.join(root, "data", fid))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(fid).alias("file_id"), "n_rows")
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return plan.join(counts, "file_id").orderBy("file_id")

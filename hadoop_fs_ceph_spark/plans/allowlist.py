@@ -63,6 +63,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "text_bm25_rank": "one-row (n_docs, total_toks) corpus-stats broadcast",
     "agg_exact_median_nosort": "one-row (lo, hi, k) refinement-state broadcasts between histogram passes",
     "profile_psi_drift": "one-row group-total and PSI-total broadcasts onto the fixed 17-row grid",
+    "profile_partition_skew": "one-row (n_keys, n_total, max_rows) stats broadcast",
 }
 
 # --- global sorts of bounded relations ------------------------------------

@@ -1147,3 +1147,28 @@ def test_time_decay_attribution_conserves_revenue(spark, sf_dir):
         .collect()[0][0]
     )
     assert sum(r["credited_value"] for r in rows) <= total_purchases + 1e-6
+
+
+def test_snapshot_expiry_statuses_and_conservation(spark, sf_dir):
+    """Compaction-aware expiry: f0/f1 are expendable (only expired
+    manifests reference them), c0/f2/f3 are live (f2 survives through
+    the live manifest), and the compacted file's rows equal the sum of
+    the files it rewrote."""
+    rows = {r["file_id"]: r for r in SPECS["src_snapshot_expiry_plan"].fn(spark, sf_dir).collect()}
+    assert {f for f, r in rows.items() if r["status"] == "expendable"} == {"f0", "f1"}
+    assert {f for f, r in rows.items() if r["status"] == "live"} == {"c0", "f2", "f3"}
+    assert rows["c0"]["n_rows"] == rows["f0"]["n_rows"] + rows["f1"]["n_rows"]
+    n_orders = t(spark, sf_dir, "orders").count()
+    assert sum(r["n_rows"] for f, r in rows.items() if f != "c0") == n_orders
+
+
+def test_partition_skew_verdict_consistent(spark, sf_dir):
+    """needs_salting must agree with the float skew_ratio at the 4x
+    threshold; rows are hottest-first and shares are sane."""
+    rows = SPECS["profile_partition_skew"].fn(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    for r in rows:
+        assert 0 < r["share"] <= 1
+        assert (r["skew_ratio"] > 4.0) == r["needs_salting"]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_rows"] >= b["n_rows"]
