@@ -655,29 +655,53 @@ def dedup_semantic_cell(spark, sf_dir):
     both sides of the self-join. Cosines are sequential folds —
     bit-identical cross-engine."""
     e = t(spark, sf_dir, "embeddings")
-    seeds = e.filter(F.col("vec_id") < _N_SEM_CELLS).select(
-        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
+    # Norms are projected ONCE per vector (and once per seed) BEFORE the
+    # assign cross-product: cosine(a, b) recomputed per (vector, seed)
+    # pair would fold norm(a) eight times per vector. dot/(na*nb) is the
+    # exact expression cosine() expands to, so every double is unchanged
+    # bit-for-bit (the oracle's value too) — this is pure fold elision.
+    en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("en"))
+    seeds = en.filter(F.col("vec_id") < _N_SEM_CELLS).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("sv"),
+        F.col("en").alias("svn"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("seed_cos").desc(), "seed_id")
     assigned = (
-        e.crossJoin(F.broadcast(seeds))
+        en.crossJoin(F.broadcast(seeds))
         .select(
             "vec_id",
             "embedding",
+            "en",
             "seed_id",
-            cosine(F.col("embedding"), F.col("sv")).alias("seed_cos"),
+            (dot(F.col("embedding"), F.col("sv")) / (F.col("en") * F.col("svn"))).alias(
+                "seed_cos"
+            ),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cell"), "embedding")
+        .select("vec_id", F.col("seed_id").alias("cell"), "embedding", "en")
         .persist()
     )
-    a = assigned.select(F.col("vec_id").alias("vec_a"), "cell", F.col("embedding").alias("ea"))
-    b = assigned.select(F.col("vec_id").alias("vec_b"), "cell", F.col("embedding").alias("eb"))
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), "cell", F.col("embedding").alias("ea"),
+        F.col("en").alias("ena"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), "cell", F.col("embedding").alias("eb"),
+        F.col("en").alias("enb"),
+    )
     return (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("cell", "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .select(
+            "cell",
+            "vec_a",
+            "vec_b",
+            (dot(F.col("ea"), F.col("eb")) / (F.col("ena") * F.col("enb"))).alias(
+                "cos_sim"
+            ),
+        )
         .filter(F.col("cos_sim") > _SEM_THRESHOLD)
     )
 
@@ -795,17 +819,24 @@ def sim_kmeans_update(spark, sf_dir):
     oracle at any parallelism; `n_members` exposes the cluster-size
     skew a production run watches (empty/withered cells get reseeded)."""
     e = t(spark, sf_dir, "embeddings")
-    seeds = e.filter(F.col("vec_id") < _N_SEM_CELLS).select(
-        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
+    # norm folded once per vector/seed before the cross-product (see
+    # dedup_semantic_cell) — dot/(na*nb) is bit-identical to cosine()
+    en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("en"))
+    seeds = en.filter(F.col("vec_id") < _N_SEM_CELLS).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("sv"),
+        F.col("en").alias("svn"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("seed_cos").desc(), "seed_id")
     assigned = (
-        e.crossJoin(F.broadcast(seeds))
+        en.crossJoin(F.broadcast(seeds))
         .select(
             "vec_id",
             "embedding",
             "seed_id",
-            cosine(F.col("embedding"), F.col("sv")).alias("seed_cos"),
+            (dot(F.col("embedding"), F.col("sv")) / (F.col("en") * F.col("svn"))).alias(
+                "seed_cos"
+            ),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -896,17 +927,24 @@ def dedup_semantic_cell_refined(spark, sf_dir):
     cosine folds keep every double bit-identical cross-engine, so the
     full output — including cos_sim values — hash-matches the oracle."""
     e = t(spark, sf_dir, "embeddings")
-    seeds = e.filter(F.col("vec_id") < _N_SEM_CELLS).select(
-        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
+    # norms folded once per vector before each assign cross-product (see
+    # dedup_semantic_cell) — bit-identical fold elision, 8x fewer norms
+    en0 = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("en"))
+    seeds = en0.filter(F.col("vec_id") < _N_SEM_CELLS).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("sv"),
+        F.col("en").alias("svn"),
     )
     w0 = Window.partitionBy("vec_id").orderBy(F.col("seed_cos").desc(), "seed_id")
     a0 = (
-        e.crossJoin(F.broadcast(seeds))
+        en0.crossJoin(F.broadcast(seeds))
         .select(
             "vec_id",
             "embedding",
             "seed_id",
-            cosine(F.col("embedding"), F.col("sv")).alias("seed_cos"),
+            (dot(F.col("embedding"), F.col("sv")) / (F.col("en") * F.col("svn"))).alias(
+                "seed_cos"
+            ),
         )
         .withColumn("rn", F.row_number().over(w0))
         .filter(F.col("rn") == 1)
@@ -931,25 +969,44 @@ def dedup_semantic_cell_refined(spark, sf_dir):
         )
     )
     w1 = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cent_cell")
+    cents = cent.select(
+        F.col("cell").alias("cent_cell"), "cv", norm(F.col("cv")).alias("cvn")
+    )
     a1 = (
-        e.crossJoin(F.broadcast(cent.select(F.col("cell").alias("cent_cell"), "cv")))
+        en0.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
             "embedding",
+            "en",
             "cent_cell",
-            cosine(F.col("embedding"), F.col("cv")).alias("c_cos"),
+            (dot(F.col("embedding"), F.col("cv")) / (F.col("en") * F.col("cvn"))).alias(
+                "c_cos"
+            ),
         )
         .withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_cell").alias("cell"), "embedding")
+        .select("vec_id", F.col("cent_cell").alias("cell"), "embedding", "en")
         .persist()
     )
-    a = a1.select(F.col("vec_id").alias("vec_a"), "cell", F.col("embedding").alias("ea"))
-    b = a1.select(F.col("vec_id").alias("vec_b"), "cell", F.col("embedding").alias("eb"))
+    a = a1.select(
+        F.col("vec_id").alias("vec_a"), "cell", F.col("embedding").alias("ea"),
+        F.col("en").alias("ena"),
+    )
+    b = a1.select(
+        F.col("vec_id").alias("vec_b"), "cell", F.col("embedding").alias("eb"),
+        F.col("en").alias("enb"),
+    )
     return (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("cell", "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .select(
+            "cell",
+            "vec_a",
+            "vec_b",
+            (dot(F.col("ea"), F.col("eb")) / (F.col("ena") * F.col("enb"))).alias(
+                "cos_sim"
+            ),
+        )
         .filter(F.col("cos_sim") > _SEM_THRESHOLD)
     )
 
