@@ -414,3 +414,55 @@ def mm_shard_offset_index(spark, sf_dir):
         .over(Window.partitionBy("shard_id"))
         .alias("shard_bytes"),
     )
+
+
+@query(
+    "mm_image_text_pair",
+    oracle="""
+    SELECT d.doc_id AS pair_id,
+           CAST(d.doc_id % 8 AS INTEGER) AS shard,
+           CAST(len(string_split(d.text, chr(32))) AS INTEGER)
+             AS caption_tokens,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS payload_bytes,
+           sha256(d.text) AS payload_sha,
+           SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(generate_series(1, 64), i ->
+                    CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE))),
+                (x, y) -> x + y)) AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    tags=("multimodal", "pairing", "training-manifest"),
+)
+def mm_image_text_pair(spark, sf_dir):
+    """Paired-modality training manifest — the CLIP-style data-prep
+    shape: the caption table (documents) equi-joins the media-embedding
+    table (embeddings) on the shared id, emitting one manifest row per
+    pair with everything a contrastive-training loader needs: shard
+    assignment (deterministic id hash), caption token count, payload
+    byte size + content digest (the cache/integrity key), and the
+    embedding norm (the zero-vector/corruption screen). Payload bytes
+    themselves never move — only digests and scalars cross the shuffle,
+    the same never-ship-bytes contract as `mm_payload_dedup`.
+
+    Scale shape: one equi-join of two id-partitioned tables (sort-merge
+    at 100 TB, no broadcast of either growing side), all derived columns
+    map-side JVM expressions (encode/sha2/size/fold) inside one codegen
+    span; unordered output (loaders shuffle shards anyway), so no sort
+    of any kind. The norm is the shared sequential fold — bit-identical
+    to the oracle."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+    )
+    return d.join(e, d.doc_id == e.vec_id).select(
+        F.col("doc_id").alias("pair_id"),
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).cast("int").alias("caption_tokens"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("payload_bytes"),
+        F.sha2(F.encode("text", "utf-8"), 256).alias("payload_sha"),
+        F.sqrt(
+            F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+        ).alias("emb_norm"),
+    )

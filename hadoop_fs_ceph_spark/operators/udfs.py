@@ -443,3 +443,54 @@ def udf_cogrouped_asof(spark, sf_dir):
             asof, "purchase_event_id long, user_id long, click_event_id long"
         )
     )
+
+
+@query(
+    "udf_python_udtf",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, unnest(string_split(text, chr(32))) AS tok,
+             CAST(generate_subscripts(string_split(text, chr(32)), 1) - 1
+                  AS INTEGER) AS pos
+      FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id, pos, tok, CAST(length(tok) AS INTEGER) AS tok_len
+    FROM s WHERE pos < 5
+    ORDER BY doc_id, pos
+    """,
+    tags=("udf", "udtf", "python", "lateral"),
+)
+def udf_python_udtf(spark, sf_dir):
+    """Python UDTF — the Spark 4 table-function API (`@udtf` class with
+    an `eval` generator), registered and invoked through SQL as a
+    LATERAL correlated table argument: each input row expands to a
+    variable number of output rows with a declared schema, the surface
+    for row-expanding logic (parsers, chunkers, tokenizers) that a
+    scalar UDF cannot express. The demo emits each sampled document's
+    first five tokens with positions and lengths; the oracle replicates
+    it relationally, proving the UDTF computes exactly the declared
+    expansion.
+
+    Scale posture: a UDTF is Python-on-the-hot-path (BatchEvalPythonUDTF
+    — allowlisted as declared surface like `udf_scalar_python`); the
+    engine's production tokenization stays in built-in higher-order
+    functions (`text.py`), and this operator exists to document the API
+    with a bounded (doc_id % 97) sample."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, tok string, tok_len int")
+    class FirstTokens:
+        def eval(self, doc_id: int, text: str):
+            for i, w in enumerate(text.split(" ")[:5]):
+                yield doc_id, i, w, len(w)
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.pos, s.tok, s.tok_len
+        FROM udtf_docs d, LATERAL first_tokens(d.doc_id, d.text) s
+        WHERE d.doc_id % 97 = 0
+        ORDER BY s.doc_id, s.pos
+        """
+    )

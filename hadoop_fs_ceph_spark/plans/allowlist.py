@@ -102,6 +102,7 @@ BOUNDED_SORT: dict[str, str] = {
     "win_median_disc": "sorts the 5-row per-flag median summary",
     "src_schema_drift_report": "sorts the schema-width-bounded column diff (7 rows)",
     "src_binaryfile_scan": "sorts the bounded binaryFile demo sample (doc_id < 100 is an absolute bound, not SF-scaled)",
+    "udf_python_udtf": "API-surface demo over a 1/97 sample slice; ORDER BY is the deterministic-output contract, dropped by scale consumers",
 }
 
 # --- single-partition windows over bounded relations -----------------------
@@ -125,6 +126,7 @@ SINGLE_PARTITION_WINDOW: dict[str, str] = {
 # --- declared Python-UDF surface ------------------------------------------
 DECLARED_PYTHON: dict[str, str] = {
     "udf_scalar_python": "THE declared row-at-a-time scalar-UDF surface demo (udfs.py) — exists to document the slow path, never composed into other queries",
+    "udf_python_udtf": "THE declared Python-UDTF surface demo (Spark 4 @udtf + LATERAL) over a bounded doc_id % 97 sample — production tokenization stays in built-ins",
 }
 
 _FLAG_ALLOW = {

@@ -1172,3 +1172,37 @@ def test_partition_skew_verdict_consistent(spark, sf_dir):
         assert (r["skew_ratio"] > 4.0) == r["needs_salting"]
     for a, b in zip(rows, rows[1:]):
         assert a["n_rows"] >= b["n_rows"]
+
+
+def test_udtf_expansion_bounded_per_doc(spark, sf_dir):
+    """The UDTF emits at most 5 rows per input doc, positions 0..4, and
+    every token really is the doc's token at that position."""
+    rows = SPECS["udf_python_udtf"].fn(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r["pos"] < 5 and r["tok_len"] == len(r["tok"])
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    src = {
+        r["doc_id"]: r["text"]
+        for r in t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .collect()
+    }
+    assert set(by_doc) == set(src)
+    for doc_id, rs in by_doc.items():
+        toks = src[doc_id].split(" ")[:5]
+        assert [r["tok"] for r in sorted(rs, key=lambda r: r["pos"])] == toks
+
+
+def test_image_text_pairs_complete_and_screened(spark, sf_dir):
+    """Every doc with a matching embedding id appears exactly once, with
+    a positive norm and an 8-way shard assignment."""
+    out = SPECS["mm_image_text_pair"].fn(spark, sf_dir)
+    n_pairs = out.count()
+    d = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("k"))
+    e = t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("k"))
+    assert n_pairs == d.join(e, "k").count()
+    rows = out.collect()
+    assert len({r["pair_id"] for r in rows}) == n_pairs
+    assert all(0 <= r["shard"] < 8 and r["emb_norm"] > 0 for r in rows)
