@@ -910,3 +910,131 @@ def agg_exact_median_nosort(spark, sf_dir):
             (F.col("hi") == F.col("lo")).alias("is_exact"),
         )
     )
+
+
+_QNT_PCTS = (25, 50, 75, 99)
+
+
+def _quantiles_refine(x, states):
+    """One shared refinement pass over ALL quantile states at once: the
+    4-row (pct, lo, hi, k) state relation broadcasts onto the value
+    relation (4x map fan-out, one partial-merged count per (pct,
+    bucket)), then each state's crossing bucket is located by its own
+    fold and the narrowed 4-row state emerges from one tiny join — the
+    multi-quantile generalization of ``_median_refine`` that still
+    scans the data once per pass, not once per quantile."""
+    binned = (
+        x.crossJoin(F.broadcast(states))
+        .filter(F.col("cents").between(F.col("lo"), F.col("hi")))
+        .select(
+            "pct",
+            F.expr(f"((cents - lo) * {_MED_B}) div (hi - lo + 1)").alias("b"),
+        )
+        .groupBy("pct", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lz = F.lit(0).cast("long")
+    init = F.struct(
+        lz.alias("cum"),
+        F.lit(False).alias("found"),
+        lz.alias("sel_b"),
+        lz.alias("cum_before"),
+    )
+
+    def step(acc, p):
+        new_cum = acc["cum"] + p["cnt"]
+        now = new_cum >= F.col("k")
+        return F.when(acc["found"], acc).otherwise(
+            F.struct(
+                new_cum.alias("cum"),
+                now.alias("found"),
+                F.when(now, p["b"]).otherwise(lz).alias("sel_b"),
+                F.when(now, acc["cum"]).otherwise(lz).alias("cum_before"),
+            )
+        )
+
+    arrs = binned.groupBy("pct").agg(
+        F.collect_list(F.struct("b", "cnt")).alias("arr")
+    )
+    return (
+        states.join(arrs, "pct")
+        .select(
+            "pct",
+            F.aggregate(F.array_sort("arr"), init, step).alias("acc"),
+            "lo",
+            "hi",
+            "k",
+        )
+        .selectExpr(
+            "pct",
+            f"lo + ((acc.sel_b * (hi - lo + 1) + {_MED_B - 1}) div {_MED_B}) AS lo",
+            f"lo + (((acc.sel_b + 1) * (hi - lo + 1) + {_MED_B - 1}) div {_MED_B})"
+            " - 1 AS hi",
+            "k - acc.cum_before AS k",
+        )
+    )
+
+
+@query(
+    "agg_exact_quantiles_nosort",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM x),
+    ps AS (SELECT CAST(unnest([{", ".join(str(p) for p in _QNT_PCTS)}]) AS INTEGER) AS pct)
+    SELECT ps.pct, st.n, r.cents AS value_cents,
+           CAST(r.cents AS DOUBLE) / 100.0 AS value_dollars,
+           TRUE AS is_exact
+    FROM ps, st, r
+    WHERE r.rn = (st.n * ps.pct + 99) // 100
+    ORDER BY ps.pct
+    """,
+    tags=("aggregate", "quantile", "exact", "no-sort", "iterative"),
+)
+def agg_exact_quantiles_nosort(spark, sf_dir):
+    """EXACT p25/p50/p75/p99 with NO sort — `agg_exact_median_nosort`'s
+    histogram refinement generalized to a 4-row state RELATION: every
+    pass scans the data once, bins each row against all four surviving
+    ranges (4× map fan-out against a 4-row broadcast), and narrows all
+    four (lo, hi, k) states simultaneously — exact multi-quantiles in 3
+    shared passes instead of 3 passes per quantile or one world sort.
+    Ranks are the discrete upper-rank convention k = ⌈pct·n/100⌉ in
+    exact integer arithmetic; `is_exact` verifies each range collapsed
+    to width 1. This is the shape a production profiler uses when the
+    sketch tolerance of `percentile_approx` isn't acceptable (billing
+    cutoffs, SLA percentiles) but sorting the corpus isn't either."""
+    o = t(spark, sf_dir, "orders")
+    x = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .persist()
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _QNT_PCTS])).alias("pct0")
+    ).select(F.col("pct0").cast("int").alias("pct"))
+    base = x.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    states = pcts.crossJoin(F.broadcast(base)).selectExpr(
+        "pct", "lo", "hi", "(n * pct + 99) div 100 AS k"
+    )
+    n_row = x.agg(F.count(F.lit(1)).alias("n"))
+    for _ in range(_MED_PASSES):
+        states = _quantiles_refine(x, states)
+    return (
+        states.crossJoin(F.broadcast(n_row))
+        .select(
+            "pct",
+            "n",
+            F.col("lo").alias("value_cents"),
+            (F.col("lo").cast("double") / F.lit(100.0)).alias("value_dollars"),
+            (F.col("hi") == F.col("lo")).alias("is_exact"),
+        )
+        .orderBy("pct")
+    )

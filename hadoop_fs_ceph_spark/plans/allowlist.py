@@ -62,6 +62,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "dedup_semantic_cell_refined": "K=8 seed and refined-centroid table broadcasts (two bounded assign stages)",
     "text_bm25_rank": "one-row (n_docs, total_toks) corpus-stats broadcast",
     "agg_exact_median_nosort": "one-row (lo, hi, k) refinement-state broadcasts between histogram passes",
+    "agg_exact_quantiles_nosort": "4-row (pct, lo, hi, k) refinement-state broadcasts between shared histogram passes",
     "profile_psi_drift": "one-row group-total and PSI-total broadcasts onto the fixed 17-row grid",
     "profile_partition_skew": "one-row (n_keys, n_total, max_rows) stats broadcast",
 }

@@ -1206,3 +1206,22 @@ def test_image_text_pairs_complete_and_screened(spark, sf_dir):
     rows = out.collect()
     assert len({r["pair_id"] for r in rows}) == n_pairs
     assert all(0 <= r["shard"] < 8 and r["emb_norm"] > 0 for r in rows)
+
+
+def test_exact_quantiles_nosort_match_sorted_truth(spark, sf_dir):
+    """All four refined quantiles must equal the rank-k values from an
+    actual sort of the per-customer cents, with is_exact everywhere."""
+    rows = {r["pct"]: r for r in SPECS["agg_exact_quantiles_nosort"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {25, 50, 75, 99}
+    cents = sorted(
+        r["cents"]
+        for r in t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    n = len(cents)
+    for pct, r in rows.items():
+        assert r["is_exact"] and r["n"] == n
+        k = (n * pct + 99) // 100
+        assert r["value_cents"] == cents[k - 1], pct
