@@ -27,7 +27,8 @@ def _report(name: str, spec, spark, sf_dir: str):
     line = (
         f"{name}: bhj={audit.broadcast_joins} smj={audit.sort_merge_joins} "
         f"shuffles={audit.shuffles} codegen={audit.codegen_spans} "
-        f"topk={'y' if audit.take_ordered else 'n'}"
+        f"topk={'y' if audit.take_ordered else 'n'} "
+        f"spw={audit.single_partition_windows}"
     )
     real, allowed = split_flags(name, audit.problems())
     return line, real, allowed, audit
