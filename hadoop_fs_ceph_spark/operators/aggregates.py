@@ -799,57 +799,6 @@ _MED_B = 4096
 _MED_PASSES = 3
 
 
-def _median_refine(x, state):
-    """One histogram-refinement pass: given the one-row ``state``
-    (lo, hi, k) whose invariant is "the k-th smallest value in
-    [lo, hi] is the answer", bucket the in-range rows into _MED_B
-    integer sub-ranges, locate the bucket containing rank k by a
-    sequential fold over the collected (bucket, count) array, and emit
-    the narrowed (lo', hi', k') one-row state. Entirely declarative:
-    the state travels as a broadcast one-row relation, never through
-    the driver."""
-    binned = (
-        x.crossJoin(F.broadcast(state))
-        .filter(F.col("cents").between(F.col("lo"), F.col("hi")))
-        # true integer div — a double divide + cast can round up across an
-        # integer boundary (and loses exactness past 2^53)
-        .select(F.expr(f"((cents - lo) * {_MED_B}) div (hi - lo + 1)").alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    lz = F.lit(0).cast("long")
-    init = F.struct(
-        lz.alias("cum"),
-        F.lit(False).alias("found"),
-        lz.alias("sel_b"),
-        lz.alias("cum_before"),
-    )
-
-    def step(acc, p):
-        new_cum = acc["cum"] + p["cnt"]
-        now = new_cum >= F.col("k")
-        return F.when(acc["found"], acc).otherwise(
-            F.struct(
-                new_cum.alias("cum"),
-                now.alias("found"),
-                F.when(now, p["b"]).otherwise(lz).alias("sel_b"),
-                F.when(now, acc["cum"]).otherwise(lz).alias("cum_before"),
-            )
-        )
-
-    one = (
-        binned.agg(F.collect_list(F.struct("b", "cnt")).alias("arr"))
-        .crossJoin(F.broadcast(state))
-        .select(F.aggregate(F.array_sort("arr"), init, step).alias("acc"), "lo", "hi", "k")
-    )
-    return one.selectExpr(
-        f"lo + ((acc.sel_b * (hi - lo + 1) + {_MED_B - 1}) div {_MED_B}) AS lo",
-        f"lo + (((acc.sel_b + 1) * (hi - lo + 1) + {_MED_B - 1}) div {_MED_B}) - 1"
-        " AS hi",
-        "k - acc.cum_before AS k",
-    )
-
-
 @query(
     "agg_exact_median_nosort",
     oracle="""
@@ -886,23 +835,25 @@ def agg_exact_median_nosort(spark, sf_dir):
     The answer is the lower median (rank ⌈n/2⌉), exact integer cents;
     `is_exact` verifies the range actually collapsed to width 1 rather
     than trusting the domain bound. The per-customer input relation is
-    persisted once and re-scanned per pass."""
-    o = t(spark, sf_dir, "orders")
-    x = (
-        o.groupBy("o_custkey")
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
-        .persist()
-    )
-    state = x.agg(
+    persisted once and re-scanned per pass. This is exactly the 1-row
+    case of the multi-quantile refiner (⌈n/2⌉ = ⌈50n/100⌉), so the
+    delicate narrowing arithmetic lives in ONE place:
+    ``_quantiles_refine``."""
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _conc_customer_cents
+
+    x = _conc_customer_cents(spark, sf_dir).persist()
+    base = x.agg(
         F.min("cents").alias("lo"),
         F.max("cents").alias("hi"),
-        F.expr("(count(1) + 1) div 2").alias("k"),
+        F.count(F.lit(1)).alias("n"),
     )
-    n_row = x.agg(F.count(F.lit(1)).alias("n"))
+    states = base.selectExpr(
+        "CAST(50 AS INT) AS pct", "lo", "hi", "(n * 50 + 99) div 100 AS k"
+    )
     for _ in range(_MED_PASSES):
-        state = _median_refine(x, state)
+        states = _quantiles_refine(x, states)
     return (
-        n_row.crossJoin(F.broadcast(state))
+        states.crossJoin(F.broadcast(base.select("n")))
         .select(
             "n",
             F.col("lo").alias("median_cents"),
@@ -920,9 +871,12 @@ def _quantiles_refine(x, states):
     4-row (pct, lo, hi, k) state relation broadcasts onto the value
     relation (4x map fan-out, one partial-merged count per (pct,
     bucket)), then each state's crossing bucket is located by its own
-    fold and the narrowed 4-row state emerges from one tiny join — the
-    multi-quantile generalization of ``_median_refine`` that still
-    scans the data once per pass, not once per quantile."""
+    fold and the narrowed 4-row state emerges from one tiny join —
+    ONE data scan per pass regardless of how many quantiles refine
+    (``agg_exact_median_nosort`` runs the same machinery with a 1-row
+    state). Bucket ids and range narrowing use true integer ``div`` —
+    a double divide + cast can round up across an integer boundary
+    (and loses exactness past 2^53)."""
     binned = (
         x.crossJoin(F.broadcast(states))
         .filter(F.col("cents").between(F.col("lo"), F.col("hi")))
@@ -1007,12 +961,9 @@ def agg_exact_quantiles_nosort(spark, sf_dir):
     to width 1. This is the shape a production profiler uses when the
     sketch tolerance of `percentile_approx` isn't acceptable (billing
     cutoffs, SLA percentiles) but sorting the corpus isn't either."""
-    o = t(spark, sf_dir, "orders")
-    x = (
-        o.groupBy("o_custkey")
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
-        .persist()
-    )
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _conc_customer_cents
+
+    x = _conc_customer_cents(spark, sf_dir).persist()
     pcts = spark.range(1).select(
         F.explode(F.array(*[F.lit(p) for p in _QNT_PCTS])).alias("pct0")
     ).select(F.col("pct0").cast("int").alias("pct"))
@@ -1024,11 +975,10 @@ def agg_exact_quantiles_nosort(spark, sf_dir):
     states = pcts.crossJoin(F.broadcast(base)).selectExpr(
         "pct", "lo", "hi", "(n * pct + 99) div 100 AS k"
     )
-    n_row = x.agg(F.count(F.lit(1)).alias("n"))
     for _ in range(_MED_PASSES):
         states = _quantiles_refine(x, states)
     return (
-        states.crossJoin(F.broadcast(n_row))
+        states.crossJoin(F.broadcast(base.select("n")))
         .select(
             "pct",
             "n",

@@ -614,6 +614,38 @@ _N_SEM_CELLS = 8
 _SEM_THRESHOLD = 0.4
 
 
+def _with_norm(e):
+    """embeddings → (vec_id, embedding, en): the vector norm folded ONCE
+    per row, before any K-way centroid cross-product (cosine() inside
+    the scoring select would re-fold it K times per vector)."""
+    return e.select("vec_id", "embedding", norm(F.col("embedding")).alias("en"))
+
+
+def _nearest_centroid(en_df, cents):
+    """Assign every (vec_id, embedding, en) row to its max-cosine
+    centroid from the bounded ``cents`` relation (cid, cv, cvn), tie
+    broken by lowest cid. Scoring uses dot/(en·cvn) — the exact
+    expression cosine() expands to, with both norms pre-folded — so the
+    assignment is bit-identical to the naive form (the oracles pin
+    this). Returns (vec_id, cell, embedding, en)."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
+    return (
+        en_df.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "en",
+            "cid",
+            (dot(F.col("embedding"), F.col("cv")) / (F.col("en") * F.col("cvn"))).alias(
+                "c_cos"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "embedding", "en")
+    )
+
+
 @query(
     "dedup_semantic_cell",
     oracle=f"""
@@ -655,34 +687,13 @@ def dedup_semantic_cell(spark, sf_dir):
     both sides of the self-join. Cosines are sequential folds —
     bit-identical cross-engine."""
     e = t(spark, sf_dir, "embeddings")
-    # Norms are projected ONCE per vector (and once per seed) BEFORE the
-    # assign cross-product: cosine(a, b) recomputed per (vector, seed)
-    # pair would fold norm(a) eight times per vector. dot/(na*nb) is the
-    # exact expression cosine() expands to, so every double is unchanged
-    # bit-for-bit (the oracle's value too) — this is pure fold elision.
-    en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("en"))
+    en = _with_norm(e)
     seeds = en.filter(F.col("vec_id") < _N_SEM_CELLS).select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("embedding").alias("sv"),
-        F.col("en").alias("svn"),
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("en").alias("cvn"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("seed_cos").desc(), "seed_id")
-    assigned = (
-        en.crossJoin(F.broadcast(seeds))
-        .select(
-            "vec_id",
-            "embedding",
-            "en",
-            "seed_id",
-            (dot(F.col("embedding"), F.col("sv")) / (F.col("en") * F.col("svn"))).alias(
-                "seed_cos"
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cell"), "embedding", "en")
-        .persist()
-    )
+    assigned = _nearest_centroid(en, seeds).persist()
     a = assigned.select(
         F.col("vec_id").alias("vec_a"), "cell", F.col("embedding").alias("ea"),
         F.col("en").alias("ena"),
@@ -819,29 +830,13 @@ def sim_kmeans_update(spark, sf_dir):
     oracle at any parallelism; `n_members` exposes the cluster-size
     skew a production run watches (empty/withered cells get reseeded)."""
     e = t(spark, sf_dir, "embeddings")
-    # norm folded once per vector/seed before the cross-product (see
-    # dedup_semantic_cell) — dot/(na*nb) is bit-identical to cosine()
-    en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("en"))
+    en = _with_norm(e)
     seeds = en.filter(F.col("vec_id") < _N_SEM_CELLS).select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("embedding").alias("sv"),
-        F.col("en").alias("svn"),
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("en").alias("cvn"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("seed_cos").desc(), "seed_id")
-    assigned = (
-        en.crossJoin(F.broadcast(seeds))
-        .select(
-            "vec_id",
-            "embedding",
-            "seed_id",
-            (dot(F.col("embedding"), F.col("sv")) / (F.col("en") * F.col("svn"))).alias(
-                "seed_cos"
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("seed_id").alias("cell"), "embedding")
-    )
+    assigned = _nearest_centroid(en, seeds).select("cell", "embedding")
     m = (
         assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
         .select("cell", "pos", F.col("v").cast("double").alias("val"))
@@ -927,29 +922,13 @@ def dedup_semantic_cell_refined(spark, sf_dir):
     cosine folds keep every double bit-identical cross-engine, so the
     full output — including cos_sim values — hash-matches the oracle."""
     e = t(spark, sf_dir, "embeddings")
-    # norms folded once per vector before each assign cross-product (see
-    # dedup_semantic_cell) — bit-identical fold elision, 8x fewer norms
-    en0 = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("en"))
+    en0 = _with_norm(e)
     seeds = en0.filter(F.col("vec_id") < _N_SEM_CELLS).select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("embedding").alias("sv"),
-        F.col("en").alias("svn"),
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("en").alias("cvn"),
     )
-    w0 = Window.partitionBy("vec_id").orderBy(F.col("seed_cos").desc(), "seed_id")
-    a0 = (
-        en0.crossJoin(F.broadcast(seeds))
-        .select(
-            "vec_id",
-            "embedding",
-            "seed_id",
-            (dot(F.col("embedding"), F.col("sv")) / (F.col("en") * F.col("svn"))).alias(
-                "seed_cos"
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w0))
-        .filter(F.col("rn") == 1)
-        .select(F.col("seed_id").alias("cell"), "embedding")
-    )
+    a0 = _nearest_centroid(en0, seeds).select("cell", "embedding")
     cent = (
         a0.select("cell", F.posexplode("embedding").alias("pos", "v"))
         .select("cell", "pos", F.col("v").cast("double").alias("val"))
@@ -968,26 +947,10 @@ def dedup_semantic_cell_refined(spark, sf_dir):
             ).alias("cv")
         )
     )
-    w1 = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cent_cell")
     cents = cent.select(
-        F.col("cell").alias("cent_cell"), "cv", norm(F.col("cv")).alias("cvn")
+        F.col("cell").alias("cid"), "cv", norm(F.col("cv")).alias("cvn")
     )
-    a1 = (
-        en0.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "en",
-            "cent_cell",
-            (dot(F.col("embedding"), F.col("cv")) / (F.col("en") * F.col("cvn"))).alias(
-                "c_cos"
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_cell").alias("cell"), "embedding", "en")
-        .persist()
-    )
+    a1 = _nearest_centroid(en0, cents).persist()
     a = a1.select(
         F.col("vec_id").alias("vec_a"), "cell", F.col("embedding").alias("ea"),
         F.col("en").alias("ena"),

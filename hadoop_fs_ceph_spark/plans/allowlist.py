@@ -117,7 +117,7 @@ SINGLE_PARTITION_WINDOW: dict[str, str] = {
     "agg_percent_of_total": "windows over the 25-nation aggregate (spec-bounded dim, never grows with SF)",
     "win_cumulative_distinct": "running window over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
     "win_cusum_changepoint": "CUSUM fold over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
-    "profile_ks_drift": "final max-gap window over the fixed 18-row ECDF grid relation",
+    "profile_ks_drift": "final max-gap window over the fixed 17-row ECDF grid relation",
     "profile_equidepth_histogram": "exact-ntile oracle-truth twin; production form is profile_equidepth_histogram_approx (percentile_approx cutpoints, audited clean)",
     "ds_rfm_segmentation": "exact-ntile oracle-truth twin; production form is ds_rfm_segmentation_approx (percentile_approx composite cutpoints, audited clean)",
     "agg_gini_concentration": "exact rank-formula oracle-truth twin; production form is agg_gini_concentration_binned (binned mean-absolute-difference, audited clean)",
