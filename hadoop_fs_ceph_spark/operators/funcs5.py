@@ -417,3 +417,52 @@ def fn_collation_family(spark, sf_dir):
         .select(F.lower("k").alias("lang_ci"), "n", "n_case_variants")
         .orderBy("lang_ci")
     )
+
+
+@query(
+    "fn_xml_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_rt,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents_rt,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr_xpath
+    FROM orders WHERE o_orderkey % 101 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("function", "xml", "roundtrip"),
+)
+def fn_xml_family(spark, sf_dir):
+    """XML function family (Spark 4 built-ins): each sampled order is
+    serialized to an XML fragment, parsed back with ``from_xml`` against
+    a declared struct schema, and one field is independently re-extracted
+    with the ``xpath_int`` path function — the oracle is the IDENTITY
+    round-trip (original columns straight from the table), so any parser
+    or schema-coercion deviation breaks the hash. XML is the remaining
+    semi-structured wire format next to the JSON (`fn_json_*`) and
+    VARIANT (`fn_variant_*`) families; all three parse map-side inside
+    codegen, no shuffle beyond the demo's ordering."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0)
+    xml = F.concat(
+        F.lit("<o><s>"),
+        F.col("o_orderstatus"),
+        F.lit("</s><c>"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("</c><y>"),
+        F.year("o_orderdate").cast("string"),
+        F.lit("</y></o>"),
+    )
+    withx = o.select("o_orderkey", xml.alias("xml"))
+    parsed = withx.select(
+        "o_orderkey",
+        F.from_xml("xml", "s string, c bigint, y int").alias("p"),
+        F.expr("xpath_int(xml, '/o/y/text()')").alias("yr_xpath"),
+    )
+    return (
+        parsed.select(
+            "o_orderkey",
+            F.col("p.s").alias("status_rt"),
+            F.col("p.c").alias("cents_rt"),
+            "yr_xpath",
+        )
+        .orderBy("o_orderkey")
+    )
