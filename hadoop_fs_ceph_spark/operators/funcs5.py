@@ -466,3 +466,46 @@ def fn_xml_family(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "fn_csv_scalar_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_rt,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents_rt,
+           o_orderpriority AS priority_rt
+    FROM orders WHERE o_orderkey % 103 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("function", "csv", "roundtrip"),
+)
+def fn_csv_scalar_roundtrip(spark, sf_dir):
+    """Scalar CSV codec functions — ``to_csv(struct)`` then ``from_csv``
+    with a declared schema (the per-CELL codec for embedded CSV payloads
+    in message queues or log fields, distinct from the file-level
+    `src_csv_*` source family). Identity-round-trip oracle: the parsed
+    fields must equal the original columns exactly, including a field
+    containing the delimiter-adjacent '-' and mixed case. Map-side
+    inside codegen, no shuffle beyond the demo ordering."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 103 == 0)
+    line = F.to_csv(
+        F.struct(
+            F.col("o_orderstatus").alias("s"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+            F.col("o_orderpriority").alias("p"),
+        )
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.from_csv(line, "s string, c bigint, p string").alias("r"),
+    )
+    return (
+        parsed.select(
+            "o_orderkey",
+            F.col("r.s").alias("status_rt"),
+            F.col("r.c").alias("cents_rt"),
+            F.col("r.p").alias("priority_rt"),
+        )
+        .orderBy("o_orderkey")
+    )
