@@ -866,25 +866,31 @@ def agg_exact_median_nosort(spark, sf_dir):
 _QNT_PCTS = (25, 50, 75, 99)
 
 
-def _quantiles_refine(x, states):
+def _quantiles_refine(x, states, key="pct"):
     """One shared refinement pass over ALL quantile states at once: the
-    4-row (pct, lo, hi, k) state relation broadcasts onto the value
-    relation (4x map fan-out, one partial-merged count per (pct,
-    bucket)), then each state's crossing bucket is located by its own
-    fold and the narrowed 4-row state emerges from one tiny join —
-    ONE data scan per pass regardless of how many quantiles refine
-    (``agg_exact_median_nosort`` runs the same machinery with a 1-row
-    state). Bucket ids and range narrowing use true integer ``div`` —
-    a double divide + cast can round up across an integer boundary
-    (and loses exactness past 2^53)."""
+    bounded (key, lo, hi, k) state relation broadcasts onto the value
+    relation, then each state's crossing bucket is located by its own
+    fold and the narrowed state relation emerges from one tiny join —
+    ONE data scan per pass regardless of how many states refine.
+    Two binding modes, chosen by whether ``key`` is a column of ``x``:
+    a state-key column in ``x`` (per-GROUP quantiles) equi-joins each
+    row to ITS group's state; otherwise (multi-quantile over one
+    population) the states fan out to every row. Bucket ids and range
+    narrowing use true integer ``div`` — a double divide + cast can
+    round up across an integer boundary (and loses exactness past
+    2^53). ``agg_exact_median_nosort`` is the 1-row state case."""
+    bound = (
+        x.join(F.broadcast(states), key)
+        if key in x.columns
+        else x.crossJoin(F.broadcast(states))
+    )
     binned = (
-        x.crossJoin(F.broadcast(states))
-        .filter(F.col("cents").between(F.col("lo"), F.col("hi")))
+        bound.filter(F.col("cents").between(F.col("lo"), F.col("hi")))
         .select(
-            "pct",
+            key,
             F.expr(f"((cents - lo) * {_MED_B}) div (hi - lo + 1)").alias("b"),
         )
-        .groupBy("pct", "b")
+        .groupBy(key, "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     lz = F.lit(0).cast("long")
@@ -907,20 +913,20 @@ def _quantiles_refine(x, states):
             )
         )
 
-    arrs = binned.groupBy("pct").agg(
+    arrs = binned.groupBy(key).agg(
         F.collect_list(F.struct("b", "cnt")).alias("arr")
     )
     return (
-        states.join(arrs, "pct")
+        states.join(arrs, key)
         .select(
-            "pct",
+            key,
             F.aggregate(F.array_sort("arr"), init, step).alias("acc"),
             "lo",
             "hi",
             "k",
         )
         .selectExpr(
-            "pct",
+            key,
             f"lo + ((acc.sel_b * (hi - lo + 1) + {_MED_B - 1}) div {_MED_B}) AS lo",
             f"lo + (((acc.sel_b + 1) * (hi - lo + 1) + {_MED_B - 1}) div {_MED_B})"
             " - 1 AS hi",
@@ -987,4 +993,67 @@ def agg_exact_quantiles_nosort(spark, sf_dir):
             (F.col("hi") == F.col("lo")).alias("is_exact"),
         )
         .orderBy("pct")
+    )
+
+
+@query(
+    "agg_exact_median_by_group_nosort",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    st AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY grp),
+    r AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn
+      FROM x
+    )
+    SELECT st.grp, st.n, r.cents AS median_cents,
+           CAST(r.cents AS DOUBLE) / 100.0 AS median_dollars,
+           TRUE AS is_exact
+    FROM r JOIN st USING (grp) WHERE r.rn = (st.n + 1) // 2
+    ORDER BY grp
+    """,
+    tags=("aggregate", "median", "exact", "no-sort", "grouped"),
+)
+def agg_exact_median_by_group_nosort(spark, sf_dir):
+    """Per-GROUP exact median with NO sort and NO per-group value
+    buffering — the third face of the histogram-refinement machinery:
+    the state relation carries one (lo, hi, k) row PER GROUP and each
+    pass equi-joins every fact row to its own group's state (the
+    refiner's keyed binding mode), so all groups narrow simultaneously
+    in the same three data scans. Contrast the engine-native exact
+    ``percentile``: an ObjectHashAggregate that materializes every
+    group's full value list in one aggregation buffer — the thing that
+    OOMs on a skewed group at 100 TB; here per-group state is three
+    integers and the shuffle per pass is ≤ |groups|·4096 count rows.
+    Raw per-order cents (no pre-aggregation) — the group medians are
+    over the fact table itself. States broadcast while |groups| is
+    bounded (5 priorities); an unbounded group key drops the broadcast
+    hint and the same plan shuffle-joins."""
+    o = t(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).persist()
+    base = x.groupBy("grp").agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    states = base.selectExpr("grp", "lo", "hi", "(n + 1) div 2 AS k")
+    for _ in range(_MED_PASSES):
+        states = _quantiles_refine(x, states, key="grp")
+    return (
+        states.join(base.select("grp", "n"), "grp")
+        .select(
+            "grp",
+            "n",
+            F.col("lo").alias("median_cents"),
+            (F.col("lo").cast("double") / F.lit(100.0)).alias("median_dollars"),
+            (F.col("hi") == F.col("lo")).alias("is_exact"),
+        )
+        .orderBy("grp")
     )

@@ -1225,3 +1225,26 @@ def test_exact_quantiles_nosort_match_sorted_truth(spark, sf_dir):
         assert r["is_exact"] and r["n"] == n
         k = (n * pct + 99) // 100
         assert r["value_cents"] == cents[k - 1], pct
+
+
+def test_grouped_exact_median_matches_sorted_truth(spark, sf_dir):
+    """Every group's refined median must equal the rank-⌈n/2⌉ value from
+    an actual per-group sort of raw per-order cents."""
+    rows = {r["grp"]: r for r in SPECS["agg_exact_median_by_group_nosort"].fn(spark, sf_dir).collect()}
+    raw = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by_grp = {}
+    for r in raw:
+        by_grp.setdefault(r["grp"], []).append(r["cents"])
+    assert set(rows) == set(by_grp)
+    for grp, vals in by_grp.items():
+        vals.sort()
+        r = rows[grp]
+        assert r["is_exact"] and r["n"] == len(vals)
+        assert r["median_cents"] == vals[(len(vals) + 1) // 2 - 1], grp
