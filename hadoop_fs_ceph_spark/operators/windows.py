@@ -664,3 +664,55 @@ def win_resample_interpolate(spark, sf_dir):
     return carried.select(
         "event_type", "d", "present", F.round(interp, 6).alias("value_filled")
     )
+
+
+@query(
+    "win_rolling_quantile",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v6
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d,
+           ROUND(quantile_cont(CAST(v6 AS DOUBLE) / 1000000.0, 0.5) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_median,
+           CAST(COUNT(*) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_frame
+    FROM daily
+    ORDER BY event_type, d
+    """,
+    tags=("window", "quantile", "rolling"),
+)
+def win_rolling_quantile(spark, sf_dir):
+    """Rolling MEDIAN over a trailing 7-row calendar frame per event
+    type — the robust centerline behind anomaly bands where the rolling
+    MEAN (`win_rolling_7day`, Bollinger) gets dragged by spikes. The
+    frame holds ≤7 daily aggregates, so the exact interpolated
+    percentile over the frame is cheap and deterministic (daily totals
+    are fixed-point integers; the interpolation is rounded at 6, the
+    `agg_percentiles` convention). Windows partition by event type over
+    calendar days — both bounded by time, not corpus size; the only
+    data-sized work is the one map-combined daily aggregate."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("v6"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "d",
+            F.round(
+                F.expr("percentile(CAST(v6 AS DOUBLE) / 1000000.0, 0.5)").over(w), 6
+            ).alias("rolling_median"),
+            F.count(F.lit(1)).over(w).alias("n_in_frame"),
+        )
+        .orderBy("event_type", "d")
+    )
