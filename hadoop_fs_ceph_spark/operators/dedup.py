@@ -1075,3 +1075,137 @@ def dedup_keeper_selection(spark, sf_dir):
         .filter(F.col("n_members") >= 2)
         .orderBy("cluster_id")
     )
+
+
+_RECALL_CAP = 200  # absolute doc_id bound for the truth sample
+_RECALL_GRID = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@query(
+    "dedup_lsh_recall_report",
+    oracle=f"""
+    WITH docs AS ({_SQL_MINHASH_DOCS}),
+    s AS (SELECT * FROM docs WHERE doc_id < {_RECALL_CAP}),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh))
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               AS ja
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ),
+    truth AS (SELECT * FROM p WHERE ja >= 0.5),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {sql_band_hash('sig', b)} AS bh FROM s" for b in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    ),
+    m AS (
+      SELECT t.ja,
+             CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t LEFT JOIN cand c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    ),
+    g AS (
+      SELECT CAST(unnest([{", ".join(str(t) for t in _RECALL_GRID)}]) AS DOUBLE) AS t
+    ),
+    agg AS (
+      SELECT g.t, CAST(COUNT(m.ja) AS BIGINT) AS n_truth,
+             CAST(COALESCE(SUM(m.hit), 0) AS BIGINT) AS n_hit
+      FROM g LEFT JOIN m ON m.ja >= g.t GROUP BY g.t
+    )
+    SELECT t AS threshold, n_truth, n_hit,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall,
+           ROUND(1 - (1 - t*t*t*t) * (1 - t*t*t*t) * (1 - t*t*t*t)
+                     * (1 - t*t*t*t), 6) AS theory_recall
+    FROM agg ORDER BY t
+    """,
+    tags=("dedup", "minhash", "lsh", "recall", "quality"),
+)
+def dedup_lsh_recall_report(spark, sf_dir):
+    """LSH recall calibration — the measurement that justifies a MinHash
+    banding config before a production dedup run: on a bounded truth
+    sample (doc_id < 200, an absolute bound) every pair's EXACT
+    hashed-shingle Jaccard is computed, and the LSH candidate stage's
+    empirical recall at each similarity threshold is reported next to
+    the banding theory curve 1-(1-s^r)^b for the deployed r=4, b=4 —
+    this is how you read off "at 0.8 similarity the candidate stage
+    finds ~88% of true pairs; tighten bands or add a second pass if the
+    corpus needs more". The theory column uses explicit multiplication
+    chains (never pow) so both engines produce the identical double.
+
+    Scale shape: the all-pairs truth join is confined to the absolute
+    200-doc sample (the whole point — truth is only computable on a
+    sample); the candidate stage reuses the production banding over the
+    same sample; the threshold grid is 5 literal rows. Empirical recall
+    divides two exact integers."""
+    docs = _minhash_docs(spark, sf_dir).filter(F.col("doc_id") < _RECALL_CAP)
+    xa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    xb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    truth = (
+        xa.join(xb, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / (F.col("na") + F.col("nb") - inter)).alias("ja"),
+        )
+        .filter(F.col("ja") >= 0.5)
+    )
+    bands = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("k"),
+    ).select("doc_id", "k.band", "k.bh")
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(bb, (F.col("ba.band") == F.col("bb.band")) & (F.col("ba.bh") == F.col("bb.bh")))
+        .filter(F.col("ba.doc_id") < F.col("bb.doc_id"))
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    m = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        "ja", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    g = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in _RECALL_GRID])).alias("t")
+    )
+    agg = (
+        g.join(m, m.ja >= g.t, "left")
+        .groupBy("t")
+        .agg(
+            F.count("ja").alias("n_truth"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    u = F.lit(1.0) - F.col("t") * F.col("t") * F.col("t") * F.col("t")
+    return (
+        agg.select(
+            F.col("t").alias("threshold"),
+            "n_truth",
+            "n_hit",
+            F.when(
+                F.col("n_truth") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+            ).alias("recall"),
+            F.round(F.lit(1.0) - u * u * u * u, 6).alias("theory_recall"),
+        )
+        .orderBy("threshold")
+    )

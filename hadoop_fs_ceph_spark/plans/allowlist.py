@@ -65,6 +65,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "agg_exact_quantiles_nosort": "4-row (pct, lo, hi, k) refinement-state broadcasts between shared histogram passes",
     "profile_psi_drift": "one-row group-total and PSI-total broadcasts onto the fixed 17-row grid",
     "profile_partition_skew": "one-row (n_keys, n_total, max_rows) stats broadcast",
+    "dedup_lsh_recall_report": "all-pairs truth join confined to the absolute 200-doc calibration sample + 5-row threshold grid",
 }
 
 # --- global sorts of bounded relations ------------------------------------

@@ -1248,3 +1248,20 @@ def test_grouped_exact_median_matches_sorted_truth(spark, sf_dir):
         r = rows[grp]
         assert r["is_exact"] and r["n"] == len(vals)
         assert r["median_cents"] == vals[(len(vals) + 1) // 2 - 1], grp
+
+
+def test_lsh_recall_report_sane(spark, sf_dir):
+    """Hits never exceed truth, truth sets shrink as the threshold
+    rises (subset property — exact, unlike empirical recall which can
+    dip on small high-threshold truth sets), and the theory column
+    matches the S-curve closed form."""
+    rows = SPECS["dedup_lsh_recall_report"].fn(spark, sf_dir).collect()
+    assert [r["threshold"] for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    prev_truth = None
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["n_truth"]
+        t4 = r["threshold"] ** 4
+        assert abs(r["theory_recall"] - (1 - (1 - t4) ** 4)) < 1e-5
+        if prev_truth is not None:
+            assert r["n_truth"] <= prev_truth
+        prev_truth = r["n_truth"]
