@@ -1138,3 +1138,77 @@ def sim_two_stage_retrieval(spark, sf_dir):
         .orderBy(F.col("exact_score").desc(), "vec_id")
         .limit(3)
     )
+
+
+@query(
+    "sim_threshold_calibration",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+    ),
+    pairs AS (
+      SELECT {sql_cosine("a.embedding", "e.embedding")} AS cs
+      FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+    ),
+    binned AS (
+      SELECT LEAST(19, CAST(FLOOR((cs + 1.0) * 10.0) AS BIGINT)) AS bin
+      FROM pairs
+    ),
+    spine AS (SELECT unnest(generate_series(0, 19)) AS bin),
+    c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM binned GROUP BY bin)
+    SELECT s.bin,
+           CAST(s.bin - 10 AS DOUBLE) / 10.0 AS cos_lo,
+           CAST(s.bin - 9 AS DOUBLE) / 10.0 AS cos_hi,
+           COALESCE(c.n_pairs, 0) AS n_pairs
+    FROM spine s LEFT JOIN c USING (bin)
+    ORDER BY s.bin
+    """,
+    tags=("similarity", "calibration", "histogram", "quality"),
+)
+def sim_threshold_calibration(spark, sf_dir):
+    """Semantic-threshold calibration — the embedding-side partner of
+    ``dedup_lsh_recall_report``: the cosine distribution over all pairs
+    the sign-LSH blocking actually produces, as a fixed 20-bin histogram
+    on [-1, 1]. Reading the histogram is how the `_SEM_THRESHOLD` of the
+    semantic-dedup family gets chosen (the valley between the near-dup
+    mode and the background mass), and re-running it per corpus version
+    is the drift check on that choice.
+
+    Scale shape: candidate pairs come from the EQUALITY join on the
+    sign-bucket key (never all-pairs — ~n²/16 worst case bounded by
+    bucket sizes, the same blocking the ANN queries use); per-pair work
+    is one cosine with pre-folded norms; the histogram is a 20-group
+    aggregate on a fixed spine. Bin ids floor a bit-identical double, so
+    counts hash-match exactly."""
+    en = _with_norm(t(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", _bucket()
+    )
+    a = en.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"),
+        F.col("en").alias("ena"), "bucket",
+    )
+    b = en.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"),
+        F.col("en").alias("enb"), F.col("bucket").alias("bucket_b"),
+    )
+    pairs = (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("ida") < F.col("idb")))
+        .select(
+            (dot(F.col("ea"), F.col("eb")) / (F.col("ena") * F.col("enb"))).alias("cs")
+        )
+    )
+    binned = pairs.select(
+        F.least(F.lit(19), F.floor((F.col("cs") + 1.0) * 10.0).cast("long")).alias("bin")
+    )
+    c = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+    spine = spark.range(0, 20).select(F.col("id").alias("bin"))
+    return (
+        spine.join(c, "bin", "left")
+        .select(
+            "bin",
+            ((F.col("bin") - 10).cast("double") / F.lit(10.0)).alias("cos_lo"),
+            ((F.col("bin") - 9).cast("double") / F.lit(10.0)).alias("cos_hi"),
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        )
+        .orderBy("bin")
+    )
