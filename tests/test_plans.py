@@ -248,6 +248,11 @@ def test_single_partition_window_flag_active(spark, sf_dir):
         "ds_pareto_concentration_binned",
         "profile_equidepth_histogram_approx",
         "dedup_semantic_cell_refined",
+        "agg_exact_median_nosort",
+        "agg_exact_quantiles_nosort",
+        "agg_exact_median_by_group_nosort",
+        "text_bm25_rank",
+        "profile_psi_drift",
     ],
 )
 def test_production_twins_have_no_single_partition_window(spark, sf_dir, name):
