@@ -1893,3 +1893,67 @@ def ds_attribution_time_decay(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "ds_conversion_lag_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_buy
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.t_view
+      GROUP BY e.user_id
+    ),
+    lag AS (
+      SELECT LEAST(7, (p.t_buy - v.t_view) // 86400000000) AS bucket
+      FROM p JOIN v USING (user_id)
+    ),
+    spine AS (SELECT unnest(generate_series(0, 7)) AS bucket),
+    c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_users FROM lag GROUP BY bucket)
+    SELECT s.bucket, COALESCE(c.n_users, 0) AS n_users
+    FROM spine s LEFT JOIN c USING (bucket)
+    ORDER BY s.bucket
+    """,
+    tags=("analytics", "funnel", "lag", "histogram"),
+)
+def ds_conversion_lag_histogram(spark, sf_dir):
+    """Conversion-lag distribution: days between a user's first view and
+    their first purchase at-or-after it, bucketed on a fixed 0..7+ day
+    spine — the time-to-convert readout that sits beside
+    ``ds_funnel_conversion``'s stage counts (how MANY convert) with the
+    WHEN. Lags are exact integer microsecond differences floored to
+    days (integer div), so every bucket count hash-matches.
+
+    Scale shape: two groupBy(user_id) min-timestamp aggregates (the
+    funnel's monotone-shrink pattern — raw events never join raw
+    events), one bounded 8-bucket count, fixed spine."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("t"))
+        .join(v, "user_id")
+        .filter(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_buy"), F.min("t_view").alias("t_view"))
+    )
+    lag = p.select(
+        F.least(
+            F.lit(7), F.expr("(t_buy - t_view) div 86400000000")
+        ).alias("bucket")
+    )
+    c = lag.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_users"))
+    spine = spark.range(0, 8).select(F.col("id").alias("bucket"))
+    return (
+        spine.join(c, "bucket", "left")
+        .select("bucket", F.coalesce("n_users", F.lit(0)).alias("n_users"))
+        .orderBy("bucket")
+    )

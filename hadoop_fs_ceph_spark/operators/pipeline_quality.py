@@ -22,7 +22,14 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from hadoop_fs_ceph_spark.canonical import dsum, sql_dsum
+from hadoop_fs_ceph_spark.canonical import (
+    davg,
+    dsum,
+    dvar_samp,
+    sql_davg,
+    sql_dsum,
+    sql_dvar_samp,
+)
 from hadoop_fs_ceph_spark.functions.text import poly_hash, sql_poly_hash
 from hadoop_fs_ceph_spark.registry import query
 from hadoop_fs_ceph_spark.tables import t
@@ -1714,4 +1721,74 @@ def profile_partition_skew(spark, sf_dir):
         )
         .orderBy(F.col("n_rows").desc(), "user_id")
         .limit(10)
+    )
+
+
+# Two-sided alpha=0.05, power=0.80 normal quantiles, fixed literals so
+# both engines compute the identical constant.
+_PWR_ZA = 1.959964
+_PWR_ZB = 0.841621
+_PWR_MDES = (1, 2, 5, 10)  # relative minimum detectable effects, percent
+
+
+@query(
+    "ds_ab_power_analysis",
+    oracle=f"""
+    WITH st AS (
+      SELECT {sql_davg("value", "mean")},
+             {sql_dvar_samp("value", "sigma2")},
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (SELECT CAST(unnest([{", ".join(str(m) for m in _PWR_MDES)}]) AS INTEGER) AS mde_pct)
+    SELECT g.mde_pct, st.n_obs, st.mean, st.sigma2,
+           st.mean * CAST(g.mde_pct AS DOUBLE) / 100.0 AS delta,
+           CAST(CEIL(2.0 * (({_PWR_ZA} + {_PWR_ZB}) * ({_PWR_ZA} + {_PWR_ZB}))
+                     * st.sigma2
+                     / ((st.mean * CAST(g.mde_pct AS DOUBLE) / 100.0)
+                        * (st.mean * CAST(g.mde_pct AS DOUBLE) / 100.0)))
+                AS BIGINT) AS n_per_arm
+    FROM g, st ORDER BY g.mde_pct
+    """,
+    tags=("analytics", "ab-test", "power", "experiment-design"),
+)
+def ds_ab_power_analysis(spark, sf_dir):
+    """A/B sample-size calculator — the experiment-DESIGN step before the
+    `ds_ab_*` readout family (assignment/SRM, Welch, CUPED): from the
+    metric's observed fixed-point mean and variance, the required
+    per-arm n for each relative MDE on a fixed grid, via the standard
+    normal-approximation formula n = ⌈2(z_α/2+z_β)²σ²/δ²⌉ at α=0.05,
+    power=0.80 (z constants are fixed literals; the square is a
+    multiplication, never pow — bit-identical cross-engine).
+
+    Scale shape: one partial-merged moment aggregate over the metric,
+    then 4 grid rows of scalar arithmetic — nothing else touches the
+    data. Variance uses the canonical fixed-point scheme, so mean,
+    sigma2, delta and the ceiled n all hash-match the oracle exactly."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    st = e.agg(
+        davg("value", "mean"),
+        dvar_samp("value", "sigma2"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    g = spark.range(1).select(
+        F.explode(F.array(*[F.lit(m) for m in _PWR_MDES])).alias("m0")
+    ).select(F.col("m0").cast("int").alias("mde_pct"))
+    zsum = F.lit(_PWR_ZA) + F.lit(_PWR_ZB)
+    delta = F.col("mean") * F.col("mde_pct").cast("double") / F.lit(100.0)
+    return (
+        g.crossJoin(F.broadcast(st))
+        .select(
+            "mde_pct",
+            "n_obs",
+            "mean",
+            "sigma2",
+            delta.alias("delta"),
+            F.ceil(
+                F.lit(2.0) * (zsum * zsum) * F.col("sigma2") / (delta * delta)
+            )
+            .cast("long")
+            .alias("n_per_arm"),
+        )
+        .orderBy("mde_pct")
     )

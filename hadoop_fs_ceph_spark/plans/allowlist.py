@@ -66,6 +66,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "profile_psi_drift": "one-row group-total and PSI-total broadcasts onto the fixed 17-row grid",
     "profile_partition_skew": "one-row (n_keys, n_total, max_rows) stats broadcast",
     "dedup_lsh_recall_report": "all-pairs truth join confined to the absolute 200-doc calibration sample + 5-row threshold grid",
+    "ds_ab_power_analysis": "one-row metric-moment broadcast onto the fixed 4-row MDE grid",
 }
 
 # --- global sorts of bounded relations ------------------------------------

@@ -1265,3 +1265,36 @@ def test_lsh_recall_report_sane(spark, sf_dir):
         if prev_truth is not None:
             assert r["n_truth"] <= prev_truth
         prev_truth = r["n_truth"]
+
+
+def test_power_analysis_monotone_in_mde(spark, sf_dir):
+    """Required n per arm must fall as the detectable effect grows
+    (n ∝ 1/δ²), and the 1% row needs ~4x the 2% row (exactly, up to
+    ceiling)."""
+    rows = {r["mde_pct"]: r for r in SPECS["ds_ab_power_analysis"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 5, 10}
+    assert rows[1]["n_per_arm"] >= rows[2]["n_per_arm"] >= rows[5]["n_per_arm"] >= rows[10]["n_per_arm"]
+    assert abs(rows[1]["n_per_arm"] - 4 * rows[2]["n_per_arm"]) <= 4
+    assert all(r["sigma2"] > 0 and r["n_per_arm"] >= 1 for r in rows.values())
+
+
+def test_conversion_lag_conserves_converters(spark, sf_dir):
+    """Histogram buckets must partition exactly the users who have a
+    purchase at-or-after their first view."""
+    rows = SPECS["ds_conversion_lag_histogram"].fn(spark, sf_dir).collect()
+    assert [r["bucket"] for r in rows] == list(range(8))
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    n_conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("tv"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_conv
