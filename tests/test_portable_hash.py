@@ -80,3 +80,72 @@ def test_cms_hash_rows_spread_keys():
         for b in range(a + 1, 4):
             same = sum(1 for x, y in zip(per_row[a], per_row[b]) if x == y)
             assert same < 100  # rows disagree on >90% of keys
+
+
+@given(
+    st.lists(
+        # value range capped inside the DOCUMENTED 3-pass domain bound
+        # (4096^3 ≈ 6.9e10); beyond it the operator reports
+        # is_exact=False instead of a wrong answer (checked below)
+        st.integers(min_value=0, max_value=6 * 10**10), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_histogram_refinement_median_property(spark, vals):
+    """Property test of the flagship no-sort machinery: for ARBITRARY
+    integer multisets (duplicates, huge ranges, singletons) within the
+    documented 3-pass domain, histogram refinement must pin exactly the
+    sorted lower median. Exercises the narrowing arithmetic (ceil-div
+    bucket bounds, rank rebasing) far outside the fixture
+    distributions."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fs_ceph_spark.operators.aggregates import (
+        _MED_PASSES,
+        _quantiles_refine,
+    )
+
+    x = spark.createDataFrame([(v,) for v in vals], "cents long")
+    base = x.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    states = base.selectExpr(
+        "CAST(50 AS INT) AS pct", "lo", "hi", "(n + 1) div 2 AS k"
+    )
+    for _ in range(_MED_PASSES):
+        states = _quantiles_refine(x, states)
+    got = states.collect()[0]
+    expected = sorted(vals)[(len(vals) + 1) // 2 - 1]
+    assert got["lo"] == got["hi"] == expected
+
+
+def test_histogram_refinement_honest_beyond_domain(spark):
+    """Past the 4096^3 range bound three passes cannot collapse the
+    range — the machinery must leave a still-valid bracket (lo <= true
+    median <= hi, lo < hi) rather than a silently wrong point value,
+    which is exactly what the operators' is_exact column surfaces."""
+    from pyspark.sql import functions as F
+
+    from hadoop_fs_ceph_spark.operators.aggregates import (
+        _MED_PASSES,
+        _quantiles_refine,
+    )
+
+    vals = [0, 10**12, 5 * 10**11, 7, 10**12 - 3]  # range ~1e12 > 4096^3
+    x = spark.createDataFrame([(v,) for v in vals], "cents long")
+    base = x.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    states = base.selectExpr(
+        "CAST(50 AS INT) AS pct", "lo", "hi", "(n + 1) div 2 AS k"
+    )
+    for _ in range(_MED_PASSES):
+        states = _quantiles_refine(x, states)
+    got = states.collect()[0]
+    true_med = sorted(vals)[(len(vals) + 1) // 2 - 1]
+    assert got["lo"] < got["hi"]  # honest: range did NOT collapse
+    assert got["lo"] <= true_med <= got["hi"]  # but the bracket is valid
