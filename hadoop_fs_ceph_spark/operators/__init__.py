@@ -64,6 +64,19 @@ selection, novelty curve (dedup/text); two-stage retrieval
 bitmap exact-distinct (aggregates); point-in-time SCD2 join (joins);
 Neyman allocation (pipeline_quality); shard offset index, feature-hash
 embeddings (multimodal/text).
+
+Round-4 additions, likewise in-family: sort-free production twins for
+RFM / Gini / Pareto and the histogram-refinement exact-quantile family
+(median, simultaneous p25/50/75/99, per-group median — aggregates /
+analytics_suite); kmeans-refined SemDeDup + threshold-calibration
+histogram (similarity); BM25 ranking, PSI drift, LSH recall
+calibration (text/pipeline_quality/dedup); binaryFile source, snapshot
+expiry planning (sources); cohort LTV, time-decay attribution,
+conversion-lag histogram, A/B power analysis (analytics_suite /
+pipeline_quality); salted replicated join (joins); LPA communities
+(graph); partition-skew diagnostic (pipeline_quality); Python UDTF
+(udfs); image-text pair manifest (multimodal); rolling exact median
+(windows); XML + scalar-CSV codec families (funcs5).
 """
 
 from hadoop_fs_ceph_spark.operators import (  # noqa: F401
