@@ -1792,3 +1792,86 @@ def ds_ab_power_analysis(spark, sf_dir):
         )
         .orderBy("mde_pct")
     )
+
+
+@query(
+    "sample_importance_reweight",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+    w AS (
+      SELECT lang, n,
+             CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS corpus_share,
+             0.2 / (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) AS wt
+      FROM c, tot
+    ),
+    e AS (
+      SELECT
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list(CAST(n AS DOUBLE) * wt ORDER BY lang)), (a, b) -> a + b) AS sw,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list(CAST(n AS DOUBLE) * wt * wt ORDER BY lang)), (a, b) -> a + b) AS sw2
+      FROM w
+    )
+    SELECT w.lang, w.n AS n_docs, w.corpus_share, w.wt AS weight,
+           e.sw * e.sw / e.sw2 AS ess,
+           e.sw * e.sw / e.sw2 / CAST(t.nt AS DOUBLE) AS ess_ratio
+    FROM w, e, tot t ORDER BY w.lang
+    """,
+    tags=("sample", "importance-weighting", "preprocessing"),
+)
+def sample_importance_reweight(spark, sf_dir):
+    """Importance REWEIGHTING toward the uniform 5-language target mix —
+    the loss-weight alternative to resampling (`sample_token_budget_mix`
+    / `sample_class_balance` drop or thin documents; reweighting keeps
+    every document and scales its training contribution by
+    target_share / corpus_share). Reports each class's weight plus the
+    effective sample size ESS = (Σw)²/Σw² and its ratio to n — the
+    number that says how much statistical efficiency the skew-correction
+    costs (ESS ≪ n means resample instead).
+
+    Scale shape: one 5-row class-count aggregate; weights are ratios of
+    exact integers; the ESS sums are sequential folds over the 5-row
+    collected array in language order (never a float groupBy-sum), so
+    every double hash-matches. The per-document weight application is a
+    broadcast-join of this 5-row table — zero additional shuffle."""
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("nt"))
+    cs = F.col("n").cast("double") / F.col("nt").cast("double")
+    w = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "nt",
+        cs.alias("corpus_share"),
+        (F.lit(0.2) / cs).alias("wt"),
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "lang",
+                (F.col("n").cast("double") * F.col("wt")).alias("nw"),
+                (F.col("n").cast("double") * F.col("wt") * F.col("wt")).alias("nw2"),
+            )
+        )
+    )
+    e = w.agg(arr.alias("arr")).select(
+        F.aggregate("arr", F.lit(0.0), lambda a, x: a + x["nw"]).alias("sw"),
+        F.aggregate("arr", F.lit(0.0), lambda a, x: a + x["nw2"]).alias("sw2"),
+    )
+    return (
+        w.crossJoin(F.broadcast(e))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            "corpus_share",
+            F.col("wt").alias("weight"),
+            (F.col("sw") * F.col("sw") / F.col("sw2")).alias("ess"),
+            (F.col("sw") * F.col("sw") / F.col("sw2") / F.col("nt").cast("double")).alias(
+                "ess_ratio"
+            ),
+        )
+        .orderBy("lang")
+    )

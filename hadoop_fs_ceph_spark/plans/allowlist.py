@@ -67,6 +67,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "profile_partition_skew": "one-row (n_keys, n_total, max_rows) stats broadcast",
     "dedup_lsh_recall_report": "all-pairs truth join confined to the absolute 200-doc calibration sample + 5-row threshold grid",
     "ds_ab_power_analysis": "one-row metric-moment broadcast onto the fixed 4-row MDE grid",
+    "sample_importance_reweight": "one-row corpus-total and ESS broadcasts onto the 5-row class relation",
 }
 
 # --- global sorts of bounded relations ------------------------------------

@@ -1298,3 +1298,16 @@ def test_conversion_lag_conserves_converters(spark, sf_dir):
         .count()
     )
     assert sum(r["n_users"] for r in rows) == n_conv
+
+
+def test_importance_reweight_ess_and_mean_weight(spark, sf_dir):
+    """Reweighting invariants: weighted doc mass equals n (Σ n_g·w_g = n
+    since target shares sum to 1), ESS ≤ n with equality iff weights are
+    uniform, and every class's weight is positive."""
+    rows = SPECS["sample_importance_reweight"].fn(spark, sf_dir).collect()
+    n = t(spark, sf_dir, "documents").count()
+    assert abs(sum(r["n_docs"] * r["weight"] for r in rows) - n) < 1e-6 * n
+    assert all(r["weight"] > 0 for r in rows)
+    ess = rows[0]["ess"]
+    assert 0 < ess <= n + 1e-6
+    assert abs(rows[0]["ess_ratio"] - ess / n) < 1e-9
