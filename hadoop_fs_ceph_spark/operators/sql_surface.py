@@ -473,3 +473,107 @@ def sql_analyze_cbo_stats(spark, sf_dir):
         )
     out = per_col[0].unionByName(per_col[1]).orderBy("column_name")
     return out
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("sql", "modern", "parameterized"),
+)
+def sql_execute_immediate(spark, sf_dir):
+    """Parameterized SQL through the front door — Spark 4's EXECUTE
+    IMMEDIATE with a USING bind parameter: the query text is a value,
+    the parameter travels out-of-band (never string-interpolated),
+    which is the injection-safe template pattern BI layers and job
+    schedulers emit. Catalyst plans the bound statement exactly like
+    the inline spelling — same aggregate, same pushdown — so the
+    oracle is the plain query."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders WHERE o_orderstatus = ?
+           GROUP BY o_orderpriority ORDER BY o_orderpriority'
+          USING 'F'
+        """
+    )
+
+
+@query(
+    "sql_create_function",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 150000 THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM orders WHERE o_orderkey % 101 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("sql", "modern", "sql-udf"),
+)
+def sql_create_function(spark, sf_dir):
+    """SQL-defined scalar functions (Spark 4 CREATE FUNCTION ... RETURN
+    expr) — reusable business logic DECLARED IN SQL and inlined by
+    Catalyst at plan time (unlike Python UDFs these stay inside
+    whole-stage codegen and keep pushdown/codegen intact — the right
+    home for shared derivations like money-to-cents and tiering). Two
+    functions are created and composed; the oracle is the inlined
+    expression, proving the expansion is exact."""
+    _views(spark, sf_dir, "orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(ROUND(x * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_tier(x DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN x >= 300000 THEN 'high' "
+        "WHEN x >= 150000 THEN 'mid' ELSE 'low' END"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, to_cents(o_totalprice) AS cents,
+               price_tier(o_totalprice) AS tier
+        FROM orders WHERE o_orderkey % 101 = 0
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_above,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_above
+    FROM orders WHERE o_totalprice > 250000.0
+    """,
+    tags=("sql", "modern", "session-variables"),
+)
+def sql_session_variables(spark, sf_dir):
+    """Session variables (Spark 4 DECLARE VARIABLE / SET VAR) — typed,
+    session-scoped state referenced directly in queries: the
+    scripting-style parameter mechanism for multi-statement SQL jobs
+    (thresholds, run dates) without client-side string building.
+    Catalyst folds the variable reference to its constant at plan time,
+    so pushdown still reaches the scan; the oracle inlines the same
+    literal."""
+    _views(spark, sf_dir, "orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR price_floor = 250000.0")
+    return spark.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_above,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_above
+        FROM orders WHERE o_totalprice > price_floor
+        """
+    )

@@ -97,6 +97,7 @@ BOUNDED_SORT: dict[str, str] = {
     "fn_variant_family": _FN_DEMO,
     "fn_xml_family": _FN_DEMO,
     "fn_csv_scalar_roundtrip": _FN_DEMO,
+    "sql_create_function": _FN_DEMO,
     "dedup_hybrid_signal": "sorts the verified near-dup pair set (candidates after cosine+Jaccard gates, bounded ≪ corpus)",
     "sim_knn_batch_queries": "sorts |queries| x k rows (5x3) — the ranked answer set, not the corpus",
     "sim_l2_normalize": "demo slice ordered by doc_id for deterministic output",
