@@ -95,7 +95,7 @@ def dedup_exact_content(spark, sf_dir):
     )
 
 
-def _minhash_docs(spark, sf_dir):
+def _minhash_docs(spark, sf_dir, cap=None):
     """documents → (doc_id, sh: distinct 3-word shingles, sig: MinHash-16).
 
     Built as *stacked projections* so Catalyst keeps each expensive alias a
@@ -108,6 +108,11 @@ def _minhash_docs(spark, sf_dir):
     the signature pipeline per reference. At production scale this
     materialization is the "signatures table" of a dedup run."""
     d = t(spark, sf_dir, "documents")
+    if cap is not None:
+        # bound BEFORE the shingle/signature pipeline: persist() below is
+        # an optimizer barrier, so a filter above it would still tokenize
+        # and MinHash-sign the whole corpus
+        d = d.filter(F.col("doc_id") < cap)
     return (
         d.select("doc_id", F.transform(tokens("text"), lambda s: poly_hash(s)).alias("th"))
         .select("doc_id", F.array_distinct(hashed_shingles(F.col("th"), 3)).alias("sh"))
@@ -119,6 +124,22 @@ def _minhash_docs(spark, sf_dir):
         )
         .persist()
     )
+
+
+def _bands(docs):
+    """(doc_id, band, bh): the N_BANDS slim banding rows per signature —
+    the ONE construction every MinHash-LSH candidate stage joins on (a
+    banding retune edits this helper plus the SQL template, nothing
+    else)."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("k"),
+    ).select("doc_id", "k.band", "k.bh")
 
 
 _SQL_MINHASH_DOCS = f"""
@@ -170,15 +191,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     (≪ n²) ever touch the shingle arrays again, via two hash joins back
     to the signature relation."""
     docs = _minhash_docs(spark, sf_dir)
-    bands = docs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
-                for b in range(N_BANDS)
-            ])
-        ).alias("k"),
-    ).select("doc_id", "k.band", "k.bh")
+    bands = _bands(docs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
@@ -323,15 +336,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     its bucket populations grow linearly with the corpus, so the in-block
     quadratic verify melts at scale — hash-diverse LSH buckets don't."""
     docs = _minhash_docs(spark, sf_dir)
-    bands = docs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
-                for b in range(N_BANDS)
-            ])
-        ).alias("k"),
-    ).select("doc_id", "k.band", "k.bh")
+    bands = _bands(docs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
@@ -624,15 +629,7 @@ def dedup_minhash_lsh_prod(spark, sf_dir):
         )
         .persist()
     )
-    bands = docs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
-                for b in range(N_BANDS)
-            ])
-        ).alias("k"),
-    ).select("doc_id", "k.band", "k.bh")
+    bands = _bands(docs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
@@ -763,15 +760,7 @@ def dedup_containment(spark, sf_dir):
     by hash-diverse bucket sizes at any corpus size; only the verify
     metric differs."""
     docs = _minhash_docs(spark, sf_dir)
-    bands = docs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
-                for b in range(N_BANDS)
-            ])
-        ).alias("k"),
-    ).select("doc_id", "k.band", "k.bh")
+    bands = _bands(docs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
@@ -1142,7 +1131,7 @@ def dedup_lsh_recall_report(spark, sf_dir):
     sample); the candidate stage reuses the production banding over the
     same sample; the threshold grid is 5 literal rows. Empirical recall
     divides two exact integers."""
-    docs = _minhash_docs(spark, sf_dir).filter(F.col("doc_id") < _RECALL_CAP)
+    docs = _minhash_docs(spark, sf_dir, cap=_RECALL_CAP)
     xa = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
         F.col("n_sh").alias("na"),
@@ -1161,15 +1150,7 @@ def dedup_lsh_recall_report(spark, sf_dir):
         )
         .filter(F.col("ja") >= 0.5)
     )
-    bands = docs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
-                for b in range(N_BANDS)
-            ])
-        ).alias("k"),
-    ).select("doc_id", "k.band", "k.bh")
+    bands = _bands(docs)
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
         ba.join(bb, (F.col("ba.band") == F.col("bb.band")) & (F.col("ba.bh") == F.col("bb.bh")))

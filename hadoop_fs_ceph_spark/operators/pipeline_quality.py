@@ -1800,11 +1800,14 @@ def ds_ab_power_analysis(spark, sf_dir):
     WITH c AS (
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
     ),
-    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS k FROM c
+    ),
     w AS (
       SELECT lang, n,
              CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS corpus_share,
-             0.2 / (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) AS wt
+             (1.0 / CAST(k AS DOUBLE))
+               / (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) AS wt
       FROM c, tot
     ),
     e AS (
@@ -1823,7 +1826,8 @@ def ds_ab_power_analysis(spark, sf_dir):
     tags=("sample", "importance-weighting", "preprocessing"),
 )
 def sample_importance_reweight(spark, sf_dir):
-    """Importance REWEIGHTING toward the uniform 5-language target mix —
+    """Importance REWEIGHTING toward the uniform target mix (1/|classes|,
+    derived from the data — never a hardcoded class count) —
     the loss-weight alternative to resampling (`sample_token_budget_mix`
     / `sample_class_balance` drop or thin documents; reweighting keeps
     every document and scales its training contribution by
@@ -1839,14 +1843,14 @@ def sample_importance_reweight(spark, sf_dir):
     broadcast-join of this 5-row table — zero additional shuffle."""
     d = t(spark, sf_dir, "documents")
     c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    tot = c.agg(F.sum("n").alias("nt"))
+    tot = c.agg(F.sum("n").alias("nt"), F.count(F.lit(1)).alias("k"))
     cs = F.col("n").cast("double") / F.col("nt").cast("double")
     w = c.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n",
         "nt",
         cs.alias("corpus_share"),
-        (F.lit(0.2) / cs).alias("wt"),
+        ((F.lit(1.0) / F.col("k").cast("double")) / cs).alias("wt"),
     )
     arr = F.array_sort(
         F.collect_list(

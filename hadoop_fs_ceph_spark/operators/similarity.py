@@ -1151,7 +1151,7 @@ def sim_two_stage_retrieval(spark, sf_dir):
       FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
     ),
     binned AS (
-      SELECT LEAST(19, CAST(FLOOR((cs + 1.0) * 10.0) AS BIGINT)) AS bin
+      SELECT GREATEST(0, LEAST(19, CAST(FLOOR((cs + 1.0) * 10.0) AS BIGINT))) AS bin
       FROM pairs
     ),
     spine AS (SELECT unnest(generate_series(0, 19)) AS bin),
@@ -1178,8 +1178,11 @@ def sim_threshold_calibration(spark, sf_dir):
     sign-bucket key (never all-pairs — ~n²/16 worst case bounded by
     bucket sizes, the same blocking the ANN queries use); per-pair work
     is one cosine with pre-folded norms; the histogram is a 20-group
-    aggregate on a fixed spine. Bin ids floor a bit-identical double, so
-    counts hash-match exactly."""
+    aggregate on a fixed spine. Bin ids floor a bit-identical double and are clamped on BOTH sides
+    (a cosine can land an ulp outside [-1, 1] for (anti)parallel pairs —
+    an unclamped low side would silently drop rows from the spine join
+    in both engines identically, invisible to the differential), so
+    counts hash-match exactly and partition every blocked pair."""
     en = _with_norm(t(spark, sf_dir, "embeddings")).withColumn(
         "bucket", _bucket()
     )
@@ -1198,7 +1201,10 @@ def sim_threshold_calibration(spark, sf_dir):
         )
     )
     binned = pairs.select(
-        F.least(F.lit(19), F.floor((F.col("cs") + 1.0) * 10.0).cast("long")).alias("bin")
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(19).cast("long"), F.floor((F.col("cs") + 1.0) * 10.0).cast("long")),
+        ).alias("bin")
     )
     c = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"))
     spine = spark.range(0, 20).select(F.col("id").alias("bin"))

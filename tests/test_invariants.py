@@ -1311,3 +1311,18 @@ def test_importance_reweight_ess_and_mean_weight(spark, sf_dir):
     ess = rows[0]["ess"]
     assert 0 < ess <= n + 1e-6
     assert abs(rows[0]["ess_ratio"] - ess / n) < 1e-9
+
+
+def test_threshold_calibration_partitions_all_blocked_pairs(spark, sf_dir):
+    """The cosine histogram must conserve the blocked-pair count: the
+    sum over the 20-bin spine equals the exact number of same-bucket
+    id-ordered pairs (the both-side clamp guarantees no ulp-outside
+    cosine is silently dropped)."""
+    from hadoop_fs_ceph_spark.operators.similarity import _bucket
+
+    rows = SPECS["sim_threshold_calibration"].fn(spark, sf_dir).collect()
+    assert [r["bin"] for r in rows] == list(range(20))
+    e = t(spark, sf_dir, "embeddings").withColumn("b", _bucket())
+    per_bucket = [r["c"] for r in e.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()]
+    expected_pairs = sum(c * (c - 1) // 2 for c in per_bucket)
+    assert sum(r["n_pairs"] for r in rows) == expected_pairs
