@@ -142,6 +142,20 @@ def _bands(docs):
     ).select("doc_id", "k.band", "k.bh")
 
 
+def _pair_sides(docs):
+    """Left/right aliases of the signature relation for pair-verify
+    joins: (doc_a, sh_a, na) and (doc_b, sh_b, nb)."""
+    x = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    y = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    return x, y
+
+
 _SQL_MINHASH_DOCS = f"""
     SELECT doc_id, sh, {sql_minhash_signature("sh")} AS sig
     FROM (
@@ -199,8 +213,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
-    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+    x, y = _pair_sides(docs)
     # |A∩B| / (|A| + |B| - |A∩B|): one array op per pair (the union array
     # is never materialized — set sizes are exact ints, so the jaccard
     # double is bit-identical to the intersect/union form)
@@ -637,8 +650,7 @@ def dedup_minhash_lsh_prod(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
-    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+    x, y = _pair_sides(docs)
     return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
@@ -1132,14 +1144,7 @@ def dedup_lsh_recall_report(spark, sf_dir):
     same sample; the threshold grid is 5 literal rows. Empirical recall
     divides two exact integers."""
     docs = _minhash_docs(spark, sf_dir, cap=_RECALL_CAP)
-    xa = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
-        F.col("n_sh").alias("na"),
-    )
-    xb = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
-        F.col("n_sh").alias("nb"),
-    )
+    xa, xb = _pair_sides(docs)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     truth = (
         xa.join(xb, F.col("doc_a") < F.col("doc_b"))
