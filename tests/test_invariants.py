@@ -1326,3 +1326,42 @@ def test_threshold_calibration_partitions_all_blocked_pairs(spark, sf_dir):
     per_bucket = [r["c"] for r in e.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()]
     expected_pairs = sum(c * (c - 1) // 2 for c in per_bucket)
     assert sum(r["n_pairs"] for r in rows) == expected_pairs
+
+
+def test_label_propagation_separates_planted_communities(spark, tmp_path):
+    """Two co-purchase cliques joined by a sub-threshold bridge must come
+    out as two communities labeled by their minimum part ids."""
+    import os
+
+    import pandas as pd
+
+    rows = []
+    def add_order(ok, parts):
+        for i, p in enumerate(parts):
+            rows.append(
+                {
+                    "l_orderkey": ok, "l_partkey": p, "l_suppkey": 1,
+                    "l_linenumber": i + 1, "l_quantity": 1.0,
+                    "l_extendedprice": 10.0, "l_discount": 0.0, "l_tax": 0.0,
+                    "l_returnflag": "N", "l_linestatus": "O",
+                    "l_shipdate": pd.Timestamp("2024-01-01"),
+                }
+            )
+
+    for ok in (1, 2, 3, 4):      # clique A: parts 1-3 co-occur 4x
+        add_order(ok, [1, 2, 3])
+    for ok in (5, 6, 7, 8):      # clique B: parts 10-12 co-occur 4x
+        add_order(ok, [10, 11, 12])
+    add_order(9, [3, 10])        # bridge co-occurs ONCE < min threshold 2
+
+    df = pd.DataFrame(rows)
+    df["l_shipdate"] = df["l_shipdate"].astype("datetime64[ms]")
+    d = str(tmp_path / "lpa_sf")
+    os.makedirs(d, exist_ok=True)
+    df.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+
+    got = {
+        r["community"]: r["n_members"]
+        for r in SPECS["graph_label_propagation"].fn(spark, d).collect()
+    }
+    assert got == {1: 3, 10: 3}
