@@ -52,6 +52,7 @@ def main() -> None:
     spark = get_spark("scale-audit", driver_memory="8g")
     spark.sparkContext.setLogLevel("ERROR")
     flagged = 0
+    used: set[str] = set()
     for name in names:
         if name not in specs:
             print(f"unknown query: {name}")
@@ -69,9 +70,19 @@ def main() -> None:
             flagged += 1
         for p in allowed:
             print(f"  ok: {p}")
+            used.add(name)
         if not fleet:
             for s in audit.scans:
                 print(f"  scan: {s}")
+    if fleet:
+        # Allowlist hygiene: an entry whose query no longer carries the
+        # flag is drift — not a gate failure, but visible so entries get
+        # retired when a reformulation removes the pattern they excused.
+        from hadoop_fs_ceph_spark.plans.allowlist import _FLAG_ALLOW
+
+        listed = {n for allow in _FLAG_ALLOW.values() for n in allow}
+        for stale in sorted(listed - used):
+            print(f"note: allowlist entry no longer matches any flag: {stale}")
     sys.exit(1 if flagged else 0)
 
 

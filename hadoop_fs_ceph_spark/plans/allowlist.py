@@ -26,7 +26,6 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "q11_important_stock": "one-row global stock-value threshold broadcast",
     "agg_histogram_fixed": "one-row min/max bounds broadcast",
     "agg_hll_sketch_merge": "one-row exact-count broadcast (verification branch)",
-    "q15_top_supplier": "one-row max-revenue threshold broadcast",
     "q22_global_sales_opportunity": "one-row average-balance threshold broadcast",
     "ds_funnel_conversion": "three one-row stage counts cross-joined",
     "sim_ann_recall_report": "sampled query-batch broadcast (truth pass)",
