@@ -51,3 +51,39 @@ def load_all() -> dict[str, QuerySpec]:
     import hadoop_fs_ceph_spark.operators  # noqa: F401
 
     return REGISTRY
+
+
+def main() -> None:
+    """Registry browser:  python -m hadoop_fs_ceph_spark.registry [tag ...]
+
+    No args: tag histogram + totals. With tags: the queries carrying ALL
+    of them (name, tags, oracle/bench markers). Imports no SparkSession —
+    safe to run anywhere."""
+    import sys
+
+    # resolve through the canonical module: under `python -m ...` this file
+    # runs as __main__, whose REGISTRY is a different dict from the one
+    # the operator modules register into
+    from hadoop_fs_ceph_spark.registry import load_all as _canonical_load_all
+
+    specs = _canonical_load_all()
+    want = set(sys.argv[1:])
+    if not want:
+        tags: dict[str, int] = {}
+        for s in specs.values():
+            for tg in s.tags:
+                tags[tg] = tags.get(tg, 0) + 1
+        for tg, n in sorted(tags.items(), key=lambda kv: (-kv[1], kv[0])):
+            print(f"{n:4d}  {tg}")
+        n_oracle = sum(1 for s in specs.values() if s.oracle is not None)
+        print(f"---- {len(specs)} queries, {n_oracle} oracle-checked, "
+              f"{sum(1 for s in specs.values() if s.bench)} bench headliners")
+        return
+    for name, s in sorted(specs.items()):
+        if want <= set(s.tags):
+            marks = ("" if s.oracle else " [rows-only]") + (" [bench]" if s.bench else "")
+            print(f"{name}{marks}  ({', '.join(s.tags)})")
+
+
+if __name__ == "__main__":
+    main()
