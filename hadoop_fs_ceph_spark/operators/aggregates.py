@@ -1057,3 +1057,36 @@ def agg_exact_median_by_group_nosort(spark, sf_dir):
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "agg_approx_topk_sketch",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, item
+    """,
+    tags=("aggregate", "sketch", "top-k", "approx"),
+)
+def agg_approx_topk_sketch(spark, sf_dir):
+    """Engine-native frequent-items sketch — Spark 4's ``approx_top_k``
+    (the third heavy-hitter tier beside the hand-built count-min of
+    `agg_cms_heavy_hitters` and exact groupBy counts): one mergeable
+    sketch aggregate replaces the full (key → count) shuffle. Declared
+    here in its exactness-by-construction regime — k exceeds the
+    column's distinct count and every item fits the tracked set, so the
+    sketch's counts ARE the exact counts and the output hash-matches
+    the plain GROUP BY oracle after an explicit (count, item) re-sort
+    (the sketch's internal tie order is not a contract). Production
+    points the same call at genuinely high-cardinality columns, where
+    the guarantees degrade to frequency estimates like any
+    space-saving sketch."""
+    e = t(spark, sf_dir, "events")
+    one = e.agg(F.expr("approx_top_k(event_type, 8)").alias("tk"))
+    return (
+        one.select(F.explode("tk").alias("x"))
+        .select(
+            F.col("x.item").alias("item"), F.col("x.count").cast("long").alias("n")
+        )
+        .orderBy(F.col("n").desc(), "item")
+    )
