@@ -1195,3 +1195,90 @@ def dedup_lsh_recall_report(spark, sf_dir):
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "dedup_minhash_estimator_quality",
+    oracle=f"""
+    WITH docs AS ({_SQL_MINHASH_DOCS}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {sql_band_hash('sig', b)} AS bh FROM docs" for b in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_filter(list_transform(generate_series(1, 16),
+                  i -> x.sig[i] = y.sig[i]), v -> v)) AS INTEGER) AS sig_matches,
+           CAST(len(list_filter(list_transform(generate_series(1, 16),
+                  i -> x.sig[i] = y.sig[i]), v -> v)) AS DOUBLE) / 16.0
+             AS jaccard_est,
+           len(list_intersect(x.sh, y.sh))
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+             AS jaccard_exact,
+           ABS(CAST(len(list_filter(list_transform(generate_series(1, 16),
+                  i -> x.sig[i] = y.sig[i]), v -> v)) AS DOUBLE) / 16.0
+               - len(list_intersect(x.sh, y.sh))
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))))
+             AS abs_err
+    FROM cand c
+    JOIN docs x ON x.doc_id = c.doc_a
+    JOIN docs y ON y.doc_id = c.doc_b
+    """,
+    tags=("dedup", "minhash", "estimator", "quality"),
+)
+def dedup_minhash_estimator_quality(spark, sf_dir):
+    """MinHash ESTIMATION quality — the third leg of the calibration
+    suite (recall: `dedup_lsh_recall_report`; threshold:
+    `sim_threshold_calibration`): for every banding candidate pair, the
+    signature-agreement Jaccard estimate (matching slots / 16, the
+    number MinHash actually promises, E[matches]/K = J) against the
+    exact hashed-shingle Jaccard, with the absolute error per pair —
+    the readout that decides whether K=16 suffices for the corpus's
+    similarity profile or the signature must widen (σ ≈ √(J(1−J)/K)).
+
+    Scale shape: identical to the LSH pipeline — candidates from the
+    banding equality join, two hash joins back to the persisted
+    signature relation, all comparisons map-side; slot agreement is an
+    integer count and both Jaccards are ratios of exact integers, so
+    every column hash-matches. Unordered output (no sort of any
+    kind)."""
+    docs = _minhash_docs(spark, sf_dir)
+    bands = _bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"), F.col("sig").alias("sig_a"),
+    )
+    y = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("nb"), F.col("sig").alias("sig_b"),
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda v: v
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    ja = inter / (F.col("na") + F.col("nb") - inter)
+    est = matches.cast("double") / F.lit(16.0)
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("int").alias("sig_matches"),
+            est.alias("jaccard_est"),
+            ja.alias("jaccard_exact"),
+            F.abs(est - ja).alias("abs_err"),
+        )
+    )

@@ -1365,3 +1365,18 @@ def test_label_propagation_separates_planted_communities(spark, tmp_path):
         for r in SPECS["graph_label_propagation"].fn(spark, d).collect()
     }
     assert got == {1: 3, 10: 3}
+
+
+def test_minhash_estimator_error_within_sampling_bound(spark, sf_dir):
+    """Per-pair estimation error of the 16-slot signature must stay
+    within a generous multiple of the binomial std dev sqrt(J(1-J)/16)
+    (+ discretization 1/16) — a systematic-bias bug (e.g. a band/slot
+    indexing error) blows this bound, while correct MinHash stays well
+    inside it."""
+    rows = SPECS["dedup_minhash_estimator_quality"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        j = r["jaccard_exact"]
+        sigma = (j * (1 - j) / 16) ** 0.5
+        assert r["abs_err"] <= 4 * sigma + 1 / 16 + 1e-9, (r["doc_a"], r["doc_b"])
+        assert abs(r["jaccard_est"] - r["sig_matches"] / 16) < 1e-12
