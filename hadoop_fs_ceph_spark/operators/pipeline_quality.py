@@ -1879,3 +1879,104 @@ def sample_importance_reweight(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "sample_leakage_safe_split",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {sql_poly_hash("text")} AS ch FROM documents
+    ),
+    marked AS (
+      SELECT doc_id, ch,
+             CASE WHEN ch % 10 < 8 THEN 'train' ELSE 'test' END AS side_content,
+             CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END AS side_docid
+      FROM d
+    ),
+    v_content AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT ch FROM marked GROUP BY ch
+        HAVING COUNT(DISTINCT side_content) > 1
+      )
+    ),
+    v_docid AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT ch FROM marked GROUP BY ch
+        HAVING COUNT(DISTINCT side_docid) > 1
+      )
+    )
+    SELECT 'content' AS strategy,
+           CAST(SUM(CASE WHEN side_content = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(SUM(CASE WHEN side_content = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test,
+           (SELECT n FROM v_content) AS n_leaking_groups
+    FROM marked
+    UNION ALL
+    SELECT 'doc_id',
+           CAST(SUM(CASE WHEN side_docid = 'train' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN side_docid = 'test' THEN 1 ELSE 0 END) AS BIGINT),
+           (SELECT n FROM v_docid)
+    FROM marked
+    ORDER BY strategy
+    """,
+    tags=("sample", "split", "leakage", "dedup"),
+)
+def sample_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/test splitting — the WITHIN-corpus complement
+    of `text_decontaminate`'s train-vs-eval check: split on the CONTENT
+    hash, not the document id, so every duplicate group lands wholly on
+    one side (a duplicate straddling the split leaks training text into
+    evaluation). Both strategies are reported side by side with their
+    leaking-group counts: the content-keyed split's is zero BY
+    CONSTRUCTION (the side is a function of the group key), while the
+    naive id-keyed split's counts the real duplicate groups the corpus
+    would leak. Production swaps the exact-content key for the CC
+    cluster id (`dedup_cluster_cc`) to also pin near-duplicates
+    together — same gate, coarser key.
+
+    Scale shape: one map-side hash + gate per doc, one group-by on the
+    content hash for the violation counts, two scalar one-row verdicts
+    broadcast onto a two-row output."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", poly_hash(F.col("text")).alias("ch")
+    )
+    marked = d.select(
+        "doc_id",
+        "ch",
+        F.when(F.pmod("ch", F.lit(10)) < 8, "train").otherwise("test").alias(
+            "side_content"
+        ),
+        F.when(F.col("doc_id") % 10 < 8, "train").otherwise("test").alias(
+            "side_docid"
+        ),
+    ).persist()
+
+    def report(side_col, label):
+        viol = (
+            marked.groupBy("ch")
+            .agg(F.countDistinct(side_col).alias("k"))
+            .filter(F.col("k") > 1)
+            .agg(F.count(F.lit(1)).alias("n_leaking_groups"))
+        )
+        return (
+            marked.agg(
+                F.sum(F.when(F.col(side_col) == "train", 1).otherwise(0))
+                .cast("long")
+                .alias("n_train"),
+                F.sum(F.when(F.col(side_col) == "test", 1).otherwise(0))
+                .cast("long")
+                .alias("n_test"),
+            )
+            .crossJoin(F.broadcast(viol))
+            .select(
+                F.lit(label).alias("strategy"), "n_train", "n_test",
+                "n_leaking_groups",
+            )
+        )
+
+    return (
+        report("side_content", "content")
+        .unionByName(report("side_docid", "doc_id"))
+        .orderBy("strategy")
+    )

@@ -67,6 +67,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "dedup_lsh_recall_report": "all-pairs truth join confined to the absolute 200-doc calibration sample + 5-row threshold grid",
     "ds_ab_power_analysis": "one-row metric-moment broadcast onto the fixed 4-row MDE grid",
     "sample_importance_reweight": "one-row corpus-total and ESS broadcasts onto the 5-row class relation",
+    "sample_leakage_safe_split": "two one-row violation-count broadcasts onto the two-row strategy report",
 }
 
 # --- global sorts of bounded relations ------------------------------------

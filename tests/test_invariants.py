@@ -1380,3 +1380,16 @@ def test_minhash_estimator_error_within_sampling_bound(spark, sf_dir):
         sigma = (j * (1 - j) / 16) ** 0.5
         assert r["abs_err"] <= 4 * sigma + 1 / 16 + 1e-9, (r["doc_a"], r["doc_b"])
         assert abs(r["jaccard_est"] - r["sig_matches"] / 16) < 1e-12
+
+
+def test_leakage_safe_split_contract(spark, sf_dir):
+    """Content-keyed splitting leaks zero duplicate groups by
+    construction; both strategies partition the corpus; the ~80/20 gate
+    lands in a broad sanity band."""
+    rows = {r["strategy"]: r for r in SPECS["sample_leakage_safe_split"].fn(spark, sf_dir).collect()}
+    n = t(spark, sf_dir, "documents").count()
+    assert set(rows) == {"content", "doc_id"}
+    assert rows["content"]["n_leaking_groups"] == 0
+    for r in rows.values():
+        assert r["n_train"] + r["n_test"] == n
+        assert 0.6 * n <= r["n_train"] <= 0.95 * n
