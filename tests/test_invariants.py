@@ -1393,3 +1393,42 @@ def test_leakage_safe_split_contract(spark, sf_dir):
     for r in rows.values():
         assert r["n_train"] + r["n_test"] == n
         assert 0.6 * n <= r["n_train"] <= 0.95 * n
+
+
+def test_pareto_bracket_edge_shapes(spark, tmp_path):
+    """Bracket property n_lower < n_exact <= n_upper on adversarial
+    revenue shapes: all-equal (everyone in one bin), one dominant
+    customer (crossing at the first element), and a 50/50 pair."""
+    import os
+
+    import pandas as pd
+
+    def orders(vals, sub):
+        df = pd.DataFrame(
+            [
+                {
+                    "o_orderkey": i, "o_custkey": i, "o_orderstatus": "F",
+                    "o_totalprice": v,
+                    "o_orderdate": pd.Timestamp("2024-01-01"),
+                    "o_orderpriority": "1-URGENT",
+                }
+                for i, v in enumerate(vals)
+            ]
+        )
+        df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+        d = str(tmp_path / sub)
+        os.makedirs(d, exist_ok=True)
+        df.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+        return d
+
+    cases = {
+        "equal": [100.0] * 5,
+        "dominant": [9900.0, 25.0, 25.0, 25.0, 25.0],
+        "pair": [500.0, 500.0],
+    }
+    for name, vals in cases.items():
+        d = orders(vals, name)
+        exact = SPECS["ds_pareto_concentration"].fn(spark, d).collect()[0]
+        b = SPECS["ds_pareto_concentration_binned"].fn(spark, d).collect()[0]
+        assert b["n_top_lower"] < exact["n_top_customers"] <= b["n_top_upper"], name
+        assert b["n_cust"] == len(vals) and b["share_upper"] >= 0.8 - 1e-9, name
