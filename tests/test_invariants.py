@@ -1432,3 +1432,42 @@ def test_pareto_bracket_edge_shapes(spark, tmp_path):
         b = SPECS["ds_pareto_concentration_binned"].fn(spark, d).collect()[0]
         assert b["n_top_lower"] < exact["n_top_customers"] <= b["n_top_upper"], name
         assert b["n_cust"] == len(vals) and b["share_upper"] >= 0.8 - 1e-9, name
+
+
+def test_gini_binned_edge_shapes(spark, tmp_path):
+    """Binned Gini on degenerate shapes: all-equal must give exactly 0
+    in BOTH forms (every pairwise |s_i n_j - s_j n_i| term vanishes);
+    near-maximal inequality must stay within the 2/64 resolution bound
+    of the exact rank formula."""
+    import os
+
+    import pandas as pd
+
+    def orders(vals, sub):
+        df = pd.DataFrame(
+            [
+                {
+                    "o_orderkey": i, "o_custkey": i, "o_orderstatus": "F",
+                    "o_totalprice": v,
+                    "o_orderdate": pd.Timestamp("2024-01-01"),
+                    "o_orderpriority": "1-URGENT",
+                }
+                for i, v in enumerate(vals)
+            ]
+        )
+        df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+        d = str(tmp_path / sub)
+        os.makedirs(d, exist_ok=True)
+        df.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+        return d
+
+    d = orders([250.0] * 6, "equal")
+    exact = SPECS["agg_gini_concentration"].fn(spark, d).collect()[0]
+    binned = SPECS["agg_gini_concentration_binned"].fn(spark, d).collect()[0]
+    assert exact["gini"] == 0.0 and binned["gini_binned"] == 0.0
+
+    d = orders([0.01] * 9 + [90000.0], "extreme")
+    exact = SPECS["agg_gini_concentration"].fn(spark, d).collect()[0]
+    binned = SPECS["agg_gini_concentration_binned"].fn(spark, d).collect()[0]
+    assert exact["gini"] > 0.85
+    assert abs(binned["gini_binned"] - exact["gini"]) <= 2.0 / 64
