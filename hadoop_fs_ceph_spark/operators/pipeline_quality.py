@@ -620,28 +620,81 @@ def sample_class_balance(spark, sf_dir):
     tags=("profile", "histogram", "equi-depth", "statistics"),
 )
 def profile_equidepth_histogram(spark, sf_dir):
-    """Equi-depth (quantile-bucket) histogram — the statistics object
-    optimizers and data-profilers prefer over fixed-width bins for
-    skewed columns, because every bucket carries the same row count and
-    the BOUNDARIES encode the distribution: 8 ntile buckets over a total
-    order (value, key — the tie-break makes bucket assignment
-    deterministic at any parallelism), reporting each bucket's
-    population and [lo, hi] range.
+    """Equi-depth (quantile-bucket) histogram, EXACT — and since round 5
+    with NO sort and NO single-partition window: ntile semantics are
+    reproduced from first principles instead of ranked. ntile(8) over
+    (value, key) deals ranks 1..n into buckets of size q+1 (first r
+    buckets) then q, with q = n div 8, r = n mod 8 — so every bucket's
+    POPULATION is pure arithmetic on n, and its [lo, hi] price range is
+    the pair of order statistics at the bucket's boundary ranks
+    (start_b = (b−1)q + min(b−1, r) + 1, end_b = bq + min(b, r)). The
+    composite (price, orderkey) tie-break decides which ROW lands where
+    but never the multiset of prices per rank position — the k-th
+    composite's price IS the k-th smallest price — so the 16 boundary
+    VALUES are plain price order statistics, found exactly by the shared
+    histogram-refinement machinery (``_quantiles_refine``: a 16-row
+    (sid, lo, hi, k) broadcast state, three shared data passes,
+    ≤16·4096-row shuffles, zero sorts, zero driver state). This retires
+    the round-4 allowlist entry: the oracle stays the ntile truth, and
+    the plan now survives 100 TB."""
+    from hadoop_fs_ceph_spark.operators.aggregates import (
+        _MED_PASSES,
+        _quantiles_refine,
+    )
 
-    Scale note: ntile over an unpartitioned ORDER BY is a global sort —
-    acceptable for profiling runs and bounded outputs, but at 100 TB the
-    production form samples first or uses approx_percentile boundaries;
-    the exact form here is the oracle-checkable truth those approximate."""
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+    x = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).persist()
+    base = x.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    spine = spark.range(1, 9).select(F.col("id").cast("int").alias("bucket"))
+    bounds = spine.crossJoin(F.broadcast(base)).selectExpr(
+        "bucket",
+        "lo",
+        "hi",
+        "(bucket - 1) * (n div 8) + least(bucket - 1, n % 8) + 1 AS k_start",
+        "bucket * (n div 8) + least(bucket, n % 8) AS k_end",
+    )
+    states = bounds.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("bucket") * 2 - 1).cast("long").alias("sid"),
+                    F.col("k_start").alias("k"),
+                ),
+                F.struct(
+                    (F.col("bucket") * 2).cast("long").alias("sid"),
+                    F.col("k_end").alias("k"),
+                ),
+            )
+        ).alias("s"),
+        "lo",
+        "hi",
+    ).select(F.col("s.sid").alias("sid"), "lo", "hi", F.col("s.k").alias("k"))
+    for _ in range(_MED_PASSES):
+        states = _quantiles_refine(x, states, key="sid")
+    lohi = (
+        states.select(
+            F.expr("(sid + 1) div 2").cast("int").alias("bucket"),
+            F.when(F.col("sid") % 2 == 1, F.col("lo")).alias("c_start"),
+            F.when(F.col("sid") % 2 == 0, F.col("lo")).alias("c_end"),
+        )
         .groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
+            (F.min("c_start").cast("double") / 100.0).alias("lo"),
+            (F.max("c_end").cast("double") / 100.0).alias("hi"),
         )
+    )
+    return (
+        bounds.select(
+            "bucket", (F.col("k_end") - F.col("k_start") + 1).cast("long").alias("n")
+        )
+        .join(lohi, "bucket")
+        .select("bucket", "n", "lo", "hi")
         .orderBy("bucket")
     )
 

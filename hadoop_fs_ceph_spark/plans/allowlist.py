@@ -61,6 +61,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "dedup_semantic_cell_refined": "K=8 seed and refined-centroid table broadcasts (two bounded assign stages)",
     "text_bm25_rank": "one-row (n_docs, total_toks) corpus-stats broadcast",
     "agg_exact_median_nosort": "one-row (lo, hi, k) refinement-state broadcasts between histogram passes",
+    "profile_equidepth_histogram": "16-row boundary-rank (sid, lo, hi, k) refinement-state broadcasts between shared histogram passes",
     "agg_exact_quantiles_nosort": "4-row (pct, lo, hi, k) refinement-state broadcasts between shared histogram passes",
     "profile_psi_drift": "one-row group-total and PSI-total broadcasts onto the fixed 17-row grid",
     "profile_partition_skew": "one-row (n_keys, n_total, max_rows) stats broadcast",
@@ -124,7 +125,6 @@ SINGLE_PARTITION_WINDOW: dict[str, str] = {
     "win_cumulative_distinct": "running window over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
     "win_cusum_changepoint": "CUSUM fold over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
     "profile_ks_drift": "final max-gap window over the fixed 17-row ECDF grid relation",
-    "profile_equidepth_histogram": "exact-ntile oracle-truth twin; production form is profile_equidepth_histogram_approx (percentile_approx cutpoints, audited clean)",
     "ds_rfm_segmentation": "exact-ntile oracle-truth twin; production form is ds_rfm_segmentation_approx (percentile_approx composite cutpoints, audited clean)",
     "agg_gini_concentration": "exact rank-formula oracle-truth twin; production form is agg_gini_concentration_binned (binned mean-absolute-difference, audited clean)",
     "ds_pareto_concentration": "exact running-sum oracle-truth twin; production form is ds_pareto_concentration_binned (binned top-share bracket, audited clean)",
@@ -136,22 +136,81 @@ DECLARED_PYTHON: dict[str, str] = {
     "udf_python_udtf": "THE declared Python-UDTF surface demo (Spark 4 @udtf + LATERAL) over a bounded doc_id % 97 sample — production tokenization stays in built-ins",
 }
 
-_FLAG_ALLOW = {
-    "cartesian/nested-loop join — O(n·m) at scale": INTENTIONAL_CROSS,
-    "global sort of an unaggregated relation — sorts the world": BOUNDED_SORT,
-    "single-partition window — whole relation funnels through one task": SINGLE_PARTITION_WINDOW,
-    "row-at-a-time Python UDF on the hot path": DECLARED_PYTHON,
+# --- streaming state that cannot be evicted, by declared design -------------
+# The streaming-state audit (plans/inspect.py streaming_state_flags) flags
+# state a watermark can never evict. These queries carry such state on
+# purpose: batch-equivalence oracle twins (complete mode is the only output
+# mode whose sink equals the batch aggregate after an availableNow drain) or
+# spec-bounded key domains. Each demo-twin entry names the watermarked
+# production form, which is audited clean.
+STREAMING_STATE: dict[str, str] = {
+    "stream_tumbling_window": "complete-mode batch-equivalence twin; production form is the watermarked append file sink (stream_file_sink, audited clean)",
+    "stream_sliding_window": "complete-mode batch-equivalence twin; the watermarked append discipline is pinned by stream_file_sink and tests/test_streaming.py",
+    "stream_session_window": "complete-mode batch-equivalence twin; production form is stream_session_window_watermarked (audited clean)",
+    "stream_running_count": "THE declared complete-mode running-count surface demo — unbounded by design to document the mode; production counts use the watermarked windowed forms",
+    "stream_static_join": "complete-mode sink over the spec-bounded c_mktsegment key domain (5 segments; state is |segments| rows at any corpus size)",
+    "stream_trending_topk": "complete-mode oracle-truth twin; production form is stream_trending_topk_watermarked (watermark-evicted daily windows, audited clean)",
+    "stream_foreachbatch_upsert": "update-mode aggregate keyed on the spec-bounded event-type dim (5 values; state is |types| rows at any corpus size)",
+    "stream_custom_state": "declared applyInPandasWithState surface demo — NoTimeout is required by the batch-equivalence contract (cumulative state must survive the whole drain); production sets ProcessingTimeTimeout",
 }
+
+# Group label → dict. Labels are stable identifiers used by the stale-entry
+# report: staleness is tracked per (group, name), so a query listed in TWO
+# groups (e.g. udf_python_udtf in BOUNDED_SORT and DECLARED_PYTHON) only
+# counts as 'used' in the group whose flag actually matched.
+ALLOW_GROUPS: dict[str, dict[str, str]] = {
+    "INTENTIONAL_CROSS": INTENTIONAL_CROSS,
+    "BOUNDED_SORT": BOUNDED_SORT,
+    "SINGLE_PARTITION_WINDOW": SINGLE_PARTITION_WINDOW,
+    "DECLARED_PYTHON": DECLARED_PYTHON,
+    "STREAMING_STATE": STREAMING_STATE,
+}
+
+from hadoop_fs_ceph_spark.plans.inspect import (  # noqa: E402  (flag-text constants)
+    FLAG_STREAM_COMPLETE_AGG,
+    FLAG_STREAM_DEDUP_NO_EVICTION,
+    FLAG_STREAM_STATE_NO_TIMEOUT,
+    FLAG_STREAM_UNWATERMARKED_AGG,
+)
+
+# flag text → (group label, allowlist dict). All four streaming flags share
+# the STREAMING_STATE group: they are one defect class (unevictable state)
+# with one allowlist of declared carriers.
+_FLAG_ALLOW: dict[str, tuple[str, dict[str, str]]] = {
+    "cartesian/nested-loop join — O(n·m) at scale": ("INTENTIONAL_CROSS", INTENTIONAL_CROSS),
+    "global sort of an unaggregated relation — sorts the world": ("BOUNDED_SORT", BOUNDED_SORT),
+    "single-partition window — whole relation funnels through one task": (
+        "SINGLE_PARTITION_WINDOW",
+        SINGLE_PARTITION_WINDOW,
+    ),
+    "row-at-a-time Python UDF on the hot path": ("DECLARED_PYTHON", DECLARED_PYTHON),
+    FLAG_STREAM_DEDUP_NO_EVICTION: ("STREAMING_STATE", STREAMING_STATE),
+    FLAG_STREAM_COMPLETE_AGG: ("STREAMING_STATE", STREAMING_STATE),
+    FLAG_STREAM_UNWATERMARKED_AGG: ("STREAMING_STATE", STREAMING_STATE),
+    FLAG_STREAM_STATE_NO_TIMEOUT: ("STREAMING_STATE", STREAMING_STATE),
+}
+
+
+def split_flags_detail(
+    name: str, problems: list[str]
+) -> tuple[list[str], list[str], list[tuple[str, str]]]:
+    """Partition a query's audit problems into (real, allowlisted-with-reason,
+    used (group, name) pairs). The pairs feed the stale-entry report: an
+    allowlist entry is 'used' only when a flag mapping to ITS group matched."""
+    real: list[str] = []
+    allowed: list[str] = []
+    used: list[tuple[str, str]] = []
+    for p in problems:
+        label, allow = _FLAG_ALLOW.get(p, ("", {}))
+        if name in allow:
+            allowed.append(f"{p} [allowlisted: {allow[name]}]")
+            used.append((label, name))
+        else:
+            real.append(p)
+    return real, allowed, used
 
 
 def split_flags(name: str, problems: list[str]) -> tuple[list[str], list[str]]:
     """Partition a query's audit problems into (real, allowlisted-with-reason)."""
-    real: list[str] = []
-    allowed: list[str] = []
-    for p in problems:
-        allow = _FLAG_ALLOW.get(p, {})
-        if name in allow:
-            allowed.append(f"{p} [allowlisted: {allow[name]}]")
-        else:
-            real.append(p)
+    real, allowed, _used = split_flags_detail(name, problems)
     return real, allowed

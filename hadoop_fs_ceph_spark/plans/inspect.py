@@ -117,6 +117,83 @@ class ScaleAudit:
         return out
 
 
+# --- streaming state audit --------------------------------------------------
+# Flag strings are shared with plans/allowlist.py (the allowlist keys on the
+# exact text, like the batch flags above).
+FLAG_STREAM_DEDUP_NO_EVICTION = (
+    "streaming dedup without state eviction — key state grows with every "
+    "unique key ever seen"
+)
+FLAG_STREAM_COMPLETE_AGG = (
+    "complete-mode streaming aggregate — state and sink retain every group "
+    "ever seen"
+)
+FLAG_STREAM_UNWATERMARKED_AGG = (
+    "unwatermarked streaming aggregate — per-key state never expires"
+)
+FLAG_STREAM_STATE_NO_TIMEOUT = (
+    "custom stateful operator without timeout — per-key state never expires"
+)
+
+STREAMING_FLAGS = (
+    FLAG_STREAM_DEDUP_NO_EVICTION,
+    FLAG_STREAM_COMPLETE_AGG,
+    FLAG_STREAM_UNWATERMARKED_AGG,
+    FLAG_STREAM_STATE_NO_TIMEOUT,
+)
+
+# Streaming nodes print with a `~` marker (`+- ~Deduplicate [...]`); the
+# eviction-correct variant is `~DeduplicateWithinWatermark [...]`, which the
+# required space-before-bracket deliberately does NOT match.
+_DEDUP_NODE = re.compile(r"~Deduplicate \[([^\]]*)\]")
+# `~EventTimeWatermark <node-uuid>, ts#13: timestamp, 10 minutes`
+_WATERMARK_NODE = re.compile(r"EventTimeWatermark (?:[0-9a-f-]+, )?(\w+)#\d+")
+
+
+def streaming_state_flags(sdf: DataFrame, output_mode: str) -> list[str]:
+    """State-shape red flags for a streaming DataFrame, read from its
+    ANALYZED logical plan (the physical streaming plan only exists per
+    micro-batch, so the audit runs pre-sink on the logical shape).
+
+    The defect class this gate exists for (round-4 verdict): state that
+    the watermark can never evict. Four shapes are inspected:
+
+    * ``Deduplicate`` whose key set excludes the event-time column —
+      Spark only evicts dedup state when event time is part of the keys;
+      ``DeduplicateWithinWatermark`` is the eviction-correct variant and
+      passes clean.
+    * Any aggregate draining to a ``complete``-mode sink — complete mode
+      must re-emit the full result each trigger, so neither state nor
+      sink can ever drop a group (legitimate only for bounded key
+      domains or declared batch-equivalence demos).
+    * An ``update``-mode aggregate with no ``EventTimeWatermark`` in the
+      plan — per-key state is kept forever because nothing marks a key
+      finalizable.
+    * ``FlatMapGroupsInPandasWithState`` with ``NoTimeout`` — user state
+      that no timeout ever expires.
+    """
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    flags: list[str] = []
+
+    wm_cols = set(_WATERMARK_NODE.findall(plan))
+    for m in _DEDUP_NODE.finditer(plan):
+        key_cols = {c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()}
+        if not (wm_cols & key_cols):
+            flags.append(FLAG_STREAM_DEDUP_NO_EVICTION)
+            break
+
+    has_agg = "~Aggregate [" in plan
+    if has_agg and output_mode == "complete":
+        flags.append(FLAG_STREAM_COMPLETE_AGG)
+    if has_agg and output_mode == "update" and not wm_cols:
+        flags.append(FLAG_STREAM_UNWATERMARKED_AGG)
+
+    if "FlatMapGroupsInPandasWithState" in plan and "NoTimeout" in plan:
+        flags.append(FLAG_STREAM_STATE_NO_TIMEOUT)
+
+    return flags
+
+
 def scale_audit(df: DataFrame, execute: bool = False) -> ScaleAudit:
     """Audit a DataFrame's physical plan for scale red flags."""
     plan = plan_of(df, execute=execute)

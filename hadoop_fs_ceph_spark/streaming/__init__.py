@@ -8,6 +8,11 @@ so each declared streaming query is a *finite* run whose result must equal
 the equivalent batch query (and, where SQL-expressible, the DuckDB oracle).
 """
 
-from hadoop_fs_ceph_spark.streaming.runner import events_stream, run_to_memory
+from hadoop_fs_ceph_spark.streaming.runner import (
+    AuditStop,
+    audit_gate,
+    events_stream,
+    run_to_memory,
+)
 
-__all__ = ["events_stream", "run_to_memory"]
+__all__ = ["AuditStop", "audit_gate", "events_stream", "run_to_memory"]

@@ -16,6 +16,30 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# --- streaming-state audit capture ------------------------------------------
+# When the scale-audit CLI (plans/__main__.py --all) audits a streaming
+# query, it must see the PRE-SINK streaming plan without draining the
+# stream. It sets `_capture` to a list; every sink entry point then records
+# (sink_name, output_mode, state_flags) and raises AuditStop instead of
+# starting the query. Normal runs (``_capture is None``) are unaffected.
+_capture: list | None = None
+
+
+class AuditStop(Exception):
+    """Raised by audit_gate in audit mode — the stream was inspected, not run."""
+
+
+def audit_gate(sdf: DataFrame, name: str, output_mode: str) -> None:
+    """Record the streaming-state audit for a sink-bound plan and, in audit
+    mode, stop before the stream starts. Called by run_to_memory and by
+    every streaming query that drives its own ``writeStream...start()``."""
+    if _capture is None:
+        return
+    from hadoop_fs_ceph_spark.plans.inspect import streaming_state_flags
+
+    _capture.append((name, output_mode, streaming_state_flags(sdf, output_mode)))
+    raise AuditStop(name)
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events table directory.
@@ -58,6 +82,7 @@ def run_to_memory(
     append mode otherwise accumulates across re-runs of the same declared
     query within one session (fresh checkpoint ⇒ full replay ⇒ doubled
     rows)."""
+    audit_gate(sdf, name, output_mode)
     spark = sdf.sparkSession
     run_id = uuid.uuid4().hex[:8]
     table = f"{name}_{run_id}"

@@ -262,6 +262,72 @@ def test_production_twins_have_no_single_partition_window(spark, sf_dir, name):
     assert audit.single_partition_windows == 0, name
 
 
+# --- streaming-state audit (round-5: the gate no longer skips streaming) ---
+
+from hadoop_fs_ceph_spark.plans.inspect import (  # noqa: E402
+    FLAG_STREAM_DEDUP_NO_EVICTION,
+    streaming_state_flags,
+)
+from hadoop_fs_ceph_spark.streaming import runner as stream_runner  # noqa: E402
+
+
+def _streaming_audit(name, spark, sf_dir):
+    """Run a streaming query under audit capture: it executes up to its
+    first sink entry point, which records (sink, mode, state flags) and
+    stops before the stream starts."""
+    cap: list = []
+    stream_runner._capture = cap
+    try:
+        SPECS[name].fn(spark, sf_dir)
+    except stream_runner.AuditStop:
+        pass
+    finally:
+        stream_runner._capture = None
+    assert cap, f"{name}: no sink entry point reached under audit"
+    return cap[0]
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n, s in SPECS.items() if "streaming" in s.tags),
+)
+def test_streaming_fleet_state_audit_clean(spark, sf_dir, name):
+    """Streaming twin of test_fleet_audit_clean: every streaming query's
+    pre-sink plan must carry ZERO unallowlisted state-shape flags (dedup
+    without eviction, complete-mode / unwatermarked aggregates, NoTimeout
+    custom state). This closes the round-4 gate blind spot — the fleet
+    audit used to skip streaming-tagged queries entirely, which is how
+    two unbounded dedup state stores shipped."""
+    _sink, _mode, flags = _streaming_audit(name, spark, sf_dir)
+    real, _allowed = split_flags(name, flags)
+    assert real == [], f"{name}: {real}"
+
+
+def test_streaming_dedup_uses_eviction_variant(spark, sf_dir):
+    """Pins round-4 verdict item 1: both streaming dedup queries must plan
+    DeduplicateWithinWatermark (state evicts as the watermark advances) —
+    zero state flags, not an allowlisted pass."""
+    for q in ("stream_dedup_watermark", "stream_content_dedup"):
+        _sink, mode, flags = _streaming_audit(q, spark, sf_dir)
+        assert mode == "append" and flags == [], (q, flags)
+
+
+def test_streaming_dedup_flag_fires_on_uneviction(spark, sf_dir):
+    """The flag must be ACTIVE: the exact defect shape that shipped in
+    round 4 (dropDuplicates keyed without the event-time column) is
+    flagged; keying on event time or using the WithinWatermark variant is
+    clean."""
+    from hadoop_fs_ceph_spark.streaming import events_stream
+
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    bad = s.dropDuplicates(["user_id", "event_type"])
+    assert FLAG_STREAM_DEDUP_NO_EVICTION in streaming_state_flags(bad, "append")
+    keyed = s.dropDuplicates(["user_id", "event_type", "ts"])
+    assert FLAG_STREAM_DEDUP_NO_EVICTION not in streaming_state_flags(keyed, "append")
+    good = s.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    assert streaming_state_flags(good, "append") == []
+
+
 def test_zipf_topk_is_take_ordered(spark, sf_dir):
     """text_zipf_profile's rank-then-filter(rnk<=20) must plan as
     TakeOrderedAndProject (Catalyst's InferWindowGroupLimit turns the
