@@ -797,6 +797,11 @@ def agg_bitmap_distinct(spark, sf_dir):
 # the is_exact output column verifies convergence instead of trusting it.
 _MED_B = 4096
 _MED_PASSES = 3
+# Wide-domain pass count: composite keys (value·1e8 + tiebreak — the exact
+# RFM / equi-depth reformulations) span up to the full signed-long range, so
+# 3 passes (4096³ ≈ 6.9e10) cannot collapse them. 4096⁶ = 2^72 > 2^64
+# pins ANY long domain to width 1 — convergence by arithmetic, not luck.
+_MED_PASSES_WIDE = 6
 
 
 @query(
@@ -878,17 +883,24 @@ def _quantiles_refine(x, states, key="pct"):
     population) the states fan out to every row. Bucket ids and range
     narrowing use true integer ``div`` — a double divide + cast can
     round up across an integer boundary (and loses exactness past
-    2^53). ``agg_exact_median_nosort`` is the 1-row state case."""
+    2^53). Binning is WIDTH-based (b = (cents − lo) div w with
+    w = ⌈range/B⌉) rather than ((cents − lo)·B) div range: the product
+    form overflows long once the value domain nears 2^63/B — and the
+    composite value·1e8 + key domains of the exact RFM/histogram
+    reformulations live there — while the width form's largest
+    intermediate is the range itself. ``agg_exact_median_nosort`` is
+    the 1-row state case."""
     bound = (
         x.join(F.broadcast(states), key)
         if key in x.columns
         else x.crossJoin(F.broadcast(states))
     )
+    w_expr = f"((hi - lo) div {_MED_B}) + 1"
     binned = (
         bound.filter(F.col("cents").between(F.col("lo"), F.col("hi")))
         .select(
             key,
-            F.expr(f"((cents - lo) * {_MED_B}) div (hi - lo + 1)").alias("b"),
+            F.expr(f"(cents - lo) div ({w_expr})").alias("b"),
         )
         .groupBy(key, "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -927,9 +939,8 @@ def _quantiles_refine(x, states, key="pct"):
         )
         .selectExpr(
             key,
-            f"lo + ((acc.sel_b * (hi - lo + 1) + {_MED_B - 1}) div {_MED_B}) AS lo",
-            f"lo + (((acc.sel_b + 1) * (hi - lo + 1) + {_MED_B - 1}) div {_MED_B})"
-            " - 1 AS hi",
+            f"lo + acc.sel_b * ({w_expr}) AS lo",
+            f"least(hi, lo + (acc.sel_b + 1) * ({w_expr}) - 1) AS hi",
             "k - acc.cum_before AS k",
         )
     )

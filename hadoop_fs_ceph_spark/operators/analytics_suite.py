@@ -459,13 +459,31 @@ def ds_attribution_touch(spark, sf_dir):
 def ds_rfm_segmentation(spark, sf_dir):
     """RFM segmentation: per customer recency (days since last order,
     vs the corpus max date), frequency (orders), monetary (exact
-    cents), each quartiled by ntile with custkey tiebreaks so bucket
-    assignment is fully deterministic; segments then profiled by
-    population and revenue. The windows run over the per-CUSTOMER
-    relation (one aggregate shrinks facts first). The unpartitioned
-    ntile is the test-scale formulation; at billions of customers the
-    cutpoints come from percentile_approx and a broadcast CASE —
-    same output contract, no global sort."""
+    cents), each quartiled with custkey tiebreaks so bucket assignment
+    is fully deterministic; segments then profiled by population and
+    revenue.
+
+    EXACT and, since round 5, with NO sort and NO single-partition
+    window: each dimension's ntile(4) assignment is reproduced from
+    first principles. The dimension key is the composite value·C +
+    custkey (descending dims negate the value — the same composite the
+    approx twin sketches), which makes every key DISTINCT, so a
+    customer's ntile bucket is 1 + (#cutpoints below its key) where the
+    3 cutpoints are the composite order statistics at the quartile
+    boundary ranks end_i = i·(n div 4) + min(i, n mod 4) — exactly
+    ntile's deal arithmetic. The 9 boundary values (3 dims × 3 cuts)
+    come from the shared histogram-refinement machinery in SIX shared
+    passes (the wide-domain count: composites span ~2^57, beyond the
+    3-pass 4096³ reach; 4096⁶ > 2^64 collapses any long range) over the
+    9·|customers| exploded (skey, composite) relation — ≤9·4096-row
+    shuffles, zero sorts, zero driver state — then ride into the
+    map-side bucket assignment as a one-row broadcast map.
+    Composite bound: holds while custkey < C = 1e8 (docs at _RFM_C)."""
+    from hadoop_fs_ceph_spark.operators.aggregates import (
+        _MED_PASSES_WIDE,
+        _quantiles_refine,
+    )
+
     o = t(spark, sf_dir, "orders")
     m = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_d"),
@@ -473,21 +491,65 @@ def ds_rfm_segmentation(spark, sf_dir):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
     )
     maxd = m.agg(F.max("last_d").alias("maxd"))
-    withr = m.crossJoin(F.broadcast(maxd)).select(
-        "o_custkey", "freq", "cents", F.datediff("maxd", "last_d").alias("recency")
+    comp = (
+        m.crossJoin(F.broadcast(maxd))
+        .select(
+            "cents",
+            (
+                F.datediff("maxd", "last_d").cast("long") * _RFM_C
+                + F.col("o_custkey")
+            ).alias("rc"),
+            (-F.col("freq") * _RFM_C + F.col("o_custkey")).alias("fc"),
+            (-F.col("cents") * _RFM_C + F.col("o_custkey")).alias("mc"),
+        )
+        .persist()
     )
-    buck = withr.select(
-        F.ntile(4).over(Window.orderBy("recency", "o_custkey")).alias("r_bucket"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
-        .alias("f_bucket"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("cents").desc(), "o_custkey"))
-        .alias("m_bucket"),
-        "cents",
+    x9 = comp.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dim * 10 + cut).cast("long").alias("skey"),
+                        F.col(col).alias("cents"),
+                    )
+                    for dim, col in ((1, "rc"), (2, "fc"), (3, "mc"))
+                    for cut in (1, 2, 3)
+                ]
+            )
+        ).alias("s")
+    ).select("s.skey", "s.cents").persist()
+    base = x9.groupBy("skey").agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
     )
+    states = base.selectExpr(
+        "skey",
+        "lo",
+        "hi",
+        "(skey % 10) * (n div 4) + least(skey % 10, n % 4) AS k",
+    )
+    for _ in range(_MED_PASSES_WIDE):
+        states = _quantiles_refine(x9, states, key="skey")
+    cuts = states.agg(
+        F.map_from_entries(F.collect_list(F.struct("skey", "lo"))).alias("cut")
+    )
+
+    def bucket(col, dim):
+        b = F.lit(1)
+        for cut in (1, 2, 3):
+            b = b + (F.col(col) > F.col("cut")[F.lit(dim * 10 + cut)]).cast("int")
+        return b.cast("int")
+
     return (
-        buck.groupBy("r_bucket", "f_bucket", "m_bucket")
+        comp.crossJoin(F.broadcast(cuts))
+        .select(
+            bucket("rc", 1).alias("r_bucket"),
+            bucket("fc", 2).alias("f_bucket"),
+            bucket("mc", 3).alias("m_bucket"),
+            "cents",
+        )
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             (F.sum("cents").cast("double") / F.lit(100.0)).alias("monetary"),

@@ -125,7 +125,6 @@ SINGLE_PARTITION_WINDOW: dict[str, str] = {
     "win_cumulative_distinct": "running window over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
     "win_cusum_changepoint": "CUSUM fold over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
     "profile_ks_drift": "final max-gap window over the fixed 17-row ECDF grid relation",
-    "ds_rfm_segmentation": "exact-ntile oracle-truth twin; production form is ds_rfm_segmentation_approx (percentile_approx composite cutpoints, audited clean)",
     "agg_gini_concentration": "exact rank-formula oracle-truth twin; production form is agg_gini_concentration_binned (binned mean-absolute-difference, audited clean)",
     "ds_pareto_concentration": "exact running-sum oracle-truth twin; production form is ds_pareto_concentration_binned (binned top-share bracket, audited clean)",
 }
