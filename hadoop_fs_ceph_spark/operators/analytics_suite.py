@@ -265,11 +265,17 @@ def ds_pareto_concentration(spark, sf_dir):
     revenue. Per-customer revenues are exact integer cents; the ranked
     cumulative sum is an integer window (order-free); a customer is kept
     while the cumulative total BEFORE them is under the 80% line, so the
-    result set crosses the threshold exactly once. The global ranking
-    runs over the per-customer aggregate (≪ facts); at extreme customer
-    cardinality the same audit runs on a revenue-histogram sketch
-    instead — the aggregate-then-rank shape is unchanged. The two
-    scalar totals join in as one-row broadcasts."""
+    result set crosses the threshold exactly once.
+
+    EXACT and, since round 5, with NO single-partition window: the
+    descending running sum comes from ``_ranked_nosort`` over the
+    distinct composite key −rc·1e8 + custkey (ascending composite order
+    IS (rc DESC, custkey) — the oracle's frame), which range-bins,
+    folds per-bin (count, sum) prefixes into a broadcast ≤4096-row
+    offset map, and runs the window partitioned BY BIN. The ranked
+    relation is the per-customer aggregate (≪ facts); the two scalar
+    totals join in as one-row broadcasts. Composite bound: custkey <
+    1e8, per-customer cents < 9.2e10 (documented at _RFM_C)."""
     o = t(spark, sf_dir, "orders")
     pc = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rc")
@@ -277,12 +283,13 @@ def ds_pareto_concentration(spark, sf_dir):
     tot = pc.agg(
         F.sum("rc").alias("t"), F.count(F.lit(1)).alias("n_cust")
     )
-    w = Window.orderBy(F.col("rc").desc(), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    keyed = pc.select(
+        (-F.col("rc") * _RFM_C + F.col("o_custkey")).alias("key"),
+        F.col("rc").alias("val"),
     )
-    ranked = pc.select("rc", F.sum("rc").over(w).alias("cum"))
+    ranked = _ranked_nosort(keyed)
     kept = ranked.crossJoin(F.broadcast(tot)).filter(
-        (F.col("cum") - F.col("rc")).cast("double") < 0.8 * F.col("t").cast("double")
+        (F.col("cum") - F.col("val")).cast("double") < 0.8 * F.col("t").cast("double")
     )
     return kept.agg(
         F.count(F.lit(1)).alias("n_top_customers"),
@@ -705,23 +712,28 @@ def ds_rfm_segmentation_approx(spark, sf_dir):
 def agg_gini_concentration(spark, sf_dir):
     """Exact Gini coefficient of customer revenue concentration via
     the rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
-    ascending-sorted exact cents (custkey tiebreak pins ranks; equal
-    values make rank order immaterial to the sum). All moments are
-    integer until the single final division — bit-identical across
-    engines. Complements ds_pareto_concentration with the standard
-    scalar inequality index; the rank window runs over the
-    per-customer aggregate, never the fact table."""
-    o = t(spark, sf_dir, "orders")
-    x = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    ascending exact cents (custkey tiebreak pins ranks; equal values
+    make rank order immaterial to the sum). All moments are integer
+    until the single final division — bit-identical across engines.
+
+    EXACT and, since round 5, with NO single-partition window: global
+    ranks come from ``_ranked_nosort`` — range-bin the distinct
+    composite key cents·1e8 + custkey (the ntile tiebreak composite;
+    its ascending order IS (cents, custkey)), rank within bins in
+    parallel, lift to global ranks through a broadcast ≤4096-row prefix
+    map. Composite bound: holds while custkey < 1e8 and per-customer
+    cents < 9.2e10 (~$0.9B); a wider corpus bumps _RFM_C or switches
+    the composite to DECIMAL. The ranked relation is the per-customer
+    aggregate, never the fact table."""
+    x = _conc_customer_cents(spark, sf_dir)
+    keyed = x.select(
+        (F.col("cents") * _RFM_C + F.col("o_custkey")).alias("key"),
+        F.col("cents").alias("val"),
     )
-    ranked = x.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
-    )
+    ranked = _ranked_nosort(keyed)
     n = F.count(F.lit(1))
-    sx = F.sum("cents")
-    six = F.sum(F.col("i") * F.col("cents"))
+    sx = F.sum("val")
+    six = F.sum(F.col("i") * F.col("val"))
     return ranked.agg(
         n.cast("long").alias("n"),
         sx.cast("long").alias("total_cents"),
@@ -775,6 +787,89 @@ def _conc_customer_cents(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+
+
+def _ranked_nosort(x, bins=4096):
+    """EXACT global rank + inclusive running sum over DISTINCT long keys
+    with NO single-partition window — the distributed-rank pattern:
+
+    1. range-bin every row against a broadcast one-row (lo, hi) bound
+       (map-side, width-based integer ``div`` — same overflow posture as
+       ``_quantiles_refine``);
+    2. one partial-merged aggregate gives per-bin (count, value-sum) —
+       ≤ ``bins`` rows — whose sorted array folds sequentially into a
+       per-bin EXCLUSIVE prefix map {bin → (rows_before, value_before)};
+    3. the per-row window runs ``partitionBy(bin)`` — parallel across
+       bins, never a single task — and the broadcast prefix map turns
+       within-bin rank/running-sum into the global ones.
+
+    This is how a range-partitioned sort ranks without sorting the world
+    through one task: the only global object is the ≤``bins``-row offset
+    relation. Composite keys (value·1e8 + tiebreak) spread ties across
+    the tiebreak domain, so equal VALUES never pile into one bin; a
+    pathologically clustered value distribution concentrates bins (the
+    classic range-sort skew), which AQE splits at runtime — or a
+    refinement pass re-bins the heavy range, same machinery.
+
+    ``x``: columns ``key`` (distinct long) and ``val`` (long). Returns
+    ``key, val, i`` (1-based global rank by key) and ``cum`` (inclusive
+    running sum of val in key order), all exact integers."""
+    st = x.agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
+    w_expr = f"((hi - lo) div {bins}) + 1"
+    b = x.crossJoin(F.broadcast(st)).select(
+        "key", "val", F.expr(f"(key - lo) div ({w_expr})").alias("bin")
+    )
+    per = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("val").alias("vs")
+    )
+    lz = F.lit(0).cast("long")
+    init = F.struct(
+        lz.alias("c"),
+        lz.alias("v"),
+        F.array().cast("array<struct<bin:long,cb:long,vb:long>>").alias("es"),
+    )
+
+    def step(acc, p):
+        return F.struct(
+            (acc["c"] + p["cnt"]).alias("c"),
+            (acc["v"] + p["vs"]).alias("v"),
+            F.concat(
+                acc["es"],
+                F.array(
+                    F.struct(
+                        p["bin"].alias("bin"),
+                        acc["c"].alias("cb"),
+                        acc["v"].alias("vb"),
+                    )
+                ),
+            ).alias("es"),
+        )
+
+    offs = per.agg(
+        F.map_from_entries(
+            F.transform(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("bin", "cnt", "vs"))),
+                    init,
+                    step,
+                )["es"],
+                lambda e: F.struct(
+                    e["bin"].alias("bin"),
+                    F.struct(e["cb"].alias("cb"), e["vb"].alias("vb")).alias("off"),
+                ),
+            )
+        ).alias("om")
+    )
+    w = Window.partitionBy("bin").orderBy("key")
+    return b.crossJoin(F.broadcast(offs)).select(
+        "key",
+        "val",
+        (F.col("om")[F.col("bin")]["cb"] + F.row_number().over(w)).alias("i"),
+        (
+            F.col("om")[F.col("bin")]["vb"]
+            + F.sum("val").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("cum"),
     )
 
 

@@ -29,7 +29,8 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "q22_global_sales_opportunity": "one-row average-balance threshold broadcast",
     "ds_funnel_conversion": "three one-row stage counts cross-joined",
     "sim_ann_recall_report": "sampled query-batch broadcast (truth pass)",
-    "ds_pareto_concentration": "one-row totals broadcast",
+    "ds_pareto_concentration": "one-row totals/bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
+    "agg_gini_concentration": "one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
     "ds_rfm_segmentation": "one-row corpus-max-date broadcast",
     "graph_triangle_count": "one-row edge-count broadcast joined to one-row count",
     "ds_basket_lift": "one-row order-count broadcast",
@@ -125,8 +126,6 @@ SINGLE_PARTITION_WINDOW: dict[str, str] = {
     "win_cumulative_distinct": "running window over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
     "win_cusum_changepoint": "CUSUM fold over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
     "profile_ks_drift": "final max-gap window over the fixed 17-row ECDF grid relation",
-    "agg_gini_concentration": "exact rank-formula oracle-truth twin; production form is agg_gini_concentration_binned (binned mean-absolute-difference, audited clean)",
-    "ds_pareto_concentration": "exact running-sum oracle-truth twin; production form is ds_pareto_concentration_binned (binned top-share bracket, audited clean)",
 }
 
 # --- declared Python-UDF surface ------------------------------------------

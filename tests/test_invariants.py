@@ -1471,3 +1471,35 @@ def test_gini_binned_edge_shapes(spark, tmp_path):
     binned = SPECS["agg_gini_concentration_binned"].fn(spark, d).collect()[0]
     assert exact["gini"] > 0.85
     assert abs(binned["gini_binned"] - exact["gini"]) <= 2.0 / 64
+
+
+def test_ranked_nosort_matches_window_rank(spark):
+    """_ranked_nosort's global rank + inclusive running sum must equal
+    the single-partition-window formulation on adversarial key
+    distributions: clustered keys (bin skew), negative composites
+    (Pareto's descending encoding), and a singleton relation."""
+    from pyspark.sql import Window
+
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _ranked_nosort
+
+    cases = {
+        "clustered": [(k, k % 7 + 1) for k in list(range(50)) + list(range(10**12, 10**12 + 50))],
+        "negative": [(-v * 100_000_000 + i, v) for i, v in enumerate([5, 5, 5, 9, 1, 7, 7])],
+        "singleton": [(42, 17)],
+    }
+    for name, rows in cases.items():
+        x = spark.createDataFrame(rows, "key long, val long")
+        got = {
+            r["key"]: (r["i"], r["cum"])
+            for r in _ranked_nosort(x, bins=8).collect()
+        }
+        w = Window.orderBy("key")
+        want = {
+            r["key"]: (r["i"], r["cum"])
+            for r in x.select(
+                "key",
+                F.row_number().over(w).alias("i"),
+                F.sum("val").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+            ).collect()
+        }
+        assert got == want, name
