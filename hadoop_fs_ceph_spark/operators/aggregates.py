@@ -1071,6 +1071,84 @@ def agg_exact_median_by_group_nosort(spark, sf_dir):
 
 
 @query(
+    "agg_exact_quantiles_by_group_nosort",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    st AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY grp),
+    r AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn
+      FROM x
+    ),
+    ps AS (SELECT CAST(unnest([25, 50, 75]) AS INTEGER) AS pct)
+    SELECT st.grp, ps.pct, st.n, r.cents AS value_cents,
+           CAST(r.cents AS DOUBLE) / 100.0 AS value_dollars,
+           TRUE AS is_exact
+    FROM ps, st, r
+    WHERE r.grp = st.grp AND r.rn = (st.n * ps.pct + 99) // 100
+    ORDER BY st.grp, ps.pct
+    """,
+    tags=("aggregate", "quantile", "exact", "no-sort", "grouped", "iterative"),
+)
+def agg_exact_quantiles_by_group_nosort(spark, sf_dir):
+    """Per-GROUP exact MULTI-quantile (p25/p50/p75) with NO sort — the
+    composite-state generalization the per-group median left open: the
+    refinement state relation carries one (lo, hi, k) row per (group,
+    pct) PAIR, keyed by the composite string grp:pct, and every fact row
+    fans out once per requested percentile (a 3× map-side explode
+    against a broadcast 3-row pct spine). All |groups|·|pcts| states
+    then narrow simultaneously in the SAME three shared passes —
+    per-pass shuffle is ≤ |groups|·|pcts|·4096 count rows, and the full
+    per-group value lists that engine-native ``percentile`` would buffer
+    (the skewed-group OOM at 100 TB) never materialize anywhere. Raw
+    per-order cents span < 6.9e10 (the 3-pass reach; `is_exact`
+    verifies collapse rather than trusting the bound). Upper-rank
+    convention k = ⌈pct·n/100⌉ matches the whole exact family."""
+    o = t(spark, sf_dir, "orders")
+    x0 = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (25, 50, 75)])).alias("pct0")
+    ).select(F.col("pct0").cast("int").alias("pct"))
+    x9 = (
+        x0.crossJoin(F.broadcast(pcts))
+        .select(
+            F.concat_ws(":", "grp", "pct").alias("skey"), "grp", "pct", "cents"
+        )
+        .persist()
+    )
+    base = x9.groupBy("skey").agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.first("grp").alias("grp"),
+        F.first("pct").alias("pct"),
+    )
+    states = base.selectExpr("skey", "lo", "hi", "(n * pct + 99) div 100 AS k")
+    x = x9.select("skey", "cents")
+    for _ in range(_MED_PASSES):
+        states = _quantiles_refine(x, states, key="skey")
+    return (
+        states.join(base.select("skey", "grp", "pct", "n"), "skey")
+        .select(
+            "grp",
+            "pct",
+            "n",
+            F.col("lo").alias("value_cents"),
+            (F.col("lo").cast("double") / F.lit(100.0)).alias("value_dollars"),
+            (F.col("hi") == F.col("lo")).alias("is_exact"),
+        )
+        .orderBy("grp", "pct")
+    )
+
+
+@query(
     "agg_approx_topk_sketch",
     oracle="""
     SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n

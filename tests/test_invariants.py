@@ -1503,3 +1503,37 @@ def test_ranked_nosort_matches_window_rank(spark):
             ).collect()
         }
         assert got == want, name
+
+
+def test_grouped_exact_quantiles_match_sorted_truth(spark, sf_dir):
+    """Every (group, pct) refined quantile must equal the rank-k value
+    from an actual per-group sort of raw per-order cents, is_exact
+    everywhere, and the per-group p50 must equal the delivered
+    per-group exact median."""
+    rows = {
+        (r["grp"], r["pct"]): r
+        for r in SPECS["agg_exact_quantiles_by_group_nosort"].fn(spark, sf_dir).collect()
+    }
+    raw = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by_grp = {}
+    for r in raw:
+        by_grp.setdefault(r["grp"], []).append(r["cents"])
+    assert {g for g, _ in rows} == set(by_grp)
+    for grp, vals in by_grp.items():
+        vals.sort()
+        n = len(vals)
+        for pct in (25, 50, 75):
+            r = rows[(grp, pct)]
+            k = (n * pct + 99) // 100
+            assert r["is_exact"] and r["n"] == n
+            assert r["value_cents"] == vals[k - 1], (grp, pct)
+    medians = {r["grp"]: r["median_cents"] for r in SPECS["agg_exact_median_by_group_nosort"].fn(spark, sf_dir).collect()}
+    for grp in by_grp:
+        assert rows[(grp, 50)]["value_cents"] == medians[grp], grp
