@@ -974,6 +974,178 @@ def dedup_semantic_cell_refined(spark, sf_dir):
     )
 
 
+_KM_MAX_ROUNDS = 30
+
+
+@query(
+    "sim_kmeans_converged",
+    oracle=f"""
+    WITH RECURSIVE exp AS (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xu
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    cent(r, cell, pos, cu, shift) AS (
+      SELECT 0, CAST(vec_id AS BIGINT), pos, xu, CAST(1 AS BIGINT)
+      FROM exp WHERE vec_id < {_N_SEM_CELLS}
+      UNION ALL
+      SELECT nw.r, nw.cell, nw.pos, nw.cu, MAX(ABS(nw.cu - nw.cu_old)) OVER ()
+      FROM (
+        SELECT o.r + 1 AS r, o.cell, o.pos, o.cu AS cu_old,
+               COALESCE(
+                 CASE WHEN m.s >= 0 THEN (2 * m.s + m.n) // (2 * m.n)
+                      ELSE -((2 * (-m.s) + m.n) // (2 * m.n)) END,
+                 o.cu) AS cu
+        FROM cent o
+        LEFT JOIN (
+          SELECT a.cell, e.pos, CAST(SUM(e.xu) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM (
+            SELECT vec_id, MIN(d * {_N_SEM_CELLS} + cell) % {_N_SEM_CELLS} AS cell
+            FROM (
+              SELECT e2.vec_id, c2.cell,
+                     CAST(SUM((e2.xu - c2.cu) * (e2.xu - c2.cu)) AS BIGINT) AS d
+              FROM exp e2 JOIN cent c2 ON e2.pos = c2.pos
+              GROUP BY e2.vec_id, c2.cell
+            ) GROUP BY vec_id
+          ) a JOIN exp e ON e.vec_id = a.vec_id
+          GROUP BY a.cell, e.pos
+        ) m ON m.cell = o.cell AND m.pos = o.pos
+        WHERE o.r < {_KM_MAX_ROUNDS} AND o.shift > 0
+      ) nw
+    ),
+    fin AS (SELECT cell, pos, cu FROM cent WHERE r = (SELECT MAX(r) FROM cent)),
+    stats AS (
+      SELECT CAST((SELECT MAX(r) FROM cent) AS INTEGER) AS n_rounds,
+             (SELECT MAX(shift) FROM cent
+              WHERE r = (SELECT MAX(r) FROM cent)) AS final_shift_micro
+    ),
+    asgf AS (
+      SELECT vec_id, MIN(d * {_N_SEM_CELLS} + cell) % {_N_SEM_CELLS} AS cell
+      FROM (
+        SELECT e2.vec_id, f.cell,
+               CAST(SUM((e2.xu - f.cu) * (e2.xu - f.cu)) AS BIGINT) AS d
+        FROM exp e2 JOIN fin f ON e2.pos = f.pos GROUP BY e2.vec_id, f.cell
+      ) GROUP BY vec_id
+    ),
+    mem AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members FROM asgf GROUP BY cell)
+    SELECT f.cell, s.n_rounds, s.final_shift_micro = 0 AS converged,
+           s.final_shift_micro,
+           COALESCE(m.n_members, 0) AS n_members,
+           list(CAST(f.cu AS DOUBLE) / 1000000.0 ORDER BY f.pos) AS centroid
+    FROM fin f LEFT JOIN mem m USING (cell), stats s
+    GROUP BY f.cell, s.n_rounds, s.final_shift_micro, m.n_members
+    ORDER BY f.cell
+    """,
+    tags=("similarity", "kmeans", "iterative", "exact"),
+)
+def sim_kmeans_converged(spark, sf_dir):
+    """Distributed k-means run to CONVERGENCE — ``sim_kmeans_update``'s
+    one Lloyd round wrapped in the CC-style fixpoint loop: every round
+    is assign (squared-L2 in 1e6 fixed-point integer space — Lloyd's
+    textbook objective — with the deal-proof composite tie-break
+    min(d·K + cell) % K) then update (per-(cell,pos) integer sums,
+    half-away-from-zero integer rounding back to the µ lattice; empty
+    cells keep their centroid), with ``localCheckpoint`` truncating
+    per-round lineage and a single driver-side scalar (max µ-shift) as
+    the convergence check — the same discipline ``dedup_cluster_cc``
+    pins for Pregel-style loops. Convergence is shift == 0: an EXACT
+    fixpoint on the integer lattice, so equality — not a tolerance —
+    ends the loop; a 2-cycle on the lattice (possible under rounding)
+    stops at ``_KM_MAX_ROUNDS`` and reports ``converged = false``
+    honestly instead of raising, because capped centroids are still
+    valid output (CC raises at its bound because labels would be
+    WRONG; capped k-means is merely unconverged). Per-round cost is
+    one n·64·K join + two partial-merged aggregates over ≤ K·64
+    groups; nothing driver-side but the one scalar.
+
+    The oracle replays the SAME integer iteration as a DuckDB
+    recursive CTE (aggregates and a window over the recursive
+    reference — verified supported), so round count, shift, and every
+    centroid coordinate hash-match cross-engine; n_members comes from
+    one final assignment against the converged centroids in both."""
+    K = _N_SEM_CELLS
+    e = t(spark, sf_dir, "embeddings")
+    exp = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("v").cast("double") * 1e6).cast("long").alias("xu"),
+        )
+        .persist()
+    )
+    cent = (
+        exp.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").cast("long").alias("cell"), "pos", F.col("xu").alias("cu"))
+        .localCheckpoint()
+    )
+
+    def assign(c):
+        return (
+            exp.join(c.select("cell", "pos", "cu"), "pos")
+            .groupBy("vec_id", "cell")
+            .agg(
+                F.sum(
+                    (F.col("xu") - F.col("cu")) * (F.col("xu") - F.col("cu"))
+                ).alias("d")
+            )
+            .groupBy("vec_id")
+            .agg((F.min(F.col("d") * K + F.col("cell")) % K).alias("cell"))
+        )
+
+    n_rounds, shift = 0, 1
+    for _ in range(_KM_MAX_ROUNDS):
+        magg = (
+            assign(cent)
+            .join(exp, "vec_id")
+            .groupBy("cell", "pos")
+            .agg(F.sum("xu").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        new = (
+            cent.select("cell", "pos", F.col("cu").alias("cu_old"))
+            .join(magg, ["cell", "pos"], "left")
+            .select(
+                "cell",
+                "pos",
+                "cu_old",
+                F.coalesce(
+                    F.expr(
+                        "CASE WHEN s >= 0 THEN (2*s + n) div (2*n)"
+                        " ELSE -((2*(-s) + n) div (2*n)) END"
+                    ),
+                    F.col("cu_old"),
+                ).alias("cu"),
+            )
+            .localCheckpoint()  # eager: materializes + cuts lineage
+        )
+        shift = new.agg(F.max(F.abs(F.col("cu") - F.col("cu_old")))).head()[0]
+        cent = new.select("cell", "pos", "cu")
+        n_rounds += 1
+        if shift == 0:
+            break
+    mem = assign(cent).groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cent.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cu"))),
+                lambda x: x["cu"].cast("double") / F.lit(1e6),
+            ).alias("centroid")
+        )
+        .join(mem, "cell", "left")
+        .select(
+            "cell",
+            F.lit(n_rounds).cast("int").alias("n_rounds"),
+            F.lit(shift == 0).alias("converged"),
+            F.lit(shift).cast("long").alias("final_shift_micro"),
+            F.coalesce("n_members", F.lit(0).cast("long")).alias("n_members"),
+            "centroid",
+        )
+        .orderBy("cell")
+    )
+
+
 _PQ_M = 8  # subspaces
 _PQ_DSUB = 8  # dims per subspace
 _PQ_K = 4  # codewords per subspace (seed vectors 0..3)

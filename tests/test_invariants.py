@@ -1537,3 +1537,38 @@ def test_grouped_exact_quantiles_match_sorted_truth(spark, sf_dir):
     medians = {r["grp"]: r["median_cents"] for r in SPECS["agg_exact_median_by_group_nosort"].fn(spark, sf_dir).collect()}
     for grp in by_grp:
         assert rows[(grp, 50)]["value_cents"] == medians[grp], grp
+
+
+def test_kmeans_converged_fixpoint_on_planted_clusters(spark, tmp_path):
+    """The converged Lloyd loop on a planted two-cluster corpus must
+    reach the exact integer fixpoint (converged=True, shift 0), conserve
+    membership, actually iterate, and land a centroid on each planted
+    cluster mass (the cells holding the two 20-vector clusters must
+    dominate the seed-only cells)."""
+    import numpy as np
+
+    def unit(i, eps=0.0, seed=0):
+        v = np.zeros(64)
+        v[i] = 1.0
+        if eps:
+            r = np.random.RandomState(seed)
+            v = v + eps * r.standard_normal(64)
+        return [float(x) for x in v]
+
+    rows = [{"vec_id": i, "embedding": unit(i), "label": 0} for i in range(8)]
+    for j in range(20):
+        rows.append({"vec_id": 100 + j, "embedding": unit(0, 0.05, j), "label": 1})
+        rows.append({"vec_id": 200 + j, "embedding": unit(5, 0.05, 100 + j), "label": 2})
+    d = _write_parquet(tmp_path, "embeddings", rows)
+    out = SPECS["sim_kmeans_converged"].fn(spark, d).collect()
+    assert len(out) == 8
+    assert all(r["converged"] and r["final_shift_micro"] == 0 for r in out)
+    assert out[0]["n_rounds"] >= 1
+    assert sum(r["n_members"] for r in out) == len(rows)
+    assert all(len(r["centroid"]) == 64 for r in out)
+    sizes = sorted((r["n_members"] for r in out), reverse=True)
+    assert sizes[0] >= 20 and sizes[1] >= 20
+    # the two heavy centroids sit on the planted directions
+    heavy = sorted(out, key=lambda r: -r["n_members"])[:2]
+    dims = {max(range(64), key=lambda i: r["centroid"][i]) for r in heavy}
+    assert dims == {0, 5}
