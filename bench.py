@@ -54,7 +54,7 @@ def main() -> None:
         c_py = round(time.perf_counter() - start, 3)
         return c_spark, c_py
 
-    calib_pre = _calibrate()
+    calibs = [_calibrate()]
 
     # Two timed runs per query as two INTERLEAVED full passes, report the
     # per-query min: the first pass pays one-time whole-stage-codegen +
@@ -78,6 +78,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     for _pass in range(2):
+        if _pass:
+            calibs.append(_calibrate())  # mid-suite probe, interleaved
         for name, spec in bench_specs.items():
             start = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -94,8 +96,15 @@ def main() -> None:
     timings = {name: round(v, 3) for name, v in timings.items()}
     warm = {name: round(v, 3) for name, v in warm.items()}
 
-    calib_post = _calibrate()
+    calibs.append(_calibrate())
     total = round(sum(timings.values()), 3)
+    # Normalization: 3 interleaved probes (pre / mid-suite / post), MEDIAN
+    # spark-calib — min-of-2 undersells sustained contention, mean is
+    # hostage to one burst. calib_ref pins the round-3 host (0.285 s) so
+    # total_normalized is comparable across rounds: it is the total this
+    # suite would have taken on the r3 reference host.
+    calib_ref = 0.285
+    calib_spark = sorted(c[0] for c in calibs)[len(calibs) // 2]
     print(
         json.dumps(
             {
@@ -106,10 +115,14 @@ def main() -> None:
                 "queries_warm": warm,
                 "total_warm": round(sum(warm.values()), 3),
                 "sf": sf,
-                "calib_spark_sec": min(calib_pre[0], calib_post[0]),
-                "calib_py_sec": min(calib_pre[1], calib_post[1]),
-                "calib_pre": calib_pre,
-                "calib_post": calib_post,
+                "calib_spark_sec": calib_spark,
+                "calib_py_sec": sorted(c[1] for c in calibs)[len(calibs) // 2],
+                "calib_probes": calibs,
+                "calib_ref": calib_ref,
+                "total_normalized": round(total * (calib_ref / calib_spark), 3),
+                "total_warm_normalized": round(
+                    sum(warm.values()) * (calib_ref / calib_spark), 3
+                ),
             }
         )
     )
