@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from hadoop_fs_ceph_spark.functions.similarity import (
     N_BANDS,
+    ROWS_PER_BAND,
     cosine,
     sql_cosine,
     band_hash,
@@ -1197,6 +1198,11 @@ def dedup_lsh_recall_report(spark, sf_dir):
     )
 
 
+# Signature width DERIVED from the shared banding constants, so a banding
+# retune can never desynchronize the estimator from the signatures it
+# calibrates (sigma ~ sqrt(J(1-J)/K)).
+_SIG_K = N_BANDS * ROWS_PER_BAND
+
 @query(
     "dedup_minhash_estimator_quality",
     oracle=f"""
@@ -1210,16 +1216,16 @@ def dedup_lsh_recall_report(spark, sf_dir):
       WHERE a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           CAST(len(list_filter(list_transform(generate_series(1, 16),
+           CAST(len(list_filter(list_transform(generate_series(1, {_SIG_K}),
                   i -> x.sig[i] = y.sig[i]), v -> v)) AS INTEGER) AS sig_matches,
-           CAST(len(list_filter(list_transform(generate_series(1, 16),
-                  i -> x.sig[i] = y.sig[i]), v -> v)) AS DOUBLE) / 16.0
+           CAST(len(list_filter(list_transform(generate_series(1, {_SIG_K}),
+                  i -> x.sig[i] = y.sig[i]), v -> v)) AS DOUBLE) / {_SIG_K}.0
              AS jaccard_est,
            len(list_intersect(x.sh, y.sh))
              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
              AS jaccard_exact,
-           ABS(CAST(len(list_filter(list_transform(generate_series(1, 16),
-                  i -> x.sig[i] = y.sig[i]), v -> v)) AS DOUBLE) / 16.0
+           ABS(CAST(len(list_filter(list_transform(generate_series(1, {_SIG_K}),
+                  i -> x.sig[i] = y.sig[i]), v -> v)) AS DOUBLE) / {_SIG_K}.0
                - len(list_intersect(x.sh, y.sh))
                  / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))))
              AS abs_err
@@ -1233,11 +1239,14 @@ def dedup_minhash_estimator_quality(spark, sf_dir):
     """MinHash ESTIMATION quality — the third leg of the calibration
     suite (recall: `dedup_lsh_recall_report`; threshold:
     `sim_threshold_calibration`): for every banding candidate pair, the
-    signature-agreement Jaccard estimate (matching slots / 16, the
+    signature-agreement Jaccard estimate (matching slots / K, the
     number MinHash actually promises, E[matches]/K = J) against the
     exact hashed-shingle Jaccard, with the absolute error per pair —
-    the readout that decides whether K=16 suffices for the corpus's
+    the readout that decides whether K suffices for the corpus's
     similarity profile or the signature must widen (σ ≈ √(J(1−J)/K)).
+    K = N_BANDS·ROWS_PER_BAND is DERIVED from the shared banding
+    constants (``_SIG_K``), so a banding retune retunes this
+    calibrator with it.
 
     Scale shape: identical to the LSH pipeline — candidates from the
     banding equality join, two hash joins back to the persisted
@@ -1269,7 +1278,7 @@ def dedup_minhash_estimator_quality(spark, sf_dir):
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     ja = inter / (F.col("na") + F.col("nb") - inter)
-    est = matches.cast("double") / F.lit(16.0)
+    est = matches.cast("double") / F.lit(float(_SIG_K))
     return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")

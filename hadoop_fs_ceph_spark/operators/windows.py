@@ -673,15 +673,19 @@ def win_resample_interpolate(spark, sf_dir):
       SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v6
       FROM events GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT event_type, d,
+             list_sort(list(v6) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+      FROM daily
     )
     SELECT event_type, d,
-           ROUND(quantile_cont(CAST(v6 AS DOUBLE) / 1000000.0, 0.5) OVER (
-             PARTITION BY event_type ORDER BY d
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_median,
-           CAST(COUNT(*) OVER (
-             PARTITION BY event_type ORDER BY d
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_frame
-    FROM daily
+           CAST(arr[(len(arr) - 1) // 2 + 1] + arr[len(arr) // 2 + 1] AS DOUBLE)
+             / 2000000.0 AS rolling_median,
+           CAST(len(arr) AS BIGINT) AS n_in_frame
+    FROM f
     ORDER BY event_type, d
     """,
     tags=("window", "quantile", "rolling"),
@@ -690,12 +694,16 @@ def win_rolling_quantile(spark, sf_dir):
     """Rolling MEDIAN over a trailing 7-row calendar frame per event
     type — the robust centerline behind anomaly bands where the rolling
     MEAN (`win_rolling_7day`, Bollinger) gets dragged by spikes. The
-    frame holds ≤7 daily aggregates, so the exact interpolated
-    percentile over the frame is cheap and deterministic (daily totals
-    are fixed-point integers; the interpolation is rounded at 6, the
-    `agg_percentiles` convention). Windows partition by event type over
-    calendar days — both bounded by time, not corpus size; the only
-    data-sized work is the one map-combined daily aggregate."""
+    frame median follows the repo's fixed-point convention (the
+    agg_exact_* family): the ≤7 daily totals stay exact integer v6,
+    the frame median is the exact integer SUM of the two middle order
+    statistics (equal for odd frames), and ONE final division by 2e6
+    produces the double — no interpolated percentile, no ROUND on
+    magnitudes where HALF_UP and multiply-based rounding diverge
+    cross-engine. Exact while 2·Σday |v6| < 2^53 (~±4.5e15 micro-units
+    per daily total). Windows partition by event type over calendar
+    days — both bounded by time, not corpus size; the only data-sized
+    work is the one map-combined daily aggregate."""
     e = t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
@@ -709,10 +717,15 @@ def win_rolling_quantile(spark, sf_dir):
         daily.select(
             "event_type",
             "d",
-            F.round(
-                F.expr("percentile(CAST(v6 AS DOUBLE) / 1000000.0, 0.5)").over(w), 6
-            ).alias("rolling_median"),
-            F.count(F.lit(1)).over(w).alias("n_in_frame"),
+            F.array_sort(F.collect_list("v6").over(w)).alias("arr"),
+        )
+        .selectExpr(
+            "event_type",
+            "d",
+            "CAST(element_at(arr, CAST((size(arr) - 1) div 2 AS INT) + 1)"
+            "   + element_at(arr, CAST(size(arr) div 2 AS INT) + 1) AS DOUBLE)"
+            " / 2000000.0 AS rolling_median",
+            "CAST(size(arr) AS BIGINT) AS n_in_frame",
         )
         .orderBy("event_type", "d")
     )

@@ -1572,3 +1572,20 @@ def test_kmeans_converged_fixpoint_on_planted_clusters(spark, tmp_path):
     heavy = sorted(out, key=lambda r: -r["n_members"])[:2]
     dims = {max(range(64), key=lambda i: r["centroid"][i]) for r in heavy}
     assert dims == {0, 5}
+
+
+def test_approx_topk_regime_pinned(spark, sf_dir):
+    """agg_approx_topk_sketch's hash-match against the plain GROUP BY
+    oracle is exactness-BY-CONSTRUCTION: it holds only while the
+    column's distinct count fits the k=8 tracked set. Fixture growth
+    that adds a 9th event type must fail HERE, loudly, not as a
+    confusing oracle diff."""
+    k = 8  # the literal in approx_top_k(event_type, 8)
+    n_distinct = (
+        t(spark, sf_dir, "events").select("event_type").distinct().count()
+    )
+    assert n_distinct <= k, (
+        f"events.event_type now has {n_distinct} distinct values > k={k}: "
+        "approx_top_k leaves its exact regime — raise k in "
+        "agg_approx_topk_sketch or demote its oracle to a tolerance check"
+    )
