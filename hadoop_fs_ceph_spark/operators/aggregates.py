@@ -871,7 +871,7 @@ def agg_exact_median_nosort(spark, sf_dir):
 _QNT_PCTS = (25, 50, 75, 99)
 
 
-def _quantiles_refine(x, states, key="pct"):
+def _quantiles_refine(x, states, key="pct", weight=None):
     """One shared refinement pass over ALL quantile states at once: the
     bounded (key, lo, hi, k) state relation broadcasts onto the value
     relation, then each state's crossing bucket is located by its own
@@ -889,7 +889,10 @@ def _quantiles_refine(x, states, key="pct"):
     composite value·1e8 + key domains of the exact RFM/histogram
     reformulations live there — while the width form's largest
     intermediate is the range itself. ``agg_exact_median_nosort`` is
-    the 1-row state case."""
+    the 1-row state case. ``weight``: optional integer weight column in
+    ``x`` — bucket mass becomes Σweight instead of COUNT (k then binds
+    a WEIGHTED rank), and nothing else changes: the weighted median is
+    the same three passes."""
     bound = (
         x.join(F.broadcast(states), key)
         if key in x.columns
@@ -901,9 +904,12 @@ def _quantiles_refine(x, states, key="pct"):
         .select(
             key,
             F.expr(f"(cents - lo) div ({w_expr})").alias("b"),
+            *([weight] if weight else []),
         )
         .groupBy(key, "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            (F.sum(weight) if weight else F.count(F.lit(1))).alias("cnt")
+        )
     )
     lz = F.lit(0).cast("long")
     init = F.struct(
@@ -1067,6 +1073,64 @@ def agg_exact_median_by_group_nosort(spark, sf_dir):
             (F.col("hi") == F.col("lo")).alias("is_exact"),
         )
         .orderBy("grp")
+    )
+
+
+@query(
+    "agg_exact_weighted_median_nosort",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    st AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM x),
+    g AS (SELECT cents, CAST(SUM(w) AS BIGINT) AS gw FROM x GROUP BY cents),
+    r AS (SELECT cents, SUM(gw) OVER (ORDER BY cents) AS cw FROM g)
+    SELECT st.tw AS total_weight, r.cents AS median_cents,
+           CAST(r.cents AS DOUBLE) / 100.0 AS median_dollars,
+           TRUE AS is_exact
+    FROM st, r WHERE r.cw >= (st.tw + 1) // 2
+    ORDER BY r.cents LIMIT 1
+    """,
+    tags=("aggregate", "median", "weighted", "exact", "no-sort", "iterative"),
+)
+def agg_exact_weighted_median_nosort(spark, sf_dir):
+    """EXACT WEIGHTED median with NO sort — the histogram-refinement
+    machinery's fourth face: buckets accumulate Σweight instead of
+    COUNT (the refiner's ``weight`` binding), the target rank is the
+    weighted rank k = ⌈W/2⌉ over total integer weight W, and the same
+    three broadcast-state passes pin the smallest value whose
+    cumulative weight crosses k. Here: the quantity-weighted median
+    unit price over the FACT table — every shipped unit votes with its
+    quantity, the statistic behind per-unit pricing SLAs — computed
+    with per-pass shuffles of ≤4096 (bucket, Σweight) rows and zero
+    driver state. Engine-native exact weighted percentiles buffer the
+    full value list per aggregation buffer; a rank-window formulation
+    sorts the fact table through one task; this does neither. Weighted
+    rank semantics: ties merge their weight (the oracle groups equal
+    values before the running sum), which the bucket accumulation
+    reproduces by construction."""
+    li = t(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    ).persist()
+    base = x.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.sum("w").alias("tw"),
+    )
+    states = base.selectExpr(
+        "CAST(50 AS INT) AS pct", "lo", "hi", "(tw + 1) div 2 AS k"
+    )
+    for _ in range(_MED_PASSES):
+        states = _quantiles_refine(x, states, weight="w")
+    return states.crossJoin(F.broadcast(base.select("tw"))).select(
+        F.col("tw").alias("total_weight"),
+        F.col("lo").alias("median_cents"),
+        (F.col("lo").cast("double") / F.lit(100.0)).alias("median_dollars"),
+        (F.col("hi") == F.col("lo")).alias("is_exact"),
     )
 
 

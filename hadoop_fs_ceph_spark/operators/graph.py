@@ -312,3 +312,147 @@ def graph_label_propagation(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("community")
     )
+
+
+_KCORE_K = 3
+_KCORE_MAX_ROUNDS = 50
+
+
+@query(
+    "graph_kcore",
+    oracle=f"""
+    WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS s
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY p1, p2
+      HAVING COUNT(*) >= {_LPA_MIN_COOCCUR}
+    ),
+    edges AS ({_SQL_LPA_EDGES}),
+    n0 AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT CAST(-1 AS BIGINT)
+    ),
+    surv(r, node, n) AS (
+      SELECT 0, node, CAST(COUNT(*) OVER () AS BIGINT) FROM n0
+      UNION ALL
+      SELECT k.r, k.node, k.new_n FROM (
+        SELECT o.r + 1 AS r, o.node, o.n,
+               CAST(COUNT(*) OVER () AS BIGINT) AS new_n
+        FROM surv o
+        LEFT JOIN (
+          SELECT e.src AS nd, CAST(COUNT(*) AS BIGINT) AS d
+          FROM edges e
+          JOIN surv s1 ON e.src = s1.node
+          JOIN surv s2 ON e.dst = s2.node
+          GROUP BY e.src
+        ) dd ON dd.nd = o.node
+        WHERE (COALESCE(dd.d, 0) >= {_KCORE_K} OR o.node = -1)
+          AND o.r < {_KCORE_MAX_ROUNDS}
+      ) k WHERE k.new_n < k.n
+    ),
+    fin AS (
+      SELECT node FROM surv
+      WHERE r = (SELECT MAX(r) FROM surv) AND node <> -1
+    ),
+    deg AS (
+      SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+      FROM edges e JOIN fin a ON e.src = a.node JOIN fin b ON e.dst = b.node
+      GROUP BY e.src
+    )
+    SELECT f.node, d.core_degree,
+           CAST((SELECT MAX(r) FROM surv) AS INTEGER) AS n_rounds
+    FROM fin f JOIN deg d USING (node)
+    ORDER BY f.node
+    """,
+    tags=("graph", "kcore", "iterative"),
+)
+def graph_kcore(spark, sf_dir):
+    """K-core decomposition (K=3) of the co-purchase part graph by
+    iterative peel to FIXPOINT: every round recomputes each surviving
+    node's degree restricted to surviving neighbors and drops nodes
+    under K; the loop stops when a round removes nothing — the
+    convergence-checked, ``localCheckpoint``-per-round discipline of
+    ``dedup_cluster_cc``, with the round count data-dependent (peeling
+    cascades: removing a hub can push neighbors below K next round).
+    The k-core is the canonical dense-substructure filter — what
+    survives is the part set whose co-purchase neighborhood stays
+    dense no matter how the sparse fringe is stripped.
+
+    Scale shape per round: two hash semi-joins of the edge relation to
+    the survivor vector (both endpoints alive) + one map-combined
+    degree count + one filter — all shuffles on graph keys, no
+    windows, no sorts; the one driver-side scalar per round is the
+    survivor count (the same convergence probe CC uses). A sentinel
+    node −1 (never in edges, never peeled) keeps the relation
+    non-empty so the all-peeled corner is identical cross-engine; the
+    DuckDB oracle replays the peel as a recursive CTE that emits a
+    generation only when it strictly shrinks, so ``n_rounds`` =
+    number of shrinking peels matches the loop counter exactly.
+    Stops at {_KCORE_MAX_ROUNDS} rounds in BOTH engines (capped is
+    still a valid partial peel, unlike CC's wrong-labels case)."""
+    li = t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= _LPA_MIN_COOCCUR)
+    )
+    edges = (
+        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+        .persist()
+    )
+    alive = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .unionByName(
+            edges.sparkSession.range(1).select(
+                F.lit(-1).cast("long").alias("node")
+            )
+        )
+        .localCheckpoint()
+    )
+    n_prev = alive.count()
+    n_rounds = 0
+    while n_rounds < _KCORE_MAX_ROUNDS:
+        deg = (
+            edges.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        kept = (
+            alive.join(deg, alive.node == deg.src, "left")
+            .filter((F.coalesce(F.col("d"), F.lit(0)) >= _KCORE_K) | (F.col("node") == -1))
+            .select("node")
+            .localCheckpoint()  # eager: materializes + cuts lineage
+        )
+        n_new = kept.count()
+        if n_new == n_prev:
+            break
+        alive, n_prev = kept, n_new
+        n_rounds += 1
+    core = alive.filter(F.col("node") != -1)
+    coredeg = (
+        edges.join(core.select(F.col("node").alias("src")), "src")
+        .join(core.select(F.col("node").alias("dst")), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return (
+        core.join(coredeg, core.node == coredeg.src)
+        .select("node", "core_degree", F.lit(n_rounds).cast("int").alias("n_rounds"))
+        .orderBy("node")
+    )
