@@ -2114,3 +2114,100 @@ def ds_conversion_lag_histogram(spark, sf_dir):
         .select("bucket", F.coalesce("n_users", F.lit(0)).alias("n_users"))
         .orderBy("bucket")
     )
+
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "ds_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v6
+      FROM events GROUP BY 1, 2
+    ),
+    ks AS (SELECT CAST(unnest(generate_series(1, {_ACF_MAX_LAG})) AS INTEGER) AS lag),
+    p AS (
+      SELECT x.event_type, ks.lag,
+             CAST(x.v6 AS HUGEINT) AS xv, CAST(y.v6 AS HUGEINT) AS yv
+      FROM daily x
+      CROSS JOIN ks
+      JOIN daily y ON y.event_type = x.event_type
+                  AND y.d = x.d - to_days(ks.lag)
+    ),
+    m AS (
+      SELECT event_type, lag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(xv) AS sx, SUM(yv) AS sy, SUM(xv * yv) AS sxy,
+             SUM(xv * xv) AS sxx, SUM(yv * yv) AS syy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 9)
+             AS acf
+    FROM m
+    ORDER BY event_type, lag
+    """,
+    tags=("analytics", "timeseries", "autocorrelation"),
+)
+def ds_autocorrelation(spark, sf_dir):
+    """Lag-1..{_ACF_MAX_LAG} AUTOCORRELATION of each event type's daily
+    value series — the seasonality detector behind forecast-model
+    choice (a lag-7 spike says weekly cycle; fast decay says the
+    seasonal-naive baseline is wrong): Pearson correlation of (day t,
+    day t−k) pairs per lag, from exact fixed-point daily totals. Lagged
+    pairing is an EQUALITY join of the daily aggregate to itself on
+    (event_type, d − lag) against a 7-row broadcast lag spine — no
+    window at all, so gaps in the calendar pair only true k-day-apart
+    days (the honest ACF of an irregular series). All five moments
+    accumulate as decimal(38,0) integers (squares of 1e10-scale
+    micro-units overflow long); the correlation is formed from exact
+    integers with one final double op chain in fixed order, rounded at
+    9 on O(1) magnitudes. Zero-variance series yield NULL (NULLIF
+    guard) identically in both engines.
+
+    Scale shape: one map-combined daily aggregate (the only data-sized
+    pass), then a self-join of the tiny (types × days) relation — the
+    ACF cost is independent of corpus row count."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("v6"))
+    ks = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    x = daily.crossJoin(F.broadcast(ks)).select(
+        "event_type", "lag", F.date_sub(F.col("d"), F.col("lag")).alias("dprev"),
+        F.col("v6").cast("decimal(38,0)").alias("xv"),
+    )
+    y = daily.select(
+        F.col("event_type").alias("event_type"),
+        F.col("d").alias("dprev"),
+        F.col("v6").cast("decimal(38,0)").alias("yv"),
+    )
+    m = (
+        x.join(y, ["event_type", "dprev"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("xv").alias("sx"),
+            F.sum("yv").alias("sy"),
+            F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+            F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+            F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "event_type",
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(num / F.when(den != 0.0, den), 9).alias("acf"),
+    ).orderBy("event_type", "lag")

@@ -1291,3 +1291,68 @@ def dedup_minhash_estimator_quality(spark, sf_dir):
             F.abs(est - ja).alias("abs_err"),
         )
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH docs AS ({_SQL_MINHASH_DOCS}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {sql_band_hash('sig', b)} AS bh FROM docs" for b in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN docs x ON x.doc_id = c.doc_a
+                  JOIN docs y ON y.doc_id = c.doc_b
+      WHERE len(list_intersect(x.sh, y.sh))
+              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+    )
+    SELECT LEAST(sx.source, sy.source) AS source_a,
+           GREATEST(sx.source, sy.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           sx.source <> sy.source AS cross_source
+    FROM pairs p
+    JOIN documents sx ON p.doc_a = sx.doc_id
+    JOIN documents sy ON p.doc_b = sy.doc_id
+    GROUP BY 1, 2, 4
+    ORDER BY 1, 2
+    """,
+    tags=("dedup", "minhash", "lsh", "provenance", "pipeline"),
+)
+def dedup_cross_source_matrix(spark, sf_dir):
+    """Cross-SOURCE near-duplicate matrix: the verified MinHash-LSH
+    pair set rolled up by (source_a, source_b) with sources order-
+    normalized — the provenance readout a corpus run reads BEFORE
+    choosing a keeper policy. Diagonal cells (cross_source = false)
+    are intra-source redundancy (mirrors, re-crawls — safe to dedup
+    aggressively); off-diagonal cells are cross-source contamination
+    (the same text syndicated into nominally independent sources —
+    the cell that silently breaks 'held-out source' eval splits and
+    inflates mixture weights if ignored).
+
+    Scale shape: the pair relation is the already-bounded LSH output
+    (banded candidates, verified on candidates only — never n²); the
+    two provenance joins are hash joins on doc_id against a 2-column
+    projection of documents; the rollup groups |sources|² cells at
+    most. Counts are exact integers — fully hash-matched."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    d = t(spark, sf_dir, "documents")
+    sx = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sy = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sx, "doc_a")
+        .join(sy, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            (F.col("src_a") != F.col("src_b")).alias("cross_source"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select("source_a", "source_b", "n_pairs", "cross_source")
+        .orderBy("source_a", "source_b")
+    )

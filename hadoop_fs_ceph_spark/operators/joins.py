@@ -895,3 +895,92 @@ def join_salted_replicated(spark, sf_dir):
         )
         .orderBy("s_suppkey")
     )
+
+
+_ER_JACCARD_MIN = 0.5
+
+
+@query(
+    "join_er_blocked",
+    oracle=f"""
+    WITH px AS (
+      SELECT p_partkey, p_brand, p_name,
+             list_distinct(string_split(p_name, ' ')) AS toks
+      FROM part
+    ),
+    cand AS (
+      SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+             a.p_name AS name_a, b.p_name AS name_b,
+             a.p_brand AS brand,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks)) AS uni,
+             levenshtein(a.p_name, b.p_name) AS edit_dist
+      FROM px a JOIN px b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    )
+    SELECT part_a, part_b, brand, name_a, name_b,
+           inter / CAST(uni AS DOUBLE) AS name_jaccard,
+           CAST(edit_dist AS INTEGER) AS edit_dist
+    FROM cand
+    WHERE inter / CAST(uni AS DOUBLE) >= {_ER_JACCARD_MIN}
+    ORDER BY part_a, part_b
+    """,
+    tags=("join", "entity-resolution", "blocked", "similarity"),
+)
+def join_er_blocked(spark, sf_dir):
+    """Blocked ENTITY-RESOLUTION join: candidate part pairs come ONLY
+    from within a blocking key (brand — production composes several
+    cheap keys: normalized prefix, phonetic code, geo bucket), then
+    each candidate is scored with two independent match signals —
+    token-set Jaccard of the names (≥ {_ER_JACCARD_MIN} gates the
+    output) and Levenshtein distance (reported for the clerical-review
+    tier). This is the textbook two-phase ER shape: blocking turns the
+    n² all-pairs problem into Σ_b |block_b|², and the expensive string
+    metrics run on candidates only — exactly the LSH-candidates-then-
+    verify discipline of the dedup family, with attribute blocking in
+    place of signature banding.
+
+    Scale shape: the block self-join is an EQUALITY join on the
+    blocking key (shuffle-partitioned by block, never cartesian);
+    skewed mega-blocks are the known failure mode — production splits
+    them with a salted sub-block key, the `join_salted_replicated`
+    pattern. Jaccard is a ratio of exact integers and Levenshtein is
+    an integer, so every column hash-matches."""
+    p = t(spark, sf_dir, "part")
+    px = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.array_distinct(F.split("p_name", " ")).alias("toks"),
+    )
+    a = px.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    b = px.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    uni = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter / uni.cast("double")
+    return (
+        a.join(b, "brand")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .select(
+            "part_a",
+            "part_b",
+            "brand",
+            "name_a",
+            "name_b",
+            jac.alias("name_jaccard"),
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("name_jaccard") >= _ER_JACCARD_MIN)
+        .orderBy("part_a", "part_b")
+    )

@@ -2033,3 +2033,126 @@ def sample_leakage_safe_split(spark, sf_dir):
         .unionByName(report("side_docid", "doc_id"))
         .orderBy("strategy")
     )
+
+
+_DCAP_N = 20  # max documents kept per source
+_DCAP_A = 2654435761  # Knuth multiplicative-hash constant
+_DCAP_P = 2147483647
+
+
+@query(
+    "sample_domain_cap",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, source,
+             (doc_id * {_DCAP_A} + 12345) % {_DCAP_P} AS pri,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_source_docs
+      FROM documents
+    )
+    SELECT doc_id, source, pri, n_source_docs,
+           n_source_docs > {_DCAP_N} AS source_capped
+    FROM pri
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY pri, doc_id)
+      <= {_DCAP_N}
+    ORDER BY source, pri, doc_id
+    """,
+    tags=("sampling", "domain-cap", "pipeline", "deterministic"),
+)
+def sample_domain_cap(spark, sf_dir):
+    """Per-DOMAIN document cap — the mixture-shaping pass every web
+    corpus runs so one gigantic domain cannot dominate training: keep
+    at most N documents per source, chosen by a deterministic
+    multiplicative-hash priority (Knuth constant), NOT by position —
+    so the kept subset is an unbiased within-domain sample, stable
+    across reruns and ingest order, and re-ingesting the corpus keeps
+    the SAME survivors (the reproducibility contract of the
+    hash-gated sampling family). ``source_capped`` marks domains that
+    actually hit the cap — the rows a mixture report surfaces.
+
+    Scale shape: priority is map-side integer arithmetic; selection is
+    one rank window PARTITIONED BY SOURCE (parallel across domains —
+    never a global funnel) with Spark 4's window-group-limit pushing
+    the cap below the sort; the per-source count rides the same
+    partition. Skewed giant domains are exactly the case the cap
+    exists for — the window's top-N short-circuit keeps per-partition
+    state at N rows."""
+    d = t(spark, sf_dir, "documents")
+    pri = d.select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * _DCAP_A + 12345) % _DCAP_P).alias("pri"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("n_source_docs"),
+    )
+    w = Window.partitionBy("source").orderBy("pri", "doc_id")
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DCAP_N)
+        .select(
+            "doc_id",
+            "source",
+            "pri",
+            "n_source_docs",
+            (F.col("n_source_docs") > _DCAP_N).alias("source_capped"),
+        )
+        .orderBy("source", "pri", "doc_id")
+    )
+
+
+_ARES_K = 25  # sample size
+
+
+@query(
+    "sample_weighted_ares",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id, source, CAST(n_chars + 1 AS BIGINT) AS w,
+             ((doc_id * {_DCAP_A} + 99991) % {_DCAP_P} + 1)
+               / CAST(CAST({_DCAP_P} AS BIGINT) + 1 AS DOUBLE) AS u
+      FROM documents
+    )
+    SELECT doc_id, source, w, ROUND(-LN(u) / w, 9) AS priority_key
+    FROM x
+    ORDER BY -LN(u) / w, doc_id
+    LIMIT {_ARES_K}
+    """,
+    tags=("sampling", "weighted", "pipeline", "deterministic"),
+)
+def sample_weighted_ares(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement by exponential race
+    (A-ES / Efraimidis–Spirakis in its -ln(u)/w key form): every item
+    draws a deterministic hash-uniform u, its race key is
+    Exp(w)-distributed -ln(u)/w, and the k smallest keys win —
+    selection probability proportional to weight (here: document
+    length, so the sample is token-mass-representative, the weighting
+    a mixture audit wants), with NO per-item coordination and NO
+    replacement bookkeeping. The hash-seeded u makes the draw
+    reproducible across reruns and ingest order, like the whole
+    hash-gated sampling family.
+
+    Scale shape: key computation is map-side; winner selection is a
+    global TOP-K — TakeOrderedAndProject (per-partition k-row heaps,
+    k-row merge at the driver), never a world sort. ln() is the one
+    transcendental: both engines' libm agree bit-for-bit here (the
+    BM25/IDF precedent); the reported key is rounded at 9 on O(1)
+    magnitudes per the determinism conventions."""
+    d = t(spark, sf_dir, "documents")
+    x = d.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") + 1).cast("long").alias("w"),
+        (
+            ((F.col("doc_id") * _DCAP_A + 99991) % _DCAP_P + 1)
+            / F.lit(float(_DCAP_P + 1))
+        ).alias("u"),
+    )
+    key = -F.log(F.col("u")) / F.col("w")
+    return (
+        x.select(
+            "doc_id", "source", "w", F.round(key, 9).alias("priority_key"), key.alias("_k")
+        )
+        .orderBy("_k", "doc_id")
+        .limit(_ARES_K)
+        .drop("_k")
+    )

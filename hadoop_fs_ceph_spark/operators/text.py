@@ -1401,3 +1401,93 @@ def text_bm25_rank(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+_PARA_W = 10  # tokens per pseudo-paragraph block
+
+
+@query(
+    "text_paragraph_dedup",
+    oracle=f"""
+    WITH b0 AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(string_split(text, ' '),
+               (i - 1) * {_PARA_W} + 1, i * {_PARA_W}), ' ') AS block
+      FROM documents,
+      UNNEST(generate_series(1,
+        (len(string_split(documents.text, ' ')) - 1) // {_PARA_W} + 1)) AS u(i)
+    ),
+    freq AS (
+      SELECT block, COUNT(DISTINCT doc_id) AS n_docs
+      FROM b0 GROUP BY block
+    ),
+    j AS (
+      SELECT b.doc_id, b.pos, b.block, f.n_docs >= 2 AS bp
+      FROM b0 b JOIN freq f USING (block)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) FILTER (WHERE bp) AS BIGINT) AS n_dropped,
+           COALESCE(array_to_string(
+             list(block ORDER BY pos) FILTER (WHERE NOT bp), ' '), '')
+             AS retained_text
+    FROM j GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "paragraph", "pipeline"),
+)
+def text_paragraph_dedup(spark, sf_dir):
+    """Corpus-level repeated-PARAGRAPH removal — the C4/RefinedWeb line
+    dedup: any block appearing in ≥2 DISTINCT documents is boilerplate
+    (headers, footers, license blobs — the single highest-volume dup
+    class in web corpora) and is struck from every document, and each
+    document is re-emitted as its retained blocks in original order.
+    The fixture corpus is single-line, so paragraphs are fixed
+    {_PARA_W}-token windows — production splits on blank lines and the
+    pipeline after the split is IDENTICAL.
+
+    Scale shape: block extraction is map-side (one split + slice per
+    block); the frequency pass is one COUNT(DISTINCT doc) shuffle
+    keyed by block (production keys the 8-byte xxhash64 of the block
+    so text never shuffles twice); the verdict rides back on one
+    equality join; reconstruction is a per-document ordered
+    collect_list, bounded by document length — never corpus-sized.
+    Order-preserving reconstruction means the output is a direct
+    drop-in rewrite of the text column."""
+    d = t(spark, sf_dir, "documents")
+    blocks = (
+        d.select("doc_id", tokens("text").alias("tok"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, CAST((size(tok) - 1) div {_PARA_W} AS INT)),"
+                f" i -> array_join(slice(tok, i * {_PARA_W} + 1, {_PARA_W}), ' '))"
+            ).alias("blocks"),
+        )
+        .select("doc_id", F.posexplode("blocks").alias("pos", "block"))
+    )
+    freq = blocks.groupBy("block").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    j = blocks.join(freq, "block").select(
+        "doc_id", "pos", "block", (F.col("n_docs") >= 2).alias("bp")
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("bp").cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("bp"), F.struct("pos", "block"))
+                        )
+                    ),
+                    lambda x: x["block"],
+                ),
+                " ",
+            ).alias("retained_text"),
+        )
+        .orderBy("doc_id")
+    )

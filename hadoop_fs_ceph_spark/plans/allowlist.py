@@ -64,12 +64,15 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "agg_exact_median_nosort": "one-row (lo, hi, k) refinement-state broadcasts between histogram passes",
     "profile_equidepth_histogram": "16-row boundary-rank (sid, lo, hi, k) refinement-state broadcasts between shared histogram passes",
     "agg_exact_quantiles_nosort": "4-row (pct, lo, hi, k) refinement-state broadcasts between shared histogram passes",
+    "agg_exact_quantiles_by_group_nosort": "3-row pct-spine broadcast fan-out + per-(group,pct) refinement-state broadcasts between shared passes",
     "profile_psi_drift": "one-row group-total and PSI-total broadcasts onto the fixed 17-row grid",
     "profile_partition_skew": "one-row (n_keys, n_total, max_rows) stats broadcast",
     "dedup_lsh_recall_report": "all-pairs truth join confined to the absolute 200-doc calibration sample + 5-row threshold grid",
     "ds_ab_power_analysis": "one-row metric-moment broadcast onto the fixed 4-row MDE grid",
     "sample_importance_reweight": "one-row corpus-total and ESS broadcasts onto the 5-row class relation",
     "sample_leakage_safe_split": "two one-row violation-count broadcasts onto the two-row strategy report",
+    "ds_autocorrelation": "7-row lag-spine broadcast onto the daily aggregate",
+    "agg_exact_weighted_median_nosort": "one-row (lo, hi, k) refinement-state broadcasts between histogram passes",
 }
 
 # --- global sorts of bounded relations ------------------------------------
@@ -112,6 +115,8 @@ BOUNDED_SORT: dict[str, str] = {
     "src_schema_drift_report": "sorts the schema-width-bounded column diff (7 rows)",
     "src_binaryfile_scan": "sorts the bounded binaryFile demo sample (doc_id < 100 is an absolute bound, not SF-scaled)",
     "udf_python_udtf": "API-surface demo over a 1/97 sample slice; ORDER BY is the deterministic-output contract, dropped by scale consumers",
+    "sample_domain_cap": "sorts the capped sample OUTPUT (≤ cap·|domains| rows, ≪ corpus) for deterministic presentation; scale consumers drop the ordering",
+    "join_er_blocked": "sorts the verified blocked candidate-pair output (Σ|block|² ≪ n², the ER answer set)",
 }
 
 # --- single-partition windows over bounded relations -----------------------

@@ -10,6 +10,7 @@ partitioned layouts, and whole-stage codegen on the hot paths.
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from hadoop_fs_ceph_spark.plans import plan_of, scale_audit
 from hadoop_fs_ceph_spark.registry import load_all
@@ -226,18 +227,33 @@ def test_runtime_bloom_filter_injectable(spark, sf_dir):
 
 
 def test_single_partition_window_flag_active(spark, sf_dir):
-    """The round-4 auditor flag must be ACTIVE: the exact oracle-truth
-    twins really do plan an Exchange SinglePartition under a Window (the
-    shape the flag exists for), the flag string reaches problems(), and
-    the shared allowlist absorbs it with a reason — so any future query
-    that reinvents an unpartitioned window fails test_fleet_audit_clean
-    instead of shipping a one-task bottleneck."""
-    audit = scale_audit(SPECS["agg_gini_concentration"].fn(spark, sf_dir))
+    """The round-4 auditor flag must be ACTIVE on the exact shape it
+    exists for — an Exchange SinglePartition under a Window. Since
+    round 5 NO registered query carries that shape anymore (the last
+    exact twins were rebuilt on distributed rank), so the probe is a
+    synthetic unpartitioned window: it must plan SinglePartition, the
+    flag string must reach problems(), and an unknown query name must
+    leave it UNALLOWLISTED — so any future query that reinvents an
+    unpartitioned window fails test_fleet_audit_clean instead of
+    shipping a one-task bottleneck."""
+    from pyspark.sql import Window
+
+    probe = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.row_number()
+            .over(Window.orderBy("o_totalprice", "o_orderkey"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") > 1)  # defeat the TakeOrdered group-limit rewrite
+    )
+    audit = scale_audit(probe)
     assert audit.single_partition_windows >= 1
     probs = audit.problems()
     assert any("single-partition window" in p for p in probs)
-    real, allowed = split_flags("agg_gini_concentration", probs)
-    assert real == [] and any("oracle-truth twin" in a for a in allowed)
+    real, _allowed = split_flags("no_such_query_zzz", probs)
+    assert any("single-partition window" in p for p in real)
 
 
 @pytest.mark.parametrize(
