@@ -1243,3 +1243,78 @@ def agg_approx_topk_sketch(spark, sf_dir):
         )
         .orderBy(F.col("n").desc(), "item")
     )
+
+
+_INC_CUTOVER = "2024-01-21"
+
+
+@query(
+    "agg_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v6,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("aggregate", "incremental", "mergeable", "bitmap"),
+)
+def agg_incremental_rollup(spark, sf_dir):
+    """INCREMENTAL rollup maintenance ≡ full recompute, proven by the
+    oracle: the corpus splits at a cutover instant into a BASE slice
+    (the materialized rollup a nightly job already holds) and a DELTA
+    slice (today's arrivals); each side reduces independently to
+    per-(type, user-bucket) mergeable partial states — count, exact
+    fixed-point sum, and a BITMAP of user ids (`bitmap_construct_agg`,
+    the exact-AND-mergeable distinct tier `agg_bitmap_distinct` pins) —
+    and the maintained rollup is the MERGE of the two partial sets
+    (sums add, bitmaps OR), never a re-scan of base. The oracle is the
+    flat full-corpus aggregate with true COUNT(DISTINCT): hash-match
+    IS the merge-correctness proof, including the non-additive
+    distinct (users active in both slices counted once — the exact
+    failure a naive additive rollup ships).
+
+    Scale shape: this is the maintenance loop of every 100 TB serving
+    rollup — delta-sized work per refresh, partial states bounded by
+    (types × user-buckets × 4 KB), one merge shuffle. The cutover
+    split here is a filter on one corpus for oracle parity; production
+    reads base states from the rollup table."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        (F.col("user_id") + 1).alias("k"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v6"),
+    )
+
+    def partials(df):
+        return df.groupBy(
+            "event_type", F.expr("bitmap_bucket_number(k)").alias("bkt")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v6").alias("s"),
+            F.expr("bitmap_construct_agg(bitmap_bit_position(k))").alias("bm"),
+        )
+
+    cut = F.lit(_INC_CUTOVER).cast("timestamp")
+    base = partials(e.filter(F.col("ts") < cut))
+    delta = partials(e.filter(F.col("ts") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "bkt")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.expr("bitmap_or_agg(bm)").alias("bm"),
+        )
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("v6"),
+            F.sum(F.expr("bitmap_count(bm)")).alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

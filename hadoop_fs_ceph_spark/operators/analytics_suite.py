@@ -2211,3 +2211,173 @@ def ds_autocorrelation(spark, sf_dir):
         F.col("n").cast("long").alias("n_pairs"),
         F.round(num / F.when(den != 0.0, den), 9).alias("acf"),
     ).orderBy("event_type", "lag")
+
+
+_SLO_BUDGET_NUM, _SLO_BUDGET_DEN = 1, 4  # error budget = 25% of requests
+_SLO_LONG_H = 6  # long-window span (hours)
+
+
+@query(
+    "ds_slo_burn_rate",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + (epoch_us(ts) // 3600000000 * 3600) * INTERVAL 1 SECOND AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_err
+      FROM events GROUP BY 1
+    ),
+    rolled AS (
+      SELECT h, n_total, n_err,
+             CAST(SUM(n_total) OVER w6 AS BIGINT) AS lt,
+             CAST(SUM(n_err) OVER w6 AS BIGINT) AS le
+      FROM hourly
+      WINDOW w6 AS (ORDER BY h ROWS BETWEEN {_SLO_LONG_H - 1} PRECEDING
+                    AND CURRENT ROW)
+    )
+    SELECT h, n_total, n_err,
+           (CAST(n_err AS DOUBLE) / n_total)
+             / ({_SLO_BUDGET_NUM} / CAST({_SLO_BUDGET_DEN} AS DOUBLE))
+             AS short_burn,
+           (CAST(le AS DOUBLE) / lt)
+             / ({_SLO_BUDGET_NUM} / CAST({_SLO_BUDGET_DEN} AS DOUBLE))
+             AS long_burn,
+           (n_err * {_SLO_BUDGET_DEN} > n_total * {_SLO_BUDGET_NUM})
+             AND (le * {_SLO_BUDGET_DEN} > lt * {_SLO_BUDGET_NUM}) AS alert
+    FROM rolled
+    ORDER BY h
+    """,
+    tags=("analytics", "slo", "burn-rate", "timeseries"),
+)
+def ds_slo_burn_rate(spark, sf_dir):
+    """Multi-window SLO BURN RATE (the Google SRE multiwindow-multiburn
+    alert): per hour, the error-budget burn of the hour itself
+    (short window) and of the trailing {_SLO_LONG_H}-hour span (long
+    window); the alert fires only when BOTH burn — the short window
+    gives fast detection, the long window stops one noisy hour from
+    paging. Burn = error_rate / budget with a {_SLO_BUDGET_NUM}/{_SLO_BUDGET_DEN}
+    budget; the burn doubles are raw divisions of exact integer counts
+    (identical IEEE chain), and the alert BOOLEAN is decided by exact
+    cross-multiplied integer comparisons — never by comparing rounded
+    doubles.
+
+    Scale shape: one map-combined hourly aggregate is the only
+    data-sized pass; the trailing window runs over the hourly series —
+    bounded by hours elapsed, not corpus size (the
+    ``win_cumulative_distinct`` class, allowlisted with that reason)."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    )
+    w6 = Window.orderBy("h").rowsBetween(-(_SLO_LONG_H - 1), Window.currentRow)
+    rolled = hourly.select(
+        "h",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(w6).alias("lt"),
+        F.sum("n_err").over(w6).alias("le"),
+    )
+    budget = F.lit(_SLO_BUDGET_NUM) / F.lit(float(_SLO_BUDGET_DEN))
+    return rolled.select(
+        "h",
+        "n_total",
+        "n_err",
+        ((F.col("n_err").cast("double") / F.col("n_total")) / budget).alias(
+            "short_burn"
+        ),
+        ((F.col("le").cast("double") / F.col("lt")) / budget).alias("long_burn"),
+        (
+            (F.col("n_err") * _SLO_BUDGET_DEN > F.col("n_total") * _SLO_BUDGET_NUM)
+            & (F.col("le") * _SLO_BUDGET_DEN > F.col("lt") * _SLO_BUDGET_NUM)
+        ).alias("alert"),
+    ).orderBy("h")
+
+
+@query(
+    "ds_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v6
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.v6 - a.v6 AS DOUBLE)
+               / date_diff('day', a.d, b.d) AS slope,
+             a.d AS d1, b.d AS d2
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    r AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope, d1, d2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM slopes
+    )
+    SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           slope AS slope_v6_per_day
+    FROM r WHERE rn = (np + 1) // 2
+    ORDER BY event_type
+    """,
+    tags=("analytics", "timeseries", "robust", "theil-sen"),
+)
+def ds_theilsen_trend(spark, sf_dir):
+    """Theil–Sen ROBUST trend per event type: the median of all
+    pairwise day-to-day slopes of the daily series — the slope
+    estimator with a 29% breakdown point, immune to the outlier days
+    that drag least-squares (the robust-statistics companion to
+    `outlier_mad_robust`). Slopes are raw IEEE divisions of exact
+    fixed-point deltas (Δv6 / Δdays — no rounding, the large-magnitude
+    determinism rule), the median is the LOWER median picked by rank
+    with a total (slope, d1, d2) tie-break, and everything hash-matches.
+
+    Scale shape: the pair relation is the DAILY AGGREGATE self-joined
+    within event type — |days|² per type, calendar-bounded, never
+    corpus-sized; the median rank window partitions BY TYPE. The one
+    data-sized pass is the map-combined daily aggregate."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("v6"))
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("v6").alias("v1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("v6").alias("v2")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            (
+                (F.col("v2") - F.col("v1")).cast("double")
+                / F.datediff("d2", "d1").cast("double")
+            ).alias("slope"),
+            "d1",
+            "d2",
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    r = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number()
+        .over(wp.orderBy("slope", "d1", "d2"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("np"),
+    )
+    return (
+        r.filter(F.col("rn") == F.expr("(np + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("slope").alias("slope_v6_per_day"),
+        )
+        .orderBy("event_type")
+    )

@@ -826,3 +826,54 @@ def stream_max_files_per_trigger(spark, sf_dir):
     return spark.createDataFrame(
         [(i + 1, int(n)) for i, n in enumerate(sizes)], "batch_rank int, batch_rows long"
     ).select(F.col("batch_rank"), F.col("batch_rows"))
+
+
+@query(
+    "stream_dedup_then_window",
+    oracle="""
+    WITH m AS (SELECT MAX(ts) AS mx FROM events),
+    d AS (
+      SELECT event_type, ts,
+             row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+      FROM events
+    ),
+    w AS (
+      SELECT event_type,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + (epoch_us(ts) // 600000000 * 600) * INTERVAL 1 SECOND AS w_start,
+             COUNT(*) AS n
+      FROM d WHERE rn = 1 GROUP BY 1, 2
+    )
+    SELECT w.event_type, w.w_start, w.n FROM w, m
+    WHERE w.w_start + INTERVAL 10 MINUTE <= m.mx - INTERVAL 10 MINUTES
+    """,
+    tags=("streaming", "dedup", "window", "chained-stateful"),
+)
+def stream_dedup_then_window(spark, sf_dir):
+    """CHAINED stateful streaming — the exactly-once ingest shape:
+    re-delivered events collapse by id (``dropDuplicatesWithinWatermark``,
+    evicting state as the watermark advances) and the SURVIVORS feed a
+    watermarked 10-minute tumbling count per type, emitted append-mode
+    as windows finalize. This is the two-operator pipeline every
+    at-least-once transport (Kafka, SQS, retry-happy HTTP ingestion)
+    needs in front of its aggregates: dedup THEN aggregate, both
+    stateful, one shared watermark — supported since Spark 3.5's
+    multiple-stateful-operator lift and exercised here end-to-end.
+
+    State posture: dedup state = one key per event id inside the
+    horizon (evicted); window state = open windows only (closed ones
+    emit and drop). The oracle replays dedup as a keep-first window
+    and excludes the unfinalized tail (window end > max event time −
+    10 min) exactly as the append contract specifies."""
+    s = events_stream(spark, sf_dir)
+    deduped = s.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = (
+        deduped.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("w.start").alias("w_start"), "n")
+    )
+    return run_to_memory(agg, "stream_dedup_then_window", "append")

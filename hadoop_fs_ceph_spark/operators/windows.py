@@ -729,3 +729,112 @@ def win_rolling_quantile(spark, sf_dir):
         )
         .orderBy("event_type", "d")
     )
+
+
+_SESS_GAP_MIN = 30  # idle gap that opens a new session
+_SESS_CAP_H = 2  # hard cap: split sessions longer than this
+
+
+@query(
+    "win_sessionize_capped",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                    >= {_SESS_GAP_MIN * 60 * 1000000}
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    capped AS (
+      SELECT user_id, ts, sid,
+             (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id, sid))
+               // {_SESS_CAP_H * 3600 * 1000000} AS sub
+      FROM numbered
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS sid, CAST(sub AS BIGINT) AS sub,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM capped
+    GROUP BY user_id, sid, sub
+    ORDER BY user_id, sid, sub
+    """,
+    tags=("window", "session", "capped"),
+)
+def win_sessionize_capped(spark, sf_dir):
+    """Sessionization with BOTH boundary rules real trackers use: an
+    idle gap ≥ {_SESS_GAP_MIN} min opens a new session (the
+    gaps-and-islands running flag-sum), AND any session that outlives
+    the {_SESS_CAP_H}-hour hard cap is SPLIT into fixed-width
+    sub-sessions by integer division of the offset from session start —
+    the rule that keeps a bot's never-idle clickstream from becoming
+    one unbounded session (exactly the per-key state bound a streaming
+    sessionizer enforces with a max-duration trigger). Session ids are
+    (sid, sub) composites, fully deterministic via the (ts, event_id)
+    tie-broken ordering; the offset division is exact integer µs.
+
+    Scale shape: every window partitions BY USER — the islands flag,
+    the running sum, and the per-session min all ride the same user
+    partitioning (one exchange, three window functions), then one
+    aggregate on (user, sid, sub). Nothing global anywhere."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+                >= _SESS_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("new_session")
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    capped = numbered.select(
+        "user_id",
+        "ts",
+        "sid",
+        F.expr(
+            f"(unix_micros(ts) - min(unix_micros(ts)) OVER"
+            f" (PARTITION BY user_id, sid))"
+            f" div {_SESS_CAP_H * 3600 * 1000000}"
+        ).alias("sub"),
+    )
+    return (
+        capped.groupBy("user_id", "sid", "sub")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("sid").cast("long").alias("sid"),
+            F.col("sub").cast("long").alias("sub"),
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+        .orderBy("user_id", "sid", "sub")
+    )

@@ -131,6 +131,7 @@ SINGLE_PARTITION_WINDOW: dict[str, str] = {
     "win_cumulative_distinct": "running window over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
     "win_cusum_changepoint": "CUSUM fold over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
     "profile_ks_drift": "final max-gap window over the fixed 17-row ECDF grid relation",
+    "ds_slo_burn_rate": "trailing 6-hour window over the hourly aggregate (bounded by hours elapsed, not corpus size)",
 }
 
 # --- declared Python-UDF surface ------------------------------------------
