@@ -2381,3 +2381,115 @@ def ds_theilsen_trend(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ds_conformal_interval",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS actual
+      FROM events GROUP BY event_type, d
+    ),
+    back AS (
+      SELECT a.event_type, a.d, a.actual, f.actual AS forecast,
+             ABS(a.actual - f.actual) AS abs_err
+      FROM daily a JOIN daily f
+        ON f.event_type = a.event_type AND f.d = a.d - 7
+    ),
+    lastd AS (SELECT event_type, MAX(d) AS last_d FROM back GROUP BY event_type),
+    cal AS (
+      SELECT b.event_type, b.abs_err,
+             row_number() OVER (PARTITION BY b.event_type
+                                ORDER BY b.abs_err, b.d) AS rn,
+             COUNT(*) OVER (PARTITION BY b.event_type) AS n
+      FROM back b JOIN lastd l
+        ON b.event_type = l.event_type AND b.d < l.last_d
+    ),
+    q AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n_cal,
+             CAST(abs_err AS BIGINT) AS q_hat
+      FROM cal
+      WHERE rn = LEAST(n, (9 * n + 18) // 10)
+    )
+    SELECT p.event_type, q.n_cal, q.q_hat, p.d AS pred_day,
+           p.forecast, p.actual,
+           p.forecast - q.q_hat AS lo, p.forecast + q.q_hat AS hi,
+           p.actual BETWEEN p.forecast - q.q_hat
+                        AND p.forecast + q.q_hat AS covered
+    FROM back p
+    JOIN lastd l ON p.event_type = l.event_type AND p.d = l.last_d
+    JOIN q ON q.event_type = p.event_type
+    ORDER BY p.event_type
+    """,
+    tags=("analytics", "forecast", "conformal", "uncertainty"),
+)
+def ds_conformal_interval(spark, sf_dir):
+    """SPLIT-CONFORMAL prediction interval on the seasonal-naive
+    forecast: calibrate on every backtest day EXCEPT the newest (the
+    past), take q̂ = the ⌈0.9·(n+1)⌉-th smallest absolute residual —
+    the distribution-free quantile that guarantees ≥90% coverage with
+    NO assumption on the error distribution (the conformal learning
+    result) — and issue forecast ± q̂ for the held-out newest day,
+    reporting whether the actual landed inside. This is the honest
+    uncertainty wrapper a production forecast ships instead of
+    Gaussian bands the residuals never earned.
+
+    Everything is exact integers: residuals are count deltas, the
+    calibration rank k = least(n, (9n+18) div 10) is integer
+    arithmetic, q̂ is an order statistic picked by a rank window
+    PARTITIONED BY TYPE over the calendar-bounded backtest relation.
+    One daily aggregate is the only data-sized pass."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("actual")
+    )
+    f = daily.select(
+        "event_type",
+        F.date_add("d", 7).alias("d"),
+        F.col("actual").alias("forecast"),
+    )
+    back = daily.join(f, ["event_type", "d"]).select(
+        "event_type",
+        "d",
+        "actual",
+        "forecast",
+        F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+    )
+    lastd = back.groupBy("event_type").agg(F.max("d").alias("last_d"))
+    wp = Window.partitionBy("event_type")
+    cal = (
+        back.join(lastd, "event_type")
+        .filter(F.col("d") < F.col("last_d"))
+        .select(
+            "event_type",
+            "abs_err",
+            F.row_number().over(wp.orderBy("abs_err", "d")).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+    )
+    q = cal.filter(
+        F.col("rn") == F.least(F.col("n"), F.expr("(9 * n + 18) div 10"))
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_cal"),
+        F.col("abs_err").cast("long").alias("q_hat"),
+    )
+    pred = back.join(lastd, "event_type").filter(F.col("d") == F.col("last_d"))
+    return (
+        pred.join(q, "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "q_hat",
+            F.col("d").alias("pred_day"),
+            "forecast",
+            "actual",
+            (F.col("forecast") - F.col("q_hat")).alias("lo"),
+            (F.col("forecast") + F.col("q_hat")).alias("hi"),
+            F.col("actual").between(
+                F.col("forecast") - F.col("q_hat"),
+                F.col("forecast") + F.col("q_hat"),
+            ).alias("covered"),
+        )
+        .orderBy("event_type")
+    )

@@ -1283,3 +1283,82 @@ def src_snapshot_expiry_plan(spark, sf_dir):
         )
         counts = c if counts is None else counts.unionByName(c)
     return plan.join(counts, "file_id").orderBy("file_id")
+
+
+@query(
+    "src_zonemap_overlap",
+    oracle="""
+    WITH z AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS part,
+             CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS lo,
+             CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1
+    ),
+    ov AS (
+      SELECT a.part, CAST(COUNT(b.part) AS BIGINT) AS n_overlaps
+      FROM z a LEFT JOIN z b
+        ON a.part <> b.part AND a.lo <= b.hi AND b.lo <= a.hi
+      GROUP BY a.part
+    )
+    SELECT z.part, z.lo, z.hi, z.n_rows, ov.n_overlaps,
+           ov.n_overlaps = 0 AS prunable
+    FROM z JOIN ov USING (part)
+    ORDER BY z.part
+    """,
+    tags=("source", "zonemap", "clustering", "maintenance"),
+)
+def src_zonemap_overlap(spark, sf_dir):
+    """ZONE-MAP overlap audit — the metric behind every OPTIMIZE /
+    Z-ORDER decision: per partition (order month), the min/max zone of
+    a would-be filter column (price cents) and how many OTHER
+    partitions' zones overlap it. A point/range filter on the column
+    must scan every overlapping zone, so ``n_overlaps`` IS the
+    data-skipping miss count: all-overlapping means the column is
+    unclustered across partitions (re-cluster by Z-order —
+    `src_zorder_write` — or re-partition by range to fix);
+    ``prunable`` marks zones a point lookup would isolate. This
+    computes from the data what a lakehouse reads from parquet footer
+    min/max stats — identical math, catalog-free.
+
+    Scale shape: one map-combined per-partition min/max/count (the
+    only data-sized pass), then an interval self-join of the
+    |partitions|-row zone relation — the classic bounded
+    interval-overlap shape of `join_interval_overlap`."""
+    o = t(spark, sf_dir, "orders")
+    z = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("part")
+    ).agg(
+        F.min(F.round(F.col("o_totalprice") * 100).cast("long")).alias("lo"),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    a = z.select(
+        F.col("part"), F.col("lo"), F.col("hi"), F.col("n_rows")
+    )
+    b = z.select(
+        F.col("part").alias("bpart"), F.col("lo").alias("blo"), F.col("hi").alias("bhi")
+    )
+    ov = (
+        a.join(
+            b,
+            (F.col("part") != F.col("bpart"))
+            & (F.col("lo") <= F.col("bhi"))
+            & (F.col("blo") <= F.col("hi")),
+            "left",
+        )
+        .groupBy("part")
+        .agg(F.count("bpart").alias("n_overlaps"))
+    )
+    return (
+        z.join(ov, "part")
+        .select(
+            "part",
+            "lo",
+            "hi",
+            "n_rows",
+            "n_overlaps",
+            (F.col("n_overlaps") == 0).alias("prunable"),
+        )
+        .orderBy("part")
+    )

@@ -33,6 +33,7 @@ from hadoop_fs_ceph_spark.functions.text import (
     tokens,
     word_tokens_regex,
 )
+from hadoop_fs_ceph_spark.functions.similarity import cosine, sql_cosine
 from hadoop_fs_ceph_spark.registry import query
 from hadoop_fs_ceph_spark.tables import t
 
@@ -1491,3 +1492,123 @@ def text_paragraph_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_RRF_C = 60  # the standard RRF dampening constant
+_RRF_TOPK = 20  # per-retriever short-list length
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, chr(32))) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_toks
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN ({_BM25_SQL_TERMS}) GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    per AS (
+      SELECT t.doc_id, t.token,
+             ln(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                      / (CAST(d.df AS DOUBLE) + 0.5))
+             * (CAST(t.tf AS DOUBLE) * 2.2)
+             / (CAST(t.tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+                         / (CAST(s.total_toks AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE)))) AS contrib
+      FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id), stats s
+    ),
+    sc AS (
+      SELECT doc_id,
+             ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(contrib ORDER BY token)), (a, b) -> a + b), 9) AS bm25
+      FROM per GROUP BY doc_id
+    ),
+    lexl AS (SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT {_RRF_TOPK}),
+    lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+               AS lex_rank
+      FROM lexl
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cosd AS (
+      SELECT e.vec_id AS doc_id, {sql_cosine("e.embedding", "q.qv")} AS cos
+      FROM embeddings e, q
+    ),
+    seml AS (SELECT doc_id, cos FROM cosd ORDER BY cos DESC, doc_id LIMIT {_RRF_TOPK}),
+    sem AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
+               AS sem_rank
+      FROM seml
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+             COALESCE(1.0 / ({_RRF_C} + l.lex_rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_C} + s.sem_rank), 0.0) AS rrf
+      FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    tags=("similarity", "retrieval", "hybrid", "rrf"),
+)
+def sim_hybrid_rrf(spark, sf_dir):
+    """HYBRID retrieval by Reciprocal Rank Fusion — the fusion rule
+    modern search stacks use to combine a lexical and a vector
+    retriever without score calibration: each retriever contributes
+    1/({_RRF_C} + rank) for documents on ITS top-{_RRF_TOPK} short
+    list, summed over retrievers (missing from a list = 0). Lexical =
+    the BM25 scorer (`text_bm25_rank`'s exact pipeline); semantic =
+    cosine against the fixed query vector (vec 0), both tie-broken
+    totally. RRF needs only RANKS — which is precisely why it's the
+    production default: BM25 and cosine live on incomparable scales.
+
+    Scale shape: each retriever reduces to its top-k via
+    TakeOrderedAndProject (per-partition heaps — never a world sort);
+    rank assignment windows run over the FIXED {_RRF_TOPK}-row short
+    lists (bounded by the top-k constant, allowlisted as such); the
+    fusion is a full outer join of two k-row relations. The fused
+    doubles are sums of two exact divisions in fixed order —
+    hash-matched."""
+    lexl = text_bm25_rank(spark, sf_dir).select("doc_id", "bm25")
+    lex = lexl.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cosd = e.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+    )
+    seml = cosd.orderBy(F.col("cos").desc(), "doc_id").limit(_RRF_TOPK)
+    sem = seml.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
+        .cast("int")
+        .alias("sem_rank"),
+    )
+    fused = lex.join(sem, "doc_id", "full").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)

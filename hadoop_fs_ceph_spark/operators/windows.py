@@ -838,3 +838,70 @@ def win_sessionize_capped(spark, sf_dir):
         )
         .orderBy("user_id", "sid", "sub")
     )
+
+
+@query(
+    "win_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v6,
+             epoch_us(LEAD(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS w_us
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_intervals,
+             SUM(CAST(v6 AS HUGEINT) * w_us) AS sv,
+             CAST(SUM(w_us) AS BIGINT) AS sw
+      FROM seq WHERE w_us IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n_intervals,
+           CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE) / 1000000.0 AS twap
+    FROM m
+    ORDER BY event_type
+    """,
+    tags=("window", "timeseries", "twap"),
+)
+def win_time_weighted_avg(spark, sf_dir):
+    """TIME-weighted average value per event type (TWAP): each
+    observation holds until the next one arrives, so its weight is the
+    exact µs gap to the next event (lead within type) — the estimator
+    that is invariant to sampling cadence, where the plain mean
+    over-counts bursts (the finance/metrics standard for irregular
+    series). The final observation has no holding interval and is
+    excluded by definition.
+
+    Determinism: weights are exact integer µs, values exact 1e6
+    fixed-point; Σv·w accumulates as decimal(38,0) (the product
+    overflows long) and the TWAP is two divisions of exact integers in
+    fixed order — hash-matched, no rounding. Scale shape: one lead
+    window PARTITIONED BY TYPE + one map-combined aggregate."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("v6"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("w_us"),
+    )
+    m = (
+        seq.filter(F.col("w_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(
+                F.col("v6").cast("decimal(38,0)") * F.col("w_us").cast("decimal(38,0)")
+            ).alias("sv"),
+            F.sum("w_us").alias("sw"),
+        )
+    )
+    return m.select(
+        "event_type",
+        "n_intervals",
+        (
+            F.col("sv").cast("double") / F.col("sw").cast("double") / F.lit(1000000.0)
+        ).alias("twap"),
+    ).orderBy("event_type")

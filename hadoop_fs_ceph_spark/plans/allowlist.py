@@ -72,6 +72,8 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sample_importance_reweight": "one-row corpus-total and ESS broadcasts onto the 5-row class relation",
     "sample_leakage_safe_split": "two one-row violation-count broadcasts onto the two-row strategy report",
     "ds_autocorrelation": "7-row lag-spine broadcast onto the daily aggregate",
+    "sim_hybrid_rrf": "one-row query-vector broadcast (the semantic retriever's scoring pass)",
+    "src_zonemap_overlap": "interval self-join of the |partitions|-row zone relation (calendar-bounded, never row-scaled)",
     "agg_exact_weighted_median_nosort": "one-row (lo, hi, k) refinement-state broadcasts between histogram passes",
 }
 
