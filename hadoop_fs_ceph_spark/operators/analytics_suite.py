@@ -2493,3 +2493,123 @@ def ds_conformal_interval(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_HW_DAYS = 64  # hard cap: fold over at most the last 64 days per series
+_HW_M = 7  # season length (weekly)
+
+
+@query(
+    "ds_holt_winters",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, d
+      QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY d DESC)
+              <= {_HW_DAYS}
+    ),
+    seq AS (
+      SELECT event_type, list(x ORDER BY d) AS vals
+      FROM daily GROUP BY event_type
+    ),
+    st AS (
+      SELECT event_type, len(vals) AS n_days,
+             -- state = [level, trend, s1..s7] (flat DOUBLE list: DuckDB
+             -- mis-folds STRUCT accumulators in multi-step list_reduce)
+             list_reduce(
+               list_prepend(
+                 [vals[1], CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                 list_transform(vals[2:],
+                   x -> [x, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+               (acc, e) -> list_concat(list_concat(
+                 [0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
+                  0.3 * ((0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]))
+                         - acc[1]) + 0.7 * acc[2]],
+                 acc[4:9]),
+                 [0.2 * (e[1] - acc[1] - acc[2]) + 0.8 * acc[3]])) AS s
+      FROM seq
+    )
+    SELECT event_type, n_days, s[1] AS level, s[2] AS trend,
+           s[3] AS season_next, s[1] + s[2] + s[3] AS forecast_next
+    FROM st
+    ORDER BY event_type
+    """,
+    tags=("analytics", "forecast", "holt-winters", "seasonal", "stateful"),
+)
+def ds_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters (level + trend + weekly seasonality) over
+    per-event-type daily counts — the full triple-exponential recurrence
+    on top of `win_holt_linear_fold`'s double smoothing and
+    `ds_seasonal_naive_forecast`'s baseline: l' = α(x−s_{t−m}) +
+    (1−α)(l+b), b' = β(l'−l) + (1−β)b, s' = γ(x−l−b) + (1−γ)s_{t−m},
+    with α=0.5, β=0.3, γ=0.2, m=7. The state is one flat 9-double
+    vector [l, b, s1..s7] whose seasonal block ROTATES each step (drop
+    head, append s'), so the due seasonal factor is always slot 3 —
+    the trick that makes the whole fold a pure positional expression
+    both engines evaluate in the identical IEEE order (the duplicated
+    l' subexpression inside b' is deliberate), bit-identical with no
+    tolerance.
+
+    Scale: the series is calendar-bounded (≤{_HW_DAYS} days per key by
+    the QUALIFY tail cap — a hard per-group state bound, like the EWMA
+    fold's 32-event tail), the pre-aggregation reduces the fact table to
+    (type, day) cells before any list forms, and the fold itself is one
+    `F.aggregate` over a ≤64-element array: per-key state is O(m), never
+    corpus-sized. Same shape at 100 TB with millions of keys — the fold
+    parallelizes per key with zero cross-key traffic."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("d").desc())
+    tail = daily.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _HW_DAYS
+    )
+    seq = tail.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "x"))), lambda s: s["x"]
+        ).alias("vals")
+    )
+    a, one_a = F.lit(0.5), F.lit(0.5)
+    b, one_b = F.lit(0.3), F.lit(0.7)
+    g, one_g = F.lit(0.2), F.lit(0.8)
+
+    def step(acc, x):
+        lvl = a * (x - F.element_at(acc, 3)) + one_a * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        trd = b * (
+            (
+                a * (x - F.element_at(acc, 3))
+                + one_a * (F.element_at(acc, 1) + F.element_at(acc, 2))
+            )
+            - F.element_at(acc, 1)
+        ) + one_b * F.element_at(acc, 2)
+        ssn = g * (
+            x - F.element_at(acc, 1) - F.element_at(acc, 2)
+        ) + one_g * F.element_at(acc, 3)
+        return F.concat(F.array(lvl, trd), F.slice(acc, 4, 6), F.array(ssn))
+
+    zeros = [F.lit(0.0)] * 8
+    st = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.concat(F.array(F.element_at("vals", 1)), F.array(*zeros)),
+        step,
+    )
+    return seq.select(
+        "event_type",
+        F.size("vals").cast("long").alias("n_days"),
+        F.element_at(st, 1).alias("level"),
+        F.element_at(st, 2).alias("trend"),
+        F.element_at(st, 3).alias("season_next"),
+        (F.element_at(st, 1) + F.element_at(st, 2) + F.element_at(st, 3)).alias(
+            "forecast_next"
+        ),
+    ).orderBy("event_type")

@@ -456,3 +456,75 @@ def graph_kcore(spark, sf_dir):
         .select("node", "core_degree", F.lit(n_rounds).cast("int").alias("n_rounds"))
         .orderBy("node")
     )
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({_EDGES_SQL}) WHERE src <> dst
+    ),
+    dir AS (
+      SELECT a AS u, b AS w FROM und
+      UNION ALL
+      SELECT b AS u, a AS w FROM und
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY u),
+    common AS (
+      SELECT e1.u AS u, e2.u AS v, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM dir e1 JOIN dir e2 ON e1.w = e2.w AND e1.u < e2.u
+      GROUP BY e1.u, e2.u
+    )
+    SELECT c.u, c.v, c.n_common, du.d AS deg_u, dv.d AS deg_v,
+           CAST((1000000 * c.n_common) // (du.d + dv.d - c.n_common)
+                AS BIGINT) AS jaccard_ppm
+    FROM common c
+    JOIN deg du ON du.u = c.u
+    JOIN deg dv ON dv.u = c.v
+    WHERE (1000000 * c.n_common) // (du.d + dv.d - c.n_common) >= 200000
+    ORDER BY jaccard_ppm DESC, c.u, c.v
+    """,
+    tags=("graph", "jaccard", "link-prediction"),
+)
+def graph_jaccard_neighbors(spark, sf_dir):
+    """Neighbor-set Jaccard similarity between vertex pairs — the
+    classic structural link-prediction / role-equivalence score:
+    J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| over the undirected trade
+    graph, emitted as exact parts-per-million integers (`div` on
+    exact counts — no float ratio, hash-identical cross-engine) and
+    thresholded at 0.2.
+
+    Shape: symmetrize the canonical edge list, count co-neighbors by
+    ONE self-equi-join on the shared neighbor vertex (shuffle on w) +
+    aggregate, then two broadcast-size degree joins — the same
+    wedge-enumeration skeleton as `graph_triangle_count`, so the same
+    100 TB posture applies: fan-out is bounded by per-vertex degree and
+    a degree-capped variant (drop hub vertices above a percentile)
+    slots in front without changing the plan. No vertex materializes
+    its neighbor set in memory; intersections are counted, never
+    collected."""
+    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    dir_ = und.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    ).persist()
+    deg = dir_.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    e1, e2 = dir_.alias("e1"), dir_.alias("e2")
+    common = (
+        e1.join(e2, (F.col("e1.w") == F.col("e2.w")) & (F.col("e1.u") < F.col("e2.u")))
+        .groupBy(F.col("e1.u").alias("u"), F.col("e2.u").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    du = deg.select(F.col("u").alias("du_u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("dv_u"), F.col("d").alias("deg_v"))
+    jac = F.expr("(1000000 * n_common) div (deg_u + deg_v - n_common)")
+    return (
+        common.join(du, common.u == du.du_u)
+        .join(dv, common.v == dv.dv_u)
+        .select("u", "v", "n_common", "deg_u", "deg_v", jac.alias("jaccard_ppm"))
+        .filter(F.col("jaccard_ppm") >= 200000)
+        .orderBy(F.col("jaccard_ppm").desc(), "u", "v")
+    )

@@ -984,3 +984,96 @@ def join_er_blocked(spark, sf_dir):
         .filter(F.col("name_jaccard") >= _ER_JACCARD_MIN)
         .orderBy("part_a", "part_b")
     )
+
+
+_BLOOM_BITS = 1 << 16  # m: 65,536 bits = 1,024 64-bit words
+_BLOOM_K = 3  # hash probes per key
+
+
+def _bloom_positions(key, m: int, k: int):
+    """k bit positions for a key: pmod(xxhash64(key, seed_i), m)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)).cast("long")
+        for i in range(k)
+    ]
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    SELECT s.s_suppkey, s.s_name,
+           COUNT(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey % 5 = 3
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY s.s_suppkey
+    """,
+    tags=("join", "bloom", "prefilter", "scale"),
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter semi-join reduction: the small side's join keys are
+    folded into a 64 KiB bit array (k=3 xxhash64 probes, bits OR-ed into
+    1,024 64-bit words) that is broadcast as ONE row and applied to the
+    fact side BEFORE the join — the runtime-filter pattern Spark's own
+    AQE injects for shuffle joins, built here explicitly so the
+    reduction also applies when the join is broadcast or the filter must
+    cross a stage boundary AQE cannot see through.
+
+    Output contract: bit-identical to the plain equi-join (the oracle) —
+    a Bloom filter has NO false negatives, and its false positives are
+    eliminated by the real join that follows; the bloom stage only
+    reduces the bytes that reach it. All hashing is JVM-side
+    (`xxhash64`), the bitmap build is one ≤1,024-row map-combined
+    `bit_or` aggregate, and the probe is three `element_at` + bitwise-AND
+    tests inside whole-stage codegen — zero Python.
+
+    Scale: at 100 TB the fact scan emits only rows whose key *might* be
+    in the dim subset (expected pass rate ≈ keys_frac + FP rate; at
+    thousands of bits/key here FP ≈ 0) — the shuffle/broadcast-probe
+    volume drops by ~4/5 for the one-fifth dim subset before any join
+    runs, and by m-sizing the same plan holds at any selectivity. The bitmap is O(m) = 8 KiB regardless of fact size and merges
+    associatively (bit_or), so the build is one tiny all-to-one
+    aggregate. Reference parity: the reference ships no joins at all
+    (SURVEY.md §0); this is engine-layer machinery for the lake it
+    mounts (`CephRgwFileSystem.java:1` provides only the byte transport).
+    """
+    sup = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 5 == 3).select(
+        "s_suppkey", "s_name"
+    )
+    # --- build: keys -> k positions -> distinct -> word/bit -> bit_or ---
+    pos = sup.select(
+        F.explode(F.array(*_bloom_positions(F.col("s_suppkey"), _BLOOM_BITS, _BLOOM_K))).alias("pos")
+    ).distinct()
+    words = pos.select(
+        F.expr("pos div 64").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("bit"),
+    ).groupBy("word").agg(F.bit_or("bit").alias("bits"))
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+    # --- probe: fact rows keep only might-contain keys, then real join ---
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    probed = l.crossJoin(F.broadcast(bloom))
+    cond = F.lit(True)
+    for i in range(_BLOOM_K):
+        probe = (
+            f"(coalesce(element_at(bloom, pmod(xxhash64(l_suppkey, {i}), {_BLOOM_BITS}) div 64),"
+            f" CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT),"
+            f"   CAST(pmod(pmod(xxhash64(l_suppkey, {i}), {_BLOOM_BITS}), 64) AS INT))) != 0"
+        )
+        cond = cond & F.expr(probe)
+    survivors = probed.filter(cond).drop("bloom")
+    return (
+        survivors.join(F.broadcast(sup), survivors.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

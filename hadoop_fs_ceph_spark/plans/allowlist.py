@@ -19,6 +19,7 @@ from __future__ import annotations
 # tiny fixed dims, or a bounded query batch of an eval pass.
 INTENTIONAL_CROSS: dict[str, str] = {
     "join_cross": "deliberate tiny-dims cross join (region x nation, 5x25 rows)",
+    "join_bloom_prefilter": "one-row 8 KiB bloom-bitmap broadcast applied to the fact scan",
     "fn_zip_with_dot": "one-row query-vector broadcast",
     "sim_knn_bruteforce": "one-row query-vector broadcast (declared truth pass)",
     "sim_ivf_cells": "8-row centroid table + 1-row query vector broadcasts",

@@ -1589,3 +1589,101 @@ def test_approx_topk_regime_pinned(spark, sf_dir):
         "approx_top_k leaves its exact regime — raise k in "
         "agg_approx_topk_sketch or demote its oracle to a tolerance check"
     )
+
+
+def test_bloom_prefilter_reduces_fact_rows(spark, sf_dir):
+    """The bloom stage must (a) never lose a true key (no false
+    negatives -> final result equals the plain join) and (b) actually
+    reduce the fact rows that reach the join at fixture scale."""
+    from hadoop_fs_ceph_spark.operators.joins import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+        _bloom_positions,
+    )
+    from hadoop_fs_ceph_spark.tables import t
+    from pyspark.sql import functions as F
+
+    sup = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 5 == 3)
+    pos = sup.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col("s_suppkey"), _BLOOM_BITS, _BLOOM_K))
+        ).alias("pos")
+    ).distinct()
+    words = (
+        pos.select(
+            F.expr("pos div 64").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_suppkey")
+    cond = F.lit(True)
+    for i in range(_BLOOM_K):
+        cond = cond & F.expr(
+            f"(coalesce(element_at(bloom, pmod(xxhash64(l_suppkey, {i}),"
+            f" {_BLOOM_BITS}) div 64), CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod(pmod(xxhash64("
+            f"l_suppkey, {i}), {_BLOOM_BITS}), 64) AS INT))) != 0"
+        )
+    total = l.count()
+    passed = l.crossJoin(F.broadcast(bloom)).filter(cond).count()
+    true_keys = sup.select("s_suppkey").distinct()
+    true_lines = l.join(true_keys, l.l_suppkey == true_keys.s_suppkey, "left_semi").count()
+    # no false negatives: every true-key line survives the bloom
+    assert passed >= true_lines
+    # the prefilter is a real reduction at fixture selectivity (~1/5 keys)
+    assert passed < total
+    # false-positive mass is small: survivors within 2x of the true lines
+    assert passed <= max(2 * true_lines, true_lines + 64)
+
+
+def test_jaccard_neighbors_bounds(spark, sf_dir):
+    """Jaccard ppm must lie in (0, 1e6] and n_common <= min(deg_u, deg_v)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["graph_jaccard_neighbors"](spark, sf_dir).collect()
+    assert len(df) > 0
+    for r in df:
+        assert 0 < r.jaccard_ppm <= 1_000_000
+        assert r.n_common <= min(r.deg_u, r.deg_v)
+
+
+def test_holt_winters_matches_python_fold(spark, sf_dir):
+    """The Spark fold must equal a plain-Python reference recurrence
+    (same op order) exactly — pinning the rotation and index layout."""
+    import __spark_entry__ as entry
+    from hadoop_fs_ceph_spark.tables import t
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.event_type: r
+        for r in entry.queries()["ds_holt_winters"](spark, sf_dir).collect()
+    }
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in sorted(daily, key=lambda r: (r.event_type, r.d)):
+        series.setdefault(r.event_type, []).append(r.x)
+    for et, xs in series.items():
+        xs = xs[-64:]
+        st = [xs[0], 0.0] + [0.0] * 7
+        for x in xs[1:]:
+            lp = 0.5 * (x - st[2]) + 0.5 * (st[0] + st[1])
+            tp = 0.3 * ((0.5 * (x - st[2]) + 0.5 * (st[0] + st[1])) - st[0]) + 0.7 * st[1]
+            sp = 0.2 * (x - st[0] - st[1]) + 0.8 * st[2]
+            st = [lp, tp] + st[3:9] + [sp]
+        got = rows[et]
+        assert got.n_days == len(xs)
+        assert got.level == st[0]
+        assert got.trend == st[1]
+        assert got.season_next == st[2]
