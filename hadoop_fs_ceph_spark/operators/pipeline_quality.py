@@ -2156,3 +2156,149 @@ def sample_weighted_ares(spark, sf_dir):
         .limit(_ARES_K)
         .drop("_k")
     )
+
+
+_FK_EDGES = [
+    # (child table, child key, parent table, parent key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+@query(
+    "profile_referential_integrity",
+    oracle="""
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}.{ck}' AS edge, '{p}.{pk}' AS parent,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(*) FILTER (WHERE pp.{pk} IS NULL) AS BIGINT) AS n_orphans,
+           CAST((1000000 * COUNT(*) FILTER (WHERE pp.{pk} IS NULL)) // COUNT(*)
+                AS BIGINT) AS orphan_ppm
+    FROM {c} ch LEFT JOIN (SELECT DISTINCT {pk} FROM {p}) pp
+      ON ch.{ck} = pp.{pk}
+    """
+        for c, ck, p, pk in _FK_EDGES
+    )
+    + "\nORDER BY edge, parent",
+    tags=("profile", "quality", "referential-integrity"),
+)
+def profile_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit over every foreign-key edge of the
+    star schema: per edge, the child row count, the number of ORPHAN
+    children (key has no parent row), and the orphan rate in exact ppm
+    — the lake-health check that catches partial loads, late dimension
+    arrivals, and botched compactions before a join silently drops (or
+    a left join silently NULLs) fact rows downstream.
+
+    Shape: each edge is one left join of the child keys against the
+    DISTINCT parent keys (broadcast for dims, shuffle for fact⋈fact) +
+    one count — six bounded aggregates unioned into a six-row report.
+    At 100 TB the fact-side scans read ONLY the key column (column
+    pruning visible in the audit), and the six edges share no state, so
+    they parallelize as independent stages of one job."""
+    out = None
+    for c, ck, p, pk in _FK_EDGES:
+        child = t(spark, sf_dir, c).select(F.col(ck).alias("k"))
+        parent = t(spark, sf_dir, p).select(F.col(pk).alias("k")).distinct()
+        row = (
+            child.join(parent.withColumn("hit", F.lit(1)), "k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias(
+                    "n_orphans"
+                ),
+            )
+            .select(
+                F.lit(f"{c}.{ck}").alias("edge"),
+                F.lit(f"{p}.{pk}").alias("parent"),
+                F.col("n_child").cast("long"),
+                F.col("n_orphans").cast("long"),
+                F.expr("(1000000 * n_orphans) div n_child").alias("orphan_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("edge", "parent")
+
+
+_TSPLIT_TEST_DAYS = 14  # test period: last 14 days of the corpus
+_TSPLIT_EMBARGO_DAYS = 2  # purge gap between train end and test start
+
+
+@query(
+    "sample_temporal_split",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MAX(ts) AS max_ts,
+             MAX(ts) - INTERVAL {_TSPLIT_TEST_DAYS} DAY AS test_start,
+             MAX(ts) - INTERVAL {_TSPLIT_TEST_DAYS + _TSPLIT_EMBARGO_DAYS} DAY
+               AS train_end
+      FROM events
+    ),
+    labeled AS (
+      SELECT CASE
+               WHEN e.ts >= b.test_start THEN 'test'
+               WHEN e.ts < b.train_end THEN 'train'
+               ELSE 'embargo'
+             END AS split,
+             e.ts
+      FROM events e CROSS JOIN bounds b
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM labeled
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("sampling", "split", "temporal", "leakage"),
+)
+def sample_temporal_split(spark, sf_dir):
+    """Time-based train/test split with an EMBARGO (purged) gap — the
+    leakage control for temporally-autocorrelated data that the
+    content-keyed `sample_leakage_safe_split` cannot give: the last
+    {_TSPLIT_TEST_DAYS} days are test, the {_TSPLIT_EMBARGO_DAYS} days
+    before them are DROPPED, and everything earlier trains, so no
+    training row sits within the embargo horizon of any test row (the
+    backtesting discipline from combinatorial purged CV). By
+    construction max(train.ts) < test_start − embargo — the zero-leakage
+    guarantee is structural, not sampled; the min/max timestamps emitted
+    per split ARE the audit.
+
+    Shape: one map-combined MAX for the corpus horizon (one-row
+    broadcast), then a single labeling pass and a 3-group aggregate —
+    two scans total, no shuffle beyond the 3-row agg; at 100 TB with a
+    date-partitioned lake the split predicate prunes partitions
+    outright."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.max("ts").alias("max_ts"),
+        (F.max("ts") - F.expr(f"INTERVAL {_TSPLIT_TEST_DAYS} DAY")).alias(
+            "test_start"
+        ),
+        (
+            F.max("ts")
+            - F.expr(f"INTERVAL {_TSPLIT_TEST_DAYS + _TSPLIT_EMBARGO_DAYS} DAY")
+        ).alias("train_end"),
+    )
+    labeled = e.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("ts") >= F.col("test_start"), F.lit("test"))
+        .when(F.col("ts") < F.col("train_end"), F.lit("train"))
+        .otherwise(F.lit("embargo"))
+        .alias("split"),
+        "ts",
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("split")
+    )

@@ -33,6 +33,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "ds_pareto_concentration": "one-row totals/bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
     "agg_gini_concentration": "one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
     "ds_rfm_segmentation": "one-row corpus-max-date broadcast",
+    "sample_temporal_split": "one-row corpus-horizon (max_ts/test_start/train_end) broadcast",
     "graph_triangle_count": "one-row edge-count broadcast joined to one-row count",
     "ds_basket_lift": "one-row order-count broadcast",
     "text_zipf_profile": "one-row corpus-total broadcast",

