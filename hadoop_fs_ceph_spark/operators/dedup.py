@@ -1356,3 +1356,115 @@ def dedup_cross_source_matrix(spark, sf_dir):
         .select("source_a", "source_b", "n_pairs", "cross_source")
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "dedup_incremental_bloom",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, {sql_poly_hash("text")} AS h FROM documents
+      WHERE doc_id % 10 <> 7
+    ),
+    batch AS (
+      SELECT doc_id, {sql_poly_hash("text")} AS h FROM documents
+      WHERE doc_id % 10 = 7
+    ),
+    in_batch_first AS (
+      SELECT doc_id, h FROM batch
+      QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+    ),
+    verdicts AS (
+      SELECT b.doc_id,
+             CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                  WHEN f.doc_id IS NULL THEN 'dup_in_batch'
+                  ELSE 'accept' END AS verdict
+      FROM batch b
+      LEFT JOIN (SELECT DISTINCT h FROM corpus) c ON c.h = b.h
+      LEFT JOIN in_batch_first f ON f.doc_id = b.doc_id
+    )
+    SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM verdicts GROUP BY verdict ORDER BY verdict
+    """,
+    tags=("dedup", "incremental", "ingest", "bloom"),
+)
+def dedup_incremental_bloom(spark, sf_dir):
+    """Bloom-prefiltered incremental ingest dedup — `dedup_incremental_batch`
+    re-planned for the 100 TB corpus: instead of semi-joining EVERY batch
+    doc against the corpus hash index, the corpus hashes are folded into
+    an 8 KiB Bloom bitmap (`join_bloom_prefilter`'s build, keyed on the
+    content hash) that is broadcast to the batch; docs that MISS the
+    bloom are definitely-new (no false negatives) and skip the corpus
+    join entirely — only bloom HITS pay the exact semi-join confirm that
+    clears false positives. Verdicts are therefore IDENTICAL to the
+    exact plan (same oracle), but the corpus index is probed by the
+    expected-duplicate fraction of the batch instead of all of it — on
+    a mostly-novel firehose that is a ~10-100× reduction of the join
+    input, and the bitmap replaces shuffling the multi-billion-row hash
+    index per batch.
+
+    In-batch dedup (keep-first per hash) is unchanged — the bloom only
+    short-circuits the corpus membership test."""
+    from hadoop_fs_ceph_spark.operators.joins import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+        _bloom_positions,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", poly_hash(F.col("text")).alias("h")
+    )
+    corpus_h = d.filter(F.col("doc_id") % 10 != 7).select("h").distinct()
+    batch = d.filter(F.col("doc_id") % 10 == 7)
+
+    pos = corpus_h.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col("h"), _BLOOM_BITS, _BLOOM_K))
+        ).alias("pos")
+    ).distinct()
+    words = (
+        pos.select(
+            F.expr("pos div 64").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+    probed = batch.crossJoin(F.broadcast(bloom))
+    cond = F.lit(True)
+    for i in range(_BLOOM_K):
+        cond = cond & F.expr(
+            f"(coalesce(element_at(bloom, pmod(xxhash64(h, {i}),"
+            f" {_BLOOM_BITS}) div 64), CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod(pmod(xxhash64("
+            f"h, {i}), {_BLOOM_BITS}), 64) AS INT))) != 0"
+        )
+    hits = probed.filter(cond).drop("bloom")
+    misses = probed.filter(~cond).drop("bloom").withColumn(
+        "in_corpus", F.lit(None).cast("int")
+    )
+    confirmed = hits.join(corpus_h.withColumn("in_corpus", F.lit(1)), "h", "left")
+    flagged = confirmed.select("h", "doc_id", "in_corpus").unionByName(
+        misses.select("h", "doc_id", "in_corpus")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    verdicts = flagged.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id",
+        F.when(F.col("in_corpus").isNotNull(), "dup_of_corpus")
+        .when(F.col("rn") > 1, "dup_in_batch")
+        .otherwise("accept")
+        .alias("verdict"),
+    )
+    return (
+        verdicts.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .orderBy("verdict")
+    )

@@ -2302,3 +2302,211 @@ def sample_temporal_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@query(
+    "ds_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS i1_g,
+             CAST(SUM(CAST(ROUND(value * value * 100.0) AS BIGINT)) AS BIGINT)
+               AS i2_g
+      FROM events GROUP BY event_type
+    ),
+    packed AS (
+      SELECT list([CAST(n_g AS DOUBLE), CAST(i1_g AS DOUBLE),
+                   CAST(i2_g AS DOUBLE)] ORDER BY event_type) AS rows_,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(i1_g) AS BIGINT) AS i1_tot
+      FROM g
+    ),
+    folded AS (
+      SELECT k, n,
+             (CAST(i1_tot AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
+               AS grand_mean,
+             -- acc rides in slot 1 of a 3-list (list_reduce requires
+             -- acc type = element type in DuckDB)
+             list_reduce(list_prepend([CAST(0.0 AS DOUBLE),
+                                       CAST(0.0 AS DOUBLE),
+                                       CAST(0.0 AS DOUBLE)], rows_),
+               (acc, r) -> [acc[1] + ((r[3] / 100.0)
+                 - (r[2] / 1000000.0) * (r[2] / 1000000.0) / r[1]),
+                 CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])[1]
+               AS ss_within,
+             list_reduce(list_prepend([CAST(0.0 AS DOUBLE),
+                                       CAST(0.0 AS DOUBLE),
+                                       CAST(0.0 AS DOUBLE)], rows_),
+               (acc, r) -> [acc[1] + r[1]
+                 * ((r[2] / 1000000.0) / r[1]
+                    - (CAST(i1_tot AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))
+                 * ((r[2] / 1000000.0) / r[1]
+                    - (CAST(i1_tot AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)),
+                 CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])[1]
+               AS ss_between
+      FROM packed
+    )
+    SELECT k, n, ROUND(grand_mean, 8) AS grand_mean,
+           ROUND(ss_between, 4) AS ss_between,
+           ROUND(ss_within, 4) AS ss_within,
+           ROUND((ss_between / (CAST(k AS DOUBLE) - 1.0))
+                 / (ss_within / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 8)
+             AS f_stat,
+           CAST((ss_between / (CAST(k AS DOUBLE) - 1.0))
+                / (ss_within / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                > 2.0096 AS BOOLEAN) AS significant_95
+    FROM folded
+    """,
+    tags=("analytics", "experiment", "anova"),
+)
+def ds_anova_oneway(spark, sf_dir):
+    """One-way ANOVA across the event-type groups on the `value` metric
+    — the k-group generalization of `ds_ab_welch_ttest`: between-group
+    and within-group sums of squares from per-group fixed-point moments,
+    the F statistic, and the 95% verdict against the F(k−1, ∞) critical
+    value. The multi-arm readout an experimentation platform runs before
+    pairwise tests earn a look.
+
+    Determinism: per-group moments are EXACT integers (one map-combined
+    aggregate); the k=8 group rows are then folded in sorted group order
+    by a sequential `F.aggregate`, so the float SSB/SSW accumulations
+    happen in the identical IEEE order in both engines — the
+    collect_list→array_sort→fold discipline from `canonical.py`, applied
+    to group-level (not row-level) state, k-bounded by the spec.
+
+    Scale: one shuffle (the group-by), then k rows. At 100 TB the moment
+    aggregate partial-merges map-side; the fold is O(k) driver-free
+    arithmetic inside the plan."""
+    g = t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.round(F.col("value") * 1000000.0).cast("long")).alias("i1_g"),
+        F.sum(F.round(F.col("value") * F.col("value") * 100.0).cast("long")).alias(
+            "i2_g"
+        ),
+    )
+    packed = g.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_type", "n_g", "i1_g", "i2_g"))),
+            lambda s: F.array(
+                s["n_g"].cast("double"),
+                s["i1_g"].cast("double"),
+                s["i2_g"].cast("double"),
+            ),
+        ).alias("rows_"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("i1_g").cast("long").alias("i1_tot"),
+    )
+    grand = (F.col("i1_tot").cast("double") / 1000000.0) / F.col("n").cast("double")
+    ssw = F.aggregate(
+        F.col("rows_"),
+        F.lit(0.0),
+        lambda acc, r: acc
+        + (
+            (F.element_at(r, 3) / 100.0)
+            - (F.element_at(r, 2) / 1000000.0)
+            * (F.element_at(r, 2) / 1000000.0)
+            / F.element_at(r, 1)
+        ),
+    )
+    ssb = F.aggregate(
+        F.col("rows_"),
+        F.lit(0.0),
+        lambda acc, r: acc
+        + F.element_at(r, 1)
+        * (
+            (F.element_at(r, 2) / 1000000.0) / F.element_at(r, 1)
+            - (F.col("i1_tot").cast("double") / 1000000.0) / F.col("n").cast("double")
+        )
+        * (
+            (F.element_at(r, 2) / 1000000.0) / F.element_at(r, 1)
+            - (F.col("i1_tot").cast("double") / 1000000.0) / F.col("n").cast("double")
+        ),
+    )
+    folded = packed.select(
+        "k",
+        "n",
+        F.round(grand, 8).alias("grand_mean"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k").cast("double") - 1.0))
+            / (ssw / (F.col("n").cast("double") - F.col("k").cast("double"))),
+            8,
+        ).alias("f_stat"),
+        (
+            (ssb / (F.col("k").cast("double") - 1.0))
+            / (ssw / (F.col("n").cast("double") - F.col("k").cast("double")))
+            > 2.0096
+        ).alias("significant_95"),
+    )
+    return folded
+
+
+@query(
+    "profile_join_fanout",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS est_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM m
+    )
+    SELECT m.l_partkey, m.cnt AS cnt_left, m.cnt AS cnt_right,
+           CAST(m.cnt * m.cnt AS BIGINT) AS fanout,
+           t.est_rows, t.n_keys,
+           CAST((1000000 * m.cnt * m.cnt) // t.est_rows AS BIGINT)
+             AS share_ppm
+    FROM m CROSS JOIN tot t
+    ORDER BY fanout DESC, m.l_partkey
+    LIMIT 10
+    """,
+    tags=("profile", "join", "fanout", "scale"),
+)
+def profile_join_fanout(spark, sf_dir):
+    """Join fan-out prediction — run the cheap per-key multiplicity
+    aggregate BEFORE an expensive self/equi-join to learn what the join
+    would produce: estimated output rows Σ cnt·cnt for a lineitem
+    self-join on `l_partkey`, the key count, and the top-10 keys by
+    fan-out contribution with their exact ppm share. The pre-flight
+    check that catches the accidental many-to-many blowup (the single
+    most common way a 100 TB join becomes a 100 PB shuffle) while it is
+    still one GROUP BY cheap; `profile_partition_skew` diagnoses the
+    shuffle AFTER a key is chosen — this predicts the join volume
+    BEFORE.
+
+    Shape: one map-combined count per key, a one-row total broadcast,
+    and a global top-10 (Spark 4 plans the unpartitioned
+    row_number≤k as TakeOrdered — no world sort). Everything is exact
+    integers."""
+    m = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = m.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("est_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("fanout").desc(), "l_partkey")
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.col("cnt").alias("cnt_left"),
+            F.col("cnt").alias("cnt_right"),
+            (F.col("cnt") * F.col("cnt")).cast("long").alias("fanout"),
+            "est_rows",
+            "n_keys",
+            F.expr("(1000000 * cnt * cnt) div est_rows").alias("share_ppm"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )

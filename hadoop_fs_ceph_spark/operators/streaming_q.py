@@ -877,3 +877,82 @@ def stream_dedup_then_window(spark, sf_dir):
         .select("event_type", F.col("w.start").alias("w_start"), "n")
     )
     return run_to_memory(agg, "stream_dedup_then_window", "append")
+
+
+def _docs_stream(spark, sf_dir):
+    """``readStream`` over the documents table (schema from a batch read,
+    like ``events_stream`` — inference would be an extra full pass)."""
+    import os as _os
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@query(
+    "stream_doc_quality_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, lang, source,
+             len(w) AS n_words,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(w, x -> CAST(len(x) AS BIGINT))),
+                         (a, b) -> a + b) / len(w) AS mean_word_len,
+             len(list_distinct(w)) / len(w) AS frac_unique
+      FROM toks
+    )
+    SELECT doc_id, lang, source, n_words, mean_word_len, frac_unique
+    FROM stats
+    WHERE n_words BETWEEN 8 AND 5000
+      AND mean_word_len BETWEEN 2 AND 12
+      AND frac_unique >= 0.3
+    """,
+    tags=("streaming", "text", "quality", "ingest"),
+)
+def stream_doc_quality_filter(spark, sf_dir):
+    """Ingest-time corpus curation as a STREAM: the Gopher-style word
+    statistics (word count, mean word length, unique fraction — the
+    stateless subset of `text_gopher_rules`) computed per document as it
+    arrives, documents failing any rule dropped before they ever land —
+    the shape of a production LLM-data firehose where filtering after
+    landing would double the storage bill.
+
+    Stateless map-only streaming: no watermark, no state store, append
+    mode — each micro-batch filters independently inside whole-stage
+    codegen (the array folds are JVM higher-order functions, zero
+    Python). Backpressure comes free from `maxFilesPerTrigger` (see
+    `stream_max_files_per_trigger`); at 100 TB/day this plan runs
+    unchanged against a Kafka or object-store notification source.
+    Ratios divide exact integers — bit-identical to the batch oracle."""
+    d = _docs_stream(spark, sf_dir)
+    w = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+    stats = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(w).alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(w, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            )
+            / F.size(w)
+        ).alias("mean_word_len"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("frac_unique"),
+    )
+    kept = stats.filter(
+        F.col("n_words").between(8, 5000)
+        & F.col("mean_word_len").between(2, 12)
+        & (F.col("frac_unique") >= 0.3)
+    )
+    return run_to_memory(kept, "stream_doc_quality_filter", "append")

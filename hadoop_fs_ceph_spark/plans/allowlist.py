@@ -20,6 +20,8 @@ from __future__ import annotations
 INTENTIONAL_CROSS: dict[str, str] = {
     "join_cross": "deliberate tiny-dims cross join (region x nation, 5x25 rows)",
     "join_bloom_prefilter": "one-row 8 KiB bloom-bitmap broadcast applied to the fact scan",
+    "dedup_incremental_bloom": "one-row 8 KiB corpus-bloom broadcast prefiltering the ingest batch",
+    "profile_join_fanout": "one-row (est_rows, n_keys) totals broadcast",
     "fn_zip_with_dot": "one-row query-vector broadcast",
     "sim_knn_bruteforce": "one-row query-vector broadcast (declared truth pass)",
     "sim_ivf_cells": "8-row centroid table + 1-row query vector broadcasts",

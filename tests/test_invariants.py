@@ -1761,3 +1761,45 @@ def test_temporal_split_embargo_contract(spark, sf_dir):
         assert rows["embargo"].min_ts > rows["train"].max_ts
     if "embargo" in rows and "test" in rows:
         assert rows["embargo"].max_ts < rows["test"].min_ts
+
+
+def test_anova_fstat_positive_and_consistent(spark, sf_dir):
+    """F must be finite-positive; SSB+SSW ~ total SS from a direct pass."""
+    import __spark_entry__ as entry
+    from hadoop_fs_ceph_spark.tables import t
+
+    row = entry.queries()["ds_anova_oneway"](spark, sf_dir).collect()[0]
+    assert row.k >= 2 and row.n > row.k
+    assert row.f_stat > 0 and row.ss_between >= 0 and row.ss_within > 0
+    vals = [r.value for r in t(spark, sf_dir, "events").select("value").collect()]
+    mean = sum(vals) / len(vals)
+    ss_tot = sum((v - mean) ** 2 for v in vals)
+    assert abs((row.ss_between + row.ss_within) - ss_tot) / ss_tot < 1e-3
+
+
+def test_join_fanout_matches_actual_join(spark, sf_dir):
+    """est_rows must equal the true self-join cardinality."""
+    import __spark_entry__ as entry
+    from hadoop_fs_ceph_spark.tables import t
+
+    row = entry.queries()["profile_join_fanout"](spark, sf_dir).collect()[0]
+    l = t(spark, sf_dir, "lineitem").select("l_partkey")
+    actual = l.join(l.withColumnRenamed("l_partkey", "k2"), l.l_partkey == F.col("k2")).count()
+    assert row.est_rows == actual
+
+
+def test_incremental_bloom_equals_exact_plan(spark, sf_dir):
+    """The bloom-prefiltered incremental dedup must emit identical
+    verdict groups to the exact incremental plan."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    exact = {
+        r.verdict: (r.n_docs, r.doc_ids)
+        for r in qs["dedup_incremental_batch"](spark, sf_dir).collect()
+    }
+    bloom = {
+        r.verdict: (r.n_docs, r.doc_ids)
+        for r in qs["dedup_incremental_bloom"](spark, sf_dir).collect()
+    }
+    assert exact == bloom
