@@ -1318,3 +1318,110 @@ def agg_incremental_rollup(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_SK_PCTS = (50, 90)
+_SK_ACC = 1000  # percentile_approx accuracy: rank error <= n / accuracy
+
+
+@query(
+    "agg_quantile_sketch_error",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM x),
+    ps AS (SELECT CAST(unnest([{", ".join(str(p) for p in _SK_PCTS)}]) AS INTEGER) AS pct)
+    SELECT ps.pct, st.n, r.cents AS exact_cents,
+           CAST(r.cents AS DOUBLE) / 100.0 AS exact_dollars,
+           TRUE AS approx_within_bound
+    FROM ps, st, r
+    WHERE r.rn = (st.n * ps.pct + 99) // 100
+    ORDER BY ps.pct
+    """,
+    tags=("aggregate", "quantile", "sketch", "calibration"),
+)
+def agg_quantile_sketch_error(spark, sf_dir):
+    """Quantile-SKETCH error calibration — the evidence pass that lets a
+    pipeline trust `percentile_approx` at 100 TB: for p50/p90 over the
+    per-customer spend population, run BOTH the GK sketch
+    (accuracy=`_SK_ACC` ⇒ guaranteed rank error ≤ n/accuracy) and the
+    exact histogram-refinement quantile, then verify the sketch's
+    answer sits within its contractual rank window (±⌈n/accuracy⌉ rows)
+    by counting ranks of the returned value (one extra aggregate — not
+    a sort). The emitted
+    verdict is TRUE by the sketch's published guarantee, so the oracle
+    pins it as a literal; the approx VALUE itself is engine-specific
+    sketch state and deliberately not emitted (same posture as
+    `dedup_lsh_recall_report` / `sim_ann_recall_report`: calibration
+    queries emit verdicts and exact truths, not sketch internals).
+
+    Scale: the sketch is one map-combined aggregate (mergeable GK
+    state, O(accuracy·log n) per partition); the exact side is the
+    3-pass refinement (`agg_exact_quantiles_nosort`); the rank count is
+    one more map-combined aggregate against a 2-row broadcast. No
+    sort, no window, no driver state anywhere."""
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _conc_customer_cents
+
+    x = _conc_customer_cents(spark, sf_dir).persist()
+    base = x.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _SK_PCTS])).alias("pct0")
+    ).select(F.col("pct0").cast("int").alias("pct"))
+    states = pcts.crossJoin(F.broadcast(base)).selectExpr(
+        "pct", "lo", "hi", "(n * pct + 99) div 100 AS k"
+    )
+    for _ in range(_MED_PASSES):
+        states = _quantiles_refine(x, states)
+    exact = states.select("pct", F.col("lo").alias("exact_cents"))
+    # the sketch answers, one row per pct
+    approx = (
+        x.agg(
+            F.percentile_approx(
+                "cents", [p / 100.0 for p in _SK_PCTS], _SK_ACC
+            ).alias("avs")
+        )
+        .select(
+            F.posexplode("avs").alias("i", "av"),
+        )
+        .select(
+            F.element_at(
+                F.array(*[F.lit(p) for p in _SK_PCTS]), F.col("i") + 1
+            ).cast("int").alias("pct"),
+            "av",
+        )
+    )
+    # rank window of each sketch answer: [count_lt + 1, count_le]
+    ranks = (
+        x.crossJoin(F.broadcast(approx))
+        .groupBy("pct")
+        .agg(
+            F.sum(F.when(F.col("cents") <= F.col("av"), 1).otherwise(0))
+            .cast("long")
+            .alias("count_le"),
+            F.sum(F.when(F.col("cents") < F.col("av"), 1).otherwise(0))
+            .cast("long")
+            .alias("count_lt"),
+        )
+    )
+    return (
+        exact.join(ranks, "pct")
+        .crossJoin(F.broadcast(base.select("n")))
+        .selectExpr(
+            "pct",
+            "n",
+            "exact_cents",
+            "CAST(exact_cents AS DOUBLE) / 100.0 AS exact_dollars",
+            f"(count_le >= ((n * pct + 99) div 100) - ((n + {_SK_ACC} - 1) div {_SK_ACC}))"
+            f" AND (count_lt + 1 <= ((n * pct + 99) div 100) + ((n + {_SK_ACC} - 1) div {_SK_ACC}))"
+            " AS approx_within_bound",
+        )
+        .orderBy("pct")
+    )

@@ -1077,3 +1077,80 @@ def join_bloom_prefilter(spark, sf_dir):
         )
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "join_null_bypass_left",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS attr_user
+      FROM events
+    ),
+    prof AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_profile_events
+      FROM events GROUP BY user_id
+    )
+    SELECT ev.event_type,
+           (ev.attr_user IS NOT NULL) AS attributed,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_matched,
+           CAST(COALESCE(SUM(p.n_profile_events), 0) AS BIGINT)
+             AS sum_profile_events
+    FROM ev LEFT JOIN prof p ON ev.attr_user = p.user_id
+    GROUP BY ev.event_type, attributed
+    ORDER BY ev.event_type, attributed
+    """,
+    tags=("join", "null-bypass", "skew", "scale"),
+)
+def join_null_bypass_left(spark, sf_dir):
+    """NULL-key bypass for an outer join — the anti-skew rewrite for the
+    unattributed-traffic shape: ~10% of events carry a NULL user key
+    (synthesized here as user_id%10==0), and in a plain left join every
+    one of those rows still shuffles — all INTO THE SAME null-hash
+    partition, the single worst skew a 100 TB outer join can have. The
+    rewrite splits the stream BEFORE the exchange: NULL-key rows take a
+    map-only path (dim columns filled with typed NULLs — a left join
+    can never match them anyway), only attributed rows shuffle, and the
+    two legs union back. Result is IDENTICAL to the plain left join
+    (the oracle), but the null partition never exists.
+
+    The profile dim is itself derived (per-user event counts) so the
+    query is self-contained; at scale it is any user/entity dimension.
+    Output is the compact per-(type, attributed) audit: row counts,
+    match counts, summed profile mass — exact integers throughout."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END").alias(
+            "attr_user"
+        ),
+        "user_id",
+    )
+    prof = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("p_user"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_profile_events"))
+    )
+    with_key = e.filter(F.col("attr_user").isNotNull()).join(
+        prof, F.col("attr_user") == F.col("p_user"), "left"
+    ).select("event_type", "attr_user", "p_user", "n_profile_events")
+    null_leg = e.filter(F.col("attr_user").isNull()).select(
+        "event_type",
+        "attr_user",
+        F.lit(None).cast("long").alias("p_user"),
+        F.lit(None).cast("long").alias("n_profile_events"),
+    )
+    joined = with_key.unionByName(null_leg)
+    return (
+        joined.groupBy(
+            "event_type", F.col("attr_user").isNotNull().alias("attributed")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("p_user").cast("long").alias("n_matched"),
+            F.coalesce(F.sum("n_profile_events"), F.lit(0))
+            .cast("long")
+            .alias("sum_profile_events"),
+        )
+        .orderBy("event_type", "attributed")
+    )

@@ -2510,3 +2510,81 @@ def profile_join_fanout(spark, sf_dir):
         .filter(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+_ROF_K = 3  # rolling-origin folds
+_ROF_H_DAYS = 7  # test horizon per fold
+
+
+@query(
+    "sample_rolling_origin_folds",
+    oracle=f"""
+    WITH b AS (SELECT MAX(ts) AS max_ts FROM events),
+    folds AS (
+      SELECT f.fold_id,
+             b.max_ts - ({_ROF_K} - f.fold_id + 1) * INTERVAL {_ROF_H_DAYS} DAY
+               AS origin,
+             b.max_ts - ({_ROF_K} - f.fold_id) * INTERVAL {_ROF_H_DAYS} DAY
+               AS test_end
+      FROM (SELECT CAST(unnest([{", ".join(str(i) for i in range(1, _ROF_K + 1))}])
+                   AS INTEGER) AS fold_id) f
+      CROSS JOIN b
+    )
+    SELECT f.fold_id, f.origin AS train_end, f.test_end,
+           CAST(COUNT(*) FILTER (WHERE e.ts < f.origin) AS BIGINT) AS n_train,
+           CAST(COUNT(*) FILTER (WHERE e.ts >= f.origin AND e.ts < f.test_end)
+                AS BIGINT) AS n_test
+    FROM events e CROSS JOIN folds f
+    GROUP BY f.fold_id, f.origin, f.test_end
+    ORDER BY f.fold_id
+    """,
+    tags=("sampling", "split", "temporal", "backtest"),
+)
+def sample_rolling_origin_folds(spark, sf_dir):
+    """Rolling-origin backtest folds — the k-fold generalization of
+    `sample_temporal_split` for forecast evaluation: {_ROF_K} folds,
+    each training on everything BEFORE its origin and testing on the
+    next {_ROF_H_DAYS}-day horizon, origins marching forward week by
+    week (fold k tests on the final week). Training data only ever
+    grows forward in time, so no fold can leak the future into the
+    past — the temporal analog of cross-validation that a time-series
+    model selection loop actually needs.
+
+    Shape: one map-combined MAX for the horizon, a {_ROF_K}-row fold
+    spine cross-joined onto events (a bounded constant fan-out, like
+    the bucket spines elsewhere), and one conditional aggregate per
+    fold — one shuffle of {_ROF_K}-multiplied keys. At 100 TB with a
+    date-partitioned lake each fold's predicates prune to its date
+    range instead."""
+    e = t(spark, sf_dir, "events")
+    b = e.agg(F.max("ts").alias("max_ts"))
+    spine = spark.range(1, _ROF_K + 1).select(F.col("id").cast("int").alias("fold_id"))
+    folds = spine.crossJoin(F.broadcast(b)).select(
+        "fold_id",
+        F.expr(
+            f"max_ts - ({_ROF_K} - fold_id + 1) * INTERVAL {_ROF_H_DAYS} DAY"
+        ).alias("origin"),
+        F.expr(
+            f"max_ts - ({_ROF_K} - fold_id) * INTERVAL {_ROF_H_DAYS} DAY"
+        ).alias("test_end"),
+    )
+    return (
+        e.crossJoin(F.broadcast(folds))
+        .groupBy("fold_id", F.col("origin").alias("train_end"), "test_end")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("origin"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(
+                F.when(
+                    (F.col("ts") >= F.col("origin"))
+                    & (F.col("ts") < F.col("test_end")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_test"),
+        )
+        .select("fold_id", "train_end", "test_end", "n_train", "n_test")
+        .orderBy("fold_id")
+    )

@@ -1803,3 +1803,75 @@ def test_incremental_bloom_equals_exact_plan(spark, sf_dir):
         for r in qs["dedup_incremental_bloom"](spark, sf_dir).collect()
     }
     assert exact == bloom
+
+
+def test_null_bypass_equals_plain_left_join(spark, sf_dir):
+    """The split-union rewrite must emit exactly the plain left join's
+    aggregate."""
+    import __spark_entry__ as entry
+    from hadoop_fs_ceph_spark.tables import t
+
+    got = {
+        (r.event_type, r.attributed): (r.n_rows, r.n_matched, r.sum_profile_events)
+        for r in entry.queries()["join_null_bypass_left"](spark, sf_dir).collect()
+    }
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END").alias(
+            "attr_user"
+        ),
+    )
+    prof = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("p_user"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_profile_events"))
+    )
+    plain = (
+        e.join(prof, e.attr_user == prof.p_user, "left")
+        .groupBy("event_type", F.col("attr_user").isNotNull().alias("attributed"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("p_user").cast("long").alias("n_matched"),
+            F.coalesce(F.sum("n_profile_events"), F.lit(0))
+            .cast("long")
+            .alias("sum_profile_events"),
+        )
+        .collect()
+    )
+    want = {
+        (r.event_type, r.attributed): (r.n_rows, r.n_matched, r.sum_profile_events)
+        for r in plain
+    }
+    assert got == want
+
+
+def test_sketch_error_verdict_and_exactness(spark, sf_dir):
+    """Both pct rows carry a TRUE within-bound verdict, and the exact
+    side matches a direct sorted-rank computation."""
+    import __spark_entry__ as entry
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _conc_customer_cents
+
+    rows = entry.queries()["agg_quantile_sketch_error"](spark, sf_dir).collect()
+    assert [r.pct for r in rows] == [50, 90]
+    vals = sorted(
+        r.cents for r in _conc_customer_cents(spark, sf_dir).collect()
+    )
+    for r in rows:
+        assert r.approx_within_bound is True
+        k = (len(vals) * r.pct + 99) // 100
+        assert r.exact_cents == vals[k - 1]
+
+
+def test_rolling_folds_monotone(spark, sf_dir):
+    """Folds march forward: train sets grow, test windows are disjoint
+    and ordered."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["sample_rolling_origin_folds"](spark, sf_dir).collect()
+    assert [r.fold_id for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert a.train_end < b.train_end
+        assert a.test_end <= b.train_end or a.test_end == b.train_end
+        assert a.n_train <= b.n_train
+    for r in rows:
+        assert r.train_end < r.test_end
