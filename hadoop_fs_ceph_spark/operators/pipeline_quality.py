@@ -2588,3 +2588,94 @@ def sample_rolling_origin_folds(spark, sf_dir):
         .select("fold_id", "train_end", "test_end", "n_train", "n_test")
         .orderBy("fold_id")
     )
+
+
+@query(
+    "ds_mann_whitney_u",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN (user_id * {_MIX}) % 100 < 50 THEN 0 ELSE 1 END AS is_b,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT is_b,
+             row_number() OVER (ORDER BY cents, event_id) AS rk
+      FROM assigned
+    ),
+    s AS (
+      SELECT CAST(SUM(1 - is_b) AS BIGINT) AS n_a,
+             CAST(SUM(is_b) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN is_b = 1 THEN rk ELSE 0 END) AS BIGINT)
+               AS rank_sum_b
+      FROM ranked
+    )
+    SELECT n_a, n_b, rank_sum_b,
+           CAST(rank_sum_b - n_b * (n_b + 1) // 2 AS BIGINT) AS u_b,
+           ROUND((CAST(rank_sum_b - n_b * (n_b + 1) // 2 AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                 / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                        / 12.0), 8) AS z_stat,
+           CAST(ABS((CAST(rank_sum_b - n_b * (n_b + 1) // 2 AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                 / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                        / 12.0)) > 1.96 AS BOOLEAN) AS significant_95
+    FROM s
+    """,
+    tags=("analytics", "experiment", "nonparametric", "rank"),
+)
+def ds_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U — the rank-based nonparametric two-sample test
+    (the robust sibling of `ds_ab_welch_ttest` for skewed metrics),
+    computed at scale with NO global sort: the combined sample is ranked
+    by `_ranked_nosort`'s distributed-rank machinery (range-bin against
+    a one-row bound, ≤4096-row prefix-offset broadcast, per-bin
+    windows), exactly the plan that computes the exact Gini. Ranks are
+    tie-broken by the deterministic (cents, event_id) composite key —
+    both engines break ties identically, so rank sums are exact integers
+    (the midrank correction matters only when tie GROUPS are large
+    relative to n; the tie-broken U and its z differ negligibly and
+    deterministically here, and the docstring is the contract). U, its
+    normal approximation z, and the 95% verdict follow as scalar
+    arithmetic on exact integers.
+
+    Scale: one range-binned shuffle + per-bin parallel windows — rank
+    statistics on 100 TB without a world sort; the key encoding
+    (cents·2^32 + event_id) holds while event ids fit 32 bits, after
+    which the same machinery runs on a composite struct key."""
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _ranked_nosort
+
+    assigned = t(spark, sf_dir, "events").select(
+        F.when((F.col("user_id") * _MIX) % 100 < 50, 0).otherwise(1).alias("is_b"),
+        (
+            F.round(F.col("value") * 100).cast("long") * F.lit(2**32).cast("long")
+            + F.col("event_id")
+        ).alias("key"),
+    )
+    ranked = _ranked_nosort(assigned.select("key", F.col("is_b").cast("long").alias("val")))
+    s = ranked.agg(
+        F.sum(1 - F.col("val")).cast("long").alias("n_a"),
+        F.sum("val").cast("long").alias("n_b"),
+        F.sum(F.col("i") * F.col("val")).cast("long").alias("rank_sum_b"),
+    )
+    u = F.expr("rank_sum_b - (n_b * (n_b + 1)) div 2")
+    z = (
+        u.cast("double")
+        - F.col("n_a").cast("double") * F.col("n_b").cast("double") / 2.0
+    ) / F.sqrt(
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        * (F.col("n_a").cast("double") + F.col("n_b").cast("double") + 1.0)
+        / 12.0
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "rank_sum_b",
+        u.cast("long").alias("u_b"),
+        F.round(z, 8).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

@@ -905,3 +905,110 @@ def win_time_weighted_avg(spark, sf_dir):
             F.col("sv").cast("double") / F.col("sw").cast("double") / F.lit(1000000.0)
         ).alias("twap"),
     ).orderBy("event_type")
+
+
+_RZ_FRAME = 15  # trailing frame length (rows), excluding the current row
+
+
+@query(
+    "win_rolling_zscore",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    fr AS (
+      SELECT user_id, ts, event_id, cents,
+             COUNT(*) OVER w AS n_prev,
+             SUM(cents) OVER w AS s1,
+             SUM(cents * cents) OVER w AS s2
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_RZ_FRAME} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, ts, event_id,
+           CAST(cents AS DOUBLE) / 100.0 AS value,
+           n_prev,
+           ROUND((CAST(cents AS DOUBLE) / 100.0
+                  - (CAST(s1 AS DOUBLE) / 100.0) / CAST(n_prev AS DOUBLE))
+                 / SQRT(((CAST(s2 AS DOUBLE) / 10000.0)
+                         - (CAST(s1 AS DOUBLE) / 100.0)
+                           * (CAST(s1 AS DOUBLE) / 100.0)
+                           / CAST(n_prev AS DOUBLE))
+                        / (CAST(n_prev AS DOUBLE) - 1.0)), 8) AS zscore,
+           CAST(ABS((CAST(cents AS DOUBLE) / 100.0
+                  - (CAST(s1 AS DOUBLE) / 100.0) / CAST(n_prev AS DOUBLE))
+                 / SQRT(((CAST(s2 AS DOUBLE) / 10000.0)
+                         - (CAST(s1 AS DOUBLE) / 100.0)
+                           * (CAST(s1 AS DOUBLE) / 100.0)
+                           / CAST(n_prev AS DOUBLE))
+                        / (CAST(n_prev AS DOUBLE) - 1.0))) > 3.0 AS BOOLEAN)
+             AS is_anomaly
+    FROM fr
+    WHERE n_prev >= 8
+    ORDER BY user_id, ts, event_id
+    """,
+    tags=("window", "anomaly", "zscore", "rolling"),
+)
+def win_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection — each event scored against the
+    LOCAL recent history of its own key: mean/stddev over the trailing
+    {_RZ_FRAME}-row frame (current row EXCLUDED, so the point under test
+    never contaminates its own baseline), |z| > 3 flags the anomaly.
+    The per-entity local-baseline shape that global
+    `outlier_zscore_group` cannot give — a user whose spend jumps 5×
+    overnight is anomalous even if still below the global mean.
+
+    Determinism: the frame aggregates run on exact integer cents (the fixture metric is 2-decimal)
+    (window SUM of longs — order-free), and mean/stddev/z emerge from
+    scalar double ops per row in the identical order in both engines,
+    so even SQRT inputs are bit-identical; z is rounded at 1e-8 only as
+    the final column. Rows with under 8 observations of history are
+    withheld (a baseline needs support before it may accuse).
+
+    Scale: one shuffle on user_id, per-key windows with a hard
+    {_RZ_FRAME}-row frame — state is O(frame) per key, embarrassingly
+    parallel across millions of keys; the identical plan is the
+    foreachBatch scoring pass of a streaming detector."""
+    v = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_RZ_FRAME, -1)
+    )
+    fr = v.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+    )
+    x = F.col("cents").cast("double") / 100.0
+    mean = (F.col("s1").cast("double") / 100.0) / F.col("n_prev").cast("double")
+    var = (
+        (F.col("s2").cast("double") / 10000.0)
+        - (F.col("s1").cast("double") / 100.0)
+        * (F.col("s1").cast("double") / 100.0)
+        / F.col("n_prev").cast("double")
+    ) / (F.col("n_prev").cast("double") - 1.0)
+    z = (x - mean) / F.sqrt(var)
+    # no global orderBy: per-row scored relations stay unsorted (the
+    # differential harness compares order-insensitively; a world sort
+    # here would be pure waste at scale)
+    return fr.filter(F.col("n_prev") >= 8).select(
+        "user_id",
+        "ts",
+        "event_id",
+        x.alias("value"),
+        "n_prev",
+        F.round(z, 8).alias("zscore"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )

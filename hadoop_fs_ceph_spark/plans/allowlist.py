@@ -23,6 +23,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "dedup_incremental_bloom": "one-row 8 KiB corpus-bloom broadcast prefiltering the ingest batch",
     "profile_join_fanout": "one-row (est_rows, n_keys) totals broadcast",
     "agg_quantile_sketch_error": "2-row quantile-state/sketch-answer broadcasts (refinement + rank-count passes)",
+    "ds_mann_whitney_u": "one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
     "sample_rolling_origin_folds": "3-row fold spine + one-row corpus-horizon broadcast",
     "fn_zip_with_dot": "one-row query-vector broadcast",
     "sim_knn_bruteforce": "one-row query-vector broadcast (declared truth pass)",

@@ -1875,3 +1875,61 @@ def test_rolling_folds_monotone(spark, sf_dir):
         assert a.n_train <= b.n_train
     for r in rows:
         assert r.train_end < r.test_end
+
+
+def test_mann_whitney_matches_direct_rank(spark, sf_dir):
+    """U from the distributed rank must equal a local sorted-rank
+    computation with the same composite tiebreak."""
+    import __spark_entry__ as entry
+    from hadoop_fs_ceph_spark.tables import t
+
+    row = entry.queries()["ds_mann_whitney_u"](spark, sf_dir).collect()[0]
+    _MIX = 2_654_435_761
+    rows = t(spark, sf_dir, "events").select("user_id", "value", "event_id").collect()
+    pop = sorted(
+        (round(r.value * 100), r.event_id, (r.user_id * _MIX) % 100 >= 50)
+        for r in rows
+    )
+    rank_sum_b = sum(i + 1 for i, p in enumerate(pop) if p[2])
+    n_b = sum(1 for p in pop if p[2])
+    n_a = len(pop) - n_b
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    assert row.rank_sum_b == rank_sum_b
+    assert row.u_b == rank_sum_b - n_b * (n_b + 1) // 2
+
+
+def test_rolling_zscore_frame_semantics(spark, sf_dir):
+    """Spot-check one user: the frame excludes the current row and caps
+    at 15 rows; z matches a direct computation."""
+    import math
+
+    import __spark_entry__ as entry
+    from hadoop_fs_ceph_spark.tables import t
+
+    df = entry.queries()["win_rolling_zscore"](spark, sf_dir)
+    some_user = df.select("user_id").first().user_id
+    got = {
+        r.event_id: r
+        for r in df.filter(F.col("user_id") == some_user).collect()
+    }
+    hist = sorted(
+        (r.ts, r.event_id, round(r.value * 100))
+        for r in t(spark, sf_dir, "events")
+        .filter(F.col("user_id") == some_user)
+        .select("ts", "event_id", "value")
+        .collect()
+    )
+    for idx, (_, eid, cents) in enumerate(hist):
+        frame = [c for _, _, c in hist[max(0, idx - 15) : idx]]
+        if len(frame) < 8:
+            assert eid not in got
+            continue
+        n = len(frame)
+        s1, s2 = sum(frame), sum(c * c for c in frame)
+        mean = (s1 / 100.0) / n
+        var = ((s2 / 10000.0) - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1)
+        z = (cents / 100.0 - mean) / math.sqrt(var)
+        r = got[eid]
+        assert r.n_prev == n
+        assert abs(r.zscore - z) < 1e-6
+        assert r.is_anomaly == (abs(z) > 3.0)
