@@ -2679,3 +2679,56 @@ def ds_mann_whitney_u(spark, sf_dir):
         F.round(z, 8).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+@query(
+    "profile_freshness_lag",
+    oracle="""
+    WITH b AS (SELECT MAX(ts) AS corpus_max FROM events),
+    per AS (
+      SELECT event_type, MAX(ts) AS last_seen,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_rows, p.last_seen, b.corpus_max,
+           CAST((epoch_us(b.corpus_max) - epoch_us(p.last_seen)) // 3600000000
+                AS BIGINT) AS lag_hours,
+           CAST((epoch_us(b.corpus_max) - epoch_us(p.last_seen)) // 3600000000
+                >= 24 AS BOOLEAN) AS is_stale
+    FROM per p CROSS JOIN b
+    ORDER BY p.event_type
+    """,
+    tags=("profile", "freshness", "quality"),
+)
+def profile_freshness_lag(spark, sf_dir):
+    """Data-freshness audit: per event stream, when did we last hear
+    from it and how far does it trail the corpus watermark — the lag
+    readout an ingestion SLO monitor pages on (a feed that is 24h+
+    behind its siblings is down, even though its table 'has data').
+    Lag is exact integer hours (microsecond subtraction, `div` — no
+    float time math), so the stale verdict is deterministic.
+
+    Shape: one map-combined (MAX, COUNT) per stream plus a one-row
+    corpus-max broadcast — two tiny aggregates over the same scan; at
+    100 TB a date-partitioned layout answers MAX(ts) from the last
+    partitions alone."""
+    e = t(spark, sf_dir, "events")
+    b = e.agg(F.max("ts").alias("corpus_max"))
+    per = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_seen"), F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    lag_h = F.expr(
+        "(unix_micros(corpus_max) - unix_micros(last_seen)) div 3600000000"
+    )
+    return (
+        per.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            "n_rows",
+            "last_seen",
+            "corpus_max",
+            lag_h.alias("lag_hours"),
+            (lag_h >= 24).alias("is_stale"),
+        )
+        .orderBy("event_type")
+    )

@@ -1362,3 +1362,92 @@ def src_zonemap_overlap(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+@query(
+    "src_write_audit_publish",
+    oracle="""
+    WITH b1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderstatus = 'F'
+    ),
+    b2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                  AS BIGINT) AS n_nulls
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT 1 AS batch_id, b1.n AS n_staged,
+           CAST(0 AS BIGINT) AS n_null_keys,
+           TRUE AS audit_pass, b1.n AS n_published_after
+    FROM b1
+    UNION ALL
+    SELECT 2 AS batch_id, b2.n AS n_staged, b2.n_nulls AS n_null_keys,
+           FALSE AS audit_pass, b1.n AS n_published_after
+    FROM b1, b2
+    ORDER BY batch_id
+    """,
+    tags=("source", "write", "wap", "commit-protocol"),
+)
+def src_write_audit_publish(spark, sf_dir):
+    """Write-Audit-Publish (WAP) — the commit protocol a lake uses so
+    readers NEVER see an unvalidated batch: each batch is written to a
+    staging path, an audit query runs against the staged files (row
+    count > 0, zero null keys), and only a passing batch is PUBLISHED by
+    an atomic directory rename — the same rename-as-commit primitive the
+    reference exposes (`CephRgwFileSystem.java:311-312` delegates rename
+    to the object store; Hadoop committers build exactly this protocol
+    on it). A failing batch's staging dir is torn down and the published
+    table is untouched.
+
+    Exercised both ways: batch 1 (status-F orders) passes its audit and
+    publishes; batch 2 (status-O orders with keys deliberately nulled on
+    urgent rows) FAILS the null-key audit and is aborted — the emitted
+    trail proves the published row count never moved. At 100 TB the
+    audit reads only staged-batch statistics (count/null aggregates —
+    map-combined), and publish is O(1) metadata, not a data copy."""
+    import shutil as _shutil
+
+    base = _scratch(sf_dir, "wap")
+    _shutil.rmtree(base, ignore_errors=True)
+    staging = os.path.join(base, "staging")
+    published = os.path.join(base, "published")
+    o = t(spark, sf_dir, "orders")
+
+    def stage_audit_publish(batch_id: int, df):
+        _shutil.rmtree(staging, ignore_errors=True)
+        df.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        audit = staged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_staged"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_keys"),
+        ).first()  # control-plane read: ONE row decides the commit,
+        # the same driver-side posture as the CC fixpoint's convergence
+        # count — never row data
+        ok = audit.n_staged > 0 and audit.n_null_keys == 0
+        if ok:
+            os.rename(staging, published)  # the atomic commit
+        else:
+            _shutil.rmtree(staging, ignore_errors=True)  # abort
+        n_pub = (
+            spark.read.parquet(published).count()
+            if os.path.exists(published)
+            else 0
+        )
+        return (batch_id, audit.n_staged, audit.n_null_keys, ok, n_pub)
+
+    r1 = stage_audit_publish(1, o.filter(F.col("o_orderstatus") == "F"))
+    r2 = stage_audit_publish(
+        2,
+        o.filter(F.col("o_orderstatus") == "O").withColumn(
+            "o_orderkey",
+            F.when(F.col("o_orderpriority") == "1-URGENT", None).otherwise(
+                F.col("o_orderkey")
+            ),
+        ),
+    )
+    return spark.createDataFrame(
+        [r1, r2],
+        "batch_id int, n_staged long, n_null_keys long, audit_pass boolean, n_published_after long",
+    ).orderBy("batch_id")

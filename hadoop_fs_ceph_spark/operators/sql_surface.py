@@ -577,3 +577,42 @@ def sql_session_variables(spark, sf_dir):
         FROM orders WHERE o_totalprice > price_floor
         """
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("sql", "pipe-syntax", "spark4"),
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0's `|>` operators, from the SQL:2023 /
+    GoogleSQL pipe-query proposal) — the linear top-to-bottom query
+    form: FROM … |> WHERE … |> EXTEND … |> AGGREGATE … GROUP BY … |>
+    ORDER BY, each stage consuming the previous one's relation exactly
+    like the DataFrame API. Catalyst resolves pipes into the identical
+    logical plan as the nested-SELECT oracle, so this is a pure parser
+    surface — same pushdown, same codegen, same exact-cents aggregate.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |> EXTEND CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000.0)
+                       AS BIGINT) AS rev_micros
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_lines,
+                     CAST(CAST(SUM(rev_micros) AS BIGINT) AS DOUBLE)
+                       / 1000000.0 AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_lines, revenue
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

@@ -494,3 +494,91 @@ def udf_python_udtf(spark, sf_dir):
         ORDER BY s.doc_id, s.pos
         """
     )
+
+
+@query(
+    "udf_grouped_ols_fit",
+    oracle="""
+    WITH x AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))
+                  AS BIGINT) AS days,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (
+      SELECT segment,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(days) AS HUGEINT) AS sx,
+             CAST(SUM(cents) AS HUGEINT) AS sy,
+             SUM(CAST(days AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxy,
+             SUM(CAST(days AS HUGEINT) * CAST(days AS HUGEINT)) AS sxx
+      FROM x GROUP BY segment
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents
+    FROM m
+    ORDER BY segment
+    """,
+    tags=("udf", "grouped-map", "training", "regression"),
+)
+def udf_grouped_ols_fit(spark, sf_dir):
+    """Per-group model TRAINING via ``applyInPandas`` — closed-form OLS
+    (order value vs. calendar day) fit independently per market segment:
+    the grouped-training shape of a feature pipeline (one model per
+    entity/segment), where Spark shuffles each group to one worker and
+    the Python worker fits it in a single Arrow batch. The fit itself
+    accumulates EXACT integer moments (Python ints — unbounded, so
+    Σdays·cents cannot overflow, unlike a naive float sum) and converts
+    to float only at the final slope/intercept divisions — mirrored
+    literally by the oracle's HUGEINT moments, so the coefficients are
+    bit-identical with no tolerance.
+
+    Scale: one shuffle on the group key; per-group state is five ints
+    regardless of group size. A group too large for one Arrow batch
+    degrades gracefully — the moments are associative, so the same fit
+    runs as a plain groupBy aggregate (see `ds_theilsen_trend` for the
+    robust alternative); applyInPandas is used here deliberately to
+    exercise the grouped-training surface."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("days"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        days = [int(v) for v in pdf["days"]]
+        cents = [int(v) for v in pdf["cents"]]
+        n = len(days)
+        sx = sum(days)
+        sy = sum(cents)
+        sxy = sum(a * b for a, b in zip(days, cents))
+        sxx = sum(a * a for a in days)
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        return pd.DataFrame(
+            {
+                "segment": [pdf["segment"].iloc[0]],
+                "n": [n],
+                "slope_cents_per_day": [slope],
+                "intercept_cents": [intercept],
+            }
+        )
+
+    return (
+        x.groupBy("segment")
+        .applyInPandas(
+            fit,
+            "segment string, n long, slope_cents_per_day double, intercept_cents double",
+        )
+        .orderBy("segment")
+    )

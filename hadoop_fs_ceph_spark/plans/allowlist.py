@@ -24,6 +24,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "profile_join_fanout": "one-row (est_rows, n_keys) totals broadcast",
     "agg_quantile_sketch_error": "2-row quantile-state/sketch-answer broadcasts (refinement + rank-count passes)",
     "ds_mann_whitney_u": "one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
+    "profile_freshness_lag": "one-row corpus-watermark broadcast onto the per-stream aggregate",
     "sample_rolling_origin_folds": "3-row fold spine + one-row corpus-horizon broadcast",
     "fn_zip_with_dot": "one-row query-vector broadcast",
     "sim_knn_bruteforce": "one-row query-vector broadcast (declared truth pass)",
@@ -93,6 +94,8 @@ INTENTIONAL_CROSS: dict[str, str] = {
 # trivially dropped by consumers that don't need ordered output).
 _FN_DEMO = "function-family demo over a bounded sample relation; ORDER BY is the deterministic-output contract"
 BOUNDED_SORT: dict[str, str] = {
+    "src_write_audit_publish": "2-row commit-trail relation (one row per batch)",
+    "udf_grouped_ols_fit": "5-row per-segment coefficient relation (grouped-map output)",
     "fn_aes_roundtrip": _FN_DEMO,
     "fn_array_setops": _FN_DEMO,
     "fn_bitwise_family": _FN_DEMO,

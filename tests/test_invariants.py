@@ -1933,3 +1933,51 @@ def test_rolling_zscore_frame_semantics(spark, sf_dir):
         assert r.n_prev == n
         assert abs(r.zscore - z) < 1e-6
         assert r.is_anomaly == (abs(z) > 3.0)
+
+
+def test_wap_publish_only_on_audit_pass(spark, sf_dir):
+    """Batch 1 publishes; batch 2's failed audit leaves the table
+    untouched (published count never moves)."""
+    import __spark_entry__ as entry
+
+    rows = {r.batch_id: r for r in entry.queries()["src_write_audit_publish"](spark, sf_dir).collect()}
+    assert rows[1].audit_pass is True and rows[1].n_published_after == rows[1].n_staged
+    assert rows[2].audit_pass is False
+    assert rows[2].n_null_keys > 0
+    assert rows[2].n_published_after == rows[1].n_staged
+
+
+def test_grouped_ols_matches_closed_form(spark, sf_dir):
+    """The pandas fit must equal the closed-form moments computed
+    directly (exact ints, float at the end)."""
+    import __spark_entry__ as entry
+    from hadoop_fs_ceph_spark.tables import t
+
+    got = {r.segment: r for r in entry.queries()["udf_grouped_ols_fit"](spark, sf_dir).collect()}
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            ).cast("long").alias("days"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.segment, []).append((r.days, r.cents))
+    for seg, pts in groups.items():
+        n = len(pts)
+        sx = sum(d for d, _ in pts)
+        sy = sum(cn for _, cn in pts)
+        sxy = sum(d * cn for d, cn in pts)
+        sxx = sum(d * d for d, _ in pts)
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        assert got[seg].n == n
+        assert got[seg].slope_cents_per_day == slope
+        assert got[seg].intercept_cents == intercept
