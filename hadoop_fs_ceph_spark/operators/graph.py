@@ -602,3 +602,102 @@ def graph_bfs_distance(spark, sf_dir):
         .select("n_nationkey", "n_name", F.col("dist").alias("hops"))
         .orderBy("hops", "n_nationkey")
     )
+
+
+@query(
+    "graph_hits_scores",
+    oracle=f"""
+    WITH e AS (SELECT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    a1 AS (
+      SELECT n.node, CAST(COALESCE(cnt, 0) AS BIGINT) AS a
+      FROM nodes n LEFT JOIN (
+        SELECT dst AS node, COUNT(*) AS cnt FROM e GROUP BY dst
+      ) x ON x.node = n.node
+    ),
+    h1 AS (
+      SELECT n.node, CAST(COALESCE(s, 0) AS BIGINT) AS h
+      FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, SUM(a1.a) AS s
+        FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src
+      ) x ON x.node = n.node
+    ),
+    a2 AS (
+      SELECT n.node, CAST(COALESCE(s, 0) AS BIGINT) AS a
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(h1.h) AS s
+        FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst
+      ) x ON x.node = n.node
+    ),
+    h2 AS (
+      SELECT n.node, CAST(COALESCE(s, 0) AS BIGINT) AS h
+      FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, SUM(a2.a) AS s
+        FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src
+      ) x ON x.node = n.node
+    )
+    SELECT h2.node AS n_nationkey, nt.n_name,
+           h2.h AS hub_score, a2.a AS auth_score
+    FROM h2 JOIN a2 ON a2.node = h2.node
+    JOIN nation nt ON nt.n_nationkey = h2.node
+    ORDER BY hub_score DESC, n_nationkey
+    """,
+    tags=("graph", "hits", "iterative"),
+)
+def graph_hits_scores(spark, sf_dir):
+    """HITS hubs-and-authorities, two unrolled mutual-reinforcement
+    rounds over the DIRECTED trade graph (customer-nation → supplier-
+    nation): a¹ = in-degree, h¹ = Σ a¹ over out-neighbors, a² = Σ h¹
+    over in-neighbors, h² = Σ a² over out-neighbors — all EXACT
+    integers because normalization is deferred (rank order is invariant
+    to the per-round scale factor, so the unnormalized fixed-round
+    scores carry the same information and hash-match the oracle;
+    a production run normalizes once at read-out). Importing nations
+    with broad supplier reach score as hubs; exporting nations many
+    importers draw on score as authorities.
+
+    Per round: one edges⋈scores equi-join + one aggregate — the same
+    two-shuffle Pregel superstep as `graph_pagerank_fixed`; at billions
+    of edges rounds run under a convergence loop with per-round
+    normalization and `localCheckpoint` lineage cuts."""
+    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst")).persist()
+    nodes = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+
+    def dangle(scored, col):
+        return nodes.join(scored, "node", "left").select(
+            "node", F.coalesce(F.col(col), F.lit(0)).cast("long").alias(col)
+        )
+
+    a1 = dangle(
+        e.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("a")), "a"
+    )
+    h1 = dangle(
+        e.join(a1, e.dst == a1.node)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("a").alias("h")),
+        "h",
+    )
+    a2 = dangle(
+        e.join(h1, e.src == h1.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("h").alias("a")),
+        "a",
+    )
+    h2 = dangle(
+        e.join(a2, e.dst == a2.node)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("a").alias("h")),
+        "h",
+    )
+    n = t(spark, sf_dir, "nation")
+    return (
+        h2.join(a2.withColumnRenamed("node", "anode"), h2.node == F.col("anode"))
+        .join(n, h2.node == n.n_nationkey)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("h").alias("hub_score"),
+            F.col("a").alias("auth_score"),
+        )
+        .orderBy(F.col("hub_score").desc(), "n_nationkey")
+    )

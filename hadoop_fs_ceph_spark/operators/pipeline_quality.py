@@ -2732,3 +2732,109 @@ def profile_freshness_lag(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ds_sequential_msprt",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN (user_id * {_MIX}) % 100 < 50
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             value
+      FROM events
+    ),
+    s AS (
+      SELECT variant, CAST(COUNT(*) AS DOUBLE) AS nd, {_AB_S1}, {_AB_S2}
+      FROM assigned GROUP BY variant
+    ),
+    m AS (
+      SELECT variant, nd, s1 / nd AS mean,
+             (s2 - s1 * s1 / nd) / (nd - 1.0) AS var
+      FROM s
+    ),
+    w AS (
+      SELECT c.nd AS n_control, t.nd AS n_treatment,
+             t.mean - c.mean AS delta,
+             ((c.nd - 1.0) * c.var + (t.nd - 1.0) * t.var)
+               / (c.nd + t.nd - 2.0) * (1.0 / c.nd + 1.0 / t.nd) AS vn
+      FROM (SELECT * FROM m WHERE variant = 'control') c,
+           (SELECT * FROM m WHERE variant = 'treatment') t
+    )
+    SELECT CAST(n_control AS BIGINT) AS n_control,
+           CAST(n_treatment AS BIGINT) AS n_treatment,
+           ROUND(delta, 8) AS delta,
+           ROUND(0.5 * LN(vn / (vn + 1.0))
+                 + delta * delta * 1.0 / (2.0 * vn * (vn + 1.0)), 8)
+             AS log_lambda,
+           ROUND(LEAST(1.0, EXP(-(0.5 * LN(vn / (vn + 1.0))
+                 + delta * delta * 1.0 / (2.0 * vn * (vn + 1.0))))), 8)
+             AS always_valid_p,
+           CAST(LEAST(1.0, EXP(-(0.5 * LN(vn / (vn + 1.0))
+                 + delta * delta * 1.0 / (2.0 * vn * (vn + 1.0))))) < 0.05
+                AS BOOLEAN) AS reject_now
+    FROM w
+    """,
+    tags=("analytics", "experiment", "sequential", "msprt"),
+)
+def ds_sequential_msprt(spark, sf_dir):
+    """Mixture sequential probability ratio test (mSPRT) — the
+    ALWAYS-VALID inference readout that lets an experimenter peek at a
+    running A/B test continuously without inflating false positives
+    (the fixed-horizon `ds_ab_welch_ttest` is only valid at its
+    pre-registered n): Λ under a N(0, τ²=1) mixture over the treatment
+    effect, log Λ = ½·ln(Vn/(Vn+τ²)) + δ̂²τ²/(2Vn(Vn+τ²)) with Vn the
+    pooled-variance estimator variance of δ̂, and the always-valid
+    p-value min(1, 1/Λ). Re-running this query as data accrues IS the
+    sequential test — p is monotone-safe under optional stopping.
+
+    Determinism: moments are fixed-point (`canonical.py`), every
+    subsequent op is one-row scalar double arithmetic in identical
+    order in both engines; ln/exp inputs are bit-identical so the
+    rounded outputs match exactly. One partial-merged aggregate over
+    the assigned events — the same single-shuffle shape as the t-test,
+    at any corpus size."""
+    assigned = t(spark, sf_dir, "events").select(
+        F.when((F.col("user_id") * _MIX) % 100 < 50, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+        "value",
+    )
+    s = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        dsum("value", "s1"),
+        dsum(F.col("value") * F.col("value"), "s2", scale=2),
+    )
+    m = s.select(
+        "variant",
+        "nd",
+        (F.col("s1") / F.col("nd")).alias("mean"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("nd")) / (F.col("nd") - 1.0)).alias("var"),
+    )
+    c = m.filter(F.col("variant") == "control").select(
+        F.col("nd").alias("nc"), F.col("mean").alias("mc"), F.col("var").alias("vc")
+    )
+    tr = m.filter(F.col("variant") == "treatment").select(
+        F.col("nd").alias("nt"), F.col("mean").alias("mt"), F.col("var").alias("vt")
+    )
+    w = c.crossJoin(tr).select(
+        F.col("nc").alias("n_control_d"),
+        F.col("nt").alias("n_treatment_d"),
+        (F.col("mt") - F.col("mc")).alias("delta"),
+        (
+            ((F.col("nc") - 1.0) * F.col("vc") + (F.col("nt") - 1.0) * F.col("vt"))
+            / (F.col("nc") + F.col("nt") - 2.0)
+            * (1.0 / F.col("nc") + 1.0 / F.col("nt"))
+        ).alias("vn"),
+    )
+    log_lambda = 0.5 * F.log(F.col("vn") / (F.col("vn") + 1.0)) + F.col("delta") * F.col(
+        "delta"
+    ) * 1.0 / (2.0 * F.col("vn") * (F.col("vn") + 1.0))
+    p = F.least(F.lit(1.0), F.exp(-log_lambda))
+    return w.select(
+        F.col("n_control_d").cast("long").alias("n_control"),
+        F.col("n_treatment_d").cast("long").alias("n_treatment"),
+        F.round("delta", 8).alias("delta"),
+        F.round(log_lambda, 8).alias("log_lambda"),
+        F.round(p, 8).alias("always_valid_p"),
+        (p < 0.05).alias("reject_now"),
+    )

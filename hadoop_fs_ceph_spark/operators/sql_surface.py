@@ -616,3 +616,41 @@ def sql_pipe_syntax(spark, sf_dir):
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql", "identifier", "parameterized", "spark4"),
+)
+def sql_identifier_clause(spark, sf_dir):
+    """IDENTIFIER() clause — SQL-injection-safe DYNAMIC table/column
+    names (Spark 3.4+): the table and the group-by column arrive as
+    bound string parameters, and `IDENTIFIER(:tbl)` / `IDENTIFIER(:col)`
+    resolves them as identifiers, not as spliceable SQL text — the
+    front-door answer to the string-formatting template queries that
+    `sql_execute_immediate` parameterizes by VALUE. A hostile
+    `col = 'x; DROP TABLE'` fails identifier resolution instead of
+    executing. The resolved plan is byte-identical to the static query
+    — parameterization is purely a binding-time feature."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:col)
+        ORDER BY IDENTIFIER(:col)
+        """,
+        args={"tbl": "orders", "col": "o_orderpriority"},
+    )

