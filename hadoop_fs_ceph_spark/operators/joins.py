@@ -1014,7 +1014,7 @@ def _bloom_positions(key, m: int, k: int):
 )
 def join_bloom_prefilter(spark, sf_dir):
     """Bloom-filter semi-join reduction: the small side's join keys are
-    folded into a 64 KiB bit array (k=3 xxhash64 probes, bits OR-ed into
+    folded into an 8 KiB (65,536-bit) bit array (k=3 xxhash64 probes, bits OR-ed into
     1,024 64-bit words) that is broadcast as ONE row and applied to the
     fact side BEFORE the join — the runtime-filter pattern Spark's own
     AQE injects for shuffle joins, built here explicitly so the

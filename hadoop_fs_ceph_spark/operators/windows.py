@@ -927,26 +927,26 @@ _RZ_FRAME = 15  # trailing frame length (rows), excluding the current row
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN {_RZ_FRAME} PRECEDING AND 1 PRECEDING)
     )
+    ,
+    st AS (
+      SELECT user_id, ts, event_id, n_prev,
+             CAST(cents AS DOUBLE) / 100.0 AS x,
+             (CAST(s1 AS DOUBLE) / 100.0) / CAST(n_prev AS DOUBLE) AS mu,
+             ((CAST(s2 AS DOUBLE) / 10000.0)
+              - (CAST(s1 AS DOUBLE) / 100.0)
+                * (CAST(s1 AS DOUBLE) / 100.0)
+                / CAST(n_prev AS DOUBLE))
+             / (CAST(n_prev AS DOUBLE) - 1.0) AS vr
+      FROM fr
+      WHERE n_prev >= 8
+    )
     SELECT user_id, ts, event_id,
-           CAST(cents AS DOUBLE) / 100.0 AS value,
+           x AS value,
            n_prev,
-           ROUND((CAST(cents AS DOUBLE) / 100.0
-                  - (CAST(s1 AS DOUBLE) / 100.0) / CAST(n_prev AS DOUBLE))
-                 / SQRT(((CAST(s2 AS DOUBLE) / 10000.0)
-                         - (CAST(s1 AS DOUBLE) / 100.0)
-                           * (CAST(s1 AS DOUBLE) / 100.0)
-                           / CAST(n_prev AS DOUBLE))
-                        / (CAST(n_prev AS DOUBLE) - 1.0)), 8) AS zscore,
-           CAST(ABS((CAST(cents AS DOUBLE) / 100.0
-                  - (CAST(s1 AS DOUBLE) / 100.0) / CAST(n_prev AS DOUBLE))
-                 / SQRT(((CAST(s2 AS DOUBLE) / 10000.0)
-                         - (CAST(s1 AS DOUBLE) / 100.0)
-                           * (CAST(s1 AS DOUBLE) / 100.0)
-                           / CAST(n_prev AS DOUBLE))
-                        / (CAST(n_prev AS DOUBLE) - 1.0))) > 3.0 AS BOOLEAN)
-             AS is_anomaly
-    FROM fr
-    WHERE n_prev >= 8
+           CASE WHEN vr > 0 THEN ROUND((x - mu) / SQRT(vr), 8) END AS zscore,
+           CASE WHEN vr > 0 THEN CAST(ABS((x - mu) / SQRT(vr)) > 3.0 AS BOOLEAN)
+           END AS is_anomaly
+    FROM st
     ORDER BY user_id, ts, event_id
     """,
     tags=("window", "anomaly", "zscore", "rolling"),
@@ -1000,15 +1000,26 @@ def win_rolling_zscore(spark, sf_dir):
         / F.col("n_prev").cast("double")
     ) / (F.col("n_prev").cast("double") - 1.0)
     z = (x - mean) / F.sqrt(var)
+    # Zero-variance guard: a frame of >=8 identical cents values yields
+    # var == 0 (or a tiny negative from float cancellation) and z would be
+    # Inf/NaN — whose rounding/hashing is engine-specific. var is computed
+    # from exact integer moments in the identical order in both engines, so
+    # the `var > 0` predicate agrees bit-for-bit; degenerate frames emit
+    # NULL (mirrored by CASE WHEN vr > 0 in the oracle).
+    guard = F.col("_vr") > 0.0
     # no global orderBy: per-row scored relations stay unsorted (the
     # differential harness compares order-insensitively; a world sort
     # here would be pure waste at scale)
-    return fr.filter(F.col("n_prev") >= 8).select(
-        "user_id",
-        "ts",
-        "event_id",
-        x.alias("value"),
-        "n_prev",
-        F.round(z, 8).alias("zscore"),
-        (F.abs(z) > 3.0).alias("is_anomaly"),
+    return (
+        fr.filter(F.col("n_prev") >= 8)
+        .withColumn("_vr", var)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            x.alias("value"),
+            "n_prev",
+            F.when(guard, F.round(z, 8)).alias("zscore"),
+            F.when(guard, F.abs(z) > 3.0).alias("is_anomaly"),
+        )
     )

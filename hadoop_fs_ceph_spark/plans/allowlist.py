@@ -225,7 +225,7 @@ BOUNDED_COLLECT: dict[str, str] = {
     "text_paragraph_dedup": "per-document paragraph list — bounded by document length, never corpus-sized",
     "win_ewma_fold": "32-event tail cap per key",
     "win_holt_linear_fold": "32-event tail cap per key",
-    "win_rolling_quantile": "calendar-bounded rolling frame (≤31 daily values) per row",
+    "win_rolling_quantile": "bounded rolling frame (≤7 daily values; 6 PRECEDING..CURRENT) per row",
 }
 
 ALLOW_GROUPS: dict[str, dict[str, str]] = {

@@ -53,6 +53,15 @@ def load_all() -> dict[str, QuerySpec]:
     return REGISTRY
 
 
+def coverage_line(specs: dict[str, QuerySpec] | None = None) -> str:
+    """The one-sentence coverage claim, derived from the registry itself
+    (never hand-edited): 'N declared queries, M DuckDB-oracle-checked'."""
+    if specs is None:
+        specs = load_all()
+    n_oracle = sum(1 for s in specs.values() if s.oracle is not None)
+    return f"{len(specs)} declared queries, {n_oracle} DuckDB-oracle-checked"
+
+
 def main() -> None:
     """Registry browser:  python -m hadoop_fs_ceph_spark.registry [tag ...]
 
@@ -67,6 +76,12 @@ def main() -> None:
     from hadoop_fs_ceph_spark.registry import load_all as _canonical_load_all
 
     specs = _canonical_load_all()
+    if sys.argv[1:] == ["--counts"]:
+        # the canonical coverage line — README.md embeds this verbatim and
+        # tests/test_invariants.py asserts they stay in lockstep, so the
+        # prose count can never drift from the registry again
+        print(coverage_line(specs))
+        return
     want = set(sys.argv[1:])
     if not want:
         tags: dict[str, int] = {}
