@@ -1451,3 +1451,89 @@ def src_write_audit_publish(spark, sf_dir):
         [r1, r2],
         "batch_id int, n_staged long, n_null_keys long, audit_pass boolean, n_published_after long",
     ).orderBy("batch_id")
+
+
+_PYDS_ORDERS_DDL = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+_PYDS_ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+@query(
+    "src_python_datasource",
+    oracle=_ORDERS_AGG_SQL,
+    tags=("source", "pydatasource", "connector"),
+)
+def src_python_datasource(spark, sf_dir):
+    """The reference connector's identity as a RUNNABLE artifact: read
+    through the registered `cephfs_like` Python DataSource
+    (sources/pydatasource.py) instead of Spark's native scan.
+
+    The source performs the connector's three mechanics itself —
+    directory listing (`CephRgwFileSystem.java:98-147`), one
+    InputPartition per configured virtual block
+    (`CephRgwFileSystem.java:112`), and positioned per-split byte reads
+    with Hadoop line-split semantics (`CephRgwInputStream.java:103-120`).
+    A 256 KiB blocksize forces genuinely multi-split reads at every SF
+    (the split-count-tracks-blocksize contract is pinned in
+    tests/test_pydatasource.py); the oracle hash-match proves the whole
+    cycle — engine CSV write, Python listing/split/pread, line reassembly
+    across block boundaries — is lossless."""
+    from hadoop_fs_ceph_spark.sources.pydatasource import register_python_sources
+
+    register_python_sources(spark)
+    o = t(spark, sf_dir, "orders").select(*_PYDS_ORDERS_COLS)
+    path = _scratch(sf_dir, "pyds_orders")
+    write_table(o, path, format="csv", mode="overwrite")
+    back = (
+        spark.read.format("cephfs_like")
+        .schema(_PYDS_ORDERS_DDL)
+        .option("virtual.blocksize", 256 * 1024)
+        .load(path)
+    )
+    return _orders_agg(back)
+
+
+@query("src_avro_roundtrip", oracle=_ORDERS_AGG_SQL, tags=("source", "avro"))
+def src_avro_roundtrip(spark, sf_dir):
+    """Avro Object Container round-trip without the spark-avro jar (absent
+    from this sandbox's pyspark distribution — pinned by
+    tests/test_contracts.py): sources/avro_lite.py implements the public
+    container spec in pure Python. Write side is a distributed
+    mapInPandas (each task deflates and writes its own container file —
+    bytes never visit the driver); read side is the registered
+    `avro_lite` DataSource whose splits honor `virtual.blocksize` and
+    attach to the next 16-byte sync marker — Avro's container layout is
+    designed for exactly the positioned-read split contract of the
+    reference (`CephRgwInputStream.java:103-120`). Schema comes from the
+    container header (as spark-avro's would). 64 KiB blocks force
+    multi-split reads of each file; the oracle hash-match proves the
+    binary encode → deflate → sync-split read → decode cycle lossless,
+    timestamps included (local-timestamp-micros ≡ timestamp_ntz)."""
+    from hadoop_fs_ceph_spark.sources.avro_lite import write_avro
+    from hadoop_fs_ceph_spark.sources.pydatasource import register_python_sources
+
+    register_python_sources(spark)
+    o = t(spark, sf_dir, "orders").select(*_PYDS_ORDERS_COLS)
+    path = _scratch(sf_dir, "avro_orders")
+    specs = [
+        ("o_orderkey", "long"),
+        ("o_custkey", "long"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "local-timestamp-micros"),
+        ("o_orderpriority", "string"),
+    ]
+    manifest = write_avro(o.repartition(8), path, specs)
+    if manifest.count() == 0:  # run the distributed write (no row collect)
+        raise ValueError("avro write produced no files")
+    back = (
+        spark.read.format("avro_lite")
+        .option("virtual.blocksize", 64 * 1024)
+        .load(path)
+    )
+    return _orders_agg(back)

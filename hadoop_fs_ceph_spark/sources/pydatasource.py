@@ -1,0 +1,194 @@
+"""The reference connector's identity as a runnable Spark 4 Python DataSource.
+
+The reference (kunpengcompute/hadoop-fs-ceph) is a Hadoop FileSystem
+connector whose whole job is three mechanics:
+
+* directory listing / file status      — ``CephRgwFileSystem.java:98-147``
+* split sizing by a configured virtual block size (the RGW store has no
+  real HDFS blocks, so the connector invents them purely to drive task
+  parallelism)                          — ``CephRgwFileSystem.java:112``
+* positioned byte reads (pread) serving each split independently
+                                        — ``CephRgwInputStream.java:103-120``
+
+Everywhere else in this repo that surface is mapped declaratively onto
+Spark's own file sources (``session.py`` s3a config + ``catalog.py``).  This
+module is the *runnable* analog: a registered ``cephfs_like`` source built on
+``pyspark.sql.datasource`` that performs the same three mechanics in Python —
+list the directory, plan one ``InputPartition`` per virtual block, and serve
+each partition with positioned reads.
+
+Record framing uses Hadoop's LineRecordReader split contract so that a line
+crossing a block boundary is read exactly once:
+
+* the split that owns byte 0 starts reading at byte 0;
+* every other split seeks to ``start``, discards through the first ``\\n``
+  (that prefix belongs to the previous split), and starts at the next line;
+* a split keeps reading while the *current line's starting offset* is
+  ``<= end`` — i.e. it finishes the line that straddles its upper boundary
+  (and owns a line starting exactly at ``end``, which the next split's
+  discard rule skips).
+
+Together the two rules partition the line set exactly: the line starting at
+offset ``p`` is read by the unique split with ``start < p <= end`` (or split
+0 for ``p == 0``).
+
+100 TB posture: planning is O(#files) driver-side metadata (exactly the
+``listStatus`` cost the reference pays); each task touches only its own
+``[start, end + one line]`` byte range, so parallelism = Σ ceil(size/block)
+regardless of file count or size, and no task ever holds more than one
+line plus a read buffer in memory.  Rows cross to the JVM via Arrow batches
+(the datasource runner batches the iterator) — this is a declared
+connector-surface artifact, not a replacement for Spark's native scans.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+DEFAULT_BLOCKSIZE = 32 * 1024 * 1024  # the reference defaults its virtual
+# block to a power-of-two MB constant; 32 MiB keeps local tests honest while
+# a cluster run would set 128-512 MiB via .option("virtual.blocksize", ...)
+
+
+def list_data_files(path: str) -> list[str]:
+    """Directory listing with FileSystem semantics: data files only, sorted
+    for deterministic split numbering (``listStatus`` returns an unordered
+    array; the connector's callers sort — we sort here once)."""
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith(("_", ".")):  # _SUCCESS, .crc, hidden
+            continue
+        full = os.path.join(path, name)
+        if os.path.isfile(full):
+            out.append(full)
+    return out
+
+
+def plan_virtual_blocks(files: list[str], blocksize: int) -> list[tuple[str, int, int]]:
+    """One (file, start, end) triple per virtual block — the split planning
+    the reference performs in ``getFileBlockLocations``-driven sizing
+    (``CephRgwFileSystem.java:112``): ceil(size / blocksize) splits per file,
+    final split truncated to the file length."""
+    if blocksize <= 0:
+        raise ValueError(f"virtual.blocksize must be positive, got {blocksize}")
+    splits = []
+    for f in files:
+        size = os.path.getsize(f)
+        if size == 0:
+            continue
+        for start in range(0, size, blocksize):
+            splits.append((f, start, min(start + blocksize, size)))
+    return splits
+
+
+@dataclass
+class _BlockPartition(InputPartition):
+    file: str
+    start: int
+    end: int
+
+
+def _parser_for(dt):
+    """Field parser for one schema leaf — the line protocol is the CSV the
+    engine's own writer emits (no quoting: fixture projections are
+    delimiter-free by construction, documented at the call sites)."""
+    if isinstance(dt, (LongType, IntegerType)):
+        return int
+    if isinstance(dt, (DoubleType, FloatType)):
+        return float  # shortest-repr doubles round-trip losslessly
+    if isinstance(dt, DecimalType):
+        return Decimal
+    if isinstance(dt, BooleanType):
+        return lambda s: s == "true"
+    if isinstance(dt, (TimestampNTZType, TimestampType)):
+        return lambda s: datetime.fromisoformat(s.rstrip("Z"))
+    if isinstance(dt, DateType):
+        return date.fromisoformat
+    if isinstance(dt, StringType):
+        return lambda s: s
+    raise TypeError(f"cephfs_like line protocol does not carry {dt}")
+
+
+class CephFsLikeReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cephfs_like requires .load(path)")
+        self.blocksize = int(options.get("virtual.blocksize", DEFAULT_BLOCKSIZE))
+        self.sep = options.get("sep", ",")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files = list_data_files(self.path)
+        return [
+            _BlockPartition(file=f, start=s, end=e)
+            for f, s, e in plan_virtual_blocks(files, self.blocksize)
+        ]
+
+    def read(self, partition: _BlockPartition) -> Iterator[tuple]:
+        parsers = [_parser_for(f.dataType) for f in self.schema.fields]
+        n = len(parsers)
+        sep = self.sep.encode()
+        with open(partition.file, "rb") as fh:
+            fh.seek(partition.start)
+            if partition.start > 0:
+                fh.readline()  # prefix through first \n belongs to prev split
+            while fh.tell() <= partition.end:
+                line = fh.readline()
+                if not line:
+                    break
+                fields = line.rstrip(b"\r\n").split(sep)
+                if len(fields) != n:
+                    raise ValueError(
+                        f"{partition.file}: expected {n} fields, got {len(fields)}"
+                    )
+                yield tuple(
+                    None if not raw else parsers[i](raw.decode())
+                    for i, raw in enumerate(fields)
+                )
+
+
+class CephFsLikeDataSource(DataSource):
+    """``spark.read.format("cephfs_like").schema(ddl).option(...)``.
+
+    Options: ``virtual.blocksize`` (bytes per split, default 32 MiB),
+    ``sep`` (field delimiter, default ``,``).  Schema must be supplied by
+    the caller — the line protocol is schema-on-read, exactly like the
+    byte-stream contract of the reference (the FS layer never interprets
+    content)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cephfs_like"
+
+    def reader(self, schema: StructType) -> CephFsLikeReader:
+        return CephFsLikeReader(schema, self.options)
+
+
+def register_python_sources(spark) -> None:
+    """Idempotently register the Python-backed sources on a session."""
+    from hadoop_fs_ceph_spark.sources.avro_lite import AvroLiteDataSource
+
+    spark.dataSource.register(CephFsLikeDataSource)
+    spark.dataSource.register(AvroLiteDataSource)
