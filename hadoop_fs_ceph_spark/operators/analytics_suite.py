@@ -2613,3 +2613,96 @@ def ds_holt_winters(spark, sf_dir):
             "forecast_next"
         ),
     ).orderBy("event_type")
+
+
+@query(
+    "ds_ols_moments",
+    oracle="""
+    WITH x AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))
+                  AS BIGINT) AS days,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (
+      SELECT segment,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(days) AS HUGEINT) AS sx,
+             CAST(SUM(cents) AS HUGEINT) AS sy,
+             SUM(CAST(days AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxy,
+             SUM(CAST(days AS HUGEINT) * CAST(days AS HUGEINT)) AS sxx,
+             SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS syy
+      FROM x GROUP BY segment
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents,
+           ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE))
+                 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * syy - sy * sy AS DOUBLE)), 8) AS r2
+    FROM m
+    ORDER BY segment
+    """,
+    tags=("analytics", "regression", "training", "production-twin"),
+)
+def ds_ols_moments(spark, sf_dir):
+    """Per-segment closed-form OLS as a plain JVM-side aggregate — the
+    production twin of `udf_grouped_ols_fit` (udfs.py): identical model
+    (order value in cents vs calendar day per market segment), but the
+    five moments accumulate in a map-combined `groupBy().agg()` with
+    DECIMAL(38,0) sums instead of shuffling whole groups to a Python
+    worker. This is the form a 100 TB run uses: per-group state is five
+    numbers regardless of group size, no Arrow transfer, no
+    one-task-per-group ceiling, whole-stage codegen end to end.
+
+    Determinism: days·cents products are exact longs; their sums ride in
+    decimal(38,0) (Spark) ≡ HUGEINT (DuckDB) — both exact integer
+    arithmetic, so n·Σxy − ΣxΣy is the same integer in both engines and
+    the final cast-to-double divisions round identically. r² avoids the
+    Δxx·Δyy integer product (which can brush 10³⁸ at large SF) by
+    multiplying two exact-int-cast double quotients instead — the same
+    scalar IEEE chain in both engines. Slope/intercept are emitted RAW
+    (no rounding): exact-int casts + single divisions are bit-identical,
+    and equality with the applyInPandas twin is pinned in
+    tests/test_extensions.py."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("days"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+    m = x.groupBy("segment").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("days").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("cents").cast(d38)).cast(d38).alias("sy"),
+        F.sum((F.col("days") * F.col("cents")).cast(d38)).cast(d38).alias("sxy"),
+        F.sum((F.col("days") * F.col("days")).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((F.col("cents").cast(d38) * F.col("cents").cast(d38))).cast(d38).alias("syy"),
+    )
+    dxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d38)
+    dxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d38)
+    dyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(d38)
+    slope = dxy.cast("double") / dxx.cast("double")
+    return (
+        m.select(
+            "segment",
+            F.col("n").cast("long").alias("n"),
+            slope.alias("slope_cents_per_day"),
+            (
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double")
+            ).alias("intercept_cents"),
+            F.round(slope * (dxy.cast("double") / dyy.cast("double")), 8).alias("r2"),
+        )
+        .orderBy("segment")
+    )

@@ -1468,3 +1468,121 @@ def dedup_incremental_bloom(spark, sf_dir):
         )
         .orderBy("verdict")
     )
+
+
+@query(
+    "dedup_prefix_filter_join",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+      FROM documents
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, inter,
+           CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 10 * inter >= 6 * (sa.n + sb.n - inter)
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "ppjoin"),
+)
+def dedup_prefix_filter_join(spark, sf_dir):
+    """EXACT Jaccard similarity join (threshold t = 0.6) via PPJoin-style
+    prefix filtering (Xiao et al., WWW'08 — public) — the third candidate
+    generator next to MinHash-LSH (probabilistic) and length-bucket
+    blocking (rejected in `dedup_ngram_jaccard` notes): deterministic,
+    recall-1.0 by theorem, and still never all-pairs.
+
+    Prefix-filter theorem: order every document's token set by a global
+    total order (document frequency ascending, token as tie-break —
+    rarest first), keep only the first |x| − ⌈t·|x|⌉ + 1 tokens as the
+    PREFIX; any pair with J ≥ t must collide on ≥ 1 prefix token. So
+    candidates come from an equality join on prefix tokens only, and
+    rare-token prefixes keep buckets small exactly where df would blow
+    them up. Verification is exact: intersection of the full sorted
+    token arrays, thresholded in INTEGER form (10·∩ ≥ 6·∪ avoids any
+    float compare); jaccard emitted as one exact-int division. The
+    DuckDB oracle is the naive quadratic join — a hash match therefore
+    *proves* the filter's completeness on this corpus, not just its
+    precision.
+
+    Scale: df is one map-combined count over (doc, token) pairs; the
+    per-doc sort is array_sort over that document's own tokens (bounded
+    by doc length, not corpus); the candidate join shuffles (prefix_tok,
+    doc_id) pairs — prefix length is sublinear in doc length and buckets
+    are rare-token-biased. The collect_list is per-document (allowlisted:
+    bounded by the longest document, the same bound every text op here
+    carries)."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
+        )
+    )
+    df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per_doc = (
+        toks.join(df_tok, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ordered"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.transform(F.col("ordered"), lambda s: s["tok"]).alias("toks_rare_first"),
+            # prefix length = n - ceil(0.6 n) + 1, in pure ints (div, the
+            # repo's integer-division convention — no double round-trip)
+            (F.col("n") - F.expr("(n * 6 + 9) div 10") + 1).alias("plen"),
+        )
+    )
+    per_doc = per_doc.persist()
+    prefixes = per_doc.select(
+        "doc_id",
+        F.explode(F.slice("toks_rare_first", F.lit(1), F.col("plen"))).alias("ptok"),
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), F.col("a.ptok") == F.col("b.ptok"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sides = per_doc.select("doc_id", "n", "toks_rare_first")
+    verified = (
+        cand.join(sides.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a")
+                  .withColumnRenamed("toks_rare_first", "ta"), "doc_a")
+        .join(sides.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b")
+              .withColumnRenamed("toks_rare_first", "tb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("inter"),
+        )
+        .filter(10 * F.col("inter") >= 6 * (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "inter",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    return verified

@@ -1154,3 +1154,110 @@ def join_null_bypass_left(spark, sf_dir):
         )
         .orderBy("event_type", "attributed")
     )
+
+
+@query(
+    "join_geo_radius_grid",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             ((c_custkey * 2654435761) % 1000003) % 1000 AS cx,
+             ((c_custkey * 2246822519) % 1000033) % 1000 AS cy
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             ((s_suppkey * 2654435761 + 777771) % 1000003) % 1000 AS sx,
+             ((s_suppkey * 2246822519 + 333331) % 1000033) % 1000 AS sy
+      FROM supplier
+    ),
+    hits AS (
+      SELECT c.c_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_in_radius,
+             CAST(MIN(((c.cx - s.sx) * (c.cx - s.sx)
+                       + (c.cy - s.sy) * (c.cy - s.sy)) * 100000
+                      + s.s_suppkey) AS BIGINT) AS comp
+      FROM c JOIN s
+        ON (c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy) <= 2500
+      GROUP BY c.c_custkey
+    )
+    SELECT c_custkey, n_in_radius,
+           comp % 100000 AS nearest_suppkey,
+           comp // 100000 AS nearest_dist2,
+           SQRT(CAST(comp // 100000 AS DOUBLE)) AS nearest_dist
+    FROM hits
+    ORDER BY c_custkey
+    """,
+    tags=("join", "spatial", "grid-blocking"),
+)
+def join_geo_radius_grid(spark, sf_dir):
+    """Fixed-radius spatial join via grid-cell blocking — the planar
+    pattern behind geo radius lookups (nearest depot, store catchment):
+    every customer paired with the suppliers within distance r = 50 on a
+    synthetic 1000×1000 integer plane (coordinates derived from keys by
+    Knuth/xxhash-style multiplicative mixes — the repo's testdata has no
+    geo columns, and integer coords keep every distance EXACT).
+
+    Blocking: space is tiled into r×r cells, so any point within radius
+    of a customer lives in the 3×3 cell neighborhood. The supplier side
+    (the dim) is exploded ×9 onto its neighbor cells and broadcast; the
+    join is pure EQUALITY on the cell id — the quadratic all-pairs the
+    oracle runs never materializes engine-side. Exact verification:
+    integer dist² ≤ r², nearest = MIN over the composite
+    dist²·10⁵ + suppkey (the argmin-without-window trick used across the
+    repo — deterministic under ties, no single-partition window).
+
+    Determinism: coordinates, distances, counts, and the composite are
+    all exact int arithmetic; the only float is the final SQRT of an
+    exact int — bit-identical cross-engine. The oracle is the naive
+    theta-join (DuckDB range join), so the hash match proves the 3×3
+    neighborhood is complete, not just plausible.
+
+    Scale: cell ids hash-partition evenly by construction (mixed keys);
+    the broadcast side is 9·|dim|. With two FACT tables instead, the
+    same cell ids feed a sort-merge join with both sides shuffled on
+    cell — the blocking logic is unchanged, which is the point."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 2654435761) % 1000003 % 1000).alias("cx"),
+        ((F.col("c_custkey") * 2246822519) % 1000033 % 1000).alias("cy"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 2654435761 + 777771) % 1000003 % 1000).alias("sx"),
+        ((F.col("s_suppkey") * 2246822519 + 333331) % 1000033 % 1000).alias("sy"),
+    )
+    r, cell = 50, 50
+    cust_c = cust.withColumn("cellx", F.expr(f"cx div {cell}")).withColumn(
+        "celly", F.expr(f"cy div {cell}")
+    )
+    # dim side replicated onto its 3x3 neighborhood => equality join key
+    offs = F.expr("explode(arrays_zip(array(-1,-1,-1,0,0,0,1,1,1), array(-1,0,1,-1,0,1,-1,0,1)))")
+    supp_n = supp.select(
+        "s_suppkey", "sx", "sy", offs.alias("o")
+    ).select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        (F.expr(f"sx div {cell}") + F.col("o.0")).alias("cellx"),
+        (F.expr(f"sy div {cell}") + F.col("o.1")).alias("celly"),
+    )
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    hits = (
+        cust_c.join(F.broadcast(supp_n), ["cellx", "celly"])
+        .filter(d2 <= r * r)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in_radius"),
+            F.min(d2 * 100000 + F.col("s_suppkey")).cast("long").alias("comp"),
+        )
+    )
+    return hits.select(
+        "c_custkey",
+        "n_in_radius",
+        (F.col("comp") % 100000).alias("nearest_suppkey"),
+        F.expr("comp div 100000").alias("nearest_dist2"),
+        F.sqrt(F.expr("comp div 100000").cast("double")).alias("nearest_dist"),
+    ).orderBy("c_custkey")

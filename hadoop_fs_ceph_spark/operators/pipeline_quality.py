@@ -2838,3 +2838,139 @@ def ds_sequential_msprt(spark, sf_dir):
         F.round(p, 8).alias("always_valid_p"),
         (p < 0.05).alias("reject_now"),
     )
+
+
+@query(
+    "ds_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    rt AS (SELECT status, CAST(SUM(obs) AS BIGINT) AS row_tot
+           FROM cells GROUP BY status),
+    ct AS (SELECT priority, CAST(SUM(obs) AS BIGINT) AS col_tot
+           FROM cells GROUP BY priority),
+    n_ AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT c.status, c.priority,
+             (CAST(c.obs AS DOUBLE)
+              - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(n_.n AS DOUBLE))
+             * (CAST(c.obs AS DOUBLE)
+              - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(n_.n AS DOUBLE))
+             / (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(n_.n AS DOUBLE))
+               AS term
+      FROM cells c
+      JOIN rt ON c.status = rt.status
+      JOIN ct ON c.priority = ct.priority
+      CROSS JOIN n_
+    ),
+    packed AS (
+      SELECT list(term ORDER BY status, priority) AS terms_,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM terms
+    ),
+    shape AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS r,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS c,
+             (SELECT n FROM n_) AS n
+    ),
+    folded AS (
+      SELECT n_cells,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms_),
+                         (acc, x) -> acc + x) AS chi2
+      FROM packed
+    )
+    SELECT shape.n, shape.r, shape.c, folded.n_cells,
+           (shape.r - 1) * (shape.c - 1) AS dof,
+           ROUND(folded.chi2, 8) AS chi2,
+           ROUND(SQRT(folded.chi2 / (CAST(shape.n AS DOUBLE)
+                 * CAST(LEAST(shape.r - 1, shape.c - 1) AS DOUBLE))), 8)
+             AS cramers_v,
+           CAST(folded.chi2 > 15.50731 AS BOOLEAN) AS dependent_95
+    FROM folded CROSS JOIN shape
+    """,
+    tags=("analytics", "experiment", "chi-square"),
+)
+def ds_chi_square_independence(spark, sf_dir):
+    """Pearson chi-square test of independence on the order status ×
+    priority contingency table, with Cramér's V effect size — the
+    categorical counterpart to `ds_anova_oneway` (continuous k-group) and
+    `ds_ab_srm_check` (one-dimensional ratio drift): does fulfillment
+    status depend on the priority a customer picked?
+
+    Determinism: observed and marginal counts are EXACT integers; each
+    cell's (obs − e)²/e term is a fixed chain of scalar IEEE ops on
+    exactly-representable ints (row_tot·col_tot ≤ n² « 2⁵³), so the
+    per-cell terms are bit-identical cross-engine; the ≤ r·c cell terms
+    then fold in sorted (status, priority) order — the k-bounded
+    sequential-fold discipline of `canonical.py`. Significance compares
+    against the χ²(dof=8, 0.95) critical value 15.50731 (public table).
+
+    Scale: one map-combined count per cell (the ONLY pass over the fact
+    table), then marginals/terms/fold all live on the ≤ r·c cell relation
+    — broadcast-sized no matter the corpus. The grid is spec-bounded
+    (3 statuses × 5 priorities), so the single-row fold is O(1)."""
+    cells = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    rt = cells.groupBy("status").agg(F.sum("obs").cast("long").alias("row_tot"))
+    ct = cells.groupBy("priority").agg(F.sum("obs").cast("long").alias("col_tot"))
+    n_ = cells.agg(F.sum("obs").cast("long").alias("n"))
+    # expected count: one exact int product, one cast, one division —
+    # the identical IEEE chain the oracle's CAST(row_tot*col_tot AS
+    # DOUBLE)/n performs
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n").cast("double")
+    terms = (
+        cells.join(rt, "status")
+        .join(ct, "priority")
+        .crossJoin(n_)
+        .select(
+            "status",
+            "priority",
+            ((F.col("obs").cast("double") - e) * (F.col("obs").cast("double") - e) / e).alias(
+                "term"
+            ),
+        )
+    )
+    packed = terms.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("status", "priority", "term"))),
+            lambda s: s["term"],
+        ).alias("terms_"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    chi2 = F.aggregate(F.col("terms_"), F.lit(0.0), lambda acc, x: acc + x)
+    shape = (
+        rt.agg(F.count(F.lit(1)).cast("long").alias("r"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).cast("long").alias("c")))
+        .crossJoin(n_)
+    )
+    return (
+        packed.crossJoin(shape)
+        .select(
+            "n",
+            "r",
+            "c",
+            "n_cells",
+            ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+            F.round(chi2, 8).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    chi2
+                    / (
+                        F.col("n").cast("double")
+                        * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                    )
+                ),
+                8,
+            ).alias("cramers_v"),
+            (chi2 > 15.50731).alias("dependent_95"),
+        )
+    )

@@ -58,6 +58,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "ds_survival_km": "one-row corpus-max-date broadcast (censoring horizon)",
     "ds_ab_welch_ttest": "two one-row variant-moment relations cross-joined",
     "ds_sequential_msprt": "two one-row variant-moment relations cross-joined",
+    "ds_chi_square_independence": "one-row total-count and one-row (r, c) shape broadcasts onto the ≤15-cell term relation",
     "sim_pq_encode": "one-row collected K=4 codebook broadcast for map-side encoding",
     "ds_ab_cuped_adjust": "one-row theta/xbar moment broadcast for the adjustment pass",
     "sql_analyze_cbo_stats": "one-row catalog-stats relation cross-joined to the one-row exact aggregate",
@@ -226,6 +227,8 @@ BOUNDED_COLLECT: dict[str, str] = {
     "win_ewma_fold": "32-event tail cap per key",
     "win_holt_linear_fold": "32-event tail cap per key",
     "win_rolling_quantile": "bounded rolling frame (≤7 daily values; 6 PRECEDING..CURRENT) per row",
+    "ds_chi_square_independence": "≤ r·c (3×5=15) contingency-cell terms folded in sorted cell order",
+    "dedup_prefix_filter_join": "per-document token list — bounded by document length, the standard text-op bound (same as text_paragraph_dedup)",
 }
 
 ALLOW_GROUPS: dict[str, dict[str, str]] = {

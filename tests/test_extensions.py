@@ -322,3 +322,102 @@ def test_curation_funnel_monotone(spark, sf_dir):
         assert r.n_raw >= r.n_quality >= r.n_exact >= r.n_final >= 0
         if r.n_final > 0:
             assert r.tokens_final > 0
+
+
+def test_ols_moments_twin_matches_grouped_udf(spark, sf_dir):
+    """The JVM-side moments OLS (production twin) and the applyInPandas
+    grouped fit must produce BIT-IDENTICAL coefficients: both accumulate
+    exact integer moments (decimal(38) vs Python ints) and perform the
+    same final float divisions."""
+    a = {
+        r.segment: (r.n, r.slope_cents_per_day, r.intercept_cents)
+        for r in SPECS["ds_ols_moments"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        r.segment: (r.n, r.slope_cents_per_day, r.intercept_cents)
+        for r in SPECS["udf_grouped_ols_fit"].fn(spark, sf_dir).collect()
+    }
+    assert a == b  # exact equality, no tolerance
+
+
+def test_prefix_filter_join_matches_bruteforce(spark, sf_dir):
+    """Prefix filtering is recall-1.0 BY THEOREM — verify against the
+    engine-side brute-force all-pairs join (independent of the DuckDB
+    oracle, so a symmetric tokenization bug can't hide)."""
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.doc_a, r.doc_b, r.inter)
+        for r in SPECS["dedup_prefix_filter_join"].fn(spark, sf_dir).collect()
+    }
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("ts")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.array_intersect("a.ts", "b.ts")).cast("long").alias("inter"),
+            F.size("a.ts").cast("long").alias("na"),
+            F.size("b.ts").cast("long").alias("nb"),
+        )
+        .filter(10 * F.col("inter") >= 6 * (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    want = {(r.doc_a, r.doc_b, r.inter) for r in brute.collect()}
+    assert got == want
+
+
+def test_geo_radius_grid_neighborhood_complete(spark, sf_dir):
+    """3×3 cell neighborhood must recover exactly the brute-force
+    within-radius pairs (cell size = radius guarantees coverage)."""
+    from pyspark.sql import functions as F
+
+    res = SPECS["join_geo_radius_grid"].fn(spark, sf_dir)
+    rows = res.collect()
+    assert all(r.nearest_dist2 <= 2500 and r.n_in_radius >= 1 for r in rows)
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 2654435761) % 1000003 % 1000).alias("cx"),
+        ((F.col("c_custkey") * 2246822519) % 1000033 % 1000).alias("cy"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 2654435761 + 777771) % 1000003 % 1000).alias("sx"),
+        ((F.col("s_suppkey") * 2246822519 + 333331) % 1000033 % 1000).alias("sy"),
+    )
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    brute = (
+        cust.crossJoin(supp)
+        .filter(d2 <= 2500)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in_radius"))
+    )
+    want = {(r.c_custkey, r.n_in_radius) for r in brute.collect()}
+    assert {(r.c_custkey, r.n_in_radius) for r in rows} == want
+
+
+def test_chi_square_zero_on_independent_table(spark):
+    """On a contingency table with perfect product structure the statistic
+    must be exactly 0 (every obs equals its expectation) — pinned by
+    running the same term/fold arithmetic on a constructed relation."""
+    from pyspark.sql import functions as F
+
+    cells = spark.createDataFrame(
+        [(s, p, rs * cs) for s, rs in [("A", 2), ("B", 3)] for p, cs in [("x", 5), ("y", 7)]],
+        "status string, priority string, obs long",
+    )
+    rt = cells.groupBy("status").agg(F.sum("obs").alias("row_tot"))
+    ct = cells.groupBy("priority").agg(F.sum("obs").alias("col_tot"))
+    n_ = cells.agg(F.sum("obs").alias("n"))
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n").cast("double")
+    terms = (
+        cells.join(rt, "status").join(ct, "priority").crossJoin(n_)
+        .select(((F.col("obs").cast("double") - e) ** 2 / e).alias("term"))
+    )
+    total = terms.agg(F.sum("term").alias("chi2")).first().chi2
+    assert total == 0.0
