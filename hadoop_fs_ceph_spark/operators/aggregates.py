@@ -1425,3 +1425,132 @@ def agg_quantile_sketch_error(spark, sf_dir):
         )
         .orderBy("pct")
     )
+
+
+@query(
+    "agg_exact_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(MAX(cnt * 1024 + (1024 - qty)) AS BIGINT) AS comp,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_qty
+      FROM counts GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           1024 - (comp % 1024) AS mode_qty,
+           comp // 1024 AS mode_count,
+           n_distinct_qty
+    FROM m ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "mode", "deterministic"),
+)
+def agg_exact_mode(spark, sf_dir):
+    """Exact per-group MODE with a DETERMINISTIC tie-break (smallest value
+    wins) — built-in ``mode()`` leaves ties unspecified in both engines,
+    so this is the argmax-without-window form the repo uses everywhere:
+    count per (group, value), then one composite MAX over
+    cnt·1024 + (1024 − qty), decoded back to (mode, count). Two
+    map-combined aggregates, no window, no collect; the composite is
+    exact integer arithmetic (quantity domain 1..50 « 1024; cnt·1024
+    needs cnt < 2⁵³ — satisfied to beyond 10¹⁵ rows per value).
+
+    Scale: the first aggregate's key space is |groups| × |value domain|
+    (bounded); everything after runs on that reduced relation."""
+    counts = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.col("l_quantity").cast("long").alias("qty"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(
+            F.max(F.col("cnt") * 1024 + (1024 - F.col("qty"))).cast("long").alias("comp"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_qty"),
+        )
+        .select(
+            "l_returnflag",
+            (1024 - F.col("comp") % 1024).alias("mode_qty"),
+            F.expr("comp div 1024").alias("mode_count"),
+            "n_distinct_qty",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_trimmed_mean_nosort",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      FROM orders
+    ),
+    r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents * 100000000 + o_orderkey) AS i,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM x) AS n
+      FROM x
+    ),
+    kept AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(cents) AS BIGINT) AS kept_cents
+      FROM r WHERE i > n // 10 AND i <= n - n // 10
+      GROUP BY n
+    )
+    SELECT n, n // 10 AS k_each_side, n_kept,
+           (CAST(kept_cents AS DOUBLE) / CAST(n_kept AS DOUBLE)) / 100.0
+             AS trimmed_mean
+    FROM kept
+    """,
+    tags=("aggregate", "exact-rank", "nosort", "robust"),
+)
+def agg_trimmed_mean_nosort(spark, sf_dir):
+    """EXACT 10%-trimmed mean of order value with NO sort and NO
+    single-partition window — the robust-location member of the
+    distributed-rank family (`agg_exact_median_nosort` etc.): global
+    ranks come from ``_ranked_nosort`` over the composite key
+    cents·10⁸ + orderkey (range-bin → per-bin offsets → bin-local
+    windows), the trim keeps ranks in (⌊n/10⌋, n − ⌊n/10⌋], and the
+    kept-sum is an exact integer aggregate. One final division pair
+    (cents → dollars) is the only float op — bit-identical cross-engine
+    against the oracle's ROW_NUMBER() world-sort truth.
+
+    Unlike winsorizing at approx quantiles (`profile_winsorize_clip`),
+    the cut is at the exact order statistics: at 100 TB the rank pass
+    shuffles (bin, 16-byte rows), never the payload, and the only global
+    state is the ≤4096-row offset map."""
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _ranked_nosort
+
+    x = t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"), "o_orderkey"
+    )
+    keyed = x.select(
+        (F.col("cents") * 100000000 + F.col("o_orderkey")).alias("key"),
+        F.col("cents").alias("val"),
+    )
+    ranked = _ranked_nosort(keyed)
+    n_ = x.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    kept = (
+        ranked.crossJoin(F.broadcast(n_))
+        .filter(
+            (F.col("i") > F.expr("n div 10")) & (F.col("i") <= F.col("n") - F.expr("n div 10"))
+        )
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("val").cast("long").alias("kept_cents"),
+        )
+    )
+    return kept.select(
+        "n",
+        F.expr("n div 10").alias("k_each_side"),
+        "n_kept",
+        (
+            (F.col("kept_cents").cast("double") / F.col("n_kept").cast("double")) / 100.0
+        ).alias("trimmed_mean"),
+    )

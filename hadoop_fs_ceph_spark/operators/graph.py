@@ -701,3 +701,90 @@ def graph_hits_scores(spark, sf_dir):
         )
         .orderBy(F.col("hub_score").desc(), "n_nationkey")
     )
+
+
+def _sssp_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, p.dist + e.cost AS dist
+        FROM we e JOIN {prev} p ON e.src = p.node
+      ) GROUP BY node
+    )"""
+
+
+@query(
+    "graph_sssp_weighted",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({_EDGES_SQL}) WHERE src <> dst
+    ),
+    dir AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL
+      SELECT b AS src, a AS dst FROM und
+    ),
+    we AS (
+      SELECT src, dst,
+             CAST(1 + ((src * 31 + dst * 17) % 9) AS BIGINT) AS cost
+      FROM dir
+    ),
+    r0 AS (SELECT CAST(0 AS INTEGER) AS node, CAST(0 AS BIGINT) AS dist),
+    {_sssp_round_sql('r0', 'r1')},
+    {_sssp_round_sql('r1', 'r2')},
+    {_sssp_round_sql('r2', 'r3')},
+    {_sssp_round_sql('r3', 'r4')}
+    SELECT r4.node AS n_nationkey, n.n_name, r4.dist AS cost
+    FROM r4 JOIN nation n ON n.n_nationkey = r4.node
+    ORDER BY cost, n_nationkey
+    """,
+    tags=("graph", "sssp", "bellman-ford", "iterative"),
+)
+def graph_sssp_weighted(spark, sf_dir):
+    """WEIGHTED single-source shortest path from nation 0 — Bellman-Ford
+    as dataflow, four unrolled relaxation rounds of
+    d' = MIN(d, d[nbr] + cost): the weighted sibling of
+    `graph_bfs_distance`, where a 3-edge cheap detour legitimately beats
+    a 1-edge expensive hop, so distances need strictly more rounds than
+    hop counts to settle. Edge costs are deterministic integers
+    synthesized from the endpoint keys (1 + (31·src + 17·dst) mod 9 —
+    the testdata carries no native edge weights); the declared contract
+    is distance-within-≤4-relaxations, identical in the oracle's
+    unrolled CTE rounds.
+
+    Scale: per round ONE edges⋈frontier equi-join + one MIN aggregate —
+    the same two shuffles as BFS/PageRank; costs ride the edge relation
+    (no extra shuffle). Production runs the round under a convergence
+    loop with `localCheckpoint` lineage cuts (the `dedup_cluster_cc`
+    discipline) and a delta frontier; all distances stay exact longs."""
+    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    dir_ = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    we = dir_.select(
+        "src",
+        "dst",
+        (1 + (F.col("src") * 31 + F.col("dst") * 17) % 9).cast("long").alias("cost"),
+    ).persist()
+    r = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") == 0)
+        .select(F.col("n_nationkey").alias("node"), F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(4):
+        relaxed = we.join(r, we.src == r.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("dist")
+        )
+        r = r.unionByName(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+    n = t(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.node == n.n_nationkey)
+        .select("n_nationkey", "n_name", F.col("dist").alias("cost"))
+        .orderBy("cost", "n_nationkey")
+    )

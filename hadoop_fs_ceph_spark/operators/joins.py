@@ -1261,3 +1261,110 @@ def join_geo_radius_grid(spark, sf_dir):
         F.expr("comp div 100000").alias("nearest_dist2"),
         F.sqrt(F.expr("comp div 100000").cast("double")).alias("nearest_dist"),
     ).orderBy("c_custkey")
+
+
+# Fellegi–Sunter agreement weights (log2 m/u odds), written as exact double
+# literals so BOTH engines parse the identical constant — no cross-engine
+# transcendental log enters the plan. Illustrative m/u: type (m=.8,u=.2),
+# size±1 (m=.8,u=.1 → penalties swapped), first-name-token (m=.9,u=.047).
+_FS_W_TYPE, _FS_L_TYPE = 2.0, -3.0
+_FS_W_SIZE, _FS_L_SIZE = 3.0, -2.0
+_FS_W_NAME, _FS_L_NAME = 4.25, -4.25
+
+
+@query(
+    "join_record_linkage_fs",
+    oracle=f"""
+    WITH px AS (
+      SELECT p_partkey, p_brand, p_type, p_size,
+             list_distinct(string_split(p_name, ' ')) AS toks
+      FROM part
+    ),
+    scored AS (
+      SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+             a.p_type = b.p_type AS agree_type,
+             ABS(a.p_size - b.p_size) <= 1 AS agree_size,
+             len(list_intersect(a.toks, b.toks)) > 0 AS agree_name,
+             (CASE WHEN a.p_type = b.p_type
+                   THEN CAST({_FS_W_TYPE} AS DOUBLE)
+                   ELSE CAST({_FS_L_TYPE} AS DOUBLE) END
+              + CASE WHEN ABS(a.p_size - b.p_size) <= 1
+                     THEN CAST({_FS_W_SIZE} AS DOUBLE)
+                     ELSE CAST({_FS_L_SIZE} AS DOUBLE) END
+              + CASE WHEN len(list_intersect(a.toks, b.toks)) > 0
+                     THEN CAST({_FS_W_NAME} AS DOUBLE)
+                     ELSE CAST({_FS_L_NAME} AS DOUBLE) END) AS fs_score
+      FROM px a JOIN px b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    )
+    SELECT part_a, part_b, agree_type, agree_size, agree_name, fs_score,
+           CASE WHEN fs_score >= 5.0 THEN 'match' ELSE 'clerical' END AS tier
+    FROM scored
+    WHERE fs_score >= 0.0
+    ORDER BY part_a, part_b
+    """,
+    tags=("join", "record-linkage", "fellegi-sunter", "er"),
+)
+def join_record_linkage_fs(spark, sf_dir):
+    """Probabilistic record linkage (Fellegi–Sunter, JASA 1969 — public):
+    brand-blocked candidate pairs scored by a WEIGHTED agreement vector
+    instead of `join_er_blocked`'s single gated metric. Each field
+    comparison contributes its log2 m/u odds (agreement) or
+    log2 (1−m)/(1−u) (disagreement); the summed score is thresholded
+    into match / clerical-review tiers — the decision structure every
+    production linker (Splink et al.) still uses.
+
+    Determinism: the weights are exact double LITERALS (see module
+    constants) — the log-odds were folded by hand so no transcendental
+    is evaluated in either engine; the score is a fixed-order sum of
+    three literals, and every agreement test is integer/boolean.
+
+    Scale: identical posture to `join_er_blocked` — equality self-join
+    on the blocking key only, Σ_b |b|² never n²; the agreement vector
+    is computed on candidates only, map-side. The m/u parameters
+    themselves are estimated offline (EM over a sample — out of scope);
+    at 100 TB the scoring pass is unchanged."""
+    px = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.array_distinct(F.split("p_name", " ")).alias("toks"),
+    )
+    a = px.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    b = px.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type_b"),
+        F.col("p_size").alias("size_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    agree_type = F.col("type_a") == F.col("type_b")
+    agree_size = F.abs(F.col("size_a") - F.col("size_b")) <= 1
+    agree_name = F.arrays_overlap("toks_a", "toks_b")
+    score = (
+        F.when(agree_type, F.lit(_FS_W_TYPE)).otherwise(F.lit(_FS_L_TYPE))
+        + F.when(agree_size, F.lit(_FS_W_SIZE)).otherwise(F.lit(_FS_L_SIZE))
+        + F.when(agree_name, F.lit(_FS_W_NAME)).otherwise(F.lit(_FS_L_NAME))
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .select(
+            "part_a",
+            "part_b",
+            agree_type.alias("agree_type"),
+            agree_size.alias("agree_size"),
+            agree_name.alias("agree_name"),
+            score.alias("fs_score"),
+            F.when(score >= 5.0, F.lit("match")).otherwise(F.lit("clerical")).alias("tier"),
+        )
+        .filter(F.col("fs_score") >= 0.0)
+        .orderBy("part_a", "part_b")
+    )

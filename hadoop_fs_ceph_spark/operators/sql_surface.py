@@ -654,3 +654,38 @@ def sql_identifier_clause(spark, sf_dir):
         """,
         args={"tbl": "orders", "col": "o_orderpriority"},
     )
+
+
+@query(
+    "sql_group_by_all",
+    oracle=f"""
+    SELECT o_orderstatus,
+           YEAR(o_orderdate) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql", "group-by-all", "spark4"),
+)
+def sql_group_by_all(spark, sf_dir):
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` — the analyst-ergonomics
+    surface both Spark 4 and DuckDB resolve identically (group on every
+    non-aggregate select item, order by the full output tuple). The
+    oracle runs the LITERAL same text, so the check proves the two
+    engines' ALL-resolution agrees, not just the aggregate values.
+    Resolution happens at analysis time — the physical plan is the
+    ordinary partial-merged hash aggregate, nothing new at scale."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               YEAR(o_orderdate) AS yr,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('o_totalprice', 'revenue')}
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -72,6 +72,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "dedup_semantic_cell_refined": "K=8 seed and refined-centroid table broadcasts (two bounded assign stages)",
     "text_bm25_rank": "one-row (n_docs, total_toks) corpus-stats broadcast",
     "agg_exact_median_nosort": "one-row (lo, hi, k) refinement-state broadcasts between histogram passes",
+    "agg_trimmed_mean_nosort": "one-row bounds/total-count + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
     "profile_equidepth_histogram": "16-row boundary-rank (sid, lo, hi, k) refinement-state broadcasts between shared histogram passes",
     "agg_exact_quantiles_nosort": "4-row (pct, lo, hi, k) refinement-state broadcasts between shared histogram passes",
     "agg_exact_quantiles_by_group_nosort": "3-row pct-spine broadcast fan-out + per-(group,pct) refinement-state broadcasts between shared passes",
@@ -131,6 +132,7 @@ BOUNDED_SORT: dict[str, str] = {
     "udf_python_udtf": "API-surface demo over a 1/97 sample slice; ORDER BY is the deterministic-output contract, dropped by scale consumers",
     "sample_domain_cap": "sorts the capped sample OUTPUT (≤ cap·|domains| rows, ≪ corpus) for deterministic presentation; scale consumers drop the ordering",
     "join_er_blocked": "sorts the verified blocked candidate-pair output (Σ|block|² ≪ n², the ER answer set)",
+    "join_record_linkage_fs": "sorts the scored blocked candidate-pair output (Σ|block|² ≪ n², the linkage answer set)",
 }
 
 # --- single-partition windows over bounded relations -----------------------
@@ -188,6 +190,7 @@ _REFINE_COLLECT = (
 )
 BOUNDED_COLLECT: dict[str, str] = {
     "agg_exact_median_nosort": _REFINE_COLLECT,
+    "agg_trimmed_mean_nosort": _REFINE_COLLECT,
     "agg_exact_quantiles_nosort": _REFINE_COLLECT,
     "agg_exact_median_by_group_nosort": _REFINE_COLLECT,
     "agg_exact_quantiles_by_group_nosort": _REFINE_COLLECT,

@@ -421,3 +421,42 @@ def test_chi_square_zero_on_independent_table(spark):
     )
     total = terms.agg(F.sum("term").alias("chi2")).first().chi2
     assert total == 0.0
+
+
+def test_exact_mode_tie_breaks_to_smallest_value(spark):
+    """Built-in mode() leaves ties unspecified; the composite-MAX form
+    must pick the SMALLEST value among equally-frequent ones."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("g", 7), ("g", 7), ("g", 3), ("g", 3), ("g", 9)], "grp string, qty long"
+    )
+    counts = df.groupBy("grp", "qty").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    row = (
+        counts.groupBy("grp")
+        .agg(F.max(F.col("cnt") * 1024 + (1024 - F.col("qty"))).alias("comp"))
+        .select((1024 - F.col("comp") % 1024).alias("mode_qty"))
+        .first()
+    )
+    assert row.mode_qty == 3  # 3 and 7 both appear twice; smallest wins
+
+
+def test_trimmed_mean_matches_sort_truth(spark, sf_dir):
+    """Distributed-rank trim must equal the brute-force sorted slice."""
+    from pyspark.sql import functions as F
+
+    got = SPECS["agg_trimmed_mean_nosort"].fn(spark, sf_dir).first()
+    cents = sorted(
+        (r.c, r.k)
+        for r in t(spark, sf_dir, "orders")
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+            F.col("o_orderkey").alias("k"),
+        )
+        .collect()
+    )
+    n = len(cents)
+    k = n // 10
+    kept = [c for c, _ in cents[k : n - k]]
+    assert got.n == n and got.k_each_side == k and got.n_kept == len(kept)
+    assert got.trimmed_mean == (float(sum(kept)) / float(len(kept))) / 100.0
