@@ -2706,3 +2706,125 @@ def ds_ols_moments(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "ds_ols_residual_outliers",
+    oracle="""
+    WITH x AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderkey,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))
+                  AS BIGINT) AS days,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (
+      SELECT segment,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(days) AS HUGEINT) AS sx,
+             CAST(SUM(cents) AS HUGEINT) AS sy,
+             SUM(CAST(days AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxy,
+             SUM(CAST(days AS HUGEINT) * CAST(days AS HUGEINT)) AS sxx,
+             SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS syy
+      FROM x GROUP BY segment
+    ),
+    fit AS (
+      SELECT segment, CAST(n AS BIGINT) AS n_seg,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a,
+             CAST(sy AS DOUBLE) AS sy_d, CAST(sxy AS DOUBLE) AS sxy_d,
+             CAST(syy AS DOUBLE) AS syy_d, CAST(n AS DOUBLE) AS n_d
+      FROM m
+    ),
+    sig AS (
+      SELECT segment, n_seg, a, b,
+             (syy_d - a * sy_d - b * sxy_d) / (n_d - 2.0) AS sigma2
+      FROM fit
+    )
+    SELECT x.segment, x.o_orderkey, x.cents,
+           ROUND(CAST(x.cents AS DOUBLE) - (sig.a + sig.b * CAST(x.days AS DOUBLE)),
+                 4) AS resid_cents,
+           ROUND(SQRT(sig.sigma2), 4) AS sigma_cents,
+           sig.n_seg
+    FROM x JOIN sig ON x.segment = sig.segment
+    WHERE (CAST(x.cents AS DOUBLE) - (sig.a + sig.b * CAST(x.days AS DOUBLE)))
+          * (CAST(x.cents AS DOUBLE) - (sig.a + sig.b * CAST(x.days AS DOUBLE)))
+          > 9.0 * sig.sigma2
+    ORDER BY x.segment, x.o_orderkey
+    """,
+    tags=("analytics", "regression", "scoring", "outlier"),
+)
+def ds_ols_residual_outliers(spark, sf_dir):
+    """Train → broadcast → score, entirely JVM-side: fit the per-segment
+    OLS of `ds_ols_moments`, broadcast the 5 coefficient rows back onto
+    the fact relation, and flag every order whose residual exceeds 3
+    residual-σ — the batch-inference shape of a model pipeline, with the
+    model TRAINED AND SERVED in one plan (no Python worker, no model
+    file). Residual variance comes from the normal-equation identity
+    SSE = Σy² − aΣy − bΣxy, so training needs only the same exact
+    decimal(38)/HUGEINT moments as the fit itself.
+
+    Determinism: moments are exact integers; a, b, σ² are fixed scalar
+    IEEE chains on exact-int casts; each row's residual is one fused
+    multiply-free chain (cents − (a + b·days)); the 3σ gate compares
+    resid² > 9σ² in raw doubles (no sqrt in the predicate).
+
+    Scale: one moment aggregate (map-combined), one broadcast-hash join
+    of 5 coefficient rows onto the facts, one map-side filter — nothing
+    materializes but the outliers. This is the production scoring path
+    whose applyInPandas sibling (`udf_grouped_ols_fit`) would shuffle
+    whole segments to Python workers."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("days"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    x = x.persist()
+    d38 = "decimal(38,0)"
+    m = x.groupBy("segment").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("days").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("cents").cast(d38)).cast(d38).alias("sy"),
+        F.sum((F.col("days") * F.col("cents")).cast(d38)).cast(d38).alias("sxy"),
+        F.sum((F.col("days") * F.col("days")).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((F.col("cents").cast(d38) * F.col("cents").cast(d38))).cast(d38).alias("syy"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d38).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast(d38).cast("double")
+    a = (F.col("sy").cast("double") - b * F.col("sx").cast("double")) / F.col("n").cast(
+        "double"
+    )
+    sig = m.select(
+        "segment",
+        F.col("n").cast("long").alias("n_seg"),
+        a.alias("a"),
+        b.alias("b"),
+        (
+            (F.col("syy").cast("double") - a * F.col("sy").cast("double") - b * F.col("sxy").cast("double"))
+            / (F.col("n").cast("double") - 2.0)
+        ).alias("sigma2"),
+    )
+    resid = F.col("cents").cast("double") - (F.col("a") + F.col("b") * F.col("days").cast("double"))
+    return (
+        x.join(F.broadcast(sig), "segment")
+        .filter(resid * resid > 9.0 * F.col("sigma2"))
+        .select(
+            "segment",
+            "o_orderkey",
+            "cents",
+            F.round(resid, 4).alias("resid_cents"),
+            F.round(F.sqrt("sigma2"), 4).alias("sigma_cents"),
+            "n_seg",
+        )
+        .orderBy("segment", "o_orderkey")
+    )

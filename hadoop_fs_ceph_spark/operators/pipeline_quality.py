@@ -2974,3 +2974,132 @@ def ds_chi_square_independence(spark, sf_dir):
             (chi2 > 15.50731).alias("dependent_95"),
         )
     )
+
+
+@query(
+    "ds_bh_fdr_chebyshev",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS i1_g,
+             CAST(SUM(CAST(ROUND(value * value * 100.0) AS BIGINT)) AS BIGINT)
+               AS i2_g
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(i1_g) AS BIGINT) AS i1_tot,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    ),
+    z AS (
+      SELECT g.event_type, g.n_g, tot.k,
+             ((g.i1_g / 1000000.0) / g.n_g - (tot.i1_tot / 1000000.0) / tot.n)
+             * ((g.i1_g / 1000000.0) / g.n_g - (tot.i1_tot / 1000000.0) / tot.n)
+             / (((g.i2_g / 100.0
+                  - (g.i1_g / 1000000.0) * (g.i1_g / 1000000.0) / g.n_g)
+                 / (g.n_g - 1.0)) / g.n_g) AS z2
+      FROM g CROSS JOIN tot
+    ),
+    p AS (
+      SELECT event_type, n_g, k, z2, LEAST(1.0, 1.0 / z2) AS p_bound FROM z
+    ),
+    cut AS (
+      SELECT CAST(k AS DOUBLE) AS k_d,
+             list_reduce(
+               list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                             CAST(0.0 AS DOUBLE)],
+                            list([p_bound, CAST(0.0 AS DOUBLE),
+                                  CAST(0.0 AS DOUBLE)] ORDER BY p_bound)),
+               (acc, e) -> [acc[1] + 1,
+                            CASE WHEN 5.0 * e[1] * CAST(k AS DOUBLE) <= acc[1] + 1
+                                 THEN e[1] ELSE acc[2] END,
+                            CAST(0.0 AS DOUBLE)])[2] AS cutoff
+      FROM p GROUP BY k
+    )
+    SELECT p.event_type, p.n_g,
+           ROUND(p.z2, 6) AS z2,
+           ROUND(p.p_bound, 9) AS p_bound,
+           ROUND(cut.cutoff, 9) AS bh_cutoff,
+           CAST(p.p_bound <= cut.cutoff AND cut.cutoff > 0.0 AS BOOLEAN)
+             AS reject_fdr20
+    FROM p CROSS JOIN cut
+    ORDER BY p.event_type
+    """,
+    tags=("analytics", "experiment", "fdr", "multiple-testing"),
+)
+def ds_bh_fdr_chebyshev(spark, sf_dir):
+    """Benjamini–Hochberg FDR control (α = 0.2) across the k per-type
+    mean-shift tests, with DISTRIBUTION-FREE Chebyshev p-bounds — the
+    multiple-testing layer that belongs on top of `ds_anova_oneway`'s
+    omnibus answer: WHICH event types shifted, with the false-discovery
+    rate controlled, and with no normal-CDF in the plan (erf is not a
+    cross-engine-deterministic primitive; P(|Z| ≥ z) ≤ 1/z² is exact
+    rational arithmetic and conservative, so a rejection here survives
+    any tightening).
+
+    BH step-up: sort the k p-bounds ascending, keep the largest i with
+    pᵢ ≤ α·i/k (compared as 5·pᵢ·k ≤ i — pure multiplies), reject
+    everything ≤ that cutoff. The fold runs over the k-row packed array
+    in sorted order — the `canonical.py` k-bounded discipline, k = the
+    spec-bounded event-type domain.
+
+    Scale: ONE map-combined moment aggregate over the facts; everything
+    after lives on k rows."""
+    g = t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.round(F.col("value") * 1000000.0).cast("long")).alias("i1_g"),
+        F.sum(F.round(F.col("value") * F.col("value") * 100.0).cast("long")).alias("i2_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("i1_g").cast("long").alias("i1_tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    mean_g = (F.col("i1_g") / 1000000.0) / F.col("n_g")
+    grand = (F.col("i1_tot") / 1000000.0) / F.col("n")
+    var_g = (
+        F.col("i2_g") / 100.0
+        - (F.col("i1_g") / 1000000.0) * (F.col("i1_g") / 1000000.0) / F.col("n_g")
+    ) / (F.col("n_g") - 1.0)
+    z2 = (mean_g - grand) * (mean_g - grand) / (var_g / F.col("n_g"))
+    p = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_g",
+            "k",
+            z2.alias("z2"),
+            F.least(F.lit(1.0), 1.0 / z2).alias("p_bound"),
+        )
+    )
+    p = p.persist()
+    init = F.struct(F.lit(0.0).alias("c"), F.lit(0.0).alias("best"))
+    cut = p.groupBy("k").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("p_bound")),
+            init,
+            lambda acc, x: F.struct(
+                (acc["c"] + 1).alias("c"),
+                F.when(5.0 * x * F.col("k").cast("double") <= acc["c"] + 1, x)
+                .otherwise(acc["best"])
+                .alias("best"),
+            ),
+        )["best"].alias("cutoff")
+    )
+    return (
+        p.crossJoin(F.broadcast(cut.select("cutoff")))
+        .select(
+            "event_type",
+            "n_g",
+            F.round("z2", 6).alias("z2"),
+            F.round("p_bound", 9).alias("p_bound"),
+            F.round("cutoff", 9).alias("bh_cutoff"),
+            ((F.col("p_bound") <= F.col("cutoff")) & (F.col("cutoff") > 0.0)).alias(
+                "reject_fdr20"
+            ),
+        )
+        .orderBy("event_type")
+    )

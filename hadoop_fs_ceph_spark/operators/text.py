@@ -1612,3 +1612,108 @@ def sim_hybrid_rrf(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    big AS (
+      SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+             arr[g.i] AS w1, arr[g.i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(arr) - 1)) AS g(i)
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+           FROM big GROUP BY w1),
+    nll AS (
+      SELECT b.doc_id, b.pos,
+             -LN(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) AS v
+      FROM big b
+      JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      JOIN c1 ON b.w1 = c1.w1
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(v ORDER BY pos)),
+                         (acc, x) -> acc + x) AS s
+      FROM nll GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           ROUND(s / CAST(n_bigrams AS BIGINT), 8) AS avg_nll,
+           CAST(s / CAST(n_bigrams AS BIGINT) < 4.0 AS BOOLEAN) AS is_fluent
+    FROM agg ORDER BY doc_id
+    """,
+    tags=("text", "lm-quality", "perplexity", "llm-pipeline"),
+)
+def text_bigram_perplexity(spark, sf_dir):
+    """Per-document bigram language-model scoring — average negative
+    log-likelihood of each document under the CORPUS bigram model
+    p(w₂|w₁) = c(w₁w₂)/c(w₁·) — the classic cheap perplexity filter a
+    training pipeline runs before an expensive model-based one
+    (documents whose word transitions are rare corpus-wide read as
+    boilerplate, shuffled text, or noise). Corpus-level
+    `text_bigram_entropy` answers "how predictable is the corpus";
+    this scores EACH DOCUMENT against it.
+
+    Determinism: transition counts are exact integers; each bigram's
+    −ln(c₁₂/c₁) is one division + one ln of the same double (the repo's
+    established ln-parity surface, rounded at 8); the per-doc sum folds
+    in POSITION order (collect→sort→fold, bounded by doc length —
+    allowlisted like every per-doc text collect); fluency threshold
+    compares the raw fold, not the rounding.
+
+    Scale: two map-combined count aggregates over (w₁,w₂)/(w₁) — token
+    -vocabulary-sized, not corpus-sized; the scoring join back to bigram
+    occurrences shuffles slim (hash-sized) keys. At 100 TB the c₁₂/c₁
+    relations partition by w₁ and the join co-locates."""
+    arr = F.split("text", " ")
+    big = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", arr.alias("arr"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("arr") - 1),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.element_at("arr", i).alias("w1"),
+                        F.element_at("arr", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.pos", "b.w1", "b.w2")
+    )
+    big = big.persist()
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    nll = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            "pos",
+            (-F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))).alias("v"),
+        )
+    )
+    agg = nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    avg = F.col("s") / F.col("n_bigrams").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(avg, 8).alias("avg_nll"),
+        (avg < 4.0).alias("is_fluent"),
+    ).orderBy("doc_id")

@@ -460,3 +460,26 @@ def test_trimmed_mean_matches_sort_truth(spark, sf_dir):
     kept = [c for c, _ in cents[k : n - k]]
     assert got.n == n and got.k_each_side == k and got.n_kept == len(kept)
     assert got.trimmed_mean == (float(sum(kept)) / float(len(kept))) / 100.0
+
+
+def test_bh_fdr_matches_reference_stepup(spark, sf_dir):
+    """Recompute BH step-up in plain Python from the emitted p-bounds and
+    check the engine's reject set matches exactly (α = 0.2)."""
+    rows = SPECS["ds_bh_fdr_chebyshev"].fn(spark, sf_dir).collect()
+    ps = sorted(r.p_bound for r in rows)
+    k = len(ps)
+    best = 0.0
+    for i, pv in enumerate(ps, start=1):
+        if pv <= 0.2 * i / k:
+            best = pv
+    for r in rows:
+        assert r.reject_fdr20 == (best > 0.0 and r.p_bound <= best), r
+
+
+def test_bigram_perplexity_bounds(spark, sf_dir):
+    """avg NLL is non-negative, and a document made of corpus-unique
+    transitions scores 0 only if every transition is deterministic
+    (c12 == c1) — sanity bounds on the LM scoring."""
+    rows = SPECS["text_bigram_perplexity"].fn(spark, sf_dir).collect()
+    assert rows and all(r.avg_nll >= 0.0 for r in rows)
+    assert all(r.n_bigrams >= 1 for r in rows)
