@@ -3103,3 +3103,121 @@ def ds_bh_fdr_chebyshev(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 Σ 1/k!), written as
+# exact double literals so both engines compare against the identical
+# constant — no exp() is evaluated in either plan.
+_POIS_CDF = (
+    0.36787944117144233,  # P(0)
+    0.7357588823428847,   # P(<=1)
+    0.9196986029286058,   # P(<=2)
+    0.9810118431238462,   # P(<=3)
+    0.9963401531726563,   # P(<=4)
+)
+_BOOT_B = 16
+_BOOT_P = 999983  # prime modulus for the per-(row, rep) uniform
+
+
+def _sql_pois_weight(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_POIS_CDF[0]} THEN 0 "
+        f"WHEN {u} < {_POIS_CDF[1]} THEN 1 "
+        f"WHEN {u} < {_POIS_CDF[2]} THEN 2 "
+        f"WHEN {u} < {_POIS_CDF[3]} THEN 3 "
+        f"WHEN {u} < {_POIS_CDF[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (SELECT UNNEST(generate_series(0, {_BOOT_B - 1})) AS rep),
+    w AS (
+      SELECT r.rep,
+             {_sql_pois_weight(f"(((o.o_orderkey * 2654435761 + r.rep * 99991) "
+                               f"% {_BOOT_P}) / {_BOOT_P}.0)")} AS wt,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o CROSS JOIN reps r
+    ),
+    means AS (
+      SELECT rep,
+             CAST(SUM(wt * cents) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) AS m
+      FROM w GROUP BY rep
+    ),
+    packed AS (
+      SELECT list(m ORDER BY m) AS ms, CAST(COUNT(*) AS BIGINT) AS b FROM means
+    )
+    SELECT b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n,
+           ROUND(ms[2], 6) AS boot_lo,
+           ROUND(ms[{_BOOT_B - 1}], 6) AS boot_hi,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ms),
+                             (a, x) -> a + x) / CAST(b AS DOUBLE), 6)
+             AS boot_mean
+    FROM packed
+    """,
+    tags=("sample", "bootstrap", "uncertainty", "deterministic"),
+)
+def sample_poisson_bootstrap(spark, sf_dir):
+    """Poisson bootstrap confidence interval for the mean order value —
+    WITHOUT randomness: each (row, replicate) draws its Poisson(1)
+    resampling weight by inverse-CDF lookup on a Knuth-mixed uniform
+    u = ((key·2654435761 + rep·99991) mod p)/p, the same hash-gated
+    discipline as the whole sampling family, so the interval is exactly
+    reproducible at any parallelism and in both engines (the classic
+    streaming bootstrap of Chamandy et al., 'Estimating Uncertainty for
+    Massive Data Streams', Google TR 2012 — public). B = 16 replicates;
+    the CDF thresholds are exact double literals (no exp() in-plan).
+
+    The emitted interval is the [2nd, 15th] order statistic of the
+    replicate means (≈ 88% coverage at B=16 — the demo favors a
+    k-bounded deterministic readout over tight coverage; production
+    raises B, same plan shape).
+
+    Determinism: weights are integers; Σw·cents and Σw are exact longs
+    per replicate; each replicate mean is ONE double division; the
+    B-row packed fold is the canonical.py k-bounded discipline.
+
+    Scale: the facts are read ONCE and exploded ×B map-side (no extra
+    shuffle — rep rides the aggregation key); per-replicate state is two
+    longs. At 100 TB, B=100 replicate means still cost one map-combined
+    aggregate — the entire point of the Poisson trick vs resampling."""
+    reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("rep")
+    u = (
+        F.pmod(F.col("o_orderkey") * 2654435761 + F.col("rep") * 99991, F.lit(_BOOT_P))
+        / float(_BOOT_P)
+    )
+    wt = (
+        F.when(u < _POIS_CDF[0], 0)
+        .when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2)
+        .when(u < _POIS_CDF[3], 3)
+        .when(u < _POIS_CDF[4], 4)
+        .otherwise(5)
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    w = o.select("o_orderkey", "cents", reps).select(
+        "rep", wt.alias("wt"), "cents"
+    )
+    means = w.groupBy("rep").agg(
+        (
+            F.sum(F.col("wt") * F.col("cents")).cast("double")
+            / F.sum("wt").cast("double")
+        ).alias("m")
+    )
+    n_ = o.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    packed = means.agg(
+        F.array_sort(F.collect_list("m")).alias("ms"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+    )
+    fold = F.aggregate(F.col("ms"), F.lit(0.0), lambda a, x: a + x)
+    return packed.crossJoin(F.broadcast(n_)).select(
+        "b",
+        "n",
+        F.round(F.element_at("ms", 2), 6).alias("boot_lo"),
+        F.round(F.element_at("ms", _BOOT_B - 1), 6).alias("boot_hi"),
+        F.round(fold / F.col("b").cast("double"), 6).alias("boot_mean"),
+    )

@@ -1537,3 +1537,73 @@ def src_avro_roundtrip(spark, sf_dir):
         .load(path)
     )
     return _orders_agg(back)
+
+
+@query(
+    "src_csv_malformed_permissive",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           {sql_dsum('o_totalprice', 'sum_price')},
+           CAST(SUM(o_orderkey + o_custkey) AS BIGINT) AS key_sum,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    """,
+    tags=("source", "csv", "data-quality", "permissive"),
+)
+def src_csv_malformed_permissive(spark, sf_dir):
+    """PERMISSIVE-mode CSV ingestion with quarantine accounting — the
+    robustness contract of a lake ingest job: a fixture directory holds
+    the engine's own orders CSV plus a planted file of 3 malformed lines
+    (non-numeric keys, unparseable timestamp); the read must (a) not
+    fail, (b) surface each bad line in `columnNameOfCorruptRecord`, and
+    (c) leave every good row's values untouched. The aggregate proves
+    all three at once: n_good equals the clean row count, n_corrupt
+    equals exactly the planted 3, and the fixed-point price sum over
+    good rows hash-matches the parquet original (so no good row was
+    silently dropped or mangled). The reference's byte-stream layer has
+    no parse semantics — this is the Spark-side contract a user of the
+    connector actually relies on when objects contain dirty data.
+
+    Scale: PERMISSIVE parsing is per-task and stateless; the corrupt
+    column adds one string per BAD row only. The quarantine pattern at
+    100 TB filters `_corrupt IS NOT NULL` to a dead-letter sink in the
+    same pass."""
+    o = t(spark, sf_dir, "orders").select(*_PYDS_ORDERS_COLS)
+    path = _scratch(sf_dir, "csv_malformed")
+    # default timestampNTZFormat on BOTH sides (yyyy-MM-dd'T'HH:mm:ss[.SSS])
+    # — timestamp_ntz columns ignore the plain timestampFormat option
+    write_table(o, path, format="csv", mode="overwrite")
+    bad = os.path.join(path, "part-planted-bad.csv")
+    with open(bad, "w") as fh:
+        fh.write("notakey,77,Q,12.5,not-a-date,1-URGENT\n")
+        fh.write("123,notacust,F,xx.yy,2024-01-01T00:00:00.000,2-HIGH\n")
+        fh.write("456,88,O,9.99,also-not-a-date,3-MEDIUM\n")
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string, "
+        "_corrupt string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    # the aggregate references EVERY typed column: Spark's CSV column
+    # pruning only PARSES required columns, so an unreferenced malformed
+    # field would never be detected (that near-miss is the point of the
+    # key_sum/date columns — and a caveat this query documents)
+    good = F.col("_corrupt").isNull()
+    good_cents = F.when(good, F.round(F.col("o_totalprice") * F.lit(1000000.0)).cast("long")).otherwise(F.lit(0))
+    return back.agg(
+        F.sum(F.when(good, 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(good, 0).otherwise(1)).cast("long").alias("n_corrupt"),
+        (F.sum(good_cents).cast("double") / F.lit(1000000.0)).alias("sum_price"),
+        F.sum(F.when(good, F.col("o_orderkey") + F.col("o_custkey")).otherwise(0))
+        .cast("long")
+        .alias("key_sum"),
+        F.min(F.when(good, F.col("o_orderdate"))).alias("first_date"),
+        F.max(F.when(good, F.col("o_orderdate"))).alias("last_date"),
+    )

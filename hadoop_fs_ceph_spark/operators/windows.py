@@ -1023,3 +1023,81 @@ def win_rolling_zscore(spark, sf_dir):
             F.when(guard, F.abs(z) > 3.0).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "win_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS micro
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    dd AS (
+      SELECT event_type, day, micro,
+             MAX(micro) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - micro AS drawdown,
+             CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT) AS di
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(drawdown * 1000 + (999 - di)) AS BIGINT) // 1000 AS dd_micro,
+           999 - CAST(MAX(drawdown * 1000 + (999 - di)) AS BIGINT) % 1000
+             AS dd_day_idx,
+           (CAST(MAX(drawdown * 1000 + (999 - di)) AS BIGINT) // 1000)
+             / 1000000.0 AS max_drawdown
+    FROM dd GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("window", "drawdown", "timeseries"),
+)
+def win_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of each event type's DAILY value series — the
+    running-peak deficit metric (finance's equity-curve risk number,
+    equally the SLO 'how far below the best day did we fall'): per day,
+    drawdown = (running max of daily totals) − today; report the worst
+    day per type, tie-broken to the EARLIEST day by the composite-MAX
+    trick (dd·1000 + (999 − day_idx)) — argmax with no second window
+    and no join-back.
+
+    Determinism: daily totals are exact fixed-point micros (map-combined
+    integer sums); running max / subtraction / composite are all longs;
+    the single float is the final micro→unit division.
+
+    Scale: the window partitions by event_type and the partition is
+    CALENDAR-bounded (days, not events) after the first aggregate —
+    the same shape as every win_* daily op here; the heavy relation only
+    ever sees a groupBy."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 1000000.0).cast("long")).alias("micro"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.select(
+        "event_type",
+        (F.max("micro").over(w) - F.col("micro")).alias("drawdown"),
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).cast("long").alias("di"),
+    )
+    comp = F.max(F.col("drawdown") * 1000 + (999 - F.col("di"))).cast("long")
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            comp.alias("comp"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.expr("comp div 1000").alias("dd_micro"),
+            (999 - F.col("comp") % 1000).alias("dd_day_idx"),
+            (F.expr("comp div 1000") / 1000000.0).alias("max_drawdown"),
+        )
+        .orderBy("event_type")
+    )

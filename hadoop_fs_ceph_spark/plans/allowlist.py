@@ -60,6 +60,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "ds_sequential_msprt": "two one-row variant-moment relations cross-joined",
     "ds_chi_square_independence": "one-row total-count and one-row (r, c) shape broadcasts onto the ≤15-cell term relation",
     "ds_bh_fdr_chebyshev": "one-row corpus-moment and one-row BH-cutoff broadcasts onto the k=8 per-type relation",
+    "sample_poisson_bootstrap": "one-row corpus-count broadcast onto the one-row B=16 interval readout",
     "sim_pq_encode": "one-row collected K=4 codebook broadcast for map-side encoding",
     "ds_ab_cuped_adjust": "one-row theta/xbar moment broadcast for the adjustment pass",
     "sql_analyze_cbo_stats": "one-row catalog-stats relation cross-joined to the one-row exact aggregate",
@@ -234,6 +235,7 @@ BOUNDED_COLLECT: dict[str, str] = {
     "ds_chi_square_independence": "≤ r·c (3×5=15) contingency-cell terms folded in sorted cell order",
     "text_bigram_perplexity": "per-document (pos, nll) list — bounded by document length, the standard text-op bound",
     "ds_bh_fdr_chebyshev": "k=8 p-bound values folded in ascending order (BH step-up)",
+    "sample_poisson_bootstrap": "B=16 replicate means collected into the sorted order-statistic fold",
     "dedup_prefix_filter_join": "per-document token list — bounded by document length, the standard text-op bound (same as text_paragraph_dedup)",
 }
 

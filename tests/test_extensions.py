@@ -483,3 +483,56 @@ def test_bigram_perplexity_bounds(spark, sf_dir):
     rows = SPECS["text_bigram_perplexity"].fn(spark, sf_dir).collect()
     assert rows and all(r.avg_nll >= 0.0 for r in rows)
     assert all(r.n_bigrams >= 1 for r in rows)
+
+
+def test_poisson_bootstrap_brackets_sample_mean(spark, sf_dir):
+    """The bootstrap interval must bracket the plain sample mean (B=16
+    replicates of a 15k-row mean concentrate tightly around it), and the
+    replicate-mean average must sit inside the interval too."""
+    r = SPECS["sample_poisson_bootstrap"].fn(spark, sf_dir).first()
+    from pyspark.sql import functions as F
+
+    o = t(spark, sf_dir, "orders")
+    mean_cents = (
+        o.agg(
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("m")
+        ).first().m
+    )
+    assert r.b == 16 and r.boot_lo <= mean_cents <= r.boot_hi
+    assert r.boot_lo <= r.boot_mean <= r.boot_hi
+
+
+def test_max_drawdown_matches_python_fold(spark, sf_dir):
+    """Recompute running-peak drawdown per type in plain Python from the
+    daily integer series and compare the (value, day) argmax exactly."""
+    from pyspark.sql import functions as F
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 1000000.0).cast("long")).alias("micro"))
+        .collect()
+    )
+    import collections
+
+    series = collections.defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.day, r.micro))
+    want = {}
+    for et, pts in series.items():
+        pts.sort()
+        peak, best = 0, (-1, None)  # (dd, earliest day)
+        for day, v in pts:
+            peak = max(peak, v)
+            dd = peak - v
+            if dd > best[0]:
+                best = (dd, day)
+        want[et] = best
+    got = SPECS["win_max_drawdown"].fn(spark, sf_dir).collect()
+    for r in got:
+        dd, day = want[r.event_type]
+        assert r.dd_micro == dd
+        import datetime
+
+        assert datetime.date(2024, 1, 1) + datetime.timedelta(days=r.dd_day_idx) == day
