@@ -1554,3 +1554,71 @@ def agg_trimmed_mean_nosort(spark, sf_dir):
             (F.col("kept_cents").cast("double") / F.col("n_kept").cast("double")) / 100.0
         ).alias("trimmed_mean"),
     )
+
+
+@query(
+    "agg_hll_intersection",
+    oracle="""
+    SELECT
+      (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+        WHERE o_orderstatus = 'F') AS exact_a,
+      (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+        WHERE o_orderstatus = 'O') AS exact_b,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      )) AS exact_intersection,
+      TRUE AS within_tolerance
+    """,
+    tags=("aggregate", "approx", "sketch", "set-ops"),
+)
+def agg_hll_intersection(spark, sf_dir):
+    """Set-OVERLAP estimation from mergeable HLL sketches via
+    inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), the trick
+    that makes per-segment sketches answer intersection questions no
+    single sketch type supports (audience overlap, cross-cohort reach)
+    without ever re-scanning raw keys — the companion to
+    `agg_hll_sketch_merge`'s union-only story. A = customers with
+    fulfilled orders, B = customers with open orders.
+
+    Driver-checkable shape (the sketch-family convention): exact
+    |A|, |B|, |A∩B| hash-match the oracle; the estimate carries a
+    ``within_tolerance`` verdict — the subtraction compounds the error
+    of THREE sketches, so the bound is 3·(5% of the union) + 3, wider
+    than the single-sketch 5% by design (that compounding is the
+    documented cost of inclusion–exclusion on sketches).
+
+    Scale: two sketch aggregates + one union — partial-merged, bytes per
+    partition; the exact branches exist for verification only."""
+    o = t(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").cast("string")
+    sk = o.agg(
+        F.hll_sketch_agg(F.when(F.col("o_orderstatus") == "F", ck)).alias("sk_a"),
+        F.hll_sketch_agg(F.when(F.col("o_orderstatus") == "O", ck)).alias("sk_b"),
+    ).select(
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_u"),
+    )
+    fa = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    fb = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    exact = (
+        fa.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+        .crossJoin(fb.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))
+        .crossJoin(
+            fa.join(fb, "o_custkey").agg(
+                F.count(F.lit(1)).cast("long").alias("exact_intersection")
+            )
+        )
+    )
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "exact_a",
+        "exact_b",
+        "exact_intersection",
+        (
+            F.abs(est_inter - F.col("exact_intersection"))
+            <= 3.0 * (F.col("est_u") * 0.05) + 3.0
+        ).alias("within_tolerance"),
+    )

@@ -689,3 +689,40 @@ def sql_group_by_all(spark, sf_dir):
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "sql_named_parameters",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           {sql_dsum('o_totalprice', 'revenue_above')}
+    FROM orders
+    WHERE o_totalprice > 250000.0 AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql", "parameterized", "spark4"),
+)
+def sql_named_parameters(spark, sf_dir):
+    """Parameterized SQL with named markers — ``spark.sql(text,
+    args={...})`` binds ``:floor`` / ``:since`` as LITERALS at analysis
+    time (never string interpolation), Spark's injection-safe surface
+    for templated analytics alongside `sql_identifier_clause` (which
+    binds NAMES) and `sql_session_variables` (session state). The
+    oracle inlines the same constants; the hash match proves binding
+    semantics, and the bound literal still reaches the parquet scan as
+    a pushed filter (same plan as hand-inlined SQL)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_above,
+               {sql_dsum('o_totalprice', 'revenue_above')}
+        FROM orders
+        WHERE o_totalprice > :floor AND o_orderdate >= :since
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"floor": 250000.0, "since": "1996-01-01 00:00:00"},
+    )

@@ -956,3 +956,79 @@ def stream_doc_quality_filter(spark, sf_dir):
         & (F.col("frac_unique") >= 0.3)
     )
     return run_to_memory(kept, "stream_doc_quality_filter", "append")
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           (CAST(CAST(SUM(CAST(ROUND((o_totalprice) * 1000000.0) AS BIGINT))
+                 AS BIGINT) AS DOUBLE) / 1000000.0) AS sum_price,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("streaming", "source", "pydatasource", "connector"),
+)
+def stream_python_datasource(spark, sf_dir):
+    """The connector surface as a STREAMING source: `readStream` through
+    the registered `cephfs_like` Python DataSource
+    (`CephFsLikeStreamReader`, sources/pydatasource.py) — micro-batch
+    offsets are positions in the sorted file listing of an append-only
+    directory, the natural tail-a-prefix contract of an object store
+    that forbids byte appends (`CephRgwFileSystem.java:304-308`). The
+    stream drains with availableNow into Spark's exactly-once parquet
+    file sink (PASSTHROUGH — no streaming state, nothing to evict), and
+    the batch aggregate over the sink must hash-match the parquet
+    original: write → list/offset/parse via Python source → file sink →
+    read-back, lossless end to end.
+
+    Recovery is first-class, not incidental: `readBetweenOffsets`
+    replays any committed file range deterministically, which is what
+    the checkpoint replays after a failure.
+
+    Scale: the simple stream reader serves rows through the driver —
+    the declared demo tier of the contract (like `udf_python_scalar`);
+    a partition-planning `streamReader` upgrade keeps the same offset
+    log and moves byte-serving to executors, and the BATCH side of this
+    source already plans executor-side virtual-block splits."""
+    import os
+    import tempfile
+    import uuid
+
+    from hadoop_fs_ceph_spark.sources.pydatasource import register_python_sources
+
+    register_python_sources(spark)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority"]
+    o = t(spark, sf_dir, "orders").select(*cols)
+    src = os.path.join(tempfile.gettempdir(), "hfcs_scratch",
+                       os.path.basename(os.path.normpath(sf_dir)), "stream_pyds")
+    o.write.mode("overwrite").format("csv").save(src)
+    ddl = ("o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string")
+    s = spark.readStream.format("cephfs_like").schema(ddl).load(src)
+    audit_gate(s, "stream_python_datasource", "append")
+    base = os.path.join(tempfile.gettempdir(), "hfcs_sink", uuid.uuid4().hex[:8])
+    out, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 1000000.0).cast("long")).cast("double")
+            / 1000000.0
+        ).alias("sum_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )

@@ -61,6 +61,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "ds_chi_square_independence": "one-row total-count and one-row (r, c) shape broadcasts onto the ≤15-cell term relation",
     "ds_bh_fdr_chebyshev": "one-row corpus-moment and one-row BH-cutoff broadcasts onto the k=8 per-type relation",
     "sample_poisson_bootstrap": "one-row corpus-count broadcast onto the one-row B=16 interval readout",
+    "agg_hll_intersection": "three one-row relations (sketch estimates, exact A/B/∩ counts) cross-joined for the verdict readout",
     "sim_pq_encode": "one-row collected K=4 codebook broadcast for map-side encoding",
     "ds_ab_cuped_adjust": "one-row theta/xbar moment broadcast for the adjustment pass",
     "sql_analyze_cbo_stats": "one-row catalog-stats relation cross-joined to the one-row exact aggregate",

@@ -49,7 +49,12 @@ from datetime import date, datetime
 from decimal import Decimal
 from typing import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     BooleanType,
     DateType,
@@ -169,6 +174,60 @@ class CephFsLikeReader(DataSourceReader):
                 )
 
 
+class CephFsLikeStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch tail of an APPEND-ONLY directory — the streaming face
+    of the same connector surface: the offset is simply *how many files
+    of the sorted listing have been consumed* (an object store's natural
+    append unit is a whole new object; the reference store forbids byte
+    appends, ``CephRgwFileSystem.java:304-308``).  ``read`` consumes every
+    file past the offset; ``readBetweenOffsets`` replays a committed range
+    deterministically for recovery — both reuse the batch reader's line
+    parsers, so batch and stream agree byte-for-byte on content.
+
+    Files must arrive with listing-order names (part-00042 style, as the
+    engine's own writers produce); a file renamed into an earlier slot
+    after its range was committed would be missed — the standard
+    file-stream contract."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cephfs_like stream requires .load(path)")
+        self.sep = options.get("sep", ",")
+
+    def initialOffset(self) -> dict:
+        return {"nfiles": 0}
+
+    def _rows(self, files: list[str]) -> Iterator[tuple]:
+        parsers = [_parser_for(f.dataType) for f in self.schema.fields]
+        n = len(parsers)
+        sep = self.sep.encode()
+        for path in files:
+            with open(path, "rb") as fh:
+                for line in fh:
+                    fields = line.rstrip(b"\r\n").split(sep)
+                    if len(fields) != n:
+                        raise ValueError(
+                            f"{path}: expected {n} fields, got {len(fields)}"
+                        )
+                    yield tuple(
+                        None if not raw else parsers[i](raw.decode())
+                        for i, raw in enumerate(fields)
+                    )
+
+    def read(self, start: dict):
+        files = list_data_files(self.path)
+        end = {"nfiles": len(files)}
+        # materialized list, not a generator: the simple-reader runtime
+        # pickles the prefetched batch so a restarted query can replay it
+        return list(self._rows(files[start["nfiles"]:])), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list:
+        files = list_data_files(self.path)
+        return list(self._rows(files[start["nfiles"]:end["nfiles"]]))
+
+
 class CephFsLikeDataSource(DataSource):
     """``spark.read.format("cephfs_like").schema(ddl).option(...)``.
 
@@ -184,6 +243,9 @@ class CephFsLikeDataSource(DataSource):
 
     def reader(self, schema: StructType) -> CephFsLikeReader:
         return CephFsLikeReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> CephFsLikeStreamReader:
+        return CephFsLikeStreamReader(schema, self.options)
 
 
 def register_python_sources(spark) -> None:

@@ -175,3 +175,39 @@ def test_avro_write_replaces_directory(spark, tmp_path):
     assert len(os.listdir(path)) == 1
     df = spark.read.format("avro_lite").load(path)
     assert df.count() == 10
+
+
+def test_stream_reader_resumes_from_checkpoint(spark, tmp_path):
+    """Offset contract: a restarted stream (same checkpoint) must consume
+    ONLY files appended after the committed listing position — no
+    duplicates, no loss."""
+    register_python_sources(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(name, lo, hi):
+        with open(src / name, "wb") as fh:
+            for i in range(lo, hi):
+                fh.write(f"{i},v{i}\n".encode())
+
+    def drain():
+        q = (
+            spark.readStream.format("cephfs_like")
+            .schema("k bigint, v string")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.k for r in spark.read.parquet(out).collect())
+
+    arrive("part-00000.csv", 0, 10)
+    assert drain() == list(range(10))
+    arrive("part-00001.csv", 10, 15)
+    assert drain() == list(range(15))  # resumed: no dup of file 0
