@@ -1622,3 +1622,62 @@ def agg_hll_intersection(spark, sf_dir):
             <= 3.0 * (F.col("est_u") * 0.05) + 3.0
         ).alias("within_tolerance"),
     )
+
+
+@query(
+    "agg_geometric_harmonic_mean",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(LN(l_quantity) * 1000000.0) AS BIGINT))
+               AS BIGINT) AS ln_micro,
+             CAST(SUM(CAST(ROUND((1.0 / l_quantity) * 1000000000.0) AS BIGINT))
+               AS BIGINT) AS inv_nano
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(EXP((CAST(ln_micro AS DOUBLE) / CAST(n AS DOUBLE))
+                     / 1000000.0), 8) AS geometric_mean,
+           ROUND(CAST(n AS DOUBLE)
+                 / (CAST(inv_nano AS DOUBLE) / 1000000000.0), 8) AS harmonic_mean
+    FROM m ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "means", "fixed-point"),
+)
+def agg_geometric_harmonic_mean(spark, sf_dir):
+    """Geometric and harmonic means per return flag — the two means a
+    float SUM cannot deliver deterministically at scale, made
+    order-independent by the FIXED-POINT-ON-TRANSFORM trick: the
+    per-row transform (ln q, 1/q — bit-identical scalar ops on the same
+    double) is rounded to a declared precision (micro for ln, nano for
+    the reciprocal) and summed as EXACT integers, so the aggregate is
+    independent of partial-sum order; the final exp/division chain is
+    scalar. This extends the `canonical.py` scheme from identity
+    transforms (money sums) to nonlinear ones — the general recipe for
+    any Σf(x) aggregate that must survive reshuffling.
+
+    Precision ledger: |ln q| ≤ ln 50 ≈ 3.9 → micro-scaled terms ≤ 4e6,
+    2⁶³/4e6 ≈ 2.3e12 rows before overflow; 1/q ≤ 1 nano-scaled ≤ 1e9 →
+    9.2e9 rows (drop to 1e6 scale for more headroom at larger corpora
+    — declared precision, same plan).
+
+    Scale: one map-combined aggregate; three longs of state per group."""
+    q = F.col("l_quantity")
+    m = t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.log(q) * 1000000.0).cast("long")).cast("long").alias("ln_micro"),
+        F.sum(F.round((1.0 / q) * 1000000000.0).cast("long")).cast("long").alias("inv_nano"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            F.exp((F.col("ln_micro").cast("double") / F.col("n").cast("double")) / 1000000.0),
+            8,
+        ).alias("geometric_mean"),
+        F.round(
+            F.col("n").cast("double") / (F.col("inv_nano").cast("double") / 1000000000.0),
+            8,
+        ).alias("harmonic_mean"),
+    ).orderBy("l_returnflag")

@@ -1607,3 +1607,128 @@ def src_csv_malformed_permissive(spark, sf_dir):
         F.min(F.when(good, F.col("o_orderdate"))).alias("first_date"),
         F.max(F.when(good, F.col("o_orderdate"))).alias("last_date"),
     )
+
+
+@query("src_avro_datasource_writer", oracle=_ORDERS_AGG_SQL, tags=("source", "avro", "writer"))
+def src_avro_datasource_writer(spark, sf_dir):
+    """The write HALF of the Python DataSource surface:
+    ``df.write.format("avro_lite").mode("overwrite").save(...)`` through
+    the registered `AvroLiteWriter` (sources/avro_lite.py) — each task
+    serializes its partition into its own container file and returns a
+    (file, records) commit message; the driver's commit writes a
+    ``_committed`` manifest the reader's listing ignores (underscore
+    prefix, like `_SUCCESS`), and abort removes the task files — the
+    commit/abort protocol the reference's rename-based committers
+    implement at the FS layer (`CephRgwFileSystem.java:311-312`),
+    expressed at the DataSource layer. Read back through the same
+    format's sync-split reader and hash-matched against the parquet
+    original: the third leg (batch read / stream read / WRITE) of the
+    connector-identity artifact."""
+    from hadoop_fs_ceph_spark.sources.pydatasource import register_python_sources
+
+    register_python_sources(spark)
+    o = t(spark, sf_dir, "orders").select(*_PYDS_ORDERS_COLS)
+    path = _scratch(sf_dir, "avro_writer_api")
+    o.repartition(8).write.format("avro_lite").mode("overwrite").save(path)
+    back = (
+        spark.read.format("avro_lite")
+        .option("virtual.blocksize", 64 * 1024)
+        .load(path)
+    )
+    return _orders_agg(back)
+
+
+_DIFF_MOD_PRICE = 1.5  # planted modification applied to keys % 97 == 0
+
+
+@query(
+    "profile_data_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT k,
+             CASE WHEN k % 97 = 0
+                  THEN cents + CAST(ROUND({_DIFF_MOD_PRICE} * 100) AS BIGINT)
+                  ELSE cents END AS cents
+      FROM a WHERE k % 101 <> 0
+      UNION ALL
+      SELECT k + 100000000 AS k, cents FROM a WHERE k % 103 = 0
+    ),
+    d AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             CASE WHEN b.k IS NULL THEN 'deleted'
+                  WHEN a.k IS NULL THEN 'inserted'
+                  WHEN a.cents <> b.cents THEN 'modified'
+                  ELSE 'unchanged' END AS change_type,
+             COALESCE(a.cents, 0) AS cents_a,
+             COALESCE(b.cents, 0) AS cents_b
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents_a) AS BIGINT) AS cents_before,
+           CAST(SUM(cents_b) AS BIGINT) AS cents_after
+    FROM d GROUP BY change_type ORDER BY change_type
+    """,
+    tags=("profile", "reconciliation", "diff"),
+)
+def profile_data_diff(spark, sf_dir):
+    """Snapshot reconciliation (table diff): classify every key of two
+    snapshots as unchanged / modified / inserted / deleted with value
+    checksums per class — the audit a pipeline runs after a backfill or
+    migration ('what exactly changed?'). Snapshot B is DERIVED from A by
+    deterministic planted edits (delete keys ≡0 mod 101, bump price on
+    ≡0 mod 97, clone-insert ≡0 mod 103 under shifted keys), so both
+    engines construct the identical pair and the full classification is
+    exactly checkable — the same planted-truth method as
+    `src_csv_malformed_permissive`.
+
+    Scale: ONE full outer sort-merge join on the key — the canonical
+    diff plan; counts and integer checksums partial-aggregate map-side.
+    For repeated diffs production snapshots share bucketing on k and the
+    exchange disappears (`src_bucketed_join` shows that plan)."""
+    a = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = (
+        a.filter(F.col("k") % 101 != 0)
+        .select(
+            "k",
+            F.when(
+                F.col("k") % 97 == 0,
+                F.col("cents") + F.lit(int(round(_DIFF_MOD_PRICE * 100))),
+            )
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionAll(
+            a.filter(F.col("k") % 103 == 0).select(
+                (F.col("k") + 100000000).alias("k"), "cents"
+            )
+        )
+    )
+    aa = a.select(F.col("k").alias("ka"), F.col("cents").alias("cents_a"))
+    bb = b.select(F.col("k").alias("kb"), F.col("cents").alias("cents_b"))
+    d = aa.join(bb, aa.ka == bb.kb, "full_outer").select(
+        F.when(F.col("kb").isNull(), "deleted")
+        .when(F.col("ka").isNull(), "inserted")
+        .when(F.col("cents_a") != F.col("cents_b"), "modified")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce("cents_a", F.lit(0)).alias("ca"),
+        F.coalesce("cents_b", F.lit(0)).alias("cb"),
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ca").cast("long").alias("cents_before"),
+            F.sum("cb").cast("long").alias("cents_after"),
+        )
+        .orderBy("change_type")
+    )

@@ -49,7 +49,12 @@ from dataclasses import dataclass
 from datetime import datetime, timedelta
 from typing import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+)
 
 from hadoop_fs_ceph_spark.sources.pydatasource import (
     DEFAULT_BLOCKSIZE,
@@ -418,3 +423,117 @@ class AvroLiteDataSource(DataSource):
 
     def reader(self, schema) -> AvroLiteReader:
         return AvroLiteReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "AvroLiteWriter":
+        return AvroLiteWriter(schema, self.options, overwrite)
+
+
+# ---------------------------------------------------------------------------
+# writer (DataSourceWriter) — df.write.format("avro_lite")
+# ---------------------------------------------------------------------------
+
+
+def _specs_from_spark_schema(schema) -> list[tuple[str, str]]:
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        TimestampNTZType,
+    )
+
+    out = []
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, LongType):
+            out.append((f.name, "long"))
+        elif isinstance(dt, IntegerType):
+            out.append((f.name, "int"))
+        elif isinstance(dt, DoubleType):
+            out.append((f.name, "double"))
+        elif isinstance(dt, StringType):
+            out.append((f.name, "string"))
+        elif isinstance(dt, BooleanType):
+            out.append((f.name, "boolean"))
+        elif isinstance(dt, TimestampNTZType):
+            out.append((f.name, "local-timestamp-micros"))
+        else:
+            raise TypeError(f"avro_lite writer does not carry {dt}")
+    return out
+
+
+from pyspark.sql.datasource import WriterCommitMessage
+
+
+@dataclass
+class AvroCommit(WriterCommitMessage):
+    file: str = ""
+    records: int = 0
+
+
+def _micros(dt: datetime) -> int:
+    d = dt - _EPOCH
+    return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+
+class AvroLiteWriter(DataSourceWriter):
+    """Task-parallel container writer behind ``df.write.format("avro_lite")``
+    — the idiomatic twin of :func:`write_avro`: each task serializes its own
+    partition into ``part-<pid>.avro`` and returns a (file, records) commit
+    message; the driver's ``commit`` writes a ``_committed`` manifest (the
+    underscore prefix keeps it invisible to the reader's listing, exactly
+    like Spark's own ``_SUCCESS``). ``overwrite`` replaces the directory
+    driver-side before any task runs."""
+
+    def __init__(self, schema, options: dict, overwrite: bool):
+        import shutil
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("avro_lite requires .save(path)")
+        self.codec = options.get("codec", "deflate")
+        self.specs = _specs_from_spark_schema(schema)
+        self.schema_json = avro_schema_json("row", self.specs)
+        self.ts_idx = [i for i, (_, t) in enumerate(self.specs)
+                       if t == "local-timestamp-micros"]
+        if overwrite:
+            shutil.rmtree(self.path, ignore_errors=True)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(self.path, f"part-{pid:05d}.avro")
+        ts_idx = self.ts_idx
+
+        def tuples():
+            for row in rows:
+                vals = list(row)
+                for i in ts_idx:
+                    vals[i] = _micros(vals[i])
+                yield tuple(vals)
+
+        with open(fname, "wb") as fh:
+            n = write_container(fh, tuples(), self.schema_json, pid, codec=self.codec)
+        return AvroCommit(file=fname, records=n)
+
+    def commit(self, messages):
+        total = sum(m.records for m in messages)
+        with open(os.path.join(self.path, "_committed"), "w") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "files": sorted(os.path.basename(m.file) for m in messages),
+                        "records": total,
+                    }
+                )
+            )
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(m.file)
+            except OSError:
+                pass

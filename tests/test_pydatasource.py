@@ -211,3 +211,25 @@ def test_stream_reader_resumes_from_checkpoint(spark, tmp_path):
     assert drain() == list(range(10))
     arrive("part-00001.csv", 10, 15)
     assert drain() == list(range(15))  # resumed: no dup of file 0
+
+
+def test_writer_api_roundtrip_and_manifest(spark, tmp_path):
+    """df.write.format('avro_lite') writes one container per task plus a
+    _committed manifest (invisible to the reader's listing); overwrite
+    replaces the directory; content round-trips exactly."""
+    import json
+
+    register_python_sources(spark)
+    path = str(tmp_path / "w")
+    df = spark.range(0, 300).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE)/7 AS x",
+        "timestamp_ntz'2024-05-01 12:00:00' + make_interval(0,0,0,0,0,0,id) AS ts")
+    df.repartition(3).write.format("avro_lite").mode("overwrite").save(path)
+    man = json.load(open(os.path.join(path, "_committed")))
+    assert man["records"] == 300 and len(man["files"]) == 3
+    back = spark.read.format("avro_lite").load(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # overwrite with fewer partitions leaves no stale containers
+    df.limit(10).repartition(1).write.format("avro_lite").mode("overwrite").save(path)
+    assert len([f for f in os.listdir(path) if f.endswith(".avro")]) == 1
+    assert spark.read.format("avro_lite").load(path).count() == 10
