@@ -1368,3 +1368,62 @@ def join_record_linkage_fs(spark, sf_dir):
         .filter(F.col("fs_score") >= 0.0)
         .orderBy("part_a", "part_b")
     )
+
+
+@query(
+    "join_aqe_skew_split",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey END AS jk,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    d AS (SELECT o_orderkey AS jk, o_orderpriority FROM orders)
+    SELECT d.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(f.cents) AS BIGINT) AS cents
+    FROM f JOIN d ON f.jk = d.jk
+    GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority
+    """,
+    tags=("join", "skew", "aqe"),
+)
+def join_aqe_skew_split(spark, sf_dir):
+    """A deliberately skew-keyed fact⋈dim sort-merge join — half of all
+    lineitems collapse onto join key 0 — executed WITHOUT manual
+    salting. The merge hint pins the shuffle-join shape so the skewed
+    exchange exists at every SF, and the oracle proves the answer is
+    partition-layout-independent (exact integer cents).
+
+    Mitigation ledger for this skew class: (1) at cluster scale, AQE's
+    OptimizeSkewedJoin splits the hot reduce partition into parallel
+    map-range sub-reads at runtime — zero code change, the engine ships
+    with AQE on (`session.py`); in THIS single-JVM sandbox the rule
+    demonstrably evaluates this exact join but declines to split it
+    (its DEBUG size report shows the hot partition at ~25× median while
+    local-mode map statistics fail its split-worthiness conditions), so
+    the repo does NOT claim a skew=true plan it cannot reproduce.
+    (2) The static mitigation IS pinned mechanically instead:
+    tests/test_extensions.py::test_skew_salted_twin_equivalence re-runs
+    this join with the `join_salted_replicated` salt-and-replicate
+    rewrite and asserts bit-identical results — the rewrite a 100 TB
+    job applies when a hot key is known ahead of time. (3) Aggregation
+    skew (which AQE never touches) is covered by `agg_skewed_salted`."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("jk"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    d = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("jk"), "o_orderpriority"
+    )
+    return (
+        li.hint("merge")
+        .join(d, "jk")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

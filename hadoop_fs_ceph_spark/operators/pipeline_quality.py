@@ -3221,3 +3221,116 @@ def sample_poisson_bootstrap(spark, sf_dir):
         F.round(F.element_at("ms", _BOOT_B - 1), 6).alias("boot_hi"),
         F.round(fold / F.col("b").cast("double"), 6).alias("boot_mean"),
     )
+
+
+@query(
+    "ds_diff_in_diff",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+             CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 1 ELSE 0 END
+               AS post,
+             value
+      FROM events
+    ),
+    cells AS (
+      SELECT treat, post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS i1,
+             CAST(SUM(CAST(ROUND(value * value * 100.0) AS BIGINT)) AS BIGINT)
+               AS i2
+      FROM x GROUP BY treat, post
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treat=0 AND post=0 THEN (i1/1000000.0)/n END) AS m00,
+        MAX(CASE WHEN treat=0 AND post=1 THEN (i1/1000000.0)/n END) AS m01,
+        MAX(CASE WHEN treat=1 AND post=0 THEN (i1/1000000.0)/n END) AS m10,
+        MAX(CASE WHEN treat=1 AND post=1 THEN (i1/1000000.0)/n END) AS m11,
+        MAX(CASE WHEN treat=0 AND post=0 THEN
+          ((i2/100.0 - (i1/1000000.0)*(i1/1000000.0)/n)/(n-1.0))/n END) AS v00,
+        MAX(CASE WHEN treat=0 AND post=1 THEN
+          ((i2/100.0 - (i1/1000000.0)*(i1/1000000.0)/n)/(n-1.0))/n END) AS v01,
+        MAX(CASE WHEN treat=1 AND post=0 THEN
+          ((i2/100.0 - (i1/1000000.0)*(i1/1000000.0)/n)/(n-1.0))/n END) AS v10,
+        MAX(CASE WHEN treat=1 AND post=1 THEN
+          ((i2/100.0 - (i1/1000000.0)*(i1/1000000.0)/n)/(n-1.0))/n END) AS v11,
+        CAST(SUM(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total,
+           ROUND(m00, 8) AS m_control_pre,  ROUND(m01, 8) AS m_control_post,
+           ROUND(m10, 8) AS m_treat_pre,    ROUND(m11, 8) AS m_treat_post,
+           ROUND((m11 - m10) - (m01 - m00), 8) AS did,
+           ROUND(SQRT(v11 + v10 + v01 + v00), 8) AS se,
+           CAST(ABS((m11 - m10) - (m01 - m00))
+                > 4.47213595499958 * SQRT(v11 + v10 + v01 + v00)
+                AS BOOLEAN) AS significant_chebyshev_95
+    FROM wide
+    """,
+    tags=("analytics", "experiment", "causal", "did"),
+)
+def ds_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences: the 2×2 (treatment × pre/post) causal
+    readout — treated-group change minus control-group change, the
+    estimator behind every staged rollout analysis. Treatment = odd
+    user_id, post = second half of the event month; the four cell means
+    and variances come from ONE map-combined fixed-point moment
+    aggregate, pivoted to a single row by MAX-over-CASE (4 cells — no
+    window, no second scan).
+
+    Inference stays in the repo's no-erf discipline: the standard error
+    is √Σ(varᵢ/nᵢ) and the 95% gate uses Chebyshev's k = √20 ≈ 4.472
+    (P(|X| ≥ kσ) ≤ 1/k² = 5%), a conservative distribution-free bound —
+    same stance as `ds_bh_fdr_chebyshev`.
+
+    Determinism: exact integer moments → fixed scalar IEEE chain; the
+    4-cell pivot is exact (each MAX sees exactly one non-NULL).
+
+    Scale: one aggregate over the facts; everything else is one row."""
+    e = t(spark, sf_dir, "events")
+    x = e.select(
+        (F.col("user_id") % 2).cast("long").alias("treat"),
+        F.when(F.col("ts").cast("date") >= F.lit("2024-01-16").cast("date"), 1)
+        .otherwise(0)
+        .alias("post"),
+        "value",
+    )
+    cells = x.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 1000000.0).cast("long")).alias("i1"),
+        F.sum(F.round(F.col("value") * F.col("value") * 100.0).cast("long")).alias("i2"),
+    )
+    mean_ = (F.col("i1") / 1000000.0) / F.col("n")
+    var_ = (
+        (F.col("i2") / 100.0 - (F.col("i1") / 1000000.0) * (F.col("i1") / 1000000.0) / F.col("n"))
+        / (F.col("n") - 1.0)
+    ) / F.col("n")
+
+    def cell(tr, po, expr):
+        return F.max(F.when((F.col("treat") == tr) & (F.col("post") == po), expr))
+
+    wide = cells.agg(
+        cell(0, 0, mean_).alias("m00"),
+        cell(0, 1, mean_).alias("m01"),
+        cell(1, 0, mean_).alias("m10"),
+        cell(1, 1, mean_).alias("m11"),
+        cell(0, 0, var_).alias("v00"),
+        cell(0, 1, var_).alias("v01"),
+        cell(1, 0, var_).alias("v10"),
+        cell(1, 1, var_).alias("v11"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    se = F.sqrt(F.col("v11") + F.col("v10") + F.col("v01") + F.col("v00"))
+    return wide.select(
+        "n_total",
+        F.round("m00", 8).alias("m_control_pre"),
+        F.round("m01", 8).alias("m_control_post"),
+        F.round("m10", 8).alias("m_treat_pre"),
+        F.round("m11", 8).alias("m_treat_post"),
+        F.round(did, 8).alias("did"),
+        F.round(se, 8).alias("se"),
+        (F.abs(did) > 4.47213595499958 * se).alias("significant_chebyshev_95"),
+    )

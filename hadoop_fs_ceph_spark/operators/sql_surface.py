@@ -726,3 +726,36 @@ def sql_named_parameters(spark, sf_dir):
         """,
         args={"floor": 250000.0, "since": "1996-01-01 00:00:00"},
     )
+
+
+@query(
+    "sql_listagg_within_group",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("sql", "listagg", "spark4"),
+)
+def sql_listagg_within_group(spark, sf_dir):
+    """``LISTAGG(DISTINCT ... ) WITHIN GROUP (ORDER BY ...)`` — the ANSI
+    ordered string-aggregation surface added in Spark 4 (DuckDB's
+    spelling is ``string_agg(DISTINCT ... ORDER BY ...)``): the ordered
+    DISTINCT form is safe at scale because the aggregation state is the
+    distinct VALUE SET (spec-bounded here: 3 statuses), not the group's
+    rows — unlike a raw listagg over an unbounded group, which is the
+    same trap the BOUNDED_COLLECT gate polices for collect_list."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )

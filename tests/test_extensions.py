@@ -536,3 +536,43 @@ def test_max_drawdown_matches_python_fold(spark, sf_dir):
         import datetime
 
         assert datetime.date(2024, 1, 1) + datetime.timedelta(days=r.dd_day_idx) == day
+
+
+def test_skew_salted_twin_equivalence(spark, sf_dir):
+    """The salt-and-replicate rewrite of the planted-skew join must be
+    bit-identical to the plain shuffle join — the static mitigation's
+    semantics-preservation proof (exact integer cents, so equality is
+    exact, not tolerant)."""
+    from pyspark.sql import functions as F
+
+    plain = {
+        (r.o_orderpriority, r.n_lines, r.cents)
+        for r in SPECS["join_aqe_skew_split"].fn(spark, sf_dir).collect()
+    }
+    li = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("jk"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    d = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("jk"), "o_orderpriority"
+    )
+    n_salt = 8
+    # fact side: deterministic salt; dim side: replicated across all salts
+    li_s = li.withColumn("salt", (F.col("cents") % n_salt).cast("int"))
+    d_s = d.select(
+        "jk", "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
+    )
+    salted = (
+        li_s.hint("merge")
+        .join(d_s, ["jk", "salt"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    got = {(r.o_orderpriority, r.n_lines, r.cents) for r in salted.collect()}
+    assert got == plain
