@@ -1681,3 +1681,43 @@ def agg_geometric_harmonic_mean(spark, sf_dir):
             8,
         ).alias("harmonic_mean"),
     ).orderBy("l_returnflag")
+
+
+_REGR_SQL = """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_qty,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 8) AS r2
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query(
+    "agg_regr_family",
+    oracle=_REGR_SQL,
+    tags=("aggregate", "statistics", "regression", "builtin"),
+)
+def agg_regr_family(spark, sf_dir):
+    """The ANSI ``REGR_*`` linear-regression aggregate family —
+    regr_count / regr_avgx / regr_avgy / regr_slope / regr_intercept /
+    regr_r2 of price on quantity per return flag, driven through the
+    BUILT-IN aggregates on both engines (the declared-surface
+    complement of `agg_corr_bivariate` / `ds_ols_moments`, which build
+    the same numbers from fixed-point moments).
+
+    Determinism posture: the builtins' co-moment accumulation is
+    order-dependent in the last few ulps, so the emitted columns are
+    ROUNDed at precisions (1e-6 on slope/avgx, 1e-4 on the price-scaled
+    intercept/avgy, 1e-8 on r2 in [0,1]) that sit ~6 orders of
+    magnitude above the cross-engine drift — verified hash-identical at
+    sf0.001/0.01. The fixed-point twins remain the bit-exact oracle
+    shape; this row attests the builtin surface itself.
+
+    Scale shape: one partial-aggregated groupBy — each partition folds
+    to six moments per flag before the exchange, so the shuffle carries
+    O(flags) rows regardless of fact size; identical at 100 TB."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_REGR_SQL)

@@ -759,3 +759,78 @@ def sql_listagg_within_group(spark, sf_dir):
         GROUP BY o_orderpriority ORDER BY o_orderpriority
         """
     )
+
+
+@query(
+    "sql_star_except",
+    oracle="""
+    SELECT * EXCLUDE (o_orderpriority, o_custkey) FROM orders
+    WHERE o_totalprice > 400000 ORDER BY o_orderkey
+    """,
+    tags=("sql", "projection", "spark4"),
+)
+def sql_star_except(spark, sf_dir):
+    """``SELECT * EXCEPT (cols)`` — the wide-table projection idiom
+    (DuckDB spells it ``EXCLUDE``): project everything but the named
+    columns without enumerating a hundred survivors by hand. Catalyst
+    expands the star at analysis time, so column pruning sees a plain
+    explicit projection — the parquet scan reads only the surviving
+    columns (ReadSchema drops o_orderpriority/o_custkey), exactly as if
+    they were typed out; nothing about the sugar weakens pushdown at
+    100 TB."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_orderpriority, o_custkey) FROM orders
+        WHERE o_totalprice > 400000 ORDER BY o_orderkey
+        """
+    )
+
+
+_SQL_ORDER_BY_ALL = """
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus, o_orderpriority ORDER BY ALL
+"""
+
+
+@query("sql_order_by_all", oracle=_SQL_ORDER_BY_ALL, tags=("sql", "sort", "spark4"))
+def sql_order_by_all(spark, sf_dir):
+    """``ORDER BY ALL`` (Spark 4 / DuckDB shared shorthand, the sort
+    complement of the already-declared ``GROUP BY ALL``): sort by every
+    select-list column left-to-right. Resolves at analysis time to an
+    ordinary multi-key Sort over the aggregated (status, priority)
+    relation — 15 rows here, and at any scale a total sort AFTER the
+    partial-aggregated groupBy, never over the fact table."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL_ORDER_BY_ALL)
+
+
+_UNPIVOT_INNER = f"""
+  SELECT l_returnflag,
+         {sql_dsum("l_quantity", "sum_qty")},
+         {sql_dsum("l_extendedprice", "sum_price", scale=2)},
+         {sql_dsum("l_discount", "sum_disc")}
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+_SQL_UNPIVOT = f"""
+    SELECT l_returnflag, metric, val
+    FROM ({_UNPIVOT_INNER})
+    UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+    ORDER BY l_returnflag, metric
+"""
+
+
+@query("sql_unpivot_clause", oracle=_SQL_UNPIVOT, tags=("sql", "unpivot", "reshape"))
+def sql_unpivot_clause(spark, sf_dir):
+    """The ANSI ``UNPIVOT`` clause — wide-to-long reshaping as a
+    first-class relational operator (the SQL-text twin of the
+    ``stack()`` expression declared as `fn_unpivot_stack`): three
+    fixed-point per-flag sums fold into (flag, metric, value) rows.
+    Both engines share the standard syntax. Catalyst compiles UNPIVOT
+    to an Expand node — k output rows per input row produced map-side
+    with NO shuffle and NO join; unpivoting an aggregated relation (as
+    here) costs O(groups·k), and unpivoting a fact table would stream
+    through the same Expand at scan rate, still shuffle-free."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_SQL_UNPIVOT)
