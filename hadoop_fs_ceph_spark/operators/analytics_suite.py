@@ -2828,3 +2828,202 @@ def ds_ols_residual_outliers(spark, sf_dir):
         )
         .orderBy("segment", "o_orderkey")
     )
+
+
+@query(
+    "ds_mutual_information",
+    oracle="""
+    WITH jt AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y,
+             CAST(COUNT(*) AS BIGINT) AS nxy
+      FROM orders GROUP BY x, y
+    ),
+    mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM jt GROUP BY x),
+    my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM jt GROUP BY y),
+    tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM jt),
+    terms AS (
+      SELECT CAST(ROUND((CAST(nxy AS DOUBLE) / n)
+               * LN((CAST(n AS DOUBLE) * nxy) / (CAST(nx AS DOUBLE) * ny))
+               * 1e12) AS BIGINT) AS mi_t,
+             CAST(ROUND(-(CAST(nxy AS DOUBLE) / n)
+               * LN(CAST(nxy AS DOUBLE) / n) * 1e12) AS BIGINT) AS hxy_t
+      FROM jt JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    ),
+    hx AS (
+      SELECT CAST(SUM(CAST(ROUND(-(CAST(nx AS DOUBLE) / n)
+               * LN(CAST(nx AS DOUBLE) / n) * 1e12) AS BIGINT)) AS BIGINT) AS hx_f
+      FROM mx, tot
+    ),
+    hy AS (
+      SELECT CAST(SUM(CAST(ROUND(-(CAST(ny AS DOUBLE) / n)
+               * LN(CAST(ny AS DOUBLE) / n) * 1e12) AS BIGINT)) AS BIGINT) AS hy_f
+      FROM my, tot
+    )
+    SELECT CAST(SUM(mi_t) AS DOUBLE) / 1e12 AS mi_nats,
+           CAST(SUM(hxy_t) AS DOUBLE) / 1e12 AS h_joint,
+           CAST(MAX(hx_f) AS DOUBLE) / 1e12 AS h_x,
+           CAST(MAX(hy_f) AS DOUBLE) / 1e12 AS h_y,
+           (CAST(SUM(mi_t) AS DOUBLE) / 1e12)
+             / SQRT((CAST(MAX(hx_f) AS DOUBLE) / 1e12)
+                    * (CAST(MAX(hy_f) AS DOUBLE) / 1e12)) AS nmi
+    FROM terms, hx, hy
+    """,
+    tags=("datascience", "information-theory", "feature-selection"),
+)
+def ds_mutual_information(spark, sf_dir):
+    """Mutual information between two categorical columns (order
+    priority × order status) with marginal entropies and normalized
+    MI — the information-gain primitive behind categorical feature
+    selection and drift scoring (the nonlinear complement of
+    `ds_chi_square_independence` on the same contingency shape):
+    I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))).
+
+    Determinism: every probability is a ratio of EXACT counts; each
+    cell's term is per-row double math (identical IEEE chain, shared
+    libm log — the same cross-engine contract `text_unigram_logprob`
+    pins); the 15-term sums fold through fixed-point at 1e-12, far
+    below any term's magnitude but exact and order-free. NMI divides
+    the already-fixed sums — one more identical double op.
+
+    Shape: one partial-aggregated groupBy builds the contingency
+    relation (|X|·|Y| cells — the ONLY shuffle proportional to data);
+    marginals re-aggregate those cells, never the fact table; the
+    term join is broadcast (cells × 3 one-row/tiny sides). At 100 TB
+    the contingency relation is still |X|·|Y| rows."""
+    o = t(spark, sf_dir, "orders")
+    jt = (
+        o.groupBy(F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y"))
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .persist()
+    )
+    mx = jt.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = jt.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = jt.agg(F.sum("nxy").alias("n"))
+    cell = (
+        jt.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+    )
+    nxy, nx, ny, n = (F.col(c).cast("double") for c in ("nxy", "nx", "ny", "n"))
+    mi_t = F.round((nxy / n) * F.log((n * nxy) / (nx * ny)) * 1e12).cast("long")
+    hxy_t = F.round(-(nxy / n) * F.log(nxy / n) * 1e12).cast("long")
+    terms = cell.agg(
+        (F.sum(mi_t).cast("double") / 1e12).alias("mi_nats"),
+        (F.sum(hxy_t).cast("double") / 1e12).alias("h_joint"),
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(F.round(-(nx / n) * F.log(nx / n) * 1e12).cast("long")).cast("double")
+            / 1e12
+        ).alias("h_x")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(F.round(-(ny / n) * F.log(ny / n) * 1e12).cast("long")).cast("double")
+            / 1e12
+        ).alias("h_y")
+    )
+    return (
+        terms.crossJoin(hx)
+        .crossJoin(hy)
+        .select(
+            "mi_nats",
+            "h_joint",
+            "h_x",
+            "h_y",
+            (F.col("mi_nats") / F.sqrt(F.col("h_x") * F.col("h_y"))).alias("nmi"),
+        )
+    )
+
+
+@query(
+    "ds_coarsened_exact_matching",
+    oracle="""
+    WITH units AS (
+      SELECT c.c_custkey,
+             (c.c_mktsegment = 'BUILDING') AS treated,
+             c.c_nationkey,
+             CAST(FLOOR(c.c_acctbal / 2000.0) AS BIGINT) AS bal_bin,
+             COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)), 0)
+               AS spend_c
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, treated, c.c_nationkey, bal_bin
+    ),
+    strata AS (
+      SELECT c_nationkey, bal_bin,
+             CAST(COUNT(*) FILTER (WHERE treated) AS BIGINT) AS n_t,
+             CAST(COUNT(*) FILTER (WHERE NOT treated) AS BIGINT) AS n_c,
+             CAST(SUM(spend_c) FILTER (WHERE treated) AS BIGINT) AS s_t,
+             CAST(SUM(spend_c) FILTER (WHERE NOT treated) AS BIGINT) AS s_c
+      FROM units GROUP BY c_nationkey, bal_bin
+    ),
+    matched AS (SELECT * FROM strata WHERE n_t > 0 AND n_c > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(n_t) AS BIGINT) AS n_treated,
+           CAST(SUM(n_c) AS BIGINT) AS n_control,
+           CAST(SUM(CAST(ROUND(
+             n_t * ((CAST(s_t AS DOUBLE) / 100.0) / n_t
+                  - (CAST(s_c AS DOUBLE) / 100.0) / n_c) * 100.0) AS BIGINT))
+             AS DOUBLE) / 100.0 / SUM(n_t) AS att_spend
+    FROM matched
+    """,
+    tags=("datascience", "causal", "matching"),
+)
+def ds_coarsened_exact_matching(spark, sf_dir):
+    """Coarsened Exact Matching (CEM, Iacus–King–Porro) — the
+    observational-causal estimator joining `ds_diff_in_diff` /
+    `ds_ab_cuped_adjust`: units (customers) are coarsened onto a
+    stratum grid (nation × account-balance bin), strata lacking
+    common support (no treated or no control units) are PRUNED, and
+    the ATT is the treated-weighted mean of within-stratum outcome
+    gaps: Σ_s n_t(s)·(ȳ_t(s) − ȳ_c(s)) / Σ_s n_t(s). 'Treatment'
+    here is a fixture-stable segment flag; the estimator mechanics
+    are what this row attests.
+
+    Determinism: outcomes accumulate as exact cents; within-stratum
+    means are single divisions of exact integers; each stratum's
+    weighted gap re-rounds to cents before the fixed-point fold, so
+    the final ATT is one division of exact integers.
+
+    Shape: one left join orders→customer (shuffle on custkey; at
+    100 TB this is the fact-side shuffle and it's unavoidable — the
+    outcome is per-unit), one groupBy onto the stratum grid (bounded:
+    nations × bins), map-side-combined; pruning and the ATT fold run
+    on the tiny stratum relation. No windows, no collects."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    units = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(
+            "c_custkey",
+            (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_bin"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0)
+            ).alias("spend_c")
+        )
+    )
+    strata = units.groupBy("c_nationkey", "bal_bin").agg(
+        F.count_if("treated").alias("n_t"),
+        F.count_if(~F.col("treated")).alias("n_c"),
+        F.sum(F.when(F.col("treated"), F.col("spend_c"))).alias("s_t"),
+        F.sum(F.when(~F.col("treated"), F.col("spend_c"))).alias("s_c"),
+    )
+    matched = strata.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    term = F.round(
+        F.col("n_t")
+        * (
+            (F.col("s_t").cast("double") / 100.0) / F.col("n_t")
+            - (F.col("s_c").cast("double") / 100.0) / F.col("n_c")
+        )
+        * 100.0
+    ).cast("long")
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("n_t").alias("n_treated"),
+        F.sum("n_c").alias("n_control"),
+        (F.sum(term).cast("double") / 100.0 / F.sum("n_t")).alias("att_spend"),
+    ).select("n_strata", "n_treated", "n_control", "att_spend")

@@ -55,6 +55,22 @@ def _edges(spark, sf_dir):
     )
 
 
+def _und(spark, sf_dir):
+    """Canonical UNDIRECTED edge list (a < b), self-loops dropped — the
+    shared front of every triangle/wedge-family query below."""
+    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    return e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+
+
+def _sym(und, u: str = "u", w: str = "w"):
+    """Both orientations of a canonical (a,b) edge list, columns (u, w)."""
+    return und.select(F.col("a").alias(u), F.col("b").alias(w)).unionAll(
+        und.select(F.col("b").alias(u), F.col("a").alias(w))
+    )
+
+
 def _pagerank_iter_sql(prev: str, out: str) -> str:
     return f"""
     {out} AS (
@@ -146,10 +162,7 @@ def graph_triangle_count(spark, sf_dir):
     on the join vertex. At billions of edges the identical plan runs
     with degree-based vertex ordering to bound fan-out; no vertex
     ever materializes its full neighborhood in one task."""
-    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    und = e.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct().persist()
+    und = _und(spark, sf_dir).persist()
     e1 = und.alias("e1")
     e2 = und.alias("e2")
     e3 = und.alias("e3")
@@ -504,13 +517,8 @@ def graph_jaccard_neighbors(spark, sf_dir):
     slots in front without changing the plan. No vertex materializes
     its neighbor set in memory; intersections are counted, never
     collected."""
-    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    und = e.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
-    dir_ = und.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
-        und.select(F.col("b").alias("u"), F.col("a").alias("w"))
-    ).persist()
+    und = _und(spark, sf_dir)
+    dir_ = _sym(und).persist()
     deg = dir_.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
     e1, e2 = dir_.alias("e1"), dir_.alias("e2")
     common = (
@@ -576,13 +584,7 @@ def graph_bfs_distance(spark, sf_dir):
     cuts per round — the `dedup_cluster_cc` fixpoint discipline — and
     the frontier can be restricted to newly-improved nodes (delta BFS)
     without changing the per-round plan shape."""
-    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    und = e.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
-    dir_ = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
+    dir_ = _sym(_und(spark, sf_dir), "src", "dst").persist()
     r = (
         t(spark, sf_dir, "nation")
         .filter(F.col("n_nationkey") == 0)
@@ -760,13 +762,7 @@ def graph_sssp_weighted(spark, sf_dir):
     (no extra shuffle). Production runs the round under a convergence
     loop with `localCheckpoint` lineage cuts (the `dedup_cluster_cc`
     discipline) and a delta frontier; all distances stay exact longs."""
-    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    und = e.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
-    dir_ = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    dir_ = _sym(_und(spark, sf_dir), "src", "dst")
     we = dir_.select(
         "src",
         "dst",
@@ -787,4 +783,139 @@ def graph_sssp_weighted(spark, sf_dir):
         r.join(n, r.node == n.n_nationkey)
         .select("n_nationkey", "n_name", F.col("dist").alias("cost"))
         .orderBy("cost", "n_nationkey")
+    )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({_EDGES_SQL}) WHERE src <> dst
+    ),
+    dir AS (
+      SELECT a AS u, b AS w FROM und UNION ALL SELECT b AS u, a AS w FROM und
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY u),
+    wedge AS (
+      SELECT e1.u AS u, e1.w AS v, e2.w AS w
+      FROM dir e1 JOIN dir e2 ON e1.u = e2.u AND e1.w < e2.w
+    ),
+    tri AS (
+      SELECT wedge.u, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM wedge JOIN und ON wedge.v = und.a AND wedge.w = und.b
+      GROUP BY wedge.u
+    )
+    SELECT deg.u AS node, deg.d AS degree,
+           CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST((2000000 * COALESCE(tri.n_tri, 0)) // (deg.d * (deg.d - 1))
+                AS BIGINT) AS clustering_ppm
+    FROM deg LEFT JOIN tri ON deg.u = tri.u
+    WHERE deg.d >= 2
+    ORDER BY clustering_ppm DESC, node
+    """,
+    tags=("graph", "triangle", "clustering-coefficient"),
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """LOCAL clustering coefficient per vertex — Watts–Strogatz
+    C(u) = 2·T(u) / (d(u)·(d(u)−1)): how close each node's
+    neighborhood is to a clique, the per-node refinement of
+    `graph_triangle_count`'s global census. Emitted as exact
+    parts-per-million integers (`div` over exact counts — no float
+    ratio, hash-identical cross-engine); degree-1 vertices are
+    excluded (coefficient undefined).
+
+    Shape: per-node triangle counts come from the SAME wedge
+    enumeration as the global count — one self-equi-join of the
+    symmetrized edges on the wedge center (shuffle keyed by u), one
+    equality join of (v,w) against the canonical edge list, one
+    aggregate keyed by u — then a left join back to degrees (vertices
+    with no closed wedge keep 0). At billions of edges the identical
+    plan holds; wedge fan-out is Σ d(u)², so hub-capping (drop
+    vertices above a degree percentile before the wedge join) slots
+    in front unchanged, exactly as documented on the triangle/jaccard
+    twins."""
+    und = _und(spark, sf_dir).persist()
+    dir_ = _sym(und)
+    deg = dir_.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = dir_.alias("e1"), dir_.alias("e2")
+    wedge = e1.join(
+        e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.w") < F.col("e2.w"))
+    ).select(
+        F.col("e1.u").alias("u"), F.col("e1.w").alias("v"), F.col("e2.w").alias("w")
+    )
+    tri = (
+        wedge.join(und, (wedge.v == und.a) & (wedge.w == und.b))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tri, "u", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
+            (
+                (F.lit(2000000) * F.coalesce(F.col("n_tri"), F.lit(0))).cast("long")
+                / (F.col("d") * (F.col("d") - 1))
+            )
+            .cast("long")
+            .alias("clustering_ppm"),
+        )
+        .orderBy(F.desc("clustering_ppm"), "node")
+    )
+
+
+@query(
+    "graph_common_neighbors_rec",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({_EDGES_SQL}) WHERE src <> dst
+    ),
+    dir AS (
+      SELECT a AS u, b AS w FROM und UNION ALL SELECT b AS u, a AS w FROM und
+    ),
+    common AS (
+      SELECT e1.u AS u, e2.u AS v, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM dir e1 JOIN dir e2 ON e1.w = e2.w AND e1.u < e2.u
+      GROUP BY e1.u, e2.u
+    )
+    SELECT c.u, c.v, c.n_common
+    FROM common c
+    LEFT JOIN und ON c.u = und.a AND c.v = und.b
+    WHERE und.a IS NULL AND c.n_common >= 3
+    ORDER BY c.n_common DESC, c.u, c.v
+    """,
+    tags=("graph", "link-prediction", "recommendation"),
+)
+def graph_common_neighbors_rec(spark, sf_dir):
+    """Common-neighbors link prediction — the friend-of-friend
+    recommender: for vertex pairs that are NOT already adjacent, count
+    shared neighbors and emit candidates above a support threshold,
+    strongest first. The non-adjacency constraint is what separates a
+    *recommendation* from `graph_jaccard_neighbors`' similarity score
+    (which ranks existing and missing links alike).
+
+    Shape: the co-neighbor count is one self-equi-join on the shared
+    neighbor + aggregate (shuffle keyed by the wedge center w);
+    non-adjacency is a LEFT ANTI join of candidate pairs against the
+    canonical edge list — Catalyst turns it into one hash anti-join,
+    never a per-pair probe. Threshold prunes before the anti-join
+    shuffles nothing extra: the filter sits on the aggregated pair
+    relation (|pairs| ≤ Σ d(u)², hub-cappable as ever)."""
+    und = _und(spark, sf_dir).persist()
+    dir_ = _sym(und)
+    e1, e2 = dir_.alias("e1"), dir_.alias("e2")
+    common = (
+        e1.join(e2, (F.col("e1.w") == F.col("e2.w")) & (F.col("e1.u") < F.col("e2.u")))
+        .groupBy(F.col("e1.u").alias("u"), F.col("e2.u").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(und, (common.u == und.a) & (common.v == und.b), "left_anti")
+        .filter(F.col("n_common") >= 3)
+        .select("u", "v", F.col("n_common").cast("long").alias("n_common"))
+        .orderBy(F.desc("n_common"), "u", "v")
     )

@@ -1101,3 +1101,164 @@ def win_max_drawdown(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "win_anchored_vwap",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS month,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS epoch_day,
+             SUM(CAST(ROUND(l_extendedprice * l_quantity * 100.0) AS BIGINT))
+               AS pq_c,
+             SUM(CAST(ROUND(l_quantity * 1000000.0) AS BIGINT)) AS q_m
+      FROM lineitem
+      GROUP BY month, epoch_day
+    )
+    SELECT month, epoch_day,
+           CAST(SUM(pq_c) OVER w AS DOUBLE) / 100.0 AS cum_notional,
+           CAST(SUM(q_m) OVER w AS DOUBLE) / 1000000.0 AS cum_qty,
+           (CAST(SUM(pq_c) OVER w AS DOUBLE) / 100.0)
+             / (CAST(SUM(q_m) OVER w AS DOUBLE) / 1000000.0) AS vwap
+    FROM daily
+    WINDOW w AS (PARTITION BY month ORDER BY epoch_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY month, epoch_day
+    """,
+    tags=("window", "finance", "vwap"),
+)
+def win_anchored_vwap(spark, sf_dir):
+    """Anchored VWAP — volume-weighted average price cumulated from a
+    fixed anchor (month start), the execution-quality benchmark that
+    complements `win_time_weighted_avg`'s TWAP: Σ(price·qty)/Σ(qty)
+    over everything since the anchor. Both cumulants ride ONE window
+    as exact integers (cents for notional, micro-units for quantity);
+    the division to a float happens once per output row on identical
+    int-derived doubles — bit-identical cross-engine, no rounding
+    gate needed.
+
+    Shape: map-side pre-aggregation to one row per (month, day) bounds
+    the window input by the calendar regardless of |lineitem|; the
+    running frame partitions by the anchor month, so the sort is
+    per-month (≤31 rows) and parallel across months — no
+    single-partition funnel at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    daily = (
+        li.withColumn("month", F.trunc(F.to_date("l_shipdate"), "month"))
+        .withColumn(
+            "epoch_day",
+            F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")).cast(
+                "long"
+            ),
+        )
+        .groupBy("month", "epoch_day")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_quantity") * 100).cast(
+                    "long"
+                )
+            ).alias("pq_c"),
+            F.sum(F.round(F.col("l_quantity") * 1000000).cast("long")).alias("q_m"),
+        )
+    )
+    w = (
+        Window.partitionBy("month")
+        .orderBy("epoch_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cn = F.sum("pq_c").over(w).cast("double") / 100.0
+    cq = F.sum("q_m").over(w).cast("double") / 1000000.0
+    return daily.select(
+        "month",
+        "epoch_day",
+        cn.alias("cum_notional"),
+        cq.alias("cum_qty"),
+        (cn / cq).alias("vwap"),
+    ).orderBy("month", "epoch_day")
+
+
+@query(
+    "win_rsi",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderstatus,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS epoch_day,
+             SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY o_orderstatus, epoch_day
+    ),
+    d AS (
+      SELECT o_orderstatus, epoch_day, rev_c,
+             rev_c - LAG(rev_c) OVER
+               (PARTITION BY o_orderstatus ORDER BY epoch_day) AS diff,
+             ROW_NUMBER() OVER
+               (PARTITION BY o_orderstatus ORDER BY epoch_day) AS rn
+      FROM daily
+    ),
+    g AS (
+      SELECT o_orderstatus, epoch_day, rn,
+             SUM(GREATEST(diff, 0)) OVER w AS gain14,
+             SUM(GREATEST(-diff, 0)) OVER w AS loss14
+      FROM d
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY epoch_day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_orderstatus, epoch_day,
+           100.0 * CAST(gain14 AS DOUBLE)
+             / CAST(NULLIF(gain14 + loss14, 0) AS DOUBLE) AS rsi14
+    FROM g WHERE rn >= 15
+    ORDER BY o_orderstatus, epoch_day
+    """,
+    tags=("window", "finance", "momentum"),
+)
+def win_rsi(spark, sf_dir):
+    """14-day Relative Strength Index (Cutler's SMA variant) on the
+    daily revenue series per order status — the bounded-momentum
+    indicator joining the `win_bollinger_bands` / `win_max_drawdown`
+    family. Day-over-day diffs split into gains and losses (exact
+    cent integers through LAG and the 14-row frame); the identity
+    RSI = 100·G/(G+L) avoids the textbook's nested ratio, so the ONLY
+    float op is one division of exact integers — bit-identical, with
+    NULLIF covering the all-flat frame (gains = losses = 0) and the
+    first 14 rows withheld (frame not yet full).
+
+    Shape: pre-aggregate to one row per (status, day) — calendar-
+    bounded window input — then LAG + one rolling frame in a single
+    Window pass per status partition, parallel across statuses."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn(
+            "epoch_day",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+                "long"
+            ),
+        )
+        .groupBy("o_orderstatus", "epoch_day")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    )
+    ws = Window.partitionBy("o_orderstatus").orderBy("epoch_day")
+    d = daily.select(
+        "o_orderstatus",
+        "epoch_day",
+        (F.col("rev_c") - F.lag("rev_c").over(ws)).alias("diff"),
+        F.row_number().over(ws).alias("rn"),
+    )
+    wf = ws.rowsBetween(-13, Window.currentRow)
+    g = d.select(
+        "o_orderstatus",
+        "epoch_day",
+        "rn",
+        F.sum(F.greatest(F.col("diff"), F.lit(0))).over(wf).alias("gain14"),
+        F.sum(F.greatest(-F.col("diff"), F.lit(0))).over(wf).alias("loss14"),
+    )
+    rsi = (
+        F.lit(100.0)
+        * F.col("gain14").cast("double")
+        / F.nullif(F.col("gain14") + F.col("loss14"), F.lit(0)).cast("double")
+    )
+    return (
+        g.filter(F.col("rn") >= 15)
+        .select("o_orderstatus", "epoch_day", rsi.alias("rsi14"))
+        .orderBy("o_orderstatus", "epoch_day")
+    )
