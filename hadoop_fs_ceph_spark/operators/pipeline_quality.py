@@ -3334,3 +3334,53 @@ def ds_diff_in_diff(spark, sf_dir):
         F.round(se, 8).alias("se"),
         (F.abs(did) > 4.47213595499958 * se).alias("significant_chebyshev_95"),
     )
+
+
+@query(
+    "sample_group_kfold",
+    oracle=f"""
+    WITH fmap AS (
+      SELECT c_custkey, (c_custkey * 2654435761 + 40503) % 5 AS fold
+      FROM customer
+    )
+    SELECT fold,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_spend', scale=2)}
+    FROM fmap LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY fold ORDER BY fold
+    """,
+    tags=("sampling", "cross-validation", "leakage"),
+)
+def sample_group_kfold(spark, sf_dir):
+    """GROUP k-fold assignment — the cross-validation complement of
+    `sample_leakage_safe_split`: every fold is a function of the GROUP
+    key (customer), so all of a customer's orders land in exactly one
+    fold BY CONSTRUCTION (sklearn's GroupKFold contract) and
+    evaluation can never see a training customer's sibling orders.
+    The fold is the same portable affine hash the split family uses
+    ((key·2654435761 + 40503) mod k — Knuth multiplicative, exact
+    int64 in both engines); per-fold stats (distinct customers, order
+    count, fixed-point spend) are the balance readout that decides
+    whether hash folding is acceptable or stratification is needed.
+
+    Shape: one left join customer→orders (shuffle on custkey — the
+    unavoidable fact-side exchange) + one 5-group aggregate with
+    map-side partials. The fold map is never materialized: it's a
+    projection. At 100 TB identical; the join side flips to broadcast
+    only if the grouping entity is genuinely bounded."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * F.lit(2654435761) + F.lit(40503)) % 5).alias("fold"),
+    )
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice", "sum_spend", scale=2),
+        )
+        .orderBy("fold")
+    )

@@ -1732,3 +1732,189 @@ def profile_data_diff(spark, sf_dir):
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "src_parquet_bloom_write",
+    oracle=_ORDERS_AGG_SQL,
+    tags=("source", "parquet", "bloom-filter"),
+)
+def src_parquet_bloom_write(spark, sf_dir):
+    """Parquet BLOOM-FILTER write — point-lookup acceleration baked
+    into the file format: every row group carries a split-block bloom,
+    so a `o_custkey = ?` scan can skip row groups whose min/max zone
+    covers the probe but whose bloom says 'not here' (the case zone
+    maps can't prune: scattered keys with wide zones). The read-back
+    aggregate hash-matches the direct-table oracle, proving the option
+    changes bytes-on-disk, not semantics;
+    `tests/test_extensions.py::test_parquet_bloom_filter_grows_file`
+    pins that the filter actually materializes (bloom file strictly
+    larger than the plain twin of identical data).
+
+    Environment note (verified empirically, all three config routes):
+    the per-column `parquet.bloom.filter.enabled#col` suffix keys are
+    silently ignored by this Spark 4.1 / parquet-mr 1.16 pairing, so
+    the query uses the GLOBAL toggle with `parquet.bloom.filter.
+    max.bytes` bounding each filter — at 100 TB you scope the write to
+    a slim key projection (as lakehouse bloom columns are configured
+    per table anyway) and the same cap keeps footer regions sane.
+
+    Scale: blooms are written map-side per row group at negligible
+    cost and read lazily from the footer region; they turn needle-in-
+    haystack lookups from 'scan every row group the zones admit' into
+    footer-only skips."""
+    o = t(spark, sf_dir, "orders")
+    root = _scratch(sf_dir, "bloom_orders")
+    write_table(
+        o,
+        root,
+        mode="overwrite",
+        **{
+            "parquet.bloom.filter.enabled": "true",
+            "parquet.bloom.filter.max.bytes": "65536",
+        },
+    )
+    return _orders_agg(spark.read.parquet(root))
+
+
+@query(
+    "src_footer_stats_audit",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("source", "parquet", "metadata", "zonemap"),
+)
+def src_footer_stats_audit(spark, sf_dir):
+    """Footer-statistics audit — the METADATA-ONLY twin of
+    `src_zonemap_overlap`: write the fact table partitioned by flag
+    (repartition-by-key first, so each partition directory holds one
+    file), then reconstruct per-partition row counts and min/max
+    purely from parquet FOOTERS (pyarrow metadata walk: num_rows and
+    column-chunk statistics folded across row groups — zero data pages
+    touched) and hash-match the result against the oracle's full GROUP
+    BY of the source table. Green means the stats every zone-map /
+    CBO decision trusts are exactly the data truth for what Spark
+    wrote.
+
+    Scale: the footer walk is O(files·row_groups) driver-side here
+    (bounded: one file per flag); at 100 TB the identical fold runs
+    as a distributed job over the file listing (binaryFile the footers
+    or read the lakehouse manifest stats column) — the audited
+    INVARIANT (footer == truth) and the GROUP BY oracle are unchanged.
+    Cited pattern: parquet-mr footer stats contract; the reference's
+    getFileStatus/listStatus surface (CephRgwFileSystem.java) is the
+    metadata tier this audit exercises end-to-end."""
+    import pyarrow.parquet as pq
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    root = _scratch(sf_dir, "footer_stats")
+    (
+        li.repartition("l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(root)
+    )
+    rows = []
+    for ent in sorted(os.listdir(root)):
+        if not ent.startswith("l_returnflag="):
+            continue
+        flag = ent.split("=", 1)[1]
+        n, mn, mx = 0, None, None
+        pdir = os.path.join(root, ent)
+        for fn in sorted(os.listdir(pdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(pdir, fn)).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            idx = names.index("l_quantity")
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                n += g.num_rows
+                st = g.column(idx).statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        rows.append((flag, n, float(mn), float(mx)))
+    return spark.createDataFrame(
+        rows, "l_returnflag string, n_rows long, min_qty double, max_qty double"
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "src_vacuum_orphans",
+    oracle="""
+    WITH counts AS (
+      SELECT 'f0' AS file_id, 'referenced' AS status,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT 'f1', 'referenced', CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_orderkey % 3 = 1
+      UNION ALL
+      SELECT 'f2', 'referenced', CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_orderkey % 3 = 2
+      UNION ALL
+      SELECT 'zz_orphan', 'orphan', CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT file_id, status, n_rows FROM counts ORDER BY file_id
+    """,
+    tags=("source", "lakehouse", "vacuum", "orphans"),
+)
+def src_vacuum_orphans(spark, sf_dir):
+    """ORPHAN-FILE detection — the other half of VACUUM, complementing
+    `src_snapshot_expiry_plan`'s retention math: files present on disk
+    but referenced by NO manifest version (crashed-task leftovers,
+    aborted commits — exactly what the WAP protocol's audit branch
+    would have quarantined). The planted `zz_orphan` directory
+    simulates an uncommitted write; the verdict is pure set algebra —
+    disk listing LEFT-joined against the union of all manifest
+    membership, unreferenced ⇒ orphan. Per-file row counts prove the
+    plan points at real bytes.
+
+    Scale: the listing is a metadata enumeration (the reference's
+    listStatus surface, `CephRgwFileSystem.java`); at 100 TB it runs
+    as a distributed recursive listing joined against the manifest
+    relation — same anti-join shape, never a data scan. The safety
+    property production adds (age threshold so in-flight writers
+    aren't reaped) is a WHERE on mtime in the same plan."""
+    import json
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = _scratch(sf_dir, "vacuum_orphans")
+    data = os.path.join(root, "data")
+    for fid, res in (("f0", 0), ("f1", 1), ("f2", 2)):
+        write_table(
+            o.filter(F.col("o_orderkey") % 3 == res),
+            os.path.join(data, fid),
+            mode="overwrite",
+        )
+    write_table(
+        o.filter(F.col("o_orderkey") % 3 == 0),
+        os.path.join(data, "zz_orphan"),
+        mode="overwrite",
+    )
+    snap = os.path.join(root, "snap")
+    os.makedirs(snap, exist_ok=True)
+    for v, members in ((1, ["f0", "f1"]), (2, ["f0", "f1", "f2"])):
+        with open(os.path.join(snap, f"v{v}.json"), "w") as fh:
+            json.dump({"version": v, "members": members}, fh)
+    disk = spark.createDataFrame(
+        [(d,) for d in sorted(os.listdir(data))], "file_id string"
+    )
+    ref = (
+        spark.read.json(snap).select(F.explode("members").alias("file_id")).distinct()
+    )
+    status = disk.join(ref.withColumn("r", F.lit(1)), "file_id", "left").select(
+        "file_id",
+        F.when(F.col("r").isNotNull(), "referenced").otherwise("orphan").alias("status"),
+    )
+    counts = [
+        (d, spark.read.parquet(os.path.join(data, d)).count())
+        for d in sorted(os.listdir(data))
+    ]
+    cdf = spark.createDataFrame(counts, "file_id string, n_rows long")
+    return status.join(cdf, "file_id").orderBy("file_id")

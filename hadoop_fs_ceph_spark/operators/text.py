@@ -1717,3 +1717,89 @@ def text_bigram_perplexity(spark, sf_dir):
         F.round(avg, 8).alias("avg_nll"),
         (avg < 4.0).alias("is_fluent"),
     ).orderBy("doc_id")
+
+
+_URL_RAW_EXPR = (
+    "'HTTPS://WWW.' || upper(source) || '.Example.COM/cat' || (doc_id % 50)"
+    " || '/page?utm_source=feed&ref=' || doc_id || '&id=' || (doc_id % 7)"
+    " || '&utm_campaign=x#sec'"
+)
+
+
+@query(
+    "text_url_canonicalize",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_RAW_EXPR} AS url FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(replace(string_split(string_split(url, '#')[1], '?')[1],
+                           '://WWW.', '://'))
+               || CASE WHEN len(list_filter(string_split(
+                         string_split(string_split(url, '#')[1], '?')[2], '&'),
+                         p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))) = 0
+                  THEN ''
+                  ELSE '?' || array_to_string(list_sort(list_filter(string_split(
+                         string_split(string_split(url, '#')[1], '?')[2], '&'),
+                         p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))), '&')
+                  END AS curl
+      FROM raw
+    )
+    SELECT curl AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+    FROM canon
+    GROUP BY curl HAVING COUNT(*) >= 2
+    ORDER BY canonical_url
+    """,
+    tags=("text", "url", "dedup", "web-corpus"),
+)
+def text_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + duplicate-URL grouping — the very first
+    dedup pass of every web-corpus pipeline (CCNet/C4 run it before
+    any content hashing, because the same page arrives under thousands
+    of tracking-parameter variants): lowercase scheme+host, strip a
+    leading ``www.``, drop the fragment, remove tracking parameters
+    (``utm_*``, ``ref``), sort the surviving query parameters, and
+    group documents by the canonical form, keeping the lowest doc_id.
+    The fixture corpus carries no URL column, so raw URLs are
+    synthesized deterministically from (source, doc_id) with planted
+    variant collisions — the canonicalization chain itself (the part
+    this row attests) is exactly the production one.
+
+    Shape: pure map-side string/array work in whole-stage codegen
+    (split / higher-order filter / array_sort / join — no UDF), then
+    ONE groupBy keyed by the canonical URL: the same
+    shuffle-the-8-byte-key posture as the content-dedup family
+    (production shuffles xxhash64(canonical) rather than the string).
+    At 100 TB this is the cheapest dedup tier — no shingling, no
+    pairwise anything."""
+    d = t(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.expr(_URL_RAW_EXPR).alias("url"))
+    nofrag = F.split(F.col("url"), "#").getItem(0)
+    base = F.lower(
+        F.regexp_replace(F.split(nofrag, "\\?").getItem(0), "://WWW\\.", "://")
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.split(nofrag, "\\?").getItem(1), "&"),
+            lambda p: ~(p.startswith("utm_") | p.startswith("ref=")),
+        )
+    )
+    curl = F.concat(
+        base,
+        F.when(F.size(params) == 0, F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.array_join(params, "&"))
+        ),
+    )
+    return (
+        raw.select("doc_id", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("canonical_url")
+    )

@@ -576,3 +576,36 @@ def test_skew_salted_twin_equivalence(spark, sf_dir):
     )
     got = {(r.o_orderpriority, r.n_lines, r.cents) for r in salted.collect()}
     assert got == plain
+
+
+def test_parquet_bloom_filter_grows_file(spark, sf_dir, tmp_path):
+    """`src_parquet_bloom_write`'s option must actually materialize a
+    bloom filter: the same deterministic data written with and without
+    the option must differ in size, bloom strictly larger (pyarrow
+    16 exposes no bloom accessor, so byte growth is the observable
+    contract). Uses the GLOBAL toggle — the per-column `#col` suffix
+    keys are silently ignored by this Spark/parquet-mr pairing (tested
+    via writer options, hadoop conf, and session conf), which is
+    exactly the silent-no-op failure mode this pin exists to catch."""
+    o = t(spark, sf_dir, "orders").coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    o.write.mode("overwrite").parquet(plain)
+    (
+        o.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled", "true")
+        .option("parquet.bloom.filter.max.bytes", "65536")
+        .parquet(bloomed)
+    )
+    import os
+
+    def psize(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert psize(bloomed) > psize(plain), (
+        "bloom-enabled write is not larger than the plain twin — the "
+        "bloom filter option silently did nothing"
+    )
