@@ -1721,3 +1721,34 @@ def agg_regr_family(spark, sf_dir):
     O(flags) rows regardless of fact size; identical at 100 TB."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_REGR_SQL)
+
+
+_COVAR_SQL = """
+    SELECT l_returnflag,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+           ROUND(corr(l_quantity, l_extendedprice), 8) AS corr_qp
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query(
+    "agg_covar_family",
+    oracle=_COVAR_SQL,
+    tags=("aggregate", "statistics", "builtin"),
+)
+def agg_covar_family(spark, sf_dir):
+    """The ANSI covariance/correlation aggregate family — covar_pop /
+    covar_samp / corr, driven through the BUILT-IN aggregates on both
+    engines (the declared-surface sibling of `agg_regr_family`; the
+    bit-exact moments twin remains `agg_corr_bivariate`). Same
+    determinism posture as the regr row: the builtins' co-moment
+    updates drift in the last ulps across engines, so outputs are
+    ROUNDed (1e-4 on the price-scaled covariances, 1e-8 on corr in
+    [−1,1]) — ~6 orders above the observed drift, verified
+    hash-identical at sf0.001/0.01.
+
+    Shape: one partial-aggregated groupBy; three moments per flag
+    cross the exchange. Identical at 100 TB."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_COVAR_SQL)

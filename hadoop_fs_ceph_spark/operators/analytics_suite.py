@@ -3027,3 +3027,255 @@ def ds_coarsened_exact_matching(spark, sf_dir):
         F.sum("n_c").alias("n_control"),
         (F.sum(term).cast("double") / 100.0 / F.sum("n_t")).alias("att_spend"),
     ).select("n_strata", "n_treated", "n_control", "att_spend")
+
+
+@query(
+    "ds_price_elasticity",
+    oracle="""
+    WITH obs AS (
+      SELECT l_returnflag, LN(l_extendedprice) AS x, LN(l_quantity) AS y
+      FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(y * 1000000.0) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(ROUND(x * x * 1000000.0) AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(ROUND(y * y * 1000000.0) AS BIGINT)) AS BIGINT) AS syy,
+             CAST(SUM(CAST(ROUND(x * y * 1000000.0) AS BIGINT)) AS BIGINT) AS sxy
+      FROM obs GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) AS elasticity,
+           ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+            / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r2
+    FROM m ORDER BY l_returnflag
+    """,
+    tags=("datascience", "economics", "regression"),
+)
+def ds_price_elasticity(spark, sf_dir):
+    """PRICE ELASTICITY of demand — the log-log OLS slope
+    d ln(qty)/d ln(price) per return flag, the econometric workhorse
+    (elasticity < −1 ⇒ revenue falls when price rises). Same grouped
+    fixed-point-moments discipline as `ds_ols_moments`, with the log
+    transform applied per row BEFORE accumulation (per-row LN is the
+    shared-libm contract `text_unigram_logprob` pins; ln values are
+    O(10), so scale 10⁻⁶ moments keep |terms| ≤ ~150·10⁶ per row —
+    int64 headroom to ~6·10¹⁰ rows per group, documented bound).
+    Emits slope (the elasticity) and r² from the same five sums.
+
+    Shape: one partial-aggregated groupBy over the fact table — six
+    moments per flag cross the exchange, nothing else. Identical at
+    100 TB."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    x = F.log(F.col("l_extendedprice"))
+    y = F.log(F.col("l_quantity"))
+
+    def fix(col):
+        return F.sum(F.round(col * 1000000.0).cast("long"))
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        fix(x).alias("sx"),
+        fix(y).alias("sy"),
+        fix(x * x).alias("sxx"),
+        fix(y * y).alias("syy"),
+        fix(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    num = n * sxy - sx * F.col("sy")
+    denx = n * sxx - sx * F.col("sx")
+    deny = n * syy - sy * F.col("sy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (num / denx).alias("elasticity"),
+        (num * num / (denx * deny)).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "ds_seasonality_index",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderstatus,
+             EXTRACT(month FROM o_orderdate) AS month,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    monthly AS (
+      SELECT o_orderstatus, CAST(month AS BIGINT) AS month,
+             CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1, 2
+    ),
+    total AS (
+      SELECT o_orderstatus, CAST(SUM(rev_c) AS BIGINT) AS rev_all,
+             CAST(SUM(n_days) AS BIGINT) AS days_all
+      FROM monthly GROUP BY 1
+    )
+    SELECT m.o_orderstatus, m.month,
+           (CAST(m.rev_c AS DOUBLE) / m.n_days)
+             / (CAST(t.rev_all AS DOUBLE) / t.days_all) AS seasonality_index
+    FROM monthly m JOIN total t ON m.o_orderstatus = t.o_orderstatus
+    ORDER BY m.o_orderstatus, m.month
+    """,
+    tags=("datascience", "timeseries", "seasonality"),
+)
+def ds_seasonality_index(spark, sf_dir):
+    """Month-of-year SEASONALITY INDEX per order status — mean daily
+    revenue in month m over the all-months mean daily revenue (1.0 =
+    no seasonal effect), the classical-decomposition seasonal factor
+    that `ds_holt_winters`' multiplicative variant would estimate
+    recursively, here computed in closed form. Using *mean daily*
+    revenue (not total) removes the month-length confound. All
+    cumulants exact cents/counts; the index is a ratio of two
+    divisions of exact integers — bit-identical.
+
+    Shape: calendar-bounded daily pre-aggregation (the only fact-table
+    shuffle) → 12-row-per-status monthly relation → broadcast join to
+    per-status totals. Identical at 100 TB."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn("month", F.month("o_orderdate").cast("long"))
+        .withColumn(
+            "d",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+                "long"
+            ),
+        )
+        .groupBy("o_orderstatus", "month", "d")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    )
+    monthly = daily.groupBy("o_orderstatus", "month").agg(
+        F.sum("rev_c").alias("rev_c"), F.count(F.lit(1)).alias("n_days")
+    )
+    total = monthly.groupBy("o_orderstatus").agg(
+        F.sum("rev_c").alias("rev_all"), F.sum("n_days").alias("days_all")
+    )
+    return (
+        monthly.join(F.broadcast(total), "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "month",
+            (
+                (F.col("rev_c").cast("double") / F.col("n_days"))
+                / (F.col("rev_all").cast("double") / F.col("days_all"))
+            ).alias("seasonality_index"),
+        )
+        .orderBy("o_orderstatus", "month")
+    )
+
+
+@query(
+    "ds_absorbing_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS prev, next_type AS nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tn FROM trans GROUP BY prev),
+    p AS (
+      SELECT t.prev, t.nxt, (1000000 * t.n) // tt.tn AS ppm
+      FROM trans t JOIN tot tt ON t.prev = tt.prev
+    ),
+    r0 AS (
+      SELECT prev AS state,
+             CASE WHEN prev = 'purchase' THEN 1000000 ELSE 0 END AS reach
+      FROM tot
+    ),
+    r1 AS (
+      SELECT p.prev AS state,
+             CASE WHEN p.prev = 'purchase' THEN 1000000
+                  ELSE CAST(SUM(p.ppm * r0.reach) // 1000000 AS BIGINT) END AS reach
+      FROM p JOIN r0 ON p.nxt = r0.state
+      GROUP BY p.prev
+    ),
+    r2 AS (
+      SELECT p.prev AS state,
+             CASE WHEN p.prev = 'purchase' THEN 1000000
+                  ELSE CAST(SUM(p.ppm * r1.reach) // 1000000 AS BIGINT) END AS reach
+      FROM p JOIN r1 ON p.nxt = r1.state
+      GROUP BY p.prev
+    ),
+    r3 AS (
+      SELECT p.prev AS state,
+             CASE WHEN p.prev = 'purchase' THEN 1000000
+                  ELSE CAST(SUM(p.ppm * r2.reach) // 1000000 AS BIGINT) END AS reach
+      FROM p JOIN r2 ON p.nxt = r2.state
+      GROUP BY p.prev
+    )
+    SELECT state, CAST(reach AS BIGINT) AS reach_ppm
+    FROM r3 ORDER BY state
+    """,
+    tags=("datascience", "markov", "attribution", "iterative"),
+)
+def ds_absorbing_markov(spark, sf_dir):
+    """ABSORBING-MARKOV conversion probability — P(reach 'purchase'
+    within ≤3 transitions | current state), the fixed-horizon version
+    of the absorption probabilities behind Markov-chain attribution
+    (removal effect), built ON the empirical transition matrix that
+    `ds_event_transition` reports: purchase is made absorbing
+    (reach ≡ 1), and reach_k(s) = Σ_s' P(s,s')·reach_{k-1}(s') is
+    unrolled three steps. Probabilities are exact parts-per-million
+    integers with integer division at every step — the
+    `graph_pagerank_fixed` fixed-point discipline, so the oracle's
+    chained CTEs hash-match bit-for-bit (no float drift over
+    iterations).
+
+    Shape: the per-user LEAD window shuffles the fact table once
+    (partitioned by user — parallel, bounded per-user); after the
+    transition aggregate the state space is |event_types|² — every
+    iteration is one tiny join + aggregate. At 100 TB only the first
+    window touches data; iterations cost nothing more."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("prev"), F.col("next_type").alias("nxt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("prev").agg(F.sum("n").alias("tn"))
+    p = (
+        trans.join(tot, "prev")
+        .select("prev", "nxt", F.expr("(1000000 * n) div tn").alias("ppm"))
+        .persist()
+    )
+    r = tot.select(
+        F.col("prev").alias("state"),
+        F.when(F.col("prev") == "purchase", F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("reach"),
+    )
+    for _ in range(3):
+        r = (
+            p.join(r, p.nxt == r.state)
+            .groupBy("prev")
+            .agg(F.expr("sum(ppm * reach) div 1000000").alias("s"))
+            .select(
+                F.col("prev").alias("state"),
+                F.when(F.col("prev") == "purchase", F.lit(1000000))
+                .otherwise(F.col("s"))
+                .cast("long")
+                .alias("reach"),
+            )
+        )
+    return r.select("state", F.col("reach").alias("reach_ppm")).orderBy("state")

@@ -919,3 +919,86 @@ def graph_common_neighbors_rec(spark, sf_dir):
         .select("u", "v", F.col("n_common").cast("long").alias("n_common"))
         .orderBy(F.desc("n_common"), "u", "v")
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({_EDGES_SQL}) WHERE src <> dst
+    ),
+    dir AS (
+      SELECT a AS u, b AS w FROM und UNION ALL SELECT b AS u, a AS w FROM und
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY u),
+    pairs AS (
+      SELECT du.d AS x, dw.d AS y
+      FROM dir JOIN deg du ON dir.u = du.u JOIN deg dw ON dir.w = dw.u
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs
+    )
+    SELECT n AS n_directed_edges,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / NULLIF(SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 0.0)
+             AS assortativity
+    FROM m
+    """,
+    tags=("graph", "assortativity", "statistics"),
+)
+def graph_assortativity(spark, sf_dir):
+    """DEGREE ASSORTATIVITY (Newman's r) — Pearson correlation of
+    endpoint degrees over the directed edge list: do hubs attach to
+    hubs (r>0, social networks) or to leaves (r<0, technological
+    ones)? The one-number structural summary complementing
+    `graph_degree_distribution`.
+
+    Determinism: degrees are exact counts, so every moment (Σx, Σx²,
+    Σxy over edges) is an exact BIGINT — the only float ops are the
+    final correlation formula on identical int-derived doubles.
+    NULLIF guards the regular-graph case (zero degree variance — the
+    sf0.01 trade graph is complete, so r is undefined, not ±Inf:
+    emitted NULL identically in both engines).
+
+    Shape: one degree aggregate, two joins of the edge list to the
+    (broadcast-size) degree vector, one moment fold with map-side
+    partials. At billions of edges the degree relation exceeds
+    broadcast and the joins turn shuffle — same plan, AQE decides."""
+    und = _und(spark, sf_dir)
+    dir_ = _sym(und).persist()
+    deg = dir_.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("uu"), F.col("d").alias("x"))
+    dw = deg.select(F.col("u").alias("ww"), F.col("d").alias("y"))
+    pairs = (
+        dir_.join(F.broadcast(du), dir_.u == du.uu)
+        .join(F.broadcast(dw), dir_.w == dw.ww)
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        (
+            (n * sxy - sx * F.col("sy"))
+            / F.nullif(
+                F.sqrt((n * sxx - sx * F.col("sx")) * (n * syy - sy * F.col("sy"))),
+                F.lit(0.0),
+            )
+        ).alias("assortativity"),
+    )

@@ -1918,3 +1918,77 @@ def src_vacuum_orphans(spark, sf_dir):
     ]
     cdf = spark.createDataFrame(counts, "file_id string, n_rows long")
     return status.join(cdf, "file_id").orderBy("file_id")
+
+
+@query(
+    "src_scan_pruning_plan",
+    oracle="""
+    WITH zones AS (
+      SELECT EXTRACT(month FROM o_orderdate) AS file_month,
+             MIN(o_totalprice) AS zmin, MAX(o_totalprice) AS zmax,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(file_month AS BIGINT) AS file_month, n_rows,
+           CASE WHEN zmax >= 400000.0 THEN 'scan' ELSE 'skip' END AS verdict
+    FROM zones ORDER BY file_month
+    """,
+    tags=("source", "parquet", "pruning", "zonemap"),
+)
+def src_scan_pruning_plan(spark, sf_dir):
+    """SCAN-PRUNING plan from footer statistics — the skip/scan
+    decision a lakehouse makes per file for `o_totalprice >= 400000`:
+    write the table partitioned by order month, read back ONLY parquet
+    footers (pyarrow metadata: zone min/max + row counts folded across
+    row groups — zero data pages), and emit each file's verdict. The
+    oracle recomputes the zones from the raw table, so green means the
+    skip set derived from metadata is exactly the skip set the data
+    justifies — the end-to-end proof behind `src_zonemap_overlap`'s
+    overlap metric and `src_footer_stats_audit`'s stats parity.
+
+    Scale: at 100 TB this is the planner path that turns a full scan
+    into reading the handful of files whose zone admits the predicate;
+    the footer walk distributes over the file listing (manifest stats
+    column in a real lakehouse) and the verdict is a map-side CASE.
+    The reference's metadata tier (listStatus/getFileStatus,
+    CephRgwFileSystem.java) is exactly what it exercises."""
+    import pyarrow.parquet as pq
+
+    o = t(spark, sf_dir, "orders").withColumn(
+        "file_month", F.month("o_orderdate").cast("long")
+    )
+    root = _scratch(sf_dir, "scan_pruning")
+    (
+        o.repartition("file_month")
+        .write.mode("overwrite")
+        .partitionBy("file_month")
+        .parquet(root)
+    )
+    rows = []
+    for ent in sorted(os.listdir(root)):
+        if not ent.startswith("file_month="):
+            continue
+        mo = int(ent.split("=", 1)[1])
+        n, mn, mx = 0, None, None
+        pdir = os.path.join(root, ent)
+        for fn in sorted(os.listdir(pdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(pdir, fn)).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            idx = names.index("o_totalprice")
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                n += g.num_rows
+                st = g.column(idx).statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        rows.append((mo, n, float(mn), float(mx)))
+    zones = spark.createDataFrame(
+        rows, "file_month long, n_rows long, zmin double, zmax double"
+    )
+    return zones.select(
+        "file_month",
+        "n_rows",
+        F.when(F.col("zmax") >= 400000.0, "scan").otherwise("skip").alias("verdict"),
+    ).orderBy("file_month")
