@@ -834,3 +834,57 @@ def sql_unpivot_clause(spark, sf_dir):
     through the same Expand at scan rate, still shuffle-free."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(_SQL_UNPIVOT)
+
+
+_SQL_NAMED_WINDOW = """
+    SELECT o_orderstatus, epoch_day,
+           CAST(SUM(rev_c) OVER w AS BIGINT) AS cum_rev_c,
+           CAST(COUNT(*) OVER w AS BIGINT) AS cum_days,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+    FROM (
+      SELECT o_orderstatus,
+             CAST(DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)
+               AS epoch_day,
+             SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS rev_c
+      FROM orders WHERE o_orderdate < TIMESTAMP '1993-01-01 00:00:00'
+      GROUP BY 1, 2
+    ) daily
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY epoch_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderstatus, epoch_day
+"""
+
+
+@query(
+    "sql_named_window",
+    oracle="""
+    SELECT o_orderstatus, epoch_day,
+           CAST(SUM(rev_c) OVER w AS BIGINT) AS cum_rev_c,
+           CAST(COUNT(*) OVER w AS BIGINT) AS cum_days,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+    FROM (
+      SELECT o_orderstatus,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS epoch_day,
+             SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS rev_c
+      FROM orders WHERE o_orderdate < TIMESTAMP '1993-01-01 00:00:00'
+      GROUP BY 1, 2
+    ) daily
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY epoch_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderstatus, epoch_day
+    """,
+    tags=("sql", "window-clause"),
+)
+def sql_named_window(spark, sf_dir):
+    """The ANSI ``WINDOW`` clause — one NAMED window definition shared
+    by three window functions (running sum, running count, row
+    number), the SQL-text complement of the DataFrame `Window` specs
+    the win_ family builds. Catalyst resolves all three over the same
+    named spec into ONE Window operator with a single sort+partition
+    pass — the de-duplication the clause exists for; three inline OVER
+    copies would resolve identically, so the clause is pure,
+    plan-neutral ergonomics. Exact cents through the frame; one sort
+    per status partition over the calendar-bounded daily relation."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL_NAMED_WINDOW)

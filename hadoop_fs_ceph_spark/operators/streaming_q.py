@@ -1032,3 +1032,72 @@ def stream_python_datasource(spark, sf_dir):
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
     )
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@query(
+    "stream_rocksdb_state_window",
+    oracle="""
+    WITH m AS (SELECT MAX(ts) AS mx FROM events),
+    w AS (
+      SELECT event_type,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + (epoch_us(ts) // 3600000000 * 3600) * INTERVAL 1 SECOND AS w_start,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT w.event_type, w.w_start, w.n, w.sum_value FROM w, m
+    WHERE w.w_start + INTERVAL 1 HOUR <= m.mx - INTERVAL 30 MINUTES
+    """,
+    tags=("streaming", "window", "rocksdb", "state-store"),
+)
+def stream_rocksdb_state_window(spark, sf_dir):
+    """Watermarked windowed aggregate on the ROCKSDB state store — the
+    100 TB state backend: the default HDFS-backed in-memory provider
+    holds every open window's state on the executor heap, which is the
+    first thing to die when key cardinality grows; RocksDB spills state
+    to local SSTs with incremental checkpointing, the production
+    configuration for any large stateful job. The query itself is the
+    canonical append-mode shape (30-min watermark, 1-hour tumbling
+    windows, exact-integer sum) — the POINT of this row is that
+    results are bit-identical under the swapped state backend, and
+    `tests/test_streaming.py::test_rocksdb_state_store_materializes_ssts`
+    pins that RocksDB actually engages (SST files in the checkpoint)
+    rather than silently falling back.
+
+    The provider is a per-query-start session conf; it is set and
+    restored around the drain so sibling queries keep the default."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 - unset conf raises in Spark 4
+        prev = None
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        s = events_stream(spark, sf_dir)
+        agg = (
+            s.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum(F.round(F.col("value") * 1000000.0).cast("long")).cast(
+                        "double"
+                    )
+                    / 1000000.0
+                ).alias("sum_value"),
+            )
+            .select("event_type", F.col("w.start").alias("w_start"), "n", "sum_value")
+        )
+        return run_to_memory(agg, "stream_rocksdb_state_window", "append")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -582,3 +582,51 @@ def udf_grouped_ols_fit(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "udf_python_udtf_arrow",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, unnest(string_split(text, chr(32))) AS tok,
+             CAST(generate_subscripts(string_split(text, chr(32)), 1) - 1
+                  AS INTEGER) AS pos
+      FROM documents WHERE doc_id % 101 = 0
+    )
+    SELECT doc_id, pos, tok, CAST(length(tok) AS INTEGER) AS tok_len
+    FROM s WHERE pos < 4
+    ORDER BY doc_id, pos
+    """,
+    tags=("udf", "udtf", "python", "arrow"),
+)
+def udf_python_udtf_arrow(spark, sf_dir):
+    """ARROW-optimized Python UDTF (`@udtf(..., useArrow=True)`) — the
+    same table-function surface as `udf_python_udtf`, executed through
+    Arrow column batches instead of pickled rows (physical node
+    ArrowEvalPythonUDTF vs BatchEvalPythonUDTF): rows cross the Python
+    boundary in vectorized batches, the 10-100× transfer-cost lever
+    the pandas-UDF family documents, now applied to row-EXPANDING
+    logic. Same declared-surface posture: production chunkers stay in
+    built-in higher-order functions; this row pins the Arrow execution
+    path with a bounded (doc_id % 101) sample and a relational
+    oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, tok string, tok_len int", useArrow=True)
+    class FirstTokensArrow:
+        def eval(self, doc_id: int, text: str):
+            for i, w in enumerate(text.split(" ")[:4]):
+                yield doc_id, i, w, len(w)
+
+    spark.udtf.register("first_tokens_arrow", FirstTokensArrow)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") % 101 == 0).createOrReplaceTempView(
+        "docs_sample_arrow"
+    )
+    return spark.sql(
+        """
+        SELECT f.doc_id, f.pos, f.tok, f.tok_len
+        FROM docs_sample_arrow d,
+             LATERAL first_tokens_arrow(d.doc_id, d.text) f
+        ORDER BY f.doc_id, f.pos
+        """
+    )

@@ -99,3 +99,44 @@ def test_max_files_per_trigger_batches_are_slices(spark, sf_dir):
     )
     assert sizes == truth
     assert sum(sizes) == t(spark, sf_dir, "events").count()
+
+
+def test_rocksdb_state_store_materializes_ssts(spark, sf_dir, tmp_path):
+    """`stream_rocksdb_state_window` claims the RocksDB state backend —
+    pin that the provider actually engages: a stateful drain with the
+    provider set must leave RocksDB SST artifacts in the checkpoint's
+    state directory (a silent fallback to the default provider would
+    leave the usual .delta/.snapshot files and no SSTs)."""
+    import os
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    spark.conf.set(key, provider)
+    try:
+        s = events_stream(spark, sf_dir)
+        agg = (
+            s.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        ck = str(tmp_path / "ck")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocks_pin")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.unset(key)
+    ssts = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(os.path.join(ck, "state"))
+        for f in fs
+        if f.endswith(".sst") or r.endswith("SSTs")
+    ]
+    assert ssts, "no RocksDB SST artifacts under the checkpoint state dir"
