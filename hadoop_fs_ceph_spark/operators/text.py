@@ -1719,9 +1719,12 @@ def text_bigram_perplexity(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# moduli chosen against the fixture's source = 'src'||(doc_id % 20) so the
+# canonical key (source, path, id) collapses on doc_id mod lcm(20,40,8)=40 —
+# ~12 documents per canonical URL at the 500-doc corpus (planted variants)
 _URL_RAW_EXPR = (
-    "'HTTPS://WWW.' || upper(source) || '.Example.COM/cat' || (doc_id % 50)"
-    " || '/page?utm_source=feed&ref=' || doc_id || '&id=' || (doc_id % 7)"
+    "'HTTPS://WWW.' || upper(source) || '.Example.COM/cat' || (doc_id % 40)"
+    " || '/page?utm_source=feed&ref=' || doc_id || '&id=' || (doc_id % 8)"
     " || '&utm_campaign=x#sec'"
 )
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 # tiny fixed dims, or a bounded query batch of an eval pass.
 INTENTIONAL_CROSS: dict[str, str] = {
     "join_cross": "deliberate tiny-dims cross join (region x nation, 5x25 rows)",
+    "ds_mutual_information": "one-row total + one-row entropy broadcasts onto the |X|x|Y|-cell contingency relation (<=15 rows)",
     "join_bloom_prefilter": "one-row 8 KiB bloom-bitmap broadcast applied to the fact scan",
     "dedup_incremental_bloom": "one-row 8 KiB corpus-bloom broadcast prefiltering the ingest batch",
     "profile_join_fanout": "one-row (est_rows, n_keys) totals broadcast",
