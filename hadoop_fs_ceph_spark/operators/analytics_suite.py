@@ -3279,3 +3279,106 @@ def ds_absorbing_markov(spark, sf_dir):
             )
         )
     return r.select("state", F.col("reach").alias("reach_ppm")).orderBy("state")
+
+
+@query(
+    "ds_growth_accounting",
+    oracle="""
+    WITH um AS (
+      SELECT DISTINCT o_custkey AS cust,
+             CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m
+      FROM orders
+    ),
+    first_m AS (SELECT cust, MIN(m) AS fm FROM um GROUP BY cust),
+    lagged AS (
+      SELECT um.cust, um.m, f.fm,
+             LAG(um.m) OVER (PARTITION BY um.cust ORDER BY um.m) AS prev_m
+      FROM um JOIN first_m f ON um.cust = f.cust
+    ),
+    classified AS (
+      SELECT m,
+             CASE WHEN m = fm THEN 'new'
+                  WHEN prev_m = m - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS kind
+      FROM lagged
+    ),
+    active AS (
+      SELECT m, kind, CAST(COUNT(*) AS BIGINT) AS n
+      FROM classified GROUP BY m, kind
+    ),
+    churn AS (
+      SELECT prev_m + 1 AS m, 'churned' AS kind, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT cust, m AS prev_m,
+               LEAD(m) OVER (PARTITION BY cust ORDER BY m) AS nxt
+        FROM um
+      ) x
+      WHERE nxt IS NULL OR nxt > prev_m + 1
+      GROUP BY prev_m + 1
+    )
+    SELECT m AS month_index, kind, n FROM active
+    UNION ALL
+    SELECT m, kind, n FROM churn
+    WHERE m <= (SELECT MAX(m) FROM um)
+    ORDER BY month_index, kind
+    """,
+    tags=("datascience", "growth", "retention"),
+)
+def ds_growth_accounting(spark, sf_dir):
+    """GROWTH ACCOUNTING — the monthly active-customer ledger
+    (new / retained / resurrected / churned), the four-way
+    decomposition every growth team reports (the Social Capital
+    framework) and the strict superset of `ds_new_vs_returning`'s
+    yearly two-way split: per month, actives split by whether this is
+    their first month, they were active last month, or they returned
+    after a gap; churned counts last-month actives who went silent.
+    Identity: actives(m) = new + retained + resurrected, and
+    retained(m) = actives(m−1) − churned(m) — both checkable from the
+    output.
+
+    Shape: one DISTINCT to (customer, month) — the only fact-table
+    shuffle, keyed by customer; first-month via MIN aggregate; the
+    lag/lead windows run per customer over ≤ |months| rows (calendar-
+    bounded, parallel across customers); classification and the two
+    final aggregates are map-side. At 100 TB identical — the windows
+    never see more than one customer's month list per key."""
+    o = t(spark, sf_dir, "orders")
+    um = (
+        o.select(
+            F.col("o_custkey").alias("cust"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("m"),
+        ).distinct()
+    ).persist()
+    first_m = um.groupBy("cust").agg(F.min("m").alias("fm"))
+    wc = Window.partitionBy("cust").orderBy("m")
+    lagged = um.join(first_m, "cust").select(
+        "m", "fm", F.lag("m").over(wc).alias("prev_m")
+    )
+    classified = lagged.select(
+        "m",
+        F.when(F.col("m") == F.col("fm"), "new")
+        .when(F.col("prev_m") == F.col("m") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("kind"),
+    )
+    active = classified.groupBy("m", "kind").agg(F.count(F.lit(1)).alias("n"))
+    nxt = um.select("cust", "m", F.lead("m").over(wc).alias("nxt"))
+    churn = (
+        nxt.filter(F.col("nxt").isNull() | (F.col("nxt") > F.col("m") + 1))
+        .groupBy((F.col("m") + 1).alias("m"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("m", F.lit("churned").alias("kind"), "n")
+    )
+    mx = um.agg(F.max("m").alias("mx"))
+    churn = churn.join(F.broadcast(mx), churn.m <= F.col("mx")).select(
+        "m", "kind", "n"
+    )
+    return (
+        active.select("m", "kind", "n")
+        .unionByName(churn)
+        .select(F.col("m").alias("month_index"), "kind", "n")
+        .orderBy("month_index", "kind")
+    )

@@ -3384,3 +3384,78 @@ def sample_group_kfold(spark, sf_dir):
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "profile_key_discovery",
+    oracle="""
+    WITH cols AS (
+      SELECT 'o_orderkey' AS col, COUNT(*) AS n,
+             COUNT(DISTINCT o_orderkey) AS nd,
+             COUNT(*) - COUNT(o_orderkey) AS n_null FROM orders
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*), COUNT(DISTINCT o_custkey),
+             COUNT(*) - COUNT(o_custkey) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*), COUNT(DISTINCT o_orderstatus),
+             COUNT(*) - COUNT(o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*), COUNT(DISTINCT o_totalprice),
+             COUNT(*) - COUNT(o_totalprice) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(*), COUNT(DISTINCT o_orderdate),
+             COUNT(*) - COUNT(o_orderdate) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*), COUNT(DISTINCT o_orderpriority),
+             COUNT(*) - COUNT(o_orderpriority) FROM orders
+    )
+    SELECT col, CAST(n AS BIGINT) AS n, CAST(nd AS BIGINT) AS n_distinct,
+           CAST(n_null AS BIGINT) AS n_null,
+           (nd = n AND n_null = 0) AS pk_candidate
+    FROM cols ORDER BY col
+    """,
+    tags=("profiling", "keys", "discovery"),
+)
+def profile_key_discovery(spark, sf_dir):
+    """PRIMARY-KEY candidate discovery — the schema-inference profiling
+    pass: per column, cardinality and null count in ONE aggregate over
+    the table; a column is a key candidate iff distinct = rows and no
+    NULLs (here exactly `o_orderkey`). The one-pass shape matters: six
+    COUNT(DISTINCT)s in a single agg compile to Spark's expand-based
+    multi-distinct (one shuffle of expanded rows), not six scans; the
+    wide one-row result unpivots map-side via `stack`.
+
+    At 100 TB exact multi-distinct gets expensive — the documented
+    production swap is `approx_count_distinct` in the same plan (the
+    `agg_approx_count_distinct` posture: candidates whose estimate ≈
+    rowcount get one exact confirmation pass); everything else here is
+    unchanged. Complements `profile_table_stats` (which profiles
+    min/max/nulls, not keyness) and `profile_referential_integrity`
+    (which audits the discovered keys' FK edges)."""
+    o = t(spark, sf_dir, "orders")
+    cols = [
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+    row = o.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', nd_{c}, nn_{c}" for c in cols)
+    long = row.selectExpr(
+        "n", f"stack({len(cols)}, {stack_expr}) AS (col, nd, n_notnull)"
+    )
+    return long.select(
+        "col",
+        F.col("n").cast("long").alias("n"),
+        F.col("nd").cast("long").alias("n_distinct"),
+        (F.col("n") - F.col("n_notnull")).cast("long").alias("n_null"),
+        ((F.col("nd") == F.col("n")) & (F.col("n") == F.col("n_notnull"))).alias(
+            "pk_candidate"
+        ),
+    ).orderBy("col")

@@ -2134,3 +2134,35 @@ def test_seasonality_indices_average_to_one(spark, sf_dir):
     )
     for r in j.collect():
         assert abs(r.wmean - 1.0) < 1e-9, r
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    """actives(m) = new + retained + resurrected, and
+    retained(m) = actives(m−1) − churned(m) for every interior month —
+    the ledger identities growth accounting exists to satisfy."""
+    rows = SPECS["ds_growth_accounting"].fn(spark, sf_dir).collect()
+    by_m: dict = {}
+    for r in rows:
+        by_m.setdefault(r.month_index, {})[r.kind] = r.n
+    months = sorted(by_m)
+    assert months
+    for i, m in enumerate(months):
+        k = by_m[m]
+        actives = k.get("new", 0) + k.get("retained", 0) + k.get("resurrected", 0)
+        assert actives > 0
+        if i > 0 and months[i - 1] == m - 1:
+            prev = by_m[m - 1]
+            prev_actives = (
+                prev.get("new", 0) + prev.get("retained", 0) + prev.get("resurrected", 0)
+            )
+            assert k.get("retained", 0) == prev_actives - k.get("churned", 0), m
+
+
+def test_key_discovery_finds_orderkey(spark, sf_dir):
+    """o_orderkey is always a PK candidate; the low-cardinality
+    categorical columns never are. (Continuous columns like totalprice
+    may coincidentally be all-distinct at tiny SF — data truth, allowed.)"""
+    rows = SPECS["profile_key_discovery"].fn(spark, sf_dir).collect()
+    pk = {r.col for r in rows if r.pk_candidate}
+    assert "o_orderkey" in pk, pk
+    assert not pk & {"o_orderstatus", "o_orderpriority", "o_custkey"}, pk
