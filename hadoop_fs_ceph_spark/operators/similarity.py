@@ -1390,3 +1390,73 @@ def sim_threshold_calibration(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "sim_binary_hamming_topk",
+    oracle="""
+    WITH sig AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(generate_series(1, 63),
+                  j -> CASE WHEN embedding[j] > 0
+                            THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END))
+                  AS BIGINT) AS sig
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, sig AS qsig FROM sig WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT q.qid, s.vec_id,
+             CAST(bit_count(xor(q.qsig, s.sig)) AS INTEGER) AS hamming,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+                                ORDER BY bit_count(xor(q.qsig, s.sig)), s.vec_id)
+               AS rk
+      FROM q JOIN sig s ON s.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, hamming, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= 5
+    ORDER BY qid, rk
+    """,
+    tags=("similarity", "binary-embedding", "hamming", "topk"),
+)
+def sim_binary_hamming_topk(spark, sf_dir):
+    """BINARY-EMBEDDING retrieval — sign-bit quantization to a single
+    63-bit integer signature per vector (one bit per dimension; bit 63
+    is left unused so the packed value stays positive in engines whose
+    `1 << 63` overflows), then top-k nearest by HAMMING distance
+    (`bit_count(xor)`) — the 32×-compression retrieval tier below
+    `sim_scalar_quantize` (int8) and `sim_matryoshka_recall`
+    (truncation): state-of-practice for billion-vector first-stage
+    retrieval, re-ranked by exact cosine downstream
+    (`sim_two_stage_retrieval`'s shape). Exact integer signatures,
+    integer distances, deterministic vec_id tie-break — no floats
+    anywhere after the sign test.
+
+    Shape: signature packing is one map-side fold in codegen; the
+    63× size reduction makes the signature relation broadcastable far
+    beyond float-vector limits (8 bytes/vector ≈ 1 GB per 128M
+    vectors); the query side broadcasts, candidates rank per query in
+    a bounded window. At larger query sets the same plan flips the
+    broadcast side; at billions of vectors the signature scan is the
+    cheapest possible full sweep, or feeds multi-probe LSH bucketing
+    (`sim_ann_lsh_bucket`) unchanged."""
+    e = t(spark, sf_dir, "embeddings")
+    sig_expr = F.expr(
+        "aggregate(sequence(0, 62), 0L,"
+        " (acc, j) -> acc + CASE WHEN element_at(embedding, j + 1) > 0"
+        " THEN shiftleft(1L, j) ELSE 0L END)"
+    )
+    sig = e.select("vec_id", sig_expr.alias("sig")).persist()
+    q = sig.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("sig").alias("qsig")
+    )
+    joined = F.broadcast(q).join(sig, sig.vec_id != F.col("qid"))
+    ham = F.bit_count(F.expr("qsig ^ sig")).cast("int")
+    w = Window.partitionBy("qid").orderBy(ham, "vec_id")
+    scored = joined.select(
+        "qid", "vec_id", ham.alias("hamming"), F.row_number().over(w).alias("rk")
+    )
+    return (
+        scored.filter(F.col("rk") <= 5)
+        .select("qid", "vec_id", "hamming", F.col("rk").cast("long").alias("rk"))
+        .orderBy("qid", "rk")
+    )

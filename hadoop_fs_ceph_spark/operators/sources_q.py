@@ -1992,3 +1992,32 @@ def src_scan_pruning_plan(spark, sf_dir):
         "n_rows",
         F.when(F.col("zmax") >= 400000.0, "scan").otherwise("skip").alias("verdict"),
     ).orderBy("file_month")
+
+
+@query(
+    "src_table_cache",
+    oracle=_ORDERS_AGG_SQL,
+    tags=("source", "cache", "memory"),
+)
+def src_table_cache(spark, sf_dir):
+    """TABLE CACHING through the catalog (`spark.catalog.cacheTable`) —
+    the runnable artifact for SURVEY §2A row 15: the reference keeps a
+    file-handle cache per opened path (`CephRgwFileSystem.java` FH
+    cache); Spark's analog at the engine layer is the columnar
+    in-memory relation the cache manager substitutes for the scan
+    (InMemoryTableScan replaces the parquet read on second reference).
+    The query materializes the cache with a first aggregate pass, then
+    answers from the cached relation; results must equal the direct-
+    table oracle exactly — caching is a pure plan substitution.
+    `tests/test_extensions.py::test_table_cache_plan_substitution` pins
+    the InMemoryTableScan actually appearing.
+
+    Scale: executor-memory columnar cache with LRU spill
+    (MEMORY_AND_DISK), partition-grained; at 100 TB you cache the hot
+    aggregate/dimension layer, never the fact table — same API, and
+    uncaching is metadata-only."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_cached_src")
+    spark.catalog.cacheTable("orders_cached_src")
+    _orders_agg(spark.table("orders_cached_src")).count()  # materialize
+    return _orders_agg(spark.table("orders_cached_src"))

@@ -1262,3 +1262,100 @@ def win_rsi(spark, sf_dir):
         .select("o_orderstatus", "epoch_day", rsi.alias("rsi14"))
         .orderBy("o_orderstatus", "epoch_day")
     )
+
+
+@query(
+    "win_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(ROUND(o_totalprice) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(ROUND(o_totalprice) AS BIGINT) ELSE 0 END) AS y
+      FROM orders GROUP BY d
+    ),
+    m AS (
+      SELECT d,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / NULLIF(SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                      0.0) AS corr28
+    FROM m WHERE rn >= 28
+    ORDER BY d
+    """,
+    tags=("window", "timeseries", "correlation"),
+)
+def win_rolling_corr(spark, sf_dir):
+    """ROLLING 28-day correlation between two daily revenue series
+    (fulfilled vs open order flow) — the co-movement monitor behind
+    pairs analysis and regime detection, joining the
+    `win_bollinger_bands`/`win_rsi` family. Six moments ride ONE
+    trailing ROWS frame as exact dollar-integer sums (int64→double is
+    a single well-defined conversion, identical in both engines, so
+    the correlation formula is a bit-identical chain); NULLIF guards
+    constant frames; the first 27 rows are withheld (frame not full).
+
+    Scale note: dollar-scale keeps Σx² under 2^63 through SF≈100; the
+    documented swap for the full fixture range is decimal(38,0)
+    accumulation (the `ds_autocorrelation` recipe, same plan). The
+    unpartitioned window is calendar-bounded (one row per day after
+    the map-side daily pre-aggregation — the SINGLE_PARTITION_WINDOW
+    allowlist class this repo audits explicitly)."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn(
+            "d",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+                "long"
+            ),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "F",
+                    F.round(F.col("o_totalprice")).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "O",
+                    F.round(F.col("o_totalprice")).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+    )
+    ws = Window.orderBy("d")
+    wf = ws.rowsBetween(-27, Window.currentRow)
+    m = daily.select(
+        "d",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(wf).alias("n"),
+        F.sum("x").over(wf).alias("sx"),
+        F.sum("y").over(wf).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(wf).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(wf).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(wf).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = (n * F.col("sxy") - sx * F.col("sy")) / F.nullif(
+        F.sqrt(
+            (n * F.col("sxx") - sx * F.col("sx"))
+            * (n * F.col("syy") - sy * F.col("sy"))
+        ),
+        F.lit(0.0),
+    )
+    return m.filter(F.col("rn") >= 28).select("d", corr.alias("corr28")).orderBy("d")

@@ -20,6 +20,7 @@ from __future__ import annotations
 INTENTIONAL_CROSS: dict[str, str] = {
     "join_cross": "deliberate tiny-dims cross join (region x nation, 5x25 rows)",
     "ds_mutual_information": "one-row total + one-row entropy broadcasts onto the |X|x|Y|-cell contingency relation (<=15 rows)",
+    "ds_growth_accounting": "one-row corpus-max-month broadcast bounding the churn ledger",
     "join_bloom_prefilter": "one-row 8 KiB bloom-bitmap broadcast applied to the fact scan",
     "dedup_incremental_bloom": "one-row 8 KiB corpus-bloom broadcast prefiltering the ingest batch",
     "profile_join_fanout": "one-row (est_rows, n_keys) totals broadcast",
@@ -31,6 +32,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sim_knn_bruteforce": "one-row query-vector broadcast (declared truth pass)",
     "sim_ivf_cells": "8-row centroid table + 1-row query vector broadcasts",
     "sim_knn_batch_queries": "5-row query-batch broadcast",
+    "sim_binary_hamming_topk": "bounded query-set broadcast (vec_id % 97, ~1% of vectors) of 8-byte signatures",
     "q11_important_stock": "one-row global stock-value threshold broadcast",
     "agg_histogram_fixed": "one-row min/max bounds broadcast",
     "agg_hll_sketch_merge": "one-row exact-count broadcast (verification branch)",
@@ -102,6 +104,11 @@ INTENTIONAL_CROSS: dict[str, str] = {
 _FN_DEMO = "function-family demo over a bounded sample relation; ORDER BY is the deterministic-output contract"
 BOUNDED_SORT: dict[str, str] = {
     "src_write_audit_publish": "2-row commit-trail relation (one row per batch)",
+    "sim_binary_hamming_topk": "sorts the top-5-per-query output (5 rows per ~1% sampled query, rank-filtered before the sort)",
+    "sql_star_except": "range-partitioned sort of the selective o_totalprice>400k slice (~2% of orders) — the demo's deterministic-output contract, parallel range sort, not a one-task funnel",
+    "src_footer_stats_audit": "sorts the per-partition stats relation (one row per returnflag, bounded by distinct flags)",
+    "src_scan_pruning_plan": "sorts the per-file verdict relation (one row per month partition, calendar-bounded)",
+    "udf_python_udtf_arrow": "sorts the bounded sampled expansion (4 rows per ~1% sampled document)",
     "udf_grouped_ols_fit": "5-row per-segment coefficient relation (grouped-map output)",
     "fn_aes_roundtrip": _FN_DEMO,
     "fn_array_setops": _FN_DEMO,
@@ -152,6 +159,7 @@ SINGLE_PARTITION_WINDOW: dict[str, str] = {
     "win_cusum_changepoint": "CUSUM fold over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
     "profile_ks_drift": "final max-gap window over the fixed 17-row ECDF grid relation",
     "ds_slo_burn_rate": "trailing 6-hour window over the hourly aggregate (bounded by hours elapsed, not corpus size)",
+    "win_rolling_corr": "28-row trailing frame over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
 }
 
 # --- declared Python-UDF surface ------------------------------------------

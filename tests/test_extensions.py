@@ -609,3 +609,22 @@ def test_parquet_bloom_filter_grows_file(spark, sf_dir, tmp_path):
         "bloom-enabled write is not larger than the plain twin — the "
         "bloom filter option silently did nothing"
     )
+
+
+def test_table_cache_plan_substitution(spark, sf_dir):
+    """`src_table_cache` claims the cache manager swaps the scan: after
+    materialization the physical plan must contain InMemoryTableScan
+    (a silent cache miss would keep the parquet scan and still pass the
+    oracle — this pin catches that)."""
+    SPECS["src_table_cache"].fn(spark, sf_dir)
+    plan = (
+        SPECS["src_table_cache"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    spark.catalog.clearCache()
+    # optimizedPlan (not the AQE executedPlan skeleton, whose toString
+    # elides the substituted scan pre-finalization) must show the cache
+    assert "InMemoryRelation" in plan, plan[:500]
