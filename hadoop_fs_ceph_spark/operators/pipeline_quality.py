@@ -3459,3 +3459,354 @@ def profile_key_discovery(spark, sf_dir):
             "pk_candidate"
         ),
     ).orderBy("col")
+
+
+@query(
+    "ds_kruskal_wallis",
+    oracle="""
+    WITH assigned AS (
+      SELECT ascii(substr(event_type, 1, 1)) AS gid,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT gid, row_number() OVER (ORDER BY cents, event_id) AS rk
+      FROM assigned
+    ),
+    grp AS (
+      SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_j,
+             CAST(SUM(rk) AS BIGINT) AS rank_sum
+      FROM ranked GROUP BY gid
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(rank_sum AS HUGEINT) * rank_sum * 100 // n_j)
+                  AS BIGINT) AS s100
+      FROM grp
+    ),
+    h AS (
+      SELECT n, k,
+             12.0 * (CAST(s100 AS DOUBLE) / 100.0)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_raw
+      FROM tot
+    ),
+    dim AS (
+      SELECT DISTINCT ascii(substr(event_type, 1, 1)) AS gid, event_type
+      FROM events
+    )
+    SELECT d.event_type, g.n_j, g.rank_sum,
+           ROUND(CAST(g.rank_sum AS DOUBLE) / g.n_j, 8) AS mean_rank,
+           h.n, h.k, ROUND(h.h_raw, 8) AS h_stat,
+           CAST(h.k - 1 AS BIGINT) AS df,
+           CAST(h.h_raw > CASE CAST(h.k - 1 AS INTEGER)
+                  WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                  WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 END
+                AS BOOLEAN) AS significant_95
+    FROM grp g JOIN dim d USING (gid) CROSS JOIN h
+    ORDER BY d.event_type
+    """,
+    tags=("analytics", "experiment", "nonparametric", "rank"),
+)
+def ds_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H — the k-sample generalization of
+    `ds_mann_whitney_u` (rank-based one-way ANOVA on ranks): does the
+    `value` distribution differ across the five event streams? Ranks
+    come from `_ranked_nosort`'s distributed-rank machinery over the
+    unique composite key (cents, event_id) — NO global sort, ties
+    broken deterministically by the composite key in both engines
+    (same documented tie posture as `ds_mann_whitney_u`). The group
+    channel rides `_ranked_nosort`'s val column as the ascii of the
+    stream's first character (distinct across the five streams, and
+    recomputable in ANSI SQL — no hash salt to coordinate).
+
+    H = 12/(N(N+1))·Σⱼ Rⱼ²/nⱼ − 3(N+1). Rⱼ and nⱼ are exact longs;
+    Rⱼ²/nⱼ folds through ×100 fixed-point integer division in
+    decimal/HUGEINT (exact, order-free — the k-term sum never touches
+    floats), so h_stat is ONE deterministic double chain. The χ²
+    critical value at df = k−1 comes from a pinned CASE map; Rⱼ²·100
+    fits the decimal(38) lane past sf100 (Rⱼ ≲ N²/k).
+
+    Scale: one range-binned shuffle + per-bin windows for ranks (the
+    exact-Gini plan), then a ≤k-row aggregate — rank tests on 100 TB
+    without sorting the world."""
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _ranked_nosort
+
+    e = t(spark, sf_dir, "events")
+    gid = F.ascii(F.substring("event_type", 1, 1)).cast("long")
+    assigned = e.select(
+        gid.alias("gid"),
+        (
+            F.round(F.col("value") * 100).cast("long") * F.lit(2**32).cast("long")
+            + F.col("event_id")
+        ).alias("key"),
+    )
+    ranked = _ranked_nosort(assigned.select("key", F.col("gid").alias("val")))
+    grp = ranked.groupBy(F.col("val").alias("gid")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+        F.sum("i").cast("long").alias("rank_sum"),
+    )
+    tot = grp.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.expr("(cast(rank_sum as decimal(38,0)) * rank_sum * 100) div n_j")
+        )
+        .cast("long")
+        .alias("s100"),
+    )
+    h = tot.select(
+        "n",
+        "k",
+        F.expr(
+            "12.0 * (CAST(s100 AS DOUBLE) / 100.0)"
+            " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+            " - 3.0 * (CAST(n AS DOUBLE) + 1.0)"
+        ).alias("h_raw"),
+    )
+    dim = e.select(gid.alias("gid"), "event_type").distinct()
+    return (
+        grp.join(F.broadcast(dim), "gid")
+        .crossJoin(F.broadcast(h))
+        .select(
+            "event_type",
+            "n_j",
+            "rank_sum",
+            F.round(F.col("rank_sum").cast("double") / F.col("n_j"), 8).alias(
+                "mean_rank"
+            ),
+            "n",
+            "k",
+            F.round("h_raw", 8).alias("h_stat"),
+            (F.col("k") - 1).cast("long").alias("df"),
+            (
+                F.col("h_raw")
+                > F.expr(
+                    "CASE CAST(k - 1 AS INT) WHEN 1 THEN 3.841 WHEN 2 THEN 5.991"
+                    " WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 END"
+                )
+            ).alias("significant_95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ds_spearman_rho",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_c,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    r1 AS (
+      SELECT o_custkey,
+             row_number() OVER (ORDER BY spend_c, o_custkey) AS r_spend
+      FROM per
+    ),
+    r2 AS (
+      SELECT o_custkey,
+             row_number() OVER (ORDER BY n_orders, o_custkey) AS r_freq
+      FROM per
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((r_spend - r_freq) * (r_spend - r_freq)) AS BIGINT)
+               AS sum_d2
+      FROM r1 JOIN r2 USING (o_custkey)
+    )
+    SELECT n, sum_d2,
+           ROUND(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0)),
+                 8) AS spearman_rho
+    FROM s
+    """,
+    tags=("analytics", "correlation", "nonparametric", "rank"),
+)
+def ds_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation between customer monetary value and
+    purchase frequency — the monotonic-association readout behind RFM
+    sanity checks ("do big spenders also order often?"), robust to the
+    heavy-tailed spend distribution that distorts `agg_corr_bivariate`'s
+    Pearson r. Both variables are ranked by `_ranked_nosort`
+    (distributed rank, no world sort) over unique composite keys
+    (metric·2³² + custkey), so ranks are distinct permutations in BOTH
+    engines and the textbook identity applies EXACTLY:
+    ρ = 1 − 6·Σd²/(n(n²−1)), with Σd² an exact long (d² ≤ n², Σ ≤ n³ —
+    fits the long lane through sf100's ~15M customers at 3.4e21… no:
+    past n ≈ 2M the sum needs the decimal lane; the composite spend key
+    itself holds while per-customer cents < 2³¹, which TPC-H's
+    ~10-orders-per-customer invariant guarantees at every SF).
+
+    The custkey rides `_ranked_nosort`'s val channel, so rank→customer
+    needs no join back through the key encoding; the final equi-join of
+    the two rank relations shuffles (custkey, rank) pairs only.
+
+    Scale: two range-binned rank passes + one slim join + a one-row
+    aggregate; ρ is one deterministic double chain over exact
+    integers, rounded at 1e-8."""
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _ranked_nosort
+
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_c"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    two32 = F.lit(2**32).cast("long")
+    r1 = _ranked_nosort(
+        per.select(
+            (F.col("spend_c") * two32 + F.col("o_custkey")).alias("key"),
+            F.col("o_custkey").alias("val"),
+        )
+    )
+    r2 = _ranked_nosort(
+        per.select(
+            (F.col("n_orders") * two32 + F.col("o_custkey")).alias("key"),
+            F.col("o_custkey").alias("val"),
+        )
+    )
+    j = r1.select(F.col("val").alias("ck"), F.col("i").alias("r_spend")).join(
+        r2.select(F.col("val").alias("ck"), F.col("i").alias("r_freq")), "ck"
+    )
+    d = F.col("r_spend") - F.col("r_freq")
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d * d).cast("long").alias("sum_d2"),
+    )
+    return s.select(
+        "n",
+        "sum_d2",
+        F.round(
+            1.0
+            - 6.0
+            * F.col("sum_d2").cast("double")
+            / (
+                F.col("n").cast("double")
+                * (F.col("n").cast("double") * F.col("n") - 1.0)
+            ),
+            8,
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "ds_wilcoxon_signed_rank",
+    oracle="""
+    WITH b AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+    ),
+    per AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN epoch_us(ts) < b.mid
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS early_c,
+             CAST(SUM(CASE WHEN epoch_us(ts) >= b.mid
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS late_c
+      FROM events CROSS JOIN b GROUP BY user_id
+    ),
+    diffs AS (
+      SELECT user_id, late_c - early_c AS d FROM per
+      WHERE late_c - early_c <> 0
+    ),
+    ranked AS (
+      SELECT CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos,
+             row_number() OVER (ORDER BY ABS(d), user_id) AS rk
+      FROM diffs
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN pos = 1 THEN rk ELSE 0 END) AS BIGINT) AS w_plus
+      FROM ranked
+    )
+    SELECT n_pairs, w_plus,
+           CAST(n_pairs * (n_pairs + 1) // 2 - w_plus AS BIGINT) AS w_minus,
+           ROUND((CAST(w_plus AS DOUBLE)
+                  - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)
+                 / SQRT(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+                        * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0),
+                 8) AS z_stat,
+           CAST(ABS((CAST(w_plus AS DOUBLE)
+                  - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)
+                 / SQRT(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+                        * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0)) > 1.96
+                AS BOOLEAN) AS significant_95
+    FROM s
+    """,
+    tags=("analytics", "experiment", "nonparametric", "rank", "paired"),
+)
+def ds_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank — the PAIRED nonparametric test completing
+    the rank-test family (`ds_mann_whitney_u` = independent two-sample,
+    `ds_kruskal_wallis` = k-sample): did per-user event value shift
+    between the first and second half of the observation window? The
+    pairing is within-user (each user is their own control), the
+    half-window boundary is the exact integer midpoint of the corpus
+    [min, max] timestamp span (microsecond arithmetic, identical in
+    both engines), and zero differences drop per the textbook
+    procedure.
+
+    |d| ranks come from `_ranked_nosort` over the unique composite key
+    (|d|·2³² + user_id) — deterministic tie-break, no world sort, the
+    sign rides the val channel. W⁺ = Σ rank·[d>0] is an exact long;
+    the normal approximation z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24)
+    is one double chain over exact integers. An all-zero-diff corpus
+    yields NULL z in both engines (empty diffs → NULL sums), never
+    NaN.
+
+    Scale: the per-user early/late fold is one partial-merged groupBy
+    over the scan; ranking shuffles only (user, |d|) pairs."""
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _ranked_nosort
+
+    e = t(spark, sf_dir, "events")
+    b = e.agg(
+        F.expr("(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) div 2").alias("mid")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    per = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.expr("unix_micros(ts)") < F.col("mid"), cents).otherwise(0)
+            )
+            .cast("long")
+            .alias("early_c"),
+            F.sum(
+                F.when(F.expr("unix_micros(ts)") >= F.col("mid"), cents).otherwise(0)
+            )
+            .cast("long")
+            .alias("late_c"),
+        )
+    )
+    diffs = per.select(
+        "user_id", (F.col("late_c") - F.col("early_c")).alias("d")
+    ).filter(F.col("d") != 0)
+    ranked = _ranked_nosort(
+        diffs.select(
+            (
+                F.abs(F.col("d")) * F.lit(2**32).cast("long") + F.col("user_id")
+            ).alias("key"),
+            (F.col("d") > 0).cast("long").alias("val"),
+        )
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("i") * F.col("val")).cast("long").alias("w_plus"),
+    )
+    np_d = F.col("n_pairs").cast("double")
+    z = (F.col("w_plus").cast("double") - np_d * (np_d + 1.0) / 4.0) / F.sqrt(
+        np_d * (np_d + 1.0) * (2.0 * np_d + 1.0) / 24.0
+    )
+    return s.select(
+        "n_pairs",
+        "w_plus",
+        F.expr("n_pairs * (n_pairs + 1) div 2 - w_plus")
+        .cast("long")
+        .alias("w_minus"),
+        F.round(z, 8).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

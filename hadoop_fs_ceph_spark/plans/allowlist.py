@@ -26,6 +26,9 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "profile_join_fanout": "one-row (est_rows, n_keys) totals broadcast",
     "agg_quantile_sketch_error": "2-row quantile-state/sketch-answer broadcasts (refinement + rank-count passes)",
     "ds_mann_whitney_u": "one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
+    "ds_kruskal_wallis": "one-row bounds + ≤4096-row rank-offset-map + one-row H-stat broadcasts (distributed-rank pass)",
+    "ds_spearman_rho": "one-row bounds + ≤4096-row rank-offset-map broadcasts (two distributed-rank passes)",
+    "ds_wilcoxon_signed_rank": "one-row corpus-midpoint + one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
     "profile_freshness_lag": "one-row corpus-watermark broadcast onto the per-stream aggregate",
     "sample_rolling_origin_folds": "3-row fold spine + one-row corpus-horizon broadcast",
     "fn_zip_with_dot": "one-row query-vector broadcast",
@@ -213,6 +216,9 @@ BOUNDED_COLLECT: dict[str, str] = {
     "agg_gini_concentration": _REFINE_COLLECT,
     "ds_pareto_concentration": _REFINE_COLLECT,
     "ds_mann_whitney_u": _REFINE_COLLECT,
+    "ds_kruskal_wallis": _REFINE_COLLECT,
+    "ds_spearman_rho": _REFINE_COLLECT,
+    "ds_wilcoxon_signed_rank": _REFINE_COLLECT,
     "agg_gini_concentration_binned": "collected 64-bin contribution array, sequential fold",
     "ds_pareto_concentration_binned": "collected 64-bin contribution array, sequential fold",
     "agg_collect_sorted": "per-customer order list — spec-bounded (TPC-H customers hold tens of orders at every SF)",
