@@ -3382,3 +3382,122 @@ def ds_growth_accounting(spark, sf_dir):
         .select(F.col("m").alias("month_index"), "kind", "n")
         .orderBy("month_index", "kind")
     )
+
+
+@query(
+    "ds_stl_decompose_lite",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderstatus AS st,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS epoch_day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY st, epoch_day
+    ),
+    tr AS (
+      SELECT st, epoch_day, rev_c,
+             CAST(SUM(rev_c) OVER w AS BIGINT) AS sum7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS cnt7
+      FROM daily
+      WINDOW w AS (PARTITION BY st ORDER BY epoch_day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT st, epoch_day, rev_c, sum7, cnt7,
+             rev_c * 7 - sum7 AS d7,
+             (epoch_day + 4) % 7 AS dow
+      FROM tr
+    ),
+    seas AS (
+      SELECT st, dow, CAST(SUM(d7) AS BIGINT) AS s_num,
+             CAST(COUNT(*) AS BIGINT) AS s_cnt
+      FROM det WHERE cnt7 = 7 GROUP BY st, dow
+    )
+    SELECT det.st AS o_orderstatus, det.epoch_day, det.rev_c, det.dow,
+           CASE WHEN det.cnt7 = 7
+                THEN CAST(det.sum7 AS DOUBLE) / 7.0 END AS trend,
+           CASE WHEN det.cnt7 = 7
+                THEN CAST(s.s_num AS DOUBLE) / (7.0 * s.s_cnt) END AS seasonal,
+           CASE WHEN det.cnt7 = 7
+                THEN CAST(det.d7 AS DOUBLE) / 7.0
+                     - CAST(s.s_num AS DOUBLE) / (7.0 * s.s_cnt) END AS resid
+    FROM det JOIN seas s ON det.st = s.st AND det.dow = s.dow
+    ORDER BY o_orderstatus, epoch_day
+    """,
+    tags=("analytics", "timeseries", "decomposition"),
+)
+def ds_stl_decompose_lite(spark, sf_dir):
+    """Classical additive trend/seasonal/residual decomposition of the
+    per-status daily revenue series (the moving-average STL ancestor:
+    trend = centered 7-day mean, seasonal = day-of-week mean of the
+    detrended series, residual = remainder). This is the anomaly
+    baseline behind `ds_seasonality_index` and the forecast family —
+    a spike only matters once trend and weekday rhythm are removed.
+
+    Exactness: the centered mean never materializes as a float mid-
+    pipeline — detrended is carried as d7 = rev_c·7 − sum7 (exact
+    long, sevenths fixed-point), the per-(status, dow) seasonal
+    numerator sums THOSE exact integers, and the three emitted
+    doubles (trend, seasonal, resid) are raw divisions/one
+    subtraction of exact integers — identical IEEE chains, NO
+    rounding needed (the round-8 trap on ≥1e5 magnitudes doesn't
+    apply to raw division). Edge rows (incomplete 7-day frame) emit
+    NULL components via the cnt7 = 7 gate; day-of-week is pure
+    integer arithmetic ((epoch_day + 4) % 7 — no engine dow()
+    convention to reconcile).
+
+    Shape: pre-aggregate to the calendar-bounded daily relation; one
+    centered-frame Window pass per status partition; the seasonal
+    relation is ≤ |status|·7 rows, broadcast back. No world sort, no
+    single-partition window."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn(
+            "epoch_day",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+        )
+        .groupBy(F.col("o_orderstatus").alias("st"), "epoch_day")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    )
+    w7 = (
+        Window.partitionBy("st").orderBy("epoch_day").rowsBetween(-3, 3)
+    )
+    det = daily.select(
+        "st",
+        "epoch_day",
+        "rev_c",
+        F.sum("rev_c").over(w7).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("cnt7"),
+    ).select(
+        "*",
+        (F.col("rev_c") * 7 - F.col("sum7")).alias("d7"),
+        ((F.col("epoch_day") + 4) % 7).alias("dow"),
+    )
+    seas = (
+        det.filter(F.col("cnt7") == 7)
+        .groupBy("st", "dow")
+        .agg(
+            F.sum("d7").cast("long").alias("s_num"),
+            F.count(F.lit(1)).cast("long").alias("s_cnt"),
+        )
+    )
+    full = F.col("cnt7") == 7
+    seasonal = F.col("s_num").cast("double") / (7.0 * F.col("s_cnt"))
+    return (
+        det.join(F.broadcast(seas), ["st", "dow"])
+        .select(
+            F.col("st").alias("o_orderstatus"),
+            "epoch_day",
+            "rev_c",
+            "dow",
+            F.when(full, F.col("sum7").cast("double") / 7.0).alias("trend"),
+            F.when(full, seasonal).alias("seasonal"),
+            F.when(
+                full, F.col("d7").cast("double") / 7.0 - seasonal
+            ).alias("resid"),
+        )
+        .orderBy("o_orderstatus", "epoch_day")
+    )

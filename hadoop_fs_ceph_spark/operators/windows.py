@@ -1359,3 +1359,202 @@ def win_rolling_corr(spark, sf_dir):
         F.lit(0.0),
     )
     return m.filter(F.col("rn") >= 28).select("d", corr.alias("corr28")).orderBy("d")
+
+
+@query(
+    "win_stochastic_oscillator",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderstatus,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS epoch_day,
+             SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY o_orderstatus, epoch_day
+    ),
+    x AS (
+      SELECT o_orderstatus, epoch_day, rev_c,
+             MIN(rev_c) OVER w AS low14,
+             MAX(rev_c) OVER w AS high14,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY epoch_day) AS rn
+      FROM daily
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY epoch_day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+      SELECT o_orderstatus, epoch_day, rn,
+             ROUND(100.0 * CAST(rev_c - low14 AS DOUBLE)
+                   / CAST(NULLIF(high14 - low14, 0) AS DOUBLE), 8) AS pct_k
+      FROM x
+    )
+    SELECT o_orderstatus, epoch_day, pct_k,
+           CASE WHEN rn >= 16 THEN
+             ROUND((pct_k
+                    + LAG(pct_k, 1) OVER (PARTITION BY o_orderstatus
+                                          ORDER BY epoch_day)
+                    + LAG(pct_k, 2) OVER (PARTITION BY o_orderstatus
+                                          ORDER BY epoch_day)) / 3.0, 8)
+           END AS pct_d
+    FROM k WHERE rn >= 14
+    ORDER BY o_orderstatus, epoch_day
+    """,
+    tags=("window", "finance", "momentum"),
+)
+def win_stochastic_oscillator(spark, sf_dir):
+    """Stochastic oscillator (%K/%D, 14-3) on the daily revenue series
+    per order status — where does today sit inside the trailing
+    14-day [low, high] band, and its 3-day smoothing. Joins the
+    `win_rsi` / `win_bollinger_bands` momentum family.
+
+    Determinism: low/high/close are exact cent longs from MIN/MAX/SUM
+    frames; %K is ONE division of exact integers ×100 (rounded 1e-8,
+    O(100) magnitude — safe), with NULLIF covering a flat 14-day band;
+    %D averages the three ALREADY-ROUNDED %K values through an
+    explicit left-associated LAG chain — no window-internal float
+    accumulation order to trust — and any NULL %K in the triple nulls
+    %D in both engines. First 13 rows withheld (frame not full); %D
+    additionally needs rn ≥ 16 (three full %K values).
+
+    Shape: one pre-aggregated daily relation (calendar-bounded), then
+    a single Window pass per status partition — parallel across
+    statuses, never a single-partition window."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn(
+            "epoch_day",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+        )
+        .groupBy("o_orderstatus", "epoch_day")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    )
+    ws = Window.partitionBy("o_orderstatus").orderBy("epoch_day")
+    w14 = ws.rowsBetween(-13, 0)
+    x = daily.select(
+        "o_orderstatus",
+        "epoch_day",
+        "rev_c",
+        F.min("rev_c").over(w14).alias("low14"),
+        F.max("rev_c").over(w14).alias("high14"),
+        F.row_number().over(ws).alias("rn"),
+    )
+    k = x.select(
+        "o_orderstatus",
+        "epoch_day",
+        "rn",
+        F.round(
+            100.0
+            * (F.col("rev_c") - F.col("low14")).cast("double")
+            / F.nullif(F.col("high14") - F.col("low14"), F.lit(0)).cast("double"),
+            8,
+        ).alias("pct_k"),
+    )
+    d3 = (
+        F.col("pct_k") + F.lag("pct_k", 1).over(ws) + F.lag("pct_k", 2).over(ws)
+    ) / 3.0
+    return (
+        k.select(
+            "o_orderstatus",
+            "epoch_day",
+            "pct_k",
+            F.when(F.col("rn") >= 16, F.round(d3, 8)).alias("pct_d"),
+            "rn",
+        )
+        .filter(F.col("rn") >= 14)
+        .drop("rn")
+        .orderBy("o_orderstatus", "epoch_day")
+    )
+
+
+@query(
+    "win_obv",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderstatus,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS epoch_day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS rev_c,
+             CAST(COUNT(*) AS BIGINT) AS vol
+      FROM orders GROUP BY o_orderstatus, epoch_day
+    ),
+    d AS (
+      SELECT o_orderstatus, epoch_day, rev_c, vol,
+             rev_c - LAG(rev_c) OVER
+               (PARTITION BY o_orderstatus ORDER BY epoch_day) AS diff
+      FROM daily
+    ),
+    s AS (
+      SELECT o_orderstatus, epoch_day, rev_c, vol,
+             CASE WHEN diff > 0 THEN vol
+                  WHEN diff < 0 THEN -vol
+                  ELSE 0 END AS signed_vol
+      FROM d
+    )
+    SELECT o_orderstatus, epoch_day, rev_c, vol,
+           CAST(SUM(signed_vol) OVER
+             (PARTITION BY o_orderstatus ORDER BY epoch_day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS obv
+    FROM s
+    ORDER BY o_orderstatus, epoch_day
+    """,
+    tags=("window", "finance", "volume"),
+)
+def win_obv(spark, sf_dir):
+    """On-balance volume — the classic volume-flow accumulator: add
+    the day's volume when the close rises, subtract it when it falls,
+    carry when flat. Here close = daily revenue cents and volume =
+    order count per status, making OBV the divergence detector between
+    revenue direction and order flow ("price up on thin volume").
+
+    Every quantity is an exact long end to end — LAG diff, signed
+    volume, and the running sum — so there is NO float anywhere and
+    the first row's NULL diff folds to 0 via the ELSE branch in both
+    engines identically.
+
+    Shape: pre-aggregate to the calendar-bounded daily relation, then
+    one Window pass per status partition (LAG + running sum share the
+    same sort), parallel across statuses."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn(
+            "epoch_day",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+        )
+        .groupBy("o_orderstatus", "epoch_day")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"),
+            F.count(F.lit(1)).cast("long").alias("vol"),
+        )
+    )
+    ws = Window.partitionBy("o_orderstatus").orderBy("epoch_day")
+    d = daily.select(
+        "o_orderstatus",
+        "epoch_day",
+        "rev_c",
+        "vol",
+        (F.col("rev_c") - F.lag("rev_c").over(ws)).alias("diff"),
+    )
+    signed = (
+        F.when(F.col("diff") > 0, F.col("vol"))
+        .when(F.col("diff") < 0, -F.col("vol"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return (
+        d.select("o_orderstatus", "epoch_day", "rev_c", "vol", signed.alias("sv"))
+        .select(
+            "o_orderstatus",
+            "epoch_day",
+            "rev_c",
+            "vol",
+            F.sum("sv")
+            .over(ws.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("obv"),
+        )
+        .orderBy("o_orderstatus", "epoch_day")
+    )
