@@ -1002,3 +1002,53 @@ def graph_assortativity(spark, sf_dir):
             )
         ).alias("assortativity"),
     )
+
+
+@query(
+    "graph_reciprocity",
+    oracle=f"""
+    WITH e AS (
+      SELECT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst
+    ),
+    r AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(SUM(CASE WHEN EXISTS (
+                    SELECT 1 FROM e e2
+                    WHERE e2.src = e.dst AND e2.dst = e.src)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal
+      FROM e
+    )
+    SELECT n_edges, n_reciprocal,
+           ROUND(CAST(n_reciprocal AS DOUBLE) / n_edges, 8) AS reciprocity
+    FROM r
+    """,
+    tags=("graph", "reciprocity"),
+)
+def graph_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity of the trade graph: what fraction of
+    customer-nation → supplier-nation edges have the reverse edge too —
+    the standard directedness diagnostic (1.0 = effectively undirected,
+    0 = pure DAG-like flow) that calibrates whether the undirected
+    projections used by the triangle/k-core family lose information.
+
+    Plan: the distinct edge relation self-joins against its own
+    reversal as a LEFT SEMI equi-join on both endpoints — existence
+    check, no fan-out, no EXISTS subquery per row; two one-row counts
+    combine via a broadcast cross of bounded relations. Reciprocity is
+    one division of exact longs rounded at 1e-8 (O(1) magnitude).
+
+    Scale: |E| here is nation×nation (≤625), but the plan is the
+    100 TB shape — semi-join on the shuffled edge key, counts
+    partial-merged."""
+    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    rc = recip.agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    return tot.crossJoin(F.broadcast(rc)).select(
+        "n_edges",
+        "n_reciprocal",
+        F.round(
+            F.col("n_reciprocal").cast("double") / F.col("n_edges"), 8
+        ).alias("reciprocity"),
+    )

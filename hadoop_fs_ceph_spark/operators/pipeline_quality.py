@@ -3810,3 +3810,58 @@ def ds_wilcoxon_signed_rank(spark, sf_dir):
         F.round(z, 8).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+@query(
+    "profile_id_gaps",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id,
+             LAG(event_id) OVER (PARTITION BY event_type
+                                 ORDER BY event_id) AS prev_id
+      FROM events
+    )
+    SELECT event_type,
+           CAST(prev_id + 1 AS BIGINT) AS gap_start,
+           CAST(event_id - 1 AS BIGINT) AS gap_end,
+           CAST(event_id - prev_id - 1 AS BIGINT) AS n_missing
+    FROM s
+    WHERE event_id - prev_id > 1
+    ORDER BY n_missing DESC, event_type, gap_start
+    LIMIT 20
+    """,
+    tags=("profile", "completeness", "quality"),
+)
+def profile_id_gaps(spark, sf_dir):
+    """Sequence-completeness audit: the 20 largest gaps in the
+    per-stream event-id sequence — the "did the pipeline drop a batch?"
+    readout (a contiguous run of missing ids inside one stream is the
+    signature of a lost micro-batch, where random row loss shows up as
+    scattered 1-gaps). Complements `profile_freshness_lag` (time axis)
+    with the identity axis, and `profile_key_discovery` (is it a key?)
+    with (is the key dense?).
+
+    Plan: one LAG window per stream partition — parallel across
+    streams, exact integer arithmetic end to end; the top-20 is
+    TakeOrdered with a full deterministic tie-break (n_missing, type,
+    start). At 100 TB the window input is (type, id) pairs only —
+    16 bytes a row; a date-bucketed refinement bounds any single
+    stream partition."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    s = e.select(
+        "event_type",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+    )
+    return (
+        s.filter(F.col("event_id") - F.col("prev_id") > 1)
+        .select(
+            "event_type",
+            (F.col("prev_id") + 1).cast("long").alias("gap_start"),
+            (F.col("event_id") - 1).cast("long").alias("gap_end"),
+            (F.col("event_id") - F.col("prev_id") - 1).cast("long").alias("n_missing"),
+        )
+        .orderBy(F.col("n_missing").desc(), "event_type", "gap_start")
+        .limit(20)
+    )

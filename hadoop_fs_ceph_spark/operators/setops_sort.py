@@ -178,3 +178,24 @@ def topk_global(spark, sf_dir):
     return o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(20).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity <= 3
+    INTERSECT ALL
+    SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity <= 2
+    """,
+    tags=("setop",),
+)
+def setop_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — bag semantics (multiplicity-preserving
+    intersection), completing the set-op family next to
+    `setop_except_all`: each flag survives min(countA, countB) times.
+    Spark plans this as a partial-aggregated count-compare join — one
+    shuffle on the value, no distinct collapse."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") <= 3).select(F.col("l_returnflag").alias("flag"))
+    b = li.filter(F.col("l_quantity") <= 2).select(F.col("l_returnflag").alias("flag"))
+    return a.intersectAll(b)

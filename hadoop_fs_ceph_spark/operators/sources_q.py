@@ -90,6 +90,41 @@ def src_orc_roundtrip(spark, sf_dir):
     return _orders_agg(read_orc(spark, path))
 
 
+@query("src_xml_roundtrip", oracle=_ORDERS_AGG_SQL, tags=("source", "xml"))
+def src_xml_roundtrip(spark, sf_dir):
+    """parquet → XML (Spark 4 built-in source, one <order> element per
+    row) → schema'd read-back → aggregate. DuckDB has no XML reader, so
+    the oracle runs on the original parquet — the hash match proves the
+    XML cycle lossless. Timestamps round-trip via an explicit ISO
+    format; doubles via shortest-repr serialization (same contract as
+    the CSV/JSON roundtrips).
+
+    Scale: the XML source splits files like any text source; schema'd
+    reads skip inference (a full extra pass at 100 TB)."""
+    o = t(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "xml_orders")
+    (
+        o.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .save(path)
+    )
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .schema(schema)
+        .load(path)
+    )
+    return _orders_agg(back)
+
+
 @query(
     "src_partitioned_write",
     oracle="""

@@ -1806,3 +1806,109 @@ def text_url_canonicalize(spark, sf_dir):
         .filter(F.col("n_docs") >= 2)
         .orderBy("canonical_url")
     )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH th AS (
+      SELECT {sql_token_hashes("string_split(text, ' ')")} AS h FROM documents
+    ),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(h)),
+                    i -> {{'cur': h[i], 'nxt': h[i + 1]}})) AS g
+      FROM th
+    ),
+    cnt AS (
+      SELECT g.cur AS cur, g.nxt AS nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bi GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT u AS tok, CAST(COUNT(*) AS BIGINT) AS uc
+      FROM (SELECT unnest(h) AS u FROM th) GROUP BY u
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cnt) AS n_bi,
+             (SELECT CAST(SUM(uc) AS BIGINT) FROM uni) AS n_tok
+    )
+    SELECT c.cur, c.nxt, c.c, u1.uc AS c_cur, u2.uc AS c_nxt,
+           ROUND(LN((CAST(c.c AS DOUBLE) * CAST(t.n_tok AS DOUBLE)
+                     * CAST(t.n_tok AS DOUBLE))
+                    / (CAST(t.n_bi AS DOUBLE) * CAST(u1.uc AS DOUBLE)
+                       * CAST(u2.uc AS DOUBLE))), 8) AS pmi
+    FROM cnt c
+    JOIN uni u1 ON u1.tok = c.cur
+    JOIN uni u2 ON u2.tok = c.nxt
+    CROSS JOIN tot t
+    WHERE c.c >= 5
+    ORDER BY pmi DESC, c.cur, c.nxt
+    LIMIT 20
+    """,
+    tags=("text", "ngram", "collocation", "language-model"),
+)
+def text_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining: the 20 adjacent
+    token pairs (support ≥ 5) whose co-occurrence most exceeds chance —
+    PMI = ln(p(a,b)/(p(a)p(b))) — the classic multiword-expression
+    detector feeding tokenizer-merge candidates and boilerplate
+    phrase lists (the corpus-level sibling of `text_bigram_entropy`'s
+    per-context predictability).
+
+    Every probability is a ratio of EXACT counts (bigram, two
+    unigrams, two corpus totals); the PMI argument assembles those
+    five integers in one double product chain (term magnitudes stay
+    ≪ 2^1023 — no long overflow because the floats multiply, the
+    integers never do) and takes ONE ln — identical IEEE chain +
+    shared libm contract, rounded 1e-8 BEFORE the ordering so the
+    top-20 cut is deterministic, ties broken by (cur, nxt).
+
+    Scale: token hashing is map-side; the shuffles carry (hash8,
+    count) partials only — bigram relation + unigram relation — and
+    the two joins back are slim equi-joins on 8-byte keys; totals are
+    one-row broadcasts; top-20 is TakeOrdered. Raw text never
+    shuffles."""
+    d = t(spark, sf_dir, "documents")
+    th = d.select(token_hashes(tokens("text")).alias("h")).persist()
+    bi = th.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - 1),
+                lambda i: F.struct(
+                    F.element_at("h", i).alias("cur"),
+                    F.element_at("h", i + 1).alias("nxt"),
+                ),
+            )
+        ).alias("g")
+    ).select("g.cur", "g.nxt")
+    cnt = bi.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    uni = (
+        th.select(F.explode("h").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("uc"))
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("n_bi")).crossJoin(
+        uni.agg(F.sum("uc").cast("long").alias("n_tok"))
+    )
+    pmi = F.log(
+        (
+            F.col("c").cast("double")
+            * F.col("n_tok").cast("double")
+            * F.col("n_tok").cast("double")
+        )
+        / (
+            F.col("n_bi").cast("double")
+            * F.col("c_cur").cast("double")
+            * F.col("c_nxt").cast("double")
+        )
+    )
+    return (
+        cnt.filter(F.col("c") >= 5)
+        .join(uni.withColumnRenamed("tok", "cur").withColumnRenamed("uc", "c_cur"), "cur")
+        .join(uni.withColumnRenamed("tok", "nxt").withColumnRenamed("uc", "c_nxt"), "nxt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cur", "nxt", "c", "c_cur", "c_nxt", F.round(pmi, 8).alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), "cur", "nxt")
+        .limit(20)
+    )

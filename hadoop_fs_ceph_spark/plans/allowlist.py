@@ -47,6 +47,8 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "ds_rfm_segmentation": "one-row corpus-max-date broadcast",
     "sample_temporal_split": "one-row corpus-horizon (max_ts/test_start/train_end) broadcast",
     "graph_triangle_count": "one-row edge-count broadcast joined to one-row count",
+    "graph_reciprocity": "two one-row edge/reciprocal counts cross-joined",
+    "text_pmi_collocations": "one-row (n_bi, n_tok) corpus-totals broadcast onto the thresholded bigram relation",
     "ds_basket_lift": "one-row order-count broadcast",
     "text_zipf_profile": "one-row corpus-total broadcast",
     "sim_knn_quality_mrr": "bounded query-batch broadcast (eval pass)",
