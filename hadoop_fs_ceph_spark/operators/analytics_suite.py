@@ -3501,3 +3501,141 @@ def ds_stl_decompose_lite(spark, sf_dir):
         )
         .orderBy("o_orderstatus", "epoch_day")
     )
+
+
+_MACD_TAIL = 128
+
+
+@query(
+    "win_macd_fold",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderstatus,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS epoch_day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+               AS x
+      FROM orders GROUP BY o_orderstatus, epoch_day
+      QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY epoch_day DESC) <= {_MACD_TAIL}
+    ),
+    seq AS (
+      SELECT o_orderstatus, list(x ORDER BY epoch_day) AS vals
+      FROM daily GROUP BY o_orderstatus
+    ),
+    st AS (
+      SELECT o_orderstatus, len(vals) AS n_days, vals[-1] AS last_close,
+             -- state = [ema12, ema26, signal] (flat DOUBLE list; struct
+             -- accumulators mis-fold in DuckDB multi-step list_reduce)
+             list_reduce(
+               list_prepend([vals[1], vals[1], CAST(0.0 AS DOUBLE)],
+                 list_transform(vals[2:],
+                   x -> [x, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+               (acc, e) ->
+                 [(2.0 / 13.0) * e[1] + (1.0 - 2.0 / 13.0) * acc[1],
+                  (2.0 / 27.0) * e[1] + (1.0 - 2.0 / 27.0) * acc[2],
+                  0.2 * (((2.0 / 13.0) * e[1] + (1.0 - 2.0 / 13.0) * acc[1])
+                         - ((2.0 / 27.0) * e[1] + (1.0 - 2.0 / 27.0) * acc[2]))
+                  + 0.8 * acc[3]]) AS s
+      FROM seq
+    )
+    SELECT o_orderstatus, CAST(n_days AS BIGINT) AS n_days, last_close,
+           s[1] AS ema12, s[2] AS ema26,
+           s[1] - s[2] AS macd,
+           s[3] AS signal_line,
+           (s[1] - s[2]) - s[3] AS histogram
+    FROM st
+    ORDER BY o_orderstatus
+    """,
+    tags=("window", "finance", "momentum", "stateful"),
+)
+def win_macd_fold(spark, sf_dir):
+    """MACD (12/26/9) on the per-status daily revenue series — the
+    triple-EMA recurrence (`win_ewma_fold`'s three-accumulator sibling,
+    `win_rsi`/`win_stochastic_oscillator`'s trend-following cousin):
+    ema12' = α₁₂x + (1−α₁₂)ema12, same for ema26, and the signal line
+    smooths the macd SERIES (not just its endpoint), so the state is a
+    flat 3-double vector folded sequentially — no closed-form window
+    frame expresses it. The ema12'/ema26' subexpressions are
+    deliberately duplicated inside the signal slot so both engines
+    evaluate the identical IEEE chain per step: bit-identical, no
+    tolerance band, including the α constants spelled as the division
+    2.0/13.0 in both engines.
+
+    Seeding: textbook warm-up uses an SMA; this declared form seeds
+    both EMAs with the first observation and the signal at 0 (the
+    documented contract, exactly reproducible).
+
+    Scale: pre-aggregate to the calendar-bounded daily relation, hard
+    ≤{_MACD_TAIL}-day tail cap per key (QUALIFY — the per-group state
+    bound, same posture as `ds_holt_winters`), one grouped collect +
+    one fold per status. Parallel across keys; never more than
+    {_MACD_TAIL} doubles of state."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn(
+            "epoch_day",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+        )
+        .groupBy("o_orderstatus", "epoch_day")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    wt = Window.partitionBy("o_orderstatus").orderBy(F.col("epoch_day").desc())
+    tail = (
+        daily.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _MACD_TAIL)
+        .select("o_orderstatus", "epoch_day", "x")
+    )
+    seq = tail.groupBy("o_orderstatus").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("epoch_day", "x"))),
+            lambda s: s["x"],
+        ).alias("vals")
+    )
+    a12 = F.lit(2.0) / F.lit(13.0)
+    a26 = F.lit(2.0) / F.lit(27.0)
+
+    def step(acc, x):
+        e12 = a12 * x + (F.lit(1.0) - a12) * acc[0]
+        e26 = a26 * x + (F.lit(1.0) - a26) * acc[1]
+        # duplicated subexpressions keep the IEEE chain identical to SQL
+        sig = F.lit(0.2) * (
+            (a12 * x + (F.lit(1.0) - a12) * acc[0])
+            - (a26 * x + (F.lit(1.0) - a26) * acc[1])
+        ) + F.lit(0.8) * acc[2]
+        return F.array(e12, e26, sig)
+
+    st = seq.select(
+        "o_orderstatus",
+        F.size("vals").cast("long").alias("n_days"),
+        F.element_at("vals", -1).alias("last_close"),
+        F.aggregate(
+            F.slice(F.col("vals"), 2, F.size("vals") - 1),
+            F.array(
+                F.element_at("vals", 1),
+                F.element_at("vals", 1),
+                F.lit(0.0),
+            ),
+            step,
+        ).alias("s"),
+    )
+    return st.select(
+        "o_orderstatus",
+        "n_days",
+        "last_close",
+        F.element_at("s", 1).alias("ema12"),
+        F.element_at("s", 2).alias("ema26"),
+        (F.element_at("s", 1) - F.element_at("s", 2)).alias("macd"),
+        F.element_at("s", 3).alias("signal_line"),
+        (
+            F.element_at("s", 1)
+            - F.element_at("s", 2)
+            - F.element_at("s", 3)
+        ).alias("histogram"),
+    ).orderBy("o_orderstatus")

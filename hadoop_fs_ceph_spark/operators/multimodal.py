@@ -466,3 +466,65 @@ def mm_image_text_pair(spark, sf_dir):
             F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
         ).alias("emb_norm"),
     )
+
+
+@query(
+    "mm_header_parse",
+    oracle="""
+    SELECT doc_id,
+           TRUE AS magic_ok,
+           CAST(16 + (doc_id * 2654435761) % 2048 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 1000003) % 2048 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(17 + LEAST(16, octet_length(encode(text))) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    tags=("multimodal", "binary", "header"),
+)
+def mm_header_parse(spark, sf_dir):
+    """Image-dimension extraction from header bytes WITHOUT decoding —
+    the metadata pass a multimodal pipeline runs over billions of
+    payloads before any expensive decode (PNG keeps width/height as
+    big-endian u32 right after the 8-byte magic; readers grab them
+    from the first 24 bytes). Payloads here are synthesized PNG-style
+    JVM-side (magic ‖ BE-u32 width ‖ BE-u32 height ‖ depth byte ‖
+    body) with dimensions derived from doc_id, then PARSED BACK by the
+    query: magic equality on the first 8 bytes, `conv(hex(substr))`
+    big-endian decode of the dimension words. The oracle recomputes
+    the dimensions arithmetically — the hash match proves the binary
+    encode→slice→decode path is lossless.
+
+    Everything is built-in expressions over BinaryType (hex/unhex/
+    substring/conv) inside whole-stage codegen — NO Python touches the
+    bytes; at 100 TB this runs as a map-only pass next to the scan,
+    and with real files the same expressions run on a
+    `binaryFile`-source `content` prefix."""
+    d = t(spark, sf_dir, "documents")
+    width = 16 + F.pmod(F.col("doc_id") * 2654435761, F.lit(2048))
+    height = 16 + F.pmod(F.col("doc_id") * 1000003, F.lit(2048))
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    blob = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG magic
+        be32(width),
+        be32(height),
+        F.unhex(F.lit("08")),  # bit depth byte
+        F.encode(F.substring("text", 1, 16), "utf-8"),  # body prefix
+    )
+    built = d.select("doc_id", blob.alias("blob"))
+    parsed = built.select(
+        "doc_id",
+        (F.hex(F.expr("substring(blob, 1, 8)")) == "89504E470D0A1A0A").alias(
+            "magic_ok"
+        ),
+        F.conv(F.hex(F.expr("substring(blob, 9, 4)")), 16, 10)
+        .cast("long")
+        .alias("width"),
+        F.conv(F.hex(F.expr("substring(blob, 13, 4)")), 16, 10)
+        .cast("long")
+        .alias("height"),
+        F.conv(F.hex(F.expr("substring(blob, 17, 1)")), 16, 10)
+        .cast("long")
+        .alias("bit_depth"),
+        F.length("blob").cast("long").alias("n_bytes"),
+    )
+    return parsed

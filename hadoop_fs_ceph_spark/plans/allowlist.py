@@ -230,6 +230,7 @@ BOUNDED_COLLECT: dict[str, str] = {
     "dedup_semantic_cell_refined": "K=8 refined-centroid component collect for the broadcast assign stage",
     "ds_anova_oneway": "k=8 group-moment rows folded in sorted group order",
     "ds_holt_winters": "≤64-day calendar-capped per-type daily series (QUALIFY tail cap)",
+    "win_macd_fold": "≤128-day calendar-capped per-status daily series (QUALIFY tail cap)",
     "ds_sequence_pattern": "per-user event list hard-capped at 4,096 events",
     "ds_survival_km": "per-customer order-date list reduced to the first two (slice bound)",
     "graph_degree_distribution": "per-degree node roster over the 25-nation vertex domain",
