@@ -1460,3 +1460,153 @@ def sim_binary_hamming_topk(spark, sf_dir):
         .select("qid", "vec_id", "hamming", F.col("rk").cast("long").alias("rk"))
         .orderBy("qid", "rk")
     )
+
+
+_MMR_POOL = 16
+_MMR_K = 5
+
+
+def _sql_mmr_pick(sel: str, rank: int) -> str:
+    """One MMR selection round as SQL: among candidates not yet in
+    ``sel``, maximize 7·sim_q − 3·max_sel_sim (×10 fixed-point, exact
+    integers), ties to the smallest vec_id."""
+    return f"""
+      SELECT c.vec_id, c.sfp, CAST({rank} AS BIGINT) AS rank,
+             7 * c.sfp - 3 * MAX(p.pfp) AS mmr_fp
+      FROM cand c
+      JOIN pairs p ON p.av = c.vec_id
+      JOIN {sel} s ON p.bv = s.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM {sel})
+      GROUP BY c.vec_id, c.sfp
+      ORDER BY mmr_fp DESC, c.vec_id LIMIT 1
+    """
+
+
+@query(
+    "sim_mmr_diversify",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding,
+             CAST(ROUND({sql_cosine("e.embedding", "q.qe")} * 1e9) AS BIGINT)
+               AS sfp
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY sfp DESC, e.vec_id LIMIT {_MMR_POOL}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS av, b.vec_id AS bv,
+             CAST(ROUND({sql_cosine("a.embedding", "b.embedding")} * 1e9)
+                  AS BIGINT) AS pfp
+      FROM cand a, cand b WHERE a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+      SELECT vec_id, sfp, CAST(1 AS BIGINT) AS rank,
+             CAST(NULL AS BIGINT) AS mmr_fp
+      FROM cand ORDER BY sfp DESC, vec_id LIMIT 1
+    ),
+    p2 AS ({_sql_mmr_pick("s1", 2)}),
+    s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM p2),
+    p3 AS ({_sql_mmr_pick("s2", 3)}),
+    s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM p3),
+    p4 AS ({_sql_mmr_pick("s3", 4)}),
+    s4 AS (SELECT * FROM s3 UNION ALL SELECT * FROM p4),
+    p5 AS ({_sql_mmr_pick("s4", 5)}),
+    s5 AS (SELECT * FROM s4 UNION ALL SELECT * FROM p5)
+    SELECT rank, vec_id, CAST(sfp AS DOUBLE) / 1e9 AS sim_q, mmr_fp
+    FROM s5 ORDER BY rank
+    """,
+    tags=("similarity", "retrieval", "mmr", "diversification"),
+)
+def sim_mmr_diversify(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking — the standard RAG/search
+    diversification pass: from the query's top-{_MMR_POOL} cosine
+    candidates, greedily select {_MMR_K} results maximizing
+    λ·sim(q,c) − (1−λ)·max_{{s∈selected}} sim(c,s) with λ = 0.7, so the
+    short list trades raw relevance against redundancy (the re-rank
+    stage after `sim_two_stage_retrieval`'s rescore).
+
+    Determinism: every cosine lands in ×1e9 fixed-point BEFORE any
+    comparison (cosines are bit-identical cross-engine per the
+    functions.similarity contract), and λ folds to the INTEGER
+    objective 7·sfp − 3·max_sel — each greedy argmax is an exact
+    integer maximum with vec_id tie-break. The {_MMR_K − 1} selection
+    rounds are unrolled dataframe rounds (the `graph_bfs_distance`
+    chained-rounds posture) over bounded relations: a {_MMR_POOL}-row
+    candidate pool (TakeOrdered), its {_MMR_POOL}×{_MMR_POOL} pairwise
+    cosine relation, and a ≤{_MMR_K}-row selected set.
+
+    Scale: candidate generation is the only data-sized stage (broadcast
+    query + TakeOrdered top-{_MMR_POOL}); everything after runs on
+    O(pool²) rows regardless of corpus size — at 100 TB the pool comes
+    from the ANN index instead, same re-rank."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("qe")) * 1e9)
+            .cast("long")
+            .alias("sfp"),
+        )
+        .orderBy(F.col("sfp").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .persist()
+    )
+    a = cand.select(
+        F.col("vec_id").alias("av"), F.col("embedding").alias("ea")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("bv"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("av") != F.col("bv"))
+        .select(
+            "av",
+            "bv",
+            F.round(cosine(F.col("ea"), F.col("eb")) * 1e9)
+            .cast("long")
+            .alias("pfp"),
+        )
+        .persist()
+    )
+    sel = (
+        cand.orderBy(F.col("sfp").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "sfp",
+            F.lit(1).cast("long").alias("rank"),
+            F.lit(None).cast("long").alias("mmr_fp"),
+        )
+    )
+    for r in range(2, _MMR_K + 1):
+        ms = (
+            pairs.join(
+                F.broadcast(sel.select(F.col("vec_id").alias("bv"))), "bv"
+            )
+            .groupBy("av")
+            .agg(F.max("pfp").alias("max_sel"))
+        )
+        pick = (
+            cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+            .join(ms, cand.vec_id == ms.av)
+            .select(
+                "vec_id",
+                "sfp",
+                F.lit(r).cast("long").alias("rank"),
+                (7 * F.col("sfp") - 3 * F.col("max_sel")).alias("mmr_fp"),
+            )
+            .orderBy(F.col("mmr_fp").desc(), "vec_id")
+            .limit(1)
+        )
+        sel = sel.unionAll(pick)
+    return sel.select(
+        "rank",
+        "vec_id",
+        (F.col("sfp").cast("double") / 1e9).alias("sim_q"),
+        "mmr_fp",
+    ).orderBy("rank")
