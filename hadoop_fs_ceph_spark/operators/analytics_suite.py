@@ -3639,3 +3639,78 @@ def win_macd_fold(spark, sf_dir):
             - F.element_at("s", 3)
         ).alias("histogram"),
     ).orderBy("o_orderstatus")
+
+
+@query(
+    "ds_hhi_concentration",
+    oracle="""
+    WITH sup AS (
+      SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY nk, sk
+    ),
+    per AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(rev_c) AS BIGINT) AS nation_rev_c,
+             SUM(CAST(rev_c AS HUGEINT) * rev_c) AS ssq
+      FROM sup GROUP BY nk
+    )
+    SELECT n.n_name, p.n_suppliers, p.nation_rev_c,
+           CAST(p.ssq AS DOUBLE)
+             / (CAST(p.nation_rev_c AS DOUBLE) * CAST(p.nation_rev_c AS DOUBLE))
+             AS hhi,
+           (CAST(p.nation_rev_c AS DOUBLE) * CAST(p.nation_rev_c AS DOUBLE))
+             / CAST(p.ssq AS DOUBLE) AS effective_n
+    FROM per p JOIN nation n ON p.nk = n.n_nationkey
+    ORDER BY n.n_name
+    """,
+    tags=("datascience", "concentration", "market"),
+)
+def ds_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman market-concentration index per supplier
+    nation: HHI = Σᵢ shareᵢ² over each nation's supplier revenue
+    shares, plus the effective-competitor count 1/HHI — the antitrust
+    screen (HHI > 0.25 = highly concentrated) joining the Gini/Pareto
+    inequality family with a market lens.
+
+    Exactness: HHI = Σrevᵢ²/(Σrevᵢ)² never forms per-supplier float
+    shares — the squared sum accumulates in decimal(38)/HUGEINT
+    (supplier revenue crosses 2³¹ cents at moderate SF, so longs are
+    NOT enough for the squares) and the two emitted doubles are raw
+    divisions of exact integers, no rounding, identical IEEE chains.
+
+    Scale: one partial-merged (nation, supplier) aggregate, one ≤|S|
+    re-aggregate to nations, one 25-row broadcast name join. The
+    shuffle carries 16-byte keys + cents; HHI at 100 TB is exactly
+    this plan."""
+    l = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev_c"
+            )
+        )
+    )
+    per = sup.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("rev_c").cast("long").alias("nation_rev_c"),
+        F.sum(F.expr("cast(rev_c as decimal(38,0)) * rev_c")).alias("ssq"),
+    )
+    rev_d = F.col("nation_rev_c").cast("double")
+    return (
+        per.join(F.broadcast(n), per.nk == n.n_nationkey)
+        .select(
+            "n_name",
+            "n_suppliers",
+            "nation_rev_c",
+            (F.col("ssq").cast("double") / (rev_d * rev_d)).alias("hhi"),
+            ((rev_d * rev_d) / F.col("ssq").cast("double")).alias("effective_n"),
+        )
+        .orderBy("n_name")
+    )

@@ -3865,3 +3865,156 @@ def profile_id_gaps(spark, sf_dir):
         .orderBy(F.col("n_missing").desc(), "event_type", "gap_start")
         .limit(20)
     )
+
+
+@query(
+    "profile_emd_drift",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM base),
+    bk AS (
+      SELECT event_type,
+             LEAST({_KS_BUCKETS},
+                   CAST(FLOOR((value - lo) / ((hi - lo) / {_KS_BUCKETS}.0))
+                        AS BIGINT)) AS bucket
+      FROM base, bounds
+    ),
+    counts AS (
+      SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bk GROUP BY event_type, bucket
+    ),
+    na AS (SELECT CAST(SUM(c) AS BIGINT) AS na FROM counts
+           WHERE event_type = '{_KS_A}'),
+    nb AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM counts
+           WHERE event_type = '{_KS_B}'),
+    spine AS (SELECT unnest(generate_series(0, {_KS_BUCKETS})) AS bucket),
+    per AS (
+      SELECT s.bucket,
+             COALESCE((SELECT c FROM counts
+                       WHERE event_type = '{_KS_A}' AND bucket = s.bucket), 0)
+               AS n_a,
+             COALESCE((SELECT c FROM counts
+                       WHERE event_type = '{_KS_B}' AND bucket = s.bucket), 0)
+               AS n_b
+      FROM spine s
+    ),
+    arr AS (
+      SELECT list([n_a, n_b] ORDER BY bucket) AS xs, na.na, nb.nb
+      FROM per, na, nb GROUP BY na.na, nb.nb
+    ),
+    folded AS (
+      SELECT na, nb,
+             list_reduce(
+               list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                             CAST(0 AS BIGINT)],
+                 list_transform(xs, x -> [x[1], x[2], CAST(0 AS BIGINT)])),
+               (acc, e) -> [acc[1] + e[1], acc[2] + e[2],
+                            acc[3] + ABS((acc[1] + e[1]) * nb
+                                         - (acc[2] + e[2]) * na)]) AS s
+      FROM arr
+    ),
+    b2 AS (SELECT lo, hi FROM bounds)
+    SELECT na AS n_a_total, nb AS n_b_total, s[3] AS emd_scaled,
+           CAST(s[3] AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             * ((hi - lo) / {_KS_BUCKETS}.0) AS emd
+    FROM folded, b2
+    """,
+    tags=("profile", "drift", "quality", "wasserstein"),
+)
+def profile_emd_drift(spark, sf_dir):
+    """1-D Earth-Mover's Distance (Wasserstein-1) between the
+    `{_KS_A}` and `{_KS_B}` value distributions on the shared fixed
+    grid — completing the drift trio: KS reacts to the WORST gap,
+    PSI to mass-weighted log divergence, EMD to total transported
+    mass × distance (the metric least fooled by many small shifts).
+    On a grid, EMD = Σ_buckets |CDF_A − CDF_B| · bin_width.
+
+    Exactness: the CDF gap folds as |cumA·nB − cumB·nA| — EXACT
+    integers (cross-multiplied, no per-bucket division), accumulated
+    by a sequential fold over the ≤{_KS_BUCKETS + 1}-slot grid in
+    bucket order; the single double conversion happens once at the
+    end (scaled total / nA·nB · step). Bit-identical cross-engine;
+    the grid totals themselves are the same one-row broadcast + map-
+    side bucketing as `profile_ks_drift`/`profile_psi_drift`.
+
+    Scale: one (lo, hi) broadcast, one partial-merged (group, bucket)
+    count shuffle, then O(grid) work. 100 TB changes only the scan."""
+    base = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        .select("event_type", "value")
+    )
+    bounds = base.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / F.lit(float(_KS_BUCKETS))
+    bk = base.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.lit(_KS_BUCKETS),
+            F.floor((F.col("value") - F.col("lo")) / step).cast("long"),
+        ).alias("bucket"),
+    )
+    counts = bk.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    na = counts.filter(F.col("event_type") == _KS_A).agg(
+        F.sum("c").cast("long").alias("na")
+    )
+    nb = counts.filter(F.col("event_type") == _KS_B).agg(
+        F.sum("c").cast("long").alias("nb")
+    )
+    spine = spark.range(0, _KS_BUCKETS + 1).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    ca = counts.filter(F.col("event_type") == _KS_A).select(
+        "bucket", F.col("c").alias("ca")
+    )
+    cb = counts.filter(F.col("event_type") == _KS_B).select(
+        "bucket", F.col("c").alias("cb")
+    )
+    per = (
+        spine.join(ca, "bucket", "left")
+        .join(cb, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("n_b"),
+        )
+    )
+    arr = per.agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "n_a", "n_b"))).alias("xs")
+    )
+    lz = F.lit(0).cast("long")
+
+    def fold_step(acc, x):
+        ca_ = F.element_at(acc, 1) + x["n_a"]
+        cb_ = F.element_at(acc, 2) + x["n_b"]
+        return F.array(
+            ca_,
+            cb_,
+            F.element_at(acc, 3)
+            + F.abs(ca_ * F.col("nb") - cb_ * F.col("na")),
+        )
+
+    j = arr.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb)).crossJoin(
+        F.broadcast(bounds)
+    )
+    folded = j.select(
+        "na",
+        "nb",
+        "lo",
+        "hi",
+        F.aggregate(F.col("xs"), F.array(lz, lz, lz), fold_step).alias("s"),
+    )
+    return folded.select(
+        F.col("na").alias("n_a_total"),
+        F.col("nb").alias("n_b_total"),
+        F.element_at("s", 3).alias("emd_scaled"),
+        (
+            F.element_at("s", 3).cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            * ((F.col("hi") - F.col("lo")) / F.lit(float(_KS_BUCKETS)))
+        ).alias("emd"),
+    )

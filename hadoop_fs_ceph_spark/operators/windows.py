@@ -1558,3 +1558,84 @@ def win_obv(spark, sf_dir):
         )
         .orderBy("o_orderstatus", "epoch_day")
     )
+
+
+@query(
+    "win_pivot_points",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderstatus,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS epoch_day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_orderstatus, epoch_day
+    ),
+    x AS (
+      SELECT o_orderstatus, epoch_day, rev_c,
+             MAX(rev_c) OVER w AS hi7, MIN(rev_c) OVER w AS lo7,
+             COUNT(*) OVER w AS cnt7
+      FROM daily
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY epoch_day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT o_orderstatus, epoch_day, rev_c,
+           CASE WHEN rev_c = hi7 THEN 'high' ELSE 'low' END AS kind
+    FROM x
+    WHERE cnt7 = 7 AND (rev_c = hi7 OR rev_c = lo7)
+    ORDER BY o_orderstatus, epoch_day
+    """,
+    tags=("window", "finance", "signal"),
+)
+def win_pivot_points(spark, sf_dir):
+    """Swing-point (pivot) detection on the daily revenue series: a day
+    is a pivot high (low) when it is the max (min) of its centered
+    7-day neighborhood — the local-extremum primitive under
+    support/resistance levels and zigzag trend segmentation, joining
+    the `win_stochastic_oscillator` signal family.
+
+    All-exact: the neighborhood MAX/MIN/COUNT run on cent longs in one
+    centered frame; the verdict is integer equality; edge days (frame
+    not full) are withheld via the cnt7 = 7 gate; a day that is both
+    the max and min of a flat week classifies 'high' in both engines
+    (same CASE order). No floats anywhere.
+
+    Shape: pre-aggregated calendar-bounded daily relation + one
+    centered-frame Window pass per status partition."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn(
+            "epoch_day",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+        )
+        .groupBy("o_orderstatus", "epoch_day")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    )
+    w7 = (
+        Window.partitionBy("o_orderstatus").orderBy("epoch_day").rowsBetween(-3, 3)
+    )
+    x = daily.select(
+        "o_orderstatus",
+        "epoch_day",
+        "rev_c",
+        F.max("rev_c").over(w7).alias("hi7"),
+        F.min("rev_c").over(w7).alias("lo7"),
+        F.count(F.lit(1)).over(w7).alias("cnt7"),
+    )
+    return (
+        x.filter(
+            (F.col("cnt7") == 7)
+            & ((F.col("rev_c") == F.col("hi7")) | (F.col("rev_c") == F.col("lo7")))
+        )
+        .select(
+            "o_orderstatus",
+            "epoch_day",
+            "rev_c",
+            F.when(F.col("rev_c") == F.col("hi7"), F.lit("high"))
+            .otherwise(F.lit("low"))
+            .alias("kind"),
+        )
+        .orderBy("o_orderstatus", "epoch_day")
+    )

@@ -61,6 +61,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sample_token_budget_mix": "one-row corpus-token-total broadcast into the 5-row rate relation",
     "dedup_semantic_cell": "K=8 seed-centroid table broadcast for cell assignment",
     "profile_ks_drift": "one-row (lo, hi) bounds broadcast + fixed 17-bucket grid spine",
+    "profile_emd_drift": "one-row bounds/total broadcasts onto the fixed 17-slot grid relation",
     "agg_cms_heavy_hitters": "one-row corpus-total broadcast for the error-bound verdict",
     "sim_kmeans_update": "K=8 seed-centroid table broadcast for the assign stage",
     "udf_vectorized_cosine_knn": "one-row query-vector broadcast (declared pandas-UDF twin of sim_knn_bruteforce)",
@@ -240,6 +241,7 @@ BOUNDED_COLLECT: dict[str, str] = {
     "mm_payload_dedup": "per-duplicate-payload member roster (report column; payload bytes never collect)",
     "profile_label_entropy": "per-source label-count vector — label domain spec-bounded",
     "profile_psi_drift": "fixed bucket-grid contribution array, sequential fold",
+    "profile_emd_drift": "fixed 17-slot grid count array, sequential integer fold",
     "sample_importance_reweight": "spec-bounded stratum-weight relation folded in sorted order",
     "sim_centroid_per_label": "per-label dim-length (16) component vector collect",
     "sim_hybrid_rrf": "dim-16 component vectors + ≤20-row retrieval short lists",
