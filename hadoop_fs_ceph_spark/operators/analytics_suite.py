@@ -3714,3 +3714,319 @@ def ds_hhi_concentration(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "ds_decision_stump",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    vals AS (
+      SELECT 'qty' AS feature, qty AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+      FROM base GROUP BY v
+      UNION ALL
+      SELECT 'disc' AS feature, disc AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+      FROM base GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p
+      FROM base
+    ),
+    cands AS (
+      SELECT 'qty' AS feature, CAST(unnest(generate_series(5, 45, 5)) AS BIGINT) AS thr
+      UNION ALL
+      SELECT 'disc' AS feature, CAST(unnest(generate_series(1, 9)) AS BIGINT) AS thr
+    ),
+    split AS (
+      SELECT c.feature, c.thr,
+             CAST(SUM(v.cnt) AS BIGINT) AS n_l,
+             CAST(SUM(v.pos) AS BIGINT) AS pos_l
+      FROM cands c JOIN vals v ON v.feature = c.feature AND v.v <= c.thr
+      GROUP BY c.feature, c.thr
+    ),
+    scored AS (
+      SELECT s.feature, s.thr, s.n_l, s.pos_l,
+             t.n - s.n_l AS n_r, t.p - s.pos_l AS pos_r,
+             CAST(ROUND(
+               2.0 * (CAST(s.pos_l AS DOUBLE) * (s.n_l - s.pos_l) / s.n_l
+                      + CAST(t.p - s.pos_l AS DOUBLE)
+                        * ((t.n - s.n_l) - (t.p - s.pos_l)) / (t.n - s.n_l))
+               / t.n * 1e12) AS BIGINT) AS gini_fp
+      FROM split s, tot t
+      WHERE s.n_l > 0 AND t.n - s.n_l > 0
+    ),
+    best AS (
+      SELECT feature AS bf, thr AS bt FROM scored
+      ORDER BY gini_fp, feature, thr LIMIT 1
+    )
+    SELECT s.feature, s.thr, s.n_l, s.pos_l, s.n_r, s.pos_r,
+           CAST(s.gini_fp AS DOUBLE) / 1e12 AS gini_split,
+           CAST(s.feature = b.bf AND s.thr = b.bt AS BOOLEAN) AS is_best
+    FROM scored s, best b
+    ORDER BY s.feature, s.thr
+    """,
+    tags=("datascience", "ml", "tree", "train"),
+)
+def ds_decision_stump(spark, sf_dir):
+    """One-level decision-tree training at scale: find the (feature,
+    threshold) split minimizing weighted Gini impurity for predicting
+    returns (l_returnflag = 'R') from quantity and discount — the
+    split-search primitive inside every distributed tree/GBM learner
+    (the per-feature candidate-split histogram IS how LightGBM/Spark
+    MLlib scan splits), here exposed as a declared relational op.
+
+    Plan shape — the part that matters at 100 TB: the fact table
+    collapses ONCE into per-feature value histograms (≤50 + ≤11 rows
+    of (value, count, positives) — integer-domain features make the
+    histogram exact, no binning error), and ALL candidate evaluation
+    runs on that tiny relation: a ≤18-row candidate spine θ-joins the
+    histogram (v ≤ thr) to build left-side counts, right sides come
+    from the one-row totals broadcast. The fact scan is one partial-
+    merged aggregate; split search never rescans data.
+
+    Exactness: left/right counts are exact longs; weighted Gini
+    2·(pos·neg/n_l + pos·neg/n_r)/n is one double chain per candidate,
+    landed in ×1e12 fixed-point BEFORE the argmin so best-split
+    selection is an integer comparison with (feature, thr)
+    tie-break."""
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    vals = (
+        base.groupBy(F.col("qty").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"), F.sum("y").cast("long").alias("pos"))
+        .select(F.lit("qty").alias("feature"), "v", "cnt", "pos")
+        .unionAll(
+            base.groupBy(F.col("disc").alias("v"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("y").cast("long").alias("pos"),
+            )
+            .select(F.lit("disc").alias("feature"), "v", "cnt", "pos")
+        )
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("p")
+    )
+    cands = (
+        spark.range(1, 10)
+        .select(F.lit("qty").alias("feature"), (F.col("id") * 5).cast("long").alias("thr"))
+        .unionAll(
+            spark.range(1, 10).select(
+                F.lit("disc").alias("feature"), F.col("id").cast("long").alias("thr")
+            )
+        )
+    )
+    split = (
+        cands.alias("c")
+        .join(
+            vals.alias("v"),
+            (F.col("v.feature") == F.col("c.feature")) & (F.col("v.v") <= F.col("c.thr")),
+        )
+        .groupBy(F.col("c.feature").alias("feature"), F.col("c.thr").alias("thr"))
+        .agg(
+            F.sum("v.cnt").cast("long").alias("n_l"),
+            F.sum("v.pos").cast("long").alias("pos_l"),
+        )
+    )
+    sc = split.crossJoin(F.broadcast(tot)).filter(
+        (F.col("n_l") > 0) & (F.col("n") - F.col("n_l") > 0)
+    )
+    n_r = F.col("n") - F.col("n_l")
+    pos_r = F.col("p") - F.col("pos_l")
+    gini = (
+        2.0
+        * (
+            F.col("pos_l").cast("double") * (F.col("n_l") - F.col("pos_l")) / F.col("n_l")
+            + pos_r.cast("double") * (n_r - pos_r) / n_r
+        )
+        / F.col("n")
+    )
+    scored = sc.select(
+        "feature",
+        "thr",
+        "n_l",
+        "pos_l",
+        n_r.alias("n_r"),
+        pos_r.alias("pos_r"),
+        F.round(gini * 1e12).cast("long").alias("gini_fp"),
+    )
+    best = (
+        scored.orderBy("gini_fp", "feature", "thr")
+        .limit(1)
+        .select(F.col("feature").alias("bf"), F.col("thr").alias("bt"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "feature",
+            "thr",
+            "n_l",
+            "pos_l",
+            "n_r",
+            "pos_r",
+            (F.col("gini_fp").cast("double") / 1e12).alias("gini_split"),
+            ((F.col("feature") == F.col("bf")) & (F.col("thr") == F.col("bt"))).alias(
+                "is_best"
+            ),
+        )
+        .orderBy("feature", "thr")
+    )
+
+
+_NB_LN = "CAST(ROUND(LN({num} / {den}) * 1e12) AS BIGINT)"
+
+
+def _nb_sql_lik(x: str, v_dom: int) -> str:
+    """Per-(feature-value) class log-likelihood relation (wide, fp)."""
+    cells = []
+    for c in ("F", "O", "P"):
+        num = f"(CAST(SUM(CASE WHEN o_orderstatus = '{c}' THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)"
+        den = f"(CAST(MAX(cl.n{c}) AS DOUBLE) + {v_dom}.0)"
+        cells.append(_NB_LN.format(num=num, den=den) + f" AS l{c}")
+    return f"""
+      SELECT {x} AS v, {", ".join(cells)}
+      FROM orders CROSS JOIN cls cl GROUP BY v
+    """
+
+
+@query(
+    "ds_naive_bayes",
+    oracle=f"""
+    WITH cls AS (
+      SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nF,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS nO,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS nP,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+    ),
+    pri AS (
+      SELECT {_NB_LN.format(num="(CAST(nF AS DOUBLE) + 1.0)", den="(CAST(n AS DOUBLE) + 3.0)")} AS pF,
+             {_NB_LN.format(num="(CAST(nO AS DOUBLE) + 1.0)", den="(CAST(n AS DOUBLE) + 3.0)")} AS pO,
+             {_NB_LN.format(num="(CAST(nP AS DOUBLE) + 1.0)", den="(CAST(n AS DOUBLE) + 3.0)")} AS pP
+      FROM cls
+    ),
+    lik1 AS ({_nb_sql_lik("o_orderpriority", 5)}),
+    lik2 AS ({_nb_sql_lik("month(o_orderdate)", 12)}),
+    scored AS (
+      SELECT o.o_orderstatus AS actual,
+             pri.pF + a.lF + b.lF AS sF,
+             pri.pO + a.lO + b.lO AS sO,
+             pri.pP + a.lP + b.lP AS sP
+      FROM orders o
+      JOIN lik1 a ON a.v = o.o_orderpriority
+      JOIN lik2 b ON b.v = month(o.o_orderdate)
+      CROSS JOIN pri
+    )
+    SELECT actual,
+           CASE WHEN sF >= sO AND sF >= sP THEN 'F'
+                WHEN sO >= sP THEN 'O' ELSE 'P' END AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored
+    GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+    tags=("datascience", "ml", "classifier", "train-score"),
+)
+def ds_naive_bayes(spark, sf_dir):
+    """Categorical Naive Bayes, trained AND scored in one distributed
+    pass: predict order status from (priority, order month) with
+    Laplace(+1) smoothing, emit the confusion matrix — the train→
+    broadcast→score shape of `ds_ols_residual_outliers` applied to
+    classification (and the eval harness every data-quality "label
+    sanity" check uses).
+
+    Determinism: the model IS a handful of exact counts; every log
+    term ln((cnt+1)/(n_c+V)) lands in ×1e12 fixed-point AT THE TERM
+    (the `ds_mutual_information` posture — rounding each ln kills
+    last-ulp libm drift), so per-row scores are exact LONG sums and
+    argmax is an integer comparison with the documented F→O→P
+    tie preference.
+
+    Scale: training = one partial-merged aggregate per feature (5-row
+    and 12-row relations) + a one-row class count; scoring joins the
+    fact scan to those broadcast model relations — map-side, no
+    shuffle of facts; the confusion matrix is a ≤9-cell aggregate.
+    This is exactly how a 100 TB NB scorer deploys."""
+    o = t(spark, sf_dir, "orders")
+
+    def ln_fp(num, den):
+        return F.round(F.log(num / den) * 1e12).cast("long")
+
+    cls = o.agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("nF"),
+        F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("nO"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("nP"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    pri = cls.select(
+        *[
+            ln_fp(
+                F.col(f"n{c}").cast("double") + 1.0, F.col("n").cast("double") + 3.0
+            ).alias(f"p{c}")
+            for c in ("F", "O", "P")
+        ]
+    )
+
+    def lik(col, v_dom):
+        per = o.groupBy(col.alias("v")).agg(
+            *[
+                F.sum((F.col("o_orderstatus") == c).cast("long")).alias(f"c{c}")
+                for c in ("F", "O", "P")
+            ]
+        )
+        return per.crossJoin(F.broadcast(cls)).select(
+            "v",
+            *[
+                ln_fp(
+                    F.col(f"c{c}").cast("double") + 1.0,
+                    F.col(f"n{c}").cast("double") + float(v_dom),
+                ).alias(f"l{c}")
+                for c in ("F", "O", "P")
+            ],
+        )
+
+    lik1 = lik(F.col("o_orderpriority"), 5)
+    lik2 = lik(F.month("o_orderdate"), 12)
+    a = lik1.select(
+        F.col("v").alias("v1"),
+        *[F.col(f"l{c}").alias(f"a{c}") for c in ("F", "O", "P")],
+    )
+    b = lik2.select(
+        F.col("v").alias("v2"),
+        *[F.col(f"l{c}").alias(f"b{c}") for c in ("F", "O", "P")],
+    )
+    scored = (
+        o.select("o_orderstatus", "o_orderpriority", F.month("o_orderdate").alias("m"))
+        .join(F.broadcast(a), F.col("o_orderpriority") == F.col("v1"))
+        .join(F.broadcast(b), F.col("m") == F.col("v2"))
+        .crossJoin(F.broadcast(pri))
+        .select(
+            F.col("o_orderstatus").alias("actual"),
+            (F.col("pF") + F.col("aF") + F.col("bF")).alias("sF"),
+            (F.col("pO") + F.col("aO") + F.col("bO")).alias("sO"),
+            (F.col("pP") + F.col("aP") + F.col("bP")).alias("sP"),
+        )
+    )
+    pred = (
+        F.when(
+            (F.col("sF") >= F.col("sO")) & (F.col("sF") >= F.col("sP")), F.lit("F")
+        )
+        .when(F.col("sO") >= F.col("sP"), F.lit("O"))
+        .otherwise(F.lit("P"))
+    )
+    return (
+        scored.select("actual", pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("actual", "predicted")
+    )
