@@ -1610,3 +1610,99 @@ def sim_mmr_diversify(spark, sf_dir):
         (F.col("sfp").cast("double") / 1e9).alias("sim_q"),
         "mmr_fp",
     ).orderBy("rank")
+
+
+_N_TABLES = 4
+
+
+def _sql_bucket_j(j: int) -> str:
+    return " + ".join(
+        f"CASE WHEN embedding[{4 * j + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(4)
+    )
+
+
+def _bucket_j(j: int) -> Column:
+    acc = F.lit(0)
+    for i in range(4):
+        acc = acc + F.when(
+            F.element_at("embedding", 4 * j + i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return acc
+
+
+@query(
+    "sim_ann_multitable",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_sql_bucket_j(j)} AS b{j}" for j in range(_N_TABLES))}
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id = 0),
+    cand AS (
+      {" UNION ".join(
+          f"SELECT e.vec_id, e.embedding FROM b e, q WHERE e.b{j} = q.b{j} AND e.vec_id <> 0"
+          for j in range(_N_TABLES)
+      )}
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand)
+    SELECT c.vec_id, {sql_cosine("c.embedding", "q.qe")} AS cos_sim, n.n_candidates
+    FROM cand c, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q, n
+    ORDER BY cos_sim DESC, c.vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "lsh", "amplification"),
+)
+def sim_ann_multitable(spark, sf_dir):
+    """OR-amplified LSH: {_N_TABLES} independent 4-bit sign-hash tables
+    (disjoint component groups), candidates = anyone colliding with the
+    query in ANY table — the standard recall amplifier over
+    `sim_ann_lsh_bucket`'s single table (miss probability decays as
+    (1−p₄)^L), re-ranked by exact cosine. This is how production ANN
+    actually deploys hyperplane LSH: several cheap tables, union,
+    dedup, exact re-rank of a small candidate set.
+
+    Plan: each table is an EQUALITY join on its bucket key against the
+    one-row query (broadcast); the union dedups on vec_id (UNION
+    DISTINCT — candidates carry only (vec_id, embedding)); exact
+    cosines are computed once per distinct candidate; the emitted
+    top-10 is TakeOrdered with vec_id tie-break; candidate count rides
+    a one-row broadcast so the recall/cost trade is visible in the
+    result itself.
+
+    Scale: bucket keys are map-side integer folds; L grows cost
+    linearly while the per-table join stays an equality shuffle —
+    never all-pairs (the plan gate enforces it)."""
+    e = t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        "embedding",
+        *[_bucket_j(j).alias(f"b{j}") for j in range(_N_TABLES)],
+    )
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        *[F.col(f"b{j}").alias(f"qb{j}") for j in range(_N_TABLES)],
+    )
+    legs = [
+        b.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q.select(F.col(f"qb{j}").alias("qb"))), F.col(f"b{j}") == F.col("qb"))
+        .select("vec_id", "embedding")
+        for j in range(_N_TABLES)
+    ]
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionAll(leg)
+    cand = cand.dropDuplicates(["vec_id"]).persist()
+    n = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    qe = q.select("qe")
+    return (
+        cand.crossJoin(F.broadcast(qe))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+            "n_candidates",
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

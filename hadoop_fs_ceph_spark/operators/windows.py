@@ -1639,3 +1639,58 @@ def win_pivot_points(spark, sf_dir):
         )
         .orderBy("o_orderstatus", "epoch_day")
     )
+
+
+@query(
+    "win_topk_with_ties",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderstatus,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS epoch_day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_orderstatus, epoch_day
+    ),
+    r AS (
+      SELECT o_orderstatus, epoch_day, rev_c,
+             RANK() OVER (PARTITION BY o_orderstatus
+                          ORDER BY rev_c DESC) AS rk
+      FROM daily
+    )
+    SELECT o_orderstatus, epoch_day, rev_c, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    ORDER BY o_orderstatus, rk, epoch_day
+    """,
+    tags=("window", "topk", "rank"),
+)
+def win_topk_with_ties(spark, sf_dir):
+    """Top-k WITH TIES per group — RANK() ≤ k instead of
+    `win_topk_per_group`'s ROW_NUMBER cut: when the k-th and (k+1)-th
+    best days tie on exact revenue cents, BOTH are returned (the ANSI
+    `FETCH FIRST k ROWS WITH TIES` semantics), so the result is a
+    function of the DATA alone, not of an arbitrary tie order. The
+    distinction matters for leaderboards and SLA cuts where dropping
+    a tied row is a correctness bug, and it is only safe because the
+    ranking key is exact integers — a float key would make the tie
+    itself engine-dependent.
+
+    Shape: pre-aggregated daily relation, one ranking window per
+    status partition, rank filter pushed below the output sort."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn(
+            "epoch_day",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+        )
+        .groupBy("o_orderstatus", "epoch_day")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("rev_c").desc())
+    return (
+        daily.withColumn("rk", F.rank().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_orderstatus", "rk", "epoch_day")
+    )
