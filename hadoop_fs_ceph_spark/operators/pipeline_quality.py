@@ -4018,3 +4018,228 @@ def profile_emd_drift(spark, sf_dir):
             * ((F.col("hi") - F.col("lo")) / F.lit(float(_KS_BUCKETS)))
         ).alias("emd"),
     )
+
+
+@query(
+    "ds_auc_exact",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(l_quantity AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS neg
+      FROM lineitem GROUP BY s
+    ),
+    arr AS (SELECT list([s, pos, neg] ORDER BY s) AS xs FROM per),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n1, CAST(SUM(neg) AS BIGINT) AS n0
+      FROM per
+    ),
+    folded AS (
+      -- state = [cum_neg_below, auc_num2]
+      SELECT list_reduce(
+               list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                 list_transform(xs, x -> [x[2], x[3]])),
+               (acc, e) -> [acc[1] + e[2],
+                            acc[2] + e[1] * (2 * acc[1] + e[2])]) AS st
+      FROM arr
+    )
+    SELECT t.n1 AS n_pos, t.n0 AS n_neg, f.st[2] AS auc_num2,
+           CAST(f.st[2] AS DOUBLE)
+             / (2.0 * CAST(t.n1 AS DOUBLE) * CAST(t.n0 AS DOUBLE)) AS auc
+    FROM folded f, tot t
+    """,
+    tags=("datascience", "ml", "evaluation", "auc"),
+)
+def ds_auc_exact(spark, sf_dir):
+    """EXACT ROC-AUC of an integer scoring rule (score = quantity,
+    positive = returned line) — the model-eval metric, computed at
+    scale with NO sort and CORRECT tie handling: by the rank/
+    Mann-Whitney identity, AUC = (#concordant + ½·#tied)/(n₁n₀), and
+    with an integer score the whole statistic folds over the ≤50-row
+    per-score-value histogram: auc_num2 = Σ_v pos_v·(2·cum_neg_below
+    + neg_v) — EXACT longs end to end (the ×2 fixed point absorbs the
+    half-credit for ties, unlike a tie-broken rank sum which would
+    bias AUC), one raw double division at the end.
+
+    Scale: ONE partial-merged aggregate over the scan builds the
+    score histogram; everything after runs on ≤|score domain| rows
+    via a sequential integer fold. AUC on 100 TB is this plan for any
+    bounded/discretized score; continuous scores first land in the
+    equi-width grid (`profile_equidepth_histogram`'s machinery) with
+    the same fold."""
+    li = t(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_quantity").cast("long").alias("s")).agg(
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("pos"),
+        F.sum((F.col("l_returnflag") != "R").cast("long")).alias("neg"),
+    )
+    arr = per.agg(
+        F.array_sort(F.collect_list(F.struct("s", "pos", "neg"))).alias("xs")
+    )
+    tot = per.agg(
+        F.sum("pos").cast("long").alias("n1"), F.sum("neg").cast("long").alias("n0")
+    )
+    lz = F.lit(0).cast("long")
+
+    def step(acc, e):
+        return F.array(
+            F.element_at(acc, 1) + e["neg"],
+            F.element_at(acc, 2)
+            + e["pos"] * (2 * F.element_at(acc, 1) + e["neg"]),
+        )
+
+    folded = arr.select(
+        F.aggregate(F.col("xs"), F.array(lz, lz), step).alias("st")
+    )
+    return folded.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.element_at("st", 2).alias("auc_num2"),
+        (
+            F.element_at("st", 2).cast("double")
+            / (2.0 * F.col("n1").cast("double") * F.col("n0").cast("double"))
+        ).alias("auc"),
+    )
+
+
+@query(
+    "ds_lift_gains_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             row_number() OVER (ORDER BY l_quantity DESC, l_orderkey,
+                                l_linenumber) AS rk
+      FROM lineitem
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p
+      FROM ranked
+    ),
+    dec AS (
+      SELECT CAST((rk - 1) * 10 // t.n + 1 AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_d, CAST(SUM(y) AS BIGINT) AS pos_d
+      FROM ranked, tot t GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile, n_d, pos_d,
+             CAST(SUM(n_d) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+             CAST(SUM(pos_d) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+      FROM dec
+    )
+    SELECT c.decile, c.n_d, c.pos_d, c.cum_n, c.cum_pos,
+           CAST(c.cum_pos AS DOUBLE) / t.p AS gain,
+           (CAST(c.cum_pos AS DOUBLE) * t.n)
+             / (CAST(c.cum_n AS DOUBLE) * t.p) AS lift,
+           CAST(ABS(c.cum_pos * (t.n - t.p) - (c.cum_n - c.cum_pos) * t.p)
+                AS DOUBLE)
+             / (CAST(t.p AS DOUBLE) * (t.n - t.p)) AS ks_d
+    FROM cum c, tot t
+    ORDER BY c.decile
+    """,
+    tags=("datascience", "ml", "evaluation", "rank"),
+)
+def ds_lift_gains_deciles(spark, sf_dir):
+    """Gains table / lift chart by score decile — the campaign-targeting
+    readout next to `ds_auc_exact`: rank every line by the scoring rule
+    (quantity, deterministic composite tie-break), cut into row
+    deciles, and report cumulative capture (gain), lift over random,
+    and the decile-level KS separation. Deciles of ROWS need global
+    ranks, which come from `_ranked_nosort` (range-binned distributed
+    rank — no world sort), with the positive-class cumulative riding
+    its running-sum channel's per-decile re-aggregation.
+
+    Exactness: decile ids, per-decile counts, and cumulatives are
+    exact integers (the 10-row cumulative folds through the offset-
+    array pattern, never a float window); gain/lift/KS are raw
+    divisions and one cross-multiplied |·| of exact longs — identical
+    IEEE ops, no rounding.
+
+    Scale: one rank pass + one 10-row fold; the ranked relation
+    shuffles (key, y) pairs only."""
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _ranked_nosort
+
+    li = t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        (
+            (50 - F.col("l_quantity").cast("long")) * F.lit(2**44).cast("long")
+            + F.col("l_orderkey") * 8
+            + F.col("l_linenumber")
+        ).alias("key"),
+        (F.col("l_returnflag") == "R").cast("long").alias("val"),
+    )
+    ranked = _ranked_nosort(keyed)
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("val").cast("long").alias("p"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("(i - 1) * 10 div n + 1").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_d"),
+            F.sum("val").cast("long").alias("pos_d"),
+        )
+    )
+    arr = dec.agg(
+        F.array_sort(F.collect_list(F.struct("decile", "n_d", "pos_d"))).alias("xs")
+    )
+    lz = F.lit(0).cast("long")
+    init = F.struct(
+        lz.alias("c"),
+        lz.alias("p"),
+        F.array()
+        .cast(
+            "array<struct<decile:long,n_d:long,pos_d:long,cum_n:long,cum_pos:long>>"
+        )
+        .alias("es"),
+    )
+
+    def step(acc, e):
+        cn = acc["c"] + e["n_d"]
+        cp = acc["p"] + e["pos_d"]
+        return F.struct(
+            cn.alias("c"),
+            cp.alias("p"),
+            F.concat(
+                acc["es"],
+                F.array(
+                    F.struct(
+                        e["decile"].alias("decile"),
+                        e["n_d"].alias("n_d"),
+                        e["pos_d"].alias("pos_d"),
+                        cn.alias("cum_n"),
+                        cp.alias("cum_pos"),
+                    )
+                ),
+            ).alias("es"),
+        )
+
+    rows = arr.select(
+        F.explode(F.aggregate(F.col("xs"), init, step)["es"]).alias("r")
+    ).select("r.*")
+    neg_tot = F.col("n") - F.col("p")
+    return (
+        rows.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_d",
+            "pos_d",
+            "cum_n",
+            "cum_pos",
+            (F.col("cum_pos").cast("double") / F.col("p")).alias("gain"),
+            (
+                F.col("cum_pos").cast("double")
+                * F.col("n")
+                / (F.col("cum_n").cast("double") * F.col("p"))
+            ).alias("lift"),
+            (
+                F.abs(
+                    F.col("cum_pos") * neg_tot
+                    - (F.col("cum_n") - F.col("cum_pos")) * F.col("p")
+                ).cast("double")
+                / (F.col("p").cast("double") * neg_tot)
+            ).alias("ks_d"),
+        )
+        .orderBy("decile")
+    )

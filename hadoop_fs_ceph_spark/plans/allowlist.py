@@ -26,6 +26,8 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "profile_join_fanout": "one-row (est_rows, n_keys) totals broadcast",
     "agg_quantile_sketch_error": "2-row quantile-state/sketch-answer broadcasts (refinement + rank-count passes)",
     "ds_mann_whitney_u": "one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
+    "ds_auc_exact": "one-row class-totals broadcast onto the one-row fold result (≤50-row score histogram)",
+    "ds_lift_gains_deciles": "one-row totals + ≤4096-row rank-offset-map broadcasts (distributed-rank pass + 10-row fold)",
     "ds_kruskal_wallis": "one-row bounds + ≤4096-row rank-offset-map + one-row H-stat broadcasts (distributed-rank pass)",
     "ds_spearman_rho": "one-row bounds + ≤4096-row rank-offset-map broadcasts (two distributed-rank passes)",
     "ds_wilcoxon_signed_rank": "one-row corpus-midpoint + one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
@@ -223,6 +225,8 @@ BOUNDED_COLLECT: dict[str, str] = {
     "agg_gini_concentration": _REFINE_COLLECT,
     "ds_pareto_concentration": _REFINE_COLLECT,
     "ds_mann_whitney_u": _REFINE_COLLECT,
+    "ds_auc_exact": "≤50-row score-value histogram array, sequential integer fold",
+    "ds_lift_gains_deciles": _REFINE_COLLECT,
     "ds_kruskal_wallis": _REFINE_COLLECT,
     "ds_spearman_rho": _REFINE_COLLECT,
     "ds_wilcoxon_signed_rank": _REFINE_COLLECT,
