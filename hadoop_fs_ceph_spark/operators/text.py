@@ -1912,3 +1912,145 @@ def text_pmi_collocations(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "cur", "nxt")
         .limit(20)
     )
+
+
+_BPE_MAXLEN = 16
+
+
+@query(
+    "text_bpe_merge_round",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) BETWEEN 2 AND {_BPE_MAXLEN}
+      GROUP BY w
+    ),
+    chars AS (
+      SELECT w, cnt,
+             list_transform(generate_series(1, length(w)),
+                            i -> substr(w, CAST(i AS INTEGER), 1)) AS h
+      FROM words
+    ),
+    pb AS (
+      SELECT g['a'] AS a, g['b'] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (
+        SELECT cnt, unnest(list_transform(range(1, len(h)),
+                    i -> {{'a': h[i], 'b': h[i + 1]}})) AS g
+        FROM chars
+      ) GROUP BY 1, 2
+    ),
+    best AS (SELECT a, b, c FROM pb ORDER BY c DESC, a, b LIMIT 1),
+    tot_before AS (SELECT CAST(SUM(c) AS BIGINT) AS pairs_before FROM pb),
+    merged AS (
+      SELECT ch.cnt,
+             list_reduce(
+               list_prepend([h[1]], list_transform(h[2:], e -> [e])),
+               (s, e) -> CASE WHEN s[-1] = bt.a AND e[1] = bt.b
+                         THEN list_concat(s[1:len(s) - 1], [bt.a || bt.b])
+                         ELSE list_append(s, e[1]) END) AS m
+      FROM chars ch, best bt
+    ),
+    pa AS (
+      SELECT CAST(SUM(c2) AS BIGINT) AS pairs_after FROM (
+        SELECT cnt * CAST(len(m) - 1 AS BIGINT) AS c2 FROM merged
+      )
+    ),
+    nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_words FROM words)
+    SELECT bt.a, bt.b, bt.a || bt.b AS merged_symbol, bt.c AS pair_count,
+           nw.n_distinct_words, tb.pairs_before, pa.pairs_after,
+           tb.pairs_before - pa.pairs_after AS merges_applied
+    FROM best bt, tot_before tb, pa, nw
+    """,
+    tags=("text", "tokenizer", "bpe", "train"),
+)
+def text_bpe_merge_round(spark, sf_dir):
+    """ONE round of byte-pair-encoding tokenizer training at corpus
+    scale — the inner loop of BPE: count adjacent symbol pairs across
+    the (distinct-word, frequency) table, pick the most frequent pair
+    (deterministic (count, a, b) tie-break), then APPLY the merge to
+    every word with the standard greedy left-to-right scan (an 'aaa'
+    corpus merges once per non-overlapping occurrence — the fold's
+    just-merged symbol can't re-merge, which is exactly BPE's
+    behavior). Looping this operator IS tokenizer training; one round
+    is declared so the oracle can replay it exactly.
+
+    Exactness: pair counts weight by word frequency (exact longs);
+    the merge-apply is a per-word sequential fold over ≤{_BPE_MAXLEN}
+    chars (hard cap — the per-row state bound); the emitted audit
+    (pairs_before − pairs_after = merges actually applied) is
+    integer arithmetic that exposes the overlap subtlety a naive
+    count-based implementation gets wrong.
+
+    Scale: the fact table collapses ONCE to the distinct-word
+    frequency relation (the BPE working set — millions of rows at
+    100 TB, never the corpus); pair counting and merge application
+    are map-side over that relation; the argmax is a TakeOrdered-1."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w").between(2, _BPE_MAXLEN))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    chars = words.select(
+        "w",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("h"),
+    )
+    pb = (
+        chars.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("h") - 1),
+                    lambda i: F.struct(
+                        F.element_at("h", i).alias("a"),
+                        F.element_at("h", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .groupBy("g.a", "g.b")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .persist()
+    )
+    best = pb.orderBy(F.col("c").desc(), "a", "b").limit(1)
+    tot_before = pb.agg(F.sum("c").cast("long").alias("pairs_before"))
+    merged = chars.crossJoin(F.broadcast(best.select("a", "b"))).select(
+        "cnt",
+        F.aggregate(
+            F.slice(F.col("h"), 2, F.size("h") - 1),
+            F.slice(F.col("h"), 1, 1),
+            lambda s, e: F.when(
+                (F.element_at(s, -1) == F.col("a")) & (e == F.col("b")),
+                F.concat(
+                    F.slice(s, 1, F.size(s) - 1),
+                    F.array(F.concat(F.col("a"), F.col("b"))),
+                ),
+            ).otherwise(F.concat(s, F.array(e))),
+        ).alias("m"),
+    )
+    pa = merged.agg(
+        F.sum(F.col("cnt") * (F.size("m") - 1).cast("long"))
+        .cast("long")
+        .alias("pairs_after")
+    )
+    nw = words.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_words"))
+    return (
+        best.crossJoin(F.broadcast(tot_before))
+        .crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(nw))
+        .select(
+            "a",
+            "b",
+            F.concat("a", "b").alias("merged_symbol"),
+            F.col("c").alias("pair_count"),
+            "n_distinct_words",
+            "pairs_before",
+            "pairs_after",
+            (F.col("pairs_before") - F.col("pairs_after")).alias("merges_applied"),
+        )
+    )

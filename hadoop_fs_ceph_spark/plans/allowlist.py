@@ -53,6 +53,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "graph_triangle_count": "one-row edge-count broadcast joined to one-row count",
     "graph_reciprocity": "two one-row edge/reciprocal counts cross-joined",
     "text_pmi_collocations": "one-row (n_bi, n_tok) corpus-totals broadcast onto the thresholded bigram relation",
+    "text_bpe_merge_round": "one-row best-pair/totals broadcasts onto the distinct-word frequency relation",
     "ds_basket_lift": "one-row order-count broadcast",
     "ds_decision_stump": "one-row totals + one-row best-split broadcasts onto the ≤18-row candidate relation; candidate θ-join runs on the ≤61-row histogram",
     "ds_naive_bayes": "one-row class-count/prior broadcasts onto 5/12-row model relations and the scoring scan",
