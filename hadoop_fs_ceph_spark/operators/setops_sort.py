@@ -199,3 +199,32 @@ def setop_intersect_all(spark, sf_dir):
     a = li.filter(F.col("l_quantity") <= 3).select(F.col("l_returnflag").alias("flag"))
     b = li.filter(F.col("l_quantity") <= 2).select(F.col("l_returnflag").alias("flag"))
     return a.intersectAll(b)
+
+
+@query(
+    "sort_paginate_offset",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 10 OFFSET 20
+    """,
+    tags=("sort", "pagination", "offset"),
+)
+def sort_paginate_offset(spark, sf_dir):
+    """Keyset-free pagination: page 3 (OFFSET 20 LIMIT 10) of the
+    balance leaderboard via `DataFrame.offset()` — only deterministic
+    because the sort key is TOTAL (balance, custkey tie-break); an
+    OFFSET over a partial order returns an engine-dependent page,
+    which is the classic pagination bug this row pins against.
+
+    Plan: Spark folds offset+limit into one TakeOrdered(30) and drops
+    the head client-side of the exchange — no world sort
+    materializes; at deep offsets production pivots to keyset
+    pagination (WHERE key > last_seen), same total-order requirement."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .offset(20)
+        .limit(10)
+    )

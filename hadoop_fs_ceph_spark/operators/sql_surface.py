@@ -888,3 +888,52 @@ def sql_named_window(spark, sf_dir):
     per status partition over the calendar-bounded daily relation."""
     _views(spark, sf_dir, "orders")
     return spark.sql(_SQL_NAMED_WINDOW)
+
+
+@query(
+    "sql_transpose",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT 'n_orders' AS key,
+           CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN n_orders END) AS BIGINT) AS F,
+           CAST(MAX(CASE WHEN o_orderstatus = 'O' THEN n_orders END) AS BIGINT) AS O,
+           CAST(MAX(CASE WHEN o_orderstatus = 'P' THEN n_orders END) AS BIGINT) AS P
+    FROM agg
+    UNION ALL
+    SELECT 'sum_cents' AS key,
+           CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN sum_cents END) AS BIGINT),
+           CAST(MAX(CASE WHEN o_orderstatus = 'O' THEN sum_cents END) AS BIGINT),
+           CAST(MAX(CASE WHEN o_orderstatus = 'P' THEN sum_cents END) AS BIGINT)
+    FROM agg
+    ORDER BY key
+    """,
+    tags=("sql", "modern", "transpose"),
+)
+def sql_transpose(spark, sf_dir):
+    """`DataFrame.transpose()` (Spark 4): rows↔columns flip with the
+    first column promoted to headers — the report-shaping primitive
+    (metrics as rows, groups as columns) that previously needed a
+    hand-written UNPIVOT→PIVOT pair; the oracle IS that pair, so the
+    hash match pins transpose ≡ unpivot∘pivot. Values share one type
+    (long) as transpose requires; header columns come out in sorted
+    order (F, O, P) per the documented contract.
+
+    Scale: the input is the ≤3-row aggregate — transpose is a
+    driver-shape operation over a bounded relation by construction
+    (it collects headers), which is why the aggregate MUST come
+    first; transposing a fact table is the anti-pattern this row's
+    shape documents."""
+    o = t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+    return agg.transpose().orderBy("key")

@@ -117,6 +117,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
 _FN_DEMO = "function-family demo over a bounded sample relation; ORDER BY is the deterministic-output contract"
 BOUNDED_SORT: dict[str, str] = {
     "src_write_audit_publish": "2-row commit-trail relation (one row per batch)",
+    "sql_transpose": "2-row transposed metric relation (input is the ≤3-row status aggregate)",
     "sim_binary_hamming_topk": "sorts the top-5-per-query output (5 rows per ~1% sampled query, rank-filtered before the sort)",
     "sql_star_except": "range-partitioned sort of the selective o_totalprice>400k slice (~2% of orders) — the demo's deterministic-output contract, parallel range sort, not a one-task funnel",
     "src_footer_stats_audit": "sorts the per-partition stats relation (one row per returnflag, bounded by distinct flags)",
