@@ -4030,3 +4030,92 @@ def ds_naive_bayes(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+@query(
+    "ds_forecast_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderstatus,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY o_orderstatus, d
+    ),
+    scored AS (
+      SELECT a.o_orderstatus, a.y, a.y - p.y AS e
+      FROM daily a JOIN daily p
+        ON a.o_orderstatus = p.o_orderstatus AND p.d = a.d - 7
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(ABS(e)) AS DOUBLE) / COUNT(*) AS mae,
+           SQRT(CAST(SUM(CAST(e AS HUGEINT) * e) AS DOUBLE) / COUNT(*)) AS rmse,
+           CAST(SUM(ABS(e) * 1000000000 // y) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS mape,
+           CAST(SUM(GREATEST(9 * e, -e)) AS DOUBLE)
+             / (10.0 * COUNT(*)) AS pinball90
+    FROM scored
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("analytics", "forecast", "evaluation"),
+)
+def ds_forecast_eval(spark, sf_dir):
+    """Forecast-accuracy scorecard for the seasonal-naive predictor
+    (ŷ_t = y_{t−7}, the `ds_seasonal_naive_forecast` baseline): MAE,
+    RMSE, MAPE, and the q=0.9 pinball loss per status series — the
+    metric table every forecasting iteration is judged against
+    (pinball being what quantile forecasts optimize; a model must
+    beat seasonal-naive on THESE numbers to earn deployment).
+
+    Exactness discipline per metric: MAE sums exact |e| cents; RMSE's
+    Σe² runs in decimal(38)/HUGEINT (squared daily errors overflow
+    longs at large SF); MAPE — the one metric that sums RATIOS — puts
+    each |e|/y term in ×1e9 fixed-point integer division (order-free
+    exact sum, no float accumulation); pinball uses the ×10 integer
+    identity max(q·e, (q−1)·e) = GREATEST(9e, −e)/10. Each emitted
+    double is one raw division chain.
+
+    Shape: calendar-key self-join of the daily aggregate (the
+    seasonal-naive join, never a row lag over facts) + one grouped
+    fold."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn(
+            "d",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+        )
+        .groupBy("o_orderstatus", "d")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+    )
+    a = daily.alias("a")
+    p = daily.select(
+        "o_orderstatus", (F.col("d") + 7).alias("d"), F.col("y").alias("py")
+    ).alias("p")
+    scored = a.join(p, ["o_orderstatus", "d"]).select(
+        "o_orderstatus", F.col("y"), (F.col("y") - F.col("py")).alias("e")
+    )
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy("o_orderstatus")
+        .agg(
+            n.cast("long").alias("n_scored"),
+            (F.sum(F.abs("e")).cast("double") / n).alias("mae"),
+            F.sqrt(
+                F.sum(F.expr("cast(e as decimal(38,0)) * e")).cast("double") / n
+            ).alias("rmse"),
+            (
+                F.sum(F.expr("(abs(e) * 1000000000) div y")).cast("double")
+                / (n.cast("double") * 1e9)
+            ).alias("mape"),
+            (
+                F.sum(F.greatest(9 * F.col("e"), -F.col("e"))).cast("double")
+                / (10.0 * n)
+            ).alias("pinball90"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1052,3 +1052,107 @@ def graph_reciprocity(spark, sf_dir):
             F.col("n_reciprocal").cast("double") / F.col("n_edges"), 8
         ).alias("reciprocity"),
     )
+
+
+@query(
+    "graph_modularity_score",
+    oracle=f"""
+    WITH und AS (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({_EDGES_SQL}) WHERE src <> dst
+      GROUP BY 1, 2
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    ),
+    dc AS (
+      SELECT v % 4 AS community, CAST(SUM(d) AS BIGINT) AS d_c,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY community
+    ),
+    mc AS (
+      SELECT a % 4 AS community, CAST(COUNT(*) AS BIGINT) AS m_c
+      FROM und WHERE a % 4 = b % 4 GROUP BY community
+    ),
+    per AS (
+      SELECT d.community, d.n_nodes, d.d_c, COALESCE(mc.m_c, 0) AS m_c
+      FROM dc d LEFT JOIN mc USING (community)
+    ),
+    q AS (
+      SELECT CAST(SUM(4 * m.m * p.m_c - p.d_c * p.d_c) AS BIGINT) AS q_num,
+             CAST(MAX(m.m) AS BIGINT) AS m
+      FROM per p, m
+    )
+    SELECT p.community, p.n_nodes, p.d_c, p.m_c,
+           CAST(q.q_num AS DOUBLE) / (4.0 * CAST(q.m AS DOUBLE) * q.m)
+             AS modularity
+    FROM per p, q
+    ORDER BY p.community
+    """,
+    tags=("graph", "community", "modularity"),
+)
+def graph_modularity_score(spark, sf_dir):
+    """Newman modularity Q of a community partition over the
+    undirected trade graph — the quality score every community
+    detector (label propagation, Louvain) optimizes, exposed as a
+    standalone metric op: Q = Σ_c [m_c/m − (D_c/2m)²]. The scored
+    partition here is the deterministic assignment c(v) = v mod 4
+    (a stand-in for any upstream community column, e.g.
+    `graph_label_propagation`'s output — the metric is
+    partition-agnostic).
+
+    Exactness: the whole statistic cross-multiplies into the integer
+    Q·4m² = Σ_c (4·m·m_c − D_c²); one raw double division at the end
+    (no per-community float shares). Ties/empty communities fold via
+    COALESCE(m_c, 0) identically in both engines.
+
+    Scale: degrees and within-community edge counts are
+    partial-merged aggregates over the (already deduped) edge
+    relation; the per-community relation is ≤|communities| rows. At
+    100 TB Q costs two aggregates over edges — same plan."""
+    und = _und(spark, sf_dir)
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dc = deg.groupBy((F.col("v") % 4).alias("community")).agg(
+        F.sum("d").cast("long").alias("d_c"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+    )
+    mc = (
+        und.filter(F.col("a") % 4 == F.col("b") % 4)
+        .groupBy((F.col("a") % 4).alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m_c"))
+    )
+    per = dc.join(mc, "community", "left").select(
+        "community",
+        "n_nodes",
+        "d_c",
+        F.coalesce("m_c", F.lit(0)).cast("long").alias("m_c"),
+    )
+    q = per.crossJoin(F.broadcast(m)).agg(
+        F.sum(4 * F.col("m") * F.col("m_c") - F.col("d_c") * F.col("d_c"))
+        .cast("long")
+        .alias("q_num"),
+        F.max("m").cast("long").alias("m"),
+    )
+    return (
+        per.crossJoin(F.broadcast(q))
+        .select(
+            "community",
+            "n_nodes",
+            "d_c",
+            "m_c",
+            (
+                F.col("q_num").cast("double")
+                / (4.0 * F.col("m").cast("double") * F.col("m"))
+            ).alias("modularity"),
+        )
+        .orderBy("community")
+    )

@@ -52,6 +52,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sample_temporal_split": "one-row corpus-horizon (max_ts/test_start/train_end) broadcast",
     "graph_triangle_count": "one-row edge-count broadcast joined to one-row count",
     "graph_reciprocity": "two one-row edge/reciprocal counts cross-joined",
+    "graph_modularity_score": "one-row edge-count and one-row Q-numerator broadcasts onto the ≤4-row community relation",
     "text_pmi_collocations": "one-row (n_bi, n_tok) corpus-totals broadcast onto the thresholded bigram relation",
     "text_bpe_merge_round": "one-row best-pair/totals broadcasts onto the distinct-word frequency relation",
     "ds_basket_lift": "one-row order-count broadcast",
