@@ -4119,3 +4119,135 @@ def ds_forecast_eval(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+_PVB_Y0, _PVB_Y1 = 1996, 1997
+
+
+@query(
+    "ds_price_volume_bridge",
+    oracle=f"""
+    WITH per AS (
+      SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem WHERE year(l_shipdate) IN ({_PVB_Y0}, {_PVB_Y1})
+      GROUP BY pk, yr
+    ),
+    w AS (
+      SELECT p.p_brand AS brand, pk,
+             MAX(CASE WHEN yr = {_PVB_Y0} THEN q END) AS q0,
+             MAX(CASE WHEN yr = {_PVB_Y0} THEN r END) AS r0,
+             MAX(CASE WHEN yr = {_PVB_Y1} THEN q END) AS q1,
+             MAX(CASE WHEN yr = {_PVB_Y1} THEN r END) AS r1
+      FROM per JOIN part p ON per.pk = p.p_partkey
+      GROUP BY brand, pk
+    ),
+    eff AS (
+      SELECT brand,
+             CAST(SUM(COALESCE(r1, 0)) - SUM(COALESCE(r0, 0)) AS BIGINT)
+               AS delta_rev_c,
+             CAST(SUM(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+               THEN (q1 - q0) * ((r0 * 1000000) // q0) ELSE 0 END)
+               AS HUGEINT) AS vol_fp,
+             CAST(SUM(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+               THEN q1 * (((r1 * 1000000) // q1) - ((r0 * 1000000) // q0))
+               ELSE 0 END) AS HUGEINT) AS price_fp,
+             CAST(SUM(CASE WHEN q0 IS NULL THEN r1 ELSE 0 END) AS BIGINT)
+               AS new_c,
+             CAST(SUM(CASE WHEN q1 IS NULL THEN -r0 ELSE 0 END) AS BIGINT)
+               AS discontinued_c
+      FROM w GROUP BY brand
+    )
+    SELECT brand, delta_rev_c,
+           CAST(vol_fp AS DOUBLE) / 1e6 AS volume_effect_c,
+           CAST(price_fp AS DOUBLE) / 1e6 AS price_effect_c,
+           new_c, discontinued_c,
+           CAST(delta_rev_c - new_c - discontinued_c AS DOUBLE)
+             - CAST(vol_fp AS DOUBLE) / 1e6
+             - CAST(price_fp AS DOUBLE) / 1e6 AS residual_c
+    FROM eff
+    ORDER BY brand
+    """,
+    tags=("analytics", "finance", "decomposition"),
+)
+def ds_price_volume_bridge(spark, sf_dir):
+    """Price-volume bridge (revenue waterfall) per brand between
+    {_PVB_Y0} and {_PVB_Y1} — the FP&A decomposition "how much of the
+    revenue change came from selling MORE vs charging MORE vs
+    product churn": Laspeyres volume effect Σ(q₁−q₀)p₀ + price
+    effect Σq₁(p₁−p₀) over parts sold in BOTH years, with new /
+    discontinued parts carried as their own exact buckets (their
+    whole revenue is the effect — no price to decompose).
+
+    Exactness: per-part unit prices land in ×1e6 fixed-point integer
+    division (deterministic truncation both engines); effect sums run
+    in decimal(38)/HUGEINT (per-part terms reach ~1e14, corpus sums
+    overflow longs at scale); Δrevenue and the churn buckets are
+    exact cents. The emitted residual_c column IS the decomposition
+    audit: it differs from zero only by the 1e-6-cent truncations,
+    and identically so in both engines.
+
+    Shape: one partial-merged (part, year) aggregate, one broadcast
+    part-dim join, one grouped fold per brand — the fact table is
+    read once."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(_PVB_Y0, _PVB_Y1)
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("r"),
+    )
+    w = (
+        per.join(F.broadcast(p), per.pk == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "pk")
+        .agg(
+            F.max(F.when(F.col("yr") == _PVB_Y0, F.col("q"))).alias("q0"),
+            F.max(F.when(F.col("yr") == _PVB_Y0, F.col("r"))).alias("r0"),
+            F.max(F.when(F.col("yr") == _PVB_Y1, F.col("q"))).alias("q1"),
+            F.max(F.when(F.col("yr") == _PVB_Y1, F.col("r"))).alias("r1"),
+        )
+    )
+    both = F.col("q0").isNotNull() & F.col("q1").isNotNull()
+    p0 = F.expr("(r0 * 1000000) div q0")
+    p1 = F.expr("(r1 * 1000000) div q1")
+    eff = w.groupBy("brand").agg(
+        (
+            F.sum(F.coalesce("r1", F.lit(0))) - F.sum(F.coalesce("r0", F.lit(0)))
+        )
+        .cast("long")
+        .alias("delta_rev_c"),
+        F.sum(
+            F.when(both, ((F.col("q1") - F.col("q0")) * p0).cast("decimal(38,0)"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("vol_fp"),
+        F.sum(
+            F.when(both, (F.col("q1") * (p1 - p0)).cast("decimal(38,0)"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("price_fp"),
+        F.sum(F.when(F.col("q0").isNull(), F.col("r1")).otherwise(0))
+        .cast("long")
+        .alias("new_c"),
+        F.sum(F.when(F.col("q1").isNull(), -F.col("r0")).otherwise(0))
+        .cast("long")
+        .alias("discontinued_c"),
+    )
+    return eff.select(
+        "brand",
+        "delta_rev_c",
+        (F.col("vol_fp").cast("double") / 1e6).alias("volume_effect_c"),
+        (F.col("price_fp").cast("double") / 1e6).alias("price_effect_c"),
+        "new_c",
+        "discontinued_c",
+        (
+            (F.col("delta_rev_c") - F.col("new_c") - F.col("discontinued_c")).cast(
+                "double"
+            )
+            - F.col("vol_fp").cast("double") / 1e6
+            - F.col("price_fp").cast("double") / 1e6
+        ).alias("residual_c"),
+    ).orderBy("brand")
