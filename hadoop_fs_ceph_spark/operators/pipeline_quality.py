@@ -4243,3 +4243,132 @@ def ds_lift_gains_deciles(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "outlier_ensemble_votes",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS BIGINT) AS ss,
+             quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.75) AS q3,
+             quantile_cont(cents, 0.50) AS med
+      FROM base GROUP BY event_type
+    ),
+    mad AS (
+      SELECT b.event_type,
+             quantile_cont(ABS(b.cents - st.med), 0.50) AS madv
+      FROM base b JOIN st USING (event_type) GROUP BY b.event_type, st.med
+    ),
+    flags AS (
+      SELECT b.event_type, b.event_id, b.cents,
+             CAST((CAST(b.cents AS DOUBLE) * st.n - st.s)
+                    * (CAST(b.cents AS DOUBLE) * st.n - st.s)
+                  > 9.0 * (CAST(st.ss AS DOUBLE) * st.n - CAST(st.s AS DOUBLE) * st.s)
+                  AS BOOLEAN) AS z_flag,
+             CAST(b.cents < st.q1 - 1.5 * (st.q3 - st.q1)
+                  OR b.cents > st.q3 + 1.5 * (st.q3 - st.q1)
+                  AS BOOLEAN) AS iqr_flag,
+             CAST(ABS(b.cents - st.med) > 3.5 * 1.4826 * m.madv
+                  AS BOOLEAN) AS mad_flag
+      FROM base b JOIN st USING (event_type) JOIN mad m USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN z_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_z,
+           CAST(SUM(CASE WHEN iqr_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_iqr,
+           CAST(SUM(CASE WHEN mad_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_mad,
+           CAST(SUM(CASE WHEN (CASE WHEN z_flag THEN 1 ELSE 0 END)
+                           + (CASE WHEN iqr_flag THEN 1 ELSE 0 END)
+                           + (CASE WHEN mad_flag THEN 1 ELSE 0 END) >= 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ensemble
+    FROM flags
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("outlier", "ensemble", "quality"),
+)
+def outlier_ensemble_votes(spark, sf_dir):
+    """Ensemble outlier detection — the three standard univariate
+    detectors voting per event stream: 3σ z-score (moment-based,
+    breaks under heavy tails), 1.5·IQR Tukey fences (rank-based), and
+    the 3.5 modified-z MAD gate (50% breakdown) — a row is an ensemble
+    outlier at ≥2 votes. Running them TOGETHER is the production
+    pattern (single-method alerts page too often); the per-stream
+    disagreement counts are themselves the diagnostic (z ≫ mad ⇒ a
+    fat tail is dragging σ).
+
+    Determinism: the z gate is the cross-multiplied integer-moment
+    predicate (cents·n − s)² > 9·(ss·n − s²) — the
+    `ds_ols_residual_outliers` posture, no per-row division; IQR and
+    MAD gates compare exact cents against interpolated quantiles
+    (Spark percentile ≡ DuckDB quantile_cont, pinned by
+    `agg_percentiles`) through one identical double chain.
+
+    Scale: two grouped aggregates over the scan (moments+quantiles,
+    then MAD of residuals) build a ≤|streams|-row model relation;
+    flagging is a broadcast join + map-side predicates; only counts
+    shuffle back."""
+    base = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    st = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.expr("cast(cents as decimal(38,0)) * cents"))
+        .cast("long")
+        .alias("ss"),
+        F.expr("percentile(cents, 0.25)").alias("q1"),
+        F.expr("percentile(cents, 0.75)").alias("q3"),
+        F.expr("percentile(cents, 0.50)").alias("med"),
+    )
+    mad = (
+        base.join(F.broadcast(st.select("event_type", "med")), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(cents - med), 0.50)").alias("madv"))
+    )
+    j = base.join(F.broadcast(st), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    dev = F.col("cents").cast("double") * F.col("n") - F.col("s")
+    z_flag = dev * dev > 9.0 * (
+        F.col("ss").cast("double") * F.col("n")
+        - F.col("s").cast("double") * F.col("s")
+    )
+    iqr = F.col("q3") - F.col("q1")
+    iqr_flag = (F.col("cents") < F.col("q1") - 1.5 * iqr) | (
+        F.col("cents") > F.col("q3") + 1.5 * iqr
+    )
+    mad_flag = F.abs(F.col("cents") - F.col("med")) > 3.5 * 1.4826 * F.col("madv")
+    flags = j.select(
+        "event_type",
+        z_flag.alias("z_flag"),
+        iqr_flag.alias("iqr_flag"),
+        mad_flag.alias("mad_flag"),
+    )
+    votes = (
+        F.col("z_flag").cast("int")
+        + F.col("iqr_flag").cast("int")
+        + F.col("mad_flag").cast("int")
+    )
+    return (
+        flags.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("z_flag").cast("long")).cast("long").alias("n_z"),
+            F.sum(F.col("iqr_flag").cast("long")).cast("long").alias("n_iqr"),
+            F.sum(F.col("mad_flag").cast("long")).cast("long").alias("n_mad"),
+            F.sum((votes >= 2).cast("long")).cast("long").alias("n_ensemble"),
+        )
+        .orderBy("event_type")
+    )
