@@ -2056,3 +2056,188 @@ def src_table_cache(spark, sf_dir):
     spark.catalog.cacheTable("orders_cached_src")
     _orders_agg(spark.table("orders_cached_src")).count()  # materialize
     return _orders_agg(spark.table("orders_cached_src"))
+
+
+@query(
+    "src_derived_partition_pruning",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MIN(o_orderdate) AS first_ts, MAX(o_orderdate) AS last_ts
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+      AND o_orderdate <  TIMESTAMP '1996-06-01'
+    """,
+    tags=("source", "partition", "pruning", "generated-column"),
+)
+def src_derived_partition_pruning(spark, sf_dir):
+    """Generated-column partition pruning — the lakehouse trick for
+    pruning on a DERIVED key: the table is laid out by ym =
+    year*100+month (a function of the timestamp, which itself is far
+    too fine-grained to partition by), and the reader REWRITES its raw
+    timestamp range into the implied ym ∈ [199603, 199605] partition
+    predicate + the residual row filter. Without the rewrite the scan
+    touches every partition (ts is not a partition column); with it,
+    `PartitionFilters` prunes to 3 of ~84 directories — a test pins
+    that the executed plan carries a non-empty partition filter, and
+    the oracle hash-match proves the rewrite loses no rows (the
+    month predicate is implied by, not equal to, the ts range).
+
+    This is Delta/Iceberg generated-column pruning expressed manually
+    — at 100 TB it is THE difference between a 3-partition read and a
+    full-table scan for every time-range query."""
+    o = t(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "derived_part_orders")
+    write_table(
+        o.withColumn(
+            "ym", (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+        ),
+        path,
+        mode="overwrite",
+        partition_by=["ym"],
+    )
+    back = spark.read.parquet(path)
+    lo, hi = "1996-03-01", "1996-06-01"
+    pruned = back.filter(
+        # the implied partition predicate (prunable) AND the raw range
+        (F.col("ym") >= 199603)
+        & (F.col("ym") <= 199605)
+        & (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.min("o_orderdate").alias("first_ts"),
+        F.max("o_orderdate").alias("last_ts"),
+    )
+
+
+@query(
+    "src_incremental_join_view",
+    oracle="""
+    WITH a0 AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+    da AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+    b0 AS (SELECT * FROM customer WHERE c_custkey % 20 <> 0),
+    db AS (SELECT * FROM customer WHERE c_custkey % 20 = 0),
+    j0 AS (
+      SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM a0 JOIN b0 ON o_custkey = c_custkey GROUP BY nk
+    ),
+    dj AS (
+      SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM (
+        SELECT o_totalprice, c_nationkey FROM da JOIN b0 ON o_custkey = c_custkey
+        UNION ALL
+        SELECT o_totalprice, c_nationkey FROM a0 JOIN db ON o_custkey = c_custkey
+        UNION ALL
+        SELECT o_totalprice, c_nationkey FROM da JOIN db ON o_custkey = c_custkey
+      ) GROUP BY nk
+    ),
+    inc AS (
+      SELECT COALESCE(j0.nk, dj.nk) AS nk,
+             COALESCE(j0.n, 0) + COALESCE(dj.n, 0) AS n_inc,
+             COALESCE(j0.s, 0) + COALESCE(dj.s, 0) AS s_inc
+      FROM j0 FULL OUTER JOIN dj ON j0.nk = dj.nk
+    ),
+    full_v AS (
+      SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_full,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS s_full
+      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY nk
+    )
+    SELECT f.nk AS c_nationkey,
+           CAST(i.n_inc AS BIGINT) AS n_inc,
+           CAST(i.s_inc AS BIGINT) AS sum_inc_c,
+           f.n_full, f.s_full AS sum_full_c,
+           CAST(i.n_inc = f.n_full AS BOOLEAN) AS counts_match,
+           CAST(i.s_inc = f.s_full AS BOOLEAN) AS sums_match
+    FROM full_v f JOIN inc i ON f.nk = i.nk
+    ORDER BY c_nationkey
+    """,
+    tags=("source", "incremental", "materialized-view", "join"),
+)
+def src_incremental_join_view(spark, sf_dir):
+    """Incremental maintenance of a JOIN view — the delta algebra
+    behind every materialized-view refresh: with base snapshots A₀, B₀
+    and arriving deltas ΔA (new orders), ΔB (new customers), the view
+    delta is EXACTLY ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB (disjoint because the
+    batches partition the tables), merged into the view's mergeable
+    (count, sum) states. The query computes the view BOTH ways —
+    incremental merge and full recompute — and emits per-nation
+    equality verdicts, so the algebra is self-auditing (the join-view
+    sibling of `agg_incremental_rollup`'s aggregate-only maintenance;
+    the three-term cross-delta is what naive implementations drop).
+
+    Scale: the three delta joins touch only delta-sized inputs on the
+    big side (ΔA is 10% here; in production it's a day against
+    years); the full recompute exists ONLY as the in-query audit. All
+    states are exact integers (count, cents sum) — associative,
+    re-mergeable, no floats."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    a0 = o.filter(F.col("o_orderkey") % 10 != 0)
+    da = o.filter(F.col("o_orderkey") % 10 == 0)
+    b0 = c.filter(F.col("c_custkey") % 20 != 0)
+    db = c.filter(F.col("c_custkey") % 20 == 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def agg_nk(df):
+        return df.groupBy(F.col("c_nationkey").alias("nk")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("s"),
+        )
+
+    j0 = agg_nk(a0.join(F.broadcast(b0), a0.o_custkey == b0.c_custkey))
+    dj = agg_nk(
+        da.join(F.broadcast(b0), da.o_custkey == b0.c_custkey)
+        .select("o_totalprice", "c_nationkey")
+        .unionAll(
+            a0.join(F.broadcast(db), a0.o_custkey == db.c_custkey).select(
+                "o_totalprice", "c_nationkey"
+            )
+        )
+        .unionAll(
+            da.join(F.broadcast(db), da.o_custkey == db.c_custkey).select(
+                "o_totalprice", "c_nationkey"
+            )
+        )
+    )
+    inc = (
+        j0.select(F.col("nk"), F.col("n").alias("n0"), F.col("s").alias("s0"))
+        .join(
+            dj.select(F.col("nk"), F.col("n").alias("nd"), F.col("s").alias("sd")),
+            "nk",
+            "full_outer",
+        )
+        .select(
+            "nk",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("nd", F.lit(0)))
+            .cast("long")
+            .alias("n_inc"),
+            (F.coalesce("s0", F.lit(0)) + F.coalesce("sd", F.lit(0)))
+            .cast("long")
+            .alias("s_inc"),
+        )
+    )
+    full_v = agg_nk(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)).select(
+        F.col("nk"), F.col("n").alias("n_full"), F.col("s").alias("s_full")
+    )
+    return (
+        full_v.join(inc, "nk")
+        .select(
+            F.col("nk").alias("c_nationkey"),
+            "n_inc",
+            F.col("s_inc").alias("sum_inc_c"),
+            "n_full",
+            F.col("s_full").alias("sum_full_c"),
+            (F.col("n_inc") == F.col("n_full")).alias("counts_match"),
+            (F.col("s_inc") == F.col("s_full")).alias("sums_match"),
+        )
+        .orderBy("c_nationkey")
+    )

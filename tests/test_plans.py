@@ -385,3 +385,15 @@ def test_hits_consistency(spark, sf_dir):
     assert len(rows) == 25
     assert all(r.hub_score >= 0 and r.auth_score >= 0 for r in rows)
     assert any(r.hub_score > 0 for r in rows)
+
+
+def test_derived_partition_pruning_carries_partition_filter(spark, sf_dir):
+    """src_derived_partition_pruning's rewritten ym predicate must reach
+    the scan as a PartitionFilter (3 of ~84 directories), with the raw
+    timestamp range left as the residual data filter — the generated-
+    column pruning contract."""
+    df = SPECS["src_derived_partition_pruning"].fn(spark, sf_dir)
+    df.collect()  # materialize layout + run
+    plan = plan_of(df)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "ym" in pf.group(1), plan[:2000]
