@@ -4251,3 +4251,98 @@ def ds_price_volume_bridge(spark, sf_dir):
             - F.col("price_fp").cast("double") / 1e6
         ).alias("residual_c"),
     ).orderBy("brand")
+
+
+_MIG_SPLIT = "1998-01-01"
+
+
+@query(
+    "ds_segment_migration_matrix",
+    oracle=f"""
+    WITH p0 AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_MIG_SPLIT}'
+      GROUP BY ck
+    ),
+    p1 AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{_MIG_SPLIT}'
+      GROUP BY ck
+    ),
+    s0 AS (
+      SELECT ck, (row_number() OVER (ORDER BY spend, ck) - 1) * 4
+                   // (SELECT COUNT(*) FROM p0) + 1 AS q
+      FROM p0
+    ),
+    s1 AS (
+      SELECT ck, (row_number() OVER (ORDER BY spend, ck) - 1) * 4
+                   // (SELECT COUNT(*) FROM p1) + 1 AS q
+      FROM p1
+    )
+    SELECT CAST(COALESCE(s0.q, 0) AS BIGINT) AS seg_from,
+           CAST(COALESCE(s1.q, 0) AS BIGINT) AS seg_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM s0 FULL OUTER JOIN s1 ON s0.ck = s1.ck
+    GROUP BY seg_from, seg_to
+    ORDER BY seg_from, seg_to
+    """,
+    tags=("analytics", "segmentation", "migration", "rank"),
+)
+def ds_segment_migration_matrix(spark, sf_dir):
+    """Customer segment-migration matrix: spend-quartile membership in
+    the early period ({_MIG_SPLIT}⁻) vs the late period, with 0 =
+    absent — the "who moved up, who churned" transition table behind
+    lifecycle marketing (the dynamic sequel to `ds_rfm_segmentation`'s
+    static snapshot). Quartiles are row-quartiles of the per-period
+    spend ranking — computed by `_ranked_nosort` (distributed rank, no
+    world sort) with the (spend, custkey) composite tie-break, so
+    segment boundaries are deterministic in both engines; the matrix
+    is one full-outer join of the two ≤|customers|-row segment
+    relations plus a ≤25-cell aggregate.
+
+    Scale: two rank passes over per-customer aggregates (facts
+    collapse first), one slim (ck, q) join. Migration at 100 TB is
+    exactly this plan."""
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _ranked_nosort
+
+    o = t(spark, sf_dir, "orders")
+    split = F.lit(_MIG_SPLIT).cast("timestamp_ntz")
+
+    def seg(df):
+        per = df.groupBy(F.col("o_custkey").alias("ck")).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend")
+        )
+        n = per.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        ranked = _ranked_nosort(
+            per.select(
+                (F.col("spend") * F.lit(2**32).cast("long") + F.col("ck")).alias(
+                    "key"
+                ),
+                F.col("ck").alias("val"),
+            )
+        )
+        return ranked.crossJoin(F.broadcast(n)).select(
+            F.col("val").alias("ck"),
+            F.expr("(i - 1) * 4 div n + 1").cast("long").alias("q"),
+        )
+
+    s0 = seg(o.filter(F.col("o_orderdate") < split)).select(
+        "ck", F.col("q").alias("q0")
+    )
+    s1 = seg(o.filter(F.col("o_orderdate") >= split)).select(
+        "ck", F.col("q").alias("q1")
+    )
+    return (
+        s0.join(s1, "ck", "full_outer")
+        .select(
+            F.coalesce("q0", F.lit(0)).cast("long").alias("seg_from"),
+            F.coalesce("q1", F.lit(0)).cast("long").alias("seg_to"),
+        )
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("seg_from", "seg_to")
+    )

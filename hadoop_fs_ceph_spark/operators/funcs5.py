@@ -509,3 +509,62 @@ def fn_csv_scalar_roundtrip(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "fn_luhn_family",
+    oracle="""
+    WITH nums AS (
+      SELECT c_custkey,
+             lpad(CAST(c_custkey AS VARCHAR), 11, '0')
+               || CAST(c_custkey % 10 AS VARCHAR) AS num
+      FROM customer
+    ),
+    checked AS (
+      SELECT c_custkey, num,
+             list_sum(list_transform(generate_series(1, 12), i ->
+               CASE WHEN i % 2 = 0 THEN
+                 CASE WHEN 2 * CAST(substr(num, 13 - CAST(i AS INTEGER), 1)
+                                   AS INTEGER) > 9
+                      THEN 2 * CAST(substr(num, 13 - CAST(i AS INTEGER), 1)
+                                    AS INTEGER) - 9
+                      ELSE 2 * CAST(substr(num, 13 - CAST(i AS INTEGER), 1)
+                                    AS INTEGER) END
+               ELSE CAST(substr(num, 13 - CAST(i AS INTEGER), 1) AS INTEGER)
+               END)) % 10 = 0 AS is_valid
+      FROM nums
+    )
+    SELECT is_valid, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c_custkey) AS BIGINT) AS first_key
+    FROM checked GROUP BY is_valid ORDER BY is_valid
+    """,
+    tags=("function", "checksum", "validation"),
+)
+def fn_luhn_family(spark, sf_dir):
+    """`luhn_check` — the mod-10 checksum validator (card/IMEI-style
+    identifiers) over synthetic 12-digit account numbers derived from
+    customer keys; the DuckDB twin re-implements Luhn arithmetically
+    (doubled even positions from the right, −9 overflow fold), so the
+    hash match pins Spark's builtin against the textbook definition
+    rather than against itself. Validation verdicts aggregate per
+    outcome — the ingest-quality gate shape (reject invalid
+    identifiers at the scan, map-side, before any join)."""
+    c = t(spark, sf_dir, "customer")
+    nums = c.select(
+        "c_custkey",
+        F.concat(
+            F.lpad(F.col("c_custkey").cast("string"), 11, "0"),
+            (F.col("c_custkey") % 10).cast("string"),
+        ).alias("num"),
+    )
+    checked = nums.select(
+        "c_custkey", F.expr("luhn_check(num)").alias("is_valid")
+    )
+    return (
+        checked.groupBy("is_valid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("c_custkey").cast("long").alias("first_key"),
+        )
+        .orderBy("is_valid")
+    )

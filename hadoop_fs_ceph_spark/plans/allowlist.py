@@ -30,6 +30,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "ds_lift_gains_deciles": "one-row totals + ≤4096-row rank-offset-map broadcasts (distributed-rank pass + 10-row fold)",
     "ds_kruskal_wallis": "one-row bounds + ≤4096-row rank-offset-map + one-row H-stat broadcasts (distributed-rank pass)",
     "ds_spearman_rho": "one-row bounds + ≤4096-row rank-offset-map broadcasts (two distributed-rank passes)",
+    "ds_segment_migration_matrix": "one-row period-count + one-row bounds + ≤4096-row rank-offset-map broadcasts (two distributed-rank passes)",
     "ds_wilcoxon_signed_rank": "one-row corpus-midpoint + one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
     "profile_freshness_lag": "one-row corpus-watermark broadcast onto the per-stream aggregate",
     "sample_rolling_origin_folds": "3-row fold spine + one-row corpus-horizon broadcast",
@@ -232,6 +233,7 @@ BOUNDED_COLLECT: dict[str, str] = {
     "ds_lift_gains_deciles": _REFINE_COLLECT,
     "ds_kruskal_wallis": _REFINE_COLLECT,
     "ds_spearman_rho": _REFINE_COLLECT,
+    "ds_segment_migration_matrix": _REFINE_COLLECT,
     "ds_wilcoxon_signed_rank": _REFINE_COLLECT,
     "agg_gini_concentration_binned": "collected 64-bin contribution array, sequential fold",
     "ds_pareto_concentration_binned": "collected 64-bin contribution array, sequential fold",
