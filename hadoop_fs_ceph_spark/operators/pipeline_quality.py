@@ -4372,3 +4372,155 @@ def outlier_ensemble_votes(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_BFPP_M = 1 << 16  # bits
+_BFPP_K = 3
+_BFPP_A, _BFPP_B, _BFPP_C = 2654435761, 40503, 1000003
+
+
+def _bfpp_pos_sql(key: str, i: int) -> str:
+    return f"(({key} * ({_BFPP_A} + {i} * {_BFPP_B}) + {_BFPP_C} * {i}) % {_BFPP_M})"
+
+
+@query(
+    "profile_bloom_fpp_calibration",
+    oracle=f"""
+    WITH build AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0),
+    probe AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 1),
+    pos AS (
+      SELECT DISTINCT p FROM (
+        {" UNION ALL ".join(f"SELECT {_bfpp_pos_sql('k', i)} AS p FROM build" for i in range(_BFPP_K))}
+      )
+    ),
+    words AS (
+      SELECT p // 63 AS word, CAST(bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS BIGINT) AS bits
+      FROM pos GROUP BY word
+    ),
+    pp AS (
+      SELECT k, unnest([{", ".join(_bfpp_pos_sql('k', i) for i in range(_BFPP_K))}]) AS p
+      FROM probe
+    ),
+    sat AS (
+      SELECT pp.k,
+             CAST(SUM(CASE WHEN w.bits IS NOT NULL
+                       AND (w.bits & (1::BIGINT << CAST(pp.p % 63 AS INTEGER))) <> 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ok
+      FROM pp LEFT JOIN words w ON w.word = pp.p // 63
+      GROUP BY pp.k
+    ),
+    m AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_keys,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probes,
+             (SELECT CAST(SUM(CASE WHEN ok = {_BFPP_K} THEN 1 ELSE 0 END) AS BIGINT)
+              FROM sat) AS n_hits
+    )
+    SELECT n_keys, n_probes, n_hits,
+           CAST(n_hits AS DOUBLE) / n_probes AS measured_fpp,
+           POW(1.0 - EXP(-{_BFPP_K}.0 * n_keys / {_BFPP_M}.0), {_BFPP_K}.0)
+             AS fpp_theory,
+           CAST(ABS(CAST(n_hits AS DOUBLE) / n_probes
+                    - POW(1.0 - EXP(-{_BFPP_K}.0 * n_keys / {_BFPP_M}.0),
+                          {_BFPP_K}.0))
+                < 4.0 * SQRT(POW(1.0 - EXP(-{_BFPP_K}.0 * n_keys / {_BFPP_M}.0),
+                                 {_BFPP_K}.0) / n_probes) + 0.003
+                AS BOOLEAN) AS within_tolerance
+    FROM m
+    """,
+    tags=("profile", "bloom", "calibration", "sketch"),
+)
+def profile_bloom_fpp_calibration(spark, sf_dir):
+    """Bloom-filter false-positive calibration — measure the REAL FPP
+    of an {_BFPP_M}-bit, k={_BFPP_K} filter against the textbook
+    prediction (1−e^(−kn/m))^k, the `dedup_lsh_recall_report` pattern
+    applied to the bloom family: build from the even customer keys,
+    probe with the DISJOINT odd keys (every hit is by construction a
+    false positive), report measured vs theoretical rate and a
+    binomial-tolerance verdict. This is the sizing audit a 100 TB
+    deployment runs before trusting `join_bloom_prefilter`'s m/k
+    choice on its key distribution — mixes that interact badly with
+    the key structure show up HERE, not in production.
+
+    Portability tier: positions come from multiplicative-affine mixes
+    (exact integer arithmetic both engines), the declared portable
+    twin of the prod filter's xxhash64 probes — same tier split as
+    `dedup_minhash_lsh` vs `_prod`. Bitmap build is a ≤1,041-row
+    63-bit-word bit_or aggregate (bit 63 avoided: DuckDB checks shift
+    overflow where the JVM wraps); probes LEFT-join that bounded word relation;
+    the verdict is one deterministic double chain.
+
+    Scale: build-side positions are map-side; the word relation is
+    8 KiB regardless of n; probe cost is 3 integer mixes + a
+    broadcast-sized join per key."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    build = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    probe = c.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def pos_col(i):
+        return F.pmod(
+            F.col("k") * (_BFPP_A + i * _BFPP_B) + _BFPP_C * i, F.lit(_BFPP_M)
+        )
+
+    pos = (
+        build.select(
+            F.explode(F.array(*[pos_col(i) for i in range(_BFPP_K)])).alias("p")
+        )
+        .distinct()
+    )
+    words = pos.select(
+        F.expr("p div 63").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 63) AS INT))").alias(
+            "bit"
+        ),
+    ).groupBy("word").agg(F.bit_or("bit").alias("bits"))
+    pp = probe.select(
+        "k", F.explode(F.array(*[pos_col(i) for i in range(_BFPP_K)])).alias("p")
+    )
+    sat = (
+        pp.join(F.broadcast(words), F.expr("p div 63") == F.col("word"), "left")
+        .select(
+            "k",
+            (
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 63) AS INT))")
+                    )
+                    != 0
+                )
+            )
+            .cast("long")
+            .alias("ok"),
+        )
+        .groupBy("k")
+        .agg(F.sum("ok").alias("oks"))
+    )
+    n_keys = build.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    n_probes = probe.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    n_hits = sat.agg(
+        F.sum((F.col("oks") == _BFPP_K).cast("long")).cast("long").alias("n_hits")
+    )
+    theory = F.pow(
+        1.0 - F.exp(-float(_BFPP_K) * F.col("n_keys") / float(_BFPP_M)),
+        float(_BFPP_K),
+    )
+    measured = F.col("n_hits").cast("double") / F.col("n_probes")
+    return (
+        n_keys.crossJoin(F.broadcast(n_probes))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_keys",
+            "n_probes",
+            "n_hits",
+            measured.alias("measured_fpp"),
+            theory.alias("fpp_theory"),
+            (
+                F.abs(measured - theory)
+                < 4.0 * F.sqrt(theory / F.col("n_probes")) + 0.003
+            ).alias("within_tolerance"),
+        )
+    )
