@@ -1706,3 +1706,115 @@ def sim_ann_multitable(spark, sf_dir):
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+def _sql_ann_sweep_row(L: int) -> str:
+    legs = " UNION ".join(
+        f"SELECT e.vec_id FROM b e, q WHERE e.b{j} = q.b{j} AND e.vec_id <> 0"
+        for j in range(L)
+    )
+    return f"""
+      SELECT CAST({L} AS BIGINT) AS n_tables,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ({legs})) AS n_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+              WHERE t.vec_id IN ({legs})) AS n_top10_found,
+             CAST((SELECT COUNT(*) FROM truth t
+                   WHERE t.rk = 1 AND t.vec_id IN ({legs})) > 0
+                  AS BOOLEAN) AS top1_found
+    """
+
+
+@query(
+    "sim_ann_table_sweep",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_sql_bucket_j(j)} AS b{j}" for j in range(_N_TABLES))}
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id = 0),
+    truth AS (
+      SELECT e.vec_id,
+             row_number() OVER (
+               ORDER BY {sql_cosine("e.embedding", "qq.qe")} DESC, e.vec_id
+             ) AS rk
+      FROM embeddings e,
+           (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) qq
+      WHERE e.vec_id <> 0
+      QUALIFY rk <= 10
+    )
+    {" UNION ALL ".join(_sql_ann_sweep_row(L) for L in range(1, _N_TABLES + 1))}
+    ORDER BY n_tables
+    """,
+    tags=("similarity", "ann", "lsh", "calibration"),
+)
+def sim_ann_table_sweep(spark, sf_dir):
+    """LSH amplification curve — the L-tables recall/cost trade
+    measured, not assumed: for L = 1..{_N_TABLES} OR-ed sign-hash
+    tables, how many candidates does the union admit and how much of
+    the TRUE cosine top-10 does it capture (plus the headline "did we
+    find the top-1"). This is the calibration readout that picks L
+    for `sim_ann_multitable` the way `dedup_lsh_recall_report` picks
+    the banding for MinHash — the sweep IS the sizing decision, run
+    on a sample before the 100 TB pass.
+
+    Determinism: candidate sets are exact (equality joins on integer
+    buckets), the truth set is the exact top-10 with vec_id
+    tie-break, and every emitted number is an exact count — no
+    tolerance bands anywhere.
+
+    Scale: each leg is one equality join against the one-row query;
+    the truth pass is the declared exact tier (TakeOrdered); the
+    4-row sweep relation assembles from bounded aggregates."""
+    e = t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        "embedding",
+        *[_bucket_j(j).alias(f"b{j}") for j in range(_N_TABLES)],
+    )
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        *[F.col(f"b{j}").alias(f"qb{j}") for j in range(_N_TABLES)],
+    )
+    truth = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q.select("qe")))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cs"))
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.row_number().over(
+            Window.orderBy(F.col("cs").desc(), "vec_id")
+        ).alias("rk"))
+        .persist()
+    )
+    legs = [
+        b.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(q.select(F.col(f"qb{j}").alias("qb"))),
+            F.col(f"b{j}") == F.col("qb"),
+        )
+        .select("vec_id")
+        for j in range(_N_TABLES)
+    ]
+    rows = None
+    cand = None
+    for L in range(1, _N_TABLES + 1):
+        cand = legs[L - 1] if cand is None else cand.unionAll(legs[L - 1])
+        cd = cand.distinct().persist()
+        n_c = cd.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        found = cd.join(truth, "vec_id")
+        n_f = found.agg(
+            F.count(F.lit(1)).cast("long").alias("n_top10_found"),
+            F.max((F.col("rk") == 1).cast("int")).alias("t1"),
+        )
+        row = (
+            n_c.crossJoin(F.broadcast(n_f))
+            .select(
+                F.lit(L).cast("long").alias("n_tables"),
+                "n_candidates",
+                "n_top10_found",
+                (F.coalesce(F.col("t1"), F.lit(0)) > 0).alias("top1_found"),
+            )
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows.orderBy("n_tables")
