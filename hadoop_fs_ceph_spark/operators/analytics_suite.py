@@ -4346,3 +4346,91 @@ def ds_segment_migration_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("seg_from", "seg_to")
     )
+
+
+_PATH_TAIL = 8
+
+
+@query(
+    "ds_conversion_paths",
+    oracle=f"""
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS p_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    pre AS (
+      SELECT e.user_id, e.ts, e.event_id, substr(e.event_type, 1, 1) AS c
+      FROM events e JOIN fp ON e.user_id = fp.user_id
+      WHERE e.ts < fp.p_ts OR (e.ts = fp.p_ts AND e.event_type = 'purchase')
+      QUALIFY row_number() OVER (PARTITION BY e.user_id
+                                 ORDER BY e.ts DESC, e.event_id DESC)
+              <= {_PATH_TAIL}
+    ),
+    paths AS (
+      SELECT user_id,
+             list_aggregate(list(c ORDER BY ts, event_id), 'string_agg', '>')
+               AS path
+      FROM pre GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+    tags=("analytics", "funnel", "path", "attribution"),
+)
+def ds_conversion_paths(spark, sf_dir):
+    """Top conversion paths — the ordered event trail (last
+    {_PATH_TAIL} touches) ending at each converter's FIRST purchase,
+    ranked by user count: the path-mining report behind journey
+    analysis and the input relation Markov attribution
+    (`ds_absorbing_markov`) estimates its transitions from. Events are
+    initialled (c/e/p/s/v) so the path string stays tiny.
+
+    State discipline: the per-user tail is HARD-bounded to
+    {_PATH_TAIL} events BEFORE any collect (rank-desc window + filter,
+    the `win_ewma_fold` posture — the window sort spills, a naive
+    collect cannot); ties at the purchase instant resolve by the
+    deterministic (ts, event_id) composite in both engines.
+
+    Scale: one semi-join against the first-purchase relation, one
+    bounded-tail window, one grouped path count, TakeOrdered-20."""
+    e = t(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    pre = (
+        e.join(fp, "user_id")
+        .filter(
+            (F.col("ts") < F.col("p_ts"))
+            | ((F.col("ts") == F.col("p_ts")) & (F.col("event_type") == "purchase"))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("c"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    tail = pre.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _PATH_TAIL
+    )
+    paths = tail.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))),
+                lambda s: s["c"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
