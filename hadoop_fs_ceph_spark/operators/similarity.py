@@ -25,6 +25,11 @@ from hadoop_fs_ceph_spark.functions.similarity import (
     sql_dot,
     vec_double,
 )
+from hadoop_fs_ceph_spark.functions.text import (
+    sql_token_hashes,
+    token_hashes,
+    tokens,
+)
 from hadoop_fs_ceph_spark.registry import query
 from hadoop_fs_ceph_spark.tables import t
 
@@ -1818,3 +1823,141 @@ def sim_ann_table_sweep(spark, sf_dir):
         )
         rows = row if rows is None else rows.unionAll(row)
     return rows.orderBy("n_tables")
+
+
+_SPC_MIN_SHARED = 3  # candidate gate: pairs sharing >= this many tokens
+
+
+@query(
+    "sim_sparse_cosine_join",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, h AS tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, unnest({sql_token_hashes("string_split(text, ' ')")}) AS h
+        FROM documents
+      ) GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tok GROUP BY tok),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+    w AS (
+      SELECT t.doc_id, t.tok,
+             CAST(ROUND(t.tf * LN((CAST(nd.n_docs AS DOUBLE) + 1.0)
+                                  / (CAST(d.dfreq AS DOUBLE) + 1.0)) * 1e6)
+                  AS BIGINT) AS wfp
+      FROM tok t JOIN df d USING (tok) CROSS JOIN nd
+    ),
+    nrm AS (
+      SELECT doc_id, CAST(SUM(CAST(wfp AS HUGEINT) * wfp) AS BIGINT) AS n2
+      FROM w GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(a.wfp AS HUGEINT) * b.wfp) AS BIGINT) AS dot_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+      HAVING COUNT(*) >= {_SPC_MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           CAST(p.dot_fp AS DOUBLE)
+             / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE)))
+             AS cosine_tfidf
+    FROM pairs p
+    JOIN nrm na ON na.doc_id = p.doc_a
+    JOIN nrm nb ON nb.doc_id = p.doc_b
+    ORDER BY cosine_tfidf DESC, p.doc_a, p.doc_b
+    LIMIT 25
+    """,
+    tags=("similarity", "sparse", "tfidf", "join"),
+)
+def sim_sparse_cosine_join(spark, sf_dir):
+    """SPARSE cosine similarity as a relational join — the tf-idf
+    doc-doc similarity that dense-vector ops can't express: a sparse
+    dot product IS an equality join on the token key followed by a
+    grouped sum (the inverted-index formulation every search engine
+    uses), so the all-pairs problem reduces to pairs that actually
+    share tokens, gated at ≥{_SPC_MIN_SHARED} shared terms. Completes
+    the similarity family's third representation: dense embeddings
+    (`sim_knn_bruteforce`), binary signatures
+    (`sim_binary_hamming_topk`), and now sparse lexical vectors.
+
+    Determinism: tf-idf weights land in ×1e6 fixed-point AT THE TERM
+    (tf · ln((N+1)/(df+1)), one shared-libm ln each, rounded before
+    any product), so dot products and norms are EXACT integers in the
+    decimal lane; the emitted cosine is one double chain, ordered
+    AFTER the exact integers say so? — no: ordered by the final
+    double, which is bit-identical cross-engine because every input
+    is the same exact integer. Top-25 ties break on (doc_a, doc_b).
+
+    Scale: the join key is the 8-byte token hash; posting lists for
+    stop-like tokens fan out quadratically, which production bounds
+    by df-capping the posting list (drop tokens with df > cap —
+    exactly what the idf weight already sends toward 0). The shuffle
+    carries (tok, doc, wfp) triples only — never text."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(token_hashes(tokens("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfq = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("dfreq"))
+    nd = tok.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    w = (
+        tok.join(dfq, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs").cast("double") + 1.0)
+                    / (F.col("dfreq").cast("double") + 1.0)
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("wfp"),
+        )
+        .persist()
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sum(F.expr("cast(wfp as decimal(38,0)) * wfp")).cast("long").alias("n2")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("wfp").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("wfp").alias("wb")
+    )
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.expr("cast(wa as decimal(38,0)) * wb")).cast("long").alias("dot_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= _SPC_MIN_SHARED)
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("dot_fp").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cosine_tfidf"),
+        )
+        .orderBy(F.col("cosine_tfidf").desc(), "doc_a", "doc_b")
+        .limit(25)
+    )
