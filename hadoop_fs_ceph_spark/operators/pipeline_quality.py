@@ -4524,3 +4524,132 @@ def profile_bloom_fpp_calibration(spark, sf_dir):
             ).alias("within_tolerance"),
         )
     )
+
+
+@query(
+    "ds_mood_median_test",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    gm AS (SELECT quantile_cont(cents, 0.50) AS med FROM base),
+    cls AS (
+      SELECT b.event_type,
+             CAST(SUM(CASE WHEN b.cents > gm.med THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above,
+             CAST(SUM(CASE WHEN b.cents < gm.med THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below
+      FROM base b, gm GROUP BY b.event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_above) AS BIGINT) AS ta,
+             CAST(SUM(n_below) AS BIGINT) AS tb,
+             CAST(SUM(n_above + n_below) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM cls
+    ),
+    chi AS (
+      SELECT CAST(SUM(
+               CAST(ROUND(
+                 (n_above - CAST((n_above + n_below) AS DOUBLE) * ta / n)
+                 * (n_above - CAST((n_above + n_below) AS DOUBLE) * ta / n)
+                 / (CAST((n_above + n_below) AS DOUBLE) * ta / n) * 1e9
+               ) AS BIGINT)
+               + CAST(ROUND(
+                 (n_below - CAST((n_above + n_below) AS DOUBLE) * tb / n)
+                 * (n_below - CAST((n_above + n_below) AS DOUBLE) * tb / n)
+                 / (CAST((n_above + n_below) AS DOUBLE) * tb / n) * 1e9
+               ) AS BIGINT)
+             ) AS BIGINT) AS chi_fp
+      FROM cls, tot
+    )
+    SELECT c.event_type, c.n_above, c.n_below, gm.med AS grand_median,
+           CAST(chi.chi_fp AS DOUBLE) / 1e9 AS chi2,
+           CAST(t.k - 1 AS BIGINT) AS df,
+           CAST(CAST(chi.chi_fp AS DOUBLE) / 1e9 >
+                CASE CAST(t.k - 1 AS INTEGER)
+                  WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                  WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 END
+                AS BOOLEAN) AS significant_95
+    FROM cls c, gm, chi, tot t
+    ORDER BY c.event_type
+    """,
+    tags=("analytics", "experiment", "nonparametric", "median"),
+)
+def ds_mood_median_test(spark, sf_dir):
+    """Mood's median test — the coarsest, most robust k-sample
+    location test (companion to `ds_kruskal_wallis`: uses only
+    above/below the GRAND median, so single wild outliers carry no
+    leverage): classify every event against the corpus median, build
+    the 2×k contingency, and chi-square it with median-split expected
+    counts. Values equal to the median drop, per the textbook
+    procedure (and deterministically — cents are exact integers, the
+    interpolated median is the same double in both engines via the
+    `agg_percentiles` pinned equivalence).
+
+    Exactness: cell counts are exact longs; each (o−e)²/e term is one
+    identical double chain landed in ×1e9 fixed-point before the
+    k-term sum (order-free); df = k−1 (both margins fixed), critical
+    value from the pinned CASE map.
+
+    Scale: one global percentile + one grouped conditional count over
+    the scan; everything downstream is ≤k rows."""
+    base = t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    gm = base.agg(F.expr("percentile(cents, 0.50)").alias("med"))
+    cls = (
+        base.crossJoin(F.broadcast(gm))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("cents") > F.col("med")).cast("long"))
+            .cast("long")
+            .alias("n_above"),
+            F.sum((F.col("cents") < F.col("med")).cast("long"))
+            .cast("long")
+            .alias("n_below"),
+        )
+    )
+    tot = cls.agg(
+        F.sum("n_above").cast("long").alias("ta"),
+        F.sum("n_below").cast("long").alias("tb"),
+        F.sum(F.col("n_above") + F.col("n_below")).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    row_t = (F.col("n_above") + F.col("n_below")).cast("double")
+    ea = row_t * F.col("ta") / F.col("n")
+    eb = row_t * F.col("tb") / F.col("n")
+    term = (
+        F.round((F.col("n_above") - ea) * (F.col("n_above") - ea) / ea * 1e9).cast(
+            "long"
+        )
+        + F.round(
+            (F.col("n_below") - eb) * (F.col("n_below") - eb) / eb * 1e9
+        ).cast("long")
+    )
+    chi = (
+        cls.crossJoin(F.broadcast(tot))
+        .agg(F.sum(term).cast("long").alias("chi_fp"))
+    )
+    return (
+        cls.crossJoin(F.broadcast(gm))
+        .crossJoin(F.broadcast(chi))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_above",
+            "n_below",
+            F.col("med").alias("grand_median"),
+            (F.col("chi_fp").cast("double") / 1e9).alias("chi2"),
+            (F.col("k") - 1).cast("long").alias("df"),
+            (
+                F.col("chi_fp").cast("double") / 1e9
+                > F.expr(
+                    "CASE CAST(k - 1 AS INT) WHEN 1 THEN 3.841 WHEN 2 THEN 5.991"
+                    " WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 END"
+                )
+            ).alias("significant_95"),
+        )
+        .orderBy("event_type")
+    )
