@@ -1101,3 +1101,60 @@ def stream_rocksdb_state_window(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+@query(
+    "stream_union_two_sources",
+    oracle=f"""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + (epoch_us(ts) // 3600000000 * 3600) * INTERVAL 1 SECOND AS w_start,
+           CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                ELSE 'business' END AS feed,
+           COUNT(*) AS n,
+           {_FIXSUM_VALUE} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "union", "topology"),
+)
+def stream_union_two_sources(spark, sf_dir):
+    """Two independent streams UNIONed into one topology before a
+    shared windowed aggregate — the multi-feed ingestion shape (every
+    real deployment merges feeds: app events + backend events into
+    one sessionization); Spark runs the union as one streaming query
+    with a single checkpoint, and availableNow drains both sources so
+    the complete-mode sink equals the batch grouping.
+
+    The two feeds here are disjoint type-filters of the same file
+    source, each tagged with its feed label BEFORE the union — the
+    union requires schema agreement, which the tagging projection
+    establishes; the aggregate then groups by (window, feed).
+
+    Scale: the union adds no shuffle (it concatenates partitions);
+    the one exchange is the windowed aggregate's, exactly as in the
+    single-source topology."""
+    eng = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("ts", "value", F.lit("engagement").alias("feed"))
+    )
+    biz = (
+        events_stream(spark, sf_dir)
+        .filter(~F.col("event_type").isin("click", "view"))
+        .select("ts", "value", F.lit("business").alias("feed"))
+    )
+    both = eng.unionAll(biz)
+    agg = (
+        both.groupBy(F.window("ts", "1 hour").alias("w"), "feed")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 1000000.0).cast("long")).cast(
+                    "double"
+                )
+                / 1000000.0
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "feed", "n", "sum_value")
+    )
+    return run_to_memory(agg, "stream_union_two_sources", "complete")

@@ -197,6 +197,7 @@ DECLARED_PYTHON: dict[str, str] = {
 # production form, which is audited clean.
 STREAMING_STATE: dict[str, str] = {
     "stream_tumbling_window": "complete-mode batch-equivalence twin; production form is the watermarked append file sink (stream_file_sink, audited clean)",
+    "stream_union_two_sources": "complete-mode batch-equivalence twin of the union topology; the watermarked append discipline is pinned by stream_file_sink",
     "stream_sliding_window": "complete-mode batch-equivalence twin; the watermarked append discipline is pinned by stream_file_sink and tests/test_streaming.py",
     "stream_session_window": "complete-mode batch-equivalence twin; production form is stream_session_window_watermarked (audited clean)",
     "stream_running_count": "THE declared complete-mode running-count surface demo — unbounded by design to document the mode; production counts use the watermarked windowed forms",
