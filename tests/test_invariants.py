@@ -2412,3 +2412,164 @@ def test_id_gaps_are_positive_and_disjoint(spark, sf_dir):
     for r in rows:
         assert r["gap_end"] >= r["gap_start"]
         assert r["n_missing"] == r["gap_end"] - r["gap_start"] + 1
+
+
+# --- round-6 second wave: eval metrics / lakehouse / calibration ------------
+
+
+def test_auc_bounds_and_identity(spark, sf_dir):
+    r = SPECS["ds_auc_exact"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["auc"] <= 1.0
+    assert r["auc_num2"] <= 2 * r["n_pos"] * r["n_neg"]
+    # fold identity: auc = num2 / (2 n1 n0) exactly
+    assert r["auc"] == r["auc_num2"] / (2.0 * r["n_pos"] * r["n_neg"])
+
+
+def test_gains_deciles_partition_and_monotone(spark, sf_dir):
+    rows = sorted(
+        SPECS["ds_lift_gains_deciles"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert rows[-1]["cum_n"] == sum(r["n_d"] for r in rows)
+    assert abs(rows[-1]["gain"] - 1.0) < 1e-12
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_pos"] >= a["cum_pos"] and b["cum_n"] > a["cum_n"]
+
+
+def test_bpe_merge_audit_identity(spark, sf_dir):
+    r = SPECS["text_bpe_merge_round"].fn(spark, sf_dir).collect()[0]
+    assert r["merged_symbol"] == r["a"] + r["b"]
+    assert 0 < r["merges_applied"] <= r["pair_count"]
+    assert r["pairs_after"] == r["pairs_before"] - r["merges_applied"]
+
+
+def test_transpose_matches_direct_aggregate(spark, sf_dir):
+    rows = {r["key"]: r for r in SPECS["sql_transpose"].fn(spark, sf_dir).collect()}
+    agg = {
+        r["o_orderstatus"]: r
+        for r in t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    for st in ("F", "O", "P"):
+        assert rows["n_orders"][st] == agg[st]["n"]
+
+
+def test_pagination_is_slice_of_full_sort(spark, sf_dir):
+    got = SPECS["sort_paginate_offset"].fn(spark, sf_dir).collect()
+    full = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(30)
+        .collect()
+    )
+    assert [r["c_custkey"] for r in got] == [r["c_custkey"] for r in full[20:30]]
+
+
+def test_forecast_eval_metric_orderings(spark, sf_dir):
+    for r in SPECS["ds_forecast_eval"].fn(spark, sf_dir).collect():
+        assert r["mae"] <= r["rmse"] + 1e-9  # Jensen
+        assert r["pinball90"] <= 0.9 * r["mae"] + 1e-9
+        assert r["mape"] >= 0.0
+
+
+def test_modularity_identities(spark, sf_dir):
+    rows = SPECS["graph_modularity_score"].fn(spark, sf_dir).collect()
+    q = rows[0]["modularity"]
+    assert -0.5 <= q <= 1.0
+    und = SPECS["graph_degree_distribution"]  # noqa: F841 (family presence)
+    assert sum(r["m_c"] for r in rows) <= sum(r["d_c"] for r in rows) // 2
+    assert sum(r["d_c"] for r in rows) % 2 == 0  # handshake lemma
+
+
+def test_price_volume_bridge_reconciles(spark, sf_dir):
+    for r in SPECS["ds_price_volume_bridge"].fn(spark, sf_dir).collect():
+        recon = (
+            r["volume_effect_c"]
+            + r["price_effect_c"]
+            + r["new_c"]
+            + r["discontinued_c"]
+        )
+        # residual only from 1e-6 fixed-point truncation: < 1 cent per part
+        assert abs(r["delta_rev_c"] - recon) < 1000.0
+        assert abs(r["residual_c"] - (r["delta_rev_c"] - recon)) < 1e-6
+
+
+def test_ensemble_outlier_count_bounds(spark, sf_dir):
+    for r in SPECS["outlier_ensemble_votes"].fn(spark, sf_dir).collect():
+        for c in ("n_z", "n_iqr", "n_mad", "n_ensemble"):
+            assert 0 <= r[c] <= r["n_rows"]
+        assert 2 * r["n_ensemble"] <= r["n_z"] + r["n_iqr"] + r["n_mad"]
+
+
+def test_segment_migration_covers_all_customers(spark, sf_dir):
+    rows = SPECS["ds_segment_migration_matrix"].fn(spark, sf_dir).collect()
+    total = sum(r["n_customers"] for r in rows)
+    n_cust = (
+        t(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert total == n_cust
+    for r in rows:
+        assert 0 <= r["seg_from"] <= 4 and 0 <= r["seg_to"] <= 4
+        assert not (r["seg_from"] == 0 and r["seg_to"] == 0)
+
+
+def test_bloom_fpp_within_tolerance(spark, sf_dir):
+    r = SPECS["profile_bloom_fpp_calibration"].fn(spark, sf_dir).collect()[0]
+    assert r["n_hits"] <= r["n_probes"]
+    assert bool(r["within_tolerance"]) is True
+
+
+def test_ann_sweep_monotone_and_consistent(spark, sf_dir):
+    rows = sorted(
+        SPECS["sim_ann_table_sweep"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["n_tables"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_candidates"] >= a["n_candidates"]
+        assert b["n_top10_found"] >= a["n_top10_found"]
+    multi = SPECS["sim_ann_multitable"].fn(spark, sf_dir).collect()
+    assert rows[-1]["n_candidates"] == multi[0]["n_candidates"]
+
+
+def test_sparse_cosine_bounds(spark, sf_dir):
+    for r in SPECS["sim_sparse_cosine_join"].fn(spark, sf_dir).collect():
+        assert r["n_shared"] >= 3
+        assert r["cosine_tfidf"] <= 1.0 + 1e-9
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_mood_median_balanced_margins(spark, sf_dir):
+    rows = SPECS["ds_mood_median_test"].fn(spark, sf_dir).collect()
+    ta = sum(r["n_above"] for r in rows)
+    tb = sum(r["n_below"] for r in rows)
+    # grand-median split: above and below within one ulp of each other
+    assert abs(ta - tb) <= max(2, (ta + tb) // 100)
+    assert all(r["chi2"] >= 0.0 for r in rows)
+
+
+def test_luhn_counts_cover_customers(spark, sf_dir):
+    rows = SPECS["fn_luhn_family"].fn(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == t(spark, sf_dir, "customer").count()
+
+
+def test_conversion_paths_end_at_purchase(spark, sf_dir):
+    rows = SPECS["ds_conversion_paths"].fn(spark, sf_dir).collect()
+    assert rows, "expected at least one converting user"
+    for r in rows:
+        assert r["path"].endswith("p")
+        assert r["n_users"] > 0
+
+
+def test_stream_union_totals_cover_all_events(spark, sf_dir):
+    rows = SPECS["stream_union_two_sources"].fn(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == t(spark, sf_dir, "events").count()
+    assert {r["feed"] for r in rows} == {"engagement", "business"}
+
+
+def test_incremental_join_view_verdicts_true(spark, sf_dir):
+    for r in SPECS["src_incremental_join_view"].fn(spark, sf_dir).collect():
+        assert bool(r["counts_match"]) and bool(r["sums_match"])
