@@ -4434,3 +4434,87 @@ def ds_conversion_paths(spark, sf_dir):
         .orderBy(F.col("n_users").desc(), "path")
         .limit(20)
     )
+
+
+_EB_TAU = 50  # pseudo-count prior strength
+
+
+@query(
+    "ds_empirical_bayes_shrinkage",
+    oracle=f"""
+    WITH per AS (
+      SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM lineitem GROUP BY pk
+    ),
+    g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(x) AS BIGINT) AS xx
+      FROM per
+    )
+    SELECT p.pk AS l_partkey, p.n AS n_lines, p.x AS n_returned,
+           CAST(p.x AS DOUBLE) / p.n AS raw_rate,
+           (CAST(p.x AS DOUBLE) * g.nn + CAST(g.xx AS DOUBLE) * {_EB_TAU})
+             / (CAST(g.nn AS DOUBLE) * (p.n + {_EB_TAU})) AS shrunk_rate,
+           CAST({_EB_TAU} * ABS(p.x * g.nn - p.n * g.xx) AS DOUBLE)
+             / (CAST(p.n AS DOUBLE) * g.nn * (p.n + {_EB_TAU})) AS movement
+    FROM per p, g
+    ORDER BY movement DESC, l_partkey
+    LIMIT 25
+    """,
+    tags=("analytics", "bayes", "shrinkage", "rates"),
+)
+def ds_empirical_bayes_shrinkage(spark, sf_dir):
+    """Empirical-Bayes rate shrinkage — per-part return rates pulled
+    toward the pooled corpus rate with a τ={_EB_TAU} pseudo-count
+    prior (the add-τ form of beta-binomial shrinkage, the standard
+    fix for small-sample leaderboards where a 1-of-2 part 'beats' a
+    40-of-100 part): shrunk = (x + p̄τ)/(n + τ). The top-25 by
+    |raw − shrunk| movement are exactly the low-evidence extremes the
+    raw leaderboard overranks.
+
+    Exactness: with the pooled rate kept as the exact ratio X/N, the
+    shrunk rate is the integer-numerator rational (x·N + X·τ)/(N(n+τ))
+    and movement reduces to τ|x·N − n·X| / (n·N(n+τ)) — every emitted
+    double is ONE division chain over exact longs (identical IEEE,
+    order-safe), with partkey breaking exact ties.
+
+    Scale: one partial-merged per-key aggregate + one one-row pooled
+    broadcast; the scoring is map-side arithmetic; top-25 is
+    TakeOrdered."""
+    li = t(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("x"),
+    )
+    g = per.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("x").cast("long").alias("xx")
+    )
+    tau = F.lit(_EB_TAU)
+    j = per.crossJoin(F.broadcast(g))
+    return (
+        j.select(
+            F.col("pk").alias("l_partkey"),
+            F.col("n").alias("n_lines"),
+            F.col("x").alias("n_returned"),
+            (F.col("x").cast("double") / F.col("n")).alias("raw_rate"),
+            (
+                (
+                    F.col("x").cast("double") * F.col("nn")
+                    + F.col("xx").cast("double") * tau
+                )
+                / (F.col("nn").cast("double") * (F.col("n") + tau))
+            ).alias("shrunk_rate"),
+            (
+                (tau * F.abs(F.col("x") * F.col("nn") - F.col("n") * F.col("xx")))
+                .cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("nn")
+                    * (F.col("n") + tau)
+                )
+            ).alias("movement"),
+        )
+        .orderBy(F.col("movement").desc(), "l_partkey")
+        .limit(25)
+    )

@@ -60,6 +60,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "text_pmi_collocations": "one-row (n_bi, n_tok) corpus-totals broadcast onto the thresholded bigram relation",
     "text_bpe_merge_round": "one-row best-pair/totals broadcasts onto the distinct-word frequency relation",
     "ds_basket_lift": "one-row order-count broadcast",
+    "ds_empirical_bayes_shrinkage": "one-row pooled-rate broadcast onto the per-part rate relation",
     "ds_decision_stump": "one-row totals + one-row best-split broadcasts onto the ≤18-row candidate relation; candidate θ-join runs on the ≤61-row histogram",
     "ds_naive_bayes": "one-row class-count/prior broadcasts onto 5/12-row model relations and the scoring scan",
     "text_zipf_profile": "one-row corpus-total broadcast",
