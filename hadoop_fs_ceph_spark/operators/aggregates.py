@@ -1752,3 +1752,101 @@ def agg_covar_family(spark, sf_dir):
     cross the exchange. Identical at 100 TB."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_COVAR_SQL)
+
+
+@query(
+    "agg_skyline_2d",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY pk
+    )
+    SELECT p.pk AS l_partkey, p.qty, p.rev_c
+    FROM per p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM per q
+      WHERE q.qty >= p.qty AND q.rev_c >= p.rev_c
+        AND (q.qty > p.qty OR q.rev_c > p.rev_c)
+    )
+    ORDER BY p.qty, p.rev_c, p.pk
+    """,
+    tags=("aggregate", "skyline", "pareto"),
+)
+def agg_skyline_2d(spark, sf_dir):
+    """2-D skyline (Pareto front): the parts no other part beats on
+    BOTH total quantity and total revenue — the multi-criteria
+    shortlist operator (max-volume AND max-value products) classic
+    OLAP engines ship as SKYLINE OF. The textbook plans are a world
+    sort with a running max (single-task tail) or an O(n²) dominance
+    anti-join; this implementation is neither:
+
+    1. collapse facts to the per-part (qty, rev) relation;
+    2. reduce to the VALUE-DOMAIN relation max_rev per distinct qty
+       (bounded by the qty domain, thousands of rows at any corpus
+       size) and fold it once, sorted descending, into the strict
+       suffix map M(v) = max rev among qty > v (the `_ranked_nosort`
+       offset-array pattern);
+    3. a part is skyline iff rev > M(qty) (nothing strictly wider
+       dominates) AND rev = the part's own qty-group max (nothing
+       equal-qty dominates) — one broadcast map + map-side predicate.
+
+    The oracle is the O(n²) NOT EXISTS dominance definition itself,
+    so the hash match proves the suffix-max formulation EQUALS the
+    definition (equal-(qty,rev) duplicates all survive, per the
+    standard non-strict-dominance convention).
+
+    Exactness: all longs end to end. Scale: one per-key aggregate +
+    one value-domain fold; no sort of the data, no pair join."""
+    li = t(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev_c"),
+    )
+    vals = per.groupBy("qty").agg(F.max("rev_c").alias("vmax"))
+    lz = F.lit(-1).cast("long")
+    init = F.struct(
+        lz.alias("m"),
+        F.array().cast("array<struct<qty:long,suf:long>>").alias("es"),
+    )
+
+    def step(acc, v):
+        # fold in DESCENDING qty order: suffix max BEFORE this value =
+        # max over strictly larger qty
+        return F.struct(
+            F.greatest(acc["m"], v["vmax"]).alias("m"),
+            F.concat(
+                acc["es"],
+                F.array(
+                    F.struct(v["qty"].alias("qty"), acc["m"].alias("suf"))
+                ),
+            ).alias("es"),
+        )
+
+    sufmap = vals.agg(
+        F.map_from_entries(
+            F.transform(
+                F.aggregate(
+                    F.reverse(F.array_sort(F.collect_list(F.struct("qty", "vmax")))),
+                    init,
+                    step,
+                )["es"],
+                lambda e: F.struct(
+                    e["qty"].alias("k"), e["suf"].alias("v")
+                ),
+            )
+        ).alias("suf")
+    )
+    gmax = vals.select("qty", F.col("vmax"))
+    return (
+        per.join(F.broadcast(gmax), "qty")
+        .crossJoin(F.broadcast(sufmap))
+        .filter(
+            (F.col("rev_c") > F.col("suf")[F.col("qty")])
+            & (F.col("rev_c") == F.col("vmax"))
+        )
+        .select(F.col("pk").alias("l_partkey"), "qty", "rev_c")
+        .orderBy("qty", "rev_c", "l_partkey")
+    )

@@ -46,6 +46,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sim_binary_hamming_topk": "bounded query-set broadcast (vec_id % 97, ~1% of vectors) of 8-byte signatures",
     "q11_important_stock": "one-row global stock-value threshold broadcast",
     "agg_histogram_fixed": "one-row min/max bounds broadcast",
+    "agg_skyline_2d": "one-row suffix-max map broadcast (value-domain relation, thousands of rows) onto the per-part relation",
     "agg_hll_sketch_merge": "one-row exact-count broadcast (verification branch)",
     "q22_global_sales_opportunity": "one-row average-balance threshold broadcast",
     "ds_funnel_conversion": "three one-row stage counts cross-joined",
@@ -261,6 +262,7 @@ BOUNDED_COLLECT: dict[str, str] = {
     "mm_payload_dedup": "per-duplicate-payload member roster (report column; payload bytes never collect)",
     "profile_label_entropy": "per-source label-count vector — label domain spec-bounded",
     "profile_psi_drift": "fixed bucket-grid contribution array, sequential fold",
+    "agg_skyline_2d": "value-domain (qty, max_rev) relation collected for the suffix-max fold — bounded by the quantity domain, not the corpus",
     "profile_emd_drift": "fixed 17-slot grid count array, sequential integer fold",
     "sample_importance_reweight": "spec-bounded stratum-weight relation folded in sorted order",
     "sim_centroid_per_label": "per-label dim-length (16) component vector collect",
