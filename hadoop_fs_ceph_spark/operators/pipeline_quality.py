@@ -4653,3 +4653,122 @@ def ds_mood_median_test(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "profile_simpson_paradox",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus AS seg,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS grp,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    cells AS (
+      SELECT seg, grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM base GROUP BY seg, grp
+    ),
+    per_seg AS (
+      SELECT seg,
+             MAX(CASE WHEN grp = 1 THEN pos END) AS p1,
+             MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+             MAX(CASE WHEN grp = 0 THEN pos END) AS p0,
+             MAX(CASE WHEN grp = 0 THEN n END) AS n0
+      FROM cells GROUP BY seg
+    ),
+    pooled AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN pos ELSE 0 END) AS BIGINT) AS p1,
+             CAST(SUM(CASE WHEN grp = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN pos ELSE 0 END) AS BIGINT) AS p0,
+             CAST(SUM(CASE WHEN grp = 0 THEN n ELSE 0 END) AS BIGINT) AS n0
+      FROM cells
+    ),
+    seg_rows AS (
+      SELECT s.seg,
+             CAST(s.p1 AS DOUBLE) / s.n1 AS rate_treated,
+             CAST(s.p0 AS DOUBLE) / s.n0 AS rate_control,
+             CAST(SIGN(s.p1 * s.n0 - s.p0 * s.n1) AS BIGINT) AS seg_sign,
+             CAST(SIGN(pl.p1 * pl.n0 - pl.p0 * pl.n1) AS BIGINT) AS pooled_sign
+      FROM per_seg s, pooled pl
+    )
+    SELECT seg, rate_treated, rate_control, seg_sign, pooled_sign,
+           CAST(seg_sign <> 0 AND pooled_sign <> 0
+                AND seg_sign <> pooled_sign AS BOOLEAN) AS reverses_pooled
+    FROM seg_rows
+    ORDER BY seg
+    """,
+    tags=("profile", "causal", "simpson", "audit"),
+)
+def profile_simpson_paradox(spark, sf_dir):
+    """Simpson's-paradox audit: does the pooled association between a
+    'treatment' (urgent/high priority) and an outcome (large order)
+    REVERSE inside any segment (order status)? The classic aggregation
+    trap every metrics review must check before acting on a pooled
+    rate — a segment whose sign contradicts the pooled sign means the
+    segment mix, not the treatment, drives the headline number (the
+    audit-side companion of `ds_diff_in_diff`/`ds_coarsened_exact_matching`,
+    which *correct* for it).
+
+    Determinism: every direction is the SIGN of an integer
+    cross-product p₁n₀ − p₀n₁ — no float rate is ever compared; the
+    emitted rates are raw divisions for human reading only. Zero
+    margins yield sign 0 (no verdict), identically in both engines.
+
+    Scale: one partial-merged (segment, group) cell aggregate; the
+    verdict relation is ≤|segments| rows under a one-row pooled
+    broadcast."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderstatus").alias("seg"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("long")
+        .alias("grp"),
+        (F.col("o_totalprice") > 150000).cast("long").alias("y"),
+    )
+    cells = base.groupBy("seg", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    per_seg = cells.groupBy("seg").agg(
+        F.max(F.when(F.col("grp") == 1, F.col("pos"))).alias("p1"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("pos"))).alias("p0"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+    )
+    pooled = cells.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("pos")).otherwise(0))
+        .cast("long")
+        .alias("pp1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("pn1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("pos")).otherwise(0))
+        .cast("long")
+        .alias("pp0"),
+        F.sum(F.when(F.col("grp") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("pn0"),
+    )
+    seg_sign = F.signum(
+        (F.col("p1") * F.col("n0") - F.col("p0") * F.col("n1")).cast("double")
+    ).cast("long")
+    pooled_sign = F.signum(
+        (F.col("pp1") * F.col("pn0") - F.col("pp0") * F.col("pn1")).cast("double")
+    ).cast("long")
+    return (
+        per_seg.crossJoin(F.broadcast(pooled))
+        .select(
+            "seg",
+            (F.col("p1").cast("double") / F.col("n1")).alias("rate_treated"),
+            (F.col("p0").cast("double") / F.col("n0")).alias("rate_control"),
+            seg_sign.alias("seg_sign"),
+            pooled_sign.alias("pooled_sign"),
+            (
+                (seg_sign != 0) & (pooled_sign != 0) & (seg_sign != pooled_sign)
+            ).alias("reverses_pooled"),
+        )
+        .orderBy("seg")
+    )

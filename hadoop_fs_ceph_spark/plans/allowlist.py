@@ -75,6 +75,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "dedup_semantic_cell": "K=8 seed-centroid table broadcast for cell assignment",
     "profile_ks_drift": "one-row (lo, hi) bounds broadcast + fixed 17-bucket grid spine",
     "profile_emd_drift": "one-row bounds/total broadcasts onto the fixed 17-slot grid relation",
+    "profile_simpson_paradox": "one-row pooled-margin broadcast onto the ≤|segments|-row verdict relation",
     "profile_bloom_fpp_calibration": "three one-row count relations cross-joined for the verdict readout",
     "agg_cms_heavy_hitters": "one-row corpus-total broadcast for the error-bound verdict",
     "sim_kmeans_update": "K=8 seed-centroid table broadcast for the assign stage",
