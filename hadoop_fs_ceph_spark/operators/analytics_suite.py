@@ -4518,3 +4518,104 @@ def ds_empirical_bayes_shrinkage(spark, sf_dir):
         .orderBy(F.col("movement").desc(), "l_partkey")
         .limit(25)
     )
+
+
+def _sql_corr_pair(a: str, b: str) -> str:
+    return f"""
+      SELECT '{a}' AS series_a, '{b}' AS series_b,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             ROUND((CAST(COUNT(*) AS DOUBLE) * SUM(CAST({a} AS HUGEINT) * {b})
+                    - CAST(SUM({a}) AS DOUBLE) * SUM({b}))
+                   / SQRT((CAST(COUNT(*) AS DOUBLE)
+                             * SUM(CAST({a} AS HUGEINT) * {a})
+                           - CAST(SUM({a}) AS DOUBLE) * SUM({a}))
+                          * (CAST(COUNT(*) AS DOUBLE)
+                               * SUM(CAST({b} AS HUGEINT) * {b})
+                             - CAST(SUM({b}) AS DOUBLE) * SUM({b}))),
+                   8) AS pearson_r
+      FROM wide
+    """
+
+
+@query(
+    "ds_corr_matrix_series",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             o_orderstatus,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY d, o_orderstatus
+    ),
+    wide AS (
+      SELECT d,
+             CAST(COALESCE(MAX(CASE WHEN o_orderstatus = 'F' THEN rev_c END), 0)
+                  AS BIGINT) AS rev_f,
+             CAST(COALESCE(MAX(CASE WHEN o_orderstatus = 'O' THEN rev_c END), 0)
+                  AS BIGINT) AS rev_o,
+             CAST(COALESCE(MAX(CASE WHEN o_orderstatus = 'P' THEN rev_c END), 0)
+                  AS BIGINT) AS rev_p
+      FROM daily GROUP BY d
+    )
+    {" UNION ALL ".join(_sql_corr_pair(a, b) for a, b in (("rev_f", "rev_o"), ("rev_f", "rev_p"), ("rev_o", "rev_p")))}
+    ORDER BY series_a, series_b
+    """,
+    tags=("analytics", "correlation", "matrix", "timeseries"),
+)
+def ds_corr_matrix_series(spark, sf_dir):
+    """Pairwise Pearson correlation matrix across the three
+    status-revenue daily series — the cross-metric co-movement audit
+    (`win_rolling_corr`'s static, all-pairs sibling): pivot the daily
+    aggregate wide (absent days = 0 revenue, the series union
+    convention), then each of the three pairs folds its five exact
+    moments (n, Σx, Σy, Σx², Σxy) in the decimal/HUGEINT lane —
+    squared daily cents overflow longs — and emits one rounded double
+    per pair (O(1) magnitude, round-8 safe).
+
+    Scale: one partial-merged daily pivot (calendar-bounded), then
+    k(k−1)/2 scans of that tiny relation; at a larger metric count
+    the pair list grows quadratically but the DATA cost stays one
+    pivot pass."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn(
+            "d",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+        )
+        .groupBy("d", "o_orderstatus")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    )
+    wide = daily.groupBy("d").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("o_orderstatus") == s, F.col("rev_c"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"rev_{s.lower()}")
+            for s in ("F", "O", "P")
+        ]
+    ).persist()
+
+    def pair(a, b):
+        n = F.count(F.lit(1)).cast("double")
+        sx = F.sum(a).cast("double")
+        sy = F.sum(b).cast("double")
+        sxx = F.sum(F.expr(f"cast({a} as decimal(38,0)) * {a}")).cast("double")
+        syy = F.sum(F.expr(f"cast({b} as decimal(38,0)) * {b}")).cast("double")
+        sxy = F.sum(F.expr(f"cast({a} as decimal(38,0)) * {b}")).cast("double")
+        r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return wide.agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(r, 8).alias("pearson_r"),
+        ).select(
+            F.lit(a).alias("series_a"), F.lit(b).alias("series_b"), "n_days", "pearson_r"
+        )
+
+    pairs = [("rev_f", "rev_o"), ("rev_f", "rev_p"), ("rev_o", "rev_p")]
+    out = pair(*pairs[0])
+    for p_ in pairs[1:]:
+        out = out.unionAll(pair(*p_))
+    return out.orderBy("series_a", "series_b")
