@@ -4619,3 +4619,126 @@ def ds_corr_matrix_series(spark, sf_dir):
     for p_ in pairs[1:]:
         out = out.unionAll(pair(*p_))
     return out.orderBy("series_a", "series_b")
+
+
+_TB_CAP = 5          # bucket capacity, tokens
+_TB_REFILL_US = 60_000_000  # microseconds per token refill
+_TB_FP = 1_000_000   # token fixed-point scale
+_TB_TAIL = 64        # per-user event cap (state bound)
+
+
+@query(
+    "ds_token_bucket_sim",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) <= {_TB_TAIL}
+    ),
+    seq AS (
+      SELECT user_id, list(t ORDER BY t, event_id) AS ts_us
+      FROM ev GROUP BY user_id
+    ),
+    sim AS (
+      SELECT user_id, len(ts_us) AS n_events,
+             -- state = [tokens_fp, last_us, n_admitted, n_dropped]
+             list_reduce(
+               list_prepend(
+                 [{_TB_CAP} * {_TB_FP}, ts_us[1], CAST(0 AS BIGINT),
+                  CAST(0 AS BIGINT)],
+                 list_transform(ts_us, t -> [t, CAST(0 AS BIGINT),
+                                             CAST(0 AS BIGINT),
+                                             CAST(0 AS BIGINT)])),
+               (s, e) -> CASE WHEN
+                   LEAST({_TB_CAP} * {_TB_FP}, s[1] + (e[1] - s[2]) // 60)
+                   >= {_TB_FP}
+                 THEN [LEAST({_TB_CAP} * {_TB_FP},
+                             s[1] + (e[1] - s[2]) // 60) - {_TB_FP},
+                       e[1], s[3] + 1, s[4]]
+                 ELSE [LEAST({_TB_CAP} * {_TB_FP},
+                             s[1] + (e[1] - s[2]) // 60),
+                       e[1], s[3], s[4] + 1] END) AS s
+      FROM seq
+    )
+    SELECT CAST(s[4] AS BIGINT) AS n_dropped_per_user,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(s[3]) AS BIGINT) AS total_admitted
+    FROM sim
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "simulation", "rate-limit", "stateful"),
+)
+def ds_token_bucket_sim(spark, sf_dir):
+    """Token-bucket admission replay — simulate a {_TB_CAP}-token,
+    1-token-per-minute rate limiter over each user's event stream and
+    report the drop distribution: the capacity-planning question
+    ("how many users would a limiter at THESE settings throttle, and
+    how hard") answered from history before the limiter ships. The
+    recurrence (refill ∝ elapsed time, clamp at capacity, admit if a
+    whole token is available) is sequential by nature — a fold, like
+    `win_ewma_fold`/`ds_holt_winters`, not a window frame.
+
+    Exactness: tokens live in ×{_TB_FP} fixed-point; with one token
+    per 60s the per-gap refill is EXACTLY (gap_µs div 60) fp units —
+    pure integer division, no big multiply to overflow — the whole simulation is INTEGER arithmetic,
+    so admit/drop decisions are bit-identical (no float time math
+    anywhere). Per-user state is a flat 4-long vector; the event tail
+    caps at {_TB_TAIL} (QUALIFY — the hard per-group bound).
+
+    Scale: one bounded-tail window + one grouped fold per user; the
+    report is a ≤{_TB_TAIL}-row drop histogram."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TB_TAIL)
+        .select("user_id", F.expr("unix_micros(ts)").alias("t"), "event_id")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "event_id"))),
+            lambda s: s["t"],
+        ).alias("ts_us")
+    )
+    cap_fp = F.lit(_TB_CAP * _TB_FP).cast("long")
+
+    def step(s, t_):
+        gap = t_ - F.element_at(s, 2)
+        # exact integer div-by-60: FP/REFILL_US = 1e6/6e7 = 1/60, and the
+        # subtract-pmod form keeps the division exact in double space
+        refill = F.least(
+            cap_fp,
+            F.element_at(s, 1)
+            + ((gap - F.pmod(gap, F.lit(60))) / 60).cast("long"),
+        )
+        admit = refill >= _TB_FP
+        return F.when(
+            admit,
+            F.array(
+                refill - _TB_FP, t_, F.element_at(s, 3) + 1, F.element_at(s, 4)
+            ),
+        ).otherwise(
+            F.array(refill, t_, F.element_at(s, 3), F.element_at(s, 4) + 1)
+        )
+
+    sim = seq.select(
+        "user_id",
+        F.aggregate(
+            F.col("ts_us"),
+            F.array(
+                cap_fp,
+                F.element_at("ts_us", 1),
+                F.lit(0).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+            step,
+        ).alias("s"),
+    )
+    return (
+        sim.groupBy(F.element_at("s", 4).alias("n_dropped_per_user"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.element_at("s", 3)).cast("long").alias("total_admitted"),
+        )
+        .orderBy("n_dropped_per_user")
+    )

@@ -255,6 +255,7 @@ BOUNDED_COLLECT: dict[str, str] = {
     "ds_holt_winters": "≤64-day calendar-capped per-type daily series (QUALIFY tail cap)",
     "win_macd_fold": "≤128-day calendar-capped per-status daily series (QUALIFY tail cap)",
     "ds_sequence_pattern": "per-user event list hard-capped at 4,096 events",
+    "ds_token_bucket_sim": "per-user event-time list hard-capped at 64 events (QUALIFY head cap)",
     "ds_conversion_paths": "per-user tail hard-capped at 8 events BEFORE the collect (rank-desc window filter)",
     "ds_survival_km": "per-customer order-date list reduced to the first two (slice bound)",
     "graph_degree_distribution": "per-degree node roster over the 25-nation vertex domain",
