@@ -4742,3 +4742,89 @@ def ds_token_bucket_sim(spark, sf_dir):
         )
         .orderBy("n_dropped_per_user")
     )
+
+
+@query(
+    "ds_abc_classification",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY pk
+    ),
+    tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS s FROM per),
+    ranked AS (
+      SELECT pk, rev_c,
+             CAST(SUM(rev_c) OVER (ORDER BY rev_c, pk) AS BIGINT) AS cum_asc
+      FROM per
+    ),
+    classed AS (
+      SELECT r.pk, r.rev_c,
+             CASE WHEN (t.s - r.cum_asc + r.rev_c) * 100 <= 80 * t.s THEN 'A'
+                  WHEN (t.s - r.cum_asc + r.rev_c) * 100 <= 95 * t.s THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked r, tot t
+    )
+    SELECT c.abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(c.rev_c) AS BIGINT) AS rev_c_total,
+           CAST(SUM(c.rev_c) AS DOUBLE) / t.s AS rev_share
+    FROM classed c, tot t
+    GROUP BY c.abc, t.s ORDER BY c.abc
+    """,
+    tags=("analytics", "inventory", "abc", "rank"),
+)
+def ds_abc_classification(spark, sf_dir):
+    """ABC inventory classification — the 80/15/5 revenue-concentration
+    cut every supply chain runs (A-parts get daily counts, C-parts get
+    annual ones): a part is class A while the cumulative-from-top
+    revenue share INCLUDING it stays ≤ 80%, B to 95%, else C. The
+    decision needs each part's descending cumulative revenue — which
+    is `_ranked_nosort`'s running-sum channel read from the other end
+    (cum_from_top = S − cum_asc + own), so there is NO descending
+    world sort and no second pass.
+
+    Determinism: class boundaries are integer cross-products
+    (cum_top·100 ≤ 80·S), never float shares; the per-class report
+    divides exact cents once. The composite rank key (rev·2³² + pk)
+    holds while per-part revenue < 2³¹ cents (documented bound; past
+    it the key moves to the struct form, same machinery).
+
+    Scale: one per-key aggregate + one range-binned rank pass + a
+    3-row class aggregate."""
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _ranked_nosort
+
+    li = t(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev_c")
+    )
+    tot = per.agg(F.sum("rev_c").cast("long").alias("s"))
+    ranked = _ranked_nosort(
+        per.select(
+            (F.col("rev_c") * F.lit(2**32).cast("long") + F.col("pk")).alias("key"),
+            F.col("rev_c").alias("val"),
+        )
+    )
+    cum_top = F.col("s") - F.col("cum") + F.col("val")
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.col("val").alias("rev_c"),
+        F.when(cum_top * 100 <= 80 * F.col("s"), "A")
+        .when(cum_top * 100 <= 95 * F.col("s"), "B")
+        .otherwise("C")
+        .alias("abc"),
+        "s",
+    )
+    return (
+        classed.groupBy("abc", "s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev_c").cast("long").alias("rev_c_total"),
+        )
+        .select(
+            "abc",
+            "n_parts",
+            "rev_c_total",
+            (F.col("rev_c_total").cast("double") / F.col("s")).alias("rev_share"),
+        )
+        .orderBy("abc")
+    )

@@ -28,6 +28,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "ds_mann_whitney_u": "one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
     "ds_auc_exact": "one-row class-totals broadcast onto the one-row fold result (≤50-row score histogram)",
     "ds_lift_gains_deciles": "one-row totals + ≤4096-row rank-offset-map broadcasts (distributed-rank pass + 10-row fold)",
+    "ds_abc_classification": "one-row revenue-total + one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
     "ds_mood_median_test": "one-row grand-median/chi2/margin broadcasts onto the ≤k-row class relation",
     "ds_kruskal_wallis": "one-row bounds + ≤4096-row rank-offset-map + one-row H-stat broadcasts (distributed-rank pass)",
     "ds_spearman_rho": "one-row bounds + ≤4096-row rank-offset-map broadcasts (two distributed-rank passes)",
@@ -239,10 +240,12 @@ BOUNDED_COLLECT: dict[str, str] = {
     "ds_mann_whitney_u": _REFINE_COLLECT,
     "ds_auc_exact": "≤50-row score-value histogram array, sequential integer fold",
     "ds_lift_gains_deciles": _REFINE_COLLECT,
+    "ds_abc_classification": "one-row revenue-total + one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
     "ds_mood_median_test": "one-row grand-median/chi2/margin broadcasts onto the ≤k-row class relation",
     "ds_kruskal_wallis": _REFINE_COLLECT,
     "ds_spearman_rho": _REFINE_COLLECT,
     "ds_segment_migration_matrix": _REFINE_COLLECT,
+    "ds_abc_classification": _REFINE_COLLECT,
     "ds_wilcoxon_signed_rank": _REFINE_COLLECT,
     "agg_gini_concentration_binned": "collected 64-bin contribution array, sequential fold",
     "ds_pareto_concentration_binned": "collected 64-bin contribution array, sequential fold",
