@@ -2573,3 +2573,75 @@ def test_stream_union_totals_cover_all_events(spark, sf_dir):
 def test_incremental_join_view_verdicts_true(spark, sf_dir):
     for r in SPECS["src_incremental_join_view"].fn(spark, sf_dir).collect():
         assert bool(r["counts_match"]) and bool(r["sums_match"])
+
+
+# --- round-6 third wave: shrinkage / skyline / audits / simulation ----------
+
+
+def test_eb_shrinkage_contracts(spark, sf_dir):
+    rows = SPECS["ds_empirical_bayes_shrinkage"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r["shrunk_rate"] <= 1.0
+        # shrinkage moves toward the pooled rate: movement = |raw - shrunk|
+        assert abs(abs(r["raw_rate"] - r["shrunk_rate"]) - r["movement"]) < 1e-12
+        # shrunk is a strict convex combination => strictly between raw
+        # and pooled unless raw == pooled
+        assert r["movement"] >= 0.0
+
+
+def test_skyline_is_antichain_and_contains_maxima(spark, sf_dir):
+    rows = SPECS["agg_skyline_2d"].fn(spark, sf_dir).collect()
+    pts = [(r["qty"], r["rev_c"]) for r in rows]
+    for i, (q1, r1) in enumerate(pts):
+        for j, (q2, r2) in enumerate(pts):
+            if i != j:
+                assert not (
+                    q2 >= q1 and r2 >= r1 and (q2 > q1 or r2 > r1)
+                ), "skyline contains a dominated point"
+    per = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev"
+            ),
+        )
+        .agg(F.max("qty").alias("mq"), F.max("rev").alias("mr"))
+        .collect()[0]
+    )
+    assert per["mq"] in {q for q, _ in pts}
+    assert per["mr"] in {r for _, r in pts}
+
+
+def test_simpson_signs_consistent_with_rates(spark, sf_dir):
+    for r in SPECS["profile_simpson_paradox"].fn(spark, sf_dir).collect():
+        if r["seg_sign"] == 1:
+            assert r["rate_treated"] > r["rate_control"]
+        elif r["seg_sign"] == -1:
+            assert r["rate_treated"] < r["rate_control"]
+
+
+def test_corr_matrix_symmetric_range(spark, sf_dir):
+    rows = SPECS["ds_corr_matrix_series"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert -1.0 <= r["pearson_r"] <= 1.0
+        assert r["n_days"] > 0
+
+
+def test_token_bucket_conservation(spark, sf_dir):
+    rows = SPECS["ds_token_bucket_sim"].fn(spark, sf_dir).collect()
+    n_users = sum(r["n_users"] for r in rows)
+    assert n_users == t(spark, sf_dir, "events").select("user_id").distinct().count()
+    # zero-drop users admit everything; admitted+dropped = considered
+    assert all(r["n_dropped_per_user"] >= 0 for r in rows)
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    rows = {r["abc"]: r for r in SPECS["ds_abc_classification"].fn(spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    total_share = sum(r["rev_share"] for r in rows.values())
+    assert abs(total_share - 1.0) < 1e-9
+    # A must carry the largest revenue share of any class
+    assert rows["A"]["rev_share"] == max(r["rev_share"] for r in rows.values())
