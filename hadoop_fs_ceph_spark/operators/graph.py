@@ -1156,3 +1156,139 @@ def graph_modularity_score(spark, sf_dir):
         )
         .orderBy("community")
     )
+
+
+@query(
+    "graph_gravity_model",
+    oracle=f"""
+    WITH flows AS (
+      SELECT c.c_nationkey AS i, s.s_nationkey AS j,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT))
+                  AS BIGINT) AS f
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY i, j
+    ),
+    mi AS (SELECT i, CAST(SUM(f) AS BIGINT) AS m FROM flows GROUP BY i),
+    wj AS (SELECT j, CAST(SUM(f) AS BIGINT) AS w FROM flows GROUP BY j),
+    pts AS (
+      SELECT CAST(ROUND((LN(CAST(mi.m AS DOUBLE)) + LN(CAST(wj.w AS DOUBLE)))
+                        * 1e12) AS BIGINT) AS x_fp,
+             CAST(ROUND(LN(CAST(fl.f AS DOUBLE)) * 1e12) AS BIGINT) AS y_fp
+      FROM flows fl JOIN mi ON fl.i = mi.i JOIN wj ON fl.j = wj.j
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x_fp) AS BIGINT) AS sx,
+             CAST(SUM(y_fp) AS BIGINT) AS sy,
+             SUM(CAST(x_fp AS HUGEINT) * x_fp) AS sxx,
+             SUM(CAST(y_fp AS HUGEINT) * y_fp) AS syy,
+             SUM(CAST(x_fp AS HUGEINT) * y_fp) AS sxy
+      FROM pts
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8) AS beta,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1e12, 8) AS alpha_ln,
+           ROUND(POW(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2.0)
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
+             AS r_squared
+    FROM mom
+    """,
+    tags=("graph", "econometrics", "gravity", "regression"),
+)
+def graph_gravity_model(spark, sf_dir):
+    """Gravity model of trade flows — the econometric structure test
+    on the weighted nation-pair graph: does bilateral flow scale with
+    the product of endpoint masses (ln f_ij = α + β·ln(m_i·w_j))? β
+    near 1 is the gravity signature; it is the aggregate-level
+    validation a synthetic-data pipeline runs to check that generated
+    flows respect endpoint-size structure (`ds_price_elasticity`'s
+    log-log OLS mechanics on a DYADIC relation — the regressor is a
+    product of two marginal masses, joined back per pair).
+
+    Determinism: flows and masses are exact cents; each ln lands in
+    ×1e12 fixed-point per term (order-free sums), second moments ride
+    the decimal/HUGEINT lane, and β/α/r² are single rounded double
+    chains (O(1) magnitudes).
+
+    Scale: the dyadic relation is |nations|² ≤ 625 rows built from ONE
+    partial-merged aggregate over the fact join; marginals re-aggregate
+    those rows, never facts."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    flows = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("i"), F.col("s_nationkey").alias("j")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("f")
+        )
+        .persist()
+    )
+    mi = flows.groupBy("i").agg(F.sum("f").cast("long").alias("m"))
+    wj = flows.groupBy("j").agg(F.sum("f").cast("long").alias("w"))
+    pts = (
+        flows.join(F.broadcast(mi), "i")
+        .join(F.broadcast(wj), "j")
+        .select(
+            F.round(
+                (
+                    F.log(F.col("m").cast("double"))
+                    + F.log(F.col("w").cast("double"))
+                )
+                * 1e12
+            )
+            .cast("long")
+            .alias("x_fp"),
+            F.round(F.log(F.col("f").cast("double")) * 1e12)
+            .cast("long")
+            .alias("y_fp"),
+        )
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_fp").cast("long").alias("sx"),
+        F.sum("y_fp").cast("long").alias("sy"),
+        F.sum(F.expr("cast(x_fp as decimal(38,0)) * x_fp")).alias("sxx"),
+        F.sum(F.expr("cast(y_fp as decimal(38,0)) * y_fp")).alias("syy"),
+        F.sum(F.expr("cast(x_fp as decimal(38,0)) * y_fp")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return mom.select(
+        "n",
+        F.round(beta, 8).alias("beta"),
+        F.round((sy - beta * sx) / n / 1e12, 8).alias("alpha_ln"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2.0))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            8,
+        ).alias("r_squared"),
+    )
