@@ -2241,3 +2241,62 @@ def src_incremental_join_view(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "src_metadata_lineage_audit",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files,
+           TRUE AS row_index_contract
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "metadata", "lineage"),
+)
+def src_metadata_lineage_audit(spark, sf_dir):
+    """Row-level lineage via the `_metadata` hidden struct — Spark's
+    per-row provenance surface (file_path, file_size, row_index) that
+    incident forensics and GDPR deletes navigate by ("which FILE did
+    this row come from, at which position"). The audit: write a
+    one-file-per-status layout, read back selecting `_metadata`, and
+    verify the row_index contract per file — indexes run 0..n−1, so
+    max(row_index)+1 must equal the file's row count, and the distinct
+    file count per status must be exactly the one file written. The
+    oracle pins those contract columns as literals over the real
+    per-status counts — a broken `_metadata` (or a silently split
+    write) hash-mismatches.
+
+    Scale: `_metadata` is generated at the scan from the reader state
+    (no storage cost, no shuffle); the audit aggregate is
+    partial-merged per file."""
+    o = t(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "lineage_orders")
+    write_table(
+        o.repartition(1, "o_orderstatus"),
+        path,
+        mode="overwrite",
+        partition_by=["o_orderstatus"],
+    )
+    back = spark.read.parquet(path).select(
+        "o_orderstatus",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    per_file = back.groupBy("o_orderstatus", "fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.max("ri") + 1).cast("long").alias("max_ri1"),
+    )
+    return (
+        per_file.groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            (F.sum((F.col("n") == F.col("max_ri1")).cast("long")) == F.count(F.lit(1))).alias(
+                "row_index_contract"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
