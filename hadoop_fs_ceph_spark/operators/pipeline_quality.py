@@ -4772,3 +4772,86 @@ def profile_simpson_paradox(spark, sf_dir):
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "profile_row_width_budget",
+    oracle="""
+    SELECT 'documents' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(8 + 8 AS BIGINT) AS fixed_bytes,
+           CAST(SUM(octet_length(encode(text)) + octet_length(encode(lang))
+                    + octet_length(encode(source))) AS BIGINT) AS var_bytes,
+           CAST((8 + 8) * COUNT(*)
+                + SUM(octet_length(encode(text)) + octet_length(encode(lang))
+                      + octet_length(encode(source))) AS BIGINT) AS est_bytes,
+           CAST(((8 + 8) * COUNT(*)
+                 + SUM(octet_length(encode(text)) + octet_length(encode(lang))
+                       + octet_length(encode(source)))) // COUNT(*) AS BIGINT)
+             AS avg_row_bytes
+    FROM documents
+    UNION ALL
+    SELECT 'events', CAST(COUNT(*) AS BIGINT),
+           CAST(8 + 8 + 8 + 8 AS BIGINT),
+           CAST(SUM(octet_length(encode(event_type))
+                    + octet_length(encode(props))) AS BIGINT),
+           CAST((8 + 8 + 8 + 8) * COUNT(*)
+                + SUM(octet_length(encode(event_type))
+                      + octet_length(encode(props))) AS BIGINT),
+           CAST(((8 + 8 + 8 + 8) * COUNT(*)
+                 + SUM(octet_length(encode(event_type))
+                       + octet_length(encode(props)))) // COUNT(*) AS BIGINT)
+    FROM events
+    ORDER BY tbl
+    """,
+    tags=("profile", "sizing", "capacity"),
+)
+def profile_row_width_budget(spark, sf_dir):
+    """Row-width budget — the shuffle/memory sizing profile capacity
+    planning needs BEFORE running a 100 TB job: per table, exact
+    fixed-width bytes (8 per long/double/timestamp column) plus
+    measured variable-width bytes (UTF-8 octet lengths of every
+    string column), total estimated in-flight bytes and average row
+    width. This is the number that sizes
+    `spark.sql.shuffle.partitions` and `maxPartitionBytes` (rows ×
+    width / target-partition-size), and the audit that catches a
+    props column silently growing 10× after an upstream change — the
+    capacity sibling of `profile_partition_skew`.
+
+    Exactness: octet_length of UTF-8 bytes is an exact integer in
+    both engines (Spark `octet_length` ≡ DuckDB over encode());
+    everything is exact longs with one integer division for the
+    average.
+
+    Scale: pure map-side length arithmetic + one partial-merged
+    aggregate per table; at 100 TB this is a metadata-cheap full
+    scan or a sampled one (hash-gate the scan with the
+    `sample_hash_bernoulli` machinery for a 1% estimate)."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "events")
+    doc_fixed = 8 + 8  # doc_id, n_chars
+    doc_var = (
+        F.octet_length("text") + F.octet_length("lang") + F.octet_length("source")
+    )
+    ev_fixed = 8 + 8 + 8 + 8  # event_id, ts, user_id, value
+    ev_var = F.octet_length("event_type") + F.octet_length("props")
+
+    def budget(df, name, fixed, var):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(var).cast("long").alias("var_bytes"),
+        ).select(
+            F.lit(name).alias("tbl"),
+            "n_rows",
+            F.lit(fixed).cast("long").alias("fixed_bytes"),
+            "var_bytes",
+            (F.lit(fixed) * F.col("n_rows") + F.col("var_bytes"))
+            .cast("long")
+            .alias("est_bytes"),
+            F.expr(f"({fixed} * n_rows + var_bytes) div n_rows")
+            .cast("long")
+            .alias("avg_row_bytes"),
+        )
+
+    return budget(d, "documents", doc_fixed, doc_var).unionAll(
+        budget(e, "events", ev_fixed, ev_var)
+    ).orderBy("tbl")
