@@ -1961,3 +1961,122 @@ def sim_sparse_cosine_join(spark, sf_dir):
         .orderBy(F.col("cosine_tfidf").desc(), "doc_a", "doc_b")
         .limit(25)
     )
+
+
+_EMB_DUP_COS = 0.99
+_EMB_LABEL_CAP = 40
+
+
+@query(
+    "pipeline_embedding_curation",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding,
+             {sql_dot("embedding", "embedding")} AS n2,
+             {_SQL_BUCKET} AS bucket
+      FROM embeddings
+    ),
+    valid AS (SELECT * FROM base WHERE n2 > 0),
+    dup_b AS (
+      SELECT DISTINCT b.vec_id
+      FROM valid a JOIN valid b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {sql_cosine("a.embedding", "b.embedding")} >= {_EMB_DUP_COS}
+    ),
+    deduped AS (
+      SELECT v.* FROM valid v
+      WHERE NOT EXISTS (SELECT 1 FROM dup_b d WHERE d.vec_id = v.vec_id)
+    ),
+    final AS (
+      SELECT * FROM deduped
+      QUALIFY row_number() OVER (
+        PARTITION BY label
+        ORDER BY (vec_id * 2654435761) % 1000003, vec_id
+      ) <= {_EMB_LABEL_CAP}
+    )
+    SELECT b.label,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST((SELECT COUNT(*) FROM valid v WHERE v.label = b.label)
+                AS BIGINT) AS n_valid,
+           CAST((SELECT COUNT(*) FROM deduped d WHERE d.label = b.label)
+                AS BIGINT) AS n_deduped,
+           CAST((SELECT COUNT(*) FROM final f WHERE f.label = b.label)
+                AS BIGINT) AS n_final
+    FROM base b GROUP BY b.label
+    ORDER BY b.label
+    """,
+    tags=("pipeline", "curation", "embedding", "composite"),
+)
+def pipeline_embedding_curation(spark, sf_dir):
+    """END-TO-END embedding-corpus curation — the vector-side twin of
+    `pipeline_curation_funnel` as ONE declared query: validity gate
+    (positive norm — dead/zero vectors out) → near-duplicate drop
+    (cosine ≥ {_EMB_DUP_COS} within sign-LSH buckets, keeper = min
+    vec_id, the `sim_embedding_near_dup` convention) → per-label cap
+    ({_EMB_LABEL_CAP} by deterministic hash priority, the
+    `sample_domain_cap` machinery), reporting the per-label funnel
+    n_raw ≥ n_valid ≥ n_deduped ≥ n_final.
+
+    Every stage is the already-proven shape: map-side norm fold,
+    bucket-equality pair join (never all-pairs — the plan gate
+    enforces it), anti-join against the drop set, hash-priority
+    QUALIFY. Stages cascade on one pass of the embeddings relation;
+    the funnel aggregate makes the pipeline self-auditing (monotone
+    counts pinned in tests).
+
+    Scale: the pair stage is the LSH-bucketed candidate plan; the cap
+    is a per-label window over the already-thinned relation; at
+    100 TB this is exactly the nightly embedding-dedup job."""
+    e = t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+        _bucket("embedding").alias("bucket"),
+    ).persist()
+    valid = base.filter(F.col("n2") > 0)
+    a = valid.select(
+        F.col("vec_id").alias("va"), F.col("bucket").alias("ba"),
+        F.col("embedding").alias("ea"),
+    )
+    b = valid.select(
+        F.col("vec_id").alias("vb"), F.col("bucket").alias("bb"),
+        F.col("embedding").alias("eb"),
+    )
+    dup_b = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("va") < F.col("vb")))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= _EMB_DUP_COS)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    deduped = valid.join(dup_b, "vec_id", "left_anti")
+    w = Window.partitionBy("label").orderBy(
+        F.pmod(F.col("vec_id") * 2654435761, F.lit(1000003)), "vec_id"
+    )
+    final = deduped.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _EMB_LABEL_CAP
+    )
+    n_raw = base.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    n_valid = valid.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_valid")
+    )
+    n_dedup = deduped.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_deduped")
+    )
+    n_final = final.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_final")
+    )
+    return (
+        n_raw.join(n_valid, "label", "left")
+        .join(n_dedup, "label", "left")
+        .join(n_final, "label", "left")
+        .select(
+            "label",
+            "n_raw",
+            F.coalesce("n_valid", F.lit(0)).cast("long").alias("n_valid"),
+            F.coalesce("n_deduped", F.lit(0)).cast("long").alias("n_deduped"),
+            F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
+        )
+        .orderBy("label")
+    )
