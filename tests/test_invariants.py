@@ -2645,3 +2645,30 @@ def test_abc_classes_partition_revenue(spark, sf_dir):
     assert abs(total_share - 1.0) < 1e-9
     # A must carry the largest revenue share of any class
     assert rows["A"]["rev_share"] == max(r["rev_share"] for r in rows.values())
+
+
+def test_gravity_model_fit_quality(spark, sf_dir):
+    r = SPECS["graph_gravity_model"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["r_squared"] <= 1.0
+    assert 0 < r["n"] <= 625  # nation-pair dyads
+    assert r["beta"] is not None
+
+
+def test_metadata_lineage_contract_holds(spark, sf_dir):
+    for r in SPECS["src_metadata_lineage_audit"].fn(spark, sf_dir).collect():
+        assert r["n_files"] == 1
+        assert bool(r["row_index_contract"]) is True
+
+
+def test_row_width_budget_identity(spark, sf_dir):
+    for r in SPECS["profile_row_width_budget"].fn(spark, sf_dir).collect():
+        assert r["est_bytes"] == r["fixed_bytes"] * r["n_rows"] + r["var_bytes"]
+        assert r["avg_row_bytes"] == r["est_bytes"] // r["n_rows"]
+
+
+def test_embedding_curation_funnel_monotone(spark, sf_dir):
+    rows = SPECS["pipeline_embedding_curation"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_raw"] >= r["n_valid"] >= r["n_deduped"] >= r["n_final"]
+        assert r["n_final"] <= 40
