@@ -4828,3 +4828,122 @@ def ds_abc_classification(spark, sf_dir):
         )
         .orderBy("abc")
     )
+
+
+_ERL_MU_PER_HR = 12.0  # service rate per agent (5-min mean handle time)
+_ERL_KS = list(range(1, 13))
+
+
+@query(
+    "ds_erlang_c_staffing",
+    oracle=f"""
+    WITH span AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS span_us
+      FROM events
+    ),
+    lam AS (
+      SELECT n, span_us,
+             CAST(n AS DOUBLE) * 3600000000.0 / span_us AS lambda_hr,
+             CAST(n AS DOUBLE) * 3600000000.0 / span_us / {_ERL_MU_PER_HR}
+               AS a
+      FROM span
+    ),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _ERL_KS)}]) AS k),
+    terms AS (
+      SELECT k, a, lambda_hr,
+             -- state = [term_i, partial_sum]; fold i = 1..k-1 gives
+             -- sum_{{i<k}} a^i/i! and a^{{k-1}}/(k-1)!
+             list_reduce(
+               list_prepend([CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)],
+                 list_transform(generate_series(1, k - 1),
+                                i -> [CAST(i AS DOUBLE), CAST(0 AS DOUBLE)])),
+               (s, e) -> [s[1] * a / e[1], s[2] + s[1] * a / e[1]]) AS st
+      FROM ks, lam
+    )
+    SELECT k, ROUND(a, 8) AS offered_erlangs,
+           ROUND(a / k, 8) AS utilization,
+           CASE WHEN k > a THEN
+             ROUND((st[1] * a / k * (k / (k - a)))
+                   / (st[2] + st[1] * a / k * (k / (k - a))), 8)
+           END AS p_wait,
+           CASE WHEN k > a THEN
+             (st[1] * a / k * (k / (k - a)))
+               / (st[2] + st[1] * a / k * (k / (k - a))) < 0.2
+           END AS meets_sla
+    FROM terms
+    ORDER BY k
+    """,
+    tags=("analytics", "queueing", "staffing", "stateful"),
+)
+def ds_erlang_c_staffing(spark, sf_dir):
+    """Erlang-C staffing curve — the queueing-theory readout behind
+    every support/ops staffing decision: with the arrival rate λ
+    MEASURED from the event stream (exact count over the exact µs
+    span) and a {_ERL_MU_PER_HR}/hr service rate, what is P(wait) at
+    k = 1..{_ERL_KS[-1]} agents, and which k first meets a 20% SLA?
+    Offered load a = λ/μ; ErlangC(k,a) = (aᵏ/k!·k/(k−a)) /
+    (Σᵢ<ₖ aⁱ/i! + aᵏ/k!·k/(k−a)), unstable regimes (k ≤ a) emit NULL.
+
+    Determinism: a is a ratio of exact integers; the factorial series
+    folds SEQUENTIALLY (state [term, partial-sum], term·a/i per step
+    — no pow/gamma calls), so every per-k probability is one
+    identical IEEE chain in both engines, rounded 1e-8 (O(1)
+    magnitude).
+
+    Scale: the DATA cost is one count+min+max aggregate; the k-sweep
+    runs on a 12-row spine against the one-row load broadcast. At
+    100 TB λ comes from the same aggregate over a time-bucketed
+    relation (per-hour staffing = group the spine by hour)."""
+    e = t(spark, sf_dir, "events")
+    span = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.expr("unix_micros(MAX(ts)) - unix_micros(MIN(ts))")).alias("span_us"),
+    )
+    lam = span.select(
+        "n",
+        "span_us",
+        (F.col("n").cast("double") * 3600000000.0 / F.col("span_us")).alias(
+            "lambda_hr"
+        ),
+        (
+            F.col("n").cast("double")
+            * 3600000000.0
+            / F.col("span_us")
+            / _ERL_MU_PER_HR
+        ).alias("a"),
+    )
+    ks = spark.range(1, _ERL_KS[-1] + 1).select(F.col("id").cast("int").alias("k"))
+    j = ks.crossJoin(F.broadcast(lam))
+
+    def fold(acc, i):
+        term = F.element_at(acc, 1) * F.col("a") / i.cast("double")
+        return F.array(term, F.element_at(acc, 2) + term)
+
+    # sequence(1, 0) DESCENDS in Spark (it is not empty as in DuckDB's
+    # generate_series), so the k = 1 spine row needs an explicit empty
+    steps = F.expr(
+        "CASE WHEN k > 1 THEN sequence(1, k - 1)"
+        " ELSE CAST(array() AS array<int>) END"
+    )
+    st = F.aggregate(
+        steps,
+        F.array(F.lit(1.0), F.lit(1.0)),
+        fold,
+    )
+    terms = j.select("k", "a", st.alias("st"))
+    tail = (
+        F.element_at("st", 1)
+        * F.col("a")
+        / F.col("k")
+        * (F.col("k").cast("double") / (F.col("k") - F.col("a")))
+    )
+    p_wait = tail / (F.element_at("st", 2) + tail)
+    unstable = F.col("k").cast("double") <= F.col("a")
+    return terms.select(
+        "k",
+        F.round("a", 8).alias("offered_erlangs"),
+        F.round(F.col("a") / F.col("k"), 8).alias("utilization"),
+        F.when(~unstable, F.round(p_wait, 8)).alias("p_wait"),
+        F.when(~unstable, p_wait < 0.2).alias("meets_sla"),
+    ).orderBy("k")
