@@ -568,3 +568,43 @@ def fn_luhn_family(spark, sf_dir):
         )
         .orderBy("is_valid")
     )
+
+
+@query(
+    "fn_base64_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 24))) AS b64,
+           substr(text, 1, 24)
+             = decode(from_base64(to_base64(encode(substr(text, 1, 24)))))
+             AS roundtrips,
+           octet_length(encode(to_base64(encode(substr(text, 1, 24)))))
+             = 4 * ((octet_length(encode(substr(text, 1, 24))) + 2) // 3)
+             AS length_contract
+    FROM documents
+    """,
+    tags=("function", "codec", "base64"),
+)
+def fn_base64_roundtrip(spark, sf_dir):
+    """Base64 codec surface — the wire format binary payloads ride
+    through JSON APIs and manifests: encode a UTF-8 prefix, verify the
+    decode round-trip AND RFC 4648's exact length law
+    |b64| = 4·⌈n/3⌉ (padding included), per row. Both engines emit the
+    canonical padded alphabet, so the encoded STRING itself
+    hash-matches — this pins the codec output, not just the
+    round-trip.
+
+    Map-side only; at 100 TB this is the manifest-encode step of
+    `mm_shard_offset_index`-style loaders."""
+    d = t(spark, sf_dir, "documents")
+    prefix = F.encode(F.substring("text", 1, 24), "utf-8")
+    b64 = F.base64(prefix)
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        (prefix == F.unbase64(b64)).alias("roundtrips"),
+        (
+            F.octet_length(b64)
+            == 4 * F.floor((F.octet_length(prefix) + 2) / 3).cast("int")
+        ).alias("length_contract"),
+    )
