@@ -4855,3 +4855,123 @@ def profile_row_width_budget(spark, sf_dir):
     return budget(d, "documents", doc_fixed, doc_var).unionAll(
         budget(e, "events", ev_fixed, ev_var)
     ).orderBy("tbl")
+
+
+@query(
+    "ds_ratio_metric_delta_method",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id,
+             CASE WHEN (user_id * {_MIX}) % 100 < 50 THEN 0 ELSE 1 END AS v,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM per GROUP BY v
+    ),
+    s AS (
+      SELECT v, n, sx, sy,
+             CAST(sx AS DOUBLE) / sy AS r,
+             ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+              + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+              - 2.0 * (CAST(sx AS DOUBLE) / sy)
+                * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n))
+             / (n - 1.0) / n
+             / ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) AS var_r
+      FROM m
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN v = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN v = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN v = 0 THEN r END) AS ratio_a,
+             MAX(CASE WHEN v = 1 THEN r END) AS ratio_b,
+             MAX(CASE WHEN v = 0 THEN var_r END) AS va,
+             MAX(CASE WHEN v = 1 THEN var_r END) AS vb
+      FROM s
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ratio_a, ratio_b, ratio_b - ratio_a AS diff,
+           SQRT(va + vb) AS se_diff,
+           ROUND((ratio_b - ratio_a) / SQRT(va + vb), 8) AS z_stat,
+           CAST(ABS((ratio_b - ratio_a) / SQRT(va + vb)) > 1.96 AS BOOLEAN)
+             AS significant_95
+    FROM w
+    """,
+    tags=("analytics", "experiment", "ratio-metric", "delta-method"),
+)
+def ds_ratio_metric_delta_method(spark, sf_dir):
+    """Delta-method inference for a RATIO metric (revenue per event,
+    Σx/Σy per variant) — the experimentation readout `ds_ab_welch_ttest`
+    cannot give: a ratio of per-user sums is NOT a mean of iid
+    observations (users contribute unequal denominators), so its
+    variance needs the delta method over the per-user (x, y) pairs:
+    var(R) ≈ (sₓₓ + R²s_yy − 2R·s_xy) / (n·ȳ²) with user-level
+    (co)variances. Treating the ratio as a plain mean understates the
+    variance — the classic false-positive factory this operator
+    exists to prevent.
+
+    Determinism: user-level moments are exact (decimal/HUGEINT second
+    moments); R, var(R), and z are single identical IEEE chains over
+    those integers, z rounded 1e-8.
+
+    Scale: one per-user partial aggregate, one ≤2-row variant moment
+    relation; the fact table is read once."""
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    ).select(
+        F.when((F.col("user_id") * _MIX) % 100 < 50, 0).otherwise(1).alias("v"),
+        "x",
+        "y",
+    )
+    m = per.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    r = sx / F.col("sy")
+    var_r = (
+        (
+            (F.col("sxx").cast("double") - sx * F.col("sx") / F.col("n"))
+            + r * r * (F.col("syy").cast("double") - sy * F.col("sy") / F.col("n"))
+            - 2.0 * r * (F.col("sxy").cast("double") - sx * F.col("sy") / F.col("n"))
+        )
+        / (n - 1.0)
+        / n
+        / ((sy / n) * (sy / n))
+    )
+    s = m.select("v", "n", r.alias("r"), var_r.alias("var_r"))
+    w = s.agg(
+        F.max(F.when(F.col("v") == 0, F.col("n"))).cast("long").alias("n_a"),
+        F.max(F.when(F.col("v") == 1, F.col("n"))).cast("long").alias("n_b"),
+        F.max(F.when(F.col("v") == 0, F.col("r"))).alias("ratio_a"),
+        F.max(F.when(F.col("v") == 1, F.col("r"))).alias("ratio_b"),
+        F.max(F.when(F.col("v") == 0, F.col("var_r"))).alias("va"),
+        F.max(F.when(F.col("v") == 1, F.col("var_r"))).alias("vb"),
+    )
+    diff = F.col("ratio_b") - F.col("ratio_a")
+    se = F.sqrt(F.col("va") + F.col("vb"))
+    return w.select(
+        "n_a",
+        "n_b",
+        "ratio_a",
+        "ratio_b",
+        diff.alias("diff"),
+        se.alias("se_diff"),
+        F.round(diff / se, 8).alias("z_stat"),
+        (F.abs(diff / se) > 1.96).alias("significant_95"),
+    )
