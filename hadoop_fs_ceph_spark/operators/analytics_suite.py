@@ -4947,3 +4947,158 @@ def ds_erlang_c_staffing(spark, sf_dir):
         F.when(~unstable, F.round(p_wait, 8)).alias("p_wait"),
         F.when(~unstable, p_wait < 0.2).alias("meets_sla"),
     ).orderBy("k")
+
+
+@query(
+    "ds_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderstatus AS st,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS epoch_day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY st, epoch_day
+    ),
+    tr AS (
+      SELECT st, epoch_day, rev_c,
+             CAST(SUM(rev_c) OVER w AS BIGINT) AS sum7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS cnt7
+      FROM daily
+      WINDOW w AS (PARTITION BY st ORDER BY epoch_day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT st, epoch_day, rev_c, rev_c * 7 - sum7 AS d7,
+             (epoch_day + 4) % 7 AS dow
+      FROM tr WHERE cnt7 = 7
+    ),
+    seas AS (
+      SELECT st, dow, CAST(SUM(d7) AS BIGINT) AS s_num,
+             CAST(COUNT(*) AS BIGINT) AS s_cnt
+      FROM det GROUP BY st, dow
+    ),
+    fp AS (
+      SELECT d.st,
+             (d.d7 * 1000000) // 7 AS x_fp,
+             (d.d7 * 1000000) // 7
+               - (s.s_num * 1000000) // (7 * s.s_cnt) AS r_fp,
+             d.rev_c * 1000000
+               - (s.s_num * 1000000) // (7 * s.s_cnt) AS y_fp
+      FROM det d JOIN seas s ON d.st = s.st AND d.dow = s.dow
+    ),
+    m AS (
+      SELECT st, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x_fp) AS HUGEINT) AS sx,
+             SUM(CAST(x_fp AS HUGEINT) * x_fp) AS sxx,
+             CAST(SUM(r_fp) AS HUGEINT) AS sr,
+             SUM(CAST(r_fp AS HUGEINT) * r_fp) AS srr,
+             CAST(SUM(y_fp) AS HUGEINT) AS sy,
+             SUM(CAST(y_fp AS HUGEINT) * y_fp) AS syy
+      FROM fp GROUP BY st
+    )
+    SELECT st AS o_orderstatus, n,
+           ROUND(GREATEST(0.0,
+             1.0 - (CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+                    - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))), 8)
+             AS strength_seasonal,
+           ROUND(GREATEST(0.0,
+             1.0 - (CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+                    - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
+             AS strength_trend
+    FROM m ORDER BY o_orderstatus
+    """,
+    tags=("analytics", "timeseries", "decomposition", "diagnostics"),
+)
+def ds_seasonal_strength(spark, sf_dir):
+    """Seasonal/trend strength diagnostics (Hyndman's F-measures) on
+    the `ds_stl_decompose_lite` components: F_seasonal =
+    max(0, 1 − Var(R)/Var(S+R)) and F_trend = max(0, 1 − Var(R)/
+    Var(T+R)) — the two numbers that decide whether a series EARNS a
+    seasonal model (`ds_holt_winters`) or a plain level/trend one
+    (`win_holt_linear_fold`); model-selection gates, not plots.
+
+    Exactness: the decomposition components are carried as EXACT
+    fixed-point integers — detrended x = (d7·10⁶) div 7, seasonal s =
+    (s_num·10⁶) div (7·s_cnt), residual r = x − s, deseasonalized
+    y = rev·10⁶ − s — so every variance is the integer moment form
+    nΣv² − (Σv)² in the HUGEINT/decimal lane, and each strength is
+    ONE rounded double ratio. No float series is ever re-aggregated.
+
+    Scale: the STL shapes (daily pre-aggregate, one centered-frame
+    window per status, ≤|status|·7 seasonal relation) plus one
+    grouped moment fold."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn(
+            "epoch_day",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+        )
+        .groupBy(F.col("o_orderstatus").alias("st"), "epoch_day")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    )
+    w7 = Window.partitionBy("st").orderBy("epoch_day").rowsBetween(-3, 3)
+    det = (
+        daily.select(
+            "st",
+            "epoch_day",
+            "rev_c",
+            F.sum("rev_c").over(w7).cast("long").alias("sum7"),
+            F.count(F.lit(1)).over(w7).cast("long").alias("cnt7"),
+        )
+        .filter(F.col("cnt7") == 7)
+        .select(
+            "st",
+            "rev_c",
+            (F.col("rev_c") * 7 - F.col("sum7")).alias("d7"),
+            ((F.col("epoch_day") + 4) % 7).alias("dow"),
+        )
+    )
+    seas = det.groupBy("st", "dow").agg(
+        F.sum("d7").cast("long").alias("s_num"),
+        F.count(F.lit(1)).cast("long").alias("s_cnt"),
+    )
+    fp = det.join(F.broadcast(seas), ["st", "dow"]).select(
+        "st",
+        F.expr("(d7 * 1000000) div 7").alias("x_fp"),
+        F.expr(
+            "(d7 * 1000000) div 7 - (s_num * 1000000) div (7 * s_cnt)"
+        ).alias("r_fp"),
+        F.expr(
+            "rev_c * 1000000 - (s_num * 1000000) div (7 * s_cnt)"
+        ).alias("y_fp"),
+    )
+    m = fp.groupBy("st").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_fp").alias("sx"),
+        F.sum(F.expr("cast(x_fp as decimal(38,0)) * x_fp")).alias("sxx"),
+        F.sum("r_fp").alias("sr"),
+        F.sum(F.expr("cast(r_fp as decimal(38,0)) * r_fp")).alias("srr"),
+        F.sum("y_fp").alias("sy"),
+        F.sum(F.expr("cast(y_fp as decimal(38,0)) * y_fp")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+
+    def var_num(s_, ss_):
+        return n * F.col(ss_).cast("double") - F.col(s_).cast("double") * F.col(
+            s_
+        ).cast("double")
+
+    return m.select(
+        F.col("st").alias("o_orderstatus"),
+        "n",
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - var_num("sr", "srr") / var_num("sx", "sxx")),
+            8,
+        ).alias("strength_seasonal"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - var_num("sr", "srr") / var_num("sy", "syy")),
+            8,
+        ).alias("strength_trend"),
+    ).orderBy("o_orderstatus")
