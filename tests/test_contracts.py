@@ -33,16 +33,26 @@ def test_readme_coverage_counts_match_registry():
 
 
 def test_media_decode_stub_contract():
-    """`_decode_media` is a documented environment-limited stub (no
-    PIL/soundfile in this container). Pin the fallback contract: it must
-    raise NotImplementedError with the documented message — it can never
-    silently rot into a fake implementation (VERDICT r5 item 6). If PIL
-    appears in the environment, this test fails and the real decode path
+    """`_decode_media` contract after VERDICT r6 item 1: the PNG path is
+    REAL (pure-stdlib zlib decoder) — a valid PNG decodes to its exact
+    pixels and a corrupted one fails loudly with ValueError, never a
+    silent wrong answer. Audio/video remain the documented
+    environment-limited stub (no soundfile in this container): they must
+    raise NotImplementedError with the documented message. If soundfile
+    appears in the environment, this test fails and the real audio path
     must be implemented."""
+    from hadoop_fs_ceph_spark.functions.png_codec import encode_png
     from hadoop_fs_ceph_spark.operators.multimodal import _decode_media
 
-    with pytest.raises(NotImplementedError, match="requires imaging/audio libraries"):
+    pixels = bytes((7 * i) % 256 for i in range(12 * 9))
+    w, h, out = _decode_media("image/png", encode_png(12, 9, pixels))
+    assert (w, h, out) == (12, 9, pixels)
+
+    with pytest.raises(ValueError):  # truncated payload: loud, not wrong
         _decode_media("image/png", b"\x89PNG\r\n")
+
+    with pytest.raises(NotImplementedError, match="requires imaging/audio libraries"):
+        _decode_media("audio/wav", b"RIFF....WAVE")
 
 
 def test_transform_with_state_waiver_pinned():

@@ -1,0 +1,101 @@
+"""Unit tests for the pure-stdlib PNG codec (functions/png_codec.py) —
+the real-decode path behind `_decode_media("image/png", ...)` and the
+`mm_png_decode` declared query (VERDICT r6 item 1)."""
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hadoop_fs_ceph_spark.functions.png_codec import (
+    PNG_MAGIC,
+    decode_png,
+    encode_png,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=48),
+    h=st.integers(min_value=1, max_value=48),
+    data=st.data(),
+)
+def test_roundtrip_lossless(w, h, data):
+    """encode→decode is the identity for any grayscale image — and because
+    the encoder cycles filter types per scanline, any h >= 5 image
+    exercises all five PNG filters."""
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    assert decode_png(encode_png(w, h, pixels)) == (w, h, pixels)
+
+
+def test_output_is_spec_conformant_png():
+    """Structural check against the PNG spec: magic, IHDR geometry/flags,
+    chunk CRCs, and an IDAT that zlib alone can inflate to
+    (width+1)*height filtered bytes."""
+    w, h = 11, 7
+    pixels = bytes((3 * i + 1) % 256 for i in range(w * h))
+    data = encode_png(w, h, pixels)
+    assert data[:8] == PNG_MAGIC
+    # IHDR is the first chunk
+    (ln,) = struct.unpack(">I", data[8:12])
+    assert data[12:16] == b"IHDR" and ln == 13
+    width, height, depth, ctype, comp, filt, inter = struct.unpack(
+        ">IIBBBBB", data[16:29]
+    )
+    assert (width, height, depth, ctype, comp, filt, inter) == (w, h, 8, 0, 0, 0, 0)
+    (crc,) = struct.unpack(">I", data[29:33])
+    assert crc == (zlib.crc32(b"IHDR" + data[16:29]) & 0xFFFFFFFF)
+    # walk to IDAT, inflate, check filtered length
+    pos, idat = 8, b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    assert len(zlib.decompress(idat)) == (w + 1) * h
+    # filter bytes cycle 0..4 per scanline by construction
+    raw = zlib.decompress(idat)
+    assert [raw[y * (w + 1)] for y in range(h)] == [y % 5 for y in range(h)]
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda b: b"JUNK" + b[4:], "bad magic"),
+        (lambda b: b[:20] + bytes([b[20] ^ 0xFF]) + b[21:], "CRC mismatch"),
+        (lambda b: b[: len(b) // 2], r"(truncated|missing IEND)"),
+    ],
+)
+def test_corruption_fails_loudly(mutate, msg):
+    data = encode_png(9, 6, bytes(range(54)))
+    with pytest.raises(ValueError, match=msg):
+        decode_png(mutate(data))
+
+
+def test_unsupported_color_type_rejected():
+    """An RGB IHDR must be refused, never mis-decoded as grayscale."""
+    data = bytearray(encode_png(4, 4, bytes(16)))
+    ihdr = bytearray(data[16:29])
+    ihdr[9] = 2  # color type 2 = truecolor
+    data[16:29] = ihdr
+    data[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(bytes(data))
+
+
+def test_bad_encode_inputs():
+    with pytest.raises(ValueError):
+        encode_png(0, 4, b"")
+    with pytest.raises(ValueError):
+        encode_png(3, 3, b"12345678")  # 8 != 9 pixels
