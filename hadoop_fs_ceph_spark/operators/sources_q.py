@@ -2300,3 +2300,80 @@ def src_metadata_lineage_audit(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "src_rgw_http_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("source", "rgw", "http", "connector", "object-store"),
+)
+def src_rgw_http_roundtrip(spark, sf_dir):
+    """The reference's ACTUAL identity, end to end: mount an HTTP object
+    store and serve Spark splits from it with ranged reads
+    (`CephRgwFileSystem.java:98-147` mounts RGW — an S3-dialect HTTP
+    store; every pread is a ranged object read,
+    `CephRgwInputStream.java:103-120`). The sandbox has no Ceph and no
+    hadoop-aws jars (s3a:// unloadable — waiver pinned in
+    tests/test_rgw_http.py), so the store is a loopback HTTP server
+    implementing the same REST subset (PUT, HEAD, RFC 7233 ranged GET,
+    ListObjectsV2 XML — sources/rgw_http.py) and the engine side is the
+    registered `rgw_http` Python DataSource doing the connector's three
+    mechanics over the wire: one listing call, one InputPartition per
+    virtual block, ranged GETs per split with Hadoop line-split
+    semantics (straddling lines completed by bounded continuation
+    fetches).
+
+    Flow: documents projection → engine CSV write → HTTP PUT each part
+    object into the bucket → `rgw_http` scan at 16 KiB virtual blocks
+    (dozens of ranged splits per object at every SF) → per-lang
+    aggregate, materialized WHILE the store is up (the eager write is
+    the end-to-end execution; the returned frame re-reads the
+    materialized result so it outlives the server). The oracle runs the
+    same aggregate on the original parquet — a hash match proves the
+    whole HTTP cycle (PUT framing, XML listing, range arithmetic,
+    boundary reassembly) byte-lossless.
+
+    Scale: swap `endpoint` for a real RGW URL and this is the production
+    path — disjoint ranged GETs per task, zero coordination, listing is
+    the only O(#objects) step (paginated in real RGW)."""
+    from hadoop_fs_ceph_spark.sources.pydatasource import register_python_sources
+    from hadoop_fs_ceph_spark.sources.rgw_http import LoopbackRgw
+
+    register_python_sources(spark)
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    path = _scratch(sf_dir, "rgw_docs_csv")
+    write_table(d, path, format="csv", mode="overwrite")
+    out = _scratch(sf_dir, "rgw_docs_back")
+    with LoopbackRgw() as rgw:
+        for fname in sorted(os.listdir(path)):
+            if fname.startswith(("_", ".")) or not os.path.isfile(
+                os.path.join(path, fname)
+            ):
+                continue
+            with open(os.path.join(path, fname), "rb") as fh:
+                rgw.put("lake", f"docs/{fname}", fh.read())
+        back = (
+            spark.read.format("rgw_http")
+            .schema("doc_id bigint, lang string, source string, n_chars bigint")
+            .option("endpoint", rgw.endpoint)
+            .option("bucket", "lake")
+            .option("prefix", "docs/")
+            .option("virtual.blocksize", 16 * 1024)
+            .load()
+        )
+        agg = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        write_table(agg, out, mode="overwrite")
+    return spark.read.parquet(out)

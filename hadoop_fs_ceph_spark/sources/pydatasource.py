@@ -251,6 +251,8 @@ class CephFsLikeDataSource(DataSource):
 def register_python_sources(spark) -> None:
     """Idempotently register the Python-backed sources on a session."""
     from hadoop_fs_ceph_spark.sources.avro_lite import AvroLiteDataSource
+    from hadoop_fs_ceph_spark.sources.rgw_http import RgwHttpDataSource
 
     spark.dataSource.register(CephFsLikeDataSource)
     spark.dataSource.register(AvroLiteDataSource)
+    spark.dataSource.register(RgwHttpDataSource)
