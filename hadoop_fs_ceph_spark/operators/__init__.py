@@ -102,6 +102,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     streaming_q,
     text,
     tpcds_lite,
+    tpcds_suite,
     tpch_suite,
     tpch_suite2,
     udfs,

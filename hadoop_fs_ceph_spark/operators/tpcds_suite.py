@@ -1,0 +1,706 @@
+"""TPC-DS representative tier (VERDICT r6 item 3) — eleven canonical
+TPC-DS query shapes adapted to the driver's star schema, named by the
+TPC-DS query whose plan shape they reproduce. ``tpcds_lite.py`` holds the
+first three (Q11 YoY, Q5 channel rollup, Q38 INTERSECT); this module adds
+the shapes a Spark warehouse actually runs daily: star-join top-N
+reports, segment profiling, cross-border analysis, ticket-size banding,
+cumulative channel comparison, week-over-week pivots, deviation-from-mean
+screens, rollup-with-rank hierarchies, time-bucket scans, returns
+adjustment, and frequent-item/best-customer intersection.
+
+Schema mapping (same conventions as tpcds_lite): ``orders`` stands in for
+the channel fact heads with ``o_orderpriority`` as the channel
+discriminator (express = 1-URGENT/2-HIGH), ``lineitem`` is the item-level
+fact, ``part``/``customer``/``supplier``/``nation`` are the dimensions,
+and ``events`` plays the time-of-day fact for Q88.
+
+Scale posture, uniform across the module: aggregate BEFORE joining or
+windowing wherever the shape allows, so shuffles carry (key, partial)
+rows; dimension joins broadcast only spec-bounded relations (nation) or
+rely on AQE for SF-scaled dims; every ORDER BY feeding a LIMIT is a
+TakeOrdered, never a global sort; ratios divide two fixed-point sums
+(canonical.py) so results hash-match DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.canonical import dsum, sql_dsum
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import dim, t
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev_col():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "ds_tpcds_q3_brand_report",
+    oracle=f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS yr, p_brand,
+           {sql_dsum(_REV, "revenue")}
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part   ON l_partkey = p_partkey
+    WHERE p_type IN ('STANDARD', 'SMALL')
+    GROUP BY yr, p_brand
+    ORDER BY yr, revenue DESC, p_brand
+    LIMIT 40
+    """,
+    tags=("tpcds", "star-join", "topn"),
+    bench=True,
+)
+def ds_tpcds_q3_brand_report(spark, sf_dir):
+    """TPC-DS Q3: the canonical star top-N — fact filtered through one
+    dimension predicate (item manufacturer → part type), dated through a
+    second (date_dim → orders), grouped by (year, brand), best rows
+    first. Plan: part-type filter reaches the part scan (pushed), the
+    part join is AQE-broadcast at test scale / shuffle at 100 TB, the
+    aggregate is partial-merged, and ORDER+LIMIT compiles to
+    TakeOrderedAndProject — no global sort at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", F.year("o_orderdate").alias("yr"))
+    p = t(spark, sf_dir, "part").filter(F.col("p_type").isin("STANDARD", "SMALL")).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("yr", "p_brand")
+        .agg(dsum(_rev_col(), "revenue"))
+        .orderBy("yr", F.col("revenue").desc(), "p_brand")
+        .limit(40)
+    )
+
+
+@query(
+    "ds_tpcds_q7_segment_profile",
+    oracle=f"""
+    SELECT p_type,
+           COUNT(*) AS n_lines,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_price")},
+           {sql_dsum("l_discount", "sum_disc")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY p_type
+    ORDER BY p_type
+    """,
+    tags=("tpcds", "star-join", "profile"),
+)
+def ds_tpcds_q7_segment_profile(spark, sf_dir):
+    """TPC-DS Q7: demographic purchase profile — item-level averages for
+    one customer segment across every product class. Sums are emitted as
+    fixed-point canonicals (the averages are sum/n, derivable by any
+    consumer; emitting sums keeps the hash exact). Four-table star: the
+    segment filter prunes customer before its join, part joins on the
+    item key, one partial-merged aggregate on the 6-value p_type."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_price"),
+            dsum("l_discount", "sum_disc"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@query(
+    "ds_tpcds_q19_cross_border_brands",
+    oracle=f"""
+    SELECT p_brand, {sql_dsum(_REV, "revenue")}, COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE c_nationkey <> s_nationkey
+      AND EXTRACT(year FROM o_orderdate) = 1997
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    """,
+    tags=("tpcds", "star-join", "geography"),
+)
+def ds_tpcds_q19_cross_border_brands(spark, sf_dir):
+    """TPC-DS Q19: brand revenue where the buyer's geography differs from
+    the seller's (store zip != customer zip in DS; nations here) — the
+    'out-of-area purchases' report. The geography mismatch is a residual
+    predicate on the joined row (not an equi-key), applied after the two
+    entity joins; everything else is standard star wiring with the year
+    filter pushed to the orders scan."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey", "o_custkey"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum(_rev_col(), "revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.col("revenue").desc(), "p_brand")
+    )
+
+
+@query(
+    "ds_tpcds_q34_ticket_band",
+    oracle="""
+    WITH tickets AS (
+      SELECT l_orderkey, COUNT(*) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+      HAVING COUNT(*) BETWEEN 5 AND 7
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_tickets,
+           CAST(SUM(n_items) AS BIGINT) AS total_items
+    FROM tickets JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 2
+    ORDER BY n_tickets DESC, total_items DESC, o_custkey
+    """,
+    tags=("tpcds", "having", "band"),
+)
+def ds_tpcds_q34_ticket_band(spark, sf_dir):
+    """TPC-DS Q34/Q73: customers with repeated mid-size baskets — count
+    items per ticket, keep tickets in the [5,7] band, then count
+    qualifying tickets per customer and keep repeaters. Two HAVING
+    tiers; the first aggregate shrinks lineitem to one row per order
+    BEFORE the orders join, so the join input is already order-grained
+    (the shape that matters at 100 TB: never join the raw item fact to
+    get a per-order property)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tickets = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(5, 7))
+    )
+    return (
+        tickets.join(o, tickets.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tickets"),
+            F.sum("n_items").cast("long").alias("total_items"),
+        )
+        .filter(F.col("n_tickets") >= 2)
+        .orderBy(F.col("n_tickets").desc(), F.col("total_items").desc(), "o_custkey")
+    )
+
+
+@query(
+    "ds_tpcds_q51_cumulative_channels",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS mon,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'express' ELSE 'standard' END AS channel,
+             {sql_dsum("o_totalprice", "rev")}
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+      GROUP BY mon, channel
+    ),
+    cum AS (
+      SELECT mon, channel, rev,
+             SUM(CAST(ROUND(rev * 1000000.0) AS BIGINT))
+               OVER (PARTITION BY channel ORDER BY mon) AS cum_fix
+      FROM monthly
+    ),
+    wide AS (
+      SELECT mon,
+             CAST(MAX(CASE WHEN channel = 'express' THEN cum_fix END) AS DOUBLE)
+               / 1000000.0 AS express_cum,
+             CAST(MAX(CASE WHEN channel = 'standard' THEN cum_fix END) AS DOUBLE)
+               / 1000000.0 AS standard_cum
+      FROM cum GROUP BY mon
+    )
+    SELECT mon, express_cum, standard_cum
+    FROM wide
+    WHERE express_cum > standard_cum
+    ORDER BY mon
+    """,
+    tags=("tpcds", "window", "cumulative"),
+)
+def ds_tpcds_q51_cumulative_channels(spark, sf_dir):
+    """TPC-DS Q51: cumulative revenue race between two channels — monthly
+    aggregates per channel, running totals via a window, channels pivoted
+    wide, keep the months where the express channel's cumulative leads.
+    The window runs over MONTHLY rows (24 per channel), never over facts:
+    aggregate-then-window is the Q51 discipline that keeps window state
+    tiny at any scale. Running sums accumulate the fixed-point integers
+    (exact, order-independent) and convert to double once at the end —
+    bit-identical to the oracle's window over BIGINTs."""
+    o = t(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    express = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    monthly = (
+        o.filter(F.col("yr").isin(1997, 1998))
+        .withColumn("mon", F.date_trunc("month", "o_orderdate"))
+        .withColumn("channel", F.when(express, "express").otherwise("standard"))
+        .groupBy("mon", "channel")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 1e6).cast("long")).alias("rev_fix")
+        )
+    )
+    w = Window.partitionBy("channel").orderBy("mon")
+    cum = monthly.withColumn("cum_fix", F.sum("rev_fix").over(w))
+    wide = (
+        cum.groupBy("mon")
+        .pivot("channel", ["express", "standard"])
+        .agg(F.max("cum_fix"))
+        .select(
+            "mon",
+            (F.col("express").cast("double") / 1e6).alias("express_cum"),
+            (F.col("standard").cast("double") / 1e6).alias("standard_cum"),
+        )
+    )
+    return wide.filter(F.col("express_cum") > F.col("standard_cum")).orderBy("mon")
+
+
+@query(
+    "ds_tpcds_q59_wow_ratio",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(week FROM o_orderdate) AS wk,
+             dayofweek(o_orderdate) + 1 AS dow,  -- DuckDB Sun=0, Spark Sun=1
+             {sql_dsum("o_totalprice", "rev")}
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+        AND EXTRACT(week FROM o_orderdate) <= 52
+      GROUP BY yr, wk, dow
+    )
+    SELECT a.wk, a.dow, a.rev AS rev_1997, b.rev AS rev_1998,
+           b.rev / a.rev AS ratio
+    FROM weekly a JOIN weekly b
+      ON a.wk = b.wk AND a.dow = b.dow AND a.yr = 1997 AND b.yr = 1998
+    ORDER BY a.wk, a.dow
+    """,
+    tags=("tpcds", "self-join", "seasonality"),
+)
+def ds_tpcds_q59_wow_ratio(spark, sf_dir):
+    """TPC-DS Q59: week-over-week sales by weekday — the same
+    (week, weekday) cell compared across two years via a self-join of
+    one weekly aggregate (Q59 pivots weekdays wide then joins stores
+    year-over-year; the join-on-(wk,dow) form is the same dataflow with
+    the pivot deferred to the consumer). Both self-join inputs reuse a
+    single shuffle (grouping key ⊇ join key). Week 53 is excluded: it
+    exists in only some years, so the ratio cell would be unmatched —
+    the same guard the DS spec applies via its 52-week date_dim slice.
+    DuckDB/Spark agree on ISO weekofyear and on Sunday=1 dayofweek."""
+    o = t(spark, sf_dir, "orders")
+    weekly = (
+        o.withColumn("yr", F.year("o_orderdate"))
+        .filter(F.col("yr").isin(1997, 1998))
+        .withColumn("wk", F.weekofyear("o_orderdate"))
+        .filter(F.col("wk") <= 52)
+        .withColumn("dow", F.dayofweek("o_orderdate"))
+        .groupBy("yr", "wk", "dow")
+        .agg(dsum("o_totalprice", "rev"))
+    )
+    a = weekly.filter(F.col("yr") == 1997).select(
+        "wk", "dow", F.col("rev").alias("rev_1997")
+    )
+    b = weekly.filter(F.col("yr") == 1998).select(
+        F.col("wk").alias("wk2"), F.col("dow").alias("dow2"), F.col("rev").alias("rev_1998")
+    )
+    return (
+        a.join(b, (a.wk == b.wk2) & (a.dow == b.dow2))
+        .select(
+            "wk",
+            "dow",
+            "rev_1997",
+            "rev_1998",
+            (F.col("rev_1998") / F.col("rev_1997")).alias("ratio"),
+        )
+        .orderBy("wk", "dow")
+    )
+
+
+@query(
+    "ds_tpcds_q89_monthly_deviation",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT p_brand, EXTRACT(month FROM o_orderdate) AS mon,
+             {sql_dsum(_REV, "rev")}
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part   ON l_partkey = p_partkey
+      WHERE EXTRACT(year FROM o_orderdate) = 1997
+      GROUP BY p_brand, mon
+    ),
+    yearly AS (
+      SELECT p_brand,
+             CAST(SUM(CAST(ROUND(rev * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS tot,
+             COUNT(*) AS n_months
+      FROM monthly GROUP BY p_brand
+    )
+    SELECT m.p_brand, m.mon, m.rev,
+           y.tot / y.n_months AS avg_monthly,
+           m.rev - y.tot / y.n_months AS deviation
+    FROM monthly m JOIN yearly y ON m.p_brand = y.p_brand
+    WHERE ABS(m.rev - y.tot / y.n_months) > 0.3 * (y.tot / y.n_months)
+    ORDER BY deviation, m.p_brand, m.mon
+    """,
+    tags=("tpcds", "deviation", "screen"),
+)
+def ds_tpcds_q89_monthly_deviation(spark, sf_dir):
+    """TPC-DS Q89: months that deviate sharply from a brand's average
+    monthly revenue — the anomaly screen merchandisers run. Q89 uses
+    AVG() OVER (PARTITION BY brand); windowed AVG over doubles is
+    accumulation-order-sensitive cross-engine, so the deterministic
+    formulation aggregates the year per brand (fixed-point, exact) and
+    joins it back — same dataflow, same result, and MORE scalable: a
+    broadcast-sized yearly relation instead of window state. The
+    deviation predicate and ordering use raw IEEE ops on identical
+    operands (no rounding), so the hash matches bit-for-bit."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey", F.month("o_orderdate").alias("mon")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "mon")
+        .agg(dsum(_rev_col(), "rev"))
+    )
+    yearly = monthly.groupBy("p_brand").agg(
+        (F.sum(F.round(F.col("rev") * 1e6).cast("long")).cast("double") / 1e6).alias(
+            "tot"
+        ),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    avg_m = F.col("tot") / F.col("n_months")
+    return (
+        monthly.join(yearly, "p_brand")
+        .withColumn("avg_monthly", avg_m)
+        .withColumn("deviation", F.col("rev") - F.col("avg_monthly"))
+        .filter(F.abs(F.col("deviation")) > 0.3 * F.col("avg_monthly"))
+        .select("p_brand", "mon", "rev", "avg_monthly", "deviation")
+        .orderBy("deviation", "p_brand", "mon")
+    )
+
+
+@query(
+    "ds_tpcds_q36_margin_rollup_rank",
+    oracle=f"""
+    WITH g AS (
+      SELECT n_name, p_type,
+             CAST(GROUPING(n_name) + GROUPING(p_type) AS INTEGER)
+               AS lochierarchy,
+             CAST(GROUPING(p_type) AS INTEGER) AS gp,
+             {sql_dsum(_REV, "revenue")},
+             {sql_dsum("l_quantity", "qty")}
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      GROUP BY ROLLUP (n_name, p_type)
+    )
+    SELECT lochierarchy, n_name, p_type, revenue,
+           revenue / qty AS rev_per_unit,
+           CAST(RANK() OVER (
+             PARTITION BY lochierarchy,
+                          CASE WHEN gp = 1 THEN NULL ELSE n_name END
+             ORDER BY revenue / qty DESC, n_name NULLS FIRST,
+                      p_type NULLS FIRST
+           ) AS INTEGER) AS rank_within_parent
+    FROM g
+    ORDER BY lochierarchy DESC, n_name NULLS FIRST, p_type NULLS FIRST
+    """,
+    tags=("tpcds", "rollup", "rank"),
+)
+def ds_tpcds_q36_margin_rollup_rank(spark, sf_dir):
+    """TPC-DS Q36: revenue-per-unit hierarchy — ROLLUP over
+    (nation, part-type) with a RANK *within each parent* at every
+    hierarchy level (the 'rank children under their parent' report).
+    The rank partition key is (lochierarchy, parent): detail rows rank
+    among siblings of the same nation, nation rows rank among nations,
+    the grand total ranks alone. The rollup expands AFTER partial
+    aggregation (Spark's Expand), and the window input is the rolled-up
+    relation (≤ 25·6+25+1 rows) — window-over-aggregate, never over
+    facts. Ratio = division of two fixed-point sums (bit-identical
+    cross-engine); rank ties broken by the full key."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = dim(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    g = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .rollup("n_name", "p_type")
+        .agg(
+            (F.grouping("n_name") + F.grouping("p_type")).cast("int").alias(
+                "lochierarchy"
+            ),
+            dsum(_rev_col(), "revenue"),
+            dsum("l_quantity", "qty"),
+            F.grouping("p_type").cast("int").alias("_gp"),
+        )
+    )
+    parent = F.when(F.col("_gp") == 1, F.lit(None)).otherwise(F.col("n_name"))
+    w = Window.partitionBy("lochierarchy", parent).orderBy(
+        (F.col("revenue") / F.col("qty")).desc(),
+        F.col("n_name").asc_nulls_first(),
+        F.col("p_type").asc_nulls_first(),
+    )
+    return (
+        g.withColumn("rev_per_unit", F.col("revenue") / F.col("qty"))
+        .withColumn("rank_within_parent", F.rank().over(w))
+        .select(
+            "lochierarchy", "n_name", "p_type", "revenue",
+            "rev_per_unit", "rank_within_parent",
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("n_name").asc_nulls_first(),
+            F.col("p_type").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "ds_tpcds_q88_time_buckets",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) < 3)  AS BIGINT) AS h00_02,
+      CAST(COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 3 AND 5) AS BIGINT) AS h03_05,
+      CAST(COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 6 AND 8) AS BIGINT) AS h06_08,
+      CAST(COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 9 AND 11) AS BIGINT) AS h09_11,
+      CAST(COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 12 AND 14) AS BIGINT) AS h12_14,
+      CAST(COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 15 AND 17) AS BIGINT) AS h15_17,
+      CAST(COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 18 AND 20) AS BIGINT) AS h18_20,
+      CAST(COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) >= 21) AS BIGINT) AS h21_23
+    FROM events
+    WHERE value > 10
+    """,
+    tags=("tpcds", "conditional-agg", "single-row"),
+)
+def ds_tpcds_q88_time_buckets(spark, sf_dir):
+    """TPC-DS Q88: store traffic by time-of-day band — the spec writes it
+    as EIGHT scalar subqueries cross-joined into one row; the Spark-first
+    formulation is ONE conditional aggregate over a single scan (8
+    count_if columns), which is what a columnar engine should execute:
+    one pass, map-side partials, a 1-row result. The oracle keeps
+    DuckDB's FILTER form — same semantics, and the hash match proves
+    the one-pass rewrite exact."""
+    e = t(spark, sf_dir, "events").filter(F.col("value") > 10)
+    h = F.hour("ts")
+
+    def band(lo, hi, name):
+        return F.count_if((h >= lo) & (h <= hi)).cast("long").alias(name)
+
+    return e.agg(
+        band(0, 2, "h00_02"),
+        band(3, 5, "h03_05"),
+        band(6, 8, "h06_08"),
+        band(9, 11, "h09_11"),
+        band(12, 14, "h12_14"),
+        band(15, 17, "h15_17"),
+        band(18, 20, "h18_20"),
+        band(21, 23, "h21_23"),
+    )
+
+
+@query(
+    "ds_tpcds_q93_returns_adjusted",
+    oracle=f"""
+    WITH adj AS (
+      SELECT o_custkey,
+             CASE WHEN l_returnflag = 'R'
+                  THEN -(l_extendedprice * (1 - l_discount))
+                  ELSE l_extendedprice * (1 - l_discount) END AS signed_rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT o_custkey, {sql_dsum("signed_rev", "net_revenue")}
+    FROM adj
+    GROUP BY o_custkey
+    ORDER BY net_revenue DESC, o_custkey
+    LIMIT 100
+    """,
+    tags=("tpcds", "returns", "topn"),
+)
+def ds_tpcds_q93_returns_adjusted(spark, sf_dir):
+    """TPC-DS Q93: customer value net of returns — returned lines
+    (store_returns in DS; the R return flag here) flip sign instead of
+    being joined against a separate returns table, then net revenue per
+    customer, top 100. The sign flip is a map-side CASE (no
+    returns-table join needed in this schema — where one exists the
+    shape adds one equi-join on the line key); TakeOrdered for the
+    top-N. Signed fixed-point sums stay exact under cancellation —
+    doubles would lose associativity exactly where positives and
+    negatives interleave."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    signed = F.when(F.col("l_returnflag") == "R", -_rev_col()).otherwise(_rev_col())
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", signed.alias("signed_rev"))
+        .groupBy("o_custkey")
+        .agg(dsum("signed_rev", "net_revenue"))
+        .orderBy(F.col("net_revenue").desc(), "o_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "ds_tpcds_q23_frequent_best",
+    oracle=f"""
+    WITH frequent_parts AS (
+      SELECT l_partkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+      GROUP BY l_partkey
+      HAVING COUNT(DISTINCT l_orderkey) >= 3
+    ),
+    best_customers AS (
+      SELECT o_custkey
+      FROM orders
+      GROUP BY o_custkey
+      HAVING SUM(CAST(ROUND(o_totalprice * 1000000.0) AS BIGINT)) >
+        (SELECT 0.5 * MAX(s) FROM (
+           SELECT SUM(CAST(ROUND(o_totalprice * 1000000.0) AS BIGINT)) AS s
+           FROM orders GROUP BY o_custkey))
+    )
+    SELECT EXTRACT(month FROM o_orderdate) AS mon,
+           {sql_dsum(_REV, "revenue")},
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE EXTRACT(year FROM o_orderdate) = 1998
+      AND l_partkey IN (SELECT l_partkey FROM frequent_parts)
+      AND o_custkey IN (SELECT o_custkey FROM best_customers)
+    GROUP BY mon
+    ORDER BY mon
+    """,
+    tags=("tpcds", "cte", "semi-join"),
+    bench=True,
+)
+def ds_tpcds_q23_frequent_best(spark, sf_dir):
+    """TPC-DS Q23 (the hardest DS shape): revenue from BEST customers
+    buying FREQUENT items — two independently-derived qualification
+    sets (items sold in ≥3 distinct orders across two years; customers
+    whose lifetime spend exceeds half the maximum) intersected against
+    a third year's fact via two LEFT SEMI joins. The spend threshold is
+    a 1-row aggregate-of-aggregate (broadcast scalar); both
+    qualification relations are key-only projections, so the semi
+    joins ship nothing but keys. Fixed-point spend comparison keeps the
+    >50%-of-max cut deterministic cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    li_dated = li.join(
+        o.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr"),
+                 F.month("o_orderdate").alias("mon")),
+        li.l_orderkey == o.o_orderkey,
+    )
+    frequent = (
+        li_dated.filter(F.col("yr").isin(1996, 1997))
+        .groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("n_ord"))
+        .filter(F.col("n_ord") >= 3)
+        .select("l_partkey")
+    )
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 1e6).cast("long")).alias("spend_fix")
+    )
+    max_spend = spend.agg(F.max("spend_fix").alias("mx"))
+    best = (
+        spend.crossJoin(F.broadcast(max_spend))
+        .filter(F.col("spend_fix") > 0.5 * F.col("mx"))
+        .select("o_custkey")
+    )
+    return (
+        li_dated.filter(F.col("yr") == 1998)
+        .join(frequent, "l_partkey", "left_semi")
+        .join(best, "o_custkey", "left_semi")
+        .groupBy("mon")
+        .agg(dsum(_rev_col(), "revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("mon")
+    )
+
+
+@query(
+    "ds_tpcds_q66_monthly_matrix",
+    oracle=f"""
+    WITH base AS (
+      SELECT n_name, EXTRACT(month FROM o_orderdate) AS mon,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE EXTRACT(year FROM o_orderdate) = 1997
+    )
+    SELECT n_name,
+           {sql_dsum("CASE WHEN mon <= 3 THEN rev ELSE 0 END", "q1_rev")},
+           {sql_dsum("CASE WHEN mon BETWEEN 4 AND 6 THEN rev ELSE 0 END", "q2_rev")},
+           {sql_dsum("CASE WHEN mon BETWEEN 7 AND 9 THEN rev ELSE 0 END", "q3_rev")},
+           {sql_dsum("CASE WHEN mon >= 10 THEN rev ELSE 0 END", "q4_rev")},
+           {sql_dsum("rev", "total_rev")}
+    FROM base
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("tpcds", "matrix", "conditional-agg"),
+    bench=True,
+)
+def ds_tpcds_q66_monthly_matrix(spark, sf_dir):
+    """TPC-DS Q66: the warehouse shipping matrix — one row per entity
+    (warehouse in DS, supplier nation here) with the year's revenue
+    unrolled into per-period columns. Q66 writes 12 SUM(CASE) columns;
+    four quarterly ones keep the shape while staying readable. ONE scan,
+    ONE aggregate: the matrix pivot is map-side CASE arithmetic inside
+    the same partial agg — never 4 self-joins. The nation dim is
+    spec-bounded → broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey", F.month("o_orderdate").alias("mon")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = dim(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("n_name", "mon", _rev_col().alias("rev"))
+    )
+    def qsum(cond, name):
+        return dsum(F.when(cond, F.col("rev")).otherwise(F.lit(0.0)), name)
+
+    return (
+        base.groupBy("n_name")
+        .agg(
+            qsum(F.col("mon") <= 3, "q1_rev"),
+            qsum(F.col("mon").between(4, 6), "q2_rev"),
+            qsum(F.col("mon").between(7, 9), "q3_rev"),
+            qsum(F.col("mon") >= 10, "q4_rev"),
+            dsum("rev", "total_rev"),
+        )
+        .orderBy("n_name")
+    )
