@@ -150,13 +150,15 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError("truncated chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated {tag!r} chunk (body or CRC field cut off)")
         body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
-            raise ValueError(f"truncated {tag!r} chunk body")
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
             raise ValueError(f"CRC mismatch in {tag!r} chunk")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"IHDR body must be 13 bytes, got {len(body)}")
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -174,10 +176,20 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("missing IHDR")
     if not seen_iend:
         raise ValueError("missing IEND")
-    raw = zlib.decompress(bytes(idat))
     stride = width + 1  # filter byte + one byte per pixel (grayscale 8-bit)
-    if len(raw) != stride * height:
-        raise ValueError(f"expected {stride * height} filtered bytes, got {len(raw)}")
+    # Bounded inflation: a CRC-valid IDAT bomb must never allocate beyond the
+    # geometry IHDR declares (+1 byte to detect oversize), and a corrupt
+    # deflate stream must surface as ValueError, not zlib.error.
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), stride * height + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT deflate stream: {e}") from None
+    if len(raw) != stride * height or d.unconsumed_tail:
+        raise ValueError(
+            f"expected {stride * height} filtered bytes, got {len(raw)}"
+            + (" (+oversize tail)" if d.unconsumed_tail else "")
+        )
     pixels = bytearray()
     prev = bytes(width)
     for y in range(height):

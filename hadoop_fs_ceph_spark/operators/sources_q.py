@@ -2331,15 +2331,18 @@ def src_rgw_http_roundtrip(spark, sf_dir):
     semantics (straddling lines completed by bounded continuation
     fetches).
 
-    Flow: documents projection → engine CSV write → HTTP PUT each part
-    object into the bucket → `rgw_http` scan at 16 KiB virtual blocks
-    (dozens of ranged splits per object at every SF) → per-lang
-    aggregate, materialized WHILE the store is up (the eager write is
-    the end-to-end execution; the returned frame re-reads the
-    materialized result so it outlives the server). The oracle runs the
-    same aggregate on the original parquet — a hash match proves the
-    whole HTTP cycle (PUT framing, XML listing, range arithmetic,
-    boundary reassembly) byte-lossless.
+    Flow: documents projection → engine CSV write (repartitioned to 4 so
+    the bucket holds ≥4 objects) → HTTP PUT each part object into the
+    bucket → `rgw_http` scan at 16 KiB virtual blocks (dozens of ranged
+    splits per object at every SF) against a server paginating
+    ListObjectsV2 at 2 keys/page (the listing MUST loop on IsTruncated/
+    NextContinuationToken to see every object — real RGW semantics,
+    VERDICT r7 item 3) → per-lang aggregate, materialized WHILE the
+    store is up (the eager write is the end-to-end execution; the
+    returned frame re-reads the materialized result so it outlives the
+    server). The oracle runs the same aggregate on the original parquet
+    — a hash match proves the whole HTTP cycle (PUT framing, paginated
+    XML listing, range arithmetic, boundary reassembly) byte-lossless.
 
     Scale: swap `endpoint` for a real RGW URL and this is the production
     path — disjoint ranged GETs per task, zero coordination, listing is
@@ -2348,11 +2351,15 @@ def src_rgw_http_roundtrip(spark, sf_dir):
     from hadoop_fs_ceph_spark.sources.rgw_http import LoopbackRgw
 
     register_python_sources(spark)
-    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(4, "doc_id")  # ≥4 objects → the 2-key pages MUST paginate
+    )
     path = _scratch(sf_dir, "rgw_docs_csv")
     write_table(d, path, format="csv", mode="overwrite")
     out = _scratch(sf_dir, "rgw_docs_back")
-    with LoopbackRgw() as rgw:
+    with LoopbackRgw(page_size=2) as rgw:
         for fname in sorted(os.listdir(path)):
             if fname.startswith(("_", ".")) or not os.path.isfile(
                 os.path.join(path, fname)

@@ -1,4 +1,4 @@
-"""TPC-DS representative tier (VERDICT r6 item 3) — eleven canonical
+"""TPC-DS representative tier (VERDICT r6 item 3) — twelve canonical
 TPC-DS query shapes adapted to the driver's star schema, named by the
 TPC-DS query whose plan shape they reproduce. ``tpcds_lite.py`` holds the
 first three (Q11 YoY, Q5 channel rollup, Q38 INTERSECT); this module adds

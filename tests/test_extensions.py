@@ -76,12 +76,23 @@ def test_ann_scores_match_bruteforce(spark, duck, sf_dir):
 
 
 def test_media_decode_stub_is_gated():
-    """Real media decode must fail loudly (NotImplementedError), never
-    silently fake an image/audio decode."""
+    """Media decode routing after the round-7 PNG decoder landed: the
+    image/png path is REAL (valid PNG round-trips, corrupt bytes raise
+    ValueError — loud, never a silent wrong answer); only the
+    environment-limited audio/video paths remain the documented
+    NotImplementedError stub. Mirrors tests/test_contracts.py's
+    test_media_decode_stub_contract."""
+    from hadoop_fs_ceph_spark.functions.png_codec import encode_png
     from hadoop_fs_ceph_spark.operators.multimodal import _decode_media
 
+    pixels = bytes((3 * i + 1) % 256 for i in range(8 * 5))
+    assert _decode_media("image/png", encode_png(8, 5, pixels)) == (8, 5, pixels)
+
+    with pytest.raises(ValueError):
+        _decode_media("image/png", b"\x89PNG")  # truncated: loud failure
+
     with pytest.raises(NotImplementedError):
-        _decode_media("image/png", b"\x89PNG")
+        _decode_media("video/mp4", b"\x00\x00\x00 ftypmp42")
 
 
 def test_frame_sample_reassembles(spark, sf_dir):

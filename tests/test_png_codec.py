@@ -99,3 +99,61 @@ def test_bad_encode_inputs():
         encode_png(0, 4, b"")
     with pytest.raises(ValueError):
         encode_png(3, 3, b"12345678")  # 8 != 9 pixels
+
+
+def _rechunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def test_crafted_inputs_raise_valueerror_only():
+    """ADVICE r7: decode_png documents 'ValueError on any corruption' but
+    leaked struct.error / zlib.error on crafted input. Every path below
+    must raise ValueError specifically — never another exception type."""
+    from hadoop_fs_ceph_spark.functions.png_codec import PNG_MAGIC
+
+    good = encode_png(6, 4, bytes(24))
+
+    # 1. chunk whose 4-byte CRC field is cut off (previously struct.error)
+    (ln,) = struct.unpack(">I", good[8:12])
+    cut_crc = good[: 8 + 8 + ln + 2]  # magic + IHDR header+body + 2 CRC bytes
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(cut_crc)
+
+    # 2. IHDR body whose length != 13 but CRC is valid (previously struct.error)
+    bad_ihdr = PNG_MAGIC + _rechunk(b"IHDR", b"\x00" * 9) + good[8 + 12 + ln :]
+    with pytest.raises(ValueError, match="IHDR body must be 13"):
+        decode_png(bad_ihdr)
+
+    # 3. CRC-valid IDAT whose payload is not deflate (previously zlib.error)
+    ihdr_chunk = good[8 : 8 + 12 + ln]
+    junk = PNG_MAGIC + ihdr_chunk + _rechunk(b"IDAT", b"not deflate") + _rechunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="corrupt IDAT deflate"):
+        decode_png(junk)
+
+
+def test_idat_bomb_inflation_is_bounded():
+    """A CRC-valid IDAT that inflates far beyond stride*height must be
+    rejected after at most stride*height+1 decompressed bytes — the
+    decoder must never allocate what the bomb claims (ADVICE r7)."""
+    from hadoop_fs_ceph_spark.functions.png_codec import PNG_MAGIC
+
+    good = encode_png(6, 4, bytes(24))
+    (ln,) = struct.unpack(">I", good[8:12])
+    ihdr_chunk = good[8 : 8 + 12 + ln]
+    # 64 MiB of zeros compresses to ~64 KiB; geometry says 28 bytes
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)
+    data = PNG_MAGIC + ihdr_chunk + _rechunk(b"IDAT", bomb) + _rechunk(b"IEND", b"")
+    import tracemalloc
+
+    tracemalloc.start()
+    with pytest.raises(ValueError, match="filtered bytes"):
+        decode_png(data)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # peak stays near the compressed input (~64 KiB), nowhere near 64 MiB
+    assert peak < 8 * 1024 * 1024, f"decode allocated {peak} bytes on a bomb"

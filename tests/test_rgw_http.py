@@ -84,6 +84,69 @@ def test_list_objects_v2_prefix(rgw):
     ]
 
 
+def test_listing_paginates_on_truncation():
+    """A server that pages ListObjectsV2 at 3 keys (smaller than the
+    object count) forces the client's IsTruncated/NextContinuationToken
+    loop — the HTTP analog of the reference's readdir-until-eof loop
+    (native_rgw.c:269-283). One page must visibly truncate on the wire."""
+    import xml.etree.ElementTree as ET
+
+    with LoopbackRgw(page_size=3) as rgw:
+        expect = []
+        for i in range(10):
+            rgw.put("lake", f"d/k{i:02d}", b"v" * (i + 1))
+            expect.append((f"d/k{i:02d}", i + 1))
+        # client loop reassembles the full listing across 4 pages
+        assert list_objects(rgw.endpoint, "lake", "d/") == expect
+        # raw first page really is truncated with a continuation token
+        with urllib.request.urlopen(
+            f"{rgw.endpoint}/lake?list-type=2&prefix=d/"
+        ) as resp:
+            root = ET.fromstring(resp.read())
+        assert root.findtext("IsTruncated") == "true"
+        assert root.findtext("KeyCount") == "3"
+        assert root.findtext("NextContinuationToken") == "d/k02"
+
+
+def test_get_range_retries_transient_503(rgw):
+    """Bounded retry with backoff absorbs transient 5xx (a loaded RGW);
+    exhausting the budget surfaces the error instead of looping forever."""
+    from hadoop_fs_ceph_spark.sources.rgw_http import RETRY_ATTEMPTS
+
+    rgw.put("b", "o", b"0123456789")
+    rgw.fail_next(RETRY_ATTEMPTS - 1)  # all-but-last attempts fail
+    assert get_range(rgw.endpoint, "b", "o", 2, 4) == b"2345"
+    rgw.fail_next(RETRY_ATTEMPTS)  # every attempt fails -> surfaces
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        get_range(rgw.endpoint, "b", "o", 0, 1)
+    assert ei.value.code == 503
+    # listing shares the same retry helper
+    rgw.fail_next(1)
+    assert list_objects(rgw.endpoint, "b", "") == [("o", 10)]
+
+
+def test_range_suffix_and_malformed_forms(rgw):
+    """RFC 7233 suffix form bytes=-N serves the final N bytes (206);
+    malformed Range values are ignored per §3.1 (200 full body) instead
+    of crashing the handler thread and dropping the connection."""
+    body = b"0123456789abcdef"
+    rgw.put("b", "o", body)
+
+    def fetch(range_value):
+        req = urllib.request.Request(
+            f"{rgw.endpoint}/b/o", headers={"Range": range_value}
+        )
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read()
+
+    assert fetch("bytes=-4") == (206, b"cdef")
+    assert fetch("bytes=-100") == (206, body)  # suffix longer than object
+    assert fetch("bytes=abc-def") == (200, body)
+    assert fetch("bytes=5") == (200, body)  # no dash: malformed
+    assert fetch("lines=0-4") == (200, body)  # unknown unit
+    assert fetch("bytes=9-3") == (200, body)  # inverted span
+
+
 # ---------------------------------------------------------------------------
 # Split exactness over ranged GETs (reader logic, no Spark session)
 # ---------------------------------------------------------------------------
