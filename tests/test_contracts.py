@@ -33,26 +33,33 @@ def test_readme_coverage_counts_match_registry():
 
 
 def test_media_decode_stub_contract():
-    """`_decode_media` contract after VERDICT r6 item 1: the PNG path is
-    REAL (pure-stdlib zlib decoder) — a valid PNG decodes to its exact
-    pixels and a corrupted one fails loudly with ValueError, never a
-    silent wrong answer. Audio/video remain the documented
-    environment-limited stub (no soundfile in this container): they must
-    raise NotImplementedError with the documented message. If soundfile
-    appears in the environment, this test fails and the real audio path
-    must be implemented."""
+    """`_decode_media` contract after VERDICT r6 item 1 (PNG) and r7
+    item 5 (WAV): the PNG path is REAL (pure-stdlib zlib decoder) and the
+    WAV path is REAL (pure-struct RIFF/PCM reader) — valid payloads
+    decode to their exact content and corrupted ones fail loudly with
+    ValueError, never a silent wrong answer. Only VIDEO remains the
+    documented environment-limited stub (no av/ffmpeg in this container):
+    it must raise NotImplementedError with the documented message. If a
+    demuxer appears in the environment, this test fails and the real
+    video path must be implemented."""
     from hadoop_fs_ceph_spark.functions.png_codec import encode_png
+    from hadoop_fs_ceph_spark.functions.wav_codec import encode_wav
     from hadoop_fs_ceph_spark.operators.multimodal import _decode_media
 
     pixels = bytes((7 * i) % 256 for i in range(12 * 9))
     w, h, out = _decode_media("image/png", encode_png(12, 9, pixels))
     assert (w, h, out) == (12, 9, pixels)
 
-    with pytest.raises(ValueError):  # truncated payload: loud, not wrong
+    samples = [(313 * i) % 65536 - 32768 for i in range(200)]
+    assert _decode_media("audio/wav", encode_wav(16000, samples)) == (16000, samples)
+
+    with pytest.raises(ValueError):  # truncated payloads: loud, not wrong
         _decode_media("image/png", b"\x89PNG\r\n")
+    with pytest.raises(ValueError):
+        _decode_media("audio/wav", b"RIFF\x00\x00\x00\x00WAVE")
 
     with pytest.raises(NotImplementedError, match="requires imaging/audio libraries"):
-        _decode_media("audio/wav", b"RIFF....WAVE")
+        _decode_media("video/mp4", b"\x00\x00\x00 ftypmp42")
 
 
 def test_transform_with_state_waiver_pinned():
