@@ -62,6 +62,52 @@ def coverage_line(specs: dict[str, QuerySpec] | None = None) -> str:
     return f"{len(specs)} declared queries, {n_oracle} DuckDB-oracle-checked"
 
 
+def operators_md(specs: dict[str, QuerySpec] | None = None) -> str:
+    """Render the registry as OPERATORS.md (VERDICT r6 item 8): one row per
+    declared query with its source anchor (file:line), oracle posture,
+    bench membership, and tags, grouped by operator module. Generated —
+    never hand-edited; ``tests/test_contracts.py`` pins the on-disk file
+    to this function's output, same pattern as the README coverage line."""
+    import inspect
+    import pathlib
+
+    if specs is None:
+        specs = load_all()
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    by_file: dict[str, list[tuple[str, int, QuerySpec]]] = {}
+    for s in specs.values():
+        src = pathlib.Path(inspect.getsourcefile(s.fn)).resolve()
+        _, line = inspect.getsourcelines(s.fn)
+        rel = str(src.relative_to(repo))
+        by_file.setdefault(rel, []).append((s.name, line, s))
+    lines = [
+        "# OPERATORS — the declared-query registry, rendered",
+        "",
+        "<!-- GENERATED: python -m hadoop_fs_ceph_spark.registry --operators-md",
+        "     Do not edit by hand; tests/test_contracts.py pins this file to",
+        "     the registry. -->",
+        "",
+        f"{coverage_line(specs)}; "
+        f"{sum(1 for s in specs.values() if s.bench)} bench headliners. "
+        "Every row is executed against the DuckDB oracle by "
+        "`python -m hadoop_fs_ceph_spark.oracle` (rows-only entries get a "
+        "row-count check and carry their justification in the docstring).",
+        "",
+    ]
+    for rel in sorted(by_file):
+        rows = sorted(by_file[rel], key=lambda r: r[1])
+        lines += [f"## {rel} ({len(rows)} queries)", ""]
+        lines += ["| query | anchor | oracle | bench | tags |", "|---|---|---|---|---|"]
+        for name, line, s in rows:
+            lines.append(
+                f"| {name} | {rel}:{line} | "
+                f"{'duckdb' if s.oracle else 'rows-only'} | "
+                f"{'yes' if s.bench else ''} | {', '.join(s.tags)} |"
+            )
+        lines.append("")
+    return "\n".join(lines)
+
+
 def main() -> None:
     """Registry browser:  python -m hadoop_fs_ceph_spark.registry [tag ...]
 
@@ -79,8 +125,18 @@ def main() -> None:
     if sys.argv[1:] == ["--counts"]:
         # the canonical coverage line — README.md embeds this verbatim and
         # tests/test_invariants.py asserts they stay in lockstep, so the
-        # prose count can never drift from the registry again
+        # prose count can never drift from the code again
         print(coverage_line(specs))
+        return
+    if sys.argv[1:] == ["--operators-md"]:
+        # regenerate OPERATORS.md in place (tests/test_contracts.py pins it)
+        import pathlib
+
+        from hadoop_fs_ceph_spark.registry import operators_md as _md
+
+        out = pathlib.Path(__file__).resolve().parent.parent / "OPERATORS.md"
+        out.write_text(_md(specs) + "\n")
+        print(f"wrote {out}")
         return
     want = set(sys.argv[1:])
     if not want:
