@@ -5,6 +5,14 @@ Prints ONE JSON line:
 
 Results are materialized with the no-op sink (full execution, no driver
 collection) so timings measure the distributed plan, not toPandas.
+
+``python bench.py --soak`` instead runs the measured-scaling soak
+(VERDICT r6 item 4 / r7 item 2): it builds an sf1-equivalent dataset
+(sf0.1 × 10 replicas, re-keyed; see ``_build_soak_tables``), runs every
+headline query at BOTH scales recording wall-clock and shuffle
+read/write bytes (from the Spark AppStatusStore), and rewrites
+``SCALE.md`` with the per-query decade table — the empirical answer to
+"does this plan survive a 10× scale-up", query by query.
 """
 
 from __future__ import annotations
@@ -128,5 +136,237 @@ def main() -> None:
     )
 
 
+# ---------------------------------------------------------------------------
+# --soak: measured scaling over one decade (sf0.1 -> sf1-equivalent)
+# ---------------------------------------------------------------------------
+
+# Key columns shifted per replica so referential integrity holds WITHIN each
+# replica (both sides of every FK shift by the same offset) while replicas
+# never join to each other — exactly how TPC-H data itself scales (dims
+# region/nation stay fixed; everything else grows linearly with SF).
+_SOAK_KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_SOAK_DIMS = ["region", "nation"]
+_SOAK_OFFSET = 10**12  # per-replica key shift, far above any real key
+
+
+def _build_soak_tables(spark, src_dir: str, dst_dir: str, replicas: int) -> None:
+    """Materialize an sf×replicas dataset with CONSTANT duplicate density.
+
+    Naive ×N replication of `documents`/`embeddings` would plant each
+    near-dup group N times verbatim — pair counts then grow O(N²) by data
+    construction and every dedup query reads as superlinear no matter how
+    good its plan is. Real corpora don't scale like that (dup density is
+    roughly constant), so each replica decorrelates content while
+    preserving within-replica geometry exactly:
+
+    * documents.text: per-replica character rotation (``translate`` over
+      'a'..'t') — within a replica every dup/shingle relationship is
+      isomorphic to the original; across replicas shingles disagree.
+    * embeddings.embedding: per-replica diag(±1) sign flip
+      (``hash(i, r) % 2``) — an ORTHOGONAL transform, so all
+      within-replica inner products/cosines are bit-preserved; across
+      replicas cosines decay to noise. n_chars/langs/labels unchanged.
+    """
+    import pyspark.sql.functions as F
+
+    for name in _SOAK_DIMS:
+        spark.read.parquet(f"{src_dir}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst_dir}/{name}.parquet")
+    alpha = "abcdefghijklmnopqrst"
+    for name, keys in _SOAK_KEY_COLS.items():
+        base = spark.read.parquet(f"{src_dir}/{name}.parquet")
+        parts = []
+        for r in range(replicas):
+            rep = base
+            for k in keys:
+                rep = rep.withColumn(k, F.col(k) + F.lit(r * _SOAK_OFFSET))
+            if name == "documents" and r:
+                rot = alpha[2 * r :] + alpha[: 2 * r]
+                rep = rep.withColumn("text", F.translate("text", alpha, rot))
+            if name == "embeddings" and r:
+                rep = rep.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(embedding, (x, i) -> "
+                        f"x * cast(1 - 2 * pmod(hash(i, {r}), 2) as float))"
+                    ),
+                )
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dst_dir}/{name}.parquet")
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """Cumulative (shuffleWriteBytes, shuffleReadBytes) across all stages
+    in the AppStatusStore — diffed around each query to attribute bytes."""
+    sc = spark.sparkContext
+    jvm, gw = sc._jvm, sc._gateway
+    empty = jvm.java.util.ArrayList()
+    quant = gw.new_array(jvm.double, 0)
+    stages = sc._jsc.sc().statusStore().stageList(empty, False, False, quant, empty)
+    w = r = 0
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        w += s.shuffleWriteBytes()
+        r += s.shuffleReadBytes()
+    return w, r
+
+
+def soak_main() -> None:
+    import shutil
+    import tempfile
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    replicas = int(os.environ.get("SPARK_GRAFT_SOAK_REPLICAS", "10"))
+    specs = load_all()
+    bench_specs = {n: s for n, s in sorted(specs.items()) if s.bench}
+    spark = get_spark(
+        "bench-soak",
+        driver_memory="48g",
+        # keep every stage row so the cumulative-diff attribution never
+        # loses history to UI eviction mid-suite
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    soak_dir = tempfile.mkdtemp(prefix="spark_graft_soak_")
+    try:
+        t0 = time.perf_counter()
+        _build_soak_tables(spark, base_dir, soak_dir, replicas)
+        build_sec = round(time.perf_counter() - t0, 1)
+
+        def run_suite(sf_dir: str) -> dict[str, dict[str, float]]:
+            out: dict[str, dict[str, float]] = {}
+            # pass 1: wall + shuffle bytes; pass 2: wall only (min damps
+            # host-contention bursts; bytes are deterministic)
+            for name, spec in bench_specs.items():
+                w0, r0 = _shuffle_totals(spark)
+                start = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                wall = time.perf_counter() - start
+                w1, r1 = _shuffle_totals(spark)
+                spark.catalog.clearCache()
+                out[name] = {
+                    "wall": wall,
+                    "shuffle_write": w1 - w0,
+                    "shuffle_read": r1 - r0,
+                }
+            for name, spec in bench_specs.items():
+                start = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                out[name]["wall"] = round(
+                    min(out[name]["wall"], time.perf_counter() - start), 3
+                )
+                spark.catalog.clearCache()
+            return out
+
+        small = run_suite(base_dir)
+        big = run_suite(soak_dir)
+    finally:
+        shutil.rmtree(soak_dir, ignore_errors=True)
+
+    rows = []
+    for name in bench_specs:
+        s, b = small[name], big[name]
+        wall_ratio = b["wall"] / s["wall"] if s["wall"] else float("inf")
+        sw_ratio = (
+            b["shuffle_write"] / s["shuffle_write"] if s["shuffle_write"] else None
+        )
+        # linear-decade verdict: wall must grow at most ~data×slack; tiny
+        # queries are dominated by fixed scheduling cost, so also accept
+        # anything that stays under 2s at the big scale outright
+        ok = wall_ratio <= replicas * 1.5 or b["wall"] < 2.0
+        rows.append((name, s, b, wall_ratio, sw_ratio, ok))
+
+    md = [
+        "## Measured one-decade soak (sf0.1 -> sf1-equivalent)",
+        "",
+        f"Data: `{base_dir}` × {replicas} replicas, re-keyed per replica "
+        f"(`bench.py::_build_soak_tables` — referential integrity holds within "
+        f"each replica; documents/embeddings are content-decorrelated across "
+        f"replicas so duplicate DENSITY stays constant, which is how real "
+        f"corpora scale; build took {build_sec}s). Every headline query ran at "
+        "both scales on the same session (local[32], min wall of 2 passes; "
+        "shuffle bytes diffed from the Spark AppStatusStore around pass 1).",
+        "",
+        "Verdict `linear` = wall-clock ratio <= replicas × 1.5 (slack for "
+        "host-contention bursts) or big-scale wall < 2 s (fixed scheduling "
+        "cost dominates). A `SUPERLINEAR` row means the plan does NOT "
+        "survive the decade and must be fixed.",
+        "",
+        "| query | wall sf0.1 (s) | wall sf1 (s) | ratio | shufW sf0.1 | "
+        "shufW sf1 | shufW ratio | verdict |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+
+    def _mb(n: float) -> str:
+        return f"{n / 1048576:.1f} MiB" if n >= 1048576 else f"{n / 1024:.0f} KiB"
+
+    for name, s, b, wall_ratio, sw_ratio, ok in rows:
+        md.append(
+            f"| {name} | {s['wall']:.2f} | {b['wall']:.2f} | "
+            f"{wall_ratio:.1f}x | {_mb(s['shuffle_write'])} | "
+            f"{_mb(b['shuffle_write'])} | "
+            f"{'-' if sw_ratio is None else f'{sw_ratio:.1f}x'} | "
+            f"{'linear' if ok else '**SUPERLINEAR**'} |"
+        )
+    tot_s = sum(s["wall"] for _, s, _, _, _, _ in rows)
+    tot_b = sum(b["wall"] for _, _, b, _, _, _ in rows)
+    md += [
+        "",
+        f"**Totals:** sf0.1 = {tot_s:.1f}s, sf1-equivalent = {tot_b:.1f}s "
+        f"(ratio {tot_b / tot_s:.1f}x over {replicas}x data, "
+        f"{sum(1 for r in rows if not r[5])} superlinear).",
+        "",
+        "Shuffle-bytes ratios above the data ratio are expected only where "
+        "the sf0.1 baseline was beneath broadcast/local thresholds; wall "
+        "ratios are the gate.",
+    ]
+    # splice the generated section into SCALE.md between markers, keeping
+    # the hand-written plan-audit prose around it intact
+    begin, end = "<!-- SOAK:BEGIN -->", "<!-- SOAK:END -->"
+    section = begin + "\n" + "\n".join(md) + "\n" + end
+    scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE.md")
+    text = open(scale_path).read() if os.path.exists(scale_path) else ""
+    if begin in text and end in text:
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        text = head + section + tail
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open(scale_path, "w") as fh:
+        fh.write(text)
+
+    print(
+        json.dumps(
+            {
+                "metric": "soak_decade_wall_ratio",
+                "value": round(tot_b / tot_s, 3),
+                "unit": "x",
+                "replicas": replicas,
+                "superlinear": [r[0] for r in rows if not r[5]],
+                "total_small_sec": round(tot_s, 3),
+                "total_big_sec": round(tot_b, 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--soak" in sys.argv[1:]:
+        soak_main()
+    else:
+        main()
