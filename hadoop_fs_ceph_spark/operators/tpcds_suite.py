@@ -704,3 +704,295 @@ def ds_tpcds_q66_monthly_matrix(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+_CHANNEL_SQL = """CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'express'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+                  ELSE 'economy' END"""
+
+
+def _channel_col():
+    return (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "express")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "standard")
+        .otherwise("economy")
+    )
+
+
+@query(
+    "ds_tpcds_q14_cross_channel",
+    oracle=f"""
+    WITH dated AS (
+      SELECT l_partkey,
+             {_CHANNEL_SQL} AS channel,
+             EXTRACT(year FROM o_orderdate) AS yr,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    cross_items AS (
+      SELECT l_partkey FROM dated WHERE channel = 'express' AND yr IN (1996, 1997)
+      INTERSECT
+      SELECT l_partkey FROM dated WHERE channel = 'standard' AND yr IN (1996, 1997)
+      INTERSECT
+      SELECT l_partkey FROM dated WHERE channel = 'economy' AND yr IN (1996, 1997)
+    ),
+    sales AS (
+      SELECT d.channel, p.p_brand,
+             SUM(CAST(ROUND(d.rev * 100.0) AS BIGINT)) AS rev_fix,
+             COUNT(*) AS n_lines
+      FROM dated d
+      JOIN part p ON d.l_partkey = p.p_partkey
+      WHERE d.yr = 1998
+        AND d.l_partkey IN (SELECT l_partkey FROM cross_items)
+      GROUP BY d.channel, p.p_brand
+    ),
+    gate AS (SELECT CAST(SUM(rev_fix) AS BIGINT) AS tot,
+                    COUNT(*) AS ng FROM sales)
+    SELECT channel, p_brand,
+           CAST(rev_fix AS DOUBLE) / 100.0 AS revenue,
+           n_lines
+    FROM sales, gate
+    WHERE rev_fix * ng > tot
+    ORDER BY channel, p_brand
+    """,
+    tags=("tpcds", "intersect", "cte", "semi-join"),
+    bench=True,
+)
+def ds_tpcds_q14_cross_channel(spark, sf_dir):
+    """TPC-DS Q14: cross-channel items — the INTERSECT-into-shared-CTE
+    shape. Items sold through ALL THREE channels (order-priority tiers
+    stand in for store/catalog/web) over two base years become one
+    qualification set (`cross_items`, two INTERSECTs = two hash-distinct
+    semi-join stages on a key-only projection); the report year's sales
+    of those items, per (channel, brand), are then gated to
+    above-average groups via a one-row totals broadcast (Q14's
+    avg_sales scalar subquery). The gate compares integer cross-products
+    (rev_fix·n_groups > total_fix) — exact in both engines, no division.
+
+    Scale: the INTERSECT legs carry only distinct part keys (key-width
+    wire traffic); cross_items is applied as a LEFT SEMI before the
+    dimension join so unqualified fact rows never reach the aggregate;
+    the gate broadcast is one row (allowlisted). Channel count is fixed
+    (3) so the group spine is bounded by |brands|×3."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _channel_col().alias("channel"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    dated = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_partkey", "channel", "yr", _rev_col().alias("rev")
+    )
+    base = dated.filter(F.col("yr").isin(1996, 1997))
+
+    def leg(ch):
+        return base.filter(F.col("channel") == ch).select("l_partkey")
+
+    cross_items = leg("express").intersect(leg("standard")).intersect(leg("economy"))
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sales = (
+        dated.filter(F.col("yr") == 1998)
+        .join(cross_items, "l_partkey", "left_semi")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("channel", "p_brand")
+        .agg(
+            F.sum(F.round(F.col("rev") * 100.0).cast("long")).alias("rev_fix"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    gate = sales.agg(
+        F.sum("rev_fix").alias("tot"), F.count(F.lit(1)).alias("ng")
+    )
+    return (
+        sales.crossJoin(F.broadcast(gate))
+        .filter(F.col("rev_fix") * F.col("ng") > F.col("tot"))
+        .select(
+            "channel",
+            "p_brand",
+            (F.col("rev_fix").cast("double") / 100.0).alias("revenue"),
+            "n_lines",
+        )
+        .orderBy("channel", "p_brand")
+    )
+
+
+@query(
+    "ds_tpcds_q64_wide_star_two_period",
+    oracle="""
+    WITH wide AS (
+      SELECT p.p_brand, cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             EXTRACT(year FROM o.o_orderdate) AS yr,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1000000.0)
+                 AS BIGINT)) AS rev_fix,
+             COUNT(*) AS n_lines
+      FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+      JOIN part p      ON l.l_partkey = p.p_partkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+      WHERE EXTRACT(year FROM o.o_orderdate) IN (1997, 1998)
+      GROUP BY p.p_brand, cust_nation, supp_nation, yr
+    )
+    SELECT a.p_brand, a.cust_nation, a.supp_nation,
+           CAST(a.rev_fix AS DOUBLE) / 1000000.0 AS rev_1997,
+           CAST(b.rev_fix AS DOUBLE) / 1000000.0 AS rev_1998,
+           a.n_lines AS n_1997, b.n_lines AS n_1998
+    FROM wide a JOIN wide b
+      ON a.p_brand = b.p_brand AND a.cust_nation = b.cust_nation
+     AND a.supp_nation = b.supp_nation AND a.yr = 1997 AND b.yr = 1998
+    WHERE b.rev_fix > a.rev_fix
+    ORDER BY a.p_brand, a.cust_nation, a.supp_nation
+    """,
+    tags=("tpcds", "wide-join", "self-join", "two-period"),
+)
+def ds_tpcds_q64_wide_star_two_period(spark, sf_dir):
+    """TPC-DS Q64: the widest multi-join in the suite (~17 relations in
+    DS; 7 here — both facts' full dimension closure: orders, customer,
+    customer-nation, part, supplier, supplier-nation around lineitem),
+    aggregated per dimension spine and YEAR, then the two periods
+    self-joined on the spine keeping spines whose revenue GREW (Q64's
+    cnt1 <= cnt2 sales-pair condition). The integer fixed-point compare
+    makes the growth cut deterministic cross-engine.
+
+    Scale: the wide join reduces to ONE aggregate BEFORE the period
+    self-join, so the self-join runs on |brands × nations²| spine rows,
+    not fact rows; nation is spec-bounded (25) and explicitly broadcast
+    twice under distinct aliases; the remaining joins shuffle on their
+    FK keys — at 100 TB AQE picks shuffle-hash for customer/part/
+    supplier, and the spine self-join is a few thousand rows on any
+    cluster."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1997, 1998)
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr"))
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = dim(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = dim(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    wide = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .groupBy("p_brand", "cust_nation", "supp_nation", "yr")
+        .agg(
+            F.sum(F.round(_rev_col() * 1000000.0).cast("long")).alias("rev_fix"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    a = wide.filter(F.col("yr") == 1997).select(
+        "p_brand", "cust_nation", "supp_nation",
+        F.col("rev_fix").alias("rev_a"), F.col("n_lines").alias("n_1997"),
+    )
+    b = wide.filter(F.col("yr") == 1998).select(
+        F.col("p_brand").alias("pb"), F.col("cust_nation").alias("cn"),
+        F.col("supp_nation").alias("sn"),
+        F.col("rev_fix").alias("rev_b"), F.col("n_lines").alias("n_1998"),
+    )
+    return (
+        a.join(
+            b,
+            (a.p_brand == b.pb) & (a.cust_nation == b.cn) & (a.supp_nation == b.sn),
+        )
+        .filter(F.col("rev_b") > F.col("rev_a"))
+        .select(
+            "p_brand", "cust_nation", "supp_nation",
+            (F.col("rev_a").cast("double") / 1000000.0).alias("rev_1997"),
+            (F.col("rev_b").cast("double") / 1000000.0).alias("rev_1998"),
+            "n_1997", "n_1998",
+        )
+        .orderBy("p_brand", "cust_nation", "supp_nation")
+    )
+
+
+@query(
+    "ds_tpcds_q72_inventory_shortfall",
+    oracle="""
+    WITH demand AS (
+      SELECT l_partkey,
+             epoch_us(o_orderdate) // 604800000000 AS wk,
+             SUM(CAST(ROUND(l_quantity * 1000.0) AS BIGINT)) AS d_qty,
+             COUNT(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_partkey, wk
+    ),
+    supply AS (
+      SELECT l_partkey,
+             epoch_us(l_shipdate) // 604800000000 + 1 AS wk,
+             SUM(CAST(ROUND(l_quantity * 1000.0) AS BIGINT)) AS s_qty
+      FROM lineitem
+      GROUP BY l_partkey, wk
+    )
+    SELECT d.wk,
+           COUNT(*) AS n_parts_short,
+           CAST(SUM(d.d_qty - COALESCE(s.s_qty, 0)) AS DOUBLE) / 1000.0
+             AS shortfall_qty,
+           CAST(SUM(d.n_lines) AS BIGINT) AS n_lines
+    FROM demand d LEFT JOIN supply s
+      ON d.l_partkey = s.l_partkey AND d.wk = s.wk
+    WHERE d.d_qty > COALESCE(s.s_qty, 0)
+    GROUP BY d.wk
+    ORDER BY d.wk
+    """,
+    tags=("tpcds", "triple-fact", "date-shift", "outer-join"),
+    bench=True,
+)
+def ds_tpcds_q72_inventory_shortfall(spark, sf_dir):
+    """TPC-DS Q72: the inventory/date triple-fact — the suite's
+    notorious largest join (catalog_sales × inventory × date chain with
+    a shifted-date condition and an inv_quantity < sales_quantity cut).
+    Adapted: demand = ordered quantity per (part, order-week); supply =
+    shipped quantity landing the FOLLOWING week (the d_date_sk + 5 date
+    shift, at week grain); a LEFT join keeps fully-unsupplied weeks
+    (Q72's LEFT OUTER promotion/returns legs), and the output reports
+    stockout weeks. Weeks are integer epoch-µs divisions — identical
+    arithmetic both engines.
+
+    Scale: THE Q72 lesson is aggregate-before-join — both facts reduce
+    to (part, week) grain BEFORE the shifted join, so the join input is
+    |parts × weeks| per side, not |lineitem|², and the shifted week is
+    computed map-side (no non-equi range join). The final weekly
+    aggregate is a second partial-merged pass over the join output."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 604800000000").alias("wk"),
+    )
+    qty_fix = F.sum(F.round(F.col("l_quantity") * 1000.0).cast("long"))
+    demand = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_partkey", "wk")
+        .agg(qty_fix.alias("d_qty"), F.count(F.lit(1)).alias("n_lines"))
+    )
+    supply = (
+        li.select(
+            "l_partkey",
+            (F.expr("unix_micros(cast(l_shipdate as timestamp)) div 604800000000") + 1).alias("wk"),
+            "l_quantity",
+        )
+        .groupBy("l_partkey", "wk")
+        .agg(qty_fix.alias("s_qty"))
+    )
+    return (
+        demand.join(supply, ["l_partkey", "wk"], "left")
+        .withColumn("s_qty", F.coalesce(F.col("s_qty"), F.lit(0)))
+        .filter(F.col("d_qty") > F.col("s_qty"))
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_short"),
+            (F.sum(F.col("d_qty") - F.col("s_qty")).cast("double") / 1000.0).alias(
+                "shortfall_qty"
+            ),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+        )
+        .orderBy("wk")
+    )

@@ -37,6 +37,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "ds_wilcoxon_signed_rank": "one-row corpus-midpoint + one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
     "profile_freshness_lag": "one-row corpus-watermark broadcast onto the per-stream aggregate",
     "ds_tpcds_q23_frequent_best": "one-row max-lifetime-spend broadcast gating the best-customer cut",
+    "ds_tpcds_q14_cross_channel": "one-row (total, n_groups) gate broadcast onto the bounded (channel x brand) sales relation",
     "sample_rolling_origin_folds": "3-row fold spine + one-row corpus-horizon broadcast",
     "fn_zip_with_dot": "one-row query-vector broadcast",
     "sim_knn_bruteforce": "one-row query-vector broadcast (declared truth pass)",
