@@ -2332,17 +2332,22 @@ def src_rgw_http_roundtrip(spark, sf_dir):
     fetches).
 
     Flow: documents projection → engine CSV write (repartitioned to 4 so
-    the bucket holds ≥4 objects) → HTTP PUT each part object into the
-    bucket → `rgw_http` scan at 16 KiB virtual blocks (dozens of ranged
-    splits per object at every SF) against a server paginating
-    ListObjectsV2 at 2 keys/page (the listing MUST loop on IsTruncated/
-    NextContinuationToken to see every object — real RGW semantics,
-    VERDICT r7 item 3) → per-lang aggregate, materialized WHILE the
-    store is up (the eager write is the end-to-end execution; the
-    returned frame re-reads the materialized result so it outlives the
-    server). The oracle runs the same aggregate on the original parquet
-    — a hash match proves the whole HTTP cycle (PUT framing, paginated
-    XML listing, range arithmetic, boundary reassembly) byte-lossless.
+    the bucket holds ≥4 objects) → SigV4-signed HTTP PUT each part
+    object into the bucket → `rgw_http` scan at 16 KiB virtual blocks
+    (dozens of ranged splits per object at every SF) against a server
+    that (a) paginates ListObjectsV2 at 2 keys/page (the listing MUST
+    loop on IsTruncated/NextContinuationToken to see every object —
+    real RGW semantics, VERDICT r7 item 3) and (b) ENFORCES SigV4 on
+    every request (sources/sigv4.py; creds flow through the
+    access.key/secret.key reader options, the analog of the reference's
+    Hadoop-conf credential delegation at CephRgwFileSystem.java:124-126)
+    → per-lang aggregate, materialized WHILE the store is up (the eager
+    write is the end-to-end execution; the returned frame re-reads the
+    materialized result so it outlives the server). The oracle runs the
+    same aggregate on the original parquet — a hash match proves the
+    whole authenticated HTTP cycle (signed PUT framing, signed paginated
+    XML listing, signed range arithmetic, boundary reassembly)
+    byte-lossless.
 
     Scale: swap `endpoint` for a real RGW URL and this is the production
     path — disjoint ranged GETs per task, zero coordination, listing is
@@ -2359,7 +2364,8 @@ def src_rgw_http_roundtrip(spark, sf_dir):
     path = _scratch(sf_dir, "rgw_docs_csv")
     write_table(d, path, format="csv", mode="overwrite")
     out = _scratch(sf_dir, "rgw_docs_back")
-    with LoopbackRgw(page_size=2) as rgw:
+    creds = ("AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+    with LoopbackRgw(page_size=2, credentials=creds) as rgw:
         for fname in sorted(os.listdir(path)):
             if fname.startswith(("_", ".")) or not os.path.isfile(
                 os.path.join(path, fname)
@@ -2374,6 +2380,8 @@ def src_rgw_http_roundtrip(spark, sf_dir):
             .option("bucket", "lake")
             .option("prefix", "docs/")
             .option("virtual.blocksize", 16 * 1024)
+            .option("access.key", creds[0])
+            .option("secret.key", creds[1])
             .load()
         )
         agg = back.groupBy("lang").agg(

@@ -30,9 +30,14 @@ metadata, paginated in real RGW); every task fetches only its own
 1000-executor cluster reads disjoint slices of the same multi-GB objects
 with zero coordination, which is exactly how the reference divides RGW
 objects among Hadoop splits. Swap ``endpoint`` for a real RGW URL and the
-source is production-shaped (auth headers are the only missing piece, and
-they are deliberately out of scope: the reference delegates credentials to
-the Hadoop conf, our analog being ``session.s3a_storage_conf``).
+source is production-shaped: the listing paginates on IsTruncated/
+NextContinuationToken, GETs retry transient 5xx with bounded backoff, and
+requests are **SigV4-signed** when ``access.key``/``secret.key`` options
+are set (sources/sigv4.py — the wire form of the credential resolution
+the reference delegates to the Hadoop conf,
+``CephRgwFileSystem.java:124-126``; our session-level analog remains
+``session.s3a_storage_conf``). The loopback server ENFORCES the signature
+when constructed with credentials, so the auth path is driven end to end.
 """
 
 from __future__ import annotations
@@ -115,13 +120,20 @@ class _RgwHandler(BaseHTTPRequestHandler):
     def do_PUT(self):
         bucket, key, _ = self._split()
         n = int(self.headers.get("Content-Length", 0))
-        self._store()[(bucket, key)] = self.rfile.read(n)
+        body = self.rfile.read(n)
+        if not self._authorized(payload=body):
+            self._deny()
+            return
+        self._store()[(bucket, key)] = body
         self.send_response(200)
         self.send_header("ETag", f'"{len(self._store()[(bucket, key)])}"')
         self.send_header("Content-Length", "0")
         self.end_headers()
 
     def do_HEAD(self):
+        if not self._authorized():
+            self._deny()
+            return
         bucket, key, _ = self._split()
         body = self._store().get((bucket, key))
         if body is None:
@@ -134,6 +146,32 @@ class _RgwHandler(BaseHTTPRequestHandler):
         self.send_header("Accept-Ranges", "bytes")
         self.end_headers()
 
+    def _authorized(self, payload: bytes = b"") -> bool:
+        """SigV4 gate: when the server holds credentials, every request
+        must carry a valid signature (recomputed server-side from the
+        shared secret — sources/sigv4.py), exactly as real RGW enforces
+        the S3 dialect. Credential-less servers accept everything (the
+        anonymous test mode)."""
+        creds = getattr(self.server, "credentials", None)
+        if not creds:
+            return True
+        from hadoop_fs_ceph_spark.sources.sigv4 import verify_request
+
+        parsed = urllib.parse.urlsplit(self.path)
+        return verify_request(
+            self.command,
+            parsed.path,
+            parsed.query,
+            dict(self.headers),
+            secret_key=creds[1],
+            payload=payload,
+        )
+
+    def _deny(self):
+        self.send_response(403)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
     def do_GET(self):
         if getattr(self.server, "fail_next_count", 0) > 0:
             # test-only failure injection: transient 503, as a loaded RGW
@@ -141,6 +179,9 @@ class _RgwHandler(BaseHTTPRequestHandler):
             self.send_response(503)
             self.send_header("Content-Length", "0")
             self.end_headers()
+            return
+        if not self._authorized():
+            self._deny()
             return
         bucket, key, q = self._split()
         if not key:  # bucket listing (ListObjectsV2 dialect)
@@ -221,13 +262,20 @@ class LoopbackRgw:
     """In-process RGW stand-in; context manager. ``endpoint`` is the base
     URL (http://127.0.0.1:<port>) executors hit with ranged GETs.
     ``page_size`` caps each ListObjectsV2 page (default 1000, as S3) —
-    tests set it below the object count to force real truncation loops."""
+    tests set it below the object count to force real truncation loops.
+    ``credentials=(access_key, secret_key)`` turns on SigV4 enforcement:
+    every request must carry a valid signature or is answered 403, as a
+    real RGW gateway would."""
 
-    def __init__(self, page_size: int = 1000):
+    def __init__(
+        self, page_size: int = 1000, credentials: tuple[str, str] | None = None
+    ):
         self._server = ThreadingHTTPServer(("127.0.0.1", 0), _RgwHandler)
         self._server.objects = {}  # type: ignore[attr-defined]
         self._server.page_size = page_size  # type: ignore[attr-defined]
+        self._server.credentials = credentials  # type: ignore[attr-defined]
         self._server.daemon_threads = True
+        self.credentials = credentials
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
 
     def __enter__(self) -> "LoopbackRgw":
@@ -250,9 +298,15 @@ class LoopbackRgw:
 
     def put(self, bucket: str, key: str, data: bytes) -> None:
         """Upload through the real HTTP path (not a dict poke), so the
-        round-trip exercises PUT framing too."""
+        round-trip exercises PUT framing too — signed when the server
+        enforces SigV4."""
         url = f"{self.endpoint}/{bucket}/{urllib.parse.quote(key)}"
-        req = urllib.request.Request(url, data=data, method="PUT")
+        req = urllib.request.Request(
+            url,
+            data=data,
+            method="PUT",
+            headers=_signed_headers("PUT", url, data, self.credentials),
+        )
         with urllib.request.urlopen(req, timeout=30) as resp:
             if resp.status != 200:
                 raise IOError(f"PUT {key} -> {resp.status}")
@@ -261,6 +315,37 @@ class LoopbackRgw:
 # --------------------------------------------------------------------------
 # Client helpers (used by both planner and partition readers)
 # --------------------------------------------------------------------------
+def _signed_headers(
+    method: str,
+    url: str,
+    payload: bytes,
+    creds: tuple[str, str] | None,
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """SigV4 headers for one request, merged with ``extra`` (e.g. Range,
+    which S3 includes in the signed set). Anonymous mode returns just
+    ``extra``. The timestamp is stamped here — sources/sigv4.py stays a
+    pure function of its inputs. urllib supplies the Host header from the
+    URL; the signed 'host' value is identical, so it is dropped from the
+    outgoing set."""
+    if not creds:
+        return dict(extra or {})
+    from hadoop_fs_ceph_spark.sources.sigv4 import sign_request
+
+    amzdate = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    headers = sign_request(
+        method,
+        url,
+        access_key=creds[0],
+        secret_key=creds[1],
+        amzdate=amzdate,
+        payload=payload,
+        extra_headers=extra,
+    )
+    headers.pop("host", None)
+    return headers
+
+
 def _open_with_retry(req, attempts: int = RETRY_ATTEMPTS):
     """urlopen with bounded exponential backoff. Retries transient failures
     (connection reset/refused, timeout, HTTP 5xx — the failure modes of a
@@ -280,18 +365,27 @@ def _open_with_retry(req, attempts: int = RETRY_ATTEMPTS):
         delay *= 2
 
 
-def list_objects(endpoint: str, bucket: str, prefix: str) -> list[tuple[str, int]]:
+def list_objects(
+    endpoint: str,
+    bucket: str,
+    prefix: str,
+    creds: tuple[str, str] | None = None,
+) -> list[tuple[str, int]]:
     """ListObjectsV2: sorted (key, size) pairs under the prefix — the
     ``listStatus`` of the object world. Honors truncation: loops on
     ``IsTruncated``/``NextContinuationToken`` until the listing is complete,
     exactly as a real RGW paginates (and as the reference's readdir loops
-    until eof, ``native_rgw.c:269-283``)."""
+    until eof, ``native_rgw.c:269-283``). SigV4-signed when ``creds`` is
+    given (each page signed separately — the query string differs)."""
     out, token = [], None
     while True:
         url = f"{endpoint}/{bucket}?list-type=2&prefix={urllib.parse.quote(prefix)}"
         if token:
             url += f"&continuation-token={urllib.parse.quote(token)}"
-        with _open_with_retry(url) as resp:
+        req = urllib.request.Request(
+            url, headers=_signed_headers("GET", url, b"", creds)
+        )
+        with _open_with_retry(req) as resp:
             root = ET.fromstring(resp.read())
         for c in root.findall("Contents"):
             out.append((c.findtext("Key"), int(c.findtext("Size"))))
@@ -303,16 +397,25 @@ def list_objects(endpoint: str, bucket: str, prefix: str) -> list[tuple[str, int
     return sorted(out)
 
 
-def get_range(endpoint: str, bucket: str, key: str, start: int, length: int) -> bytes:
+def get_range(
+    endpoint: str,
+    bucket: str,
+    key: str,
+    start: int,
+    length: int,
+    creds: tuple[str, str] | None = None,
+) -> bytes:
     """One ranged GET — the HTTP form of the connector's pread
     (``CephRgwInputStream.java:103-120``). Returns at most ``length``
     bytes (shorter at object end). Transient failures retry with backoff
-    via :func:`_open_with_retry`."""
+    via :func:`_open_with_retry`; SigV4-signed when ``creds`` is given
+    (the Range header is part of the signed set, as S3 requires)."""
     if length <= 0:
         return b""
     url = f"{endpoint}/{bucket}/{urllib.parse.quote(key)}"
+    rng = {"Range": f"bytes={start}-{start + length - 1}"}
     req = urllib.request.Request(
-        url, headers={"Range": f"bytes={start}-{start + length - 1}"}
+        url, headers=_signed_headers("GET", url, b"", creds, extra=rng)
     )
     try:
         with _open_with_retry(req) as resp:
@@ -348,13 +451,19 @@ class RgwHttpReader(DataSourceReader):
         self.prefix = options.get("prefix", "")
         self.blocksize = int(options.get("virtual.blocksize", DEFAULT_BLOCKSIZE))
         self.sep = options.get("sep", ",")
+        # SigV4 credentials, same option names as the reference's Hadoop
+        # conf delegation (fs.s3a.access.key / fs.s3a.secret.key analogs)
+        ak, sk = options.get("access.key"), options.get("secret.key")
+        self.creds = (ak, sk) if ak and sk else None
         self._parser_for = _parser_for
 
     def partitions(self) -> Sequence[InputPartition]:
         if self.blocksize <= 0:
             raise ValueError(f"virtual.blocksize must be positive, got {self.blocksize}")
         parts = []
-        for key, size in list_objects(self.endpoint, self.bucket, self.prefix):
+        for key, size in list_objects(
+            self.endpoint, self.bucket, self.prefix, creds=self.creds
+        ):
             for start in range(0, size, self.blocksize):
                 parts.append(
                     _ObjectBlock(key=key, start=start, end=min(start + self.blocksize, size), size=size)
@@ -377,7 +486,10 @@ class RgwHttpReader(DataSourceReader):
         sep = self.sep.encode()
         ep, bk, key = self.endpoint, self.bucket, partition.key
         # +1 byte past end: lets us own a line starting exactly at `end`
-        buf = get_range(ep, bk, key, partition.start, partition.end - partition.start + 1)
+        buf = get_range(
+            ep, bk, key, partition.start,
+            partition.end - partition.start + 1, creds=self.creds,
+        )
         pos = 0  # scan offset: buf[pos] is the first unconsumed byte
         abs_base = partition.start  # absolute offset of buf[0]
         fetched_to = partition.start + len(buf)  # next absolute byte to fetch
@@ -391,7 +503,7 @@ class RgwHttpReader(DataSourceReader):
         while abs_base + pos <= partition.end:
             j = buf.find(b"\n", pos)
             while j < 0 and fetched_to < partition.size:
-                more = get_range(ep, bk, key, fetched_to, CONTINUATION_BYTES)
+                more = get_range(ep, bk, key, fetched_to, CONTINUATION_BYTES, creds=self.creds)
                 if not more:
                     break
                 fetched_to += len(more)

@@ -1,0 +1,158 @@
+"""AWS SigV4 signing (sources/sigv4.py): the published AWS derivation
+test vector, sign→verify round-trips over every request shape the rgw
+client emits, tamper rejection, and end-to-end enforcement by the
+loopback RGW (unauthenticated → 403; signed reader → full split-exact
+scan). Closes the round-7 'auth headers out of scope' gap."""
+
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from hadoop_fs_ceph_spark.sources.rgw_http import (
+    LoopbackRgw,
+    RgwHttpReader,
+    get_range,
+    list_objects,
+)
+from hadoop_fs_ceph_spark.sources.sigv4 import (
+    canonical_query,
+    sign_request,
+    signing_key,
+    verify_request,
+)
+
+CREDS = ("AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+
+
+def test_aws_published_signing_key_vector():
+    """The derivation-chain example from the AWS SigV4 documentation
+    ('Examples of how to derive a signing key'): secret
+    wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY, date 20120215, region
+    us-east-1, service iam. Pins the implementation to the public spec,
+    not to itself."""
+    k = signing_key(CREDS[1], "20120215", "us-east-1", "iam")
+    assert k.hex() == (
+        "f4780e2d9f65fa895f9c67b32ce1baf0b0d8a43505a000a1a9e090d414db404d"
+    )
+
+
+def test_canonical_query_sorts_and_encodes():
+    assert canonical_query("b=2&a=1") == "a=1&b=2"
+    assert canonical_query("a=x+y") == "a=x%20y"  # + is a space in qs
+    assert canonical_query("k=a/b&k=a!b") == "k=a%21b&k=a%2Fb"  # dup keys by value
+    assert canonical_query("") == ""
+
+
+@pytest.mark.parametrize(
+    "method, url, payload",
+    [
+        ("GET", "http://127.0.0.1:9000/lake?list-type=2&prefix=d%2F", b""),
+        ("GET", "http://127.0.0.1:9000/lake/obj.csv", b""),
+        ("PUT", "http://127.0.0.1:9000/lake/a%20b.bin", b"\x00\x01payload"),
+        ("HEAD", "http://127.0.0.1:9000/lake/x", b""),
+    ],
+)
+def test_sign_verify_roundtrip(method, url, payload):
+    import urllib.parse
+
+    headers = sign_request(
+        method,
+        url,
+        access_key=CREDS[0],
+        secret_key=CREDS[1],
+        amzdate="20260815T120000Z",
+        payload=payload,
+    )
+    parts = urllib.parse.urlsplit(url)
+    assert verify_request(
+        method, parts.path, parts.query, headers, secret_key=CREDS[1], payload=payload
+    )
+    # wrong secret rejects
+    assert not verify_request(
+        method, parts.path, parts.query, headers, secret_key="nope", payload=payload
+    )
+
+
+def test_tampering_rejected():
+    import urllib.parse
+
+    url = "http://127.0.0.1:9000/lake/obj"
+    h = sign_request(
+        "GET",
+        url,
+        access_key=CREDS[0],
+        secret_key=CREDS[1],
+        amzdate="20260815T120000Z",
+        payload=b"",
+        extra_headers={"Range": "bytes=0-9"},
+    )
+    parts = urllib.parse.urlsplit(url)
+    ok = lambda hh, path=parts.path, query=parts.query, payload=b"": verify_request(  # noqa: E731
+        "GET", path, query, hh, secret_key=CREDS[1], payload=payload
+    )
+    assert ok(h)
+    assert not ok({**h, "Range": "bytes=0-999999"})  # widened read window
+    assert not ok(h, path="/other/obj")  # different object
+    assert not ok(h, query="list-type=2")  # different query
+    assert not ok(h, payload=b"swapped")  # body swap after signing
+    assert not ok({k: v for k, v in h.items() if k != "Authorization"})
+    trunc = {**h, "Authorization": h["Authorization"][:-4] + "0000"}
+    assert not ok(trunc)  # forged signature
+
+
+def test_loopback_rgw_enforces_sigv4():
+    """With credentials the server answers 403 to anything unsigned or
+    mis-signed, and the full client path (PUT, paginated listing, ranged
+    GET, Spark-reader split scan) works signed — end to end over the
+    wire, same enforcement shape as a real RGW."""
+    with LoopbackRgw(page_size=2, credentials=CREDS) as rgw:
+        body = b"".join(f"{i},{'v' * (i % 11)}\n".encode() for i in range(200))
+        rgw.put("lake", "d/a.csv", body)  # signed PUT
+        rgw.put("lake", "d/b.csv", body)
+        rgw.put("lake", "d/c.csv", body)  # 3 objects > page_size=2
+
+        # unsigned requests are refused
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{rgw.endpoint}/lake/d/a.csv")
+        assert ei.value.code == 403
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{rgw.endpoint}/lake?list-type=2&prefix=d/")
+        assert ei.value.code == 403
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get_range(rgw.endpoint, "lake", "d/a.csv", 0, 10)  # anonymous
+        assert ei.value.code == 403
+        # wrong secret is refused
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get_range(
+                rgw.endpoint, "lake", "d/a.csv", 0, 10, creds=(CREDS[0], "bad")
+            )
+        assert ei.value.code == 403
+
+        # signed listing paginates; signed ranged GET serves the window
+        assert list_objects(rgw.endpoint, "lake", "d/", creds=CREDS) == [
+            ("d/a.csv", len(body)),
+            ("d/b.csv", len(body)),
+            ("d/c.csv", len(body)),
+        ]
+        assert get_range(rgw.endpoint, "lake", "d/a.csv", 2, 4, creds=CREDS) == body[2:6]
+
+        # the Spark-facing reader scans split-exactly with creds options
+        reader = RgwHttpReader(
+            StructType([StructField("id", LongType()), StructField("s", StringType())]),
+            {
+                "endpoint": rgw.endpoint,
+                "bucket": "lake",
+                "prefix": "d/",
+                "virtual.blocksize": "64",
+                "access.key": CREDS[0],
+                "secret.key": CREDS[1],
+            },
+        )
+        rows = []
+        for part in reader.partitions():
+            rows.extend(reader.read(part))
+        expect = sorted([(i, ("v" * (i % 11)) or None) for i in range(200)] * 3,
+                        key=lambda r: (r[0], r[1] or ""))
+        assert sorted(rows, key=lambda r: (r[0], r[1] or "")) == expect
