@@ -728,3 +728,105 @@ def mm_header_parse(spark, sf_dir):
         F.length("blob").cast("long").alias("n_bytes"),
     )
     return parsed
+
+
+@query(
+    "mm_mp4_box_index",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp41'
+                           WHEN 2 THEN 'mp42' ELSE 'avc1' END AS major_brand,
+           CAST(600 + (doc_id % 5) * 300 AS BIGINT) AS timescale,
+           CAST(1200 + doc_id % 997 AS BIGINT) AS duration_units,
+           CAST((1200 + doc_id % 997) * 1000
+                // (600 + (doc_id % 5) * 300) AS BIGINT) AS duration_ms,
+           CAST(32 + doc_id % 193 AS BIGINT) AS mdat_bytes,
+           CAST(3 + doc_id % 2 AS BIGINT) AS n_top_boxes
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    tags=("multimodal", "binary", "pandas", "mp4", "video", "metadata"),
+)
+def mm_mp4_box_index(spark, sf_dir):
+    """REAL video-container parsing (ISO BMFF box walk) — the metadata
+    pass a curation pipeline runs over billions of clips before any
+    frame decode: structurally-valid minimal MP4s (ftyp ‖ optional free
+    ‖ moov(mvhd) ‖ mdat, parameters derived arithmetically from doc_id)
+    are built in one Arrow-batched ``mapInPandas`` stage, cross the JVM
+    through a real exchange, and a second stage WALKS the box tree with
+    the strict pure-struct reader (functions/mp4_boxes.py: declared-size
+    traversal, moov recursion, mvhd v0 validation, ValueError on any
+    corruption), emitting brand / timescale / duration (exact integer
+    ms) / media-payload size / top-level box count. The oracle
+    recomputes everything from the generator parameters — a hash match
+    proves the build→shuffle→walk loop lossless. Frame DECODE remains
+    the documented stub (`_decode_media` raises for video/*): this row
+    claims the container layer only, which needs no codec.
+
+    Scale shape: identical to mm_png_decode/mm_wav_decode — two
+    map-only Arrow stages around one hash exchange; with real files the
+    build stage is a `binaryFile` scan prefix read (boxes are
+    length-prefixed, so the walk needs only the header bytes, not
+    mdat)."""
+    from hadoop_fs_ceph_spark.functions.mp4_boxes import (
+        build_minimal_mp4,
+        parse_boxes,
+    )
+
+    brands = ("isom", "mp41", "mp42", "avc1")
+    out_mp4 = "doc_id long, mp4 binary"
+    out_schema = (
+        "doc_id long, major_brand string, timescale long, duration_units long, "
+        "duration_ms long, mdat_bytes long, n_top_boxes long"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows.append(
+                    (
+                        did,
+                        build_minimal_mp4(
+                            brands[did % 4],
+                            600 + (did % 5) * 300,
+                            1200 + did % 997,
+                            bytes((did + i) % 256 for i in range(32 + did % 193)),
+                            n_free=did % 2,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "mp4"])
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["mp4"]):
+                m = parse_boxes(bytes(blob))
+                rows.append(
+                    (
+                        int(did),
+                        m["major_brand"],
+                        m["timescale"],
+                        m["duration"],
+                        m["duration"] * 1000 // m["timescale"],
+                        m["mdat_bytes"],
+                        m["n_top_boxes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "major_brand",
+                    "timescale",
+                    "duration_units",
+                    "duration_ms",
+                    "mdat_bytes",
+                    "n_top_boxes",
+                ],
+            )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    mp4s = docs.select("doc_id").mapInPandas(build, out_mp4)
+    return mp4s.repartition(8, "doc_id").mapInPandas(walk, out_schema)

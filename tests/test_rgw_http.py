@@ -263,3 +263,32 @@ def test_s3a_waiver_pinned(spark):
         "round-trip (LoopbackRgw + fs.s3a.endpoint + path-style access) "
         "and retire this waiver"
     )
+
+
+def test_read_is_linear_in_block_size(rgw):
+    """Pin for the ADVICE r7 O(n²) fix: scanning a multi-MiB block of
+    SHORT lines must be one pass over the buffer (offset scan into
+    immutable bytes), not a per-line copy/shift of the remainder. The
+    pre-fix implementation did ~2 MiB of memcpy per 10-byte line here
+    (≈ 800 GB total — minutes); the fixed one finishes in well under the
+    generous bound."""
+    import time as _time
+
+    n_lines = 400_000
+    payload = b"".join(b"%d,x\n" % i for i in range(n_lines))  # ~4 MiB
+    rgw.put("lake", "data/wide.csv", payload)
+    reader = RgwHttpReader(
+        _ID_S_SCHEMA,
+        {
+            "endpoint": rgw.endpoint,
+            "bucket": "lake",
+            "prefix": "data/",
+            "virtual.blocksize": str(len(payload) + 1),  # one block = whole object
+        },
+    )
+    (part,) = reader.partitions()
+    t0 = _time.perf_counter()
+    count = sum(1 for _ in reader.read(part))
+    elapsed = _time.perf_counter() - t0
+    assert count == n_lines
+    assert elapsed < 30, f"block scan took {elapsed:.1f}s — O(n^2) regression?"
