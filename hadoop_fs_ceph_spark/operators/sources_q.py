@@ -2392,3 +2392,52 @@ def src_rgw_http_roundtrip(spark, sf_dir):
         )
         write_table(agg, out, mode="overwrite")
     return spark.read.parquet(out)
+
+
+@query(
+    "src_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           CAST(SUM(CASE WHEN l_discount > 0.06 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_discounted,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_qty
+    FROM lineitem
+    """,
+    tags=("source", "observe", "quality", "accounting"),
+)
+def src_observe_metrics(spark, sf_dir):
+    """In-flight data-quality accounting via the Observation API
+    (`df.observe`): the validation ledger — row count, exact-cents value
+    total, predicate counters, null counter — is computed AS A SIDE
+    CHANNEL of the main pass (here a noop-sink materialization of the
+    fact scan), not by a second scan. This is the production pattern for
+    write-time quality gates: at 100 TB a re-scan for COUNT(*)+invariant
+    checks doubles the I/O bill, while observed metrics ride the
+    existing job's task results to the driver at zero extra I/O (they
+    are accumulator-backed aggregates, exactly one row regardless of
+    data size — a control-plane read, not a collect).
+
+    The returned one-row frame is rebuilt from the observation so the
+    oracle can hash-match the same aggregates computed relationally."""
+    from pyspark.sql import Observation
+
+    li = t(spark, sf_dir, "lineitem")
+    obs = Observation("quality_ledger")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("long")).alias(
+            "price_cents"
+        ),
+        F.sum((F.col("l_discount") > 0.06).cast("long")).alias("n_discounted"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("n_null_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the main pass
+    m = obs.get  # one dict, driver-side by design (control plane)
+    return spark.createDataFrame(
+        [(m["n_rows"], m["price_cents"], m["n_discounted"], m["n_null_qty"])],
+        "n_rows long, price_cents long, n_discounted long, n_null_qty long",
+    )
