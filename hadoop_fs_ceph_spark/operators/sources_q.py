@@ -2441,3 +2441,82 @@ def src_observe_metrics(spark, sf_dir):
         [(m["n_rows"], m["price_cents"], m["n_discounted"], m["n_null_qty"])],
         "n_rows long, price_cents long, n_discounted long, n_null_qty long",
     )
+
+
+@query(
+    "src_rgw_multipart_write",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("source", "rgw", "http", "multipart", "connector", "object-store"),
+)
+def src_rgw_multipart_write(spark, sf_dir):
+    """The WRITE half of the object-store wire protocol: S3 multipart
+    upload under SigV4 enforcement. The reference's output stream
+    flushes bounded chunks at a moving cursor
+    (`CephRgwOutputStream.java:53-63`), and the S3AFileSystem it embeds
+    (`CephRgwFileSystem.java:106-110`) turns that pattern into multipart
+    uploads for large objects — initiate, independent signed part PUTs,
+    complete — which is what makes multi-GB writes from many executors
+    feasible (parts retry/parallelize independently; nothing is visible
+    until complete; aborts discard).
+
+    Flow: documents projection → CSV bytes → each part object uploaded
+    via `multipart_put` at a part size far below the object size (every
+    object takes the initiate/parts/complete path, parts straddling CSV
+    lines arbitrarily) → `rgw_http` ranged-split scan back (4 KiB
+    virtual blocks) → per-source aggregate materialized while the store
+    is up. Hash-matching the oracle on the original parquet proves the
+    part-boundary assembly byte-lossless THROUGH the line-split reader.
+    """
+    from hadoop_fs_ceph_spark.sources.pydatasource import register_python_sources
+    from hadoop_fs_ceph_spark.sources.rgw_http import LoopbackRgw, multipart_put
+
+    register_python_sources(spark)
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .repartition(4, "doc_id")
+    )
+    path = _scratch(sf_dir, "rgw_mp_csv")
+    write_table(d, path, format="csv", mode="overwrite")
+    out = _scratch(sf_dir, "rgw_mp_back")
+    creds = ("AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+    with LoopbackRgw(credentials=creds) as rgw:
+        for fname in sorted(os.listdir(path)):
+            if fname.startswith(("_", ".")) or not os.path.isfile(
+                os.path.join(path, fname)
+            ):
+                continue
+            with open(os.path.join(path, fname), "rb") as fh:
+                multipart_put(
+                    rgw.endpoint,
+                    "lake",
+                    f"docs/{fname}",
+                    fh.read(),
+                    part_size=2048,  # many parts per object, line-agnostic cuts
+                    creds=creds,
+                )
+        back = (
+            spark.read.format("rgw_http")
+            .schema("doc_id bigint, source string, n_chars bigint")
+            .option("endpoint", rgw.endpoint)
+            .option("bucket", "lake")
+            .option("prefix", "docs/")
+            .option("virtual.blocksize", 4 * 1024)
+            .option("access.key", creds[0])
+            .option("secret.key", creds[1])
+            .load()
+        )
+        agg = back.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        write_table(agg, out, mode="overwrite")
+    return spark.read.parquet(out)

@@ -117,16 +117,102 @@ class _RgwHandler(BaseHTTPRequestHandler):
         q = dict(urllib.parse.parse_qsl(parsed.query, keep_blank_values=True))
         return bucket, key, q
 
+    def _uploads(self) -> dict:
+        if not hasattr(self.server, "uploads"):
+            self.server.uploads = {}  # type: ignore[attr-defined]
+            self.server.upload_seq = 0  # type: ignore[attr-defined]
+        return self.server.uploads  # type: ignore[attr-defined]
+
     def do_PUT(self):
-        bucket, key, _ = self._split()
+        bucket, key, q = self._split()
         n = int(self.headers.get("Content-Length", 0))
         body = self.rfile.read(n)
         if not self._authorized(payload=body):
             self._deny()
             return
+        if "partNumber" in q and "uploadId" in q:
+            # multipart UploadPart: buffer under the upload, not the store
+            up = self._uploads().get((bucket, key, q["uploadId"]))
+            if up is None:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            part_no = int(q["partNumber"])
+            up[part_no] = body
+            self.send_response(200)
+            self.send_header("ETag", f'"part-{part_no}-{len(body)}"')
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
         self._store()[(bucket, key)] = body
         self.send_response(200)
-        self.send_header("ETag", f'"{len(self._store()[(bucket, key)])}"')
+        self.send_header("ETag", f'"{len(body)}"')
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_POST(self):
+        bucket, key, q = self._split()
+        n = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(n)
+        if not self._authorized(payload=body):
+            self._deny()
+            return
+        if "uploads" in q:  # InitiateMultipartUpload
+            self._uploads()
+            self.server.upload_seq += 1  # type: ignore[attr-defined]
+            uid = f"upload-{self.server.upload_seq}"  # type: ignore[attr-defined]
+            self._uploads()[(bucket, key, uid)] = {}
+            root = ET.Element("InitiateMultipartUploadResult")
+            ET.SubElement(root, "Bucket").text = bucket
+            ET.SubElement(root, "Key").text = key
+            ET.SubElement(root, "UploadId").text = uid
+            out = ET.tostring(root, encoding="utf-8", xml_declaration=True)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/xml")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+            return
+        if "uploadId" in q:  # CompleteMultipartUpload
+            up = self._uploads().pop((bucket, key, q["uploadId"]), None)
+            if up is None:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            # parts concatenate in partNumber order regardless of upload order
+            self._store()[(bucket, key)] = b"".join(
+                up[p] for p in sorted(up)
+            )
+            root = ET.Element("CompleteMultipartUploadResult")
+            ET.SubElement(root, "Bucket").text = bucket
+            ET.SubElement(root, "Key").text = key
+            ET.SubElement(root, "ETag").text = f'"{len(self._store()[(bucket, key)])}"'
+            out = ET.tostring(root, encoding="utf-8", xml_declaration=True)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/xml")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+            return
+        self.send_response(400)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_DELETE(self):
+        bucket, key, q = self._split()
+        if not self._authorized():
+            self._deny()
+            return
+        if "uploadId" in q:  # AbortMultipartUpload: discard buffered parts
+            existed = self._uploads().pop((bucket, key, q["uploadId"]), None)
+            self.send_response(204 if existed is not None else 404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        existed = self._store().pop((bucket, key), None)
+        self.send_response(204 if existed is not None else 404)
         self.send_header("Content-Length", "0")
         self.end_headers()
 
@@ -426,6 +512,79 @@ def get_range(
         if e.code == 416:  # start beyond object end
             return b""
         raise
+
+
+def multipart_put(
+    endpoint: str,
+    bucket: str,
+    key: str,
+    data: bytes,
+    part_size: int,
+    creds: tuple[str, str] | None = None,
+) -> int:
+    """S3 multipart upload: InitiateMultipartUpload → UploadPart×N →
+    CompleteMultipartUpload. Returns the part count.
+
+    This is the wire form of the reference's buffered sequential write
+    path: ``CephRgwOutputStream.java:53-63`` flushes bounded chunks at a
+    moving cursor, and the S3AFileSystem the connector embeds
+    (``CephRgwFileSystem.java:106-110``) turns exactly that pattern into
+    multipart uploads for large objects. Each part is signed separately
+    (the URLs differ); parts assemble in partNumber order server-side, so
+    an uploader may parallelize or retry parts independently — the
+    property that makes multi-GB writes from 1000 executors feasible."""
+    if part_size <= 0:
+        raise ValueError(f"part_size must be positive, got {part_size}")
+    base = f"{endpoint}/{bucket}/{urllib.parse.quote(key)}"
+    url = base + "?uploads"
+    req = urllib.request.Request(
+        url, data=b"", method="POST", headers=_signed_headers("POST", url, b"", creds)
+    )
+    with _open_with_retry(req) as resp:
+        uid = ET.fromstring(resp.read()).findtext("UploadId")
+    if not uid:
+        raise IOError("InitiateMultipartUpload returned no UploadId")
+    n = 0
+    for i, start in enumerate(range(0, len(data), part_size), start=1):
+        chunk = data[start : start + part_size]
+        purl = f"{base}?partNumber={i}&uploadId={urllib.parse.quote(uid)}"
+        req = urllib.request.Request(
+            purl,
+            data=chunk,
+            method="PUT",
+            headers=_signed_headers("PUT", purl, chunk, creds),
+        )
+        with _open_with_retry(req) as resp:
+            if resp.status != 200:
+                raise IOError(f"UploadPart {i} -> {resp.status}")
+        n = i
+    curl = f"{base}?uploadId={urllib.parse.quote(uid)}"
+    req = urllib.request.Request(
+        curl, data=b"", method="POST", headers=_signed_headers("POST", curl, b"", creds)
+    )
+    with _open_with_retry(req) as resp:
+        if resp.status != 200:
+            raise IOError(f"CompleteMultipartUpload -> {resp.status}")
+    return n
+
+
+def abort_multipart(
+    endpoint: str,
+    bucket: str,
+    key: str,
+    upload_id: str,
+    creds: tuple[str, str] | None = None,
+) -> None:
+    """AbortMultipartUpload: discard an upload's buffered parts — the
+    task-abort path of a distributed writer (a failed executor's partial
+    upload must never become visible)."""
+    url = f"{endpoint}/{bucket}/{urllib.parse.quote(key)}?uploadId={urllib.parse.quote(upload_id)}"
+    req = urllib.request.Request(
+        url, method="DELETE", headers=_signed_headers("DELETE", url, b"", creds)
+    )
+    with _open_with_retry(req) as resp:
+        if resp.status not in (200, 204):
+            raise IOError(f"AbortMultipartUpload -> {resp.status}")
 
 
 # --------------------------------------------------------------------------

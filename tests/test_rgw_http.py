@@ -292,3 +292,96 @@ def test_read_is_linear_in_block_size(rgw):
     elapsed = _time.perf_counter() - t0
     assert count == n_lines
     assert elapsed < 30, f"block scan took {elapsed:.1f}s — O(n^2) regression?"
+
+
+# ---------------------------------------------------------------------------
+# Multipart upload (the S3 write path of the reference's buffered stream)
+# ---------------------------------------------------------------------------
+
+
+def test_multipart_assembles_in_part_order(rgw):
+    """Parts concatenate by partNumber regardless of upload order, and the
+    assembled object is byte-identical to a single PUT — part boundaries
+    must be invisible to readers."""
+    import urllib.parse
+    import xml.etree.ElementTree as ET
+
+    from hadoop_fs_ceph_spark.sources.rgw_http import multipart_put
+
+    data = bytes(range(256)) * 40  # 10240 bytes
+    n = multipart_put(rgw.endpoint, "lake", "mp/obj.bin", data, part_size=1000)
+    assert n == 11  # 10 full parts + 1 tail
+    assert get_range(rgw.endpoint, "lake", "mp/obj.bin", 0, len(data)) == data
+    # ranged reads spanning part boundaries see one continuous object
+    assert get_range(rgw.endpoint, "lake", "mp/obj.bin", 995, 10) == data[995:1005]
+
+    # out-of-order manual upload: initiate, send part 2 then part 1, complete
+    base = f"{rgw.endpoint}/lake/ooo.bin"
+    with urllib.request.urlopen(
+        urllib.request.Request(base + "?uploads", data=b"", method="POST")
+    ) as resp:
+        uid = ET.fromstring(resp.read()).findtext("UploadId")
+    for part_no, chunk in ((2, b"WORLD"), (1, b"HELLO-")):
+        url = f"{base}?partNumber={part_no}&uploadId={urllib.parse.quote(uid)}"
+        urllib.request.urlopen(
+            urllib.request.Request(url, data=chunk, method="PUT")
+        ).close()
+    urllib.request.urlopen(
+        urllib.request.Request(
+            f"{base}?uploadId={urllib.parse.quote(uid)}", data=b"", method="POST"
+        )
+    ).close()
+    assert get_range(rgw.endpoint, "lake", "ooo.bin", 0, 100) == b"HELLO-WORLD"
+
+
+def test_multipart_abort_discards(rgw):
+    """An aborted upload leaves nothing behind (the failed-task path);
+    completing it afterwards is a 404."""
+    import urllib.parse
+    import xml.etree.ElementTree as ET
+
+    from hadoop_fs_ceph_spark.sources.rgw_http import abort_multipart
+
+    base = f"{rgw.endpoint}/lake/gone.bin"
+    with urllib.request.urlopen(
+        urllib.request.Request(base + "?uploads", data=b"", method="POST")
+    ) as resp:
+        uid = ET.fromstring(resp.read()).findtext("UploadId")
+    url = f"{base}?partNumber=1&uploadId={urllib.parse.quote(uid)}"
+    urllib.request.urlopen(
+        urllib.request.Request(url, data=b"partial", method="PUT")
+    ).close()
+    abort_multipart(rgw.endpoint, "lake", "gone.bin", uid)
+    assert list_objects(rgw.endpoint, "lake", "gone") == []  # never visible
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(
+            urllib.request.Request(
+                f"{base}?uploadId={urllib.parse.quote(uid)}", data=b"", method="POST"
+            )
+        )
+    assert ei.value.code == 404
+
+
+def test_multipart_signed_end_to_end():
+    """Multipart under SigV4 enforcement: every leg (initiate, each part,
+    complete) carries its own signature; an unsigned initiate is 403."""
+    from hadoop_fs_ceph_spark.sources.rgw_http import multipart_put
+
+    creds = ("AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+    with LoopbackRgw(credentials=creds) as rgw:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{rgw.endpoint}/lake/x?uploads", data=b"", method="POST"
+                )
+            )
+        assert ei.value.code == 403
+        data = b"abc" * 5000
+        n = multipart_put(
+            rgw.endpoint, "lake", "signed.bin", data, part_size=4096, creds=creds
+        )
+        assert n == 4
+        assert (
+            get_range(rgw.endpoint, "lake", "signed.bin", 0, len(data), creds=creds)
+            == data
+        )
