@@ -182,7 +182,12 @@ def _build_soak_tables(spark, src_dir: str, dst_dir: str, replicas: int) -> None
         spark.read.parquet(f"{src_dir}/{name}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{dst_dir}/{name}.parquet")
+    # Two DISJOINT rotation groups compose to 20x6 = 120 distinct character
+    # maps — a single 20-char rotation cycles at r=10 (2r mod 20), which
+    # would hand replicas 10/20/... identical text and reintroduce the
+    # O(N^2) duplicate blowup for deep soaks (replicas up to 120 are safe).
     alpha = "abcdefghijklmnopqrst"
+    beta = "uvwxyz"
     for name, keys in _SOAK_KEY_COLS.items():
         base = spark.read.parquet(f"{src_dir}/{name}.parquet")
         parts = []
@@ -191,8 +196,12 @@ def _build_soak_tables(spark, src_dir: str, dst_dir: str, replicas: int) -> None
             for k in keys:
                 rep = rep.withColumn(k, F.col(k) + F.lit(r * _SOAK_OFFSET))
             if name == "documents" and r:
-                rot = alpha[2 * r :] + alpha[: 2 * r]
-                rep = rep.withColumn("text", F.translate("text", alpha, rot))
+                r1, r2 = r % 20, (r // 20) % 6
+                rot1 = alpha[r1:] + alpha[:r1]
+                rot2 = beta[r2:] + beta[:r2]
+                rep = rep.withColumn(
+                    "text", F.translate("text", alpha + beta, rot1 + rot2)
+                )
             if name == "embeddings" and r:
                 rep = rep.withColumn(
                     "embedding",
@@ -292,7 +301,7 @@ def soak_main() -> None:
         rows.append((name, s, b, wall_ratio, sw_ratio, ok))
 
     md = [
-        "## Measured one-decade soak (sf0.1 -> sf1-equivalent)",
+        f"## Measured soak: sf0.1 -> {replicas}x (sf{replicas / 10:g}-equivalent)",
         "",
         f"Data: `{base_dir}` × {replicas} replicas, re-keyed per replica "
         f"(`bench.py::_build_soak_tables` — referential integrity holds within "
@@ -337,7 +346,8 @@ def soak_main() -> None:
     ]
     # splice the generated section into SCALE.md between markers, keeping
     # the hand-written plan-audit prose around it intact
-    begin, end = "<!-- SOAK:BEGIN -->", "<!-- SOAK:END -->"
+    begin = f"<!-- SOAK{replicas}:BEGIN -->"
+    end = f"<!-- SOAK{replicas}:END -->"
     section = begin + "\n" + "\n".join(md) + "\n" + end
     scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE.md")
     text = open(scale_path).read() if os.path.exists(scale_path) else ""

@@ -672,7 +672,6 @@ def _nearest_centroid(en_df, cents):
     WHERE {sql_cosine("a.embedding", "b.embedding")} > {_SEM_THRESHOLD}
     """,
     tags=("dedup", "similarity", "semantic", "embedding"),
-    bench=True,
 )
 def dedup_semantic_cell(spark, sf_dir):
     """SemDeDup-style semantic deduplication: coarse-quantize every
@@ -683,14 +682,21 @@ def dedup_semantic_cell(spark, sf_dir):
     compare within clusters).
 
     K=8 deterministic seeds (the lowest vec_ids) keep the oracle
-    portable; production uses k-means centroids with K ~ sqrt(n) and the
-    same two plan shapes. Scale shape: the seed table broadcasts (K
-    rows); assignment is map-side scoring + a per-vector top-1 window
+    portable. Scale shape: the seed table broadcasts (K rows);
+    assignment is map-side scoring + a per-vector top-1 window
     (partitioned by vec_id — never global); the pair stage is an
-    EQUALITY join on cell, so candidate count is bounded by cell sizes,
-    never n². The assignment relation is persisted once and reused by
-    both sides of the self-join. Cosines are sequential folds —
-    bit-identical cross-engine."""
+    EQUALITY join on cell, so candidates are bounded by cell sizes.
+
+    MEASURED LIMIT (SCALE.md ×100 soak): with K FIXED, cell population
+    grows linearly and within-cell pairs quadratically — 764× wall at
+    100× data. This variant is therefore the bounded-K declared-truth
+    tier only; the production/bench tier is
+    `dedup_semantic_bucket_scaled` (adaptive sign-LSH bucket width,
+    bucket count doubles with data → linear decade), and centroid
+    refinement lives in `dedup_semantic_cell_refined` /
+    `sim_kmeans_converged`, where K would scale as n/target in a real
+    deployment. Cosines are sequential folds — bit-identical
+    cross-engine."""
     e = t(spark, sf_dir, "embeddings")
     en = _with_norm(e)
     seeds = en.filter(F.col("vec_id") < _N_SEM_CELLS).select(
@@ -2079,4 +2085,144 @@ def pipeline_embedding_curation(spark, sf_dir):
             F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
         )
         .orderBy("label")
+    )
+
+
+# -------------------------------------------------------------------------
+# Scaled semantic dedup: adaptive sign-LSH bucket blocking (linear decade)
+# -------------------------------------------------------------------------
+_SEM_BUCKET_TARGET = 32  # aimed-for vectors per bucket
+_SEM_BUCKET_MAX_BITS = 16  # SQL-ladder bound; the formula itself is unbounded
+
+
+def _sem_plane_sign(i, j):
+    """Deterministic ±1 hyperplane entry for (1-indexed input dim i,
+    plane j): parity of a nonlinear integer form — exact in both
+    engines (same family as _jl_sign, different constants so the LSH
+    planes are independent of the JL projection)."""
+    return F.when(
+        ((i + 3) * (j + 11) * 104729) % 1000003 % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+
+
+def _sem_plane_dot(emb, j):
+    """Sequential fold of <emb, plane_j> — bit-identical to the DuckDB
+    list_reduce twin (same order, same per-element IEEE ops)."""
+    prods = F.transform(
+        emb, lambda x, idx: x.cast("double") * _sem_plane_sign(idx + 1, j)
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sql_sem_plane_dot(emb: str, j_expr: str) -> str:
+    sign = (
+        f"(CASE WHEN ((i + 3) * (({j_expr}) + 11) * 104729) % 1000003 % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END)"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, 64), "
+        f"i -> CAST({emb}[i] AS DOUBLE) * {sign})), (x, y) -> x + y)"
+    )
+
+
+_SEM_BUCKET_LADDER = " + ".join(
+    f"(CASE WHEN ct >= {1 << k} THEN 1 ELSE 0 END)"
+    for k in range(1, _SEM_BUCKET_MAX_BITS + 1)
+)
+_SEM_BUCKET_TERMS = " + ".join(
+    f"(CASE WHEN {k} < p.b AND "
+    f"{_sql_sem_plane_dot('e.embedding', f't.tbl * 16 + {k}')} >= 0 "
+    f"THEN {1 << k} ELSE 0 END)"
+    for k in range(_SEM_BUCKET_MAX_BITS)
+)
+
+
+@query(
+    "dedup_semantic_bucket_scaled",
+    oracle=f"""
+    WITH params AS (
+      SELECT LEAST({_SEM_BUCKET_MAX_BITS}, GREATEST(1, {_SEM_BUCKET_LADDER})) AS b
+      FROM (SELECT (COUNT(*) + {_SEM_BUCKET_TARGET - 1}) // {_SEM_BUCKET_TARGET}
+                   AS ct
+            FROM embeddings)
+    ),
+    buckets AS (
+      SELECT e.vec_id, e.embedding, t.tbl,
+             {_SEM_BUCKET_TERMS} AS bucket
+      FROM embeddings e CROSS JOIN params p CROSS JOIN (VALUES (0), (1)) t(tbl)
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine("a.embedding", "b.embedding")} AS cos_sim
+    FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+    WHERE a.vec_id < b.vec_id
+      AND {sql_cosine("a.embedding", "b.embedding")} > {_SEM_THRESHOLD}
+    """,
+    tags=("dedup", "similarity", "semantic", "embedding", "lsh", "scaled"),
+    bench=True,
+)
+def dedup_semantic_bucket_scaled(spark, sf_dir):
+    """Semantic dedup, the LINEAR-decade production tier — built after
+    the ×100 soak measured the K=8 cell variant at 764× wall for 100×
+    data (SCALE.md): with a FIXED cell count, per-cell population grows
+    linearly and within-cell pairs quadratically, so bounded-K blocking
+    cannot survive a scale-up no matter how good the plan is.
+
+    Here the blocking key is an adaptive-width sign-LSH bucket:
+    b = clamp(1..16, floor(log2(ceil(n / {_SEM_BUCKET_TARGET})))) sign
+    bits per table (planes are deterministic ±1 hyperplanes; the dot
+    folds are bit-identical cross-engine), TWO independent tables OR'd
+    for recall (multi-probe, same shape as `sim_ann_multitable`).
+    Bucket count doubles as data doubles → expected bucket population
+    stays ~{_SEM_BUCKET_TARGET} and candidate pairs grow O(n), which the
+    soak verifies empirically. The 16-bit cap exists only to bound the
+    oracle's CASE ladder; the formula is unbounded (100 TB wants
+    b≈25 — 32M buckets — and the same two map-side fold columns).
+
+    Blocking-defined semantics, like every SemDeDup-family operator:
+    the output is "pairs above τ that share a bucket in either table".
+    The K=8 cell variant (`dedup_semantic_cell`) remains the declared
+    ORACLE-STRENGTH tier; `sim_kmeans_*` / `sim_ivf_cells` carry the
+    centroid-refinement story. The single n = COUNT scalar that sizes b
+    is a one-row driver read (control plane, same class as the k-means
+    convergence check)."""
+    e = t(spark, sf_dir, "embeddings")
+    n = e.count()  # one scalar: sizes the bucket width, never row data
+    ct = max(1, (n + _SEM_BUCKET_TARGET - 1) // _SEM_BUCKET_TARGET)
+    b = max(1, min(_SEM_BUCKET_MAX_BITS, ct.bit_length() - 1))
+    en = _with_norm(e)
+
+    def bucketed(tbl: int):
+        bucket = F.lit(0)
+        for k in range(b):
+            bucket = bucket + F.when(
+                _sem_plane_dot(F.col("embedding"), tbl * 16 + k) >= 0,
+                F.lit(1 << k),
+            ).otherwise(F.lit(0))
+        return en.select(
+            "vec_id", "embedding", "en",
+            F.lit(tbl).alias("tbl"), bucket.alias("bucket"),
+        )
+
+    buckets = bucketed(0).unionByName(bucketed(1))
+    a = buckets.select(
+        F.col("vec_id").alias("vec_a"), "tbl", "bucket",
+        F.col("embedding").alias("ea"), F.col("en").alias("ena"),
+    )
+    bb = buckets.select(
+        F.col("vec_id").alias("vec_b"), "tbl", "bucket",
+        F.col("embedding").alias("eb"), F.col("en").alias("enb"),
+    )
+    return (
+        a.join(bb, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("ea"), F.col("eb")) / (F.col("ena") * F.col("enb"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") > _SEM_THRESHOLD)
+        .distinct()
     )
