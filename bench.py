@@ -7,12 +7,15 @@ Results are materialized with the no-op sink (full execution, no driver
 collection) so timings measure the distributed plan, not toPandas.
 
 ``python bench.py --soak`` instead runs the measured-scaling soak
-(VERDICT r6 item 4 / r7 item 2): it builds an sf1-equivalent dataset
-(sf0.1 × 10 replicas, re-keyed; see ``_build_soak_tables``), runs every
-headline query at BOTH scales recording wall-clock and shuffle
-read/write bytes (from the Spark AppStatusStore), and rewrites
-``SCALE.md`` with the per-query decade table — the empirical answer to
-"does this plan survive a 10× scale-up", query by query.
+(VERDICT r6 item 4 / r7 item 2): it builds an sf×N dataset
+(N = $SPARK_GRAFT_SOAK_REPLICAS, default 10; ×100 ≈ sf10 is the deep
+tier — see ``_build_soak_tables``), runs every headline query at BOTH
+scales recording wall-clock and shuffle read/write bytes (from the
+Spark AppStatusStore), and splices the per-query table into
+``SCALE.md``'s SOAK{N} section — the empirical answer to "does this
+plan survive the scale-up", query by query. The ×100 tier caught a
+real quadratic-blocking defect in round 8 (see
+dedup_semantic_bucket_scaled).
 """
 
 from __future__ import annotations
