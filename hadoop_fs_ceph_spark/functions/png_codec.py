@@ -190,6 +190,13 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             f"expected {stride * height} filtered bytes, got {len(raw)}"
             + (" (+oversize tail)" if d.unconsumed_tail else "")
         )
+    # d.eof is the only signal that the zlib trailer was reached AND its
+    # adler32 checksum verified — without it a truncated stream that
+    # happens to yield the right byte count decodes silently (review r8)
+    if not d.eof:
+        raise ValueError("IDAT deflate stream truncated (adler32 trailer missing)")
+    if d.unused_data:
+        raise ValueError("trailing garbage after IDAT deflate stream")
     pixels = bytearray()
     prev = bytes(width)
     for y in range(height):

@@ -95,9 +95,12 @@ def decode_wav(data: bytes) -> tuple[int, list[int]]:
             raise ValueError("truncated chunk header")
         tag = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        # bound the body by the declared RIFF envelope end, not len(data):
+        # a chunk overrunning the envelope into trailing bytes must fail
+        # loudly, never decode silently (review r8)
+        if pos + 8 + length > end:
+            raise ValueError(f"truncated {tag!r} chunk body (overruns RIFF envelope)")
         body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
-            raise ValueError(f"truncated {tag!r} chunk body")
         if tag == b"fmt ":
             if length < 16:
                 raise ValueError(f"fmt chunk must be >=16 bytes, got {length}")

@@ -58,12 +58,21 @@ def _decode_media(modality: str, payload: bytes):
         return decode_wav(payload)
     try:
         import av  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - always taken here
+    except ImportError as exc:
         raise NotImplementedError(
             f"media decode for {modality!r} requires imaging/audio libraries "
             "not present in this environment; use the deterministic "
             "byte-feature path instead"
         ) from exc
+    # the demuxer import succeeding must NOT silently return None — the
+    # stub raises unconditionally until a real video path exists (the
+    # different message makes the contract test fail loudly the day 'av'
+    # appears, which is the self-expiry signal; review r8)
+    raise NotImplementedError(
+        f"media decode for {modality!r}: a demuxer is importable but the "
+        "video decode path is not implemented — implement it and update "
+        "the contract tests"
+    )
 
 
 def _blobs(spark, sf_dir):

@@ -9,12 +9,15 @@ unloadable — pinned by ``tests/test_rgw_http.py::test_s3a_waiver_pinned``),
 so this module drives the SAME protocol surface over a loopback HTTP
 server, all stdlib:
 
-* :class:`LoopbackRgw` — a threading HTTP server implementing the minimal
+* :class:`LoopbackRgw` — a threading HTTP server implementing the
   S3/RGW REST subset the connector consumes: ``PUT`` object, ``HEAD``
   object (Content-Length), ``GET`` object with **RFC 7233 Range** support
-  (``bytes=a-b`` → 206 partial content — the wire form of pread), and
-  ListObjectsV2-style ``GET /bucket?list-type=2&prefix=`` returning real
-  ``ListBucketResult`` XML.
+  (``bytes=a-b`` → 206 partial content — the wire form of pread; suffix
+  ``bytes=-N`` honored, malformed ranges ignored per §3.1), paginated
+  ListObjectsV2 (``IsTruncated``/``NextContinuationToken``, real
+  ``ListBucketResult`` XML), the **multipart upload** protocol
+  (initiate / UploadPart / complete-in-part-order / abort), and optional
+  **SigV4 enforcement** (403 on unsigned/mis-signed requests).
 * :class:`RgwHttpDataSource` — a Spark Python DataSource (format
   ``rgw_http``) that performs the connector's three mechanics against that
   endpoint: list the bucket (one listing call = ``listStatus``), plan one
@@ -118,9 +121,6 @@ class _RgwHandler(BaseHTTPRequestHandler):
         return bucket, key, q
 
     def _uploads(self) -> dict:
-        if not hasattr(self.server, "uploads"):
-            self.server.uploads = {}  # type: ignore[attr-defined]
-            self.server.upload_seq = 0  # type: ignore[attr-defined]
         return self.server.uploads  # type: ignore[attr-defined]
 
     def do_PUT(self):
@@ -132,14 +132,27 @@ class _RgwHandler(BaseHTTPRequestHandler):
             return
         if "partNumber" in q and "uploadId" in q:
             # multipart UploadPart: buffer under the upload, not the store
-            up = self._uploads().get((bucket, key, q["uploadId"]))
+            try:
+                part_no = int(q["partNumber"])
+                if not 1 <= part_no <= 10000:  # S3's documented part range
+                    raise ValueError
+            except ValueError:
+                # malformed partNumber answers 400 — never an uncaught
+                # exception severing the connection (same failure class
+                # as the malformed-Range fix, review r8)
+                self.send_response(400)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            with self.server.lock:  # type: ignore[attr-defined]
+                up = self._uploads().get((bucket, key, q["uploadId"]))
+                if up is not None:
+                    up[part_no] = body
             if up is None:
                 self.send_response(404)
                 self.send_header("Content-Length", "0")
                 self.end_headers()
                 return
-            part_no = int(q["partNumber"])
-            up[part_no] = body
             self.send_response(200)
             self.send_header("ETag", f'"part-{part_no}-{len(body)}"')
             self.send_header("Content-Length", "0")
@@ -159,10 +172,13 @@ class _RgwHandler(BaseHTTPRequestHandler):
             self._deny()
             return
         if "uploads" in q:  # InitiateMultipartUpload
-            self._uploads()
-            self.server.upload_seq += 1  # type: ignore[attr-defined]
-            uid = f"upload-{self.server.upload_seq}"  # type: ignore[attr-defined]
-            self._uploads()[(bucket, key, uid)] = {}
+            # seq increment + registration under the server lock: two
+            # concurrent initiates (the many-executors story) must never
+            # mint the same UploadId (review r8)
+            with self.server.lock:  # type: ignore[attr-defined]
+                self.server.upload_seq += 1  # type: ignore[attr-defined]
+                uid = f"upload-{self.server.upload_seq}"  # type: ignore[attr-defined]
+                self._uploads()[(bucket, key, uid)] = {}
             root = ET.Element("InitiateMultipartUploadResult")
             ET.SubElement(root, "Bucket").text = bucket
             ET.SubElement(root, "Key").text = key
@@ -175,16 +191,19 @@ class _RgwHandler(BaseHTTPRequestHandler):
             self.wfile.write(out)
             return
         if "uploadId" in q:  # CompleteMultipartUpload
-            up = self._uploads().pop((bucket, key, q["uploadId"]), None)
+            with self.server.lock:  # type: ignore[attr-defined]
+                up = self._uploads().pop((bucket, key, q["uploadId"]), None)
+                if up is not None:
+                    # parts concatenate in partNumber order regardless of
+                    # upload order
+                    self._store()[(bucket, key)] = b"".join(
+                        up[p] for p in sorted(up)
+                    )
             if up is None:
                 self.send_response(404)
                 self.send_header("Content-Length", "0")
                 self.end_headers()
                 return
-            # parts concatenate in partNumber order regardless of upload order
-            self._store()[(bucket, key)] = b"".join(
-                up[p] for p in sorted(up)
-            )
             root = ET.Element("CompleteMultipartUploadResult")
             ET.SubElement(root, "Bucket").text = bucket
             ET.SubElement(root, "Key").text = key
@@ -206,7 +225,8 @@ class _RgwHandler(BaseHTTPRequestHandler):
             self._deny()
             return
         if "uploadId" in q:  # AbortMultipartUpload: discard buffered parts
-            existed = self._uploads().pop((bucket, key, q["uploadId"]), None)
+            with self.server.lock:  # type: ignore[attr-defined]
+                existed = self._uploads().pop((bucket, key, q["uploadId"]), None)
             self.send_response(204 if existed is not None else 404)
             self.send_header("Content-Length", "0")
             self.end_headers()
@@ -251,6 +271,7 @@ class _RgwHandler(BaseHTTPRequestHandler):
             dict(self.headers),
             secret_key=creds[1],
             payload=payload,
+            access_key=creds[0],  # wrong key ID refuses even with the secret
         )
 
     def _deny(self):
@@ -259,9 +280,12 @@ class _RgwHandler(BaseHTTPRequestHandler):
         self.end_headers()
 
     def do_GET(self):
-        if getattr(self.server, "fail_next_count", 0) > 0:
-            # test-only failure injection: transient 503, as a loaded RGW
-            self.server.fail_next_count -= 1  # type: ignore[attr-defined]
+        with self.server.lock:  # type: ignore[attr-defined]
+            inject = getattr(self.server, "fail_next_count", 0) > 0
+            if inject:
+                # test-only failure injection: transient 503, as a loaded RGW
+                self.server.fail_next_count -= 1  # type: ignore[attr-defined]
+        if inject:
             self.send_response(503)
             self.send_header("Content-Length", "0")
             self.end_headers()
@@ -358,6 +382,9 @@ class LoopbackRgw:
     ):
         self._server = ThreadingHTTPServer(("127.0.0.1", 0), _RgwHandler)
         self._server.objects = {}  # type: ignore[attr-defined]
+        self._server.uploads = {}  # type: ignore[attr-defined]
+        self._server.upload_seq = 0  # type: ignore[attr-defined]
+        self._server.lock = threading.Lock()  # type: ignore[attr-defined]
         self._server.page_size = page_size  # type: ignore[attr-defined]
         self._server.credentials = credentials  # type: ignore[attr-defined]
         self._server.daemon_threads = True

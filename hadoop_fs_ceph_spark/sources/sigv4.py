@@ -141,6 +141,7 @@ def verify_request(
     *,
     secret_key: str,
     payload: bytes | None = None,
+    access_key: str | None = None,
 ) -> bool:
     """Server-side check: recompute the signature from the received
     request with the shared secret and compare constant-time. Signs the
@@ -150,7 +151,10 @@ def verify_request(
 
     If ``payload`` is given its hash must also match the client's
     x-amz-content-sha256 claim (the header is signed, so a mismatch
-    means the body was swapped after signing)."""
+    means the body was swapped after signing). If ``access_key`` is
+    given, the Credential scope's key ID must equal it — real RGW
+    resolves the secret BY access key, so a wrong key ID must refuse
+    even when the secret would verify (review r8)."""
     lower = {k.lower(): v for k, v in headers.items()}
     auth = lower.get("authorization", "")
     if not auth.startswith(ALGORITHM):
@@ -162,10 +166,12 @@ def verify_request(
         credential = fields["Credential"]
         signed_list = fields["SignedHeaders"].split(";")
         claimed_sig = fields["Signature"]
-        _ak, date, region, service, term = credential.split("/")
+        ak, date, region, service, term = credential.split("/")
         amzdate = lower["x-amz-date"]
         payload_hash = lower["x-amz-content-sha256"]
     except (KeyError, ValueError):
+        return False
+    if access_key is not None and ak != access_key:
         return False
     if term != "aws4_request" or amzdate[:8] != date:
         return False

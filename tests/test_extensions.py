@@ -76,10 +76,11 @@ def test_ann_scores_match_bruteforce(spark, duck, sf_dir):
 
 
 def test_media_decode_stub_is_gated():
-    """Media decode routing after the round-7 PNG decoder landed: the
-    image/png path is REAL (valid PNG round-trips, corrupt bytes raise
-    ValueError — loud, never a silent wrong answer); only the
-    environment-limited audio/video paths remain the documented
+    """Media decode routing after the round-7 PNG and round-8 WAV
+    decoders landed: the image/png path is REAL (valid PNG round-trips,
+    corrupt bytes raise ValueError — loud, never a silent wrong answer),
+    audio/wav is REAL too (covered by test_contracts), and only the
+    environment-limited VIDEO path remains the documented
     NotImplementedError stub. Mirrors tests/test_contracts.py's
     test_media_decode_stub_contract."""
     from hadoop_fs_ceph_spark.functions.png_codec import encode_png

@@ -157,3 +157,25 @@ def test_idat_bomb_inflation_is_bounded():
     tracemalloc.stop()
     # peak stays near the compressed input (~64 KiB), nowhere near 64 MiB
     assert peak < 8 * 1024 * 1024, f"decode allocated {peak} bytes on a bomb"
+
+
+def test_truncated_adler_trailer_rejected():
+    """Review r8: a deflate stream whose final adler32 trailer is cut off
+    can still yield exactly stride*height bytes — the decoder must check
+    d.eof (trailer reached AND checksum verified), never accept it."""
+    good = encode_png(6, 4, bytes(range(24)))
+    (ln,) = struct.unpack(">I", good[8:12])
+    ihdr_chunk = good[8 : 8 + 12 + ln]
+    # rebuild IDAT without its last 4 bytes (the adler32), with a valid CRC
+    pos = 8 + 12 + ln
+    (idat_len,) = struct.unpack(">I", good[pos : pos + 4])
+    idat_body = good[pos + 8 : pos + 8 + idat_len]
+    cut = idat_body[:-4]
+    data = (
+        good[:8]
+        + ihdr_chunk
+        + _rechunk(b"IDAT", cut)
+        + _rechunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="(truncated|adler32|filtered bytes)"):
+        decode_png(data)

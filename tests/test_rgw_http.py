@@ -385,3 +385,54 @@ def test_multipart_signed_end_to_end():
             get_range(rgw.endpoint, "lake", "signed.bin", 0, len(data), creds=creds)
             == data
         )
+
+
+def test_concurrent_initiates_mint_distinct_upload_ids(rgw):
+    """Review r8: UploadId minting is a read-modify-write on shared
+    state under ThreadingHTTPServer — concurrent initiates must never
+    collide (a collision interleaves two executors' parts into one
+    object)."""
+    import threading
+    import urllib.parse
+    import xml.etree.ElementTree as ET
+
+    ids, errs = [], []
+
+    def initiate(i):
+        try:
+            req = urllib.request.Request(
+                f"{rgw.endpoint}/lake/c{i}.bin?uploads", data=b"", method="POST"
+            )
+            with urllib.request.urlopen(req) as resp:
+                ids.append(ET.fromstring(resp.read()).findtext("UploadId"))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=initiate, args=(i,)) for i in range(16)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert len(ids) == 16 and len(set(ids)) == 16, f"duplicate UploadIds: {ids}"
+
+
+def test_malformed_part_number_answers_400(rgw):
+    """Review r8: partNumber=abc (or out of S3's 1..10000 range) answers
+    400, never an uncaught ValueError severing the connection — same
+    failure class as the malformed-Range fix."""
+    import urllib.parse
+    import xml.etree.ElementTree as ET
+
+    base = f"{rgw.endpoint}/lake/pn.bin"
+    with urllib.request.urlopen(
+        urllib.request.Request(base + "?uploads", data=b"", method="POST")
+    ) as resp:
+        uid = ET.fromstring(resp.read()).findtext("UploadId")
+    for bad in ("abc", "0", "-1", "10001"):
+        url = f"{base}?partNumber={bad}&uploadId={urllib.parse.quote(uid)}"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                urllib.request.Request(url, data=b"x", method="PUT")
+            )
+        assert ei.value.code == 400, f"partNumber={bad}"

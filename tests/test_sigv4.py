@@ -156,3 +156,37 @@ def test_loopback_rgw_enforces_sigv4():
         expect = sorted([(i, ("v" * (i % 11)) or None) for i in range(200)] * 3,
                         key=lambda r: (r[0], r[1] or ""))
         assert sorted(rows, key=lambda r: (r[0], r[1] or "")) == expect
+
+
+def test_wrong_access_key_id_rejected():
+    """Review r8: the Credential scope's key ID is part of the identity —
+    a signature made with the RIGHT secret but the WRONG key ID must be
+    refused when the verifier pins the expected key (real RGW resolves
+    the secret BY access key)."""
+    import urllib.parse
+
+    url = "http://127.0.0.1:9000/lake/obj"
+    h = sign_request(
+        "GET",
+        url,
+        access_key="WRONG_KEY_ID",
+        secret_key=CREDS[1],
+        amzdate="20260815T120000Z",
+        payload=b"",
+    )
+    parts = urllib.parse.urlsplit(url)
+    # without a pinned key the signature itself verifies (secret matches)
+    assert verify_request(
+        "GET", parts.path, parts.query, h, secret_key=CREDS[1], payload=b""
+    )
+    # with the pinned key it must refuse
+    assert not verify_request(
+        "GET", parts.path, parts.query, h,
+        secret_key=CREDS[1], payload=b"", access_key=CREDS[0],
+    )
+    # and the enforcing server refuses it end to end
+    with LoopbackRgw(credentials=CREDS) as rgw:
+        rgw.put("b", "o", b"0123456789")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get_range(rgw.endpoint, "b", "o", 0, 4, creds=("WRONG_KEY_ID", CREDS[1]))
+        assert ei.value.code == 403

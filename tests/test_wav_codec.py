@@ -107,3 +107,16 @@ def test_bad_encode_inputs():
         encode_wav(0, [1])
     with pytest.raises(ValueError):
         encode_wav(8000, [40000])
+
+
+def test_chunk_overrunning_riff_envelope_rejected():
+    """Review r8: a chunk whose declared length overruns the RIFF
+    envelope end (but stays within the raw byte string) must raise, not
+    decode the trailing bytes silently."""
+    base = encode_wav(8000, [1, 2, 3])
+    # shrink the declared RIFF size by 2: the data chunk now extends past
+    # the envelope into 'trailing' bytes
+    (riff_len,) = struct.unpack("<I", base[4:8])
+    data = b"RIFF" + struct.pack("<I", riff_len - 2) + base[8:]
+    with pytest.raises(ValueError, match="overruns RIFF envelope"):
+        decode_wav(data)
