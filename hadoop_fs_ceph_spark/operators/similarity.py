@@ -2226,3 +2226,141 @@ def dedup_semantic_bucket_scaled(spark, sf_dir):
         .filter(F.col("cos_sim") > _SEM_THRESHOLD)
         .distinct()
     )
+
+
+@query(
+    "dedup_semantic_recall_report",
+    oracle=f"""
+    WITH params AS (
+      SELECT LEAST({_SEM_BUCKET_MAX_BITS}, GREATEST(1, {_SEM_BUCKET_LADDER})) AS b
+      FROM (SELECT (COUNT(*) + {_SEM_BUCKET_TARGET - 1}) // {_SEM_BUCKET_TARGET}
+                   AS ct
+            FROM embeddings)
+    ),
+    sample AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+    sbuckets AS (
+      SELECT e.vec_id, e.embedding, t.tbl,
+             {_SEM_BUCKET_TERMS} AS bucket
+      FROM sample e CROSS JOIN params p CROSS JOIN (VALUES (0), (1)) t(tbl)
+    ),
+    wide AS (
+      SELECT vec_id, embedding,
+             MAX(CASE WHEN tbl = 0 THEN bucket END) AS b0,
+             MAX(CASE WHEN tbl = 1 THEN bucket END) AS b1
+      FROM sbuckets GROUP BY vec_id, embedding
+    ),
+    truth AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CASE WHEN a.b0 = b.b0 OR a.b1 = b.b1 THEN 1 ELSE 0 END AS caught,
+             1.0 - (1.0 - POW(1.0 - ACOS(LEAST(GREATEST(
+               {sql_cosine("a.embedding", "b.embedding")}, -1.0), 1.0)) / PI(),
+               p.b)) * (1.0 - POW(1.0 - ACOS(LEAST(GREATEST(
+               {sql_cosine("a.embedding", "b.embedding")}, -1.0), 1.0)) / PI(),
+               p.b)) AS p_collide
+      FROM wide a JOIN wide b ON a.vec_id < b.vec_id
+      CROSS JOIN params p
+      WHERE {sql_cosine("a.embedding", "b.embedding")} > {_SEM_THRESHOLD}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sample) AS n_sample,
+           CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(caught) AS BIGINT) AS n_caught,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 1000000
+                ELSE SUM(caught) * 1000000 // COUNT(*) END AS BIGINT)
+             AS recall_ppm,
+           ROUND(COALESCE(SUM(ROUND(p_collide, 9)), 0.0), 9)
+             AS expected_caught
+    FROM truth
+    """,
+    tags=("dedup", "similarity", "semantic", "lsh", "calibration", "recall"),
+)
+def dedup_semantic_recall_report(spark, sf_dir):
+    """Blocking-recall calibration for `dedup_semantic_bucket_scaled` —
+    the same honesty report `dedup_lsh_recall_report` provides for
+    MinHash banding: on a deterministic ~1/7 sample of the corpus,
+    compute the EXACT truth set (all sampled pairs above τ — quadratic,
+    affordable because it is a sample) and measure what fraction shares
+    a sign-LSH bucket in either table, i.e. what the scaled tier's
+    candidate generation would recover. Emits exact integer counts, ppm
+    recall, AND the sign-LSH S-curve expectation (Σ over true pairs of
+    1-(1-p^b)², p = 1-θ/π) so measured-vs-theory agreement shows the
+    blocking behaves exactly as designed — the fixture's "dups" all sit
+    barely above τ={_SEM_THRESHOLD} (66°), where ANY sublinear blocking
+    has low recall by theorem; at the high-cosine band real SemDeDup
+    targets (0.95+, θ≈18°) the same p^b curve gives per-table collision
+    0.9^b. The bucket width b comes from the FULL corpus count — the
+    sample is scored under production blocking, not under easier
+    sample-sized blocking.
+
+    Scale shape: the quadratic stage touches only the sample (at 1/7 it
+    is ~2% of all-pairs; in production you'd sample harder); bucketing
+    is the same two map-side fold columns as the production tier; the
+    report is a one-row aggregate."""
+    e = t(spark, sf_dir, "embeddings")
+    n = e.count()  # full-corpus scalar: production bucket width
+    ct = max(1, (n + _SEM_BUCKET_TARGET - 1) // _SEM_BUCKET_TARGET)
+    b = max(1, min(_SEM_BUCKET_MAX_BITS, ct.bit_length() - 1))
+    sample = _with_norm(e.filter(F.col("vec_id") % 7 == 0))
+
+    def bucket_col(tbl: int):
+        col = F.lit(0)
+        for k in range(b):
+            col = col + F.when(
+                _sem_plane_dot(F.col("embedding"), tbl * 16 + k) >= 0,
+                F.lit(1 << k),
+            ).otherwise(F.lit(0))
+        return col
+
+    wide = sample.select(
+        "vec_id", "embedding", "en",
+        bucket_col(0).alias("b0"), bucket_col(1).alias("b1"),
+    )
+    a = wide.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        F.col("en").alias("ena"), F.col("b0").alias("a0"), F.col("b1").alias("a1"),
+    )
+    bb = wide.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        F.col("en").alias("enb"), F.col("b0").alias("c0"), F.col("b1").alias("c1"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("ena") * F.col("enb"))
+    # sign-LSH S-curve: per-bit collision p = 1 - θ/π; table collision
+    # p^b; either-of-two-tables 1-(1-p^b)² — the THEORY column the
+    # measured catch count is validated against (same honesty pattern as
+    # dedup_lsh_recall_report's banding S-curve)
+    p_bit = 1.0 - F.acos(F.least(F.greatest(cos, F.lit(-1.0)), F.lit(1.0))) / F.lit(
+        3.141592653589793
+    )
+    p_tbl = F.pow(p_bit, F.lit(float(b)))
+    p_collide = 1.0 - (1.0 - p_tbl) * (1.0 - p_tbl)
+    truth = (
+        a.join(bb, F.col("va") < F.col("vb"))
+        .filter(cos > _SEM_THRESHOLD)
+        .select(
+            ((F.col("a0") == F.col("c0")) | (F.col("a1") == F.col("c1")))
+            .cast("long")
+            .alias("caught"),
+            F.round(p_collide, 9).alias("p_collide"),
+        )
+    )
+    n_sample = sample.select(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    report = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.sum("caught").cast("long").alias("n_caught"),
+        F.round(F.coalesce(F.sum("p_collide"), F.lit(0.0)), 9).alias(
+            "expected_caught"
+        ),
+    ).select(
+        "n_true_pairs",
+        "n_caught",
+        F.when(F.col("n_true_pairs") == 0, F.lit(1000000).cast("long"))
+        .otherwise(
+            # integer div, matching the oracle's `//` exactly — a double
+            # division could truncate to n-1 on an x.999… representation
+            F.expr("n_caught * 1000000 div n_true_pairs")
+        )
+        .alias("recall_ppm"),
+        "expected_caught",
+    )
+    return n_sample.crossJoin(F.broadcast(report)).select(
+        "n_sample", "n_true_pairs", "n_caught", "recall_ppm", "expected_caught"
+    )
