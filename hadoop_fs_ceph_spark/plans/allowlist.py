@@ -77,6 +77,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "text_unigram_logprob": "one-row corpus-token-total broadcast",
     "sample_token_budget_mix": "one-row corpus-token-total broadcast into the 5-row rate relation",
     "dedup_semantic_cell": "K=8 seed-centroid table broadcast for cell assignment",
+    "dedup_semantic_recall_report": "one-row report broadcast onto the one-row sample count; the sampled all-pairs truth join is the declared calibration pass (1/7 sample, ~2% of pairs)",
     "profile_ks_drift": "one-row (lo, hi) bounds broadcast + fixed 17-bucket grid spine",
     "profile_emd_drift": "one-row bounds/total broadcasts onto the fixed 17-slot grid relation",
     "profile_simpson_paradox": "one-row pooled-margin broadcast onto the ≤|segments|-row verdict relation",
