@@ -195,10 +195,12 @@ class _RgwHandler(BaseHTTPRequestHandler):
                 up = self._uploads().pop((bucket, key, q["uploadId"]), None)
                 if up is not None:
                     # parts concatenate in partNumber order regardless of
-                    # upload order
-                    self._store()[(bucket, key)] = b"".join(
-                        up[p] for p in sorted(up)
-                    )
+                    # upload order; the ETag length is taken from the
+                    # assembled bytes INSIDE the lock — re-reading the store
+                    # after release would KeyError if a concurrent DELETE
+                    # removed the key (review r9)
+                    assembled = b"".join(up[p] for p in sorted(up))
+                    self._store()[(bucket, key)] = assembled
             if up is None:
                 self.send_response(404)
                 self.send_header("Content-Length", "0")
@@ -207,7 +209,7 @@ class _RgwHandler(BaseHTTPRequestHandler):
             root = ET.Element("CompleteMultipartUploadResult")
             ET.SubElement(root, "Bucket").text = bucket
             ET.SubElement(root, "Key").text = key
-            ET.SubElement(root, "ETag").text = f'"{len(self._store()[(bucket, key)])}"'
+            ET.SubElement(root, "ETag").text = f'"{len(assembled)}"'
             out = ET.tostring(root, encoding="utf-8", xml_declaration=True)
             self.send_response(200)
             self.send_header("Content-Type", "application/xml")
@@ -272,6 +274,9 @@ class _RgwHandler(BaseHTTPRequestHandler):
             secret_key=creds[1],
             payload=payload,
             access_key=creds[0],  # wrong key ID refuses even with the secret
+            # replay window: a captured signed request dies after ~15 min,
+            # as real SigV4 gateways enforce (review r9)
+            now_amzdate=time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()),
         )
 
     def _deny(self):
@@ -339,7 +344,11 @@ class _RgwHandler(BaseHTTPRequestHandler):
         after = q.get("continuation-token", "")
         page = getattr(self.server, "page_size", 1000)
         try:
-            page = min(page, int(q.get("max-keys", page)))
+            # clamp at 0: max-keys=0 is valid S3 (empty page, IsTruncated
+            # false, no token) — an unclamped negative would slice from the
+            # tail, and page=0 with truncated=true would emit a token from
+            # an empty page (IndexError severing the connection; review r9)
+            page = min(page, max(0, int(q.get("max-keys", page))))
         except ValueError:
             pass
         matches = sorted(
@@ -347,7 +356,7 @@ class _RgwHandler(BaseHTTPRequestHandler):
             for (b, k), body in self._store().items()
             if b == bucket and k.startswith(prefix) and k > after
         )
-        emitted, truncated = matches[:page], len(matches) > page
+        emitted, truncated = matches[:page], page > 0 and len(matches) > page
         root = ET.Element("ListBucketResult")
         ET.SubElement(root, "Name").text = bucket
         ET.SubElement(root, "Prefix").text = prefix
@@ -459,12 +468,25 @@ def _signed_headers(
     return headers
 
 
+_IDEMPOTENT_METHODS = frozenset({"GET", "HEAD", "PUT", "DELETE"})
+
+
 def _open_with_retry(req, attempts: int = RETRY_ATTEMPTS):
     """urlopen with bounded exponential backoff. Retries transient failures
     (connection reset/refused, timeout, HTTP 5xx — the failure modes of a
     real RGW under load); 4xx are semantic answers and surface immediately.
-    The reference leaves retries to the S3A client; this is our analog."""
+    The reference leaves retries to the S3A client; this is our analog.
+
+    Only IDEMPOTENT methods auto-retry (GET/HEAD/PUT/DELETE — S3 PUTs of
+    both objects and numbered parts are last-writer-wins, so a repeat is
+    safe). Non-idempotent POSTs (InitiateMultipartUpload,
+    CompleteMultipartUpload) get ONE attempt: a response lost after
+    server-side success would otherwise trigger a duplicate complete that
+    answers 404 and turns a successful upload into a client failure
+    (review r9) — the caller owns recovery (abort + restart)."""
     delay = RETRY_BASE_DELAY
+    if req.get_method() not in _IDEMPOTENT_METHODS:
+        attempts = 1
     for attempt in range(attempts):
         try:
             return urllib.request.urlopen(req, timeout=30)
@@ -609,9 +631,16 @@ def abort_multipart(
     req = urllib.request.Request(
         url, method="DELETE", headers=_signed_headers("DELETE", url, b"", creds)
     )
-    with _open_with_retry(req) as resp:
-        if resp.status not in (200, 204):
-            raise IOError(f"AbortMultipartUpload -> {resp.status}")
+    try:
+        with _open_with_retry(req) as resp:
+            if resp.status not in (200, 204):
+                raise IOError(f"AbortMultipartUpload -> {resp.status}")
+    except urllib.error.HTTPError as e:
+        # 404 = upload already gone — the success state for an abort whose
+        # first attempt landed but whose response was lost (DELETE is in the
+        # auto-retry set, so the retry must be idempotent end to end)
+        if e.code != 404:
+            raise
 
 
 # --------------------------------------------------------------------------

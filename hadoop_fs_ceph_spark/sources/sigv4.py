@@ -63,6 +63,22 @@ def canonical_query(query: str) -> str:
     return "&".join(f"{k}={v}" for k, v in enc)
 
 
+def _fresh(amzdate: str, now_amzdate: str, max_skew_seconds: int) -> bool:
+    """|now - request timestamp| <= skew, both ISO-basic UTC. Malformed
+    timestamps are stale by definition (never raise: the HTTP layer
+    answers 403)."""
+    import calendar
+    import time as _time
+
+    fmt = "%Y%m%dT%H%M%SZ"
+    try:
+        a = calendar.timegm(_time.strptime(amzdate, fmt))
+        b = calendar.timegm(_time.strptime(now_amzdate, fmt))
+    except ValueError:
+        return False
+    return abs(a - b) <= max_skew_seconds
+
+
 def signing_key(secret_key: str, date: str, region: str, service: str) -> bytes:
     """The HMAC derivation chain (step 3). ``date`` is YYYYMMDD."""
     k = _hmac(("AWS4" + secret_key).encode(), date)
@@ -142,19 +158,34 @@ def verify_request(
     secret_key: str,
     payload: bytes | None = None,
     access_key: str | None = None,
+    now_amzdate: str | None = None,
+    max_skew_seconds: int = 900,
 ) -> bool:
     """Server-side check: recompute the signature from the received
-    request with the shared secret and compare constant-time. Signs the
-    header subset the client declared in SignedHeaders (as a real
-    gateway does). Returns False on any malformed/missing auth material
-    rather than raising — the HTTP layer answers 403 either way.
+    request with the shared secret and compare constant-time. Returns
+    False on any malformed/missing auth material rather than raising —
+    the HTTP layer answers 403 either way.
 
-    If ``payload`` is given its hash must also match the client's
-    x-amz-content-sha256 claim (the header is signed, so a mismatch
-    means the body was swapped after signing). If ``access_key`` is
-    given, the Credential scope's key ID must equal it — real RGW
-    resolves the secret BY access key, so a wrong key ID must refuse
-    even when the secret would verify (review r8)."""
+    Enforced beyond the bare signature (real SigV4 gateways require all
+    of these; review r9 closed the gap with the docstring's "exactly as
+    real RGW enforces" claim):
+
+    * ``host`` and EVERY ``x-amz-*`` header present on the request must
+      appear in SignedHeaders — otherwise a captured request could be
+      replayed with an added unsigned header (e.g. an unsigned Range)
+      and still verify.
+    * If ``now_amzdate`` is given (ISO-basic YYYYMMDD'T'HHMMSS'Z', the
+      server's clock), ``|now - x-amz-date|`` must be within
+      ``max_skew_seconds`` (default 900 s, AWS's ~15-minute window) —
+      bounding how long a captured signed request stays replayable.
+      ``None`` skips the freshness check (pure-function verification of
+      pinned historical vectors).
+    * If ``payload`` is given its hash must match the client's signed
+      x-amz-content-sha256 claim (a mismatch means the body was swapped
+      after signing). If ``access_key`` is given, the Credential
+      scope's key ID must equal it — real RGW resolves the secret BY
+      access key, so a wrong key ID must refuse even when the secret
+      would verify (review r8)."""
     lower = {k.lower(): v for k, v in headers.items()}
     auth = lower.get("authorization", "")
     if not auth.startswith(ALGORITHM):
@@ -174,6 +205,14 @@ def verify_request(
     if access_key is not None and ak != access_key:
         return False
     if term != "aws4_request" or amzdate[:8] != date:
+        return False
+    if now_amzdate is not None and not _fresh(amzdate, now_amzdate, max_skew_seconds):
+        return False
+    # host and every present x-amz-* header must be signed: an unsigned
+    # one could be added/altered after signing without breaking the
+    # signature (SigV4 requires them in the canonical set)
+    required = {"host"} | {k for k in lower if k.startswith("x-amz-")}
+    if required - set(signed_list):
         return False
     if payload is not None and _sha256_hex(payload) != payload_hash:
         return False

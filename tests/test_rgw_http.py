@@ -436,3 +436,138 @@ def test_malformed_part_number_answers_400(rgw):
                 urllib.request.Request(url, data=b"x", method="PUT")
             )
         assert ei.value.code == 400, f"partNumber={bad}"
+
+
+def test_max_keys_zero_answers_empty_untruncated(rgw):
+    """Review r9 (ADVICE): max-keys=0 is valid per the S3 API — the answer
+    is an EMPTY page with IsTruncated=false and NO continuation token
+    (AWS behavior), never an IndexError severing the connection from
+    emitting a token off an empty page. Negative values clamp to 0."""
+    import xml.etree.ElementTree as ET
+
+    for i in range(5):
+        rgw.put("lake", f"z/k{i}", b"v")
+    for mk in ("0", "-3"):
+        with urllib.request.urlopen(
+            f"{rgw.endpoint}/lake?list-type=2&prefix=z/&max-keys={mk}"
+        ) as resp:
+            root = ET.fromstring(resp.read())
+        assert root.findtext("KeyCount") == "0", f"max-keys={mk}"
+        assert root.findtext("IsTruncated") == "false"
+        assert root.findtext("NextContinuationToken") is None
+        assert not root.findall("Contents")
+    # non-numeric max-keys falls back to the server page size (ignored)
+    with urllib.request.urlopen(
+        f"{rgw.endpoint}/lake?list-type=2&prefix=z/&max-keys=abc"
+    ) as resp:
+        root = ET.fromstring(resp.read())
+    assert root.findtext("KeyCount") == "5"
+
+
+def test_retry_is_restricted_to_idempotent_methods(monkeypatch):
+    """Review r9 (ADVICE): non-idempotent multipart POSTs
+    (initiate/complete) must NOT auto-retry — a response lost after
+    server-side success would re-apply the complete, answer 404, and turn
+    a successful upload into a client failure. Idempotent methods keep
+    the full retry budget."""
+    import io
+
+    import hadoop_fs_ceph_spark.sources.rgw_http as rgw_mod
+
+    calls = {"n": 0}
+
+    def flaky_urlopen(req, timeout=None):
+        calls["n"] += 1
+        raise urllib.error.HTTPError(
+            req.full_url, 503, "slow down", {}, io.BytesIO(b"")
+        )
+
+    monkeypatch.setattr(rgw_mod.urllib.request, "urlopen", flaky_urlopen)
+
+    post = urllib.request.Request(
+        "http://127.0.0.1:1/b/k?uploads", data=b"", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError):
+        rgw_mod._open_with_retry(post)
+    assert calls["n"] == 1, "POST must get exactly one attempt"
+
+    calls["n"] = 0
+    get = urllib.request.Request("http://127.0.0.1:1/b/k")
+    with pytest.raises(urllib.error.HTTPError):
+        rgw_mod._open_with_retry(get)
+    assert calls["n"] == rgw_mod.RETRY_ATTEMPTS
+
+
+def test_abort_twice_is_idempotent(rgw):
+    """A second abort of the same upload (the retried-DELETE case: first
+    attempt landed, response lost) returns success, not HTTPError 404 —
+    DELETE is in the auto-retry set so the retry must be safe end to end."""
+    import xml.etree.ElementTree as ET
+
+    from hadoop_fs_ceph_spark.sources.rgw_http import abort_multipart
+
+    base = f"{rgw.endpoint}/lake/ab2.bin"
+    with urllib.request.urlopen(
+        urllib.request.Request(base + "?uploads", data=b"", method="POST")
+    ) as resp:
+        uid = ET.fromstring(resp.read()).findtext("UploadId")
+    abort_multipart(rgw.endpoint, "lake", "ab2.bin", uid)
+    abort_multipart(rgw.endpoint, "lake", "ab2.bin", uid)  # must not raise
+
+
+def test_concurrent_delete_during_complete_never_severs(rgw):
+    """Review r9 (ADVICE): the CompleteMultipartUpload ETag is computed
+    from the assembled bytes INSIDE the server lock; a DELETE racing the
+    complete can win or lose the race, but the complete must always answer
+    a well-formed response (200 or 404), never drop the connection."""
+    import threading
+    import urllib.parse
+    import xml.etree.ElementTree as ET
+
+    errs = []
+
+    def one_round(i):
+        try:
+            key = f"race{i}.bin"
+            base = f"{rgw.endpoint}/lake/{key}"
+            with urllib.request.urlopen(
+                urllib.request.Request(base + "?uploads", data=b"", method="POST")
+            ) as resp:
+                uid = ET.fromstring(resp.read()).findtext("UploadId")
+            url = f"{base}?partNumber=1&uploadId={urllib.parse.quote(uid)}"
+            urllib.request.urlopen(
+                urllib.request.Request(url, data=b"payload", method="PUT")
+            ).close()
+
+            def deleter():
+                try:
+                    urllib.request.urlopen(
+                        urllib.request.Request(base, method="DELETE")
+                    ).close()
+                except urllib.error.HTTPError as e:
+                    if e.code != 404:
+                        raise
+
+            th = threading.Thread(target=deleter)
+            th.start()
+            try:
+                urllib.request.urlopen(
+                    urllib.request.Request(
+                        f"{base}?uploadId={urllib.parse.quote(uid)}",
+                        data=b"",
+                        method="POST",
+                    )
+                ).close()
+            except urllib.error.HTTPError as e:
+                if e.code != 404:
+                    raise
+            th.join()
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=one_round, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs

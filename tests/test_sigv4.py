@@ -190,3 +190,81 @@ def test_wrong_access_key_id_rejected():
         with pytest.raises(urllib.error.HTTPError) as ei:
             get_range(rgw.endpoint, "b", "o", 0, 4, creds=("WRONG_KEY_ID", CREDS[1]))
         assert ei.value.code == 403
+
+
+def test_unsigned_added_xamz_header_rejected():
+    """Review r9 (ADVICE): a request replayed with an ADDED x-amz-* header
+    the client never signed must refuse — real SigV4 requires every
+    present x-amz-* header in the canonical set, otherwise the addition
+    is invisible to the signature."""
+    url = "http://127.0.0.1:9/b/k"
+    headers = sign_request(
+        "GET", url, access_key=CREDS[0], secret_key=CREDS[1],
+        amzdate="20260815T120000Z",
+    )
+    headers["host"] = "127.0.0.1:9"
+    assert verify_request("GET", "/b/k", "", headers, secret_key=CREDS[1])
+    tampered = dict(headers)
+    tampered["x-amz-meta-evil"] = "1"  # added after signing, unsigned
+    assert not verify_request("GET", "/b/k", "", tampered, secret_key=CREDS[1])
+
+
+def test_signature_excluding_host_rejected():
+    """A signature that is internally valid over a SignedHeaders set
+    which omits `host` must refuse: host binds the request to the
+    endpoint, and SigV4 requires it signed."""
+    import hashlib
+    import hmac as hmac_mod
+
+    from hadoop_fs_ceph_spark.sources.sigv4 import (
+        ALGORITHM,
+        _canonical_request,
+        _sha256_hex,
+    )
+
+    amzdate = "20260815T120000Z"
+    payload_hash = _sha256_hex(b"")
+    to_sign = {"x-amz-date": amzdate, "x-amz-content-sha256": payload_hash}
+    canon, signed = _canonical_request("GET", "/b/k", "", to_sign, payload_hash)
+    date = amzdate[:8]
+    scope = f"{date}/us-east-1/s3/aws4_request"
+    sts = "\n".join([ALGORITHM, amzdate, scope, _sha256_hex(canon.encode())])
+    sig = hmac_mod.new(
+        signing_key(CREDS[1], date, "us-east-1", "s3"), sts.encode(), hashlib.sha256
+    ).hexdigest()
+    headers = {
+        "host": "127.0.0.1:9",  # present on the wire, NOT signed
+        "x-amz-date": amzdate,
+        "x-amz-content-sha256": payload_hash,
+        "Authorization": (
+            f"{ALGORITHM} Credential={CREDS[0]}/{scope}, "
+            f"SignedHeaders={signed}, Signature={sig}"
+        ),
+    }
+    assert not verify_request("GET", "/b/k", "", headers, secret_key=CREDS[1])
+
+
+def test_replay_window_bounds_captured_requests():
+    """Review r9 (ADVICE): with a server clock supplied, |now − x-amz-date|
+    beyond the skew window refuses — a captured signed request cannot be
+    replayed indefinitely. Within the window it verifies; without a clock
+    (pure-function mode, e.g. the pinned AWS historical vector) freshness
+    is not checked."""
+    url = "http://127.0.0.1:9/b/k"
+    amzdate = "20260815T120000Z"
+    headers = sign_request(
+        "GET", url, access_key=CREDS[0], secret_key=CREDS[1], amzdate=amzdate
+    )
+    headers["host"] = "127.0.0.1:9"
+    ok = dict(secret_key=CREDS[1])
+    assert verify_request("GET", "/b/k", "", headers, **ok)  # no clock
+    assert verify_request(
+        "GET", "/b/k", "", headers, now_amzdate="20260815T121000Z", **ok
+    )  # 10 min skew, inside the 15-min window
+    assert not verify_request(
+        "GET", "/b/k", "", headers, now_amzdate="20260815T122000Z", **ok
+    )  # 20 min: replay refused
+    assert not verify_request(
+        "GET", "/b/k", "", headers, now_amzdate="20260815T115000Z",
+        max_skew_seconds=60, **ok
+    )  # configurable window
