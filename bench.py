@@ -67,16 +67,15 @@ def main() -> None:
 
     calibs = [_calibrate()]
 
-    # Two timed runs per query as two INTERLEAVED full passes, report the
-    # per-query min: the first pass pays one-time whole-stage-codegen +
-    # JIT compilation (~1s for the widest expression trees), which at
+    # Best-of-3 per query, as three INTERLEAVED full passes (VERDICT r8
+    # item 1: error bars): the first pass pays one-time whole-stage-codegen
+    # + JIT compilation (~1s for the widest expression trees), which at
     # 100 TB amortizes to nothing — steady-state execution is the
     # throughput being measured. Interleaving matters on these hosts:
     # contention arrives in multi-second bursts (observed 40% total swings,
     # single queries 5x), so back-to-back repeats of one query all land in
     # the same burst, while passes separated by the full suite length give
-    # every query one quiet measurement with high probability — without
-    # growing total runtime past the harness budget.
+    # every query ~3 independent draws against the burst process.
     # Two tiers per query:
     # * COLD (the headline `queries` dict): every run starts with a cleared
     #   SQL cache, so operators that persist() intermediates pay their full
@@ -86,36 +85,49 @@ def main() -> None:
     #   keeps its signature/gram tables materialized, and the semantics
     #   earlier BENCH_r* rounds effectively reported (min of back-to-back
     #   runs reused the cache), kept for series continuity.
-    timings: dict[str, float] = {}
-    warm: dict[str, float] = {}
-    for _pass in range(2):
+    # Per-query SPREAD (max−min over the draws EXCLUDING pass 1, which
+    # pays the one-time JIT/codegen cost and would conflate warmup with
+    # noise) is reported so a round-over-round delta can be judged against
+    # the measurement noise: a ±15% drift INSIDE the spread is host
+    # contention, outside it is a plan regression — the distinction
+    # BENCH_r8 could not make.
+    _PASSES = 3
+    cold_samples: dict[str, list[float]] = {n: [] for n in bench_specs}
+    warm_samples: dict[str, list[float]] = {n: [] for n in bench_specs}
+    for _pass in range(_PASSES):
         if _pass:
-            calibs.append(_calibrate())  # mid-suite probe, interleaved
+            calibs.append(_calibrate())  # mid-suite probes, interleaved
         for name, spec in bench_specs.items():
             start = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - start
-            timings[name] = min(timings.get(name, float("inf")), elapsed)
+            cold_samples[name].append(time.perf_counter() - start)
             start = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            warm[name] = min(
-                warm.get(name, float("inf")), time.perf_counter() - start
-            )
+            warm_samples[name].append(time.perf_counter() - start)
             # drop per-query persisted intermediates so one query's cached
             # blocks can't crowd executor memory for the next
             spark.catalog.clearCache()
-    timings = {name: round(v, 3) for name, v in timings.items()}
-    warm = {name: round(v, 3) for name, v in warm.items()}
+    timings = {n: round(min(v), 3) for n, v in cold_samples.items()}
+    warm = {n: round(min(v), 3) for n, v in warm_samples.items()}
+    spread = {
+        n: round(max(v[1:]) - min(v[1:]), 3) for n, v in cold_samples.items()
+    }
+    spread_warm = {
+        n: round(max(v[1:]) - min(v[1:]), 3) for n, v in warm_samples.items()
+    }
 
     calibs.append(_calibrate())
     total = round(sum(timings.values()), 3)
-    # Normalization: 3 interleaved probes (pre / mid-suite / post), MEDIAN
-    # spark-calib — min-of-2 undersells sustained contention, mean is
+    # Normalization: 4 interleaved probes (pre / between passes / post),
+    # MEDIAN spark-calib — min undersells sustained contention, mean is
     # hostage to one burst. calib_ref pins the round-3 host (0.285 s) so
-    # total_normalized is comparable across rounds: it is the total this
-    # suite would have taken on the r3 reference host.
+    # normalized numbers are comparable across rounds: they are what this
+    # suite would have clocked on the r3 reference host. Per-query
+    # normalized values make the cross-round like-for-like table one
+    # subtraction instead of a hand-scaled estimate.
     calib_ref = 0.285
     calib_spark = sorted(c[0] for c in calibs)[len(calibs) // 2]
+    scale = calib_ref / calib_spark
     print(
         json.dumps(
             {
@@ -124,16 +136,20 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_warm": warm,
+                "spread": spread,
+                "spread_warm": spread_warm,
+                "queries_normalized": {
+                    n: round(v * scale, 3) for n, v in timings.items()
+                },
                 "total_warm": round(sum(warm.values()), 3),
                 "sf": sf,
+                "passes": _PASSES,
                 "calib_spark_sec": calib_spark,
                 "calib_py_sec": sorted(c[1] for c in calibs)[len(calibs) // 2],
                 "calib_probes": calibs,
                 "calib_ref": calib_ref,
-                "total_normalized": round(total * (calib_ref / calib_spark), 3),
-                "total_warm_normalized": round(
-                    sum(warm.values()) * (calib_ref / calib_spark), 3
-                ),
+                "total_normalized": round(total * scale, 3),
+                "total_warm_normalized": round(sum(warm.values()) * scale, 3),
             }
         )
     )
