@@ -617,6 +617,14 @@ def sim_matryoshka_recall(spark, sf_dir):
 
 _N_SEM_CELLS = 8
 _SEM_THRESHOLD = 0.4
+# Hard ceiling for the fixed-K cell tier (VERDICT r8 item 2): the ×100
+# soak MEASURED this operator at 764× wall for 100× data (n=200,000) —
+# with K fixed, within-cell pairs grow quadratically, so past this size
+# the quadratic term dominates and the run must be refused, not merely
+# warned about in a docstring. 50,000 keeps every oracle/bench scale
+# (≤2,000 rows) and a generous margin while stopping the measured
+# blow-up region. The scale path is `dedup_semantic_bucket_scaled`.
+_SEM_CELL_MAX_N = 50_000
 
 
 def _with_norm(e):
@@ -696,8 +704,24 @@ def dedup_semantic_cell(spark, sf_dir):
     refinement lives in `dedup_semantic_cell_refined` /
     `sim_kmeans_converged`, where K would scale as n/target in a real
     deployment. Cosines are sequential folds — bit-identical
-    cross-engine."""
+    cross-engine.
+
+    GUARDED (VERDICT r8 item 2): refuses outright above
+    ``_SEM_CELL_MAX_N`` rows with a RuntimeError naming the scaled tier
+    — the measured-quadratic region must be unreachable, not just
+    documented. The one COUNT scalar that sizes the guard is a
+    control-plane read, the same class as the scaled tier's bucket-width
+    count."""
     e = t(spark, sf_dir, "embeddings")
+    n = e.count()  # control-plane scalar: feeds only the size guard
+    if n > _SEM_CELL_MAX_N:
+        raise RuntimeError(
+            f"dedup_semantic_cell: {n} embeddings exceeds the fixed-K tier's "
+            f"ceiling of {_SEM_CELL_MAX_N} — with K={_N_SEM_CELLS} cells the "
+            "within-cell pair stage is quadratic in n (measured 764x wall at "
+            "100x data, SCALE.md); use dedup_semantic_bucket_scaled, whose "
+            "adaptive bucket width keeps candidate pairs O(n)."
+        )
     en = _with_norm(e)
     seeds = en.filter(F.col("vec_id") < _N_SEM_CELLS).select(
         F.col("vec_id").alias("cid"),

@@ -2681,3 +2681,24 @@ def test_delta_method_widens_naive_se(spark, sf_dir):
     assert r["se_diff"] > 0.0
     assert abs(r["diff"] - (r["ratio_b"] - r["ratio_a"])) < 1e-9
     assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_semantic_cell_size_guard_refuses_quadratic_region(spark, sf_dir, monkeypatch):
+    """VERDICT r8 item 2: the fixed-K cell tier is measured-quadratic
+    (764x wall at 100x data, SCALE.md) — above _SEM_CELL_MAX_N it must
+    REFUSE with a RuntimeError that names the scaled tier, not silently
+    run. Below the ceiling it runs normally (the oracle tier)."""
+    import pytest as _pytest
+
+    from hadoop_fs_ceph_spark.operators import similarity as sim
+
+    # ceiling sanity: bench/oracle scales stay far below the guard, the
+    # measured blow-up scale (200k at x100 soak) is far above it
+    assert 2_000 < sim._SEM_CELL_MAX_N < 200_000
+
+    monkeypatch.setattr(sim, "_SEM_CELL_MAX_N", 100)
+    with _pytest.raises(RuntimeError, match="dedup_semantic_bucket_scaled"):
+        sim.dedup_semantic_cell(spark, sf_dir)  # sf0.001 has 500 > 100 rows
+
+    monkeypatch.setattr(sim, "_SEM_CELL_MAX_N", 50_000)
+    assert sim.dedup_semantic_cell(spark, sf_dir).count() >= 0
