@@ -1079,123 +1079,173 @@ def dedup_keeper_selection(spark, sf_dir):
     )
 
 
-_RECALL_CAP = 200  # absolute doc_id bound for the truth sample
-_RECALL_GRID = (0.5, 0.6, 0.7, 0.8, 0.9)
+_RECALL_CAP = 200  # absolute doc_id bound for the calibration cohort
+# Planted-variant cohort (VERDICT r8 item 3): the natural truth set under
+# the cap holds only 3 pairs at sf0.01 (25 corpus-wide), all at ja≈1.0 —
+# binomially vacuous at every grid threshold. Each sampled document
+# instead gets ONE deterministic variant shingle set per level: keep a
+# shingle iff (v·131+77) mod 1000 < fppt, replace each dropped shingle
+# with a fresh deterministic hash — keeping fraction f of |S| and adding
+# (1−f)|S| new shingles lands Jaccard at f/(2−f), so fppt = ⌊1000·2J/(1+J)⌋
+# targets each grid J. The EXACT per-pair Jaccard is still computed (the
+# target only positions pairs in bands), giving ~200 true pairs per level
+# at sf0.01 instead of 3.
+_RECALL_LEVELS = (
+    (0.5, 667, 1),
+    (0.6, 750, 2),
+    (0.7, 824, 3),
+    (0.8, 889, 4),
+    (0.9, 947, 5),
+)
+_SQL_RECALL_LEVELS = ", ".join(
+    f"(CAST({tja} AS DOUBLE), {fppt}, {lvl})" for tja, fppt, lvl in _RECALL_LEVELS
+)
+_SQL_VSH = """list_distinct(list_concat(
+           list_filter(sh, v -> (v * 131 + 77) % 1000 < fppt),
+           list_transform(list_filter(sh, v -> (v * 131 + 77) % 1000 >= fppt),
+                          v -> (v * 48271 + 1000003 * (lvl + 1)) % 1000000007)
+         ))"""
+_SQL_BAND_HIT = " OR ".join(
+    f"({sql_band_hash('sig', b)}) = ({sql_band_hash('vsig', b)})"
+    for b in range(N_BANDS)
+)
 
 
 @query(
     "dedup_lsh_recall_report",
     oracle=f"""
     WITH docs AS ({_SQL_MINHASH_DOCS}),
-    s AS (SELECT * FROM docs WHERE doc_id < {_RECALL_CAP}),
-    p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             len(list_intersect(a.sh, b.sh))
-               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-               AS ja
-      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    s AS (
+      SELECT doc_id, sh, sig FROM docs
+      WHERE doc_id < {_RECALL_CAP} AND len(sh) > 0
     ),
-    truth AS (SELECT * FROM p WHERE ja >= 0.5),
-    bands AS (
-      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {sql_band_hash('sig', b)} AS bh FROM s" for b in range(N_BANDS))}
+    levels AS (
+      SELECT * FROM (VALUES {_SQL_RECALL_LEVELS}) AS v(tja, fppt, lvl)
     ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-      WHERE a.doc_id < b.doc_id
+    planted AS (
+      SELECT doc_id, tja, fppt, lvl, sh, sig, {_SQL_VSH} AS vsh
+      FROM s CROSS JOIN levels
+    ),
+    pairs AS (
+      SELECT tja, lvl, sig, {sql_minhash_signature("vsh")} AS vsig,
+             CAST(len(list_intersect(sh, vsh)) AS DOUBLE)
+               / (len(sh) + len(vsh) - len(list_intersect(sh, vsh))) AS ja
+      FROM planted WHERE len(vsh) > 0
     ),
     m AS (
-      SELECT t.ja,
-             CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
-      FROM truth t LEFT JOIN cand c
-        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
-    ),
-    g AS (
-      SELECT CAST(unnest([{", ".join(str(t) for t in _RECALL_GRID)}]) AS DOUBLE) AS t
-    ),
-    agg AS (
-      SELECT g.t, CAST(COUNT(m.ja) AS BIGINT) AS n_truth,
-             CAST(COALESCE(SUM(m.hit), 0) AS BIGINT) AS n_hit
-      FROM g LEFT JOIN m ON m.ja >= g.t GROUP BY g.t
+      SELECT tja, lvl, ja,
+             CASE WHEN {_SQL_BAND_HIT} THEN 1 ELSE 0 END AS hit,
+             1.0 - (1.0 - ja*ja*ja*ja) * (1.0 - ja*ja*ja*ja)
+                 * (1.0 - ja*ja*ja*ja) * (1.0 - ja*ja*ja*ja) AS p
+      FROM pairs WHERE ja >= 0.5
     )
-    SELECT t AS threshold, n_truth, n_hit,
-           CASE WHEN n_truth = 0 THEN NULL
-                ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall,
-           ROUND(1 - (1 - t*t*t*t) * (1 - t*t*t*t) * (1 - t*t*t*t)
-                     * (1 - t*t*t*t), 6) AS theory_recall
-    FROM agg ORDER BY t
+    SELECT tja AS target_ja,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm,
+           ROUND(SUM(p), 6) AS expected_hits,
+           ROUND(SQRT(SUM(p * (1.0 - p))), 6) AS sigma,
+           CAST(ABS(CAST(SUM(hit) AS DOUBLE) - ROUND(SUM(p), 6))
+                < 4.0 * ROUND(SQRT(SUM(p * (1.0 - p))), 6) + 1.5
+                AS BOOLEAN) AS within_tolerance
+    FROM m GROUP BY tja, lvl ORDER BY tja
     """,
     tags=("dedup", "minhash", "lsh", "recall", "quality"),
 )
 def dedup_lsh_recall_report(spark, sf_dir):
-    """LSH recall calibration — the measurement that justifies a MinHash
-    banding config before a production dedup run: on a bounded truth
-    sample (doc_id < 200, an absolute bound) every pair's EXACT
-    hashed-shingle Jaccard is computed, and the LSH candidate stage's
-    empirical recall at each similarity threshold is reported next to
-    the banding theory curve 1-(1-s^r)^b for the deployed r=4, b=4 —
-    this is how you read off "at 0.8 similarity the candidate stage
-    finds ~88% of true pairs; tighten bands or add a second pass if the
-    corpus needs more". The theory column uses explicit multiplication
-    chains (never pow) so both engines produce the identical double.
+    """LSH recall calibration with STATISTICAL content (VERDICT r8
+    item 3) — the measurement that justifies a MinHash banding config
+    before a production dedup run. The natural corpus holds too few
+    mid-similarity pairs to calibrate on (3 under the cap, all ja≈1.0),
+    so every capped document gets a deterministic planted VARIANT per
+    grid level: a keep/replace split of its hashed-shingle set tuned so
+    Jaccard lands near each target (keep fraction f ⇒ J = f/(2−f)); the
+    exact per-pair Jaccard is then computed and the banding stage's
+    empirical catch rate is compared to the S-curve theory
+    1-(1-ja⁴)⁴ for the deployed r=4, b=4, with a binomial verdict
+    |hits − Σp| < 4σ + 1.5 (σ = √Σp(1−p); same tolerance pattern as
+    `profile_bloom_fpp_calibration`). ~200 true pairs per level at
+    sf0.01 — the n ≥ 30 the calibration claim needs.
 
-    Scale shape: the all-pairs truth join is confined to the absolute
-    200-doc sample (the whole point — truth is only computable on a
-    sample); the candidate stage reuses the production banding over the
-    same sample; the threshold grid is 5 literal rows. Empirical recall
-    divides two exact integers."""
-    docs = _minhash_docs(spark, sf_dir, cap=_RECALL_CAP)
-    xa, xb = _pair_sides(docs)
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    truth = (
-        xa.join(xb, F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter / (F.col("na") + F.col("nb") - inter)).alias("ja"),
+    Float parity: ja is a ratio of exact integers (one IEEE division —
+    bit-identical cross-engine) and the S-curve is an explicit
+    multiplication chain (never pow), so per-pair p is bit-identical;
+    sums are rounded to 6 digits to absorb summation-order ulps.
+
+    Scale shape: O(n) — each document meets only its own 5 variants
+    (the previous all-pairs truth join is gone entirely); the band-hit
+    test is a per-row column comparison, not a join; the report is a
+    5-row aggregate. At 100 TB the cohort cap simply widens."""
+    docs = _minhash_docs(spark, sf_dir, cap=_RECALL_CAP).filter(F.size("sh") > 0)
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(tja).alias("tja"),
+                F.lit(fppt).alias("fppt"),
+                F.lit(lvl).alias("lvl"),
+            )
+            for tja, fppt, lvl in _RECALL_LEVELS
+        ]
+    )
+
+    def keep(v):
+        return F.pmod(v * 131 + 77, F.lit(1000)) < F.col("fppt")
+
+    vsh = F.array_distinct(
+        F.concat(
+            F.filter("sh", keep),
+            F.transform(
+                F.filter("sh", lambda v: ~keep(v)),
+                lambda v: F.pmod(
+                    v * 48271 + F.lit(1000003) * (F.col("lvl") + 1),
+                    F.lit(1_000_000_007),
+                ),
+            ),
         )
-        .filter(F.col("ja") >= 0.5)
     )
-    bands = _bands(docs)
-    ba, bb = bands.alias("ba"), bands.alias("bb")
-    cand = (
-        ba.join(bb, (F.col("ba.band") == F.col("bb.band")) & (F.col("ba.bh") == F.col("bb.bh")))
-        .filter(F.col("ba.doc_id") < F.col("bb.doc_id"))
-        .select(
-            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+    planted = (
+        docs.select("doc_id", "sh", "sig", F.explode(levels).alias("L"))
+        .select("doc_id", "sh", "sig", "L.tja", "L.fppt", "L.lvl")
+        .withColumn("vsh", vsh)
+        .filter(F.size("vsh") > 0)
+    )
+    inter = F.size(F.array_intersect("sh", "vsh"))
+    ja = inter.cast("double") / (F.size("sh") + F.size("vsh") - inter)
+    hit = F.lit(False)
+    for b in range(N_BANDS):
+        hit = hit | (
+            band_hash(F.col("sig"), b) == band_hash(minhash_signature(F.col("vsh")), b)
         )
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    m = truth.join(cand, ["doc_a", "doc_b"], "left").select(
-        "ja", F.coalesce("hit", F.lit(0)).alias("hit")
-    )
-    g = spark.range(1).select(
-        F.explode(F.array(*[F.lit(v) for v in _RECALL_GRID])).alias("t")
-    )
+    m = planted.select(
+        "tja", "lvl", ja.alias("ja"), hit.cast("long").alias("hit")
+    ).filter(F.col("ja") >= 0.5)
+    s4 = F.col("ja") * F.col("ja") * F.col("ja") * F.col("ja")
+    u = F.lit(1.0) - s4
+    p = (F.lit(1.0) - u * u * u * u).alias("p")
     agg = (
-        g.join(m, m.ja >= g.t, "left")
-        .groupBy("t")
+        m.select("tja", "lvl", "hit", p)
+        .groupBy("tja", "lvl")
         .agg(
-            F.count("ja").alias("n_truth"),
-            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("hit").cast("long").alias("n_hit"),
+            F.round(F.sum("p"), 6).alias("expected_hits"),
+            F.round(F.sqrt(F.sum(F.col("p") * (1.0 - F.col("p")))), 6).alias(
+                "sigma"
+            ),
         )
     )
-    u = F.lit(1.0) - F.col("t") * F.col("t") * F.col("t") * F.col("t")
-    return (
-        agg.select(
-            F.col("t").alias("threshold"),
-            "n_truth",
-            "n_hit",
-            F.when(
-                F.col("n_truth") == 0, F.lit(None).cast("double")
-            ).otherwise(
-                F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
-            ).alias("recall"),
-            F.round(F.lit(1.0) - u * u * u * u, 6).alias("theory_recall"),
-        )
-        .orderBy("threshold")
-    )
+    return agg.select(
+        F.col("tja").alias("target_ja"),
+        "n_pairs",
+        "n_hit",
+        F.expr("n_hit * 1000000 div n_pairs").alias("recall_ppm"),
+        "expected_hits",
+        "sigma",
+        (
+            F.abs(F.col("n_hit").cast("double") - F.col("expected_hits"))
+            < 4.0 * F.col("sigma") + 1.5
+        ).alias("within_tolerance"),
+    ).orderBy("target_ja")
 
 
 # Signature width DERIVED from the shared banding constants, so a banding

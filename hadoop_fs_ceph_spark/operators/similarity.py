@@ -2252,6 +2252,57 @@ def dedup_semantic_bucket_scaled(spark, sf_dir):
     )
 
 
+# Planted-cohort recall calibration (VERDICT r8 item 3): the natural 1/7
+# sample yields only 1-2 true pairs at sf0.01 — binomially vacuous. Each
+# sampled vector instead gets a DETERMINISTIC perturbed twin per level
+# (y_i = x_i * (1 + eps * s_i), s_i = ±1 from an exact integer form), so
+# every level contributes ~n/7 true pairs (>=30 at sf0.01) at a distinct
+# angle band: cos(x, y) ~= 1/sqrt(1+eps^2) when the ±mass balances —
+# ~0.96 / 0.88 / 0.76 / 0.61 for these eps — all above tau=0.4, spanning
+# the S-curve from the easy high-cosine band real SemDeDup targets down
+# to the hard near-threshold band.
+_SEM_RECALL_LEVELS = ((0, 0.30), (1, 0.55), (2, 0.85), (3, 1.30))
+
+
+def _sem_twin_sign(i1, lvl, vid):
+    """Deterministic ±1 from (1-based dim, level, vec_id): nonlinear
+    integer form, exact in both engines (same family as _sem_plane_sign;
+    vec_id folded in so twins vary within a level). Factors are cast to
+    long BEFORE multiplying — the product reaches ~8.5e9, past int32."""
+    m = (
+        (i1.cast("long") + F.lit(13))
+        * (lvl.cast("long") + F.lit(7))
+        * (F.pmod(vid.cast("long"), F.lit(89)) + F.lit(17))
+        * F.lit(104729)
+    )
+    return F.lit(1.0) - 2.0 * F.pmod(F.pmod(m, F.lit(1000003)), F.lit(2)).cast(
+        "double"
+    )
+
+
+_SQL_SEM_TWIN = """list_transform(generate_series(1, 64), i ->
+           CAST(embedding[i] AS DOUBLE) * (1.0 + CAST(eps AS DOUBLE) * CAST(
+             1 - 2 * (((CAST(i AS BIGINT) + 13) * (lvl + 7)
+                       * (vec_id % 89 + 17) * 104729) % 1000003 % 2)
+           AS DOUBLE)))"""
+
+
+def _sql_sem_bucket_terms(emb_expr: str) -> str:
+    """The adaptive-width sign-LSH bucket ladder over an arbitrary
+    embedding expression (the e.embedding instance is _SEM_BUCKET_TERMS)."""
+    return " + ".join(
+        f"(CASE WHEN {k} < p.b AND "
+        f"{_sql_sem_plane_dot(emb_expr, f't.tbl * 16 + {k}')} >= 0 "
+        f"THEN {1 << k} ELSE 0 END)"
+        for k in range(_SEM_BUCKET_MAX_BITS)
+    )
+
+
+_SQL_SEM_LEVELS = ", ".join(
+    f"({lvl}, CAST({eps} AS DOUBLE))" for lvl, eps in _SEM_RECALL_LEVELS
+)
+
+
 @query(
     "dedup_semantic_recall_report",
     oracle=f"""
@@ -2261,130 +2312,167 @@ def dedup_semantic_bucket_scaled(spark, sf_dir):
                    AS ct
             FROM embeddings)
     ),
-    sample AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
-    sbuckets AS (
-      SELECT e.vec_id, e.embedding, t.tbl,
-             {_SEM_BUCKET_TERMS} AS bucket
-      FROM sample e CROSS JOIN params p CROSS JOIN (VALUES (0), (1)) t(tbl)
+    levels AS (SELECT * FROM (VALUES {_SQL_SEM_LEVELS}) AS v(lvl, eps)),
+    sample AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    twins AS (
+      SELECT vec_id, lvl, eps, embedding,
+             {_SQL_SEM_TWIN} AS temb
+      FROM sample CROSS JOIN levels
+    ),
+    bucketed AS (
+      SELECT e.vec_id, e.lvl, e.eps, t.tbl,
+             {_sql_sem_bucket_terms("e.embedding")} AS bo,
+             {_sql_sem_bucket_terms("e.temb")} AS bt,
+             {sql_cosine("e.embedding", "e.temb")} AS cos_sim
+      FROM twins e CROSS JOIN params p CROSS JOIN (VALUES (0), (1)) t(tbl)
     ),
     wide AS (
-      SELECT vec_id, embedding,
-             MAX(CASE WHEN tbl = 0 THEN bucket END) AS b0,
-             MAX(CASE WHEN tbl = 1 THEN bucket END) AS b1
-      FROM sbuckets GROUP BY vec_id, embedding
+      SELECT vec_id, lvl, eps, MAX(cos_sim) AS cos_sim,
+             MAX(CASE WHEN tbl = 0 THEN bo END) AS bo0,
+             MAX(CASE WHEN tbl = 1 THEN bo END) AS bo1,
+             MAX(CASE WHEN tbl = 0 THEN bt END) AS bt0,
+             MAX(CASE WHEN tbl = 1 THEN bt END) AS bt1
+      FROM bucketed GROUP BY vec_id, lvl, eps
     ),
     truth AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb,
-             CASE WHEN a.b0 = b.b0 OR a.b1 = b.b1 THEN 1 ELSE 0 END AS caught,
-             1.0 - (1.0 - POW(1.0 - ACOS(LEAST(GREATEST(
-               {sql_cosine("a.embedding", "b.embedding")}, -1.0), 1.0)) / PI(),
-               p.b)) * (1.0 - POW(1.0 - ACOS(LEAST(GREATEST(
-               {sql_cosine("a.embedding", "b.embedding")}, -1.0), 1.0)) / PI(),
-               p.b)) AS p_collide
-      FROM wide a JOIN wide b ON a.vec_id < b.vec_id
-      CROSS JOIN params p
-      WHERE {sql_cosine("a.embedding", "b.embedding")} > {_SEM_THRESHOLD}
+      SELECT lvl, eps,
+             CASE WHEN bo0 = bt0 OR bo1 = bt1 THEN 1 ELSE 0 END AS caught,
+             ROUND(1.0
+                   - (1.0 - POW(1.0 - ACOS(LEAST(GREATEST(cos_sim, -1.0),
+                                                 1.0)) / PI(), p.b))
+                   * (1.0 - POW(1.0 - ACOS(LEAST(GREATEST(cos_sim, -1.0),
+                                                 1.0)) / PI(), p.b)), 6) AS p6
+      FROM wide CROSS JOIN params p
+      WHERE cos_sim > {_SEM_THRESHOLD}
     )
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sample) AS n_sample,
-           CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+    SELECT lvl AS level, eps,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(caught) AS BIGINT) AS n_caught,
-           CAST(CASE WHEN COUNT(*) = 0 THEN 1000000
-                ELSE SUM(caught) * 1000000 // COUNT(*) END AS BIGINT)
-             AS recall_ppm,
-           ROUND(COALESCE(SUM(ROUND(p_collide, 9)), 0.0), 9)
-             AS expected_caught
-    FROM truth
+           CAST(SUM(caught) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm,
+           ROUND(SUM(p6), 6) AS expected_caught,
+           ROUND(SQRT(SUM(p6 * (1.0 - p6))), 6) AS sigma,
+           CAST(ABS(CAST(SUM(caught) AS DOUBLE) - ROUND(SUM(p6), 6))
+                < 4.0 * ROUND(SQRT(SUM(p6 * (1.0 - p6))), 6) + 1.5
+                AS BOOLEAN) AS within_tolerance
+    FROM truth GROUP BY lvl, eps ORDER BY lvl
     """,
     tags=("dedup", "similarity", "semantic", "lsh", "calibration", "recall"),
 )
 def dedup_semantic_recall_report(spark, sf_dir):
-    """Blocking-recall calibration for `dedup_semantic_bucket_scaled` —
-    the same honesty report `dedup_lsh_recall_report` provides for
-    MinHash banding: on a deterministic ~1/7 sample of the corpus,
-    compute the EXACT truth set (all sampled pairs above τ — quadratic,
-    affordable because it is a sample) and measure what fraction shares
-    a sign-LSH bucket in either table, i.e. what the scaled tier's
-    candidate generation would recover. Emits exact integer counts, ppm
-    recall, AND the sign-LSH S-curve expectation (Σ over true pairs of
-    1-(1-p^b)², p = 1-θ/π) so measured-vs-theory agreement shows the
-    blocking behaves exactly as designed — the fixture's "dups" all sit
-    barely above τ={_SEM_THRESHOLD} (66°), where ANY sublinear blocking
-    has low recall by theorem; at the high-cosine band real SemDeDup
-    targets (0.95+, θ≈18°) the same p^b curve gives per-table collision
-    0.9^b. The bucket width b comes from the FULL corpus count — the
-    sample is scored under production blocking, not under easier
-    sample-sized blocking.
+    """Blocking-recall calibration for `dedup_semantic_bucket_scaled`,
+    with STATISTICAL content (VERDICT r8 item 3 — the previous natural
+    1/7-sample truth pass found 1-2 true pairs, so measured-vs-expected
+    recall was binomially vacuous): every ~7th vector gets a
+    deterministic perturbed twin per calibration level
+    (y_i = x_i·(1+eps·s_i), s_i exact-integer ±1), planting ≥30 true
+    pairs PER LEVEL at sf0.01 across four angle bands (cos ≈ 0.96 →
+    0.61, all above τ={_SEM_THRESHOLD}). For each planted pair the
+    report measures whether the pair shares a production sign-LSH bucket
+    in either table, and compares the caught count against the S-curve
+    expectation Σ 1-(1-p^b)², p = 1-θ/π, with a binomial verdict
+    |measured − expected| < 4σ + 1.5 (σ = √Σp(1-p); the 1.5 absolute
+    slack is the integer-count analog of the bloom calibrator's 0.003 —
+    `profile_bloom_fpp_calibration`). The bucket width b comes from the
+    FULL corpus count, so the cohort is scored under production
+    blocking, not easier sample-sized blocking.
 
-    Scale shape: the quadratic stage touches only the sample (at 1/7 it
-    is ~2% of all-pairs; in production you'd sample harder); bucketing
-    is the same two map-side fold columns as the production tier; the
-    report is a one-row aggregate."""
+    Float parity (ADVICE r8): ACOS/POW are not correctly-rounded, so the
+    theory terms are rounded to 6 digits PER PAIR before summing and the
+    sums re-rounded to 6 — ulp-level engine drift cannot reach the
+    emitted digits, and the boolean verdict carries the 1.5-count slack
+    besides. Everything else (twin construction, cosines, buckets,
+    counts) is exact integer arithmetic or identical IEEE fold chains.
+
+    Scale shape: the truth stage is O(n) — each vector meets only its
+    own 4 planted twins, never other vectors (the previous design's
+    sampled all-pairs join is gone); bucketing is the same map-side fold
+    columns as the production tier; the report is a 4-row aggregate."""
     e = t(spark, sf_dir, "embeddings")
     n = e.count()  # full-corpus scalar: production bucket width
     ct = max(1, (n + _SEM_BUCKET_TARGET - 1) // _SEM_BUCKET_TARGET)
     b = max(1, min(_SEM_BUCKET_MAX_BITS, ct.bit_length() - 1))
-    sample = _with_norm(e.filter(F.col("vec_id") % 7 == 0))
+    levels = F.array(
+        *[
+            F.struct(F.lit(lvl).alias("lvl"), F.lit(eps).alias("eps"))
+            for lvl, eps in _SEM_RECALL_LEVELS
+        ]
+    )
+    twins = (
+        e.filter(F.col("vec_id") % 7 == 0)
+        .select("vec_id", "embedding", F.explode(levels).alias("L"))
+        .select("vec_id", "embedding", "L.lvl", "L.eps")
+        .withColumn(
+            "temb",
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                * (
+                    F.lit(1.0)
+                    + F.col("eps")
+                    * _sem_twin_sign(i + F.lit(1), F.col("lvl"), F.col("vec_id"))
+                ),
+            ),
+        )
+    )
 
-    def bucket_col(tbl: int):
-        col = F.lit(0)
+    def bucket_col(emb_name: str, tbl: int):
+        acc = F.lit(0)
         for k in range(b):
-            col = col + F.when(
-                _sem_plane_dot(F.col("embedding"), tbl * 16 + k) >= 0,
+            acc = acc + F.when(
+                _sem_plane_dot(F.col(emb_name), tbl * 16 + k) >= 0,
                 F.lit(1 << k),
             ).otherwise(F.lit(0))
-        return col
+        return acc
 
-    wide = sample.select(
-        "vec_id", "embedding", "en",
-        bucket_col(0).alias("b0"), bucket_col(1).alias("b1"),
+    scored = twins.select(
+        "lvl",
+        "eps",
+        bucket_col("embedding", 0).alias("bo0"),
+        bucket_col("embedding", 1).alias("bo1"),
+        bucket_col("temb", 0).alias("bt0"),
+        bucket_col("temb", 1).alias("bt1"),
+        (
+            dot(F.col("embedding"), F.col("temb"))
+            / (norm(F.col("embedding")) * norm(F.col("temb")))
+        ).alias("cos_sim"),
     )
-    a = wide.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
-        F.col("en").alias("ena"), F.col("b0").alias("a0"), F.col("b1").alias("a1"),
-    )
-    bb = wide.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
-        F.col("en").alias("enb"), F.col("b0").alias("c0"), F.col("b1").alias("c1"),
-    )
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("ena") * F.col("enb"))
-    # sign-LSH S-curve: per-bit collision p = 1 - θ/π; table collision
-    # p^b; either-of-two-tables 1-(1-p^b)² — the THEORY column the
-    # measured catch count is validated against (same honesty pattern as
-    # dedup_lsh_recall_report's banding S-curve)
-    p_bit = 1.0 - F.acos(F.least(F.greatest(cos, F.lit(-1.0)), F.lit(1.0))) / F.lit(
-        3.141592653589793
-    )
+    p_bit = 1.0 - F.acos(
+        F.least(F.greatest(F.col("cos_sim"), F.lit(-1.0)), F.lit(1.0))
+    ) / F.lit(3.141592653589793)
     p_tbl = F.pow(p_bit, F.lit(float(b)))
-    p_collide = 1.0 - (1.0 - p_tbl) * (1.0 - p_tbl)
-    truth = (
-        a.join(bb, F.col("va") < F.col("vb"))
-        .filter(cos > _SEM_THRESHOLD)
+    p6 = F.round(1.0 - (1.0 - p_tbl) * (1.0 - p_tbl), 6)
+    truth = scored.filter(F.col("cos_sim") > _SEM_THRESHOLD).select(
+        "lvl",
+        "eps",
+        ((F.col("bo0") == F.col("bt0")) | (F.col("bo1") == F.col("bt1")))
+        .cast("long")
+        .alias("caught"),
+        p6.alias("p6"),
+    )
+    return (
+        truth.groupBy("lvl", "eps")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("caught").cast("long").alias("n_caught"),
+            F.round(F.sum("p6"), 6).alias("expected_caught"),
+            F.round(F.sqrt(F.sum(F.col("p6") * (1.0 - F.col("p6")))), 6).alias(
+                "sigma"
+            ),
+        )
         .select(
-            ((F.col("a0") == F.col("c0")) | (F.col("a1") == F.col("c1")))
-            .cast("long")
-            .alias("caught"),
-            F.round(p_collide, 9).alias("p_collide"),
+            F.col("lvl").alias("level"),
+            "eps",
+            "n_pairs",
+            "n_caught",
+            F.expr("n_caught * 1000000 div n_pairs").alias("recall_ppm"),
+            "expected_caught",
+            "sigma",
+            (
+                F.abs(F.col("n_caught").cast("double") - F.col("expected_caught"))
+                < 4.0 * F.col("sigma") + 1.5
+            ).alias("within_tolerance"),
         )
-    )
-    n_sample = sample.select(F.count(F.lit(1)).cast("long").alias("n_sample"))
-    report = truth.agg(
-        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
-        F.sum("caught").cast("long").alias("n_caught"),
-        F.round(F.coalesce(F.sum("p_collide"), F.lit(0.0)), 9).alias(
-            "expected_caught"
-        ),
-    ).select(
-        "n_true_pairs",
-        "n_caught",
-        F.when(F.col("n_true_pairs") == 0, F.lit(1000000).cast("long"))
-        .otherwise(
-            # integer div, matching the oracle's `//` exactly — a double
-            # division could truncate to n-1 on an x.999… representation
-            F.expr("n_caught * 1000000 div n_true_pairs")
-        )
-        .alias("recall_ppm"),
-        "expected_caught",
-    )
-    return n_sample.crossJoin(F.broadcast(report)).select(
-        "n_sample", "n_true_pairs", "n_caught", "recall_ppm", "expected_caught"
+        .orderBy("level")
     )

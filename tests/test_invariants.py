@@ -1251,20 +1251,45 @@ def test_grouped_exact_median_matches_sorted_truth(spark, sf_dir):
 
 
 def test_lsh_recall_report_sane(spark, sf_dir):
-    """Hits never exceed truth, truth sets shrink as the threshold
-    rises (subset property — exact, unlike empirical recall which can
-    dip on small high-threshold truth sets), and the theory column
-    matches the S-curve closed form."""
+    """Planted-cohort calibration (r9): every level carries a
+    statistically meaningful pair count (n >= 30 — the whole point of
+    the redesign), hits never exceed pairs, empirical recall rises with
+    the target similarity (the S-curve is monotone), and every level's
+    measured count sits within its binomial tolerance of the theory
+    expectation."""
     rows = SPECS["dedup_lsh_recall_report"].fn(spark, sf_dir).collect()
-    assert [r["threshold"] for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
-    prev_truth = None
+    assert [r["target_ja"] for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    prev_ppm = None
     for r in rows:
-        assert 0 <= r["n_hit"] <= r["n_truth"]
-        t4 = r["threshold"] ** 4
-        assert abs(r["theory_recall"] - (1 - (1 - t4) ** 4)) < 1e-5
-        if prev_truth is not None:
-            assert r["n_truth"] <= prev_truth
-        prev_truth = r["n_truth"]
+        assert r["n_pairs"] >= 30, f"level {r['target_ja']}: vacuous cohort"
+        assert 0 <= r["n_hit"] <= r["n_pairs"]
+        assert 0 < r["expected_hits"] < r["n_pairs"]
+        assert r["sigma"] > 0
+        assert r["within_tolerance"], (
+            f"level {r['target_ja']}: {r['n_hit']} vs {r['expected_hits']}"
+        )
+        if prev_ppm is not None:
+            assert r["recall_ppm"] >= prev_ppm
+        prev_ppm = r["recall_ppm"]
+
+
+def test_semantic_recall_report_sane(spark, sf_dir):
+    """Planted-twin calibration (r9): n >= 30 per level, recall falls as
+    the perturbation grows (wider angle -> lower collision), and every
+    level is within its binomial tolerance of the sign-LSH S-curve."""
+    rows = SPECS["dedup_semantic_recall_report"].fn(spark, sf_dir).collect()
+    assert [r["level"] for r in rows] == [0, 1, 2, 3]
+    prev_ppm = None
+    for r in rows:
+        assert r["n_pairs"] >= 30, f"level {r['level']}: vacuous cohort"
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+        assert r["sigma"] > 0
+        assert r["within_tolerance"], (
+            f"level {r['level']}: {r['n_caught']} vs {r['expected_caught']}"
+        )
+        if prev_ppm is not None:
+            assert r["recall_ppm"] <= prev_ppm
+        prev_ppm = r["recall_ppm"]
 
 
 def test_power_analysis_monotone_in_mde(spark, sf_dir):
