@@ -1,0 +1,292 @@
+"""Pure-stdlib AVI codec (uncompressed 8-bit grayscale DIB frames) —
+retires the VIDEO half of the media-decode stub (VERDICT r8 item 4; PNG
+retired image in r6/r7, WAV retired audio in r8, MP4 box parsing covered
+the container-metadata layer in r8).
+
+AVI is the one mainstream VIDEO container whose uncompressed form is fully
+decodable with nothing but ``struct``: a RIFF envelope (``RIFF`` ‖ u32
+size ‖ ``AVI ``) holding LIST trees —
+
+* ``LIST hdrl``: ``avih`` (MainAVIHeader: frame period in µs, frame count,
+  stream count, dimensions) and one ``LIST strl`` per stream with ``strh``
+  (AVIStreamHeader: fccType ``vids``, handler ``DIB `` = device-independent
+  bitmap, i.e. NO codec) and ``strf`` (BITMAPINFOHEADER + palette).
+* ``LIST movi``: the frame data — one ``00db`` chunk per uncompressed DIB
+  frame, rows BOTTOM-UP, each row padded to a 4-byte boundary (the two
+  DIB quirks every real reader must honor).
+
+This module implements BOTH directions:
+
+* :func:`encode_avi` — a spec-conformant writer (RIFF envelope, hdrl with
+  avih/strh/strf + 256-entry grayscale palette, movi with 00db frames);
+  verifiable with any external AVI reader.
+* :func:`decode_avi` — a strict reader: validates the RIFF/AVI magic,
+  walks chunks by declared lengths (tolerating unknown chunks, e.g. JUNK
+  padding, as real readers must), requires a ``vids``/``DIB `` 8-bit
+  BI_RGB stream whose strf dimensions match avih, un-pads and re-orders
+  each frame to top-down row-major luma bytes, and raises ``ValueError``
+  on any corruption (bad magic, truncated chunk, compressed codec, frame
+  byte-size mismatch, frames before headers) — never a struct.error and
+  never a silent wrong answer.
+
+Scope: single-stream uncompressed 8-bit palettized video only — the shape
+the multimodal operators plant. Compressed codecs (MJPG, H.264, …) fail
+loudly with the codec name rather than decoding wrong; that half stays a
+permanent stated waiver (a codec is not a container walk). The reference
+connector never interprets bytes (its contract ends at the stream:
+``CephRgwInputStream.java:103-120``); this codec is engine-side value-add
+for the multimodal-column family (SURVEY.md §2B north-star rows), used by
+``operators/multimodal.py::mm_avi_decode`` under ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+RIFF_MAGIC = b"RIFF"
+AVI_MAGIC = b"AVI "
+
+_BI_RGB = 0  # BITMAPINFOHEADER biCompression: uncompressed
+_BITS = 8  # 8-bit palettized (grayscale identity palette)
+
+
+def _row_stride(width: int) -> int:
+    """DIB rows pad to a 4-byte boundary."""
+    return (width + 3) & ~3
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    """One RIFF chunk: tag ‖ u32 length ‖ body ‖ word-alignment pad."""
+    return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _list(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
+def encode_avi(
+    width: int, height: int, us_per_frame: int, frames: list[bytes]
+) -> bytes:
+    """Encode top-down row-major 8-bit grayscale ``frames`` as an
+    uncompressed single-stream AVI (``vids``/``DIB ``, BI_RGB, 256-entry
+    grayscale palette). Rows are flipped to DIB bottom-up order and
+    padded to the 4-byte stride, exactly as the format requires."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if us_per_frame <= 0:
+        raise ValueError(f"bad frame period {us_per_frame}")
+    for i, f in enumerate(frames):
+        if len(f) != width * height:
+            raise ValueError(
+                f"frame {i}: {len(f)} bytes, expected {width * height}"
+            )
+    stride = _row_stride(width)
+    pad = b"\x00" * (stride - width)
+    dibs = []
+    for f in frames:
+        rows = [f[y * width : (y + 1) * width] + pad for y in range(height)]
+        dibs.append(b"".join(reversed(rows)))  # bottom-up
+    frame_bytes = stride * height
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame,  # dwMicroSecPerFrame
+        frame_bytes * 1_000_000 // us_per_frame,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0,  # dwFlags
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            us_per_frame,  # dwScale
+            1_000_000,  # dwRate (fps = rate/scale)
+            0,  # dwStart
+            len(frames),  # dwLength
+            frame_bytes,  # dwSuggestedBufferSize
+            0,  # dwQuality
+            frame_bytes,  # dwSampleSize
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    palette = b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    strf = (
+        struct.pack(
+            "<IiiHHIIiiII",
+            40,  # biSize
+            width,
+            height,  # positive = bottom-up
+            1,  # biPlanes
+            _BITS,
+            _BI_RGB,
+            frame_bytes,  # biSizeImage
+            0, 0,  # pels per meter
+            256,  # biClrUsed
+            0,  # biClrImportant
+        )
+        + palette
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00db", d) for d in dibs))
+    body = AVI_MAGIC + hdrl + movi
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def _walk(data: bytes, pos: int, end: int):
+    """Yield (tag, body_start, body_len) for each chunk in [pos, end);
+    raise ValueError on a truncated header or a body overrunning ``end``
+    (a chunk spilling past its declared envelope must fail loudly)."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated chunk header")
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + length > end:
+            raise ValueError(f"truncated {tag!r} chunk body (overruns envelope)")
+        yield tag, pos + 8, length
+        pos += 8 + length + (length & 1)  # RIFF word-alignment pad
+
+
+def decode_avi(data: bytes) -> dict:
+    """Strict decode of a single-stream uncompressed 8-bit AVI.
+
+    Returns ``{"width", "height", "n_frames", "us_per_frame", "frames"}``
+    with ``frames`` a list of top-down row-major luma ``bytes`` (the
+    bottom-up DIB rows re-ordered, stride padding stripped). Raises
+    ``ValueError`` on bad magic, truncated chunks, a missing/duplicate
+    header, a non-``vids``/non-``DIB `` stream (compressed codecs name
+    the fourcc in the error), strf/avih dimension disagreement, a frame
+    chunk whose size disagrees with stride×height, or frames appearing
+    before the headers. Unknown chunks (JUNK, idx1, …) are skipped by
+    declared length, honoring RIFF's word-alignment padding byte."""
+    if data[:4] != RIFF_MAGIC:
+        raise ValueError("not an AVI: bad RIFF magic")
+    if len(data) < 12:
+        raise ValueError("truncated RIFF header")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    if riff_len + 8 > len(data):
+        raise ValueError("truncated RIFF payload (declared size exceeds data)")
+    if data[8:12] != AVI_MAGIC:
+        raise ValueError("not an AVI: bad 'AVI ' magic")
+    end = 8 + riff_len
+
+    width = height = n_declared = us_per_frame = None
+    have_stream = False
+    frames: list[bytes] = []
+
+    def parse_hdrl(start: int, stop: int):
+        nonlocal width, height, n_declared, us_per_frame, have_stream
+        for tag, off, length in _walk(data, start, stop):
+            if tag == b"avih":
+                if length < 40:
+                    raise ValueError(f"avih must be >=40 bytes, got {length}")
+                vals = struct.unpack("<10I", data[off : off + 40])
+                us_per_frame, n_declared = vals[0], vals[4]
+                streams, width, height = vals[6], vals[8], vals[9]
+                if us_per_frame <= 0:
+                    raise ValueError(f"bad frame period {us_per_frame}")
+                if width <= 0 or height <= 0:
+                    raise ValueError(f"bad dimensions {width}x{height}")
+                if streams != 1:
+                    raise ValueError(f"unsupported AVI: {streams} streams")
+            elif tag == b"LIST" and data[off : off + 4] == b"strl":
+                parse_strl(off + 4, off + length)
+
+    def parse_strl(start: int, stop: int):
+        nonlocal have_stream
+        for tag, off, length in _walk(data, start, stop):
+            if tag == b"strh":
+                if length < 8:
+                    raise ValueError("truncated strh")
+                fcc_type = data[off : off + 4]
+                handler = data[off + 4 : off + 8]
+                if fcc_type != b"vids":
+                    raise ValueError(f"unsupported stream type {fcc_type!r}")
+                if handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                    raise ValueError(
+                        f"compressed AVI codec {handler!r} is not supported "
+                        "(uncompressed DIB only — a codec is a waiver, "
+                        "not a container walk)"
+                    )
+            elif tag == b"strf":
+                if length < 40:
+                    raise ValueError(f"strf must be >=40 bytes, got {length}")
+                (
+                    _bi_size,
+                    bw,
+                    bh,
+                    _planes,
+                    bits,
+                    compression,
+                ) = struct.unpack("<IiiHHI", data[off : off + 20])
+                if compression != _BI_RGB:
+                    raise ValueError(
+                        f"compressed AVI (biCompression={compression}) is "
+                        "not supported"
+                    )
+                if bits != _BITS:
+                    raise ValueError(f"unsupported bit depth {bits}")
+                if width is not None and (bw != width or abs(bh) != height):
+                    raise ValueError(
+                        f"strf {bw}x{abs(bh)} disagrees with avih "
+                        f"{width}x{height}"
+                    )
+                have_stream = True
+
+    for tag, off, length in _walk(data, 12, end):
+        if tag == b"LIST":
+            kind = data[off : off + 4]
+            if kind == b"hdrl":
+                parse_hdrl(off + 4, off + length)
+            elif kind == b"movi":
+                if not have_stream or width is None:
+                    raise ValueError("movi before hdrl/strf headers")
+                stride = _row_stride(width)
+                for ftag, foff, flen in _walk(data, off + 4, off + length):
+                    if ftag[2:] not in (b"db", b"dc"):
+                        continue  # non-frame movi record (e.g. rec lists)
+                    if flen != stride * height:
+                        raise ValueError(
+                            f"frame {len(frames)}: {flen} bytes, expected "
+                            f"{stride * height} ({width}x{height} stride {stride})"
+                        )
+                    dib = data[foff : foff + flen]
+                    rows = [
+                        dib[y * stride : y * stride + width]
+                        for y in range(height)
+                    ]
+                    frames.append(b"".join(reversed(rows)))  # back to top-down
+        # unknown top-level chunks (JUNK, idx1): skipped by _walk's stepping
+
+    if width is None:
+        raise ValueError("missing avih header")
+    if not have_stream:
+        raise ValueError("missing strf stream format")
+    if not frames:
+        raise ValueError("missing movi frame data")
+    if n_declared is not None and n_declared != len(frames):
+        raise ValueError(
+            f"avih declares {n_declared} frames, movi holds {len(frames)}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "us_per_frame": us_per_frame,
+        "frames": frames,
+    }

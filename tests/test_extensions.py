@@ -76,13 +76,12 @@ def test_ann_scores_match_bruteforce(spark, duck, sf_dir):
 
 
 def test_media_decode_stub_is_gated():
-    """Media decode routing after the round-7 PNG and round-8 WAV
-    decoders landed: the image/png path is REAL (valid PNG round-trips,
-    corrupt bytes raise ValueError — loud, never a silent wrong answer),
-    audio/wav is REAL too (covered by test_contracts), and only the
-    environment-limited VIDEO path remains the documented
-    NotImplementedError stub. Mirrors tests/test_contracts.py's
-    test_media_decode_stub_contract."""
+    """Media decode routing after the PNG (r7), WAV (r8) and AVI (r9)
+    decoders landed: every uncompressed-container path is REAL (valid
+    payloads round-trip, corrupt bytes raise ValueError — loud, never a
+    silent wrong answer); only COMPRESSED media remains the documented
+    permanently-waived NotImplementedError. Mirrors
+    tests/test_contracts.py's test_media_decode_stub_contract."""
     from hadoop_fs_ceph_spark.functions.png_codec import encode_png
     from hadoop_fs_ceph_spark.operators.multimodal import _decode_media
 
@@ -93,7 +92,7 @@ def test_media_decode_stub_is_gated():
         _decode_media("image/png", b"\x89PNG")  # truncated: loud failure
 
     with pytest.raises(NotImplementedError):
-        _decode_media("video/mp4", b"\x00\x00\x00 ftypmp42")
+        _decode_media("video/mp4", b"\x00\x00\x00 ftypmp42")  # compressed: waived
 
 
 def test_frame_sample_reassembles(spark, sf_dir):
