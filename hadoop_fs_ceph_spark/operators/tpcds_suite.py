@@ -996,3 +996,197 @@ def ds_tpcds_q72_inventory_shortfall(spark, sf_dir):
         )
         .orderBy("wk")
     )
+
+
+@query(
+    "ds_tpcds_q67_rollup_rank_spine",
+    oracle=f"""
+    WITH g AS (
+      SELECT p_type, p_brand, EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mon, n_name,
+             {sql_dsum(_REV, "sumsales")}
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY ROLLUP (p_type, p_brand, yr, mon, n_name)
+    )
+    SELECT p_type, p_brand, yr, mon, n_name, sumsales, rk
+    FROM (
+      SELECT p_type, p_brand, yr, mon, n_name, sumsales,
+             CAST(RANK() OVER (
+               PARTITION BY p_type
+               ORDER BY sumsales DESC, p_brand NULLS FIRST, yr NULLS FIRST,
+                        mon NULLS FIRST, n_name NULLS FIRST
+             ) AS INTEGER) AS rk
+      FROM g
+    )
+    WHERE rk <= 100
+    ORDER BY p_type NULLS FIRST, rk, p_brand NULLS FIRST, yr NULLS FIRST,
+             mon NULLS FIRST, n_name NULLS FIRST
+    """,
+    tags=("tpcds", "rollup", "rank", "window"),
+    bench=True,
+)
+def ds_tpcds_q67_rollup_rank_spine(spark, sf_dir):
+    """TPC-DS Q67 (VERDICT r8 item 6): the widest windowed rollup in the
+    suite — a FIVE-level ROLLUP over the full reporting spine
+    (category/brand/year/month/region ← p_type/p_brand/yr/mon/n_name),
+    then a RANK over sumsales within the top-level category INCLUDING
+    the super-aggregate rows, keeping each category's 100 best spine
+    rows. This is the 'best sellers at every hierarchy level in one
+    pass' report, and the classic Q67 stress: the window input is the
+    ROLLED-UP relation, never the fact.
+
+    Scale shape: the join tree reduces facts to the leaf grain FIRST
+    (partial aggregation under Expand — Spark expands to 6 grouping sets
+    AFTER the map-side partial, so the shuffle carries (key, partial)
+    rows ×6, not raw lines); the rank partitions by p_type (≤7 groups
+    incl. the NULL super-aggregate) so no partition approaches the
+    all-rows window that makes naive Q67 plans fall over; rk ≤ 100 cuts
+    to ≤ 700 rows before the final order. Rank ties are broken by the
+    full spine (NULLS FIRST both engines) so rk itself is deterministic,
+    not just the cut. Sums are fixed-point (canonical.py) —
+    bit-identical cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = dim(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .rollup("p_type", "p_brand", "yr", "mon", "n_name")
+        .agg(dsum(_rev_col(), "sumsales"))
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("sumsales").desc(),
+        F.col("p_brand").asc_nulls_first(),
+        F.col("yr").asc_nulls_first(),
+        F.col("mon").asc_nulls_first(),
+        F.col("n_name").asc_nulls_first(),
+    )
+    return (
+        g.withColumn("rk", F.rank().over(w).cast("int"))
+        .filter(F.col("rk") <= 100)
+        .select("p_type", "p_brand", "yr", "mon", "n_name", "sumsales", "rk")
+        .orderBy(
+            F.col("p_type").asc_nulls_first(),
+            "rk",
+            F.col("p_brand").asc_nulls_first(),
+            F.col("yr").asc_nulls_first(),
+            F.col("mon").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "ds_tpcds_q78_channel_ratio_dropouts",
+    oracle=f"""
+    WITH ret AS (
+      SELECT l_orderkey AS ro, l_linenumber AS rl
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    clean AS (
+      SELECT l.* FROM lineitem l
+      LEFT JOIN ret ON l.l_orderkey = ret.ro AND l.l_linenumber = ret.rl
+      WHERE ret.ro IS NULL
+    ),
+    std AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr, o_custkey,
+             {sql_dsum(_REV, "std_rev")},
+             {sql_dsum("l_quantity", "std_qty")}
+      FROM clean JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      GROUP BY yr, o_custkey
+    ),
+    exp AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr, o_custkey,
+             {sql_dsum(_REV, "exp_rev")},
+             {sql_dsum("l_quantity", "exp_qty")}
+      FROM clean JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY yr, o_custkey
+    )
+    SELECT std.yr, std.o_custkey AS custkey, std_rev, exp_rev,
+           exp_rev / std_rev AS channel_ratio,
+           CAST(std_qty AS BIGINT) AS std_qty,
+           CAST(exp_qty AS BIGINT) AS exp_qty
+    FROM std JOIN exp ON std.yr = exp.yr AND std.o_custkey = exp.o_custkey
+    WHERE std_rev > 0
+    ORDER BY channel_ratio DESC, std.yr, custkey
+    LIMIT 100
+    """,
+    tags=("tpcds", "anti-join", "multi-channel", "ratio"),
+)
+def ds_tpcds_q78_channel_ratio_dropouts(spark, sf_dir):
+    """TPC-DS Q78 (VERDICT r8 item 6): multi-channel yearly ratios with
+    RETURN DROPOUTS — each channel's per-(year, customer) sales are
+    computed over only the fact rows with NO matching return (Q78's
+    `ws_order_number IS NULL` left-join dropout, expressed here as a
+    LEFT ANTI join of lineitem against the returned line keys), then the
+    two channels join on (year, customer) and the express/standard
+    revenue ratio ranks the customers whose urgent-channel spend most
+    outweighs their standard spend. Channels come from o_orderpriority
+    (the module's channel discriminator); returns from l_returnflag='R'.
+
+    Scale shape: the anti-join is key-only on its build side
+    ((orderkey, linenumber) pairs — no payload) and Spark executes it as
+    a real LeftAnti hash join, the cheapest dropout form; both channel
+    aggregates reduce to (year, customer) grain BEFORE the cross-channel
+    join, so that join carries two already-small relations; the final
+    ORDER+LIMIT is a TakeOrdered. The ratio divides two fixed-point sums
+    — bit-identical cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    ret = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ro"), F.col("l_linenumber").alias("rl")
+    )
+    clean = li.join(
+        ret,
+        (li.l_orderkey == ret.ro) & (li.l_linenumber == ret.rl),
+        "left_anti",
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("yr"),
+    )
+    joined = clean.join(o, clean.l_orderkey == o.o_orderkey)
+    express = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+
+    def channel(pred, rev_name, qty_name):
+        return (
+            joined.filter(pred)
+            .groupBy("yr", "o_custkey")
+            .agg(
+                dsum(_rev_col(), rev_name),
+                dsum("l_quantity", qty_name),
+            )
+        )
+
+    std = channel(~express, "std_rev", "std_qty")
+    exp = channel(express, "exp_rev", "exp_qty")
+    return (
+        std.join(exp, ["yr", "o_custkey"])
+        .filter(F.col("std_rev") > 0)
+        .select(
+            "yr",
+            F.col("o_custkey").alias("custkey"),
+            "std_rev",
+            "exp_rev",
+            (F.col("exp_rev") / F.col("std_rev")).alias("channel_ratio"),
+            F.col("std_qty").cast("long").alias("std_qty"),
+            F.col("exp_qty").cast("long").alias("exp_qty"),
+        )
+        .orderBy(F.col("channel_ratio").desc(), "yr", "custkey")
+        .limit(100)
+    )
