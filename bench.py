@@ -6,6 +6,17 @@ Prints ONE JSON line:
 Results are materialized with the no-op sink (full execution, no driver
 collection) so timings measure the distributed plan, not toPandas.
 
+``python bench.py --rehearsal`` runs the CLUSTER-SHAPE rehearsal
+(VERDICT r8 item 5): the whole headline suite again with
+``autoBroadcastJoinThreshold=-1`` (auto-broadcasts off — explicit
+``broadcast()`` hints, which are design decisions, stay honored) and
+``shuffle.partitions=200`` — the planner posture of a 1000-executor
+cluster, where dimension tables outgrow the driver-side threshold and
+shuffles fan wide. Each query's row count + content hash must match the
+default-config run (no correctness change) and the wall-clock ratio is
+reported (a plan that silently depended on a tiny-scale auto-broadcast
+shows up as a blow-up here). Results splice into ``SCALE.md``.
+
 ``python bench.py --soak`` instead runs the measured-scaling soak
 (VERDICT r6 item 4 / r7 item 2): it builds an sf×N dataset
 (N = $SPARK_GRAFT_SOAK_REPLICAS, default 10; ×100 ≈ sf10 is the deep
@@ -394,8 +405,198 @@ def soak_main() -> None:
     )
 
 
+# ---------------------------------------------------------------------------
+# --rehearsal: cluster-shape pass (no auto-broadcast, wide shuffles)
+# ---------------------------------------------------------------------------
+
+_REHEARSAL_CONF = {
+    # kill AUTO broadcasts in both the static planner and AQE's runtime
+    # re-plan; explicit broadcast() hints (bounded-by-construction dims,
+    # one-row gates) remain honored — those are design, not scale luck
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    # the shuffle fan-out of a real cluster, not local[32]'s cozy 32
+    "spark.sql.shuffle.partitions": "200",
+}
+
+
+def _content_hash(df) -> tuple[int, int]:
+    """(row_count, order-independent content hash) of a result — doubles
+    rounded to 6 digits first so a partition-count change can never flip
+    a ulp into a false alarm; bit_xor of per-row xxhash64 is insensitive
+    to row order, which legitimately differs across shuffle widths."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import DoubleType, FloatType
+
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (DoubleType, FloatType)):
+            c = F.round(c.cast("double"), 6)
+        cols.append(c.alias(f.name))
+    row = (
+        df.select(*cols)
+        .select(F.to_json(F.struct(*[f.name for f in df.schema.fields])).alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(j))").alias("h"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def _sched_probe(spark) -> float:
+    """Fixed-shape 1-exchange aggregate on trivial data: its wall under a
+    given shuffle-partition count is ~pure task-dispatch overhead. The
+    rehearsal gate uses (probe_rehearsal − probe_baseline) × exchanges as
+    the allowance for fan-out cost that amortizes to nothing at real
+    scale — 200 partitions of 3k rows each is scheduling, not work."""
+    import pyspark.sql.functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        (
+            spark.range(0, 2_000_000, 1, 32)
+            .groupBy((F.col("id") % 10_000).alias("k"))
+            .agg(F.sum("id").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best = min(best, time.perf_counter() - start)
+    return best
+
+
+def rehearsal_main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    specs = load_all()
+    bench_specs = {n: s for n, s in sorted(specs.items()) if s.bench}
+    spark = get_spark("bench-rehearsal", driver_memory="24g")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen once so the baseline and rehearsal passes
+    # compare steady-state plans, not JIT noise
+    next(iter(bench_specs.values())).fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    def run_suite() -> dict[str, dict]:
+        out: dict[str, dict] = {}
+        for name, spec in bench_specs.items():
+            start = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            wall = time.perf_counter() - start
+            n, h = _content_hash(spec.fn(spark, sf_dir))
+            spark.catalog.clearCache()
+            out[name] = {"wall": round(wall, 3), "n": n, "h": h}
+        return out
+
+    saved = {k: spark.conf.get(k, None) for k in _REHEARSAL_CONF}
+    probe_base = _sched_probe(spark)
+    base = run_suite()
+    for k, v in _REHEARSAL_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        probe_reh = _sched_probe(spark)
+        reh = run_suite()
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    base2 = run_suite()  # bracket host drift: compare vs best baseline
+
+    # per-exchange fan-out overhead measured ON THIS HOST, ×4 for the
+    # widest headline plans (3-4 wide exchanges). At sf0.1 a 200-partition
+    # exchange moves ~3k rows per task — the delta is task dispatch, which
+    # a real cluster amortizes across executors; without subtracting it
+    # every sub-second multi-join reads as a fake "collapse"
+    allowance = 4.0 * max(0.05, probe_reh - probe_base)
+
+    rows, bad = [], []
+    for name in bench_specs:
+        b = min(base[name]["wall"], base2[name]["wall"])
+        r = reh[name]["wall"]
+        same = (
+            base[name]["n"] == reh[name]["n"] == base2[name]["n"]
+            and base[name]["h"] == reh[name]["h"] == base2[name]["h"]
+        )
+        ratio = r / b if b else float("inf")
+        # a no-broadcast pass legitimately pays SMJ + wider shuffles; the
+        # gate catches plans that COLLAPSE without the tiny-scale
+        # broadcast (slowdown beyond SMJ-cost + measured scheduling
+        # allowance), or answers that change with planner posture (the
+        # real correctness claim)
+        ok = same and (ratio <= 3.0 or r - b <= 1.0 + allowance)
+        rows.append((name, b, r, ratio, same, ok))
+        if not ok:
+            bad.append(name)
+
+    md = [
+        "## Cluster-shape rehearsal: no auto-broadcast, 200 shuffle partitions",
+        "",
+        f"Data: `{sf_dir}`. Same session, three suite passes: baseline → "
+        "rehearsal (`autoBroadcastJoinThreshold=-1` static AND adaptive, "
+        "`shuffle.partitions=200`) → baseline again (drift bracket; the "
+        "reported baseline is the per-query min of the two). Explicit "
+        "`broadcast()` hints stay honored — they are design decisions; the "
+        "pass proves no headline plan silently depends on a tiny-scale "
+        "AUTO-broadcast. `content` = row count + order-independent hash "
+        "(doubles rounded to 6) equal across all three passes. Scheduling "
+        f"allowance: a fixed 1-exchange probe measured {probe_base:.2f}s at "
+        f"baseline vs {probe_reh:.2f}s at 200 partitions — per-query verdict "
+        f"grants ratio ≤ 3 OR absolute delta ≤ 1.0s + 4×probe-delta "
+        f"(= {1.0 + allowance:.2f}s): 200-partition task dispatch on ~3k-row "
+        "partitions is overhead a real cluster amortizes, not plan collapse.",
+        "",
+        "| query | baseline (s) | rehearsal (s) | ratio | content | verdict |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, b, r, ratio, same, ok in rows:
+        md.append(
+            f"| {name} | {b:.2f} | {r:.2f} | {ratio:.2f}x | "
+            f"{'same' if same else '**DIFFERS**'} | "
+            f"{'ok' if ok else '**FAIL**'} |"
+        )
+    tot_b = sum(min(base[n]['wall'], base2[n]['wall']) for n in bench_specs)
+    tot_r = sum(reh[n]["wall"] for n in bench_specs)
+    md += [
+        "",
+        f"**Totals:** baseline = {tot_b:.1f}s, rehearsal = {tot_r:.1f}s "
+        f"(ratio {tot_r / tot_b:.2f}x), {len(bad)} failing.",
+    ]
+    begin, end_m = "<!-- REHEARSAL:BEGIN -->", "<!-- REHEARSAL:END -->"
+    section = begin + "\n" + "\n".join(md) + "\n" + end_m
+    scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE.md")
+    text = open(scale_path).read() if os.path.exists(scale_path) else ""
+    if begin in text and end_m in text:
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end_m, 1)
+        text = head + section + tail
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open(scale_path, "w") as fh:
+        fh.write(text)
+
+    print(
+        json.dumps(
+            {
+                "metric": "rehearsal_wall_ratio",
+                "value": round(tot_r / tot_b, 3),
+                "unit": "x",
+                "failing": bad,
+                "total_baseline_sec": round(tot_b, 3),
+                "total_rehearsal_sec": round(tot_r, 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--soak" in sys.argv[1:]:
         soak_main()
+    elif "--rehearsal" in sys.argv[1:]:
+        rehearsal_main()
     else:
         main()

@@ -58,20 +58,31 @@ def ds_tpcds_q3_brand_report(spark, sf_dir):
     """TPC-DS Q3: the canonical star top-N — fact filtered through one
     dimension predicate (item manufacturer → part type), dated through a
     second (date_dim → orders), grouped by (year, brand), best rows
-    first. Plan: part-type filter reaches the part scan (pushed), the
-    part join is AQE-broadcast at test scale / shuffle at 100 TB, the
-    aggregate is partial-merged, and ORDER+LIMIT compiles to
-    TakeOrderedAndProject — no global sort at any scale."""
+    first. Plan: part-type filter reaches the part scan (pushed); the
+    fact is pre-aggregated to (partkey, year) grain BEFORE the part join
+    (r9 cluster-shape rehearsal: with auto-broadcast off, the part join
+    is a shuffle — reducing facts ~4× first is the two-phase plan a
+    100 TB run wants regardless of join strategy). The two-phase
+    fixed-point sum keeps integer micro-units until the final division,
+    so it is bit-identical to the single-phase dsum (integer sums are
+    associative) and the DuckDB oracle is untouched. ORDER+LIMIT
+    compiles to TakeOrderedAndProject — no global sort at any scale."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").select("o_orderkey", F.year("o_orderdate").alias("yr"))
     p = t(spark, sf_dir, "part").filter(F.col("p_type").isin("STANDARD", "SMALL")).select(
         "p_partkey", "p_brand"
     )
-    return (
+    pre = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "yr")
+        .agg(
+            F.sum(F.round(_rev_col() * F.lit(1e6)).cast("long")).alias("_micro")
+        )
+    )
+    return (
+        pre.join(p, pre.l_partkey == p.p_partkey)
         .groupBy("yr", "p_brand")
-        .agg(dsum(_rev_col(), "revenue"))
+        .agg((F.sum("_micro").cast("double") / F.lit(1e6)).alias("revenue"))
         .orderBy("yr", F.col("revenue").desc(), "p_brand")
         .limit(40)
     )

@@ -84,12 +84,28 @@ def q3_shipping_priority(spark, sf_dir):
 )
 def q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: six-table join, revenue where customer and supplier
-    share a nation inside one region. The region→nation→customer chain
-    broadcasts down to the orders scan; only orders⋈lineitem shuffles."""
+    share a nation inside one region. The region filter is pushed INTO
+    customer and supplier as broadcast semi-joins against the qualifying
+    nation keys (5 of 25 — spec-bounded at every SF) BEFORE any fact
+    join (r9 cluster-shape rehearsal): both big-side shuffles then carry
+    ~1/5 of the rows whether the engine picks broadcast or SMJ for the
+    fact joins. The nation name attaches at the end via the same bounded
+    broadcast."""
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = t(spark, sf_dir, "nation")
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
+    nk = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )  # ≤25 rows by spec, at ANY scale factor
+    c = t(spark, sf_dir, "customer").join(
+        F.broadcast(nk.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(nk.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
     )
@@ -101,8 +117,7 @@ def q5_local_supplier_volume(spark, sf_dir):
             s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(nk), c.c_nationkey == nk.n_nationkey)
         .groupBy("n_name")
         .agg(dsum(F.expr(_REV), "revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
