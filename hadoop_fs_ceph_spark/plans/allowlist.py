@@ -77,7 +77,6 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "text_unigram_logprob": "one-row corpus-token-total broadcast",
     "sample_token_budget_mix": "one-row corpus-token-total broadcast into the 5-row rate relation",
     "dedup_semantic_cell": "K=8 seed-centroid table broadcast for cell assignment",
-    "dedup_semantic_recall_report": "planted-twin cohort: each sampled vector meets only its own 4 deterministic twins (O(n) truth stage, no all-pairs join; r9 redesign)",
     "profile_ks_drift": "one-row (lo, hi) bounds broadcast + fixed 17-bucket grid spine",
     "profile_emd_drift": "one-row bounds/total broadcasts onto the fixed 17-slot grid relation",
     "profile_simpson_paradox": "one-row pooled-margin broadcast onto the ≤|segments|-row verdict relation",
@@ -111,7 +110,6 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "agg_exact_quantiles_by_group_nosort": "3-row pct-spine broadcast fan-out + per-(group,pct) refinement-state broadcasts between shared passes",
     "profile_psi_drift": "one-row group-total and PSI-total broadcasts onto the fixed 17-row grid",
     "profile_partition_skew": "one-row (n_keys, n_total, max_rows) stats broadcast",
-    "dedup_lsh_recall_report": "planted-variant cohort: each capped document meets only its own 5 deterministic variants (O(n), no all-pairs join; r9 redesign)",
     "ds_ab_power_analysis": "one-row metric-moment broadcast onto the fixed 4-row MDE grid",
     "sample_importance_reweight": "one-row corpus-total and ESS broadcasts onto the 5-row class relation",
     "sample_leakage_safe_split": "two one-row violation-count broadcasts onto the two-row strategy report",
