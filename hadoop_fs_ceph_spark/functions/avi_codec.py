@@ -187,6 +187,7 @@ def decode_avi(data: bytes) -> dict:
 
     width = height = n_declared = us_per_frame = None
     have_stream = False
+    topdown = False  # negative strf biHeight = rows already top-down
     frames: list[bytes] = []
 
     def parse_hdrl(start: int, stop: int):
@@ -208,7 +209,7 @@ def decode_avi(data: bytes) -> dict:
                 parse_strl(off + 4, off + length)
 
     def parse_strl(start: int, stop: int):
-        nonlocal have_stream
+        nonlocal have_stream, topdown
         for tag, off, length in _walk(data, start, stop):
             if tag == b"strh":
                 if length < 8:
@@ -246,6 +247,10 @@ def decode_avi(data: bytes) -> dict:
                         f"strf {bw}x{abs(bh)} disagrees with avih "
                         f"{width}x{height}"
                     )
+                # DIB rows are bottom-up UNLESS biHeight is negative
+                # (the spec's top-down marker) — flipping a top-down
+                # frame would be a silent wrong answer (review r9)
+                topdown = bh < 0
                 have_stream = True
 
     for tag, off, length in _walk(data, 12, end):
@@ -270,7 +275,9 @@ def decode_avi(data: bytes) -> dict:
                         dib[y * stride : y * stride + width]
                         for y in range(height)
                     ]
-                    frames.append(b"".join(reversed(rows)))  # back to top-down
+                    if not topdown:
+                        rows.reverse()  # bottom-up DIB back to top-down
+                    frames.append(b"".join(rows))
         # unknown top-level chunks (JUNK, idx1): skipped by _walk's stepping
 
     if width is None:

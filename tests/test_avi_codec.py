@@ -161,3 +161,22 @@ def test_encoder_input_validation():
         encode_avi(4, 4, 0, [b"\x00" * 16])
     with pytest.raises(ValueError, match="expected 16"):
         encode_avi(4, 4, 40000, [b"\x00" * 15])
+
+
+def test_negative_biheight_topdown_honored():
+    """Review r9: a negative strf biHeight marks the DIB rows TOP-DOWN
+    (the spec's flag); flipping such a frame would be a silent wrong
+    answer. Patching the encoded (bottom-up) file's biHeight to -h must
+    yield exactly the row-reversed frames — proving the flag is read,
+    not ignored."""
+    w, h = 9, 4
+    frames = _frames(w, h, 2)
+    blob = bytearray(encode_avi(w, h, 40000, frames))
+    strf_at = bytes(blob).index(b"strf") + 8
+    struct.pack_into("<i", blob, strf_at + 8, -h)  # biHeight at offset 8
+    out = decode_avi(bytes(blob))["frames"]
+    flipped = [
+        b"".join(f[y * w : (y + 1) * w] for y in reversed(range(h)))
+        for f in frames
+    ]
+    assert out == flipped
