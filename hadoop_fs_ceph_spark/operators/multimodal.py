@@ -962,3 +962,83 @@ def mm_avi_decode(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
     avis = docs.select("doc_id").mapInPandas(build, out_avi)
     return avis.repartition(8, "doc_id").mapInPandas(decode, out_schema)
+
+
+@query(
+    "mm_avi_frame_explode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 13 AS w, 4 + doc_id % 7 AS h,
+             2 + doc_id % 5 AS nf
+      FROM documents WHERE doc_id % 6 = 5
+    ),
+    f AS (
+      SELECT doc_id, w, h, unnest(range(0, nf)) AS frame_no FROM p
+    )
+    SELECT doc_id,
+           CAST(frame_no AS INTEGER) AS frame_no,
+           CAST(list_sum(list_transform(range(0, w * h), k ->
+             (doc_id * 31 + frame_no * 17 + (k // w) * 7 + (k % w) * 3) % 256))
+             AS BIGINT) AS frame_sum,
+           CAST((doc_id * 31 + frame_no * 17) % 256 AS INTEGER) AS px_first,
+           CAST((doc_id * 31 + frame_no * 17 + (h - 1) * 7 + (w - 1) * 3) % 256
+                AS INTEGER) AS px_last
+    FROM f
+    """,
+    tags=("multimodal", "binary", "pandas", "avi", "video", "frames"),
+)
+def mm_avi_frame_explode(spark, sf_dir):
+    """Per-FRAME fan-out over decoded video — the row shape a training
+    pipeline needs for frame-level sampling/captioning: each decoded AVI
+    yields one output row PER FRAME (doc_id, frame_no, per-frame pixel
+    features), so downstream operators can filter/sample/join at frame
+    grain. Same real codec path as `mm_avi_decode`
+    (functions/avi_codec.py via ``_decode_media``), but the decode stage
+    EXPLODES: row multiplication happens executor-side inside the Arrow
+    batch, and each emitted row carries only its frame's features —
+    payload bytes are never duplicated per frame and never reach the
+    driver. The oracle recomputes every frame's features arithmetically
+    from the generator parameters.
+
+    Scale shape: build → exchange → decode+explode, all map-only around
+    one hash shuffle; output rows = Σ n_frames (bounded fan-out, like
+    `mm_frame_sample`'s chunk explosion). At 100 TB the build stage is a
+    `binaryFile` scan and the explode factor is the per-clip frame
+    count."""
+    from hadoop_fs_ceph_spark.functions.avi_codec import encode_avi
+
+    out_avi = "doc_id long, avi binary"
+    out_schema = "doc_id long, frame_no int, frame_sum long, px_first int, px_last int"
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 13, 4 + did % 7
+                nf = 2 + did % 5
+                frames = [
+                    bytes(
+                        (did * 31 + fr * 17 + (k // w) * 7 + (k % w) * 3) % 256
+                        for k in range(w * h)
+                    )
+                    for fr in range(nf)
+                ]
+                rows.append((did, encode_avi(w, h, 40000, frames)))
+            yield pd.DataFrame(rows, columns=["doc_id", "avi"])
+
+    def explode(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["avi"]):
+                m = _decode_media("video/avi", bytes(blob))
+                for fr, f in enumerate(m["frames"]):
+                    rows.append((int(did), fr, sum(f), f[0], f[-1]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_no", "frame_sum", "px_first", "px_last"],
+            )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 5)
+    avis = docs.select("doc_id").mapInPandas(build, out_avi)
+    return avis.repartition(8, "doc_id").mapInPandas(explode, out_schema)
