@@ -180,3 +180,54 @@ def test_negative_biheight_topdown_honored():
         for f in frames
     ]
     assert out == flipped
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=24),
+    n=st.integers(min_value=1, max_value=6),
+    us=st.integers(min_value=1, max_value=10_000_000),
+    data=st.data(),
+)
+def test_roundtrip_property(w, h, n, us, data):
+    """Property: ANY frame content at ANY dimensions/rate round-trips
+    bit-exactly — the stride/flip math has no special-cased shapes."""
+    frames = [
+        bytes(data.draw(st.binary(min_size=w * h, max_size=w * h)))
+        for _ in range(n)
+    ]
+    m = decode_avi(encode_avi(w, h, us, frames))
+    assert (m["width"], m["height"], m["n_frames"], m["us_per_frame"]) == (
+        w, h, n, us,
+    )
+    assert m["frames"] == frames
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    pos=st.integers(min_value=0),
+    val=st.integers(min_value=0, max_value=255),
+    trunc=st.integers(min_value=0, max_value=60),
+)
+def test_fuzz_mutation_never_escapes_valueerror(pos, val, trunc):
+    """Property: a single byte flip + tail truncation anywhere in a valid
+    AVI either still decodes (the byte was dead space / frame content) or
+    raises ValueError — NEVER IndexError/struct.error/KeyError, and never
+    a frame set of the wrong shape. This is the executor-crash contract:
+    corrupt objects in a 100 TB scan must fail as data errors a pipeline
+    can quarantine, not as worker crashes."""
+    base = bytearray(encode_avi(9, 5, 40000, _frames(9, 5, 2)))
+    base[pos % len(base)] ^= val or 0xFF
+    blob = bytes(base[: len(base) - trunc])
+    try:
+        m = decode_avi(blob)
+    except ValueError:
+        return
+    assert m["width"] >= 1 and m["height"] >= 1
+    for f in m["frames"]:
+        assert len(f) == m["width"] * m["height"]
