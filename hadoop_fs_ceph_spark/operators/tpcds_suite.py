@@ -452,26 +452,39 @@ def ds_tpcds_q36_margin_rollup_rank(spark, sf_dir):
     hierarchy level (the 'rank children under their parent' report).
     The rank partition key is (lochierarchy, parent): detail rows rank
     among siblings of the same nation, nation rows rank among nations,
-    the grand total ranks alone. The rollup expands AFTER partial
-    aggregation (Spark's Expand), and the window input is the rolled-up
-    relation (≤ 25·6+25+1 rows) — window-over-aggregate, never over
-    facts. Ratio = division of two fixed-point sums (bit-identical
+    the grand total ranks alone. Like Q67, the fact is reduced to the
+    LEAF grain by a plain groupBy BEFORE the ROLLUP (Spark expands
+    grouping sets before the partial aggregate, so rolling up raw facts
+    would triple the aggregation input; rolling up the ≤150-row leaf
+    relation is free and exact — fixed-point micro-unit sums are
+    associative). The window input is the rolled-up relation
+    (≤ 25·6+25+1 rows) — window-over-aggregate, never over facts.
+    Ratio = division of two fixed-point sums (bit-identical
     cross-engine); rank ties broken by the full key."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = dim(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    g = (
+    leaf = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(p, li.l_partkey == p.p_partkey)
-        .rollup("n_name", "p_type")
+        .groupBy("n_name", "p_type")
+        .agg(
+            F.sum(F.round(_rev_col() * F.lit(1e6)).cast("long")).alias("_rev6"),
+            F.sum(
+                F.round(F.col("l_quantity") * F.lit(1e6)).cast("long")
+            ).alias("_qty6"),
+        )
+    )
+    g = (
+        leaf.rollup("n_name", "p_type")
         .agg(
             (F.grouping("n_name") + F.grouping("p_type")).cast("int").alias(
                 "lochierarchy"
             ),
-            dsum(_rev_col(), "revenue"),
-            dsum("l_quantity", "qty"),
+            (F.sum("_rev6").cast("double") / F.lit(1e6)).alias("revenue"),
+            (F.sum("_qty6").cast("double") / F.lit(1e6)).alias("qty"),
             F.grouping("p_type").cast("int").alias("_gp"),
         )
     )
@@ -1050,16 +1063,19 @@ def ds_tpcds_q67_rollup_rank_spine(spark, sf_dir):
     pass' report, and the classic Q67 stress: the window input is the
     ROLLED-UP relation, never the fact.
 
-    Scale shape: the join tree reduces facts to the leaf grain FIRST
-    (partial aggregation under Expand — Spark expands to 6 grouping sets
-    AFTER the map-side partial, so the shuffle carries (key, partial)
-    rows ×6, not raw lines); the rank partitions by p_type (≤7 groups
-    incl. the NULL super-aggregate) so no partition approaches the
-    all-rows window that makes naive Q67 plans fall over; rk ≤ 100 cuts
-    to ≤ 700 rows before the final order. Rank ties are broken by the
-    full spine (NULLS FIRST both engines) so rk itself is deterministic,
-    not just the cut. Sums are fixed-point (canonical.py) —
-    bit-identical cross-engine."""
+    Scale shape — the canonical Q67 rewrite: Spark expands grouping sets
+    BEFORE the partial aggregate, so a naive ROLLUP over the joined fact
+    would feed 6× the fact rows into aggregation. Instead the fact is
+    reduced to the LEAF grain first (one plain groupBy over the 5 spine
+    columns — map-side partials on raw rows), and the ROLLUP runs over
+    the leaf relation (~3 orders of magnitude smaller), which is exact
+    because fixed-point micro-unit sums are associative. The rank
+    partitions by p_type (≤7 groups incl. the NULL super-aggregate) so
+    no partition approaches the all-rows window that makes naive Q67
+    plans fall over; rk ≤ 100 cuts to ≤ 700 rows before the final
+    order. Rank ties are broken by the full spine (NULLS FIRST both
+    engines) so rk itself is deterministic, not just the cut. Sums are
+    fixed-point (canonical.py) — bit-identical cross-engine."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -1069,13 +1085,19 @@ def ds_tpcds_q67_rollup_rank_spine(spark, sf_dir):
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = dim(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    g = (
+    leaf = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
-        .rollup("p_type", "p_brand", "yr", "mon", "n_name")
-        .agg(dsum(_rev_col(), "sumsales"))
+        .groupBy("p_type", "p_brand", "yr", "mon", "n_name")
+        .agg(
+            F.sum(F.round(_rev_col() * F.lit(1e6)).cast("long")).alias("_micro")
+        )
+    )
+    g = (
+        leaf.rollup("p_type", "p_brand", "yr", "mon", "n_name")
+        .agg((F.sum("_micro").cast("double") / F.lit(1e6)).alias("sumsales"))
     )
     w = Window.partitionBy("p_type").orderBy(
         F.col("sumsales").desc(),
