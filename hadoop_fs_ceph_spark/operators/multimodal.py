@@ -1042,3 +1042,107 @@ def mm_avi_frame_explode(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 5)
     avis = docs.select("doc_id").mapInPandas(build, out_avi)
     return avis.repartition(8, "doc_id").mapInPandas(explode, out_schema)
+
+
+@query(
+    "mm_decode_quarantine",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8000 + (doc_id % 5) * 2000 AS rate,
+             40 + doc_id % 61 AS n,
+             CASE WHEN doc_id % 7 = 0 THEN 'bad_magic'
+                  WHEN doc_id % 7 = 1 THEN 'truncated'
+                  ELSE 'ok' END AS expect
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    s AS (
+      SELECT doc_id, rate, n, expect,
+             list_transform(range(0, n),
+                            i -> (doc_id*6151 + i*13007) % 65536 - 32768) AS sm
+      FROM p
+    )
+    SELECT doc_id,
+           expect <> 'ok' AS quarantined,
+           CASE WHEN expect = 'ok' THEN NULL ELSE expect END AS error_class,
+           CASE WHEN expect = 'ok' THEN CAST(rate AS INTEGER) END AS sample_rate,
+           CASE WHEN expect = 'ok' THEN CAST(list_sum(sm) AS BIGINT) END AS amp_sum
+    FROM s
+    """,
+    tags=("multimodal", "binary", "pandas", "quarantine", "quality"),
+)
+def mm_decode_quarantine(spark, sf_dir):
+    """Decode-with-QUARANTINE — the operational contract a 100 TB
+    multimodal scan needs: corrupt payloads must become DATA (a
+    quarantine row with an error class) rather than task failures, so
+    one bad object out of a billion cannot kill the job or silently
+    vanish. A mixed batch of WAV payloads is built per document with
+    DETERMINISTIC corruption planted by doc_id (every 7th gets a flipped
+    RIFF magic, the next seventh a mid-chunk truncation), crosses a real
+    exchange, and the decode stage classifies each ``ValueError`` by the
+    decoder's own failure taxonomy (magic vs truncation — pinned by the
+    codec corruption tests) into an `error_class` column; clean payloads
+    emit their features. The oracle recomputes which documents were
+    corrupted and what the clean features must be — a hash match proves
+    BOTH that no corruption escapes as a wrong answer AND that the
+    failure taxonomy is stable (the property the codec fuzz tests assert
+    per-call, here proven end-to-end through Spark).
+
+    Scale shape: two map-only Arrow stages around one hash exchange —
+    identical to the other mm_* decodes; the quarantine path adds zero
+    shuffles (it is a column, not a side output), and downstream
+    `.filter(quarantined)` is the audit query."""
+    from hadoop_fs_ceph_spark.functions.wav_codec import encode_wav
+
+    out_wav = "doc_id long, wav binary"
+    out_schema = (
+        "doc_id long, quarantined boolean, error_class string, "
+        "sample_rate int, amp_sum long"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000 + (did % 5) * 2000
+                n = 40 + did % 61
+                samples = [
+                    ((did * 6151 + i * 13007) % 65536) - 32768 for i in range(n)
+                ]
+                blob = encode_wav(rate, samples)
+                if did % 7 == 0:
+                    blob = b"XIFF" + blob[4:]  # magic corruption
+                elif did % 7 == 1:
+                    blob = blob[: len(blob) // 2]  # mid-chunk truncation
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["wav"]):
+                try:
+                    rate, samples = _decode_media("audio/wav", bytes(blob))
+                    rows.append((int(did), False, None, rate, sum(samples)))
+                except ValueError as exc:
+                    msg = str(exc)
+                    # the decoder's stable failure taxonomy (pinned by
+                    # tests/test_wav_codec.py): magic errors name the
+                    # format, everything cut short says truncated
+                    cls = "bad_magic" if "magic" in msg else "truncated"
+                    rows.append((int(did), True, cls, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "quarantined",
+                    "error_class",
+                    "sample_rate",
+                    "amp_sum",
+                ],
+            )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    wavs = docs.select("doc_id").mapInPandas(build, out_wav)
+    return wavs.repartition(8, "doc_id").mapInPandas(decode, out_schema)
