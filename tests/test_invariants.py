@@ -2727,3 +2727,43 @@ def test_semantic_cell_size_guard_refuses_quadratic_region(spark, sf_dir, monkey
 
     monkeypatch.setattr(sim, "_SEM_CELL_MAX_N", 50_000)
     assert sim.dedup_semantic_cell(spark, sf_dir).count() >= 0
+
+
+def test_avi_frame_explode_counts_and_consistency(spark, sf_dir):
+    """Frame fan-out must emit exactly n_frames rows per clip (the
+    generator's 2 + doc_id % 5), every frame_sum must be attainable by
+    w*h bytes, and px_first/px_last must sit in byte range."""
+    rows = SPECS["mm_avi_frame_explode"].fn(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc, "empty explode"
+    for did, frs in by_doc.items():
+        assert did % 6 == 5
+        assert sorted(r["frame_no"] for r in frs) == list(range(2 + did % 5))
+        w, h = 8 + did % 13, 4 + did % 7
+        for r in frs:
+            assert 0 <= r["px_first"] <= 255 and 0 <= r["px_last"] <= 255
+            assert 0 <= r["frame_sum"] <= 255 * w * h
+
+
+def test_decode_quarantine_schedule_and_exclusivity(spark, sf_dir):
+    """Quarantine rows and feature rows must be mutually exclusive and
+    exhaustive, and the quarantine set must be EXACTLY the planted
+    corruption schedule (doc_id % 7 in {0, 1}) with the right taxonomy —
+    no corruption escapes, no clean payload is dropped."""
+    rows = SPECS["mm_decode_quarantine"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        did = r["doc_id"]
+        assert did % 2 == 0
+        if did % 7 == 0:
+            assert r["quarantined"] and r["error_class"] == "bad_magic"
+            assert r["sample_rate"] is None and r["amp_sum"] is None
+        elif did % 7 == 1:
+            assert r["quarantined"] and r["error_class"] == "truncated"
+            assert r["sample_rate"] is None and r["amp_sum"] is None
+        else:
+            assert not r["quarantined"] and r["error_class"] is None
+            assert r["sample_rate"] == 8000 + (did % 5) * 2000
+            assert r["amp_sum"] is not None
