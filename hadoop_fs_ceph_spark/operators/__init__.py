@@ -103,6 +103,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     text,
     tpcds_lite,
     tpcds_suite,
+    tpcds_suite2,
     tpch_suite,
     tpch_suite2,
     udfs,
