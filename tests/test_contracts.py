@@ -34,13 +34,16 @@ def test_readme_coverage_counts_match_registry():
 
 def test_media_decode_stub_contract():
     """`_decode_media` contract after VERDICT r6 item 1 (PNG), r7 item 5
-    (WAV) and r8 item 4 (AVI): all three uncompressed-container paths are
-    REAL — valid payloads decode to their exact content and corrupted
-    ones fail loudly with ValueError, never a silent wrong answer. The
-    ONLY remaining stub is COMPRESSED media (a codec is numerical signal
-    processing, permanently waived): it must raise NotImplementedError
-    with the documented message."""
+    (WAV), r8 item 4 (AVI) and the r9 GIF addition: all four container
+    paths are REAL — valid payloads decode to their exact content
+    (including GIF's LZW compression layer, which is lossless entropy
+    coding, not a numerical codec) and corrupted ones fail loudly with
+    ValueError, never a silent wrong answer. The ONLY remaining stub is
+    LOSSY/transform-coded media (a signal-processing codec, permanently
+    waived): it must raise NotImplementedError with the documented
+    message."""
     from hadoop_fs_ceph_spark.functions.avi_codec import encode_avi
+    from hadoop_fs_ceph_spark.functions.gif_codec import encode_gif
     from hadoop_fs_ceph_spark.functions.png_codec import encode_png
     from hadoop_fs_ceph_spark.functions.wav_codec import encode_wav
     from hadoop_fs_ceph_spark.operators.multimodal import _decode_media
@@ -57,8 +60,15 @@ def test_media_decode_stub_contract():
     assert (m["width"], m["height"], m["n_frames"]) == (10, 6, 3)
     assert m["frames"] == frames
 
+    gif_px = bytes((5 * i) % 256 for i in range(11 * 7))
+    g = _decode_media("image/gif", encode_gif(11, 7, gif_px, interlace=True))
+    assert (g["width"], g["height"], g["interlaced"]) == (11, 7, True)
+    assert g["pixels"] == gif_px
+
     with pytest.raises(ValueError):  # truncated payloads: loud, not wrong
         _decode_media("image/png", b"\x89PNG\r\n")
+    with pytest.raises(ValueError):
+        _decode_media("image/gif", b"GIF89a\x00\x00")
     with pytest.raises(ValueError):
         _decode_media("audio/wav", b"RIFF\x00\x00\x00\x00WAVE")
     with pytest.raises(ValueError):
