@@ -384,9 +384,12 @@ def ds_tpcds_q89_monthly_deviation(spark, sf_dir):
     monthly revenue — the anomaly screen merchandisers run. Q89 uses
     AVG() OVER (PARTITION BY brand); windowed AVG over doubles is
     accumulation-order-sensitive cross-engine, so the deterministic
-    formulation aggregates the year per brand (fixed-point, exact) and
-    joins it back — same dataflow, same result, and MORE scalable: a
-    broadcast-sized yearly relation instead of window state. The
+    formulation keeps the EXACT micro-unit integers per month and takes
+    a window SUM of them over the brand partition (integer window sums
+    are order-independent) — one fact aggregation instead of the
+    join-back CTE the oracle phrases, which would make Spark re-execute
+    the whole fact pipeline for the second reference (2× fact scans at
+    100 TB). Window state is the ≤25×12-row aggregated series. The
     deviation predicate and ordering use raw IEEE ops on identical
     operands (no rounding), so the hash matches bit-for-bit."""
     li = t(spark, sf_dir, "lineitem")
@@ -398,18 +401,15 @@ def ds_tpcds_q89_monthly_deviation(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "mon")
-        .agg(dsum(_rev_col(), "rev"))
+        .agg(F.sum(F.round(_rev_col() * F.lit(1e6)).cast("long")).alias("_micro"))
+        .withColumn("rev", F.col("_micro").cast("double") / F.lit(1e6))
     )
-    yearly = monthly.groupBy("p_brand").agg(
-        (F.sum(F.round(F.col("rev") * 1e6).cast("long")).cast("double") / 1e6).alias(
-            "tot"
-        ),
-        F.count(F.lit(1)).alias("n_months"),
-    )
-    avg_m = F.col("tot") / F.col("n_months")
+    wb = Window.partitionBy("p_brand")
+    avg_m = (F.sum("_micro").over(wb).cast("double") / F.lit(1e6)) / F.count(
+        F.lit(1)
+    ).over(wb)
     return (
-        monthly.join(yearly, "p_brand")
-        .withColumn("avg_monthly", avg_m)
+        monthly.withColumn("avg_monthly", avg_m)
         .withColumn("deviation", F.col("rev") - F.col("avg_monthly"))
         .filter(F.abs(F.col("deviation")) > 0.3 * F.col("avg_monthly"))
         .select("p_brand", "mon", "rev", "avg_monthly", "deviation")

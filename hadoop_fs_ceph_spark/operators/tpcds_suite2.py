@@ -96,14 +96,20 @@ def ds_tpcds_q47_monthly_neighbors(spark, sf_dir):
     the total (yr, mon) order within each brand partition (unique by
     construction: the series is grouped at that grain).
 
-    Scale shape: the window runs over the AGGREGATED series (brand ×
+    Scale shape: the windows run over the AGGREGATED series (brand ×
     month ≈ 25×84 rows here; bounded by |brands|·|months| at any SF),
     never over facts — window state is dimension-sized. The fact is
-    scanned once into the (brand, yr, mon) partial aggregate; the
-    join-back average is a broadcast-sized relation. TakeOrdered for
-    the final LIMIT. Reference parity: SURVEY §2B window family
-    (reference has no relational operators; CephRgwFileSystem.java is a
-    FileSystem connector — this extends the engine contract)."""
+    scanned ONCE into the (brand, yr, mon) partial aggregate; the
+    yearly average comes from a window SUM of the exact micro-unit
+    integers over (brand, yr) rather than the oracle's join-back CTE —
+    the join-back form makes Spark re-execute the whole fact
+    aggregation for the second reference (Q89's plan pays 2× fact
+    scans for exactly this reason), while the window form reuses the
+    one series and integer window sums are order-independent, so the
+    hash still matches bit-for-bit. TakeOrdered for the final LIMIT.
+    Reference parity: SURVEY §2B window family (reference has no
+    relational operators; CephRgwFileSystem.java is a FileSystem
+    connector — this extends the engine contract)."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -115,16 +121,19 @@ def ds_tpcds_q47_monthly_neighbors(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "yr", "mon")
-        .agg(dsum(_rev_col(), "rev"))
+        .agg(
+            F.sum(F.round(_rev_col() * F.lit(1e6)).cast("long")).alias("_micro")
+        )
+        .withColumn("rev", F.col("_micro").cast("double") / F.lit(1e6))
     )
-    yearly = monthly.groupBy("p_brand", "yr").agg(
-        (F.sum(F.round(F.col("rev") * 1e6).cast("long")).cast("double") / 1e6).alias("tot"),
-        F.count(F.lit(1)).alias("n_months"),
-    )
+    wy = Window.partitionBy("p_brand", "yr")
     w = Window.partitionBy("p_brand").orderBy("yr", "mon")
     series = (
-        monthly.join(yearly, ["p_brand", "yr"])
-        .withColumn("avg_monthly", F.col("tot") / F.col("n_months"))
+        monthly.withColumn(
+            "avg_monthly",
+            (F.sum("_micro").over(wy).cast("double") / F.lit(1e6))
+            / F.count(F.lit(1)).over(wy),
+        )
         .withColumn("prev_rev", F.lag("rev").over(w))
         .withColumn("next_rev", F.lead("rev").over(w))
     )
@@ -280,10 +289,15 @@ def ds_tpcds_q39_demand_cov_pairs(spark, sf_dir):
     |rev²·10⁴| ≈ 1e14 per row well under 2^63 for per-group sums.
 
     Scale shape: one fact scan into a (supplier, month) partial
-    aggregate carrying three numbers; the consecutive-month self-join
-    input is |suppliers|·12 rows — dimension-sized at any SF, and
-    equi-keyed on (suppkey, mon+1) so it hashes, never ranges. The
-    full-series sort is the final presentation ORDER BY only."""
+    aggregate carrying three numbers; the oracle phrases the
+    consecutive-month pairing as a self-join, but the Spark plan uses
+    LEAD over the aggregated series instead (next month's cov/n are
+    value movement, no arithmetic) gated on lead(mon) == mon+1 — the
+    self-join form re-executes the whole fact aggregation for each side
+    (4 scans in the physical plan), while the window form scans ONCE and
+    its state is |suppliers|·12 rows, dimension-sized at any SF. Same
+    rows, same hash. The full-series sort is the final presentation
+    ORDER BY only."""
     li = t(spark, sf_dir, "lineitem")
     o = (
         t(spark, sf_dir, "orders")
@@ -311,21 +325,23 @@ def ds_tpcds_q39_demand_cov_pairs(spark, sf_dir):
             / (F.col("s1") / nd)
         ).alias("cov"),
     )
-    a = f.select(
-        F.col("l_suppkey"),
-        F.col("mon"),
-        F.col("cov").alias("cov_mon"),
-        F.col("n").alias("n_mon"),
-    )
-    b = f.select(
-        F.col("l_suppkey"),
-        (F.col("mon") - 1).alias("mon"),
-        F.col("cov").alias("cov_next"),
-        F.col("n").alias("n_next"),
-    )
+    w = Window.partitionBy("l_suppkey").orderBy("mon")
     return (
-        a.join(b, ["l_suppkey", "mon"])
-        .filter((F.col("cov_mon") > 0.6) & (F.col("cov_next") > 0.6))
-        .select("l_suppkey", "mon", "cov_mon", "cov_next", "n_mon", "n_next")
+        f.withColumn("next_mon", F.lead("mon").over(w))
+        .withColumn("cov_next", F.lead("cov").over(w))
+        .withColumn("n_next", F.lead("n").over(w))
+        .filter(
+            (F.col("next_mon") == F.col("mon") + 1)
+            & (F.col("cov") > 0.6)
+            & (F.col("cov_next") > 0.6)
+        )
+        .select(
+            "l_suppkey",
+            "mon",
+            F.col("cov").alias("cov_mon"),
+            "cov_next",
+            F.col("n").alias("n_mon"),
+            "n_next",
+        )
         .orderBy("l_suppkey", "mon")
     )
