@@ -27,6 +27,17 @@ Spark AppStatusStore), and splices the per-query table into
 plan survive the scale-up", query by query. The ×100 tier caught a
 real quadratic-blocking defect in round 8 (see
 dedup_semantic_bucket_scaled).
+
+``python bench.py --skew`` runs the HOT-KEY rehearsal (round 9): the
+headline suite on a planted-skew variant of the data (one whale
+customer owns 25% of orders, one part/supplier on 20% of lineitems,
+one user emits 20% of events — row counts and join fan-outs unchanged)
+at the cluster shape (auto-broadcast off, 200 shuffle partitions, AQE
+skew-split threshold lowered so the rewrite fires at test scale). Two
+gates per query: the AQE skew-split rewrite must not change the answer
+(content hash, skewJoin on vs off), and the wall-clock ratio vs the
+uniform data must stay bounded. Results splice into ``SCALE.md``'s
+SKEW section.
 """
 
 from __future__ import annotations
@@ -593,10 +604,218 @@ def rehearsal_main() -> None:
     )
 
 
+# ---------------------------------------------------------------------------
+# --skew: planted hot-key rehearsal (whale customer/part/supplier/user)
+# ---------------------------------------------------------------------------
+
+_SKEW_CONF = dict(_REHEARSAL_CONF)  # no auto-broadcast + 200 partitions:
+# broadcasts HIDE join skew (the hot key never shuffles), so the skew pass
+# must run at the cluster shape where the hash exchanges are real
+_SKEW_AQE_ON = {
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # sf0.1 shuffle partitions are ~KBs-MBs; the production default
+    # threshold (256 MiB) never fires at test scale, so the rehearsal
+    # lowers it to let AQE's skew-split rewrite actually run — a real
+    # cluster keeps the default and fires at its own partition sizes
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+}
+_SKEW_AQE_OFF = {
+    "spark.sql.adaptive.skewJoin.enabled": "false",
+}
+
+
+def _build_skew_tables(spark, src_dir: str, dst_dir: str) -> dict:
+    """Materialize a HOT-KEY variant of the dataset: one whale customer
+    owns 25% of orders, one hot part and one hot supplier each appear on
+    20% of lineitems, one whale user emits 20% of events. Row counts and
+    join fan-outs are UNCHANGED (every remapped FK still points at an
+    existing unique dimension row — each fact row still matches exactly
+    one dim row), so any wall-clock blow-up is pure key-distribution
+    pathology: oversized shuffle partitions and monster groups. The hash
+    gate is deterministic (xxhash64 of the row key), so the build is
+    reproducible bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    hot = {}
+    for name, key in (("customer", "c_custkey"), ("part", "p_partkey"),
+                      ("supplier", "s_suppkey")):
+        hot[key] = (
+            spark.read.parquet(f"{src_dir}/{name}.parquet")
+            .agg(F.min(key)).collect()[0][0]
+        )
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "documents", "embeddings"):
+        spark.read.parquet(f"{src_dir}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst_dir}/{name}.parquet")
+    o = spark.read.parquet(f"{src_dir}/orders.parquet")
+    o.withColumn(
+        "o_custkey",
+        F.when(
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(4)) == 0,
+            F.lit(hot["c_custkey"]),
+        ).otherwise(F.col("o_custkey")),
+    ).write.mode("overwrite").parquet(f"{dst_dir}/orders.parquet")
+    li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
+    row_h = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(5))
+    li.withColumn(
+        "l_partkey",
+        F.when(row_h == 0, F.lit(hot["p_partkey"])).otherwise(F.col("l_partkey")),
+    ).withColumn(
+        "l_suppkey",
+        F.when(row_h == 1, F.lit(hot["s_suppkey"])).otherwise(F.col("l_suppkey")),
+    ).write.mode("overwrite").parquet(f"{dst_dir}/lineitem.parquet")
+    e = spark.read.parquet(f"{src_dir}/events.parquet")
+    hot_user = e.agg(F.min("user_id")).collect()[0][0]
+    e.withColumn(
+        "user_id",
+        F.when(
+            F.pmod(F.xxhash64("event_id"), F.lit(5)) == 0, F.lit(hot_user)
+        ).otherwise(F.col("user_id")),
+    ).write.mode("overwrite").parquet(f"{dst_dir}/events.parquet")
+    hot["user_id"] = hot_user
+    return hot
+
+
+def skew_main() -> None:
+    import shutil
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    specs = load_all()
+    bench_specs = {n: s for n, s in sorted(specs.items()) if s.bench}
+    spark = get_spark("bench-skew", driver_memory="24g")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    skew_dir = tempfile.mkdtemp(prefix="spark_graft_skew_")
+    try:
+        t0 = time.perf_counter()
+        hot = _build_skew_tables(spark, sf_dir, skew_dir)
+        build_sec = round(time.perf_counter() - t0, 1)
+
+        def run_suite(data_dir: str, with_hash: bool) -> dict[str, dict]:
+            out: dict[str, dict] = {}
+            for name, spec in bench_specs.items():
+                start = time.perf_counter()
+                spec.fn(spark, data_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                wall = time.perf_counter() - start
+                rec: dict = {"wall": round(wall, 3)}
+                if with_hash:
+                    rec["n"], rec["h"] = _content_hash(spec.fn(spark, data_dir))
+                spark.catalog.clearCache()
+                out[name] = rec
+            return out
+
+        # warm codegen once, then run every suite at the cluster shape
+        next(iter(bench_specs.values())).fn(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in {**_SKEW_CONF, **_SKEW_AQE_ON, **_SKEW_AQE_OFF}
+        }
+        for k, v in _SKEW_CONF.items():
+            spark.conf.set(k, v)
+        try:
+            for k, v in _SKEW_AQE_ON.items():
+                spark.conf.set(k, v)
+            uniform = run_suite(sf_dir, with_hash=False)
+            skew_on = run_suite(skew_dir, with_hash=True)
+            for k, v in _SKEW_AQE_OFF.items():
+                spark.conf.set(k, v)
+            skew_off = run_suite(skew_dir, with_hash=True)
+            uniform2 = run_suite(sf_dir, with_hash=False)  # drift bracket
+        finally:
+            for k, v in saved.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+    finally:
+        shutil.rmtree(skew_dir, ignore_errors=True)
+
+    rows, bad = [], []
+    for name in bench_specs:
+        u = min(uniform[name]["wall"], uniform2[name]["wall"])
+        s_on, s_off = skew_on[name], skew_off[name]
+        ratio = s_on["wall"] / u if u else float("inf")
+        same = s_on["n"] == s_off["n"] and s_on["h"] == s_off["h"]
+        # gate: planted whales may legitimately cost one oversized task,
+        # but must not collapse the plan (ratio) and the AQE skew-split
+        # rewrite must never change the answer (content)
+        ok = same and (ratio <= 2.5 or s_on["wall"] - u <= 1.0)
+        rows.append((name, u, s_on["wall"], s_off["wall"], ratio, same, ok))
+        if not ok:
+            bad.append(name)
+
+    md = [
+        "## Skew rehearsal: planted hot keys at the cluster shape",
+        "",
+        f"Data: `{sf_dir}` remapped so ONE customer owns 25% of orders, one "
+        "part and one supplier each sit on 20% of lineitems, one user emits "
+        "20% of events (`bench.py::_build_skew_tables`; row counts and join "
+        f"fan-outs unchanged — every remapped FK still matches exactly one "
+        f"dim row; build {build_sec}s). All suites run with auto-broadcast "
+        "OFF and 200 shuffle partitions (broadcasts hide join skew), AQE "
+        "skew-split threshold lowered to 1 MiB so the rewrite fires at test "
+        "scale (a cluster keeps the 256 MiB default). `content` = the "
+        "skew-split rewrite (AQE skewJoin on vs off) must not change row "
+        "count or order-independent hash. Verdict ok = content same AND "
+        "(wall ratio vs uniform ≤ 2.5 or absolute delta ≤ 1 s).",
+        "",
+        "| query | uniform (s) | skew AQE-on (s) | skew AQE-off (s) | "
+        "ratio | content | verdict |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, u, s1, s0, ratio, same, ok in rows:
+        md.append(
+            f"| {name} | {u:.2f} | {s1:.2f} | {s0:.2f} | {ratio:.2f}x | "
+            f"{'same' if same else '**DIFFERS**'} | "
+            f"{'ok' if ok else '**FAIL**'} |"
+        )
+    tot_u = sum(r[1] for r in rows)
+    tot_s = sum(r[2] for r in rows)
+    md += [
+        "",
+        f"**Totals:** uniform = {tot_u:.1f}s, skewed (AQE on) = {tot_s:.1f}s "
+        f"(ratio {tot_s / tot_u:.2f}x), {len(bad)} failing. Hot keys: "
+        f"custkey {hot['c_custkey']}, partkey {hot['p_partkey']}, "
+        f"suppkey {hot['s_suppkey']}, user {hot['user_id']}.",
+    ]
+    begin, end_m = "<!-- SKEW:BEGIN -->", "<!-- SKEW:END -->"
+    section = begin + "\n" + "\n".join(md) + "\n" + end_m
+    scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE.md")
+    text = open(scale_path).read() if os.path.exists(scale_path) else ""
+    if begin in text and end_m in text:
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end_m, 1)
+        text = head + section + tail
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open(scale_path, "w") as fh:
+        fh.write(text)
+
+    print(
+        json.dumps(
+            {
+                "metric": "skew_wall_ratio",
+                "value": round(tot_s / tot_u, 3),
+                "unit": "x",
+                "failing": bad,
+                "total_uniform_sec": round(tot_u, 3),
+                "total_skew_sec": round(tot_s, 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--soak" in sys.argv[1:]:
         soak_main()
     elif "--rehearsal" in sys.argv[1:]:
         rehearsal_main()
+    elif "--skew" in sys.argv[1:]:
+        skew_main()
     else:
         main()
