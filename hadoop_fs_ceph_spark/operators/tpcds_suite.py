@@ -793,11 +793,21 @@ def ds_tpcds_q14_cross_channel(spark, sf_dir):
     avg_sales scalar subquery). The gate compares integer cross-products
     (rev_fix·n_groups > total_fix) — exact in both engines, no division.
 
-    Scale: the INTERSECT legs carry only distinct part keys (key-width
-    wire traffic); cross_items is applied as a LEFT SEMI before the
-    dimension join so unqualified fact rows never reach the aggregate;
-    the gate broadcast is one row (allowlisted). Channel count is fixed
-    (3) so the group spine is bounded by |brands|×3."""
+    Scale (round-9 single-scan replan — the oracle keeps the spec's
+    INTERSECT/CTE phrasing, the Spark plan does not): the three
+    INTERSECT legs each re-executed the fact join (the plan paid 8 fact
+    scans — Spark materializes no CTEs and the differing channel
+    filters defeat exchange reuse), so qualification is now ONE
+    aggregate — GROUP BY l_partkey HAVING count(DISTINCT channel) = 3,
+    which is set-identical to the 3-way INTERSECT because channel has
+    exactly three values; one fact scan, key-width wire traffic.
+    cross_items is applied as a LEFT SEMI before the dimension join so
+    unqualified fact rows never reach the aggregate. The avg_sales gate
+    (Q14's scalar subquery) was a one-row broadcast whose input
+    RE-EXECUTED the whole sales subtree (two more fact scans); it is
+    now an integer window SUM over the sales spine — bounded by
+    |brands|×3 rows by construction (allowlisted single-partition
+    window), exact because rev_fix is a long. Fact scans: 8 → 2."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -807,12 +817,13 @@ def ds_tpcds_q14_cross_channel(spark, sf_dir):
     dated = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_partkey", "channel", "yr", _rev_col().alias("rev")
     )
-    base = dated.filter(F.col("yr").isin(1996, 1997))
-
-    def leg(ch):
-        return base.filter(F.col("channel") == ch).select("l_partkey")
-
-    cross_items = leg("express").intersect(leg("standard")).intersect(leg("economy"))
+    cross_items = (
+        dated.filter(F.col("yr").isin(1996, 1997))
+        .groupBy("l_partkey")
+        .agg(F.count_distinct("channel").alias("_nch"))
+        .filter(F.col("_nch") == 3)
+        .select("l_partkey")
+    )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     sales = (
         dated.filter(F.col("yr") == 1998)
@@ -824,11 +835,10 @@ def ds_tpcds_q14_cross_channel(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
-    gate = sales.agg(
-        F.sum("rev_fix").alias("tot"), F.count(F.lit(1)).alias("ng")
-    )
+    wall = Window.partitionBy()
     return (
-        sales.crossJoin(F.broadcast(gate))
+        sales.withColumn("tot", F.sum("rev_fix").over(wall))
+        .withColumn("ng", F.count(F.lit(1)).over(wall))
         .filter(F.col("rev_fix") * F.col("ng") > F.col("tot"))
         .select(
             "channel",

@@ -37,7 +37,6 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "ds_wilcoxon_signed_rank": "one-row corpus-midpoint + one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
     "profile_freshness_lag": "one-row corpus-watermark broadcast onto the per-stream aggregate",
     "ds_tpcds_q23_frequent_best": "one-row max-lifetime-spend broadcast gating the best-customer cut",
-    "ds_tpcds_q14_cross_channel": "one-row (total, n_groups) gate broadcast onto the bounded (channel x brand) sales relation",
     "sample_rolling_origin_folds": "3-row fold spine + one-row corpus-horizon broadcast",
     "fn_zip_with_dot": "one-row query-vector broadcast",
     "sim_knn_bruteforce": "one-row query-vector broadcast (declared truth pass)",
@@ -186,6 +185,7 @@ SINGLE_PARTITION_WINDOW: dict[str, str] = {
     "profile_ks_drift": "final max-gap window over the fixed 17-row ECDF grid relation",
     "ds_slo_burn_rate": "trailing 6-hour window over the hourly aggregate (bounded by hours elapsed, not corpus size)",
     "win_rolling_corr": "28-row trailing frame over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
+    "ds_tpcds_q14_cross_channel": "totals window over the (channel x brand) sales spine — bounded by 3 channels x |brands| by construction; replaces a gate broadcast whose input re-executed the full fact aggregation",
 }
 
 # --- declared Python-UDF surface ------------------------------------------
