@@ -345,3 +345,180 @@ def ds_tpcds_q39_demand_cov_pairs(spark, sf_dir):
         )
         .orderBy("l_suppkey", "mon")
     )
+
+
+@query(
+    "ds_tpcds_q95_multi_supplier_clean",
+    oracle=f"""
+    WITH multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2
+    ),
+    ret AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    q AS (
+      SELECT o_orderkey, EXTRACT(month FROM o_orderdate) AS mon,
+             o_totalprice
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) = 1997
+        AND o_orderkey IN (SELECT l_orderkey FROM multi)
+        AND o_orderkey NOT IN (SELECT l_orderkey FROM ret)
+    )
+    SELECT mon,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", "total_value")}
+    FROM q
+    GROUP BY mon
+    ORDER BY mon
+    """,
+    tags=("tpcds", "semi-join", "anti-join", "exists-chain"),
+)
+def ds_tpcds_q95_multi_supplier_clean(spark, sf_dir):
+    """TPC-DS Q95: the EXISTS/NOT-EXISTS reachability chain — orders
+    fulfilled from AT LEAST TWO distinct suppliers (Q95's 'shipped from
+    more than one warehouse' two-hop EXISTS self-join) with NO returned
+    line (the NOT EXISTS against web_returns), reported monthly. The
+    spec phrases both conditions as correlated self-joins over the fact;
+    the Spark-first form derives each qualification set ONCE — the
+    multi-supplier set as a key-grain aggregate (count DISTINCT supplier
+    ≥ 2 is set-identical to the pairwise ws1/ws2 self-join EXISTS), the
+    returns set as a distinct key projection — and applies them as one
+    LEFT SEMI and one LEFT ANTI join on key-only relations.
+
+    Scale shape: one fact scan per qualification set plus the orders
+    scan, each reduced to key grain before any join (the semi/anti build
+    sides carry 8-byte keys, no payload); the monthly aggregate's spine
+    is 12 rows. No self-join of raw fact rows ever materializes — the
+    pairwise EXISTS form would shuffle fact×avg_lines_per_order rows.
+    Fixed-point value sums keep the hash exact."""
+    li = t(spark, sf_dir, "lineitem")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("_ns"))
+        .filter(F.col("_ns") >= 2)
+        .select("l_orderkey")
+    )
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1997)
+        .select(
+            "o_orderkey",
+            F.month("o_orderdate").alias("mon"),
+            "o_totalprice",
+        )
+    )
+    return (
+        o.join(multi, o.o_orderkey == multi.l_orderkey, "left_semi")
+        .join(ret, o.o_orderkey == ret.l_orderkey, "left_anti")
+        .groupBy("mon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice", "total_value"),
+        )
+        .orderBy("mon")
+    )
+
+
+@query(
+    "ds_tpcds_q4_channel_growth_screen",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS express,
+             EXTRACT(year FROM o_orderdate) AS yr,
+             SUM(CAST(ROUND(o_totalprice * 1000000.0) AS BIGINT)) AS spend_fix
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+      GROUP BY o_custkey, express, yr
+    ),
+    wide AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN express AND yr = 1996 THEN spend_fix END) AS e1,
+             SUM(CASE WHEN express AND yr = 1997 THEN spend_fix END) AS e2,
+             SUM(CASE WHEN NOT express AND yr = 1996 THEN spend_fix END) AS s1,
+             SUM(CASE WHEN NOT express AND yr = 1997 THEN spend_fix END) AS s2
+      FROM s GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey,
+           CAST(e2 AS DOUBLE) / e1 AS express_ratio,
+           CAST(s2 AS DOUBLE) / s1 AS standard_ratio
+    FROM wide
+    WHERE e1 > 0 AND s1 > 0 AND e2 IS NOT NULL AND s2 IS NOT NULL
+      AND CAST(e2 AS DOUBLE) / e1 > CAST(s2 AS DOUBLE) / s1
+    ORDER BY express_ratio DESC, custkey
+    LIMIT 60
+    """,
+    tags=("tpcds", "yoy", "multi-channel", "pivot"),
+)
+def ds_tpcds_q4_channel_growth_screen(spark, sf_dir):
+    """TPC-DS Q4: customers whose premium-channel spend GREW FASTER than
+    their standard-channel spend year-over-year — the spec builds six
+    year_total CTE slices (3 channels × 2 years) and joins them all at
+    customer grain; the Spark-first form computes ONE aggregate at
+    (customer, channel, year) grain and PIVOTs the four cells with
+    conditional sums, replacing five self-joins of the same subtree
+    with map-side CASE — one fact scan instead of six.
+
+    Scale shape: the only full-relation work is the single orders scan
+    into the (customer, channel, year) partial aggregate; the pivot is
+    a second aggregate at customer grain (strictly fewer rows); the
+    ratio screen and ORDER+LIMIT (TakeOrdered) run on the pivoted
+    relation. Spend is fixed-point (exact longs); each ratio divides
+    the same exact operands in both engines, and the cross-channel
+    comparison compares those identical doubles — hash-exact. NULL
+    cells (customer absent from a channel-year) are filtered exactly
+    like Q4's inner joins drop them."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("express"),
+            F.year("o_orderdate").alias("yr"),
+            "o_totalprice",
+        )
+    )
+    s = o.groupBy("o_custkey", "express", "yr").agg(
+        F.sum(F.round(F.col("o_totalprice") * F.lit(1e6)).cast("long")).alias(
+            "spend_fix"
+        )
+    )
+
+    def cell(express, yr):
+        return F.sum(
+            F.when(
+                (F.col("express") == express) & (F.col("yr") == yr),
+                F.col("spend_fix"),
+            )
+        )
+
+    wide = s.groupBy("o_custkey").agg(
+        cell(True, 1996).alias("e1"),
+        cell(True, 1997).alias("e2"),
+        cell(False, 1996).alias("s1"),
+        cell(False, 1997).alias("s2"),
+    )
+    e_ratio = F.col("e2").cast("double") / F.col("e1")
+    s_ratio = F.col("s2").cast("double") / F.col("s1")
+    return (
+        wide.filter(
+            (F.col("e1") > 0)
+            & (F.col("s1") > 0)
+            & F.col("e2").isNotNull()
+            & F.col("s2").isNotNull()
+            & (e_ratio > s_ratio)
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            e_ratio.alias("express_ratio"),
+            s_ratio.alias("standard_ratio"),
+        )
+        .orderBy(F.col("express_ratio").desc(), "custkey")
+        .limit(60)
+    )
