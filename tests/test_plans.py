@@ -397,3 +397,40 @@ def test_derived_partition_pruning_carries_partition_filter(spark, sf_dir):
     plan = plan_of(df)
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "ym" in pf.group(1), plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name,table_col,max_scans",
+    [
+        # round-9 single-scan replans: the join-back / INTERSECT-leg /
+        # scalar-subquery forms re-executed the fact subtree (Q14 paid 8
+        # fact scans); window sums over exact micro-units and one-pass
+        # qualification aggregates brought each down. Pinned so a future
+        # refactor cannot silently reintroduce the duplication.
+        ("ds_tpcds_q89_monthly_deviation", "l_orderkey", 1),
+        ("ds_tpcds_q47_monthly_neighbors", "l_orderkey", 1),
+        ("ds_tpcds_q39_demand_cov_pairs", "l_orderkey", 1),
+        ("ds_tpcds_q14_cross_channel", "l_orderkey", 2),
+        ("ds_tpcds_q95_multi_supplier_clean", "l_orderkey", 2),
+        ("ds_tpcds_q4_channel_growth_screen", "o_orderkey", 1),
+        ("ds_tpcds_q75_yoy_item_delta", "l_orderkey", 2),
+    ],
+)
+def test_fact_scan_count_pinned(spark, sf_dir, name, table_col, max_scans):
+    """The optimized logical plan must reference the fact table at most
+    `max_scans` times — Spark materializes no CTEs, so every extra
+    logical reference is a full re-execution of the fact subtree at
+    100 TB (2 scans are inherent where two different year slices feed
+    independent qualification sets; 1 means the single-scan rewrite
+    holds)."""
+    df = SPECS[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n = sum(
+        1
+        for line in plan.splitlines()
+        if "Relation [" in line and table_col in line
+    )
+    assert 1 <= n <= max_scans, (
+        f"{name}: {n} fact scans in the optimized plan (max {max_scans}) — "
+        "a join-back or scalar-subquery form re-duplicated the fact subtree"
+    )
