@@ -36,6 +36,11 @@ Module map (SURVEY.md §2B families):
 * funcs5       — VARIANT family, interval arithmetic, bitwise folds,
                  array set-algebra
 * graph        — label propagation (pagerank-fixed), triangle counting
+* tpcds_suite2 — TPC-DS fourth tier (r9): Q47 lag/lead neighbors, Q75
+                 returns-netted YoY delta, Q39 CoV consecutive-month
+                 pairs, Q95 key-grain EXISTS chain, Q4 pivoted
+                 channel-growth screen — all single-scan replans of
+                 shapes the spec phrases as CTE self-joins
 
 Round-2 additions live inside the family modules: winnowing fingerprints,
 train/eval decontamination, repetition filter, RAG chunking (text);

@@ -84,6 +84,7 @@ def _rev_col():
     LIMIT 60
     """,
     tags=("tpcds", "window", "lag-lead", "deviation"),
+    bench=True,
 )
 def ds_tpcds_q47_monthly_neighbors(spark, sf_dir):
     """TPC-DS Q47: months deviating >10% from the brand's yearly average,
