@@ -1262,3 +1262,159 @@ def mm_gif_decode(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
     gifs = docs.select("doc_id").mapInPandas(build, out_gif)
     return gifs.repartition(8, "doc_id").mapInPandas(decode, out_schema)
+
+
+@query(
+    "mm_decode_quarantine_mixed",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                             WHEN 2 THEN 'video/avi' ELSE 'image/gif' END
+               AS modality,
+             CASE WHEN doc_id % 9 = 0 THEN 'bad_magic'
+                  WHEN doc_id % 9 = 1 THEN 'truncated' END AS ec
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT doc_id, modality,
+           ec IS NOT NULL AS quarantined,
+           ec AS error_class,
+           CASE WHEN ec IS NOT NULL THEN NULL
+                WHEN doc_id % 4 = 0 THEN
+                  (SELECT CAST(list_sum(list_transform(
+                     range(0, (6 + doc_id % 9) * (4 + doc_id % 7)),
+                     k -> (doc_id * 29 + k * 7) % 256)) AS BIGINT))
+                WHEN doc_id % 4 = 1 THEN
+                  (SELECT CAST(list_sum(list_transform(
+                     range(0, 30 + doc_id % 50),
+                     i -> (doc_id * 6151 + i * 13007) % 65536 - 32768))
+                     AS BIGINT))
+                WHEN doc_id % 4 = 2 THEN
+                  (SELECT CAST(list_sum(list_transform(
+                     range(0, 1 + doc_id % 3), fr ->
+                     list_sum(list_transform(
+                       range(0, (8 + doc_id % 5) * (4 + doc_id % 5)),
+                       k -> (doc_id * 31 + fr * 17 + k * 5) % 256))))
+                     AS BIGINT))
+                ELSE
+                  (SELECT CAST(list_sum(list_transform(
+                     range(0, (6 + doc_id % 8) * (5 + doc_id % 6)),
+                     k -> (doc_id * 37 + k * 11) % 256)) AS BIGINT))
+           END AS feature_sum
+    FROM p
+    """,
+    tags=("multimodal", "binary", "pandas", "quarantine", "mixed"),
+)
+def mm_decode_quarantine_mixed(spark, sf_dir):
+    """MIXED-modality decode-with-quarantine — one scan, four REAL
+    decoders (PNG zlib scanlines, WAV PCM, AVI DIB frames, GIF LZW),
+    one uniform failure taxonomy. Each document gets a payload in the
+    modality its id selects; every 9th payload ships with a flipped
+    magic, the next ninth with a mid-stream truncation. The decode
+    stage dispatches on the modality column through ``_decode_media``
+    and classifies any ``ValueError`` by the decoders' SHARED taxonomy
+    (all four name 'magic' for magic corruption; everything cut short
+    classifies as truncated) — proving the quarantine contract of
+    ``mm_decode_quarantine`` is modality-UNIFORM, not a WAV
+    peculiarity: a 100 TB mixed-media scan needs one error schema, not
+    four. Clean payloads emit one comparable integer feature per
+    modality (pixel/amplitude sums). The oracle recomputes modality
+    assignment, corruption schedule and every clean feature
+    arithmetically — a hash match proves no corruption escapes as a
+    wrong answer in ANY of the four formats.
+
+    Scale shape: two map-only Arrow stages around one hash exchange
+    (identical to every mm_* decode); the modality dispatch is a
+    per-row string match, no per-modality shuffle split."""
+    from hadoop_fs_ceph_spark.functions.avi_codec import encode_avi
+    from hadoop_fs_ceph_spark.functions.gif_codec import encode_gif
+    from hadoop_fs_ceph_spark.functions.png_codec import encode_png
+    from hadoop_fs_ceph_spark.functions.wav_codec import encode_wav
+
+    out_blob = "doc_id long, modality string, blob binary"
+    out_schema = (
+        "doc_id long, modality string, quarantined boolean, "
+        "error_class string, feature_sum long"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = did % 4
+                if m == 0:
+                    w, h = 6 + did % 9, 4 + did % 7
+                    blob = encode_png(
+                        w, h, bytes((did * 29 + k * 7) % 256 for k in range(w * h))
+                    )
+                    modality = "image/png"
+                elif m == 1:
+                    n = 30 + did % 50
+                    blob = encode_wav(
+                        8000 + (did % 4) * 4000,
+                        [(did * 6151 + i * 13007) % 65536 - 32768 for i in range(n)],
+                    )
+                    modality = "audio/wav"
+                elif m == 2:
+                    w, h, nf = 8 + did % 5, 4 + did % 5, 1 + did % 3
+                    blob = encode_avi(
+                        w,
+                        h,
+                        40000,
+                        [
+                            bytes(
+                                (did * 31 + fr * 17 + k * 5) % 256
+                                for k in range(w * h)
+                            )
+                            for fr in range(nf)
+                        ],
+                    )
+                    modality = "video/avi"
+                else:
+                    w, h = 6 + did % 8, 5 + did % 6
+                    blob = encode_gif(
+                        w, h, bytes((did * 37 + k * 11) % 256 for k in range(w * h))
+                    )
+                    modality = "image/gif"
+                if did % 9 == 0:
+                    blob = b"XXXX" + blob[4:]
+                elif did % 9 == 1:
+                    blob = blob[: len(blob) // 2]
+                rows.append((did, modality, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "modality", "blob"])
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for did, modality, blob in zip(
+                pdf["doc_id"], pdf["modality"], pdf["blob"]
+            ):
+                try:
+                    m = _decode_media(modality, bytes(blob))
+                    if modality == "image/png":
+                        feat = sum(m[2])
+                    elif modality == "audio/wav":
+                        feat = sum(m[1])
+                    elif modality == "video/avi":
+                        feat = sum(sum(f) for f in m["frames"])
+                    else:
+                        feat = sum(m["pixels"])
+                    rows.append((int(did), str(modality), False, None, feat))
+                except ValueError as exc:
+                    cls = "bad_magic" if "magic" in str(exc) else "truncated"
+                    rows.append((int(did), str(modality), True, cls, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "modality",
+                    "quarantined",
+                    "error_class",
+                    "feature_sum",
+                ],
+            )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    blobs = docs.select("doc_id").mapInPandas(build, out_blob)
+    return blobs.repartition(8, "doc_id").mapInPandas(decode, out_schema)
