@@ -727,7 +727,12 @@ def skew_main() -> None:
             for k, v in _SKEW_AQE_OFF.items():
                 spark.conf.set(k, v)
             skew_off = run_suite(skew_dir, with_hash=True)
-            uniform2 = run_suite(sf_dir, with_hash=False)  # drift bracket
+            # drift bracket re-runs uniform under the SAME conf as the
+            # first uniform pass (skew-split back on), so the per-query
+            # min() compares like with like
+            for k, v in _SKEW_AQE_ON.items():
+                spark.conf.set(k, v)
+            uniform2 = run_suite(sf_dir, with_hash=False)
         finally:
             for k, v in saved.items():
                 if v is not None:

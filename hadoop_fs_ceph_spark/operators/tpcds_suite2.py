@@ -1,4 +1,4 @@
-"""TPC-DS fourth tier (round 9 extension) — three shapes the first three
+"""TPC-DS fourth tier (round 9 extension) — five shapes the first three
 tiers don't cover, adapted to the driver's star schema with the module
 conventions of ``tpcds_suite.py`` (channels = ``o_orderpriority``,
 returns = ``l_returnflag = 'R'``, fixed-point canonical sums from
@@ -18,6 +18,12 @@ returns = ``l_returnflag = 'R'``, fixed-point canonical sums from
   CoV above threshold, and keep only suppliers where TWO CONSECUTIVE
   months are both flagged. New shape: second-moment aggregate feeding a
   sequential-pair self-join.
+* Q95 — the EXISTS/NOT-EXISTS reachability chain, collapsed to
+  key-grain qualification sets applied as one LEFT SEMI + one LEFT
+  ANTI join (the pairwise self-join EXISTS never materializes).
+* Q4 — the six year_total CTE self-joins collapsed to ONE
+  (customer, channel, year) aggregate pivoted with conditional sums;
+  ratio screen on the pivoted relation.
 
 Scale posture, uniform: every self-join input is an already-aggregated
 relation orders of magnitude smaller than the fact (brand×month,
