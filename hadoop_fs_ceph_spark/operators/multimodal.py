@@ -1272,8 +1272,8 @@ def mm_gif_decode(spark, sf_dir):
              CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
                              WHEN 2 THEN 'video/avi' ELSE 'image/gif' END
                AS modality,
-             CASE WHEN doc_id % 9 = 0 THEN 'bad_magic'
-                  WHEN doc_id % 9 = 1 THEN 'truncated' END AS ec
+             CASE WHEN doc_id % 9 = 4 THEN 'bad_magic'
+                  WHEN doc_id % 9 = 7 THEN 'truncated' END AS ec
       FROM documents WHERE doc_id % 3 = 1
     )
     SELECT doc_id, modality,
@@ -1309,8 +1309,12 @@ def mm_decode_quarantine_mixed(spark, sf_dir):
     """MIXED-modality decode-with-quarantine — one scan, four REAL
     decoders (PNG zlib scanlines, WAV PCM, AVI DIB frames, GIF LZW),
     one uniform failure taxonomy. Each document gets a payload in the
-    modality its id selects; every 9th payload ships with a flipped
-    magic, the next ninth with a mid-stream truncation. The decode
+    modality its id selects; one-in-nine payloads ship with a flipped
+    magic, another ninth with a mid-stream truncation (residues 4 and 7
+    mod 9 — chosen to EXIST inside the doc_id % 3 = 1 population; the
+    invariant test pinned exactly this: a residue outside the
+    population nulls the corruption path symmetrically in BOTH engines
+    and the differential harness cannot see it). The decode
     stage dispatches on the modality column through ``_decode_media``
     and classifies any ``ValueError`` by the decoders' SHARED taxonomy
     (all four name 'magic' for magic corruption; everything cut short
@@ -1377,9 +1381,9 @@ def mm_decode_quarantine_mixed(spark, sf_dir):
                         w, h, bytes((did * 37 + k * 11) % 256 for k in range(w * h))
                     )
                     modality = "image/gif"
-                if did % 9 == 0:
+                if did % 9 == 4:
                     blob = b"XXXX" + blob[4:]
-                elif did % 9 == 1:
+                elif did % 9 == 7:
                     blob = blob[: len(blob) // 2]
                 rows.append((did, modality, blob))
             yield pd.DataFrame(rows, columns=["doc_id", "modality", "blob"])

@@ -2767,3 +2767,62 @@ def test_decode_quarantine_schedule_and_exclusivity(spark, sf_dir):
             assert not r["quarantined"] and r["error_class"] is None
             assert r["sample_rate"] == 8000 + (did % 5) * 2000
             assert r["amp_sum"] is not None
+
+
+def test_tier4_q39_pairs_are_consecutive_and_flagged(spark, sf_dir):
+    """Every emitted Q39 row must be a genuinely CONSECUTIVE month pair
+    with BOTH sides over the CoV threshold — a wrong lead() gate or a
+    dropped filter would emit phantom pairs symmetric across both
+    engines (invisible to the differential harness)."""
+    rows = (
+        load_all()["ds_tpcds_q39_demand_cov_pairs"].fn(spark, sf_dir).collect()
+    )
+    assert rows, "fixture must produce at least one flagged pair"
+    for r in rows:
+        assert 1 <= r["mon"] <= 11  # mon+1 must exist inside the year
+        assert r["cov_mon"] > 0.6 and r["cov_next"] > 0.6
+        assert r["n_mon"] >= 5 and r["n_next"] >= 5
+
+
+def test_tier4_q75_gate_and_year_adjacency(spark, sf_dir):
+    """Q75 rows must be adjacent-year pairs that really shrank: the
+    ratio gate, the year offset and the delta arithmetic are all
+    re-derivable from the emitted columns."""
+    rows = load_all()["ds_tpcds_q75_yoy_item_delta"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["yr"] == r["prev_year"] + 1
+        assert r["prev_cnt"] > 0
+        assert r["cnt_ratio"] < 0.97
+        assert abs(r["cnt_ratio"] - r["cur_cnt"] / r["prev_cnt"]) < 1e-12
+        assert abs(r["sales_cnt_diff"] - (r["cur_cnt"] - r["prev_cnt"])) < 1e-9
+
+
+def test_gif_decode_exercises_both_interlace_paths(spark, sf_dir):
+    """mm_gif_decode plants interlace on odd doc_ids — the result must
+    contain BOTH woven and plain images, otherwise the de-weave path is
+    fixture-degenerate and untested end to end."""
+    out = load_all()["mm_gif_decode"].fn(spark, sf_dir)
+    flags = {r["interlaced"] for r in out.select("interlaced").distinct().collect()}
+    assert flags == {True, False}
+
+
+def test_mixed_quarantine_covers_the_full_matrix(spark, sf_dir):
+    """The mixed quarantine must actually exercise all four decoders
+    AND both corruption classes, and quarantine EXACTLY the planted
+    schedule (doc_id % 9 in {4, 7} — residues that EXIST in the
+    doc_id % 3 = 1 population; this test caught the original schedule
+    using {0, 1}, where %9==0 is impossible under %3==1 and the
+    bad-magic path silently never ran in either engine) — nothing
+    more, nothing less."""
+    rows = (
+        load_all()["mm_decode_quarantine_mixed"].fn(spark, sf_dir).collect()
+    )
+    mods = {r["modality"] for r in rows}
+    assert mods == {"image/png", "audio/wav", "video/avi", "image/gif"}
+    classes = {r["error_class"] for r in rows if r["quarantined"]}
+    assert classes == {"bad_magic", "truncated"}
+    for r in rows:
+        planted = r["doc_id"] % 9 in (4, 7)
+        assert r["quarantined"] == planted, r
+        assert (r["feature_sum"] is None) == planted, r
