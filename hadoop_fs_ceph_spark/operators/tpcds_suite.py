@@ -465,16 +465,24 @@ def ds_tpcds_q36_margin_rollup_rank(spark, sf_dir):
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = dim(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    # two-phase leaf (the Q3/Q67 trade): reduce the fact to the numeric
+    # (suppkey, partkey) grain BEFORE the dimension joins — the first
+    # exchange carries (2 longs, 2 longs) rows, the dim joins probe the
+    # reduced relation, and the second aggregate re-sums exact
+    # micro-units after keys widen to names (integer sums associative —
+    # bit-identical, oracle untouched).
+    pre = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.round(_rev_col() * F.lit(1e6)).cast("long")).alias("_pr"),
+        F.sum(F.round(F.col("l_quantity") * F.lit(1e6)).cast("long")).alias("_pq"),
+    )
     leaf = (
-        li.join(s, li.l_suppkey == s.s_suppkey)
+        pre.join(s, pre.l_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
-        .join(p, li.l_partkey == p.p_partkey)
+        .join(p, pre.l_partkey == p.p_partkey)
         .groupBy("n_name", "p_type")
         .agg(
-            F.sum(F.round(_rev_col() * F.lit(1e6)).cast("long")).alias("_rev6"),
-            F.sum(
-                F.round(F.col("l_quantity") * F.lit(1e6)).cast("long")
-            ).alias("_qty6"),
+            F.sum("_pr").alias("_rev6"),
+            F.sum("_pq").alias("_qty6"),
         )
     )
     g = (
@@ -1095,15 +1103,25 @@ def ds_tpcds_q67_rollup_rank_spine(spark, sf_dir):
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = dim(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    leaf = (
+    # two-phase leaf (the Q3 trade, measured ~30% here and growing with
+    # lines-per-(part,supp,month) at scale): reduce to the NUMERIC key
+    # grain BEFORE the dimension joins, so the aggregation exchange
+    # carries (4 ints, 1 long) rows instead of post-join strings, and
+    # the dim joins probe the reduced relation; the second aggregate
+    # re-sums exact micro-units after the keys widen to names — integer
+    # sums are associative, so this is bit-identical to the one-phase
+    # form and the DuckDB oracle is untouched.
+    pre = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(p, li.l_partkey == p.p_partkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "yr", "mon")
+        .agg(F.sum(F.round(_rev_col() * F.lit(1e6)).cast("long")).alias("_pm"))
+    )
+    leaf = (
+        pre.join(p, pre.l_partkey == p.p_partkey)
+        .join(s, pre.l_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
         .groupBy("p_type", "p_brand", "yr", "mon", "n_name")
-        .agg(
-            F.sum(F.round(_rev_col() * F.lit(1e6)).cast("long")).alias("_micro")
-        )
+        .agg(F.sum("_pm").alias("_micro"))
     )
     g = (
         leaf.rollup("p_type", "p_brand", "yr", "mon", "n_name")
