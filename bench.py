@@ -177,6 +177,25 @@ def main() -> None:
     )
 
 
+
+def _splice_scale_section(marker: str, md_lines: list[str]) -> None:
+    """Splice a generated section into SCALE.md between
+    ``<!-- {marker}:BEGIN/END -->`` markers, keeping the hand-written
+    plan-audit prose around it intact (appended at EOF on first run)."""
+    begin, end = f"<!-- {marker}:BEGIN -->", f"<!-- {marker}:END -->"
+    section = begin + "\n" + "\n".join(md_lines) + "\n" + end
+    scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE.md")
+    text = open(scale_path).read() if os.path.exists(scale_path) else ""
+    if begin in text and end in text:
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        text = head + section + tail
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open(scale_path, "w") as fh:
+        fh.write(text)
+
+
 # ---------------------------------------------------------------------------
 # --soak: measured scaling over one decade (sf0.1 -> sf1-equivalent)
 # ---------------------------------------------------------------------------
@@ -385,21 +404,7 @@ def soak_main() -> None:
         "the sf0.1 baseline was beneath broadcast/local thresholds; wall "
         "ratios are the gate.",
     ]
-    # splice the generated section into SCALE.md between markers, keeping
-    # the hand-written plan-audit prose around it intact
-    begin = f"<!-- SOAK{replicas}:BEGIN -->"
-    end = f"<!-- SOAK{replicas}:END -->"
-    section = begin + "\n" + "\n".join(md) + "\n" + end
-    scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE.md")
-    text = open(scale_path).read() if os.path.exists(scale_path) else ""
-    if begin in text and end in text:
-        head, rest = text.split(begin, 1)
-        _, tail = rest.split(end, 1)
-        text = head + section + tail
-    else:
-        text = text.rstrip() + "\n\n" + section + "\n"
-    with open(scale_path, "w") as fh:
-        fh.write(text)
+    _splice_scale_section(f"SOAK{replicas}", md)
 
     print(
         json.dumps(
@@ -577,18 +582,7 @@ def rehearsal_main() -> None:
         f"**Totals:** baseline = {tot_b:.1f}s, rehearsal = {tot_r:.1f}s "
         f"(ratio {tot_r / tot_b:.2f}x), {len(bad)} failing.",
     ]
-    begin, end_m = "<!-- REHEARSAL:BEGIN -->", "<!-- REHEARSAL:END -->"
-    section = begin + "\n" + "\n".join(md) + "\n" + end_m
-    scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE.md")
-    text = open(scale_path).read() if os.path.exists(scale_path) else ""
-    if begin in text and end_m in text:
-        head, rest = text.split(begin, 1)
-        _, tail = rest.split(end_m, 1)
-        text = head + section + tail
-    else:
-        text = text.rstrip() + "\n\n" + section + "\n"
-    with open(scale_path, "w") as fh:
-        fh.write(text)
+    _splice_scale_section("REHEARSAL", md)
 
     print(
         json.dumps(
@@ -788,18 +782,7 @@ def skew_main() -> None:
         f"custkey {hot['c_custkey']}, partkey {hot['p_partkey']}, "
         f"suppkey {hot['s_suppkey']}, user {hot['user_id']}.",
     ]
-    begin, end_m = "<!-- SKEW:BEGIN -->", "<!-- SKEW:END -->"
-    section = begin + "\n" + "\n".join(md) + "\n" + end_m
-    scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE.md")
-    text = open(scale_path).read() if os.path.exists(scale_path) else ""
-    if begin in text and end_m in text:
-        head, rest = text.split(begin, 1)
-        _, tail = rest.split(end_m, 1)
-        text = head + section + tail
-    else:
-        text = text.rstrip() + "\n\n" + section + "\n"
-    with open(scale_path, "w") as fh:
-        fh.write(text)
+    _splice_scale_section("SKEW", md)
 
     print(
         json.dumps(
