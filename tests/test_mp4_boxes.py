@@ -81,3 +81,29 @@ def test_bad_build_inputs():
         build_minimal_mp4("toolong", 600, 1, b"")
     with pytest.raises(ValueError):
         build_minimal_mp4("isom", 0, 1, b"")
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=200, deadline=None)
+@_given(
+    pos=_st.integers(min_value=0),
+    val=_st.integers(min_value=0, max_value=255),
+    trunc=_st.integers(min_value=0, max_value=40),
+)
+def test_fuzz_mutation_never_escapes_valueerror(pos, val, trunc):
+    """Property (parity with the AVI/GIF/WAV codecs): a single byte
+    flip + tail truncation anywhere in a valid MP4 either still parses
+    to a shape-consistent box index or raises ValueError — NEVER
+    struct.error/IndexError/KeyError."""
+    base = bytearray(build_minimal_mp4("mp42", 1200, 3600, b"\x01" * 77, n_free=1))
+    base[pos % len(base)] ^= val or 0xFF
+    blob = bytes(base[: len(base) - trunc])
+    try:
+        m = parse_boxes(blob)
+    except ValueError:
+        return
+    assert m["n_top_boxes"] >= 1
+    assert m["timescale"] > 0

@@ -120,3 +120,35 @@ def test_chunk_overrunning_riff_envelope_rejected():
     data = b"RIFF" + struct.pack("<I", riff_len - 2) + base[8:]
     with pytest.raises(ValueError, match="overruns RIFF envelope"):
         decode_wav(data)
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=200, deadline=None)
+@_given(
+    pos=_st.integers(min_value=0),
+    val=_st.integers(min_value=0, max_value=255),
+    trunc=_st.integers(min_value=0, max_value=60),
+)
+def test_fuzz_mutation_never_escapes_valueerror(pos, val, trunc):
+    """Property (parity with the AVI/GIF codecs): a single byte flip +
+    tail truncation anywhere in a valid WAV either still decodes to a
+    shape-consistent result or raises ValueError — NEVER struct.error/
+    IndexError. The executor-crash contract: corrupt objects in a
+    100 TB scan must fail as quarantineable data errors, not worker
+    crashes."""
+    from hadoop_fs_ceph_spark.functions.wav_codec import decode_wav, encode_wav
+
+    base = bytearray(
+        encode_wav(16000, [(313 * i) % 65536 - 32768 for i in range(120)])
+    )
+    base[pos % len(base)] ^= val or 0xFF
+    blob = bytes(base[: len(base) - trunc])
+    try:
+        rate, samples = decode_wav(blob)
+    except ValueError:
+        return
+    assert rate > 0
+    assert all(-32768 <= s <= 32767 for s in samples)
