@@ -22,9 +22,12 @@ Both directions are implemented:
   (animation is out of scope), or a missing trailer. Never a struct.error,
   never a silent wrong answer.
 
-Scope: single-image, 8-bit-or-less palettized GIFs — the still-image
-shape a training-data pipeline actually stores. Animated/multi-image GIFs
-fail loudly. The reference connector never interprets bytes (its contract
+Scope: 8-bit-or-less palettized GIFs. :func:`decode_gif` is the strict
+STILL reader (multi-image input fails loudly, pointing at the animation
+API); :func:`decode_gif_animation` / :func:`encode_gif_animation` handle
+multi-frame GIF89a with per-frame Graphic Control Extension delays —
+full-frame, disposal-none animation only (partial-frame composition and
+transparency are a renderer concern and refuse loudly). The reference connector never interprets bytes (its contract
 ends at the stream: ``CephRgwInputStream.java:103-120``); this codec is
 engine-side value-add for the multimodal-column family (SURVEY.md §2B
 north-star rows), used by ``operators/multimodal.py::mm_gif_decode``
@@ -306,8 +309,8 @@ def decode_gif(data: bytes) -> dict:
             raise ValueError(f"unknown GIF block introducer 0x{introducer:02x}")
         if image is not None:
             raise ValueError(
-                "multi-image GIF (animation) is not supported — "
-                "single still image only"
+                "multi-image GIF (animation) is not supported by the "
+                "still-image reader — use decode_gif_animation"
             )
         if pos + 9 > len(data):
             raise ValueError("truncated image descriptor")
@@ -357,3 +360,167 @@ def decode_gif(data: bytes) -> dict:
     if not saw_trailer:
         raise ValueError("missing GIF trailer")
     return image
+
+
+# ------------------------------------------------------------- animation
+def encode_gif_animation(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    delays_cs: list[int],
+    *,
+    interlace: bool = False,
+) -> bytes:
+    """Encode full-frame 8-bit grayscale ``frames`` as an animated
+    GIF89a: one Graphic Control Extension (delay in centiseconds,
+    disposal 'none') + one full-screen image descriptor + LZW data per
+    frame, sharing the 256-entry global color table. The strict
+    still-image reader (:func:`decode_gif`) refuses this by design;
+    :func:`decode_gif_animation` is its multi-frame dual."""
+    if width <= 0 or height <= 0 or width > 0xFFFF or height > 0xFFFF:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    if len(delays_cs) != len(frames):
+        raise ValueError(
+            f"{len(delays_cs)} delays for {len(frames)} frames"
+        )
+    for i, f in enumerate(frames):
+        if len(f) != width * height:
+            raise ValueError(f"frame {i}: {len(f)} bytes for {width}x{height}")
+    for i, d in enumerate(delays_cs):
+        if not 0 <= d <= 0xFFFF:
+            raise ValueError(f"frame {i}: delay {d} outside u16")
+    palette = bytes(v for g in range(256) for v in (g, g, g))
+    lsd = struct.pack("<HHBBB", width, height, 0b1111_0111, 0, 0)
+    out = bytearray(b"GIF89a" + lsd + palette)
+    flags = 0b0100_0000 if interlace else 0
+    for f, d in zip(frames, delays_cs):
+        # GCE: disposal none, no transparency, delay in 1/100 s
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, d, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, flags)
+        if interlace:
+            rows = [f[y * width : (y + 1) * width] for y in range(height)]
+            body = b"".join(rows[y] for y in _interlace_order(height))
+        else:
+            body = f
+        out += bytes([8]) + _sub_blocks(lzw_encode(body, 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_animation(data: bytes) -> dict:
+    """Strict decode of an animated (or single-image) GIF into frames.
+
+    Returns ``{"width", "height", "n_frames", "delays_cs", "frames",
+    "palette"}`` — ``frames`` are top-down row-major palette indices
+    (de-interlaced per frame), ``delays_cs`` the per-frame Graphic
+    Control Extension delay (0 when a frame carries no GCE). Scope:
+    every image must be FULL-SCREEN (left=top=0, image size == screen
+    size) with disposal 'none'/'unspecified' and no transparency —
+    partial-frame composition and restore-disposal are refused loudly
+    (compositing is a renderer concern, not a byte-exact decode).
+    Raises ``ValueError`` on every corruption class the still decoder
+    does."""
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    if data[:6] not in _MAGICS:
+        raise ValueError(f"not a GIF: bad magic {data[:6]!r}")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct: bytes | None = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        if pos + n > len(data):
+            raise ValueError("truncated global color table")
+        gct = data[pos : pos + n]
+        pos += n
+
+    frames: list[bytes] = []
+    delays: list[int] = []
+    palette_out: bytes | None = None
+    pending_delay = 0
+    saw_trailer = False
+    while pos < len(data):
+        introducer = data[pos]
+        pos += 1
+        if introducer == 0x3B:
+            saw_trailer = True
+            break
+        if introducer == 0x21:
+            if pos >= len(data):
+                raise ValueError("truncated extension label")
+            label = data[pos]
+            pos += 1
+            payload, pos = _read_sub_blocks(data, pos)
+            if label == 0xF9:  # Graphic Control Extension
+                if len(payload) < 4:
+                    raise ValueError("truncated graphic control extension")
+                gce_flags = payload[0]
+                if gce_flags & 0x01:
+                    raise ValueError(
+                        "transparency is not supported (compositing is a "
+                        "renderer concern)"
+                    )
+                disposal = (gce_flags >> 2) & 0x07
+                if disposal > 1:
+                    raise ValueError(
+                        f"disposal method {disposal} is not supported "
+                        "(full-frame animation only)"
+                    )
+                (pending_delay,) = struct.unpack("<H", payload[1:3])
+            continue
+        if introducer != 0x2C:
+            raise ValueError(f"unknown GIF block introducer 0x{introducer:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated image descriptor")
+        left, top, w, h, flags = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise ValueError(
+                f"partial frame {w}x{h}@({left},{top}) on screen {sw}x{sh} "
+                "is not supported (full-frame animation only)"
+            )
+        lct = None
+        if flags & 0x80:
+            n = 3 * (2 << (flags & 0x07))
+            if pos + n > len(data):
+                raise ValueError("truncated local color table")
+            lct = data[pos : pos + n]
+            pos += n
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise ValueError("no color table (neither global nor local)")
+        if pos >= len(data):
+            raise ValueError("missing LZW minimum code size")
+        min_code = data[pos]
+        pos += 1
+        lzw, pos = _read_sub_blocks(data, pos)
+        body = lzw_decode(lzw, min_code, w * h)
+        if max(body) >= len(palette) // 3:
+            raise ValueError(
+                f"pixel index {max(body)} outside {len(palette) // 3}-entry "
+                "color table"
+            )
+        if flags & 0x40:
+            rows = [body[y * w : (y + 1) * w] for y in range(h)]
+            ordered: list[bytes] = [b""] * h
+            for src, dst in enumerate(_interlace_order(h)):
+                ordered[dst] = rows[src]
+            body = b"".join(ordered)
+        frames.append(body)
+        delays.append(pending_delay)
+        pending_delay = 0
+        palette_out = palette
+    if not frames:
+        raise ValueError("GIF contains no image descriptor")
+    if not saw_trailer:
+        raise ValueError("missing GIF trailer")
+    return {
+        "width": sw,
+        "height": sh,
+        "n_frames": len(frames),
+        "delays_cs": delays,
+        "frames": frames,
+        "palette": palette_out,
+    }

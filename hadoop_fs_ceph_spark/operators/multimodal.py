@@ -64,6 +64,10 @@ def _decode_media(modality: str, payload: bytes):
         from hadoop_fs_ceph_spark.functions.gif_codec import decode_gif
 
         return decode_gif(payload)
+    if modality == "video/gif":
+        from hadoop_fs_ceph_spark.functions.gif_codec import decode_gif_animation
+
+        return decode_gif_animation(payload)
     if modality == "image/png":
         from hadoop_fs_ceph_spark.functions.png_codec import decode_png
 
@@ -1422,3 +1426,111 @@ def mm_decode_quarantine_mixed(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
     blobs = docs.select("doc_id").mapInPandas(build, out_blob)
     return blobs.repartition(8, "doc_id").mapInPandas(decode, out_schema)
+
+
+@query(
+    "mm_gif_animation_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 6 AS h,
+             2 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id % 7 = 3
+    ),
+    f AS (
+      SELECT doc_id, w, h, nf,
+             list_sum(list_transform(range(0, nf), fr ->
+               list_sum(list_transform(range(0, w * h), k ->
+                 (doc_id * 41 + fr * 13 + k * 3) % 256)))) AS px_sum,
+             list_sum(list_transform(range(0, nf), fr ->
+               4 + ((doc_id + fr) % 5) * 3)) AS dur
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(dur AS BIGINT) AS duration_cs,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           CAST((doc_id * 41 + (nf - 1) * 13) % 256 AS INTEGER)
+             AS last_frame_first_px
+    FROM f
+    """,
+    tags=("multimodal", "binary", "pandas", "gif", "video", "animation"),
+)
+def mm_gif_animation_decode(spark, sf_dir):
+    """ANIMATED-GIF decode — the second real video-shaped format (after
+    uncompressed AVI), and the first whose frames cross a COMPRESSED
+    bitstream: per-document GIF89a animations (full-frame images, one
+    Graphic Control Extension per frame carrying a doc-and-frame-
+    derived delay) are built in one Arrow ``mapInPandas`` stage, cross
+    the JVM as BinaryType, and decode through
+    ``_decode_media("video/gif", …)`` — per-frame LZW decompression +
+    GCE delay parsing (functions/gif_codec.py::decode_gif_animation).
+    Emits the clip features a video pipeline keeps: dimensions, frame
+    count, total duration in centiseconds (the sum of per-frame GCE
+    delays — wrong if any GCE is misparsed), total pixel sum across
+    frames, and the first pixel of the LAST frame (wrong if frame
+    order or per-frame decode drifts). Partial-frame composition,
+    restore-disposal and transparency refuse loudly — compositing is a
+    renderer concern, not byte-exact decode; the still-image reader
+    (`mm_gif_decode`) keeps its strict single-image contract.
+
+    Scale shape: identical to mm_avi_decode — two map-only Arrow
+    stages around one hash exchange; payload bytes never touch the
+    driver."""
+    from hadoop_fs_ceph_spark.functions.gif_codec import encode_gif_animation
+
+    out_gif = "doc_id long, gif binary"
+    out_schema = (
+        "doc_id long, width int, height int, n_frames int, "
+        "duration_cs long, px_sum long, last_frame_first_px int"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = 5 + did % 9, 4 + did % 6, 2 + did % 4
+                frames = [
+                    bytes(
+                        (did * 41 + fr * 13 + k * 3) % 256 for k in range(w * h)
+                    )
+                    for fr in range(nf)
+                ]
+                delays = [4 + ((did + fr) % 5) * 3 for fr in range(nf)]
+                rows.append((did, encode_gif_animation(w, h, frames, delays)))
+            yield pd.DataFrame(rows, columns=["doc_id", "gif"])
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["gif"]):
+                m = _decode_media("video/gif", bytes(blob))
+                rows.append(
+                    (
+                        int(did),
+                        m["width"],
+                        m["height"],
+                        m["n_frames"],
+                        sum(m["delays_cs"]),
+                        sum(sum(f) for f in m["frames"]),
+                        m["frames"][-1][0],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "duration_cs",
+                    "px_sum",
+                    "last_frame_first_px",
+                ],
+            )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 3)
+    gifs = docs.select("doc_id").mapInPandas(build, out_gif)
+    return gifs.repartition(8, "doc_id").mapInPandas(decode, out_schema)

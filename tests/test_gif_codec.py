@@ -226,3 +226,99 @@ def test_fuzz_mutation_never_escapes_valueerror(pos, val, trunc):
         return
     assert m["width"] >= 1 and m["height"] >= 1
     assert len(m["pixels"]) == m["width"] * m["height"]
+
+
+# ---------------------------------------------------------------- animation
+from hadoop_fs_ceph_spark.functions.gif_codec import (  # noqa: E402
+    decode_gif_animation,
+    encode_gif_animation,
+)
+
+
+def _anim_frames(w, h, n, seed=9):
+    return [
+        bytes((seed * 41 + fr * 13 + k * 3) % 256 for k in range(w * h))
+        for fr in range(n)
+    ]
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_animation_roundtrip_lossless(interlace):
+    w, h, n = 11, 7, 4
+    frames = _anim_frames(w, h, n)
+    delays = [0, 5, 10, 65535]
+    m = decode_gif_animation(
+        encode_gif_animation(w, h, frames, delays, interlace=interlace)
+    )
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, n)
+    assert m["frames"] == frames
+    assert m["delays_cs"] == delays
+
+
+def test_animation_reader_accepts_stills_and_still_reader_refuses_animations():
+    """The two readers form a strict hierarchy: decode_gif_animation
+    decodes a single-image GIF as a 1-frame, delay-0 animation, while
+    decode_gif refuses multi-image input pointing at the animation
+    API — no silent first-frame-only answers."""
+    px = _pixels(9, 5)
+    m = decode_gif_animation(encode_gif(9, 5, px))
+    assert m["n_frames"] == 1 and m["delays_cs"] == [0] and m["frames"] == [px]
+    anim = encode_gif_animation(9, 5, _anim_frames(9, 5, 2), [1, 2])
+    with pytest.raises(ValueError, match="decode_gif_animation"):
+        decode_gif(anim)
+
+
+def test_animation_partial_frame_refused():
+    import struct
+
+    blob = bytearray(encode_gif_animation(11, 7, _anim_frames(11, 7, 2), [1, 2]))
+    desc_at = 13 + 768 + 8  # header + GCT + first GCE
+    assert blob[desc_at] == 0x2C
+    struct.pack_into("<H", blob, desc_at + 1, 1)  # left = 1
+    with pytest.raises(ValueError, match="partial frame"):
+        decode_gif_animation(bytes(blob))
+
+
+def test_animation_transparency_and_disposal_refused():
+    blob = bytearray(encode_gif_animation(9, 5, _anim_frames(9, 5, 2), [1, 2]))
+    gce_flags_at = 13 + 768 + 3  # 0x21 0xF9 0x04 <flags>
+    t = bytearray(blob)
+    t[gce_flags_at] |= 0x01  # transparency flag
+    with pytest.raises(ValueError, match="transparency"):
+        decode_gif_animation(bytes(t))
+    d = bytearray(blob)
+    d[gce_flags_at] |= 0x02 << 2  # disposal = restore-to-background
+    with pytest.raises(ValueError, match="disposal method"):
+        decode_gif_animation(bytes(d))
+
+
+def test_animation_encoder_input_validation():
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_gif_animation(4, 4, [], [])
+    with pytest.raises(ValueError, match="delays for"):
+        encode_gif_animation(4, 4, [b"\x00" * 16], [1, 2])
+    with pytest.raises(ValueError, match="outside u16"):
+        encode_gif_animation(4, 4, [b"\x00" * 16], [70000])
+    with pytest.raises(ValueError, match="bytes for"):
+        encode_gif_animation(4, 4, [b"\x00" * 15], [1])
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    pos=st.integers(min_value=0),
+    val=st.integers(min_value=0, max_value=255),
+    trunc=st.integers(min_value=0, max_value=60),
+)
+def test_animation_fuzz_mutation_never_escapes_valueerror(pos, val, trunc):
+    base = bytearray(
+        encode_gif_animation(9, 6, _anim_frames(9, 6, 3), [2, 4, 6], interlace=True)
+    )
+    base[pos % len(base)] ^= val or 0xFF
+    blob = bytes(base[: len(base) - trunc])
+    try:
+        m = decode_gif_animation(blob)
+    except ValueError:
+        return
+    assert m["n_frames"] == len(m["frames"]) == len(m["delays_cs"])
+    for f in m["frames"]:
+        assert len(f) == m["width"] * m["height"]
