@@ -2826,3 +2826,20 @@ def test_mixed_quarantine_covers_the_full_matrix(spark, sf_dir):
         planted = r["doc_id"] % 9 in (4, 7)
         assert r["quarantined"] == planted, r
         assert (r["feature_sum"] is None) == planted, r
+
+
+def test_gif_animation_exercises_all_frame_counts(spark, sf_dir):
+    """mm_gif_animation_decode plants 2..5 frames by doc_id % 4 over the
+    doc_id % 7 == 3 population — all four counts must actually occur
+    (3 mod 7 hits every residue mod 4), and every clip's duration must
+    be positive with n_frames inside the planted range; a degenerate
+    fixture would silently stop exercising the multi-frame LZW path."""
+    rows = (
+        load_all()["mm_gif_animation_decode"]
+        .fn(spark, sf_dir)
+        .select("n_frames", "duration_cs")
+        .collect()
+    )
+    counts = {r["n_frames"] for r in rows}
+    assert counts == {2, 3, 4, 5}
+    assert all(r["duration_cs"] > 0 for r in rows)
