@@ -6,15 +6,20 @@ UTF-8 bytes of ``documents.text`` — which makes every byte-level result
 independently checkable by the DuckDB oracle while exercising the REAL
 multimodal plumbing end-to-end: a BinaryType column through Parquet/Arrow,
 `mapInPandas` batch iteration, per-row byte slicing, and a typed output
-schema. The decode steps for PNG images, WAV audio AND AVI video are all
-REAL — a pure-stdlib zlib scanline decoder (functions/png_codec.py), a
-pure-struct RIFF/PCM reader (functions/wav_codec.py) and a pure-struct
-RIFF/LIST walker with uncompressed-DIB frame decode
-(functions/avi_codec.py) behind ``_decode_media``, exercised end-to-end
-by ``mm_png_decode``, ``mm_wav_decode`` and ``mm_avi_decode``; MP4
-container metadata is walked by ``mm_mp4_box_index``. The ONLY remaining
-``NotImplementedError`` is COMPRESSED media (a codec is numerical signal
-processing, permanently waived with the reason in ``_decode_media``).
+schema. The decode steps for PNG images, WAV audio, AVI video AND GIF
+(still + animated) are all REAL — a pure-stdlib zlib scanline decoder
+(functions/png_codec.py), a pure-struct RIFF/PCM reader
+(functions/wav_codec.py), a pure-struct RIFF/LIST walker with
+uncompressed-DIB frame decode (functions/avi_codec.py) and a
+variable-width LZW codec with interlace de-weave and per-frame GCE
+delays (functions/gif_codec.py) behind ``_decode_media``, exercised
+end-to-end by ``mm_png_decode``, ``mm_wav_decode``, ``mm_avi_decode``,
+``mm_gif_decode`` and ``mm_gif_animation_decode``; MP4 container
+metadata is walked by ``mm_mp4_box_index``; ``mm_decode_quarantine`` /
+``mm_decode_quarantine_mixed`` prove the uniform corrupt-bytes-become-
+rows contract. The ONLY remaining ``NotImplementedError`` is
+LOSSY/transform-coded media (a signal-processing codec, permanently
+waived with the reason in ``_decode_media``).
 
 Scale notes (100 TB): payload bytes never hit the driver; `mapInPandas`
 streams Arrow batches executor-side, so memory is bounded by
