@@ -176,6 +176,44 @@ def main() -> None:
         )
     )
 
+    # Final COMPACT line (VERDICT r9 item 5): the driver's BENCH artifact
+    # preserves only the last ~2000 characters of stdout, which truncated
+    # the verbose line above mid-object (BENCH_r09 "parsed": null). This
+    # last line is a complete JSON object small enough to survive the
+    # tail capture whole: per-query [cold, warm, spread, normalized]
+    # (legend in q_cols) plus every total and calibration scalar. If the
+    # head set ever grows it past the capture budget, precision drops a
+    # digit rather than losing queries.
+    for digits in (2, 1):
+        compact = json.dumps(
+            {
+                "q_cols": ["cold", "warm", "spread", "normalized"],
+                "q": {
+                    n: [
+                        round(timings[n], digits),
+                        round(warm[n], digits),
+                        round(spread[n], digits),
+                        round(timings[n] * scale, digits),
+                    ]
+                    for n in timings
+                },
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "passes": _PASSES,
+                "total_warm": round(sum(warm.values()), 3),
+                "calib_spark_sec": calib_spark,
+                "calib_ref": calib_ref,
+                "total_normalized": round(total * scale, 3),
+                "total_warm_normalized": round(sum(warm.values()) * scale, 3),
+            },
+            separators=(",", ":"),
+        )
+        if len(compact) <= 1950:
+            break
+    print(compact)
+
 
 
 def _splice_scale_section(marker: str, md_lines: list[str]) -> None:
@@ -518,8 +556,13 @@ def rehearsal_main() -> None:
         probe_reh = _sched_probe(spark)
         reh = run_suite()
     finally:
+        # restore EVERY override: keys with no retrievable prior value
+        # must be unset, not skipped, or the rehearsal conf would leak
+        # into anything composed after this suite (ADVICE r9)
         for k, v in saved.items():
-            if v is not None:
+            if v is None:
+                spark.conf.unset(k)
+            else:
                 spark.conf.set(k, v)
     base2 = run_suite()  # bracket host drift: compare vs best baseline
 
@@ -728,8 +771,13 @@ def skew_main() -> None:
                 spark.conf.set(k, v)
             uniform2 = run_suite(sf_dir, with_hash=False)
         finally:
+            # unset keys whose prior value was unretrievable — skipping
+            # them would pin rehearsal overrides (e.g. the 1 MiB skew
+            # threshold) on the session for any composed suite
             for k, v in saved.items():
-                if v is not None:
+                if v is None:
+                    spark.conf.unset(k)
+                else:
                     spark.conf.set(k, v)
     finally:
         shutil.rmtree(skew_dir, ignore_errors=True)

@@ -276,7 +276,14 @@ def decode_gif(data: bytes) -> dict:
     ``pixels`` are row-major top-down palette indices (de-interlaced if
     the image was interlaced), ``palette`` the effective (local-overrides-
     global) color table bytes. Raises ``ValueError`` on every corruption
-    class (see module docstring)."""
+    class (see module docstring).
+
+    Note (ADVICE r9): ``width``/``height`` are the IMAGE DESCRIPTOR's
+    dimensions, which real-world GIFs may declare smaller than the
+    logical screen — the returned pixel buffer is image-local, NOT
+    composited onto the screen canvas; callers must not read these as
+    screen dimensions. (A descriptor larger than the screen still
+    refuses loudly.)"""
     if len(data) < 13:
         raise ValueError("truncated GIF header")
     if data[:6] not in _MAGICS:

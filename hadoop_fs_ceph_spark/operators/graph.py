@@ -380,6 +380,7 @@ _KCORE_MAX_ROUNDS = 50
     ORDER BY f.node
     """,
     tags=("graph", "kcore", "iterative"),
+    bench=True,
 )
 def graph_kcore(spark, sf_dir):
     """K-core decomposition (K=3) of the co-purchase part graph by

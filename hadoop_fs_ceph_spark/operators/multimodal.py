@@ -93,6 +93,34 @@ def _decode_media(modality: str, payload: bytes):
     )
 
 
+def classify_decode_error(msg: str) -> str:
+    """Map a codec ``ValueError`` message onto the quarantine taxonomy.
+
+    Three buckets, shared by every quarantine operator (ADVICE r9):
+
+    * ``bad_magic`` — the payload is not this format at all (every codec
+      names "magic" in that message, pinned by the codec tests).
+    * ``truncated`` — the payload IS this format but was cut short: the
+      codecs say "truncated", "cut off", "overruns"/"exceeds data"
+      (a declared length running past the envelope IS a cut-short body),
+      or "missing <required chunk>" (the tail holding it never arrived).
+    * ``corrupt_content`` — well-framed but internally inconsistent
+      bytes: CRC/adler mismatches, invalid PNG filter types, bad LZW
+      codes, pixel indices outside the palette, unknown block
+      introducers. Previously these were mislabeled ``truncated``;
+      a distinct bucket keeps future corruption classes from being
+      silently conflated with truncation.
+    """
+    if "magic" in msg:
+        return "bad_magic"
+    if any(
+        t in msg
+        for t in ("truncated", "cut off", "missing", "overruns", "exceeds data")
+    ):
+        return "truncated"
+    return "corrupt_content"
+
+
 def _blobs(spark, sf_dir):
     """documents → (doc_id, blob: binary payload, modality)."""
     return t(spark, sf_dir, "documents").select(
@@ -1005,6 +1033,7 @@ def mm_avi_decode(spark, sf_dir):
     FROM f
     """,
     tags=("multimodal", "binary", "pandas", "avi", "video", "frames"),
+    bench=True,
 )
 def mm_avi_frame_explode(spark, sf_dir):
     """Per-FRAME fan-out over decoded video — the row shape a training
@@ -1099,8 +1128,9 @@ def mm_decode_quarantine(spark, sf_dir):
     DETERMINISTIC corruption planted by doc_id (every 7th gets a flipped
     RIFF magic, the next seventh a mid-chunk truncation), crosses a real
     exchange, and the decode stage classifies each ``ValueError`` by the
-    decoder's own failure taxonomy (magic vs truncation — pinned by the
-    codec corruption tests) into an `error_class` column; clean payloads
+    decoder's own failure taxonomy (``classify_decode_error``: magic vs
+    truncation vs corrupt content — pinned by the codec corruption
+    tests) into an `error_class` column; clean payloads
     emit their features. The oracle recomputes which documents were
     corrupted and what the clean features must be — a hash match proves
     BOTH that no corruption escapes as a wrong answer AND that the
@@ -1145,11 +1175,11 @@ def mm_decode_quarantine(spark, sf_dir):
                     rate, samples = _decode_media("audio/wav", bytes(blob))
                     rows.append((int(did), False, None, rate, sum(samples)))
                 except ValueError as exc:
-                    msg = str(exc)
                     # the decoder's stable failure taxonomy (pinned by
-                    # tests/test_wav_codec.py): magic errors name the
-                    # format, everything cut short says truncated
-                    cls = "bad_magic" if "magic" in msg else "truncated"
+                    # tests/test_wav_codec.py + test_multimodal's
+                    # classifier matrix): magic / truncated /
+                    # corrupt_content
+                    cls = classify_decode_error(str(exc))
                     rows.append((int(did), True, cls, None, None))
             yield pd.DataFrame(
                 rows,
@@ -1313,6 +1343,7 @@ def mm_gif_decode(spark, sf_dir):
     FROM p
     """,
     tags=("multimodal", "binary", "pandas", "quarantine", "mixed"),
+    bench=True,
 )
 def mm_decode_quarantine_mixed(spark, sf_dir):
     """MIXED-modality decode-with-quarantine — one scan, four REAL
@@ -1326,8 +1357,10 @@ def mm_decode_quarantine_mixed(spark, sf_dir):
     and the differential harness cannot see it). The decode
     stage dispatches on the modality column through ``_decode_media``
     and classifies any ``ValueError`` by the decoders' SHARED taxonomy
-    (all four name 'magic' for magic corruption; everything cut short
-    classifies as truncated) — proving the quarantine contract of
+    (``classify_decode_error``: all four name 'magic' for magic
+    corruption, cut-short payloads say truncated/missing/overruns, and
+    well-framed-but-inconsistent bytes get their own corrupt_content
+    bucket) — proving the quarantine contract of
     ``mm_decode_quarantine`` is modality-UNIFORM, not a WAV
     peculiarity: a 100 TB mixed-media scan needs one error schema, not
     four. Clean payloads emit one comparable integer feature per
@@ -1415,7 +1448,7 @@ def mm_decode_quarantine_mixed(spark, sf_dir):
                         feat = sum(m["pixels"])
                     rows.append((int(did), str(modality), False, None, feat))
                 except ValueError as exc:
-                    cls = "bad_magic" if "magic" in str(exc) else "truncated"
+                    cls = classify_decode_error(str(exc))
                     rows.append((int(did), str(modality), True, cls, None))
             yield pd.DataFrame(
                 rows,

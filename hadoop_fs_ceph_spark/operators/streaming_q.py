@@ -848,6 +848,7 @@ def stream_max_files_per_trigger(spark, sf_dir):
     WHERE w.w_start + INTERVAL 10 MINUTE <= m.mx - INTERVAL 10 MINUTES
     """,
     tags=("streaming", "dedup", "window", "chained-stateful"),
+    bench=True,
 )
 def stream_dedup_then_window(spark, sf_dir):
     """CHAINED stateful streaming — the exactly-once ingest shape:

@@ -55,13 +55,20 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(path).schema
-    # The file stream source requires a *directory*; stream the sf_dir and
-    # glob-filter down to the events table file(s).
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # Spark-written layout (e.g. the soak replicas): events.parquet is
+        # a DIRECTORY of part files — stream it directly; the glob filter
+        # below would reject every part-*.parquet inside it.
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # Single-file fixture layout: the file stream source requires a
+        # *directory*; stream the sf_dir and glob-filter down to the
+        # events table file(s).
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_dtype = dict(stream.dtypes).get("ts")
     if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

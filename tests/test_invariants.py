@@ -2843,3 +2843,66 @@ def test_gif_animation_exercises_all_frame_counts(spark, sf_dir):
     counts = {r["n_frames"] for r in rows}
     assert counts == {2, 3, 4, 5}
     assert all(r["duration_cs"] > 0 for r in rows)
+
+
+def test_quarantine_taxonomy_three_buckets():
+    """`classify_decode_error` must route REAL codec failures into the
+    right bucket — including the corrupt_content class the r9 taxonomy
+    conflated with truncation (ADVICE r9): a CRC mismatch or an unknown
+    block introducer is well-framed garbage, not a cut-short payload.
+    The corruptions are planted end-to-end (encode → mutate → decode)
+    so the asserted messages are the decoders' actual ones, not copies."""
+    import pytest
+
+    from hadoop_fs_ceph_spark.functions.gif_codec import decode_gif, encode_gif
+    from hadoop_fs_ceph_spark.functions.png_codec import decode_png, encode_png
+    from hadoop_fs_ceph_spark.functions.wav_codec import decode_wav, encode_wav
+    from hadoop_fs_ceph_spark.operators.multimodal import classify_decode_error
+
+    # corrupt_content #1: flip one byte inside the PNG IDAT body -> the
+    # chunk CRC no longer matches (framing intact, content wrong)
+    png = bytearray(encode_png(5, 4, bytes(range(20))))
+    idat = png.index(b"IDAT")
+    png[idat + 4] ^= 0xFF
+    with pytest.raises(ValueError) as e1:
+        decode_png(bytes(png))
+    assert classify_decode_error(str(e1.value)) == "corrupt_content", e1.value
+
+    # corrupt_content #2: overwrite the GIF image-descriptor introducer
+    # (0x2C at offset 13 + 768 GCT) with a byte no block starts with
+    gif = bytearray(encode_gif(4, 3, bytes(range(12))))
+    assert gif[781] == 0x2C
+    gif[781] = 0x01
+    with pytest.raises(ValueError) as e2:
+        decode_gif(bytes(gif))
+    assert classify_decode_error(str(e2.value)) == "corrupt_content", e2.value
+
+    # the two planted fixture classes keep their buckets
+    wav = encode_wav(8000, [0, 1, -1, 2])
+    with pytest.raises(ValueError) as e3:
+        decode_wav(b"XIFF" + wav[4:])
+    assert classify_decode_error(str(e3.value)) == "bad_magic"
+    with pytest.raises(ValueError) as e4:
+        decode_wav(wav[: len(wav) // 2])
+    assert classify_decode_error(str(e4.value)) == "truncated"
+
+    # message matrix: one representative literal per codec failure
+    # family (verbatim from functions/*_codec.py raise sites)
+    cases = {
+        "not a PNG: bad magic": "bad_magic",
+        "not an AVI: bad RIFF magic": "bad_magic",
+        "truncated 'fmt ' chunk body (overruns RIFF envelope)": "truncated",
+        "truncated RIFF payload (declared size exceeds data)": "truncated",
+        "truncated 'IDAT' chunk (body or CRC field cut off)": "truncated",
+        "missing IEND": "truncated",
+        "missing data chunk": "truncated",
+        "CRC mismatch in 'IDAT' chunk": "corrupt_content",
+        "invalid PNG filter type 9 in scanline": "corrupt_content",
+        "corrupt IDAT deflate stream: invalid distance": "corrupt_content",
+        "bad LZW min code size 13": "corrupt_content",
+        "first LZW code 260 is not a literal": "corrupt_content",
+        "unknown GIF block introducer 0x01": "corrupt_content",
+        "trailing garbage after IDAT deflate stream": "corrupt_content",
+    }
+    for msg, want in cases.items():
+        assert classify_decode_error(msg) == want, msg
