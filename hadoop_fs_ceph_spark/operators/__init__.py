@@ -41,6 +41,10 @@ Module map (SURVEY.md §2B families):
                  pairs, Q95 key-grain EXISTS chain, Q4 pivoted
                  channel-growth screen — all single-scan replans of
                  shapes the spec phrases as CTE self-joins
+* tpcds_suite3 — TPC-DS fifth tier (r10): Q17 triple-fact
+                 sale→return→repurchase chain, Q92 excess-discount
+                 window gate (scalar subquery → one scan), Q58
+                 three-channel agreement pivot
 
 Round-2 additions live inside the family modules: winnowing fingerprints,
 train/eval decontamination, repetition filter, RAG chunking (text);
@@ -109,6 +113,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     tpcds_lite,
     tpcds_suite,
     tpcds_suite2,
+    tpcds_suite3,
     tpch_suite,
     tpch_suite2,
     udfs,

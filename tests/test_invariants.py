@@ -2906,3 +2906,65 @@ def test_quarantine_taxonomy_three_buckets():
     }
     for msg, want in cases.items():
         assert classify_decode_error(msg) == want, msg
+
+
+def test_tier5_q17_stats_are_internally_consistent(spark, sf_dir):
+    """Q17 rows must re-derive from their own columns: n ≥ 2 (the stdev
+    gate), every quantity mean inside the fixture's [1, 50] range, and
+    every stdev finite and non-negative — a drifted moment formula or a
+    dropped HAVING would break one of these symmetrically in both
+    engines (invisible to the differential hash)."""
+    import math
+
+    rows = (
+        load_all()["ds_tpcds_q17_sale_return_repurchase"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows, "fixture must produce at least one qualifying brand"
+    for r in rows:
+        assert r["n_triples"] >= 2
+        for leg in ("s", "r", "c"):
+            m, sd = r[f"{leg}_qty_mean"], r[f"{leg}_qty_std"]
+            assert 1.0 <= m <= 50.0, r
+            assert sd is not None and not math.isnan(sd) and sd >= 0.0, r
+
+
+def test_tier5_q92_gate_excludes_most_lines(spark, sf_dir):
+    """Q92's 1.3×-average gate must be a strict MINORITY filter (an
+    inverted comparison would pass the complement — same row count
+    class, wrong rows, symmetric across engines) and every month's
+    excess total must be positive."""
+    out = load_all()["ds_tpcds_q92_excess_discount"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    total_lines = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    qualifying = sum(r["n_lines"] for r in rows)
+    assert 0 < qualifying < 0.5 * total_lines, (qualifying, total_lines)
+    for r in rows:
+        assert 1 <= r["mon"] <= 12
+        assert r["excess_total"] > 0
+
+
+def test_tier5_q58_band_re_derivable(spark, sf_dir):
+    """Every Q58 row's agreement band must re-derive from its own
+    emitted columns: avg_rev = (r1+r2+r3)/3 and each channel revenue
+    within ±15% of it."""
+    rows = (
+        load_all()["ds_tpcds_q58_three_channel_agreement"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows, "fixture must produce at least one agreeing brand"
+    for r in rows:
+        avg = (r["urgent_rev"] + r["high_rev"] + r["medium_rev"]) / 3.0
+        assert abs(avg - r["avg_rev"]) < 1e-6, r
+        for c in ("urgent_rev", "high_rev", "medium_rev"):
+            assert 0.85 * avg - 1e-6 <= r[c] <= 1.15 * avg + 1e-6, r
