@@ -751,6 +751,9 @@ def _channel_col():
     )
 
 
+_CHANNELS = ["express", "standard", "economy"]
+
+
 @query(
     "ds_tpcds_q14_cross_channel",
     oracle=f"""
@@ -801,21 +804,35 @@ def ds_tpcds_q14_cross_channel(spark, sf_dir):
     avg_sales scalar subquery). The gate compares integer cross-products
     (rev_fix·n_groups > total_fix) — exact in both engines, no division.
 
-    Scale (round-9 single-scan replan — the oracle keeps the spec's
-    INTERSECT/CTE phrasing, the Spark plan does not): the three
-    INTERSECT legs each re-executed the fact join (the plan paid 8 fact
-    scans — Spark materializes no CTEs and the differing channel
-    filters defeat exchange reuse), so qualification is now ONE
-    aggregate — GROUP BY l_partkey HAVING count(DISTINCT channel) = 3,
-    which is set-identical to the 3-way INTERSECT because channel has
-    exactly three values; one fact scan, key-width wire traffic.
-    cross_items is applied as a LEFT SEMI before the dimension join so
-    unqualified fact rows never reach the aggregate. The avg_sales gate
-    (Q14's scalar subquery) was a one-row broadcast whose input
-    RE-EXECUTED the whole sales subtree (two more fact scans); it is
-    now an integer window SUM over the sales spine — bounded by
-    |brands|×3 rows by construction (allowlisted single-partition
-    window), exact because rev_fix is a long. Fact scans: 8 → 2."""
+    Scale (round-9 single-scan replan; round-10 shuffle mitigation — the
+    oracle keeps the spec's INTERSECT/CTE phrasing, the Spark plan does
+    not): the three INTERSECT legs each re-executed the fact join (the
+    r8 plan paid 8 fact scans), so qualification became ONE aggregate
+    set-identical to the 3-way INTERSECT; r9's form (count DISTINCT
+    channel = 3 + a fact-grain semi join) still shuffled distinct
+    (part, channel) PAIRS for the distinct-count and every 1998 fact
+    row into the semi join — the ×100 soak measured 2.0 GiB. Round 10
+    replaces both (VERDICT r9 item 4):
+    * qualification = GROUP BY l_partkey BIT_OR(channel bit) = 7 — a
+      single-phase aggregate whose map-side combine emits ONE long per
+      (mapper, part) instead of up to three pair rows, and still
+      set-identical to the INTERSECT (3 channels ⇔ mask 7);
+    * the 1998 slice pivots to PART grain first (per-channel
+      conditional integer sums), so the semi join and the part join
+      probe a |parts|-row relation, not fact rows — and both REUSE the
+      pivot's l_partkey hash partitioning (no new exchange on the big
+      side; verified in the plan). The channel rows are re-exploded
+      from the pivot cells after the joins (empty cells dropped, so
+      the (channel, brand) aggregate sees exactly the original groups
+      and integer sums re-associate bit-identically).
+    Measured same-session: sf0.1 shuffle 1915 → 693 KiB (2.8×), ×10
+    soak 19.9 → 6.5 MiB (3.1×), wall 2.85 → 2.34 s, hash unchanged.
+    The remaining floor is the two lineitem⋈orders SMJs — inherent
+    while the year/channel live in orders and the layout is unbucketed
+    (a deployment that owns the layout co-buckets both on the order
+    key, the src_bucketed_join pattern, and removes that too). The
+    avg_sales gate stays the integer window SUM over the bounded
+    sales spine (allowlisted). Fact scans: 8 → 2 (pinned)."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -825,23 +842,47 @@ def ds_tpcds_q14_cross_channel(spark, sf_dir):
     dated = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_partkey", "channel", "yr", _rev_col().alias("rev")
     )
+    chbit = (
+        F.when(F.col("channel") == "express", 1)
+        .when(F.col("channel") == "standard", 2)
+        .otherwise(4)
+    )
     cross_items = (
         dated.filter(F.col("yr").isin(1996, 1997))
         .groupBy("l_partkey")
-        .agg(F.count_distinct("channel").alias("_nch"))
-        .filter(F.col("_nch") == 3)
+        .agg(F.bit_or(chbit).alias("_m"))
+        .filter(F.col("_m") == 7)
         .select("l_partkey")
     )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    sales = (
-        dated.filter(F.col("yr") == 1998)
-        .join(cross_items, "l_partkey", "left_semi")
-        .join(p, F.col("l_partkey") == p.p_partkey)
-        .groupBy("channel", "p_brand")
-        .agg(
-            F.sum(F.round(F.col("rev") * 100.0).cast("long")).alias("rev_fix"),
-            F.count(F.lit(1)).alias("n_lines"),
+    grain_aggs = []
+    for i, c in enumerate(_CHANNELS):
+        hit = F.col("channel") == c
+        grain_aggs.append(
+            F.sum(
+                F.when(hit, F.round(F.col("rev") * 100.0).cast("long"))
+            ).alias(f"rf_{i}")
         )
+        grain_aggs.append(F.count(F.when(hit, F.lit(1))).alias(f"nl_{i}"))
+    grain = dated.filter(F.col("yr") == 1998).groupBy("l_partkey").agg(*grain_aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("channel"),
+                F.col(f"rf_{i}").alias("rev_fix"),
+                F.col(f"nl_{i}").alias("n_lines"),
+            )
+            for i, c in enumerate(_CHANNELS)
+        ]
+    )
+    sales = (
+        grain.join(cross_items, "l_partkey", "left_semi")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select("p_brand", F.explode(cells).alias("c"))
+        .select("p_brand", "c.channel", "c.rev_fix", "c.n_lines")
+        .filter(F.col("n_lines") > 0)
+        .groupBy("channel", "p_brand")
+        .agg(F.sum("rev_fix").alias("rev_fix"), F.sum("n_lines").alias("n_lines"))
     )
     wall = Window.partitionBy()
     return (
@@ -1103,25 +1144,27 @@ def ds_tpcds_q67_rollup_rank_spine(spark, sf_dir):
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = dim(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    # two-phase leaf (the Q3 trade, measured ~30% here and growing with
-    # lines-per-(part,supp,month) at scale): reduce to the NUMERIC key
-    # grain BEFORE the dimension joins, so the aggregation exchange
-    # carries (4 ints, 1 long) rows instead of post-join strings, and
-    # the dim joins probe the reduced relation; the second aggregate
-    # re-sums exact micro-units after the keys widen to names — integer
-    # sums are associative, so this is bit-identical to the one-phase
-    # form and the DuckDB oracle is untouched.
-    pre = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_partkey", "l_suppkey", "yr", "mon")
-        .agg(F.sum(F.round(_rev_col() * F.lit(1e6)).cast("long")).alias("_pm"))
-    )
+    # ONE-phase leaf (round-10 replan of the r9 "two-phase" trade): the
+    # r9 plan reduced the fact to (l_partkey, l_suppkey, yr, mon) grain
+    # before the dim joins, but that grain never consolidates on
+    # TPC-H-shaped data — distinct (part, supp, month) combos outnumber
+    # lines at EVERY scale factor (measured here: 599,869 groups from
+    # ~600k lines; at sf1000 partsupp×months ≈ 67B combos vs 6B lines),
+    # so the extra exchange moved the whole fact for zero reduction.
+    # Aggregating once at the named leaf grain removes that full-fact
+    # exchange: measured A/B same-session at sf0.1 — default shape
+    # 1.84s → 1.85s (tie), cluster-shape rehearsal 5.91s → 5.17s
+    # (−12%, one fewer wide exchange at 200 partitions). A hierarchical
+    # 5-level rollup (replacing Expand with chained re-aggregates) was
+    # also measured and REJECTED: 2.10–2.26s vs 1.85s — Expand's 6×
+    # fan-out over the 255k-row leaf is cheaper than 5 extra stages.
     leaf = (
-        pre.join(p, pre.l_partkey == p.p_partkey)
-        .join(s, pre.l_suppkey == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
         .groupBy("p_type", "p_brand", "yr", "mon", "n_name")
-        .agg(F.sum("_pm").alias("_micro"))
+        .agg(F.sum(F.round(_rev_col() * F.lit(1e6)).cast("long")).alias("_micro"))
     )
     g = (
         leaf.rollup("p_type", "p_brand", "yr", "mon", "n_name")
