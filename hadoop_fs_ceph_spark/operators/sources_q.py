@@ -1533,6 +1533,56 @@ def src_python_datasource(spark, sf_dir):
     return _orders_agg(back)
 
 
+@query(
+    "src_pyds_filter_pushdown",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           {{dsum}}
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey > 1000
+      AND o_totalprice > 1000.0
+    GROUP BY o_orderstatus
+    """.format(dsum=sql_dsum("o_totalprice", "sum_price")),
+    tags=("source", "pydatasource", "connector", "pushdown"),
+)
+def src_pyds_filter_pushdown(spark, sf_dir):
+    """Predicate pushdown THROUGH the Python DataSource (Spark 4.1
+    `pushFilters`, VERDICT r9 item 6): the same cephfs_like read as
+    `src_python_datasource`, but filtered — the IN and the long-key
+    range predicate are claimed by the reader (the scan's
+    `PushedFilters` carries them, pinned in tests/test_pydatasource.py)
+    and evaluated inside the positioned-read loop, so a rejected line
+    parses only its two filter columns and never crosses Arrow; the
+    DOUBLE predicate is deliberately NOT claimed (IEEE NaN ordering
+    diverges between raw Python comparison and SQL semantics) and stays
+    a Spark-side residual Filter — completing the reference's
+    read-only-what-you-need design (CephRgwInputStream.java:103-120)
+    at the row level. The oracle hash-match proves the claimed
+    predicates drop EXACTLY the rows SQL would."""
+    from hadoop_fs_ceph_spark.sources.pydatasource import register_python_sources
+
+    register_python_sources(spark)
+    o = t(spark, sf_dir, "orders").select(*_PYDS_ORDERS_COLS)
+    path = _scratch(sf_dir, "pyds_orders_push")
+    write_table(o, path, format="csv", mode="overwrite")
+    back = (
+        spark.read.format("cephfs_like")
+        .schema(_PYDS_ORDERS_DDL)
+        .option("virtual.blocksize", 256 * 1024)
+        .load(path)
+    )
+    return (
+        back.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderkey") > 1000)
+            & (F.col("o_totalprice") > 1000.0)
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+    )
+
+
 @query("src_avro_roundtrip", oracle=_ORDERS_AGG_SQL, tags=("source", "avro"))
 def src_avro_roundtrip(spark, sf_dir):
     """Avro Object Container round-trip without the spark-avro jar (absent

@@ -114,6 +114,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Python DataSource filter pushdown (Spark 4.1): off by default
+        # upstream, and a reader implementing pushFilters ERRORS while
+        # disabled — cephfs_like pushes supported predicates into its
+        # positioned-read loop (sources/pydatasource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")

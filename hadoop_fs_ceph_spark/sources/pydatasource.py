@@ -52,8 +52,21 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
     SimpleDataSourceStreamReader,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
 )
 from pyspark.sql.types import (
     BooleanType,
@@ -135,6 +148,78 @@ def _parser_for(dt):
     raise TypeError(f"cephfs_like line protocol does not carry {dt}")
 
 
+# Filter pushdown (Spark 4.1 Python DataSource API, VERDICT r9 item 6):
+# the reference's virtual-block + positioned-pread design
+# (CephRgwFileSystem.java:112; CephRgwInputStream.java:103-120) exists so
+# engines read/deserialize only what a query needs. The line protocol
+# cannot skip BYTES for a row filter (rows are lines), but it can skip
+# PARSING: pushed predicates evaluate on just their own columns and a
+# failing row never materializes the remaining fields or crosses Arrow.
+#
+# Only fully-handled predicates are claimed (Spark then re-evaluates
+# nothing), so evaluation must match SQL semantics exactly:
+# * any comparison against a parsed NULL (empty field) is unknown → drop;
+# * claimed types are exact under Python comparison (int/long, string,
+#   bool, date). DOUBLE/DECIMAL/TIMESTAMP columns are left to Spark:
+#   IEEE NaN ordering (Spark: NaN == NaN, NaN greater than everything)
+#   and session-timezone literal rebasing diverge from raw Python
+#   operators, and a silently-wrong pushdown is worse than none.
+_EXACT_PUSH_TYPES = (LongType, IntegerType, StringType, BooleanType, DateType)
+
+
+def _compile_pushed_filter(flt: Filter, schema: StructType):
+    """Return (column_index, predicate-over-parsed-value) if `flt` can be
+    FULLY handled by the reader, else None. SQL null semantics: every
+    predicate except IsNull rejects None."""
+    names = [f.name for f in schema.fields]
+
+    def col(attr):
+        if len(attr) != 1 or attr[0] not in names:
+            return None
+        i = names.index(attr[0])
+        if not isinstance(schema.fields[i].dataType, _EXACT_PUSH_TYPES):
+            return None
+        return i
+
+    if isinstance(flt, Not):
+        if not isinstance(flt.child, EqualTo):
+            return None
+        i = col(flt.child.attribute)
+        if i is None:
+            return None
+        v = flt.child.value
+        return i, lambda x: x is not None and x != v
+    if isinstance(flt, IsNull):
+        i = col(flt.attribute)
+        return None if i is None else (i, lambda x: x is None)
+    if isinstance(flt, IsNotNull):
+        i = col(flt.attribute)
+        return None if i is None else (i, lambda x: x is not None)
+    if isinstance(flt, In):
+        i = col(flt.attribute)
+        if i is None or any(v is None for v in flt.value):
+            return None  # IN with a NULL literal: three-valued, leave to Spark
+        vals = set(flt.value)
+        return i, lambda x: x is not None and x in vals
+    simple = {
+        EqualTo: lambda v: lambda x: x is not None and x == v,
+        GreaterThan: lambda v: lambda x: x is not None and x > v,
+        GreaterThanOrEqual: lambda v: lambda x: x is not None and x >= v,
+        LessThan: lambda v: lambda x: x is not None and x < v,
+        LessThanOrEqual: lambda v: lambda x: x is not None and x <= v,
+        StringStartsWith: lambda v: lambda x: x is not None and x.startswith(v),
+        StringEndsWith: lambda v: lambda x: x is not None and x.endswith(v),
+        StringContains: lambda v: lambda x: x is not None and v in x,
+    }
+    for cls, mk in simple.items():
+        if isinstance(flt, cls):
+            i = col(flt.attribute)
+            if i is None or flt.value is None:
+                return None
+            return i, mk(flt.value)
+    return None
+
+
 class CephFsLikeReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
@@ -143,6 +228,18 @@ class CephFsLikeReader(DataSourceReader):
             raise ValueError("cephfs_like requires .load(path)")
         self.blocksize = int(options.get("virtual.blocksize", DEFAULT_BLOCKSIZE))
         self.sep = options.get("sep", ",")
+        self.pushed: list[tuple[int, object]] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Claim every filter the line protocol can evaluate exactly;
+        yield the rest back for Spark-side evaluation (the API contract:
+        yielded filters are re-checked post-scan, claimed ones are not)."""
+        for flt in filters:
+            compiled = _compile_pushed_filter(flt, self.schema)
+            if compiled is None:
+                yield flt
+            else:
+                self.pushed.append(compiled)
 
     def partitions(self) -> Sequence[InputPartition]:
         files = list_data_files(self.path)
@@ -155,6 +252,7 @@ class CephFsLikeReader(DataSourceReader):
         parsers = [_parser_for(f.dataType) for f in self.schema.fields]
         n = len(parsers)
         sep = self.sep.encode()
+        pushed = self.pushed
         with open(partition.file, "rb") as fh:
             fh.seek(partition.start)
             if partition.start > 0:
@@ -168,10 +266,31 @@ class CephFsLikeReader(DataSourceReader):
                     raise ValueError(
                         f"{partition.file}: expected {n} fields, got {len(fields)}"
                     )
-                yield tuple(
-                    None if not raw else parsers[i](raw.decode())
-                    for i, raw in enumerate(fields)
-                )
+                if pushed:
+                    # parse ONLY the filter columns first; a failing row
+                    # never pays for the rest of the line
+                    cache: dict[int, object] = {}
+                    ok = True
+                    for i, pred in pushed:
+                        if i not in cache:
+                            raw = fields[i]
+                            cache[i] = parsers[i](raw.decode()) if raw else None
+                        if not pred(cache[i]):
+                            ok = False
+                            break
+                    if not ok:
+                        continue
+                    yield tuple(
+                        cache[i]
+                        if i in cache
+                        else (parsers[i](raw.decode()) if raw else None)
+                        for i, raw in enumerate(fields)
+                    )
+                else:
+                    yield tuple(
+                        None if not raw else parsers[i](raw.decode())
+                        for i, raw in enumerate(fields)
+                    )
 
 
 class CephFsLikeStreamReader(SimpleDataSourceStreamReader):
