@@ -2968,3 +2968,25 @@ def test_tier5_q58_band_re_derivable(spark, sf_dir):
         assert abs(avg - r["avg_rev"]) < 1e-6, r
         for c in ("urgent_rev", "high_rev", "medium_rev"):
             assert 0.85 * avg - 1e-6 <= r[c] <= 1.15 * avg + 1e-6, r
+
+
+def test_ann_recall_calibration_statistical_standard(spark, sf_dir):
+    """The ANN bucket calibration must carry the shared statistical
+    standard (VERDICT r9 item 7): every level's verdict true, pair
+    counts equal across levels (same cohort), recall MONOTONE in the
+    flip rate (lower flip probability ⇒ more twins share the bucket —
+    a non-monotone series means the level column leaks into the wrong
+    hash term), and expected_caught strictly between 0 and n_pairs
+    (the cells are never vacuous the way the natural-pair form was)."""
+    rows = (
+        load_all()["sim_ann_recall_calibration"].fn(spark, sf_dir).collect()
+    )
+    assert [r.level for r in rows] == [2, 3, 4, 5]
+    ns = {r.n_pairs for r in rows}
+    assert len(ns) == 1 and ns.pop() >= 30, rows
+    assert all(r.within_tolerance for r in rows), rows
+    caught = [r.n_caught for r in rows]
+    assert caught == sorted(caught), f"recall must rise with level: {caught}"
+    for r in rows:
+        assert 0.0 < r.expected_caught < r.n_pairs, r
+        assert r.flip_denom == 1 << r.level
