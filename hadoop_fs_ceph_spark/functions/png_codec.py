@@ -16,9 +16,11 @@ prefixed by one filter byte (types 0-4: None/Sub/Up/Average/Paeth, PNG spec
   reverses the per-scanline filters. Raises ``ValueError`` on any
   corruption (bad magic, bad CRC, bad filter byte, short pixel data).
 
-Scope: grayscale 8-bit non-interlaced only — the shape the multimodal
-operators plant. Color/interlace inputs fail loudly rather than decoding
-wrong. The reference connector never interprets bytes (its contract ends at
+Scope: 8-bit non-interlaced, grayscale (color type 0) AND truecolor RGB
+(color type 2, round 10) — the shapes the multimodal operators plant; the
+filters are bytewise with a bpp-byte left neighbor, so one implementation
+serves both. Palette/alpha/16-bit/interlace inputs fail loudly rather than
+decoding wrong. The reference connector never interprets bytes (its contract ends at
 the stream: ``CephRgwInputStream.java:103-120``); this codec is engine-side
 value-add for the multimodal-column family (SURVEY.md §2B north-star rows),
 used by ``operators/multimodal.py::mm_png_decode`` under ``mapInPandas``.
@@ -31,8 +33,10 @@ import zlib
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\x0a"
 
-# PNG color type 0 = grayscale; bit depth 8 => 1 byte/pixel, bpp = 1.
+# PNG color type 0 = grayscale (1 byte/pixel); 2 = truecolor RGB
+# (3 bytes/pixel). Bit depth 8 throughout.
 _COLOR_GRAY = 0
+_COLOR_RGB = 2
 _BIT_DEPTH = 8
 
 
@@ -57,37 +61,48 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _filter_scanline(ftype: int, cur: bytes, prev: bytes) -> bytes:
-    """Apply filter ``ftype`` to raw scanline ``cur`` (bpp=1, grayscale)."""
+def _filter_scanline(ftype: int, cur: bytes, prev: bytes, bpp: int = 1) -> bytes:
+    """Apply filter ``ftype`` to raw scanline ``cur``. PNG filters are
+    BYTEWISE with the left neighbor ``bpp`` bytes back (spec §9.2) — the
+    same code serves grayscale (bpp=1) and truecolor (bpp=3)."""
     n = len(cur)
     if ftype == 0:  # None
         return bytes(cur)
     if ftype == 1:  # Sub
-        return bytes((cur[i] - (cur[i - 1] if i else 0)) & 0xFF for i in range(n))
+        return bytes(
+            (cur[i] - (cur[i - bpp] if i >= bpp else 0)) & 0xFF for i in range(n)
+        )
     if ftype == 2:  # Up
         return bytes((cur[i] - prev[i]) & 0xFF for i in range(n))
     if ftype == 3:  # Average
         return bytes(
-            (cur[i] - (((cur[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
+            (cur[i] - (((cur[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
             for i in range(n)
         )
     if ftype == 4:  # Paeth
         return bytes(
-            (cur[i] - _paeth(cur[i - 1] if i else 0, prev[i], prev[i - 1] if i else 0))
+            (
+                cur[i]
+                - _paeth(
+                    cur[i - bpp] if i >= bpp else 0,
+                    prev[i],
+                    prev[i - bpp] if i >= bpp else 0,
+                )
+            )
             & 0xFF
             for i in range(n)
         )
     raise ValueError(f"invalid PNG filter type {ftype}")
 
 
-def _unfilter_scanline(ftype: int, filt: bytearray, prev: bytes) -> bytes:
-    """Reverse filter ``ftype`` in place (bpp=1); returns the raw scanline."""
+def _unfilter_scanline(ftype: int, filt: bytearray, prev: bytes, bpp: int = 1) -> bytes:
+    """Reverse filter ``ftype`` in place; returns the raw scanline."""
     n = len(filt)
     if ftype == 0:
         return bytes(filt)
     if ftype == 1:  # Sub
-        for i in range(1, n):
-            filt[i] = (filt[i] + filt[i - 1]) & 0xFF
+        for i in range(bpp, n):
+            filt[i] = (filt[i] + filt[i - bpp]) & 0xFF
         return bytes(filt)
     if ftype == 2:  # Up
         for i in range(n):
@@ -95,13 +110,13 @@ def _unfilter_scanline(ftype: int, filt: bytearray, prev: bytes) -> bytes:
         return bytes(filt)
     if ftype == 3:  # Average
         for i in range(n):
-            left = filt[i - 1] if i else 0
+            left = filt[i - bpp] if i >= bpp else 0
             filt[i] = (filt[i] + ((left + prev[i]) >> 1)) & 0xFF
         return bytes(filt)
     if ftype == 4:  # Paeth
         for i in range(n):
-            left = filt[i - 1] if i else 0
-            ul = prev[i - 1] if i else 0
+            left = filt[i - bpp] if i >= bpp else 0
+            ul = prev[i - bpp] if i >= bpp else 0
             filt[i] = (filt[i] + _paeth(left, prev[i], ul)) & 0xFF
         return bytes(filt)
     raise ValueError(f"invalid PNG filter type {ftype} in scanline")
@@ -132,12 +147,43 @@ def encode_png(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, bytes]:
-    """Strict decode of an 8-bit grayscale non-interlaced PNG.
+def encode_png_rgb(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode 8-bit TRUECOLOR ``pixels`` (row-major interleaved RGB,
+    len == width*height*3) as a spec-conformant PNG (color type 2).
+    Filter type cycles ``y % 5`` like the grayscale writer, so the
+    bpp=3 variant of every un-filter path is exercised by round-trips."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"expected {width * height * 3} RGB bytes, got {len(pixels)}"
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, _BIT_DEPTH, _COLOR_RGB, 0, 0, 0)
+    stride = width * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        cur = pixels[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        raw += _filter_scanline(ftype, cur, prev, bpp=3)
+        prev = cur
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
 
-    Returns ``(width, height, pixels)`` with ``pixels`` row-major raw bytes.
-    Raises ``ValueError`` on bad magic, bad chunk CRC, unsupported color
-    type / bit depth / interlace, bad filter bytes, or truncated data.
+
+def decode_png_any(data: bytes) -> tuple[int, int, int, bytes]:
+    """Strict decode of an 8-bit non-interlaced PNG, grayscale (color
+    type 0) or truecolor RGB (color type 2).
+
+    Returns ``(width, height, color_type, pixels)`` — ``pixels`` are
+    row-major raw bytes (interleaved RGB for type 2). Raises
+    ``ValueError`` on bad magic, bad chunk CRC, unsupported color type /
+    bit depth / interlace, bad filter bytes, or truncated data.
     """
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG: bad magic")
@@ -162,10 +208,15 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if (depth, ctype, comp, filt, interlace) != (_BIT_DEPTH, _COLOR_GRAY, 0, 0, 0):
+            if (
+                depth != _BIT_DEPTH
+                or ctype not in (_COLOR_GRAY, _COLOR_RGB)
+                or (comp, filt, interlace) != (0, 0, 0)
+            ):
                 raise ValueError(
                     f"unsupported PNG: depth={depth} color={ctype} interlace={interlace}"
                 )
+            color_type = ctype
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -176,7 +227,8 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("missing IHDR")
     if not seen_iend:
         raise ValueError("missing IEND")
-    stride = width + 1  # filter byte + one byte per pixel (grayscale 8-bit)
+    bpp = 3 if color_type == _COLOR_RGB else 1
+    stride = width * bpp + 1  # filter byte + bpp bytes per pixel
     # Bounded inflation: a CRC-valid IDAT bomb must never allocate beyond the
     # geometry IHDR declares (+1 byte to detect oversize), and a corrupt
     # deflate stream must surface as ValueError, not zlib.error.
@@ -198,10 +250,28 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     if d.unused_data:
         raise ValueError("trailing garbage after IDAT deflate stream")
     pixels = bytearray()
-    prev = bytes(width)
+    prev = bytes(width * bpp)
     for y in range(height):
         line = raw[y * stride : (y + 1) * stride]
-        cur = _unfilter_scanline(line[0], bytearray(line[1:]), prev)
+        cur = _unfilter_scanline(line[0], bytearray(line[1:]), prev, bpp=bpp)
         pixels += cur
         prev = cur
-    return width, height, bytes(pixels)
+    return width, height, color_type, bytes(pixels)
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Strict decode of an 8-bit GRAYSCALE non-interlaced PNG (the
+    original contract — truecolor input refuses loudly; use
+    :func:`decode_png_any` to accept both).
+
+    Returns ``(width, height, pixels)`` with ``pixels`` row-major raw
+    bytes. Raises ``ValueError`` on bad magic, bad chunk CRC,
+    unsupported color type / bit depth / interlace, bad filter bytes,
+    or truncated data."""
+    width, height, ctype, pixels = decode_png_any(data)
+    if ctype != _COLOR_GRAY:
+        raise ValueError(
+            f"unsupported PNG: color={ctype} (strict grayscale reader; "
+            "decode_png_any handles truecolor)"
+        )
+    return width, height, pixels

@@ -44,9 +44,10 @@ FRAME_BYTES = 64
 
 def _decode_media(modality: str, payload: bytes):
     """Media decode dispatch. ``image/png`` is REAL (pure-stdlib zlib
-    scanline decoder, functions/png_codec.py — VERDICT r6 item 1 retired):
-    returns ``(width, height, pixels)`` with row-major raw grayscale
-    bytes. ``audio/wav`` is REAL (pure-struct RIFF/PCM reader,
+    scanline decoder, functions/png_codec.py — VERDICT r6 item 1 retired;
+    truecolor RGB added round 10): returns ``(width, height,
+    color_type, pixels)`` with row-major raw bytes (interleaved RGB for
+    color type 2). ``audio/wav`` is REAL (pure-struct RIFF/PCM reader,
     functions/wav_codec.py — VERDICT r7 item 5 retired): returns
     ``(sample_rate, samples)`` with signed-16-bit ints. ``video/avi`` is
     REAL (pure-struct RIFF/LIST walker + uncompressed-DIB frame decode,
@@ -74,9 +75,11 @@ def _decode_media(modality: str, payload: bytes):
 
         return decode_gif_animation(payload)
     if modality == "image/png":
-        from hadoop_fs_ceph_spark.functions.png_codec import decode_png
+        from hadoop_fs_ceph_spark.functions.png_codec import decode_png_any
 
-        return decode_png(payload)
+        # one entry handles both planted color types, like a real decoder:
+        # (width, height, color_type 0|2, raw bytes — interleaved RGB for 2)
+        return decode_png_any(payload)
     if modality == "audio/wav":
         from hadoop_fs_ceph_spark.functions.wav_codec import decode_wav
 
@@ -605,7 +608,7 @@ def mm_png_decode(spark, sf_dir):
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf["doc_id"], pdf["png"]):
-                w, h, px = _decode_media("image/png", bytes(blob))
+                w, h, _ct, px = _decode_media("image/png", bytes(blob))
                 rows.append((int(did), w, h, sum(px), px[0], px[-1]))
             yield pd.DataFrame(
                 rows,
@@ -613,6 +616,121 @@ def mm_png_decode(spark, sf_dir):
             )
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    pngs = docs.select("doc_id").mapInPandas(build, out_png)
+    return pngs.repartition(8, "doc_id").mapInPandas(decode, out_schema)
+
+
+@query(
+    "mm_png_rgb_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             4 + doc_id % 9 AS w,
+             3 + doc_id % 6 AS h
+      FROM documents WHERE doc_id % 11 = 2
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 (doc_id * 17 + 3 * x + 5 * y) % 256))) AS r,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 (doc_id * 23 + 7 * x + 11 * y) % 256))) AS g,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 (doc_id * 29 + 13 * x + 17 * y) % 256))) AS b
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(list_sum(r) AS BIGINT) AS r_sum,
+           CAST(list_sum(g) AS BIGINT) AS g_sum,
+           CAST(list_sum(b) AS BIGINT) AS b_sum,
+           CAST(2126 * list_sum(r) + 7152 * list_sum(g) + 722 * list_sum(b)
+                AS BIGINT) AS luma_e4_sum,
+           CAST(r[1] * 65536 + g[1] * 256 + b[1] AS BIGINT) AS first_rgb
+    FROM px
+    """,
+    tags=("multimodal", "binary", "pandas", "png", "rgb", "decode"),
+)
+def mm_png_rgb_decode(spark, sf_dir):
+    """TRUECOLOR PNG decode (round 10 — the codec family's first
+    multi-channel image path): spec-conformant color-type-2 PNGs are
+    built per document (interleaved RGB, per-channel pixel formulas,
+    filter type cycling y % 5 so every bpp=3 un-filter path runs),
+    cross a real exchange as BinaryType, and decode through
+    ``_decode_media("image/png", …)`` → `decode_png_any`
+    (functions/png_codec.py). PNG filters reference the left neighbor
+    BPP bytes back, so truecolor exercises arithmetic the grayscale
+    tests cannot: a bpp-offset bug (e.g. i-1 instead of i-3 in
+    Sub/Paeth) decodes grayscale perfectly and corrupts every RGB
+    channel — the per-channel sums and the packed first pixel pin it.
+    Emits the features an image pipeline keeps: dimensions, per-channel
+    sums, an integer BT.709 luma checksum (×10⁴ weights — exact, no
+    float), and the packed first RGB pixel.
+
+    Scale shape: identical to mm_png_decode — two map-only Arrow
+    stages around one hash exchange; bytes never touch the driver."""
+    from hadoop_fs_ceph_spark.functions.png_codec import encode_png_rgb
+
+    out_png = "doc_id long, png binary"
+    out_schema = (
+        "doc_id long, width int, height int, r_sum long, g_sum long, "
+        "b_sum long, luma_e4_sum long, first_rgb long"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 9, 3 + did % 6
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        px.append((did * 17 + 3 * x + 5 * y) % 256)
+                        px.append((did * 23 + 7 * x + 11 * y) % 256)
+                        px.append((did * 29 + 13 * x + 17 * y) % 256)
+                rows.append((did, encode_png_rgb(w, h, bytes(px))))
+            yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["png"]):
+                w, h, ct, px = _decode_media("image/png", bytes(blob))
+                assert ct == 2, f"planted truecolor, decoded color_type={ct}"
+                r, g, b = px[0::3], px[1::3], px[2::3]
+                rs, gs, bs = sum(r), sum(g), sum(b)
+                rows.append(
+                    (
+                        int(did),
+                        w,
+                        h,
+                        rs,
+                        gs,
+                        bs,
+                        2126 * rs + 7152 * gs + 722 * bs,
+                        px[0] * 65536 + px[1] * 256 + px[2],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "r_sum",
+                    "g_sum",
+                    "b_sum",
+                    "luma_e4_sum",
+                    "first_rgb",
+                ],
+            )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 2)
     pngs = docs.select("doc_id").mapInPandas(build, out_png)
     return pngs.repartition(8, "doc_id").mapInPandas(decode, out_schema)
 
@@ -1439,7 +1557,7 @@ def mm_decode_quarantine_mixed(spark, sf_dir):
                 try:
                     m = _decode_media(modality, bytes(blob))
                     if modality == "image/png":
-                        feat = sum(m[2])
+                        feat = sum(m[3])
                     elif modality == "audio/wav":
                         feat = sum(m[1])
                     elif modality == "video/avi":

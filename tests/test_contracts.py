@@ -49,8 +49,13 @@ def test_media_decode_stub_contract():
     from hadoop_fs_ceph_spark.operators.multimodal import _decode_media
 
     pixels = bytes((7 * i) % 256 for i in range(12 * 9))
-    w, h, out = _decode_media("image/png", encode_png(12, 9, pixels))
-    assert (w, h, out) == (12, 9, pixels)
+    w, h, ct, out = _decode_media("image/png", encode_png(12, 9, pixels))
+    assert (w, h, ct, out) == (12, 9, 0, pixels)
+    from hadoop_fs_ceph_spark.functions.png_codec import encode_png_rgb
+
+    rgb = bytes((13 * i) % 256 for i in range(8 * 5 * 3))
+    w, h, ct, out = _decode_media("image/png", encode_png_rgb(8, 5, rgb))
+    assert (w, h, ct, out) == (8, 5, 2, rgb)
 
     samples = [(313 * i) % 65536 - 32768 for i in range(200)]
     assert _decode_media("audio/wav", encode_wav(16000, samples)) == (16000, samples)

@@ -86,7 +86,7 @@ def test_media_decode_stub_is_gated():
     from hadoop_fs_ceph_spark.operators.multimodal import _decode_media
 
     pixels = bytes((3 * i + 1) % 256 for i in range(8 * 5))
-    assert _decode_media("image/png", encode_png(8, 5, pixels)) == (8, 5, pixels)
+    assert _decode_media("image/png", encode_png(8, 5, pixels)) == (8, 5, 0, pixels)
 
     with pytest.raises(ValueError):
         _decode_media("image/png", b"\x89PNG")  # truncated: loud failure

@@ -12,7 +12,9 @@ from hypothesis import strategies as st
 from hadoop_fs_ceph_spark.functions.png_codec import (
     PNG_MAGIC,
     decode_png,
+    decode_png_any,
     encode_png,
+    encode_png_rgb,
 )
 
 
@@ -84,14 +86,79 @@ def test_corruption_fails_loudly(mutate, msg):
 
 
 def test_unsupported_color_type_rejected():
-    """An RGB IHDR must be refused, never mis-decoded as grayscale."""
+    """The STRICT grayscale reader must refuse a truecolor PNG, never
+    mis-decode it (round 10: truecolor is a supported format now —
+    decode_png_any handles it — so the refusal comes from the strict
+    wrapper, and a grayscale-sized body relabeled RGB fails geometry
+    inside the general decoder). Palette (type 3) stays unsupported in
+    both readers."""
+    rgb = encode_png_rgb(4, 4, bytes(48))
+    with pytest.raises(ValueError, match="strict grayscale reader"):
+        decode_png(rgb)
+    # relabeling a grayscale body as RGB is a geometry lie, not a decode
     data = bytearray(encode_png(4, 4, bytes(16)))
     ihdr = bytearray(data[16:29])
     ihdr[9] = 2  # color type 2 = truecolor
     data[16:29] = ihdr
     data[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF)
-    with pytest.raises(ValueError, match="unsupported PNG"):
+    with pytest.raises(ValueError, match="filtered bytes"):
         decode_png(bytes(data))
+    # palette PNGs refuse loudly in the general reader too
+    data = bytearray(encode_png(4, 4, bytes(16)))
+    ihdr = bytearray(data[16:29])
+    ihdr[9] = 3  # color type 3 = palette
+    data[16:29] = ihdr
+    data[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png_any(bytes(data))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    data=st.data(),
+)
+def test_rgb_roundtrip_lossless(w, h, data):
+    """encode_png_rgb→decode_png_any is the identity for any truecolor
+    image; h ≥ 5 exercises all five bpp=3 un-filter paths (the left
+    neighbor sits 3 bytes back — arithmetic grayscale never runs)."""
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    assert decode_png_any(encode_png_rgb(w, h, pixels)) == (w, h, 2, pixels)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pos=st.integers(min_value=0, max_value=10**6),
+    val=st.integers(min_value=0, max_value=255),
+    trunc=st.booleans(),
+)
+def test_rgb_fuzz_mutation_never_escapes_valueerror(pos, val, trunc):
+    """Corruption-contract parity for the truecolor path: any single-byte
+    mutation or truncation of an RGB PNG either decodes (mutation missed
+    a checked region — impossible here: every byte is magic, CRC-covered
+    chunk, or counted) or raises ValueError — never zlib.error,
+    struct.error, or IndexError."""
+    blob = bytearray(encode_png_rgb(7, 6, bytes((i * 11) % 256 for i in range(126))))
+    if trunc:
+        blob = blob[: pos % len(blob)]
+    else:
+        i = pos % len(blob)
+        if blob[i] == val:
+            val = (val + 1) % 256
+        blob[i] = val
+    try:
+        decode_png_any(bytes(blob))
+    except ValueError:
+        pass
 
 
 def test_bad_encode_inputs():
