@@ -37,19 +37,30 @@ _CHANNELS = 1
 _BITS = 16
 
 
-def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
-    """Encode signed 16-bit mono ``samples`` at ``sample_rate`` Hz as a
-    canonical RIFF/WAVE file (44-byte header ‖ little-endian frames)."""
+def encode_wav(
+    sample_rate: int, samples: list[int], channels: int = 1
+) -> bytes:
+    """Encode signed 16-bit PCM ``samples`` at ``sample_rate`` Hz as a
+    canonical RIFF/WAVE file (44-byte header ‖ little-endian frames).
+    ``channels`` > 1 (round 10): ``samples`` are channel-INTERLEAVED
+    (frame = one sample per channel, the RIFF layout) and must divide
+    evenly into frames."""
     if sample_rate <= 0:
         raise ValueError(f"bad sample rate {sample_rate}")
+    if channels < 1 or channels > 16:
+        raise ValueError(f"bad channel count {channels}")
+    if len(samples) % channels:
+        raise ValueError(
+            f"{len(samples)} samples do not divide into {channels}-channel frames"
+        )
     if not all(-32768 <= s <= 32767 for s in samples):
         raise ValueError("sample out of s16 range")
     data = struct.pack(f"<{len(samples)}h", *samples)
-    block_align = _CHANNELS * _BITS // 8
+    block_align = channels * _BITS // 8
     fmt = struct.pack(
         "<HHIIHH",
         _PCM_FORMAT,
-        _CHANNELS,
+        channels,
         sample_rate,
         sample_rate * block_align,
         block_align,
@@ -68,13 +79,34 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[int, list[int]]:
-    """Strict decode of a mono 16-bit PCM RIFF/WAVE file.
+    """Strict decode of a MONO 16-bit PCM RIFF/WAVE file (the original
+    contract — multi-channel input refuses loudly; use
+    :func:`decode_wav_any` to accept it).
 
     Returns ``(sample_rate, samples)`` with ``samples`` signed ints.
     Raises ``ValueError`` on bad magic, truncated chunks, non-PCM /
     non-mono / non-16-bit formats, odd data payloads, or a ``data``
     chunk appearing before ``fmt `` (readers need the format first).
-    Unknown chunks (LIST, INFO, cue, …) are skipped by declared length,
+    """
+    rate, channels, samples = decode_wav_any(data)
+    if channels != 1:
+        raise ValueError(
+            f"unsupported WAV: channels={channels} (strict mono reader; "
+            "decode_wav_any handles multi-channel)"
+        )
+    return rate, samples
+
+
+def decode_wav_any(data: bytes) -> tuple[int, int, list[int]]:
+    """Strict decode of a 16-bit PCM RIFF/WAVE file, any channel count
+    (round 10).
+
+    Returns ``(sample_rate, channels, samples)`` — ``samples`` are
+    channel-interleaved signed ints, whole frames only (a data chunk
+    not divisible into frames refuses). Raises ``ValueError`` on bad
+    magic, truncated chunks, non-PCM / non-16-bit formats, odd data
+    payloads, or a ``data`` chunk appearing before ``fmt ``. Unknown
+    chunks (LIST, INFO, cue, …) are skipped by declared length,
     honoring RIFF's word-alignment padding byte.
     """
     if data[:4] != RIFF_MAGIC:
@@ -89,6 +121,7 @@ def decode_wav(data: bytes) -> tuple[int, list[int]]:
     pos = 12
     end = 8 + riff_len
     sample_rate = None
+    channels = None
     pcm = None
     while pos < end:
         if pos + 8 > end:
@@ -104,16 +137,17 @@ def decode_wav(data: bytes) -> tuple[int, list[int]]:
         if tag == b"fmt ":
             if length < 16:
                 raise ValueError(f"fmt chunk must be >=16 bytes, got {length}")
-            audio_fmt, channels, rate, _byte_rate, _align, bits = struct.unpack(
+            audio_fmt, nch, rate, _byte_rate, _align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if (audio_fmt, channels, bits) != (_PCM_FORMAT, _CHANNELS, _BITS):
+            if audio_fmt != _PCM_FORMAT or bits != _BITS or not 1 <= nch <= 16:
                 raise ValueError(
-                    f"unsupported WAV: format={audio_fmt} channels={channels} bits={bits}"
+                    f"unsupported WAV: format={audio_fmt} channels={nch} bits={bits}"
                 )
             if rate <= 0:
                 raise ValueError(f"bad sample rate {rate}")
             sample_rate = rate
+            channels = nch
         elif tag == b"data":
             if sample_rate is None:
                 raise ValueError("data chunk before fmt chunk")
@@ -126,4 +160,9 @@ def decode_wav(data: bytes) -> tuple[int, list[int]]:
         raise ValueError("missing fmt chunk")
     if pcm is None:
         raise ValueError("missing data chunk")
-    return sample_rate, list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    if len(pcm) % (2 * channels):
+        raise ValueError(
+            f"data chunk of {len(pcm)} bytes is not whole "
+            f"{channels}-channel 16-bit frames"
+        )
+    return sample_rate, channels, list(struct.unpack(f"<{len(pcm) // 2}h", pcm))

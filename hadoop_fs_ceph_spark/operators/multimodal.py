@@ -48,8 +48,9 @@ def _decode_media(modality: str, payload: bytes):
     truecolor RGB added round 10): returns ``(width, height,
     color_type, pixels)`` with row-major raw bytes (interleaved RGB for
     color type 2). ``audio/wav`` is REAL (pure-struct RIFF/PCM reader,
-    functions/wav_codec.py — VERDICT r7 item 5 retired): returns
-    ``(sample_rate, samples)`` with signed-16-bit ints. ``video/avi`` is
+    functions/wav_codec.py — VERDICT r7 item 5 retired; multi-channel
+    added round 10): returns ``(sample_rate, channels, samples)`` with
+    channel-interleaved signed-16-bit ints. ``video/avi`` is
     REAL (pure-struct RIFF/LIST walker + uncompressed-DIB frame decode,
     functions/avi_codec.py — VERDICT r8 item 4 retired): returns the
     decode_avi dict with top-down luma frames. ``image/gif`` is REAL
@@ -81,9 +82,11 @@ def _decode_media(modality: str, payload: bytes):
         # (width, height, color_type 0|2, raw bytes — interleaved RGB for 2)
         return decode_png_any(payload)
     if modality == "audio/wav":
-        from hadoop_fs_ceph_spark.functions.wav_codec import decode_wav
+        from hadoop_fs_ceph_spark.functions.wav_codec import decode_wav_any
 
-        return decode_wav(payload)
+        # (sample_rate, channels, interleaved samples) — handles mono
+        # and multi-channel PCM alike (round 10)
+        return decode_wav_any(payload)
     if modality == "video/avi":
         from hadoop_fs_ceph_spark.functions.avi_codec import decode_avi
 
@@ -808,7 +811,7 @@ def mm_wav_decode(spark, sf_dir):
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf["doc_id"], pdf["wav"]):
-                rate, samples = _decode_media("audio/wav", bytes(blob))
+                rate, _ch, samples = _decode_media("audio/wav", bytes(blob))
                 n = len(samples)
                 rows.append(
                     (
@@ -839,6 +842,115 @@ def mm_wav_decode(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
     wavs = docs.select("doc_id").mapInPandas(build, out_wav)
     return wavs.repartition(8, "doc_id").mapInPandas(decode, out_schema)
+
+
+@query(
+    "mm_wav_stereo_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8000 + (doc_id % 6) * 2000 AS rate,
+             20 + doc_id % 41 AS nf
+      FROM documents WHERE doc_id % 13 = 6
+    ),
+    s AS (
+      SELECT doc_id, rate, nf,
+             list_transform(range(0, nf),
+                            i -> (doc_id * 4391 + i * 9311) % 65536 - 32768)
+               AS left_ch,
+             list_transform(range(0, nf),
+                            i -> (doc_id * 6067 + i * 11939) % 65536 - 32768)
+               AS right_ch
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           2 AS channels,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(nf * 1000000 // rate AS BIGINT) AS duration_us,
+           CAST(list_sum(left_ch) AS BIGINT) AS l_sum,
+           CAST(list_sum(right_ch) AS BIGINT) AS r_sum,
+           CAST(list_sum(list_transform(range(0, nf),
+                i -> ABS(left_ch[i + 1] - right_ch[i + 1]))) AS BIGINT)
+             AS stereo_spread
+    FROM s
+    """,
+    tags=("multimodal", "binary", "pandas", "wav", "audio", "stereo"),
+)
+def mm_wav_stereo_decode(spark, sf_dir):
+    """STEREO WAV decode (round 10 — the audio path's first multi-channel
+    format): 2-channel 16-bit PCM files are built per document with
+    DISTINCT per-channel sample formulas, interleaved frame-wise per
+    the RIFF layout, cross a real exchange, and decode through
+    ``_decode_media("audio/wav", …)`` → `decode_wav_any`
+    (functions/wav_codec.py). De-interleaving exercises arithmetic the
+    mono tests cannot: a channel-offset bug (frames read as mono, or
+    L/R swapped) preserves the total amplitude sum but breaks the
+    per-channel sums and the L−R spread — all three are oracle columns.
+    Emits sample rate, channel count, frame count, duration, per-channel
+    amplitude sums, and the summed |L−R| stereo spread (the feature an
+    audio curation pipeline uses to drop fake-stereo duplicates).
+
+    Scale shape: identical to mm_wav_decode — two map-only Arrow stages
+    around one hash exchange; bytes never touch the driver."""
+    from hadoop_fs_ceph_spark.functions.wav_codec import encode_wav
+
+    out_wav2 = "doc_id long, wav binary"
+    out_schema2 = (
+        "doc_id long, sample_rate int, channels int, n_frames int, "
+        "duration_us long, l_sum long, r_sum long, stereo_spread long"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000 + (did % 6) * 2000
+                nf = 20 + did % 41
+                inter = []
+                for i in range(nf):
+                    inter.append(((did * 4391 + i * 9311) % 65536) - 32768)
+                    inter.append(((did * 6067 + i * 11939) % 65536) - 32768)
+                rows.append((did, encode_wav(rate, inter, channels=2)))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["wav"]):
+                rate, ch, samples = _decode_media("audio/wav", bytes(blob))
+                assert ch == 2, f"planted stereo, decoded channels={ch}"
+                left, right = samples[0::2], samples[1::2]
+                rows.append(
+                    (
+                        int(did),
+                        rate,
+                        ch,
+                        len(left),
+                        len(left) * 1_000_000 // rate,
+                        sum(left),
+                        sum(right),
+                        sum(abs(a - b) for a, b in zip(left, right)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "channels",
+                    "n_frames",
+                    "duration_us",
+                    "l_sum",
+                    "r_sum",
+                    "stereo_spread",
+                ],
+            )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 6)
+    wavs = docs.select("doc_id").mapInPandas(build, out_wav2)
+    return wavs.repartition(8, "doc_id").mapInPandas(decode, out_schema2)
 
 
 @query(
@@ -1290,7 +1402,7 @@ def mm_decode_quarantine(spark, sf_dir):
             rows = []
             for did, blob in zip(pdf["doc_id"], pdf["wav"]):
                 try:
-                    rate, samples = _decode_media("audio/wav", bytes(blob))
+                    rate, _ch, samples = _decode_media("audio/wav", bytes(blob))
                     rows.append((int(did), False, None, rate, sum(samples)))
                 except ValueError as exc:
                     # the decoder's stable failure taxonomy (pinned by
@@ -1559,7 +1671,7 @@ def mm_decode_quarantine_mixed(spark, sf_dir):
                     if modality == "image/png":
                         feat = sum(m[3])
                     elif modality == "audio/wav":
-                        feat = sum(m[1])
+                        feat = sum(m[2])
                     elif modality == "video/avi":
                         feat = sum(sum(f) for f in m["frames"])
                     else:

@@ -58,7 +58,16 @@ def test_media_decode_stub_contract():
     assert (w, h, ct, out) == (8, 5, 2, rgb)
 
     samples = [(313 * i) % 65536 - 32768 for i in range(200)]
-    assert _decode_media("audio/wav", encode_wav(16000, samples)) == (16000, samples)
+    assert _decode_media("audio/wav", encode_wav(16000, samples)) == (
+        16000,
+        1,
+        samples,
+    )
+    assert _decode_media("audio/wav", encode_wav(16000, samples, channels=2)) == (
+        16000,
+        2,
+        samples,
+    )
 
     frames = [bytes((11 * i + f) % 256 for i in range(10 * 6)) for f in range(3)]
     m = _decode_media("video/avi", encode_avi(10, 6, 33367, frames))

@@ -76,14 +76,33 @@ def test_corruption_fails_loudly(mutate, msg):
 
 
 def test_unsupported_formats_rejected():
-    """Stereo / float / 8-bit fmt words must be refused, never
-    mis-decoded as mono s16."""
+    """Float / 8-bit fmt words must be refused, never mis-decoded as
+    s16 (round 10: multi-channel is now a SUPPORTED format —
+    decode_wav_any takes it, the strict mono reader refuses it, and a
+    mono body relabeled stereo fails frame geometry)."""
+    from hadoop_fs_ceph_spark.functions.wav_codec import decode_wav_any
+
     base = bytearray(encode_wav(8000, [1, 2, 3]))
-    for off, val in ((20, 3), (22, 2), (34, 8)):  # format=IEEE float, 2ch, 8-bit
+    for off, val in ((20, 3), (34, 8)):  # format=IEEE float, 8-bit
         data = bytearray(base)
         data[off : off + 2] = struct.pack("<H", val)
         with pytest.raises(ValueError, match="unsupported WAV"):
             decode_wav(bytes(data))
+    # a 3-sample mono body relabeled 2-channel is a frame-geometry lie
+    data = bytearray(base)
+    data[22:24] = struct.pack("<H", 2)
+    with pytest.raises(ValueError, match="whole 2-channel"):
+        decode_wav(bytes(data))
+    # real stereo: general reader decodes, strict mono reader refuses
+    stereo = encode_wav(8000, [1, -2, 3, -4], channels=2)
+    assert decode_wav_any(stereo) == (8000, 2, [1, -2, 3, -4])
+    with pytest.raises(ValueError, match="strict mono reader"):
+        decode_wav(stereo)
+    # 17 channels exceeds the documented bound
+    data = bytearray(base)
+    data[22:24] = struct.pack("<H", 17)
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(bytes(data))
 
 
 def test_odd_data_length_rejected():
