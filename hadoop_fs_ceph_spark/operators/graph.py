@@ -421,6 +421,16 @@ def graph_kcore(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("s"))
         .filter(F.col("s") >= _LPA_MIN_COOCCUR)
     )
+    # Iteration width is sized to the GRAPH, not to the session shuffle
+    # conf (round 10): every peel round runs 3-4 exchanges over
+    # edge/node-grain relations, so at a 200-partition cluster posture a
+    # ~10-round loop pays ~40 exchanges of per-partition fixed cost on
+    # tiny iteration state (measured 3.2× at the rehearsal shape). The
+    # GraphX convention applies — the algorithm picks its own
+    # numPartitions from its data: W tracks the edge count (~100k edges
+    # per partition; 100 TB → thousands of partitions, test scale → 8)
+    # and every iterative exchange below is explicitly W-wide, so round
+    # cost follows the graph's size at every scale.
     edges = (
         pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .unionByName(
@@ -428,6 +438,10 @@ def graph_kcore(spark, sf_dir):
         )
         .persist()
     )
+    n_edges = edges.count()  # also materializes the persist
+    width = max(8, n_edges // 100_000 + 1)
+    edges = edges.unpersist()
+    edges = edges.repartition(width, "src").persist()
     alive = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -436,14 +450,21 @@ def graph_kcore(spark, sf_dir):
                 F.lit(-1).cast("long").alias("node")
             )
         )
+        .repartition(width, "node")
         .localCheckpoint()
     )
     n_prev = alive.count()
     n_rounds = 0
     while n_rounds < _KCORE_MAX_ROUNDS:
+        # edges (hash W on src) ⋈ alive-as-src (hash W on node→src):
+        # co-partitioned, no exchange; the dst probe and the degree
+        # aggregate re-key explicitly at W so no round touches the
+        # session-wide shuffle width
         deg = (
             edges.join(alive.select(F.col("node").alias("src")), "src")
+            .repartition(width, "dst")
             .join(alive.select(F.col("node").alias("dst")), "dst")
+            .repartition(width, "src")
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
         )
@@ -451,6 +472,7 @@ def graph_kcore(spark, sf_dir):
             alive.join(deg, alive.node == deg.src, "left")
             .filter((F.coalesce(F.col("d"), F.lit(0)) >= _KCORE_K) | (F.col("node") == -1))
             .select("node")
+            .repartition(width, "node")
             .localCheckpoint()  # eager: materializes + cuts lineage
         )
         n_new = kept.count()
