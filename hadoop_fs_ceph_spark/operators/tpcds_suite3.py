@@ -32,8 +32,6 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hadoop_fs_ceph_spark.canonical import (
-    davg,
-    dstddev_samp,
     sql_davg,
     sql_dstddev_samp,
 )
@@ -93,20 +91,32 @@ def ds_tpcds_q17_sale_return_repurchase(spark, sf_dir):
     The chain join is INHERENTLY three fact scans — three different
     slices (all-sales, returned-sales, later-sales) are three legs of
     one join tree, not re-executions of a shared subtree (pinned at 3
-    in tests/test_plans.py). Each leg reduces to a 3-column
-    (custkey, brand, quantity) projection before the join, so the two
-    chain shuffles carry 20-byte rows on the composite key; the stat
-    aggregate runs on the fan-out product exactly as the spec's does
-    (per-key fan-out is bounded by lines-per-(customer, brand); a
-    whale key is AQE skew-split territory, rehearsed by --skew).
-    Quantities are integer-valued, so all six moment sums are exact at
-    scale 0 and every mean/stdev divides identical operands in both
-    engines — hash-exact. HAVING n ≥ 2 gates the sample-stdev
-    denominator."""
+    in tests/test_plans.py).
+
+    Scale/skew shape (round-10 rewrite, caught by the FIRST --skew run
+    of this head): the fan-out product S×R×C per (customer, brand) is
+    the CUBE of a hot customer's per-brand line counts — the planted
+    whale (25% of orders) made one task materialize ~10⁹ joined rows
+    and pinned a core for >12 minutes. The triple relation is never
+    materialized now: each leg aggregates to (customer, brand) grain
+    FIRST — count, Σq, Σq² per cell, map-side combinable — and the
+    chain join carries ONE row per cell per leg; the per-brand stats
+    of the fan-out product derive arithmetically (for the sales leg,
+    Σ_triples q = Σ_cells s1ₛ·n_r·n_c and Σ_triples q² =
+    Σ_cells s2ₛ·n_r·n_c; symmetrically for the other legs;
+    N = Σ n_s·n_r·n_c), which equals the materialized form EXACTLY —
+    integer arithmetic throughout (quantities are integer-valued, so
+    all moments are exact at scale 0; per-cell products stay under
+    2⁶³ until a single customer exceeds ~10⁶ lines per brand per leg,
+    a documented bound far past any plausible whale). The mean/stdev
+    chains divide the same exact operands as the oracle's materialized
+    form — hash-exact. HAVING N ≥ 2 gates the sample-stdev
+    denominator. Whale cost after the rewrite: one (ck, b) cell row —
+    the skew rehearsal's planted whale is now ~free."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
 
-    def leg(quarters, returned_only):
+    def leg(quarters, returned_only, tag):
         o = (
             t(spark, sf_dir, "orders")
             .filter(
@@ -118,36 +128,59 @@ def ds_tpcds_q17_sale_return_repurchase(spark, sf_dir):
         rows = li
         if returned_only:
             rows = rows.filter(F.col("l_returnflag") == "R")
+        q = F.round(F.col("l_quantity")).cast("long")
         return (
             rows.join(o, rows.l_orderkey == o.o_orderkey)
             .join(p, rows.l_partkey == p.p_partkey)
-            .select(
-                F.col("o_custkey").alias("ck"),
-                F.col("p_brand").alias("b"),
-                F.col("l_quantity").alias("q"),
+            .groupBy(
+                F.col("o_custkey").alias("ck"), F.col("p_brand").alias("b")
+            )
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum(q).alias(f"s1_{tag}"),
+                F.sum(q * q).alias(f"s2_{tag}"),
             )
         )
 
-    sales = leg((1, 2), False)
-    ret = leg((1, 2), True).withColumnRenamed("q", "rq")
-    rep = leg((3, 4), False).withColumnRenamed("q", "cq")
-    tri = (
-        sales.join(ret, ["ck", "b"])
-        .join(rep, ["ck", "b"])
-        .select(F.col("b").alias("p_brand"), F.col("q").alias("sq"), "rq", "cq")
+    cells = (
+        leg((1, 2), False, "s")
+        .join(leg((1, 2), True, "r"), ["ck", "b"])
+        .join(leg((3, 4), False, "c"), ["ck", "b"])
     )
-    return (
-        tri.groupBy("p_brand")
+    n_s, n_r, n_c = F.col("n_s"), F.col("n_r"), F.col("n_c")
+    brand = (
+        cells.groupBy(F.col("b").alias("p_brand"))
         .agg(
-            F.count(F.lit(1)).alias("n_triples"),
-            davg("sq", "s_qty_mean", 0),
-            dstddev_samp("sq", "s_qty_std", 0, 0),
-            davg("rq", "r_qty_mean", 0),
-            dstddev_samp("rq", "r_qty_std", 0, 0),
-            davg("cq", "c_qty_mean", 0),
-            dstddev_samp("cq", "c_qty_std", 0, 0),
+            F.sum(n_s * n_r * n_c).alias("N"),
+            F.sum(F.col("s1_s") * n_r * n_c).alias("S1s"),
+            F.sum(F.col("s2_s") * n_r * n_c).alias("S2s"),
+            F.sum(F.col("s1_r") * n_s * n_c).alias("S1r"),
+            F.sum(F.col("s2_r") * n_s * n_c).alias("S2r"),
+            F.sum(F.col("s1_c") * n_s * n_r).alias("S1c"),
+            F.sum(F.col("s2_c") * n_s * n_r).alias("S2c"),
         )
-        .filter(F.col("n_triples") >= 2)
+        .filter(F.col("N") >= 2)
+    )
+
+    def stats(s1, s2, mean_alias, std_alias):
+        # identical double chains to canonical.sql_davg/sql_dstddev_samp
+        # over the materialized fan-out: s1/s2 here ARE those fixsums
+        nd = F.col("N").cast("double")
+        s1d = F.col(s1).cast("double")
+        s2d = F.col(s2).cast("double")
+        return [
+            (s1d / nd).alias(mean_alias),
+            F.sqrt((s2d - s1d * s1d / nd) / (nd - F.lit(1.0))).alias(std_alias),
+        ]
+
+    return (
+        brand.select(
+            "p_brand",
+            F.col("N").alias("n_triples"),
+            *stats("S1s", "S2s", "s_qty_mean", "s_qty_std"),
+            *stats("S1r", "S2r", "r_qty_mean", "r_qty_std"),
+            *stats("S1c", "S2c", "c_qty_mean", "c_qty_std"),
+        )
         .orderBy("p_brand")
     )
 
