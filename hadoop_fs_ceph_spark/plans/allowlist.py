@@ -242,13 +242,9 @@ BOUNDED_COLLECT: dict[str, str] = {
     "ds_mann_whitney_u": _REFINE_COLLECT,
     "ds_auc_exact": "≤50-row score-value histogram array, sequential integer fold",
     "ds_lift_gains_deciles": _REFINE_COLLECT,
-    "ds_erlang_c_staffing": "one-row measured-load broadcast onto the 12-row agent spine",
-    "ds_abc_classification": "one-row revenue-total + one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
-    "ds_mood_median_test": "one-row grand-median/chi2/margin broadcasts onto the ≤k-row class relation",
     "ds_kruskal_wallis": _REFINE_COLLECT,
     "ds_spearman_rho": _REFINE_COLLECT,
     "ds_segment_migration_matrix": _REFINE_COLLECT,
-    "ds_erlang_c_staffing": "one-row measured-load broadcast onto the 12-row agent spine",
     "ds_abc_classification": _REFINE_COLLECT,
     "ds_wilcoxon_signed_rank": _REFINE_COLLECT,
     "agg_gini_concentration_binned": "collected 64-bin contribution array, sequential fold",
