@@ -31,7 +31,8 @@ dedup_semantic_bucket_scaled).
 ``python bench.py --skew`` runs the HOT-KEY rehearsal (round 9): the
 headline suite on a planted-skew variant of the data (one whale
 customer owns 25% of orders, one part/supplier on 20% of lineitems,
-one user emits 20% of events — row counts and join fan-outs unchanged)
+one user emits 20% of events, one ORDER owns ~10% of lineitem lines —
+row counts and FK join fan-outs unchanged)
 at the cluster shape (auto-broadcast off, 200 shuffle partitions, AQE
 skew-split threshold lowered so the rewrite fires at test scale). Two
 gates per query: the AQE skew-split rewrite must not change the answer
@@ -693,12 +694,15 @@ _SKEW_AQE_OFF = {
 def _build_skew_tables(spark, src_dir: str, dst_dir: str) -> dict:
     """Materialize a HOT-KEY variant of the dataset: one whale customer
     owns 25% of orders, one hot part and one hot supplier each appear on
-    20% of lineitems, one whale user emits 20% of events. Row counts and
-    join fan-outs are UNCHANGED (every remapped FK still points at an
-    existing unique dimension row — each fact row still matches exactly
-    one dim row), so any wall-clock blow-up is pure key-distribution
-    pathology: oversized shuffle partitions and monster groups. The hash
-    gate is deterministic (xxhash64 of the row key), so the build is
+    20% of lineitems, one whale user emits 20% of events, and one whale
+    ORDER owns ~10% of lineitem lines (round-11: a planted monster
+    basket — the input that makes any uncapped per-order pair self-join
+    quadratic; the basket_common cap is what keeps graph_kcore /
+    ds_market_basket bounded here). Row counts and FK join fan-outs are
+    UNCHANGED (every remapped FK still points at an existing unique
+    parent row — each fact row still matches exactly one dim/order row);
+    per-KEY group sizes are the pathology being planted. The hash gate
+    is deterministic (xxhash64 of the row key), so the build is
     reproducible bit-for-bit."""
     import pyspark.sql.functions as F
 
@@ -723,13 +727,25 @@ def _build_skew_tables(spark, src_dir: str, dst_dir: str) -> dict:
         ).otherwise(F.col("o_custkey")),
     ).write.mode("overwrite").parquet(f"{dst_dir}/orders.parquet")
     li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
+    hot["l_orderkey"] = li.agg(F.min("l_orderkey")).collect()[0][0]
     row_h = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(5))
+    # independent gate (extra literal seed) so the whale-basket remap is
+    # uncorrelated with the hot-part/supplier remap above
+    basket_h = F.pmod(
+        F.xxhash64(F.lit("whale-basket"), "l_orderkey", "l_linenumber"),
+        F.lit(10),
+    )
     li.withColumn(
         "l_partkey",
         F.when(row_h == 0, F.lit(hot["p_partkey"])).otherwise(F.col("l_partkey")),
     ).withColumn(
         "l_suppkey",
         F.when(row_h == 1, F.lit(hot["s_suppkey"])).otherwise(F.col("l_suppkey")),
+    ).withColumn(
+        "l_orderkey",
+        F.when(basket_h == 0, F.lit(hot["l_orderkey"])).otherwise(
+            F.col("l_orderkey")
+        ),
     ).write.mode("overwrite").parquet(f"{dst_dir}/lineitem.parquet")
     e = spark.read.parquet(f"{src_dir}/events.parquet")
     hot_user = e.agg(F.min("user_id")).collect()[0][0]
@@ -829,9 +845,11 @@ def skew_main() -> None:
         "",
         f"Data: `{sf_dir}` remapped so ONE customer owns 25% of orders, one "
         "part and one supplier each sit on 20% of lineitems, one user emits "
-        "20% of events (`bench.py::_build_skew_tables`; row counts and join "
+        "20% of events, and one ORDER owns ~10% of lineitem lines — a "
+        "monster basket that makes any uncapped per-order pair self-join "
+        "quadratic (`bench.py::_build_skew_tables`; row counts and FK join "
         f"fan-outs unchanged — every remapped FK still matches exactly one "
-        f"dim row; build {build_sec}s). All suites run with auto-broadcast "
+        f"parent row; build {build_sec}s). All suites run with auto-broadcast "
         "OFF and 200 shuffle partitions (broadcasts hide join skew), AQE "
         "skew-split threshold lowered to 1 MiB so the rewrite fires at test "
         "scale (a cluster keeps the 256 MiB default). `content` = the "
@@ -856,7 +874,8 @@ def skew_main() -> None:
         f"**Totals:** uniform = {tot_u:.1f}s, skewed (AQE on) = {tot_s:.1f}s "
         f"(ratio {tot_s / tot_u:.2f}x), {len(bad)} failing. Hot keys: "
         f"custkey {hot['c_custkey']}, partkey {hot['p_partkey']}, "
-        f"suppkey {hot['s_suppkey']}, user {hot['user_id']}.",
+        f"suppkey {hot['s_suppkey']}, user {hot['user_id']}, "
+        f"orderkey {hot['l_orderkey']} (whale basket).",
     ]
     _splice_scale_section("SKEW", md)
 

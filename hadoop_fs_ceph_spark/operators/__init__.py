@@ -45,6 +45,10 @@ Module map (SURVEY.md §2B families):
                  sale→return→repurchase chain, Q92 excess-discount
                  window gate (scalar subquery → one scan), Q58
                  three-channel agreement pivot
+* tpcds_suite4 — TPC-DS sixth tier (r11): Q31 two-fact correlated
+                 seasonal growth, Q49 per-channel worst-return rank
+                 unions, and the Q14 owned co-bucketed layout twin
+                 (zero-exchange fact join legs, plan-pinned)
 
 Round-2 additions live inside the family modules: winnowing fingerprints,
 train/eval decontamination, repetition filter, RAG chunking (text);
@@ -114,6 +118,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     tpcds_suite,
     tpcds_suite2,
     tpcds_suite3,
+    tpcds_suite4,
     tpch_suite,
     tpch_suite2,
     udfs,

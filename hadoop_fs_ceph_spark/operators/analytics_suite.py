@@ -11,7 +11,9 @@ aggregates, windows, and self-joins.
 Scale posture: every shape aggregates down to per-entity rows (user, day,
 pair) BEFORE any join or window; unpartitioned windows only ever run over
 already-aggregated tiny relations (days, not events); the market-basket
-self-join reuses one shuffle on the co-partitioned order key.
+self-join reuses one shuffle on the co-partitioned order key AND runs on
+the whale-capped basket projection (basket_common — per-order pair
+fan-out hard-bounded at C(32,2) even under planted basket skew).
 """
 
 from __future__ import annotations
@@ -19,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from hadoop_fs_ceph_spark.operators.basket_common import (
+    OP_CAPPED_CTES,
+    capped_order_parts,
+)
 from hadoop_fs_ceph_spark.registry import query
 from hadoop_fs_ceph_spark.tables import t
 
@@ -126,8 +132,8 @@ def ds_retention_cohort(spark, sf_dir):
 
 @query(
     "ds_market_basket",
-    oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    oracle=f"""
+    WITH {OP_CAPPED_CTES}
     SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
     FROM op a JOIN op b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -136,18 +142,23 @@ def ds_retention_cohort(spark, sf_dir):
     LIMIT 100
     """,
     tags=("analytics", "self-join", "co-occurrence"),
+    bench=True,
 )
 def ds_market_basket(spark, sf_dir):
     """Market-basket pair mining: parts co-occurring in the same order,
-    ranked by support. The (order, part) projection is deduplicated once,
-    then self-joined on the order key with p1 < p2 to emit each unordered
+    ranked by support. The (order, part) projection is deduplicated and
+    WHALE-CAPPED once (basket_common: at most 32 deterministically
+    hash-sampled lines per order, identical in the oracle CTEs), then
+    self-joined on the order key with p1 < p2 to emit each unordered
     pair once. Both join sides are the SAME relation shuffled on
     l_orderkey — Catalyst reuses the exchange — and per-order fan-out is
-    C(lines,2) with lines ≤ 7 in TPC-H-shaped data, so the blowup is
-    bounded (<21× rows) regardless of SF. Final top-100 has a total sort
-    key (count, p1, p2), so LIMIT is deterministic."""
-    li = t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    hard-bounded at C(32,2) = 496 pairs: TPC-H-shaped baskets (≤7 lines)
+    pass through untouched, while a 10k-line whale session — which would
+    otherwise materialize ~5·10⁷ joined rows in ONE task — contributes a
+    sampled 32-line basket (recall tradeoff documented in
+    basket_common). Final top-100 has a total sort key (count, p1, p2),
+    so LIMIT is deterministic."""
+    op = capped_order_parts(spark, sf_dir)
     a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
     return (
@@ -302,10 +313,10 @@ def ds_pareto_concentration(spark, sf_dir):
 
 @query(
     "ds_basket_lift",
-    oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
-    part_supp AS (SELECT l_partkey, COUNT(*) AS s FROM op GROUP BY l_partkey),
+    oracle=f"""
+    WITH {OP_CAPPED_CTES},
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op0),
+    part_supp AS (SELECT l_partkey, COUNT(*) AS s FROM op0 GROUP BY l_partkey),
     pairs AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS s12
       FROM op a JOIN op b
@@ -328,16 +339,20 @@ def ds_pareto_concentration(spark, sf_dir):
 def ds_basket_lift(spark, sf_dir):
     """Association-rule metrics over co-purchase pairs: confidence
     P(p2|p1) and lift P(p1,p2)/(P(p1)P(p2)) for pairs with support ≥ 2.
-    Pair support comes from the bounded market-basket self-join (same
-    exchange-reused shape as ds_market_basket); item supports are one
-    extra aggregate of the SAME deduped projection; the global order
-    count is a one-row broadcast. All counts are exact integers — the
-    confidence/lift doubles are single divisions, identical across
-    engines. Top-50 by a total (lift, p1, p2) key."""
+    Pair support comes from the WHALE-CAPPED market-basket self-join
+    (same capped projection as ds_market_basket — per-order fan-out
+    hard-bounded at C(32,2), recall tradeoff in basket_common); item
+    supports and the global order count stay EXACT, computed from the
+    uncapped projection (linear aggregates are whale-safe — only the
+    quadratic pair build needs the cap), so confidence denominators are
+    true supports. All counts are exact integers — the confidence/lift
+    doubles are single divisions, identical across engines. Top-50 by a
+    total (lift, p1, p2) key."""
     li = t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = op.agg(F.countDistinct("l_orderkey").alias("n"))
-    part_supp = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    op_full = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op_full.agg(F.countDistinct("l_orderkey").alias("n"))
+    part_supp = op_full.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    op = capped_order_parts(spark, sf_dir)
     a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
     pairs = (

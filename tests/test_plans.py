@@ -124,6 +124,35 @@ def test_pair_generation_never_cartesian(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q14_bucketed_join_legs_no_exchange(spark, sf_dir):
+    """The Q14 owned-layout twin: with both fact inputs bucketed on the
+    order key, the lineitem⋈orders sort-merge join must read the bucket
+    layout directly — NO hash-partitioning exchange and no extra sort on
+    either order-keyed leg (the two SMJ exchanges the ×100 soak measured
+    as Q14's residual shuffle). Downstream part-grain exchanges remain —
+    only the order-key legs are the layout's claim."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(SPECS["ds_tpcds_q14_bucketed"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert not re.search(r"Exchange hashpartitioning\([lo]_orderkey", plan), (
+        "order-key exchange survived the bucketed layout"
+    )
+
+
+def test_q14_bucketed_matches_plain(spark, sf_dir):
+    """Layout must not change the answer: the bucketed twin's full result
+    equals ds_tpcds_q14_cross_channel row for row."""
+    plain = SPECS["ds_tpcds_q14_cross_channel"].fn(spark, sf_dir)
+    bucketed = SPECS["ds_tpcds_q14_bucketed"].fn(spark, sf_dir)
+    assert plain.schema == bucketed.schema
+    assert plain.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(plain).count() == 0
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """Bucketed co-located tables must sort-merge join straight off the
     bucketed scans — zero hash-partitioning exchanges anywhere in the
@@ -442,6 +471,12 @@ def fact_scan_count(df, table: str) -> int:
         ("ds_tpcds_q17_sale_return_repurchase", "lineitem", 3),
         ("ds_tpcds_q92_excess_discount", "lineitem", 1),
         ("ds_tpcds_q58_three_channel_agreement", "lineitem", 1),
+        # tier 6 (round 11): Q31 scans orders twice by construction (it
+        # is both the web fact and the store leg's date source); Q49's
+        # two-phase rank union holds at one fact scan
+        ("ds_tpcds_q31_seasonal_share", "lineitem", 1),
+        ("ds_tpcds_q31_seasonal_share", "orders", 2),
+        ("ds_tpcds_q49_worst_returns", "lineitem", 1),
     ],
 )
 def test_fact_scan_count_pinned(spark, sf_dir, name, table, max_scans):
