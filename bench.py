@@ -6,6 +6,14 @@ Prints ONE JSON line:
 Results are materialized with the no-op sink (full execution, no driver
 collection) so timings measure the distributed plan, not toPandas.
 
+Round 11 adds the NOISE-AWARE round-over-round verdict (VERDICT r10 item
+5): the previous round's per-query normalized values + spreads are read
+back from the newest same-SF BENCH_r*.json artifact and every query gets
+a vs_prev code in the compact line — 0 inside combined noise, 1 slower
+beyond it, -1 faster, 9 new — so regression claims cite a per-query
+verdict computed from both rounds' measured spreads instead of a
+hand-eyeballed column diff.
+
 ``python bench.py --rehearsal`` runs the CLUSTER-SHAPE rehearsal
 (VERDICT r8 item 5): the whole headline suite again with
 ``autoBroadcastJoinThreshold=-1`` (auto-broadcasts off — explicit
@@ -53,6 +61,73 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hadoop_fs_ceph_spark.registry import load_all
 from hadoop_fs_ceph_spark.session import get_spark
+
+
+def _prev_round_compact(repo_dir: str, sf) -> tuple[dict | None, str | None]:
+    """The newest BENCH_r*.json's compact tail line (same SF), parsed.
+
+    Round-11 (VERDICT r10 item 5): the driver records each round's bench
+    stdout tail; the final compact line is a complete JSON object with
+    per-query [cold, warm, spread, normalized]. Loading the previous
+    round's line lets THIS run attach a per-query noise verdict — is the
+    round-over-round normalized delta inside the two rounds' combined
+    measurement spread? — so a like-for-like regression claim can cite a
+    verdict instead of eyeballing two columns across files."""
+    import glob
+
+    for path in sorted(
+        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True
+    ):
+        try:
+            art = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if art.get("sf") != sf:
+            continue
+        for line in reversed((art.get("tail") or "").strip().splitlines()):
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if "q" in obj and "q_cols" in obj:
+                return obj, os.path.basename(path)
+    return None, None
+
+
+def _noise_verdicts(
+    prev: dict | None, timings: dict, spread: dict, scale: float
+) -> dict[str, str]:
+    """Per-query noise verdict vs the previous round's compact record:
+    'ok' (delta inside combined spread + slack), 'regr'/'impr' (outside,
+    slower/faster), 'new' (no previous observation). Tolerance = both
+    rounds' normalized spreads + max(0.15 s, 20% of the previous value) —
+    the absolute floor covers scheduling jitter on sub-second heads, the
+    relative slack covers the documented single-scalar calibration
+    undercorrection on cross-host rounds (VERDICT r10 'what's missing'
+    #5: like-for-like drift ~1.18x read as uniform host noise)."""
+    if not prev:
+        return {n: "new" for n in timings}
+    cols = {c: i for i, c in enumerate(prev["q_cols"])}
+    if "normalized" not in cols or "spread" not in cols:
+        return {n: "new" for n in timings}
+    pscale = prev.get("calib_ref", 0.285) / max(
+        prev.get("calib_spark_sec", 0.285), 1e-9
+    )
+    out = {}
+    for n in timings:
+        row = prev["q"].get(n)
+        if not row:
+            out[n] = "new"
+            continue
+        p_norm = row[cols["normalized"]]
+        p_spread = row[cols["spread"]] * pscale
+        delta = timings[n] * scale - p_norm
+        tol = spread[n] * scale + p_spread + max(0.15, 0.2 * p_norm)
+        out[n] = "ok" if abs(delta) <= tol else ("regr" if delta > 0 else "impr")
+    return out
 
 
 def main() -> None:
@@ -151,6 +226,10 @@ def main() -> None:
     calib_ref = 0.285
     calib_spark = sorted(c[0] for c in calibs)[len(calibs) // 2]
     scale = calib_ref / calib_spark
+    prev, prev_name = _prev_round_compact(
+        os.path.dirname(os.path.abspath(__file__)), sf
+    )
+    noise = _noise_verdicts(prev, timings, spread, scale)
     print(
         json.dumps(
             {
@@ -173,6 +252,8 @@ def main() -> None:
                 "calib_ref": calib_ref,
                 "total_normalized": round(total * scale, 3),
                 "total_warm_normalized": round(sum(warm.values()) * scale, 3),
+                "noise_prev_artifact": prev_name,
+                "noise_vs_prev": noise,
             }
         )
     )
@@ -185,18 +266,32 @@ def main() -> None:
     # (legend in q_cols) plus every total and calibration scalar. If the
     # head set ever grows it past the capture budget, precision drops a
     # digit rather than losing queries.
+    # vs_prev codes: 0 = within combined noise, 1 = slower beyond noise,
+    # -1 = faster beyond noise, 9 = no previous observation
+    code = {"ok": 0, "regr": 1, "impr": -1, "new": 9}
     for digits in (2, 1):
         compact = json.dumps(
             {
-                "q_cols": ["cold", "warm", "spread", "normalized"],
+                "q_cols": ["cold", "warm", "spread", "normalized", "vs_prev"],
                 "q": {
                     n: [
                         round(timings[n], digits),
                         round(warm[n], digits),
                         round(spread[n], digits),
                         round(timings[n] * scale, digits),
+                        code[noise[n]],
                     ]
                     for n in timings
+                },
+                "noise": {
+                    "prev": prev_name,
+                    # capped at 10 names so a pathological round can't push
+                    # the compact line past the driver's tail capture
+                    "regressed": sorted(
+                        n for n, v in noise.items() if v == "regr"
+                    )[:10],
+                    "improved": sum(v == "impr" for v in noise.values()),
+                    "new": sum(v == "new" for v in noise.values()),
                 },
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
