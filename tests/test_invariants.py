@@ -2990,3 +2990,107 @@ def test_ann_recall_calibration_statistical_standard(spark, sf_dir):
     for r in rows:
         assert 0.0 < r.expected_caught < r.n_pairs, r
         assert r.flip_denom == 1 << r.level
+
+
+def test_tier6_q31_growth_gate_re_derivable(spark, sf_dir):
+    """Every Q31 row must re-derive its own admission: both web growth
+    ratios strictly above the corresponding store ratios (an inverted
+    or mixed-up comparison passes the complement symmetrically in both
+    engines), and every ratio positive (the six positivity guards).
+    The survivor set must also be a strict subset of all nations —
+    a dropped gate returns every region."""
+    rows = load_all()["ds_tpcds_q31_seasonal_share"].fn(spark, sf_dir).collect()
+    n_nations = t(spark, sf_dir, "nation").count()
+    assert 0 < len(rows) < n_nations, len(rows)
+    for r in rows:
+        assert r["web_g2"] > r["store_g2"] > 0, r
+        assert r["web_g3"] > r["store_g3"] > 0, r
+
+
+def test_tier6_q49_two_phase_equals_naive_global_window(spark, sf_dir):
+    """The STRONGEST pin for the Q49 two-phase top-k: recompute the
+    answer with the naive single global window per channel (safe at
+    test scale, the 100 TB anti-pattern) and require set equality.
+    This is exactly the symmetric-bug class the differential harness
+    cannot see — the oracle uses windows too, so a flaw in the
+    candidate-containment argument would have to be caught here."""
+    from pyspark.sql import Window
+
+    out = load_all()["ds_tpcds_q49_worst_returns"].fn(spark, sf_dir)
+    # naive re-derivation from the same grain the operator aggregates
+    from hadoop_fs_ceph_spark.operators.tpcds_suite import _channel_col, _rev_col
+    from hadoop_fs_ceph_spark.operators.tpcds_suite4 import _Q49_TOPK
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+        _rev_col().alias("rev"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", _channel_col().alias("channel")
+    )
+    ret = F.col("l_returnflag") == "R"
+    cents = F.round(F.col("rev") * 100.0).cast("long")
+    grain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("channel", "l_partkey")
+        .agg(
+            F.round(F.sum(F.when(ret, F.col("l_quantity")).otherwise(0.0)))
+            .cast("long").alias("ret_qty"),
+            F.round(F.sum("l_quantity")).cast("long").alias("sold_qty"),
+            F.sum(F.when(ret, cents).otherwise(F.lit(0))).alias("ret_amt"),
+            F.sum(cents).alias("sold_amt"),
+        )
+        .filter((F.col("ret_qty") > 0) & (F.col("sold_amt") > 0))
+        .select(
+            "channel", "l_partkey",
+            F.expr("(1000000 * ret_qty) div sold_qty").alias("ret_qty_ppm"),
+            F.expr("(1000000 * ret_amt) div sold_amt").alias("ret_amt_ppm"),
+        )
+    )
+    g_q = Window.partitionBy("channel").orderBy(
+        F.col("ret_qty_ppm").desc(), "l_partkey"
+    )
+    g_a = Window.partitionBy("channel").orderBy(
+        F.col("ret_amt_ppm").desc(), "l_partkey"
+    )
+    naive = (
+        grain.withColumn("qr", F.rank().over(g_q))
+        .withColumn("ar", F.rank().over(g_a))
+        .filter((F.col("qr") <= _Q49_TOPK) | (F.col("ar") <= _Q49_TOPK))
+        .select(
+            "channel", "l_partkey", "ret_qty_ppm", "ret_amt_ppm",
+            F.when(F.col("qr") <= _Q49_TOPK, F.col("qr")).alias("qty_rank"),
+            F.when(F.col("ar") <= _Q49_TOPK, F.col("ar")).alias("amt_rank"),
+        )
+    )
+    assert out.count() == naive.count()
+    assert out.exceptAll(naive).count() == 0
+    assert naive.exceptAll(out).count() == 0
+
+
+def test_tier6_q49_rank_lists_bounded_and_dense(spark, sf_dir):
+    """Per channel: non-null qty ranks are exactly 1..k with no gaps
+    (total order ⇒ RANK == ROW_NUMBER), at most TOPK of them, and the
+    ppm ratio is non-increasing along the rank order; same for amount
+    ranks. A broken candidate union (phase 1 dropping a global top-k
+    row) would leave a gap here."""
+    from collections import defaultdict
+
+    from hadoop_fs_ceph_spark.operators.tpcds_suite4 import _Q49_TOPK
+
+    rows = load_all()["ds_tpcds_q49_worst_returns"].fn(spark, sf_dir).collect()
+    assert rows
+    for rank_col, ppm_col in (("qty_rank", "ret_qty_ppm"),
+                              ("amt_rank", "ret_amt_ppm")):
+        per = defaultdict(list)
+        for r in rows:
+            if r[rank_col] is not None:
+                per[r["channel"]].append((r[rank_col], r[ppm_col]))
+        assert per, rank_col
+        for ch, pairs in per.items():
+            pairs.sort()
+            ranks = [p[0] for p in pairs]
+            assert ranks == list(range(1, len(ranks) + 1)), (ch, ranks)
+            assert len(ranks) <= _Q49_TOPK
+            ppms = [p[1] for p in pairs]
+            assert all(a >= b for a, b in zip(ppms, ppms[1:])), (ch, ppms)
