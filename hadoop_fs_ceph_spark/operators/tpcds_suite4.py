@@ -22,6 +22,13 @@ the owned-layout twin of Q14:
   tests/test_plans.py) — the measured answer to the r10 verdict's "the
   residual Q14 shuffle is the two inherent SMJs, removable only by an
   owned co-bucketed layout".
+* Q93 — returns-adjusted net customer value: the fact LEFT-joined against
+  the returns relation AT LINE GRAIN with partial refunds in exact
+  integer cents, then net spend per customer. The line-grain
+  composite-key join is the shape Q75's item-grain conditional netting
+  never exercises.
+* Q34 — count-band buyers: order line counts banded, customers with ≥2
+  band orders, dim join-back only for post-HAVING survivors.
 
 Schema mapping and scale posture as tpcds_suite.py: channels from
 ``o_orderpriority``, all money exact integer cents, aggregate to entity
@@ -392,3 +399,149 @@ def ds_tpcds_q14_bucketed(spark, sf_dir):
     )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return _q14_report(dated, p)
+
+
+@query(
+    "ds_tpcds_q93_returns_adjusted_net",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey, l_linenumber,
+             (CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)
+              // CAST(ROUND(l_quantity) AS BIGINT))
+             * LEAST(CAST(ROUND(l_quantity) AS BIGINT), 10) AS refund_cents
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    net AS (
+      SELECT l.l_orderkey,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100.0)
+                  AS BIGINT) - COALESCE(r.refund_cents, 0) AS net_cents
+      FROM lineitem l LEFT JOIN r
+        ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber
+    )
+    SELECT o_custkey, CAST(SUM(net_cents) AS BIGINT) AS net_cents_total,
+           COUNT(*) AS n_lines
+    FROM net JOIN orders ON net.l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    ORDER BY net_cents_total DESC, o_custkey
+    LIMIT 20
+    """,
+    tags=("tpcds", "returns", "line-grain-join", "netting"),
+)
+def ds_tpcds_q93_returns_adjusted_net(spark, sf_dir):
+    """TPC-DS Q93: returns-adjusted customer value — net sales computed
+    by LEFT-joining the fact against the returns table AT LINE GRAIN
+    (store_sales ⋈ store_returns on (item, ticket) in the spec; here the
+    returns relation is the fact's own R-flagged subset keyed
+    (l_orderkey, l_linenumber)) and subtracting the per-line refund,
+    then ranking customers by net spend. The refund is PARTIAL — the
+    first 10 units of a returned line ((cents div qty)·LEAST(qty, 10),
+    exact integer arithmetic) — which keeps the netting non-degenerate
+    (a full-refund model collapses to a returnflag filter and never
+    exercises the join). Distinct from Q75's item-grain conditional
+    netting: the line-grain LEFT join is the shape whose scale cost is
+    a fact-sized composite-key join.
+
+    Scale shape: both join inputs derive from the SAME lineitem scan
+    projected to the composite key, so the left join shuffles on
+    (l_orderkey, l_linenumber) with exchange reuse between the two
+    sides; the orders join is the standard fact⋈fact SMJ on the order
+    key; the per-customer aggregate is map-side combined; top-20 is
+    TakeOrdered. All money stays exact BIGINT cents end to end."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0).cast(
+        "long"
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.expr(
+                "(cast(round(l_extendedprice * (1 - l_discount) * 100.0) as bigint)"
+                " div cast(round(l_quantity) as bigint))"
+            ) * F.least(qty, F.lit(10))).alias("refund_cents"),
+        )
+    )
+    net = (
+        li.select("l_orderkey", "l_linenumber", cents.alias("cents"))
+        .join(r, ["l_orderkey", "l_linenumber"], "left")
+        .select(
+            "l_orderkey",
+            (F.col("cents") - F.coalesce("refund_cents", F.lit(0))).alias(
+                "net_cents"
+            ),
+        )
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        net.join(o, net.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("net_cents").cast("long").alias("net_cents_total"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("net_cents_total").desc(), "o_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "ds_tpcds_q34_band_buyers",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+    ),
+    band AS (
+      SELECT l_orderkey FROM per_order WHERE n_lines BETWEEN 5 AND 7
+    ),
+    per_cust AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_band_orders
+      FROM band JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+      HAVING COUNT(*) >= 2
+    )
+    SELECT c.c_custkey, c.c_name, p.n_band_orders
+    FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+    ORDER BY p.n_band_orders DESC, c.c_custkey
+    LIMIT 50
+    """,
+    tags=("tpcds", "count-band", "join-back"),
+)
+def ds_tpcds_q34_band_buyers(spark, sf_dir):
+    """TPC-DS Q34: the count-band buyer screen — orders whose line count
+    falls in a target band (15–20 items per ticket in the spec; 5–7
+    here, matching TPC-H basket geometry), rolled up to customers who
+    placed at least two such orders, joined back to the dimension for
+    display names. The defining shape is the DOUBLE aggregate with a
+    band predicate BETWEEN the two (order grain → band filter →
+    customer grain → HAVING), then a key join to the dim only for the
+    survivors — the dim join probes a post-HAVING relation, never facts.
+
+    Scale shape: the order-grain count is one map-side-combined
+    aggregate of a key-only projection; the band filter drops most
+    orders before anything joins; the customer aggregate runs on
+    band-order keys only; the final dim join input is bounded by the
+    HAVING. Top-50 on a total (count DESC, custkey) key is
+    TakeOrdered."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    band = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("n_lines").between(5, 7))
+        .select("l_orderkey")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        band.join(o, band.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band_orders"))
+        .filter(F.col("n_band_orders") >= 2)
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "n_band_orders")
+        .orderBy(F.col("n_band_orders").desc(), "c_custkey")
+        .limit(50)
+    )

@@ -3094,3 +3094,58 @@ def test_tier6_q49_rank_lists_bounded_and_dense(spark, sf_dir):
             assert len(ranks) <= _Q49_TOPK
             ppms = [p[1] for p in pairs]
             assert all(a >= b for a, b in zip(ppms, ppms[1:])), (ch, ppms)
+
+
+def test_tier6_q93_net_bounded_by_gross(spark, sf_dir):
+    """Q93 netting must be a true deduction: every customer's net total
+    is non-negative (the partial refund (cents div qty)·min(qty,10) can
+    never exceed the line amount) and at most their gross total — a
+    sign flip or a refund joined to the wrong line breaks one bound
+    symmetrically in both engines."""
+    rows = (
+        load_all()["ds_tpcds_q93_returns_adjusted_net"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == 20
+    gross = {
+        r["o_custkey"]: r["g"]
+        for r in t(spark, sf_dir, "lineitem")
+        .join(
+            t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+                ).cast("long")
+            ).alias("g")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r["net_cents_total"] <= gross[r["o_custkey"]], r
+
+
+def test_tier6_q34_band_counts_re_derivable(spark, sf_dir):
+    """Every Q34 row's n_band_orders must be ≥ 2 (the HAVING) and equal
+    a direct recount of that customer's 5-7-line orders."""
+    rows = load_all()["ds_tpcds_q34_band_buyers"].fn(spark, sf_dir).collect()
+    assert rows, "fixture must produce at least one band buyer"
+    truth = {
+        r["o_custkey"]: r["n"]
+        for r in t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .filter(F.col("nl").between(5, 7))
+        .join(
+            t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_band_orders"] >= 2
+        assert truth[r["c_custkey"]] == r["n_band_orders"], r

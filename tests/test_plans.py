@@ -477,6 +477,12 @@ def fact_scan_count(df, table: str) -> int:
         ("ds_tpcds_q31_seasonal_share", "lineitem", 1),
         ("ds_tpcds_q31_seasonal_share", "orders", 2),
         ("ds_tpcds_q49_worst_returns", "lineitem", 1),
+        # Q93's line-grain returns join reads the fact twice by its
+        # declared spec shape (base + the R-subset standing in for the
+        # returns table); Q34's double aggregate holds at one scan each
+        ("ds_tpcds_q93_returns_adjusted_net", "lineitem", 2),
+        ("ds_tpcds_q34_band_buyers", "lineitem", 1),
+        ("ds_tpcds_q34_band_buyers", "orders", 1),
     ],
 )
 def test_fact_scan_count_pinned(spark, sf_dir, name, table, max_scans):
