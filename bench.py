@@ -75,8 +75,16 @@ def _prev_round_compact(repo_dir: str, sf) -> tuple[dict | None, str | None]:
     verdict instead of eyeballing two columns across files."""
     import glob
 
+    def _round_no(p: str) -> int:
+        # Numeric, not lexicographic: 'BENCH_r100.json' must sort after
+        # 'BENCH_r99.json' even though it compares lower as a string.
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
     for path in sorted(
-        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True
+        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
+        key=_round_no,
+        reverse=True,
     ):
         try:
             art = json.load(open(path))
@@ -130,6 +138,20 @@ def _noise_verdicts(
     return out
 
 
+def _prebuild_layouts(spark, sf_dir: str) -> float:
+    """Build owned-layout generations (the Q14 co-bucketed fact twin)
+    OUTSIDE the timing loops, once per (session, data dir) — round-12,
+    VERDICT r11 "what's wrong" #1: a layout rebuild inside a query head
+    conflates ETL with the query, masks query regressions behind write
+    noise, and can't be compared against the plain-layout twin. Returns
+    the build seconds (0.0 when the session already holds the layout);
+    the default suite reports it as ``layout_build_sec``."""
+    from hadoop_fs_ceph_spark.operators.tpcds_suite4 import ensure_q14_layout
+
+    _, sec = ensure_q14_layout(spark, sf_dir)
+    return round(sec, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -139,6 +161,8 @@ def main() -> None:
     bench_specs = {n: s for n, s in sorted(specs.items()) if s.bench}
     spark = get_spark("bench", driver_memory="24g")
     spark.sparkContext.setLogLevel("ERROR")
+
+    layout_build_sec = _prebuild_layouts(spark, sf_dir)
 
     # warm the JVM + file listing once so per-query numbers measure the plans
     next(iter(bench_specs.values())).fn(spark, sf_dir).write.format("noop").mode(
@@ -250,6 +274,7 @@ def main() -> None:
                 "calib_py_sec": sorted(c[1] for c in calibs)[len(calibs) // 2],
                 "calib_probes": calibs,
                 "calib_ref": calib_ref,
+                "layout_build_sec": layout_build_sec,
                 "total_normalized": round(total * scale, 3),
                 "total_warm_normalized": round(sum(warm.values()) * scale, 3),
                 "noise_prev_artifact": prev_name,
@@ -301,6 +326,7 @@ def main() -> None:
                 "total_warm": round(sum(warm.values()), 3),
                 "calib_spark_sec": calib_spark,
                 "calib_ref": calib_ref,
+                "layout_build_sec": layout_build_sec,
                 "total_normalized": round(total * scale, 3),
                 "total_warm_normalized": round(sum(warm.values()) * scale, 3),
             },
@@ -453,6 +479,9 @@ def soak_main() -> None:
 
         def run_suite(sf_dir: str) -> dict[str, dict[str, float]]:
             out: dict[str, dict[str, float]] = {}
+            # owned layouts are built once per data dir, outside the
+            # timed passes (a deployment pays them per generation)
+            _prebuild_layouts(spark, sf_dir)
             # pass 1: wall + shuffle bytes; pass 2: wall only (min damps
             # host-contention bursts; bytes are deterministic)
             for name, spec in bench_specs.items():
@@ -625,6 +654,8 @@ def rehearsal_main() -> None:
     bench_specs = {n: s for n, s in sorted(specs.items()) if s.bench}
     spark = get_spark("bench-rehearsal", driver_memory="24g")
     spark.sparkContext.setLogLevel("ERROR")
+
+    _prebuild_layouts(spark, sf_dir)  # owned layouts outside the timing
 
     # warm the JVM/codegen once so the baseline and rehearsal passes
     # compare steady-state plans, not JIT noise
@@ -872,6 +903,8 @@ def skew_main() -> None:
 
         def run_suite(data_dir: str, with_hash: bool) -> dict[str, dict]:
             out: dict[str, dict] = {}
+            # owned layouts built once per data dir, outside the timing
+            _prebuild_layouts(spark, data_dir)
             for name, spec in bench_specs.items():
                 start = time.perf_counter()
                 spec.fn(spark, data_dir).write.format("noop").mode(

@@ -11,7 +11,12 @@ per-key fan-out). The fix is the same discipline: bound the fan-out BEFORE
 the join, never after.
 
 ``capped_order_parts`` keeps at most ``BASKET_CAP`` lines per order,
-selected by a deterministic multiplicative hash of the part key, in two
+selected by a deterministic multiplicative hash of the part key SALTED
+BY THE ORDER KEY (round-12, ADVICE r11: a part-only hash made every
+over-cap basket keep a highly correlated low-hash part subset, so
+multi-whale skew concentrated pair support on the same few parts; mixing
+``l_orderkey`` into the hash decorrelates the sample across baskets
+while staying deterministic and bit-identical cross-engine), in two
 stages:
 
 1. **Map-side pre-gate** (whales only). Orders with more than
@@ -33,10 +38,12 @@ Determinism / oracle parity: both stages use only exact BIGINT arithmetic
 (Knuth multiplicative hash mod 2³², integer division) expressible
 identically in DuckDB — ``OP_CAPPED_CTES`` is the literal SQL twin, so the
 capped projection is bit-identical cross-engine and every consumer stays
-hash-checked. The part key is reduced mod a prime below 2³⁰ before the
-multiply so the product stays far inside BIGINT in BOTH engines at any
-scale factor (soak replicas shift keys by 10¹²; an unreduced multiply
-would overflow). Hash ties inside one order break on the raw part key.
+hash-checked. Both keys are reduced mod a prime below 2³⁰ before any
+multiply so every intermediate stays far inside BIGINT in BOTH engines at
+any scale factor (soak replicas shift keys by 10¹²; an unreduced multiply
+would overflow): salt = (orderkey mod P)·A + (partkey mod P), all
+< 2.7·10¹⁸; then hash = ((salt mod P)·A) mod 2³², again < 2.9·10¹⁸.
+Hash ties inside one order break on the raw part key.
 
 Recall contract (documented tradeoff): for baskets over ``BASKET_CAP``
 lines, pair supports are computed over a deterministic pseudo-random
@@ -68,14 +75,18 @@ _GATE_NUM = _H_M * BASKET_CAP * _OVERSAMPLE  # 549_755_813_888 ≪ 2^63
 # arithmetic: DuckDB's % / // match Spark's pmod / div exactly.
 OP_CAPPED_CTES = f"""
     op0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oph AS (
+      SELECT l_orderkey, l_partkey,
+             ((((l_orderkey % {_H_P}) * {_H_A}
+                + (l_partkey % {_H_P})) % {_H_P}) * {_H_A}) % {_H_M} AS _hk
+      FROM op0
+    ),
     opn AS (SELECT l_orderkey, COUNT(*) AS _n FROM op0 GROUP BY l_orderkey),
     opg AS (
-      SELECT o.l_orderkey, o.l_partkey,
-             ((o.l_partkey % {_H_P}) * {_H_A}) % {_H_M} AS _hk, opn._n
-      FROM op0 o JOIN opn USING (l_orderkey)
+      SELECT o.l_orderkey, o.l_partkey, o._hk, opn._n
+      FROM oph o JOIN opn USING (l_orderkey)
       WHERE opn._n <= {BASKET_CAP * _OVERSAMPLE}
-         OR ((o.l_partkey % {_H_P}) * {_H_A}) % {_H_M}
-            < {_GATE_NUM} // opn._n
+         OR o._hk < {_GATE_NUM} // opn._n
     ),
     op AS (
       SELECT l_orderkey, l_partkey FROM (
@@ -93,7 +104,12 @@ def capped_order_parts(spark, sf_dir):
     docstring has the full two-stage design + recall contract)."""
     op = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     cnt = op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_n"))
-    hk = F.pmod(F.pmod("l_partkey", F.lit(_H_P)) * F.lit(_H_A), F.lit(_H_M))
+    salt = F.pmod(
+        F.pmod("l_orderkey", F.lit(_H_P)) * F.lit(_H_A)
+        + F.pmod("l_partkey", F.lit(_H_P)),
+        F.lit(_H_P),
+    )
+    hk = F.pmod(salt * F.lit(_H_A), F.lit(_H_M))
     gated = (
         op.join(cnt, "l_orderkey")
         .withColumn("_hk", hk)

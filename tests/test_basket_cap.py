@@ -91,6 +91,37 @@ def test_capped_projection_matches_duckdb(spark, whale_dir):
     assert spark_rows == duck_rows  # same SAMPLE, not just same size
 
 
+def test_whale_samples_decorrelate(spark, tmp_path_factory):
+    """Round-12 (ADVICE r11): the sampling hash is salted with the order
+    key, so two whales holding the SAME part universe keep (mostly)
+    DIFFERENT part subsets — under the old part-only hash the kept sets
+    were identical, which concentrated pair support on the same few
+    low-hash parts across every whale basket."""
+    import os as _os
+
+    d = tmp_path_factory.mktemp("twin_whales")
+    parts = list(range(10_000, 12_000))
+    rows = [(_WHALE_ORDER, p) for p in parts]
+    rows += [(_WHALE_ORDER + 1, p) for p in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(_os.path.join(str(d), "lineitem.parquet"))
+    kept = {
+        o: {
+            r["l_partkey"]
+            for r in capped_order_parts(spark, str(d))
+            .filter(F.col("l_orderkey") == o)
+            .collect()
+        }
+        for o in (_WHALE_ORDER, _WHALE_ORDER + 1)
+    }
+    a, b = kept[_WHALE_ORDER], kept[_WHALE_ORDER + 1]
+    assert len(a) == len(b) == BASKET_CAP
+    # expected overlap for independent CAP-of-2000 samples ≈ CAP²/2000 ≈ 0.5;
+    # the bound below is ~8σ away, yet the old unsalted hash gave overlap=CAP
+    assert len(a & b) <= BASKET_CAP // 4
+
+
 def test_pair_fanout_bounded(spark, whale_dir):
     op = capped_order_parts(spark, whale_dir)
     a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))

@@ -127,18 +127,34 @@ def test_pair_generation_never_cartesian(spark, sf_dir, name):
 def test_q14_bucketed_join_legs_no_exchange(spark, sf_dir):
     """The Q14 owned-layout twin: with both fact inputs bucketed on the
     order key, the lineitem⋈orders sort-merge join must read the bucket
-    layout directly — NO hash-partitioning exchange and no extra sort on
-    either order-keyed leg (the two SMJ exchanges the ×100 soak measured
-    as Q14's residual shuffle). Downstream part-grain exchanges remain —
-    only the order-key legs are the layout's claim."""
+    layout directly — NO hash-partitioning exchange on either order-keyed
+    leg (the two SMJ exchanges the ×100 soak measured as Q14's residual
+    shuffle). Downstream part-grain exchanges remain — only the order-key
+    legs are the layout's claim. A LOCAL per-bucket Sort persists by
+    design: Spark ≥3.0 does not propagate bucketed sort order
+    (SPARK-28632) unless the legacy outputOrdering flag is set, and a
+    local sort moves zero bytes over the network — the exchange is the
+    scale cost, and it must be gone.
+
+    Round-12 note: the previous regex (`Exchange hashpartitioning\\(...`)
+    could never match formatted-mode explain output, where the node name
+    and its arguments sit on different lines — the pin was vacuous. The
+    control assertion on plain Q14 below keeps it honest forever."""
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = plan_of(SPECS["ds_tpcds_q14_bucketed"].fn(spark, sf_dir))
+        control = plan_of(SPECS["ds_tpcds_q14_cross_channel"].fn(spark, sf_dir))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan
-    assert not re.search(r"Exchange hashpartitioning\([lo]_orderkey", plan), (
+    assert "Bucketed: true" in plan, "fact scans are not bucketed scans"
+    pat = r"hashpartitioning\([lo]_orderkey"
+    assert re.search(pat, control), (
+        "control broken: plain Q14 no longer shuffles on the order key, "
+        "so the absence check below would be vacuous"
+    )
+    assert not re.search(pat, plan), (
         "order-key exchange survived the bucketed layout"
     )
 
