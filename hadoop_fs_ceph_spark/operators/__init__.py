@@ -119,6 +119,7 @@ from hadoop_fs_ceph_spark.operators import (  # noqa: F401
     tpcds_suite2,
     tpcds_suite3,
     tpcds_suite4,
+    tpcds_suite5,
     tpch_suite,
     tpch_suite2,
     udfs,

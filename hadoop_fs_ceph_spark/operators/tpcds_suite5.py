@@ -1,0 +1,283 @@
+"""TPC-DS seventh tier (round 12) — the two spec shapes still untested
+after tiers 1–6 (VERDICT r11 "what's missing" #5):
+
+* Q11/Q74 — the DUAL year_total self-join at CUSTOMER grain: the spec
+  materializes four year_total subqueries (2 channels × 2 years, each a
+  full fact scan) and joins them all back at customer grain, keeping
+  customers whose web spend grew strictly faster than their store spend.
+  Q4's pivoted-aggregate trick applies directly — ONE aggregate per fact
+  at (customer, year) grain, pivoted to a 2-cell row per fact, joined
+  once — but unlike Q4 (one fact, four cells) this is the TWO-FACT form:
+  each channel's year_total comes from a different-grain fact (line-grain
+  lineitem revenue = store, header-grain orders revenue = web), so the
+  spine join is real and the customer dim joins back only for survivors.
+* Q2 — the week-of-year spine: TWO channels are UNIONED before
+  aggregation (catalog+web in the spec; line-grain ship-dated revenue +
+  header-grain order revenue here), collapsed to one row per (year,
+  week) with the seven weekday sums pivoted WIDE, and the spine
+  self-joined year-over-year on the week key to report per-weekday
+  ratios. The union-then-aggregate + wide-pivot + spine-self-join
+  combination is the one shape no prior tier exercises (Q59 joins one
+  fact's weekly cells long-form; Q2 unions two facts and pivots wide).
+
+Schema mapping and scale posture as tpcds_suite.py: channels from the
+fact grain (orders header = web, lineitem line = store), all money exact
+integer cents, aggregate to spine grain BEFORE any join, cross-multiplied
+growth comparisons instead of divisions wherever a predicate needs
+exactness (operands cast decimal(20,0) — holds every BIGINT, product
+exact in decimal(38,0); HUGEINT in the oracle).
+
+Reference parity: the reference ships no query engine (SURVEY.md §0 — a
+FileSystem connector, ``CephRgwFileSystem.java``); the TPC-DS tiers pin
+the engine layer built on the lake it feeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_fs_ceph_spark.registry import query
+from hadoop_fs_ceph_spark.tables import t
+
+_REV_CENTS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)"
+_ORD_CENTS = "CAST(ROUND(o_totalprice * 100.0) AS BIGINT)"
+_DEC = "decimal(20,0)"  # holds any BIGINT; product fits decimal(38,0)
+
+
+@query(
+    "ds_tpcds_q11_year_total_growth",
+    oracle=f"""
+    WITH store AS (
+      SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+             CAST(SUM({_REV_CENTS}) AS BIGINT) AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+      GROUP BY o_custkey, yr
+    ),
+    web AS (
+      SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+             CAST(SUM({_ORD_CENTS}) AS BIGINT) AS cents
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+      GROUP BY o_custkey, yr
+    ),
+    sw AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN yr = 1996 THEN cents END) AS s1,
+             SUM(CASE WHEN yr = 1997 THEN cents END) AS s2
+      FROM store GROUP BY o_custkey
+    ),
+    ww AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN yr = 1996 THEN cents END) AS w1,
+             SUM(CASE WHEN yr = 1997 THEN cents END) AS w2
+      FROM web GROUP BY o_custkey
+    )
+    SELECT sw.o_custkey AS custkey, c_name,
+           ROUND(CAST(w2 AS DOUBLE) / w1, 8) AS web_growth,
+           ROUND(CAST(s2 AS DOUBLE) / s1, 8) AS store_growth
+    FROM sw JOIN ww ON sw.o_custkey = ww.o_custkey
+    JOIN customer ON c_custkey = sw.o_custkey
+    WHERE s1 > 0 AND w1 > 0 AND s2 IS NOT NULL AND w2 IS NOT NULL
+      AND CAST(w2 AS HUGEINT) * s1 > CAST(s2 AS HUGEINT) * w1
+    ORDER BY web_growth DESC, custkey
+    LIMIT 100
+    """,
+    tags=("tpcds", "year-total", "two-fact", "pivot"),
+)
+def ds_tpcds_q11_year_total_growth(spark, sf_dir):
+    """TPC-DS Q11/Q74: customers whose web-channel year_total grew
+    strictly faster than their store-channel year_total between two
+    years. The spec materializes FOUR year_total subqueries (channel ×
+    year, each scanning its fact end-to-end) and chains three customer-
+    grain self-joins; the Spark-first form computes ONE aggregate per
+    fact at (customer, year) grain and pivots the two year cells with
+    conditional sums — two fact scans total (the irreducible two-channel
+    minimum) instead of four, and one spine join instead of three.
+
+    Exactness: both year_totals are integer cents; the growth comparison
+    cross-multiplies (w2·s1 > s2·w1) with decimal(20,0) operands — the
+    cast holds every BIGINT (no silent NULL past 10¹⁸, the Q31 ADVICE
+    class) and the product is exact in decimal(38,0), HUGEINT in the
+    oracle. Reported growth ratios are single rounded doubles from the
+    same exact ints, so ORDER BY them is cross-engine stable (custkey
+    tiebreak).
+
+    Scale shape: year_total lives at CUSTOMER grain — at 100 TB that
+    relation is billions of rows, which is exactly why the four-subquery
+    spec form hurts (each self-join re-shuffles it). Here each fact
+    pre-aggregates map-side to (custkey, yr), pivots to one row per
+    customer (strictly fewer rows), and the two pivots join on the one
+    customer-hash exchange each; the customer DIM joins back only for
+    screen SURVIVORS (≤ the LIMIT after TakeOrdered at the driver's
+    pace, but expressed as a join so the optimizer may reorder — the
+    survivor relation is already ≪ dim size). Q74 is the same dataflow
+    with week-windowed totals; the year slice is the tested form.
+    Reference parity: CephRgwFileSystem.java:106-110 feeds the lake;
+    the engine layer is ours."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.year("o_orderdate").alias("yr"),
+            F.round(F.col("o_totalprice") * 100.0).cast("long").alias("ocents"),
+        )
+    )
+    store = (
+        li.join(o.select("o_orderkey", "o_custkey", "yr"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    web = o.groupBy("o_custkey", "yr").agg(F.sum("ocents").alias("cents"))
+
+    def pivot(fact, p1, p2):
+        return fact.groupBy("o_custkey").agg(
+            F.sum(F.when(F.col("yr") == 1996, F.col("cents"))).alias(p1),
+            F.sum(F.when(F.col("yr") == 1997, F.col("cents"))).alias(p2),
+        )
+
+    sw = pivot(store, "s1", "s2")
+    ww = pivot(web, "w1", "w2")
+    grew = F.col("w2").cast(_DEC) * F.col("s1").cast(_DEC) > F.col("s2").cast(
+        _DEC
+    ) * F.col("w1").cast(_DEC)
+    surv = sw.join(ww, "o_custkey").filter(
+        (F.col("s1") > 0)
+        & (F.col("w1") > 0)
+        & F.col("s2").isNotNull()
+        & F.col("w2").isNotNull()
+        & grew
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        surv.join(c, surv.o_custkey == c.c_custkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "c_name",
+            F.round(F.col("w2").cast("double") / F.col("w1"), 8).alias("web_growth"),
+            F.round(F.col("s2").cast("double") / F.col("s1"), 8).alias(
+                "store_growth"
+            ),
+        )
+        .orderBy(F.col("web_growth").desc(), "custkey")
+        .limit(100)
+    )
+
+
+_Q2_DOW_CASES = ",\n             ".join(
+    f"CAST(SUM(CASE WHEN dayofweek(d) + 1 = {i} THEN cents ELSE 0 END)"
+    f" AS BIGINT) AS d{i}"
+    for i in range(1, 8)
+)
+_Q2_RATIOS = ",\n           ".join(
+    f"CASE WHEN a.d{i} > 0 THEN ROUND(CAST(b.d{i} AS DOUBLE) / a.d{i}, 6) END"
+    f" AS dow{i}_ratio"
+    for i in range(1, 8)
+)
+
+
+@query(
+    "ds_tpcds_q2_week_spine_yoy",
+    oracle=f"""
+    WITH u AS (
+      SELECT l_shipdate AS d, {_REV_CENTS} AS cents FROM lineitem
+      UNION ALL
+      SELECT o_orderdate AS d, {_ORD_CENTS} AS cents FROM orders
+    ),
+    weekly AS (
+      SELECT EXTRACT(year FROM d) AS yr, EXTRACT(week FROM d) AS wk,
+             {_Q2_DOW_CASES}
+      FROM u
+      WHERE EXTRACT(year FROM d) IN (1997, 1998)
+        AND EXTRACT(week FROM d) <= 52
+      GROUP BY yr, wk
+    )
+    SELECT a.wk,
+           {_Q2_RATIOS}
+    FROM weekly a JOIN weekly b ON a.wk = b.wk AND a.yr = 1997 AND b.yr = 1998
+    ORDER BY a.wk
+    """,
+    tags=("tpcds", "week-spine", "union-facts", "wide-pivot"),
+)
+def ds_tpcds_q2_week_spine_yoy(spark, sf_dir):
+    """TPC-DS Q2: the week-of-year spine — two channels UNIONED before
+    aggregation (spec: web+catalog; here line-grain ship-dated lineitem
+    revenue + header-grain order revenue, two independent fact scans, no
+    join), one row per (year, week) with the seven weekday sums pivoted
+    WIDE via conditional aggregation, then the spine self-joined
+    year-over-year on the week key to report per-weekday growth ratios.
+
+    Exactness: weekday cells are integer cents (order-independent sums);
+    each reported ratio is ONE double division of exact ints, guarded
+    NULL when the base-year cell is zero (identical CASE in both
+    engines), rounded once. Week 53 excluded as in Q59 — it exists in
+    only some ISO years, so its YoY cell would be unmatched.
+
+    Scale shape: the union is scan-level concatenation (no shuffle);
+    the weekly aggregate map-side-combines into ≤ 52 8-column rows per
+    side, so the YoY self-join and everything after runs on a ≤52-row
+    relation — at 100 TB the entire cost is the fact scans feeding
+    partial aggregates, which is the floor. Catalyst pushes each spine
+    side's year filter THROUGH the aggregate into the scans (yr is a
+    grouping key), so each fact appears twice in the plan but each scan
+    reads ONLY its own year — total bytes = one two-year pass, with
+    partition/row-group pruning doing the split instead of an in-memory
+    tee (fact-scan counts pinned in test_plans). Reference parity:
+    CephRgwFileSystem.java:106-110 feeds the lake; the engine layer is
+    ours."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("d"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    u = li.unionByName(o)
+    weekly = (
+        u.withColumn("yr", F.year("d"))
+        .filter(F.col("yr").isin(1997, 1998))
+        .withColumn("wk", F.weekofyear("d"))
+        .filter(F.col("wk") <= 52)
+        .withColumn("dow", F.dayofweek("d"))
+        .groupBy("yr", "wk")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("dow") == i, F.col("cents")).otherwise(F.lit(0))
+                ).alias(f"d{i}")
+                for i in range(1, 8)
+            ]
+        )
+    )
+    a = weekly.filter(F.col("yr") == 1997).drop("yr")
+    b = weekly.filter(F.col("yr") == 1998).drop("yr")
+    bb = b.select(
+        F.col("wk").alias("wk2"), *[F.col(f"d{i}").alias(f"b{i}") for i in range(1, 8)]
+    )
+    ratios = [
+        F.when(
+            F.col(f"d{i}") > 0,
+            F.round(F.col(f"b{i}").cast("double") / F.col(f"d{i}"), 6),
+        ).alias(f"dow{i}_ratio")
+        for i in range(1, 8)
+    ]
+    return (
+        a.join(bb, a.wk == bb.wk2)
+        .select("wk", *ratios)
+        .orderBy("wk")
+    )

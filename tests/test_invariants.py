@@ -3149,3 +3149,157 @@ def test_tier6_q34_band_counts_re_derivable(spark, sf_dir):
     for r in rows:
         assert r["n_band_orders"] >= 2
         assert truth[r["c_custkey"]] == r["n_band_orders"], r
+
+
+def test_kcore_shrink_path_matches_rescan_path(spark, tmp_path, monkeypatch):
+    """Round-12: the k-core edge-relation shrink (rebuild the edge set to
+    surviving endpoints after a ≥30% survivor drop) must be a pure
+    EFFICIENCY move — identical answer and identical round count to the
+    always-rescan path. Fixture graphs never trip the size gate, so this
+    drives the rebuild branch directly: a synthetic lineitem whose
+    co-purchase graph is one 5-clique (the 3-core that must survive)
+    plus a long pendant chain that peels away over several cascading
+    rounds (each round exposes the next chain node, forcing repeated
+    shrink events), compared with the gate forced off vs on."""
+    import os
+
+    from hadoop_fs_ceph_spark.operators import graph as graph_mod
+
+    # 5-clique + a SQUARED path (w_i–w_{i+1} and w_i–w_{i+2}) anchored
+    # to the clique at the far end; every pair is planted in TWO orders
+    # (the edge build keeps pairs with co-purchase support >=
+    # _LPA_MIN_COOCCUR = 2). Interior path nodes have degree 4 but the
+    # free end has degree 2, so the 3-core peel removes exactly ONE
+    # node per round — a genuine ~8-round cascade whose survivor count
+    # crosses the 30% shrink threshold several times (kept short: every
+    # peel round costs seconds of fixed scheduling at local[32]).
+    rows = []
+    oid = 1
+
+    def pair(a, b):
+        nonlocal oid
+        for _ in range(2):
+            rows.extend([(oid, a), (oid, b)])
+            oid += 1
+
+    clique = list(range(100, 105))
+    for i in range(len(clique)):
+        for j in range(i + 1, len(clique)):
+            pair(clique[i], clique[j])
+    w = list(range(200, 208))
+    for a, b in zip(w, w[1:]):
+        pair(a, b)
+    for a, b in zip(w, w[2:]):
+        pair(a, b)
+    pair(w[-1], clique[0])
+    pair(w[-1], clique[1])
+    pair(w[-2], clique[0])
+    d = str(tmp_path / "kcore_chain")
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                SPECS["graph_kcore"].fn(spark, d).collect(),
+            )
+        )
+
+    monkeypatch.setattr(graph_mod, "_KCORE_SHRINK_MIN_EDGES", 10**18)
+    rescan = run()
+    monkeypatch.setattr(graph_mod, "_KCORE_SHRINK_MIN_EDGES", 0)
+    shrink = run()
+    assert rescan == shrink
+    # the 5-clique is a 4-regular 3-core; every chain node must peel
+    assert {r[0] for r in rescan} == set(clique)
+    assert all(r[1] == 4 for r in rescan)
+    # the pendant chain forces a genuinely multi-round cascade, so the
+    # shrink branch fired more than once under gate=0 (30% drops early)
+    assert rescan[0][2] >= 2
+
+
+def test_tier7_q11_growth_gate_re_derivable(spark, sf_dir):
+    """Every Q11 survivor's two growth ratios must equal a direct
+    recount of that customer's per-year channel cents, the base-year
+    cells must be positive in BOTH channels, and the screen (web grew
+    strictly faster) must hold on the exact integers — the pivoted
+    two-aggregate rewrite may never drift from the four-subquery spec
+    semantics it replaces."""
+    rows = load_all()["ds_tpcds_q11_year_total_growth"].fn(spark, sf_dir).collect()
+    assert rows, "fixture must produce at least one growth survivor"
+    o = t(spark, sf_dir, "orders").filter(F.year("o_orderdate").isin(1996, 1997))
+    web = {
+        (r["o_custkey"], r["yr"]): r["c"]
+        for r in o.groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("c"))
+        .collect()
+    }
+    store = {
+        (r["o_custkey"], r["yr"]): r["c"]
+        for r in t(spark, sf_dir, "lineitem")
+        .join(
+            o.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey", "yr")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+                ).cast("long")
+            ).alias("c")
+        )
+        .collect()
+    }
+    for r in rows:
+        k = r["custkey"]
+        s1, s2 = store[(k, 1996)], store[(k, 1997)]
+        w1, w2 = web[(k, 1996)], web[(k, 1997)]
+        assert s1 > 0 and w1 > 0
+        assert w2 * s1 > s2 * w1  # the exact-integer screen
+        assert r["web_growth"] == round(w2 / w1, 8)
+        assert r["store_growth"] == round(s2 / s1, 8)
+
+
+def test_tier7_q2_spine_cells_re_derivable(spark, sf_dir):
+    """Every Q2 spine row's weekday ratios must equal a direct long-form
+    recount of the unioned (year, week, weekday) cents cells, and a week
+    appears exactly once iff both years have the week — the wide-pivot +
+    spine-self-join rewrite may never change the cell algebra."""
+    rows = load_all()["ds_tpcds_q2_week_spine_yoy"].fn(spark, sf_dir).collect()
+    assert rows, "fixture must produce at least one YoY week"
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("d"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    cells = {
+        (r["yr"], r["wk"], r["dow"]): r["c"]
+        for r in li.unionByName(o)
+        .withColumn("yr", F.year("d"))
+        .filter(F.col("yr").isin(1997, 1998))
+        .withColumn("wk", F.weekofyear("d"))
+        .filter(F.col("wk") <= 52)
+        .withColumn("dow", F.dayofweek("d"))
+        .groupBy("yr", "wk", "dow")
+        .agg(F.sum("cents").alias("c"))
+        .collect()
+    }
+    weeks97 = {wk for (yr, wk, _) in cells if yr == 1997}
+    weeks98 = {wk for (yr, wk, _) in cells if yr == 1998}
+    assert sorted(r["wk"] for r in rows) == sorted(weeks97 & weeks98)
+    for r in rows:
+        for i in range(1, 8):
+            a = cells.get((1997, r["wk"], i), 0)
+            b = cells.get((1998, r["wk"], i), 0)
+            expect = round(b / a, 6) if a > 0 else None
+            assert r[f"dow{i}_ratio"] == expect, (r["wk"], i, a, b)

@@ -499,6 +499,18 @@ def fact_scan_count(df, table: str) -> int:
         ("ds_tpcds_q93_returns_adjusted_net", "lineitem", 2),
         ("ds_tpcds_q34_band_buyers", "lineitem", 1),
         ("ds_tpcds_q34_band_buyers", "orders", 1),
+        # tier 7 (round 12): Q11 is the irreducible two-channel minimum
+        # (lineitem once; orders twice by construction — it is both the
+        # web fact and the store leg's custkey/year source, the Q31
+        # shape). Q2's YoY spine references the weekly aggregate twice
+        # and Catalyst pushes each side's year filter THROUGH the
+        # aggregate into the scans, so each fact appears twice but each
+        # scan reads only its own year — total bytes = one two-year pass
+        # (the spec's four-subquery form would read each fact 2× whole).
+        ("ds_tpcds_q11_year_total_growth", "lineitem", 1),
+        ("ds_tpcds_q11_year_total_growth", "orders", 2),
+        ("ds_tpcds_q2_week_spine_yoy", "lineitem", 2),
+        ("ds_tpcds_q2_week_spine_yoy", "orders", 2),
     ],
 )
 def test_fact_scan_count_pinned(spark, sf_dir, name, table, max_scans):
