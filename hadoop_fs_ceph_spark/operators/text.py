@@ -2054,3 +2054,207 @@ def text_bpe_merge_round(spark, sf_dir):
             (F.col("pairs_before") - F.col("pairs_after")).alias("merges_applied"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: LEARN a bounded merge table, APPLY it corpus-wide
+# (round 12, VERDICT r11 item 5 — the missing half of text_bpe_merge_round)
+# ---------------------------------------------------------------------------
+
+_BPE_APPLY_ROUNDS = 8  # bounded merge-table size (training rounds)
+_BPE_MIN_PAIR = 2  # stop when no pair repeats — merging singletons is noise
+
+
+def _sql_bpe_stages(rounds: int = _BPE_APPLY_ROUNDS) -> str:
+    """DuckDB CTE chain replaying `rounds` BPE merge rounds: h0 is the
+    character-split distinct-word relation; each stage counts adjacent
+    pairs, picks the argmax with the (count DESC, a, b) tie-break (empty
+    when no pair reaches ``_BPE_MIN_PAIR``), and applies the merge with
+    the greedy left-to-right list_reduce fold text_bpe_merge_round
+    pinned. LEFT JOIN ON TRUE keeps every word when a stage's best-pair
+    relation is empty (merges are then a no-op — once no pair repeats,
+    no later stage can create one, matching the Spark loop's break)."""
+    out = [
+        "h0 AS (SELECT w, cnt, list_transform(generate_series(1, length(w)),"
+        " i -> substr(w, CAST(i AS INTEGER), 1)) AS h FROM bpe_words)"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        out.append(f"""
+    p{r} AS (
+      SELECT g['a'] AS a, g['b'] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (
+        SELECT cnt, unnest(list_transform(range(1, len(h)),
+                    i -> {{'a': h[i], 'b': h[i + 1]}})) AS g
+        FROM h{p}
+      ) GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT a, b FROM p{r} WHERE c >= {_BPE_MIN_PAIR}
+             ORDER BY c DESC, a, b LIMIT 1),
+    h{r} AS (
+      SELECT w, cnt,
+             CASE WHEN b{r}.a IS NULL THEN h ELSE
+               list_reduce(
+                 list_prepend([h[1]], list_transform(h[2:], e -> [e])),
+                 (s, e) -> CASE WHEN s[-1] = b{r}.a AND e[1] = b{r}.b
+                           THEN list_concat(s[1:len(s) - 1], [b{r}.a || b{r}.b])
+                           ELSE list_append(s, e[1]) END)
+             END AS h
+      FROM h{p} LEFT JOIN b{r} ON TRUE
+    )""")
+    return ",\n    ".join(out)
+
+
+# Shared oracle prelude: the in-range distinct-word working set, the full
+# merge replay, and the per-document token counts (out-of-range words fall
+# back to CHARACTER tokens — BPE's own base alphabet).
+BPE_DOC_TOKENS_CTES = f"""
+    bpe_words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) BETWEEN 2 AND {_BPE_MAXLEN}
+      GROUP BY w
+    ),
+    {_sql_bpe_stages()},
+    bpe_nm AS (
+      SELECT CAST({" + ".join(f"(SELECT COUNT(*) FROM b{r})" for r in range(1, _BPE_APPLY_ROUNDS + 1))}
+             AS INTEGER) AS n_merges
+    ),
+    bpe_applied AS (
+      SELECT w, CAST(len(h) AS BIGINT) AS n_tok FROM h{_BPE_APPLY_ROUNDS}
+    ),
+    bpe_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(COALESCE(a.n_tok, CAST(length(w) AS BIGINT))) AS BIGINT)
+               AS n_tokens_bpe
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) wa
+      LEFT JOIN bpe_applied a USING (w)
+      GROUP BY doc_id
+    )"""
+
+
+def _bpe_merge_fold(a: str, b: str):
+    """Greedy left-to-right single-merge application over the symbol
+    array `h` — the literal-pair form of text_bpe_merge_round's fold."""
+    return F.aggregate(
+        F.slice(F.col("h"), 2, F.size("h") - 1),
+        F.slice(F.col("h"), 1, 1),
+        lambda s, e: F.when(
+            (F.element_at(s, -1) == F.lit(a)) & (e == F.lit(b)),
+            F.concat(
+                F.slice(s, 1, F.size(s) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(s, F.array(e))),
+    )
+
+
+def bpe_doc_tokens(spark, sf_dir):
+    """Per-document REAL tokenizer token counts: learn a merge table of
+    ≤``_BPE_APPLY_ROUNDS`` BPE merges on the distinct-word working set
+    (the CC/k-means loop discipline — bounded rounds, localCheckpoint
+    per round, ONE one-row control-plane read per round for the argmax
+    pair), then count each document's tokens from the final symbolized
+    vocabulary. Returns (per-doc DataFrame [doc_id, n_words,
+    n_tokens_bpe], n_merges_applied).
+
+    Training applies each learned merge to the working set before
+    counting the next round's pairs, so the fixpoint relation IS the
+    tokenized vocabulary — apply needs no second pass. Words outside
+    the [2, {_BPE_MAXLEN}]-char training range fall back to CHARACTER
+    tokens (BPE's base alphabet — exactly what an untrained tokenizer
+    does to out-of-vocabulary text).
+
+    Scale shape: the corpus collapses once to the distinct-word
+    frequency relation (millions of rows at 100 TB, never the corpus);
+    every training round is map-side pair explosion + one aggregate +
+    a TakeOrdered-1; the apply join shuffles the corpus token stream
+    ONCE on the word key (AQE broadcasts the vocab side when small);
+    per-doc counts group on doc_id. The one-row argmax read per round
+    is control plane, the k-means class."""
+    d = t(spark, sf_dir, "documents")
+    wtoks = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    vocab = (
+        wtoks.filter(F.length("w").between(2, _BPE_MAXLEN))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    chars = vocab.select(
+        "w",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("h"),
+    ).localCheckpoint()
+    n_merges = 0
+    for _ in range(_BPE_APPLY_ROUNDS):
+        pb = (
+            chars.select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("h") - 1),
+                        lambda i: F.struct(
+                            F.element_at("h", i).alias("a"),
+                            F.element_at("h", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("g"),
+            )
+            .groupBy("g.a", "g.b")
+            .agg(F.sum("cnt").cast("long").alias("c"))
+        )
+        best = (
+            pb.filter(F.col("c") >= _BPE_MIN_PAIR)
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .head()  # control-plane read: ONE (a, b) pair steers the loop
+        )
+        if best is None:
+            break
+        chars = chars.select(
+            "w", "cnt", _bpe_merge_fold(best["a"], best["b"]).alias("h")
+        ).localCheckpoint()
+        n_merges += 1
+    applied = chars.select("w", F.size("h").cast("long").alias("n_tok"))
+    per_doc = (
+        wtoks.join(applied, "w", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tok"), F.length("w").cast("long")).alias("n_tok"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens_bpe"),
+        )
+    )
+    return per_doc, n_merges
+
+
+@query(
+    "text_bpe_tokenize_apply",
+    oracle=f"""
+    WITH {BPE_DOC_TOKENS_CTES}
+    SELECT d.doc_id, d.n_words, d.n_tokens_bpe, nm.n_merges AS n_merges_applied
+    FROM bpe_doc d CROSS JOIN bpe_nm nm
+    ORDER BY d.doc_id
+    """,
+    tags=("text", "tokenizer", "bpe", "apply"),
+)
+def text_bpe_tokenize_apply(spark, sf_dir):
+    """The APPLY half of BPE tokenization (text_bpe_merge_round is one
+    training round; this trains ``_BPE_APPLY_ROUNDS`` rounds and emits
+    per-document REAL tokenizer token counts — what a pretraining token
+    budget actually meters, vs the whitespace proxy). The DuckDB oracle
+    replays the full training loop as a fixed chain of argmax + fold
+    CTEs and the apply as the same per-word list_reduce, so the merge
+    TABLE (not just counts) is implicitly hash-verified: any divergence
+    in any round's argmax or fold changes downstream token counts.
+    Design + scale argument in ``bpe_doc_tokens``."""
+    per_doc, n_merges = bpe_doc_tokens(spark, sf_dir)
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens_bpe",
+        F.lit(n_merges).cast("int").alias("n_merges_applied"),
+    ).orderBy("doc_id")

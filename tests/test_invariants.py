@@ -3303,3 +3303,34 @@ def test_tier7_q2_spine_cells_re_derivable(spark, sf_dir):
             b = cells.get((1998, r["wk"], i), 0)
             expect = round(b / a, 6) if a > 0 else None
             assert r[f"dow{i}_ratio"] == expect, (r["wk"], i, a, b)
+
+
+def test_bpe_tokenize_apply_bounds(spark, sf_dir):
+    """Round-12 BPE apply sanity: for every document, word_count <=
+    bpe_token_count <= character-token count (each word is at least one
+    token; merging only ever shrinks the character split), the learned
+    table used all its budgeted rounds on fixture text (word soup has
+    abundant repeated pairs), and the corpus-level compression is real
+    (strictly fewer tokens than characters)."""
+    rows = load_all()["text_bpe_tokenize_apply"].fn(spark, sf_dir).collect()
+    assert rows
+    truth = {
+        r["doc_id"]: (r["nw"], r["nc"])
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nw"),
+            F.sum(F.length("w")).alias("nc"),
+        )
+        .collect()
+    }
+    tot_bpe = tot_chars = 0
+    for r in rows:
+        nw, nc = truth[r["doc_id"]]
+        assert r["n_words"] == nw
+        assert nw <= r["n_tokens_bpe"] <= nc, r
+        assert r["n_merges_applied"] == 8
+        tot_bpe += r["n_tokens_bpe"]
+        tot_chars += nc
+    assert tot_bpe < tot_chars  # the merge table actually compressed
