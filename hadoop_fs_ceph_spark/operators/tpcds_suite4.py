@@ -233,6 +233,62 @@ def _q49_channel_sql(ch: str) -> str:
 """
 
 
+def _q49_grain(spark, sf_dir):
+    """The (channel, part) return-ratio grain both Q49 phases rank: one
+    fact scan, conditional exact sums, ppm integer ratios."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+        _rev_col().alias("rev"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", _channel_col().alias("channel")
+    )
+    ret = F.col("l_returnflag") == "R"
+    cents = F.round(F.col("rev") * 100.0).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("channel", "l_partkey")
+        .agg(
+            F.round(F.sum(F.when(ret, F.col("l_quantity")).otherwise(0.0)))
+            .cast("long")
+            .alias("ret_qty"),
+            F.round(F.sum("l_quantity")).cast("long").alias("sold_qty"),
+            F.sum(F.when(ret, cents).otherwise(F.lit(0))).alias("ret_amt"),
+            F.sum(cents).alias("sold_amt"),
+        )
+        .filter((F.col("ret_qty") > 0) & (F.col("sold_amt") > 0))
+        .select(
+            "channel",
+            "l_partkey",
+            F.expr("(1000000 * ret_qty) div sold_qty").alias("ret_qty_ppm"),
+            F.expr("(1000000 * ret_amt) div sold_amt").alias("ret_amt_ppm"),
+        )
+    )
+
+
+def _q49_candidates(grain):
+    """Phase 1 of the Q49 two-phase top-k: each input partition's local
+    top-``_Q49_TOPK`` per channel for BOTH orderings. The candidate
+    union is provably ≤ channels · partitions · 2·TOPK rows (each
+    (channel, partition) cell contributes the union of two ≤TOPK
+    lists) and provably CONTAINS every global top-TOPK row — pinned,
+    including at the 200-partition cluster posture where P is largest,
+    in tests/test_invariants.py::test_tier6_q49_candidates_bounded_at_cluster_posture."""
+    pid = grain.withColumn("_pid", F.spark_partition_id())
+    w_q = Window.partitionBy("channel", "_pid").orderBy(
+        F.col("ret_qty_ppm").desc(), "l_partkey"
+    )
+    w_a = Window.partitionBy("channel", "_pid").orderBy(
+        F.col("ret_amt_ppm").desc(), "l_partkey"
+    )
+    return (
+        pid.withColumn("_lq", F.row_number().over(w_q))
+        .withColumn("_la", F.row_number().over(w_a))
+        .filter((F.col("_lq") <= _Q49_TOPK) | (F.col("_la") <= _Q49_TOPK))
+        .drop("_pid", "_lq", "_la")
+    )
+
+
 @query(
     "ds_tpcds_q49_worst_returns",
     oracle=f"""
@@ -245,6 +301,9 @@ def _q49_channel_sql(ch: str) -> str:
     ORDER BY channel, l_partkey
     """,
     tags=("tpcds", "rank-union", "returns", "ratio"),
+    bench=True,  # round 12 (VERDICT r11 item 6): measured at the
+    # 200-partition rehearsal/soak/skew postures so the phase-2
+    # exchange's P-dependence is observed, not just argued
 )
 def ds_tpcds_q49_worst_returns(spark, sf_dir):
     """TPC-DS Q49: per-channel worst-return screen — for every
@@ -273,48 +332,7 @@ def ds_tpcds_q49_worst_returns(spark, sf_dir):
     ranks equal global ranks for every rank ≤ {_Q49_TOPK} (all rows
     ahead of a global top-k row are themselves candidates), so the
     two-phase result is bit-identical to the oracle's global windows."""
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
-        _rev_col().alias("rev"),
-    )
-    o = t(spark, sf_dir, "orders").select(
-        "o_orderkey", _channel_col().alias("channel")
-    )
-    ret = F.col("l_returnflag") == "R"
-    cents = F.round(F.col("rev") * 100.0).cast("long")
-    grain = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("channel", "l_partkey")
-        .agg(
-            F.round(F.sum(F.when(ret, F.col("l_quantity")).otherwise(0.0)))
-            .cast("long")
-            .alias("ret_qty"),
-            F.round(F.sum("l_quantity")).cast("long").alias("sold_qty"),
-            F.sum(F.when(ret, cents).otherwise(F.lit(0))).alias("ret_amt"),
-            F.sum(cents).alias("sold_amt"),
-        )
-        .filter((F.col("ret_qty") > 0) & (F.col("sold_amt") > 0))
-        .select(
-            "channel",
-            "l_partkey",
-            F.expr("(1000000 * ret_qty) div sold_qty").alias("ret_qty_ppm"),
-            F.expr("(1000000 * ret_amt) div sold_amt").alias("ret_amt_ppm"),
-        )
-    )
-    # phase 1: local top-k per (channel, input partition) for BOTH orders
-    pid = grain.withColumn("_pid", F.spark_partition_id())
-    w_q = Window.partitionBy("channel", "_pid").orderBy(
-        F.col("ret_qty_ppm").desc(), "l_partkey"
-    )
-    w_a = Window.partitionBy("channel", "_pid").orderBy(
-        F.col("ret_amt_ppm").desc(), "l_partkey"
-    )
-    cand = (
-        pid.withColumn("_lq", F.row_number().over(w_q))
-        .withColumn("_la", F.row_number().over(w_a))
-        .filter((F.col("_lq") <= _Q49_TOPK) | (F.col("_la") <= _Q49_TOPK))
-        .drop("_pid", "_lq", "_la")
-    )
+    cand = _q49_candidates(_q49_grain(spark, sf_dir))
     # phase 2: exact ranks over the bounded candidate set
     g_q = Window.partitionBy("channel").orderBy(
         F.col("ret_qty_ppm").desc(), "l_partkey"

@@ -3334,3 +3334,38 @@ def test_bpe_tokenize_apply_bounds(spark, sf_dir):
         tot_bpe += r["n_tokens_bpe"]
         tot_chars += nc
     assert tot_bpe < tot_chars  # the merge table actually compressed
+
+
+def test_tier6_q49_candidates_bounded_at_cluster_posture(spark, sf_dir):
+    """Round-12 (VERDICT r11 item 6): Q49's phase-1 candidate union is
+    bounded by channels × partitions × 2·TOPK — and P is largest at the
+    cluster posture, so pin the bound AND the final-answer equivalence
+    with spark.sql.shuffle.partitions=200 (the 1000-executor planner
+    shape). The candidate count must also never undercut the final
+    survivor count (containment)."""
+    from hadoop_fs_ceph_spark.operators.tpcds_suite4 import (
+        _Q49_TOPK,
+        _q49_candidates,
+        _q49_grain,
+    )
+
+    fn = load_all()["ds_tpcds_q49_worst_returns"].fn
+    base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        grain = _q49_grain(spark, sf_dir)
+        cand = _q49_candidates(grain)
+        n_cand = cand.count()
+        cells = (
+            grain.withColumn("_pid", F.spark_partition_id())
+            .select("channel", "_pid")
+            .distinct()
+            .count()
+        )
+        wide = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert n_cand <= cells * 2 * _Q49_TOPK, (n_cand, cells)
+    assert len(base) <= n_cand  # containment: survivors are candidates
+    assert wide == base  # 200-wide phase-2 answer identical
