@@ -19,6 +19,11 @@ after tiers 1–6 (VERDICT r11 "what's missing" #5):
   ratios. The union-then-aggregate + wide-pivot + spine-self-join
   combination is the one shape no prior tier exercises (Q59 joins one
   fact's weekly cells long-form; Q2 unions two facts and pivots wide).
+* Q21/Q40 — the date-shifted inventory split: net movement per
+  (warehouse, item) in the 30 days before vs after a pivot date, kept
+  only inside the [2/3, 3/2] stability band, with Q40's returns netting
+  folded in (returned units count negative). One fact scan, the 60-day
+  window pushed into the scan, integer cross-multiplied band gate.
 
 Schema mapping and scale posture as tpcds_suite.py: channels from the
 fact grain (orders header = web, lineitem line = store), all money exact
@@ -280,4 +285,110 @@ def ds_tpcds_q2_week_spine_yoy(spark, sf_dir):
         a.join(bb, a.wk == bb.wk2)
         .select("wk", *ratios)
         .orderBy("wk")
+    )
+
+
+_Q21_PIVOT = "1997-06-01"  # the date-shift pivot; window = pivot ± 30 days
+
+
+@query(
+    "ds_tpcds_q21_inventory_date_split",
+    oracle=f"""
+    WITH net AS (
+      SELECT l_suppkey,
+             CASE WHEN l_shipdate <  TIMESTAMP '{_Q21_PIVOT}'
+                  THEN CASE WHEN l_returnflag = 'R'
+                            THEN -CAST(ROUND(l_quantity) AS BIGINT)
+                            ELSE  CAST(ROUND(l_quantity) AS BIGINT) END
+                  ELSE 0 END AS q_before,
+             CASE WHEN l_shipdate >= TIMESTAMP '{_Q21_PIVOT}'
+                  THEN CASE WHEN l_returnflag = 'R'
+                            THEN -CAST(ROUND(l_quantity) AS BIGINT)
+                            ELSE  CAST(ROUND(l_quantity) AS BIGINT) END
+                  ELSE 0 END AS q_after
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q21_PIVOT}' - INTERVAL 30 DAY
+        AND l_shipdate <  TIMESTAMP '{_Q21_PIVOT}' + INTERVAL 30 DAY
+    ),
+    g AS (
+      SELECT l_suppkey,
+             CAST(SUM(q_before) AS BIGINT) AS inv_before,
+             CAST(SUM(q_after) AS BIGINT) AS inv_after
+      FROM net GROUP BY l_suppkey
+    )
+    SELECT s_name, inv_before, inv_after,
+           ROUND(CAST(inv_after AS DOUBLE) / inv_before, 6) AS shift_ratio
+    FROM g JOIN supplier ON s_suppkey = l_suppkey
+    WHERE inv_before > 0 AND inv_after > 0
+      AND 2 * inv_after <= 3 * inv_before
+      AND 2 * inv_before <= 3 * inv_after
+    ORDER BY s_name
+    """,
+    tags=("tpcds", "date-split", "band-gate", "returns-net"),
+)
+def ds_tpcds_q21_inventory_date_split(spark, sf_dir):
+    """TPC-DS Q21/Q40: the date-shifted inventory split — per warehouse
+    (supplier here; the spec's (warehouse, item) grain is adapted UP one
+    level because the fixture's item×60-day cells are too sparse to
+    exercise the band at any test SF — the SHAPE under test is the
+    date-shifted conditional split + band gate, which is grain-blind),
+    net movement in the 30 days BEFORE a pivot date vs the 30 days
+    after, keeping cells whose after/before ratio stays inside the
+    [2/3, 3/2] band (the spec's stability screen around a price-change
+    date). Q40's refinement is folded in: returned units
+    (l_returnflag = 'R') count NEGATIVE, so both windows measure net
+    movement, not gross.
+
+    Exactness: quantities are exact per-row integers (round-then-sum,
+    order-independent); the band gate is pure integer cross-multiplied
+    arithmetic (2·after ≤ 3·before ∧ 2·before ≤ 3·after — no division
+    feeds a predicate; BIGINT is ample: net units per cell < 10¹⁴ at
+    100 TB and the 3× product stays < 2⁶³); the reported ratio is one
+    rounded double from the same exact ints.
+
+    Scale shape: ONE fact scan (pinned in test_plans) with the 60-day
+    date window pushed into the parquet scan (PushedFilters — at 100 TB
+    with date-partitioned layout this is partition pruning, reading 60
+    days of a multi-year fact); conditional sums collapse to warehouse
+    grain map-side; the band gate filters the aggregated relation; only
+    SURVIVORS join the supplier dim (bounded, broadcastable — at the
+    spec's (warehouse, item) grain the same plan holds with a wider
+    groupBy key). Reference parity: CephRgwFileSystem.java:106-110
+    feeds the lake; the engine layer is ours."""
+    pivot = F.lit(_Q21_PIVOT).cast("timestamp")
+    lo = F.date_sub(pivot, 30).cast("timestamp")
+    hi = F.date_add(pivot, 30).cast("timestamp")
+    qty = F.round("l_quantity").cast("long")
+    signed = F.when(F.col("l_returnflag") == "R", -qty).otherwise(qty)
+    g = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < pivot, signed).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("inv_before"),
+            F.sum(F.when(F.col("l_shipdate") >= pivot, signed).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("inv_after"),
+        )
+        .filter(
+            (F.col("inv_before") > 0)
+            & (F.col("inv_after") > 0)
+            & (2 * F.col("inv_after") <= 3 * F.col("inv_before"))
+            & (2 * F.col("inv_before") <= 3 * F.col("inv_after"))
+        )
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        g.join(s, g.l_suppkey == s.s_suppkey)
+        .select(
+            "s_name",
+            "inv_before",
+            "inv_after",
+            F.round(
+                F.col("inv_after").cast("double") / F.col("inv_before"), 6
+            ).alias("shift_ratio"),
+        )
+        .orderBy("s_name")
     )

@@ -3369,3 +3369,37 @@ def test_tier6_q49_candidates_bounded_at_cluster_posture(spark, sf_dir):
     assert n_cand <= cells * 2 * _Q49_TOPK, (n_cand, cells)
     assert len(base) <= n_cand  # containment: survivors are candidates
     assert wide == base  # 200-wide phase-2 answer identical
+
+
+def test_tier7_q21_band_and_netting_re_derivable(spark, sf_dir):
+    """Every Q21 survivor must sit inside the [2/3, 3/2] band on the
+    exact integers, and its before/after cells must equal a direct
+    returns-netted recount of the 60-day window."""
+    rows = load_all()["ds_tpcds_q21_inventory_date_split"].fn(spark, sf_dir).collect()
+    assert rows, "fixture must produce at least one stable cell"
+    pivot = F.lit("1997-06-01").cast("timestamp")
+    qty = F.round("l_quantity").cast("long")
+    signed = F.when(F.col("l_returnflag") == "R", -qty).otherwise(qty)
+    truth = {
+        r["l_suppkey"]: (r["b"], r["a"])
+        for r in t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.date_sub(pivot, 30).cast("timestamp"))
+            & (F.col("l_shipdate") < F.date_add(pivot, 30).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < pivot, signed).otherwise(F.lit(0))).alias("b"),
+            F.sum(F.when(F.col("l_shipdate") >= pivot, signed).otherwise(F.lit(0))).alias("a"),
+        )
+        .collect()
+    }
+    sk = {
+        r["s_name"]: r["s_suppkey"]
+        for r in t(spark, sf_dir, "supplier").collect()
+    }
+    for r in rows:
+        b, a = truth[sk[r["s_name"]]]
+        assert (b, a) == (r["inv_before"], r["inv_after"]), r
+        assert b > 0 and a > 0
+        assert 2 * a <= 3 * b and 2 * b <= 3 * a  # the exact band

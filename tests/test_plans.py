@@ -511,6 +511,7 @@ def fact_scan_count(df, table: str) -> int:
         ("ds_tpcds_q11_year_total_growth", "orders", 2),
         ("ds_tpcds_q2_week_spine_yoy", "lineitem", 2),
         ("ds_tpcds_q2_week_spine_yoy", "orders", 2),
+        ("ds_tpcds_q21_inventory_date_split", "lineitem", 1),
     ],
 )
 def test_fact_scan_count_pinned(spark, sf_dir, name, table, max_scans):
