@@ -88,3 +88,22 @@ def test_noise_verdict_normalizes_prev_spread_by_prev_calib():
 
 def test_all_new_when_no_prev():
     assert _noise_verdicts(None, {"a": 1.0}, {"a": 0.0}, 1.0) == {"a": "new"}
+
+
+def test_prev_round_compact_sorts_rounds_numerically(tmp_path):
+    """Round-12 (ADVICE r11): artifact recency is the ROUND NUMBER, not
+    the filename string — 'BENCH_r100.json' must beat 'BENCH_r99.json'
+    even though it sorts lower lexicographically, and an unpadded
+    'BENCH_r9.json' must lose to both."""
+    (tmp_path / "BENCH_r9.json").write_text(
+        json.dumps(_artifact(0.1, {"q1": [9.0, 9.0, 0.1, 9.0]}))
+    )
+    (tmp_path / "BENCH_r99.json").write_text(
+        json.dumps(_artifact(0.1, {"q1": [2.0, 1.8, 0.1, 2.0]}))
+    )
+    (tmp_path / "BENCH_r100.json").write_text(
+        json.dumps(_artifact(0.1, {"q1": [1.0, 0.9, 0.1, 1.0]}))
+    )
+    obj, name = _prev_round_compact(str(tmp_path), 0.1)
+    assert name == "BENCH_r100.json"
+    assert obj["q"]["q1"][3] == 1.0
