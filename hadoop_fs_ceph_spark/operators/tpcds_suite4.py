@@ -385,10 +385,18 @@ def ensure_q14_layout(spark, sf_dir):
     deployment that wants it). That Sort moves zero bytes; the exchange
     was the 100 TB cost, and it is gone (plan-pinned with a plain-Q14
     control in tests/test_plans.py::test_q14_bucketed_join_legs_no_exchange)."""
+    import hashlib
     import tempfile
     import time as _time
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    # Tag = basename + 8 hex of the FULL path: two data dirs sharing a
+    # basename (e.g. sf0.1 fixtures in different roots) must not collide
+    # on the session-catalog table names or the scratch path.
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    tag = "{}_{}".format(
+        os.path.basename(norm).replace(".", "_"),
+        hashlib.sha256(norm.encode()).hexdigest()[:8],
+    )
     names = {
         tbl: f"q14b_{tbl}_{tag}" for tbl in ("orders", "lineitem")
     }
