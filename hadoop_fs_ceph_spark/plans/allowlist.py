@@ -75,6 +75,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "profile_equidepth_histogram_approx": "one-row approx-boundary broadcast + 8-row bucket spine",
     "text_unigram_logprob": "one-row corpus-token-total broadcast",
     "sample_token_budget_mix": "one-row corpus-token-total broadcast into the 5-row rate relation",
+    "sample_token_budget_mix_bpe": "one-row corpus-token-total broadcast into the 5-row rate relation (BPE-metered twin)",
     "dedup_semantic_cell": "K=8 seed-centroid table broadcast for cell assignment",
     "profile_ks_drift": "one-row (lo, hi) bounds broadcast + fixed 17-bucket grid spine",
     "profile_emd_drift": "one-row bounds/total broadcasts onto the fixed 17-slot grid relation",
