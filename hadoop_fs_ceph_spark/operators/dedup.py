@@ -1636,3 +1636,141 @@ def dedup_prefix_filter_join(spark, sf_dir):
         .orderBy("doc_a", "doc_b")
     )
     return verified
+
+
+_SQL_INC_JACCARD = (
+    "len(list_intersect(x.sh, y.sh))"
+    " / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))"
+)
+
+
+@query(
+    "dedup_minhash_lsh_incremental",
+    oracle=f"""
+    WITH docs AS ({_SQL_MINHASH_DOCS}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {sql_band_hash('sig', b)} AS bh FROM docs" for b in range(N_BANDS))}
+    ),
+    corpus_bands AS (SELECT * FROM bands WHERE doc_id % 10 <> 7),
+    batch_bands AS (SELECT * FROM bands WHERE doc_id % 10 = 7),
+    cand_corpus AS (
+      SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM batch_bands b JOIN corpus_bands c ON b.band = c.band AND b.bh = c.bh
+    ),
+    dup_corpus AS (
+      SELECT DISTINCT c.doc_a AS doc_id
+      FROM cand_corpus c
+      JOIN docs x ON x.doc_id = c.doc_a
+      JOIN docs y ON y.doc_id = c.doc_b
+      WHERE {_SQL_INC_JACCARD} >= 0.8
+    ),
+    cand_batch AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM batch_bands a JOIN batch_bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    ),
+    dup_batch AS (
+      SELECT DISTINCT c.doc_b AS doc_id
+      FROM cand_batch c
+      JOIN docs x ON x.doc_id = c.doc_a
+      JOIN docs y ON y.doc_id = c.doc_b
+      WHERE {_SQL_INC_JACCARD} >= 0.8
+    ),
+    verdicts AS (
+      SELECT d.doc_id,
+             CASE WHEN dc.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
+                  WHEN db.doc_id IS NOT NULL THEN 'near_dup_in_batch'
+                  ELSE 'accept' END AS verdict
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+      LEFT JOIN dup_corpus dc ON dc.doc_id = d.doc_id
+      LEFT JOIN dup_batch db ON db.doc_id = d.doc_id
+    )
+    SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM verdicts GROUP BY verdict ORDER BY verdict
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental", "ingest"),
+)
+def dedup_minhash_lsh_incremental(spark, sf_dir):
+    """Incremental FUZZY ingest dedup — the daily-crawl shape at the
+    near-dup tier: the incoming batch (the doc_id%10==7 slice) is LSH-
+    probed against the EXISTING corpus's band index and then within
+    itself, so each batch doc gets the same auditable verdict ledger as
+    the exact tier (`dedup_incremental_batch`) but under Jaccard ≥ 0.8
+    semantics: near_dup_of_corpus (a verified corpus partner exists),
+    near_dup_in_batch (no corpus partner, but a verified partner with a
+    smaller doc_id arrived in the same batch — greedy keep-earliest,
+    deterministic without fuzzy transitivity), else accept.
+
+    Scale shape — the reason this is the production form of a corpus
+    refresh: the corpus side appears ONLY as its banding relation
+    (doc_id, band, bh — 4 slim rows/doc, exactly the persisted LSH
+    index a dedup service maintains between batches) plus candidate-only
+    shingle lookups; the batch's bands PROBE it by equality join, so no
+    corpus self-join ever runs and the Σ|bucket|² cost of a full
+    re-dedup is never paid — per-batch candidate work is the batch's
+    bucket CONTACT (Σ |batch∩bucket|·|bucket|, linear in the batch),
+    then exact Jaccard on candidates only. Both verdict sources ride
+    ONE probe join: the admissible-partner predicate (corpus member OR
+    earlier batch member) sits beside the band equality, and a single
+    per-batch-doc max-flag aggregate classifies — one candidate join,
+    one verify join, one aggregation (measured at sf0.1: the two-stage
+    form paid 4 joins of fixed stage overhead for 59 candidates; this
+    form matches the full run's stage count on ~1/5 its candidates).
+    Re-running after accepting is idempotent: accepted docs' bands join
+    the index; their future near-dups then classify as
+    near_dup_of_corpus."""
+    docs = _minhash_docs(spark, sf_dir)
+    bands = _bands(docs)
+    batch_bands = bands.filter(F.col("doc_id") % 10 == 7)
+    x, y = _pair_sides(docs)
+    probe = (
+        batch_bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            # admissible partners: any corpus doc, or an EARLIER batch doc
+            # (greedy keep-earliest within the batch)
+            & (
+                (F.col("b.doc_id") % 10 != 7)
+                | (F.col("b.doc_id") < F.col("a.doc_id"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact hashed-shingle Jaccard on candidate pairs only, same int-set
+    # formulation as dedup_minhash_lsh (bit-identical doubles)
+    verified = (
+        probe.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("ni"),
+            "na",
+            "nb",
+        )
+        .filter(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")) >= 0.8)
+    )
+    flags = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.max(F.when(F.col("doc_b") % 10 != 7, 1).otherwise(0)).alias("in_corpus"),
+        F.max(F.when(F.col("doc_b") % 10 == 7, 1).otherwise(0)).alias("in_batch"),
+    )
+    batch_docs = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id")
+    verdicts = batch_docs.join(flags, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("in_corpus") == 1, "near_dup_of_corpus")
+        .when(F.col("in_batch") == 1, "near_dup_in_batch")
+        .otherwise("accept")
+        .alias("verdict"),
+    )
+    return (
+        verdicts.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .orderBy("verdict")
+    )

@@ -5060,3 +5060,112 @@ def sample_token_budget_mix_bpe(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+_TEMP_BUDGET = 0.5  # fraction of the corpus token count the mix may keep
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, chr(32))) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    by_src AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tok_avail,
+             CAST(floor(sqrt(CAST(SUM(n_tok) AS BIGINT)) * 1000) AS BIGINT) AS q
+      FROM toks GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(tok_avail) AS BIGINT) AS tot,
+             CAST(SUM(q) AS BIGINT) AS s
+      FROM by_src
+    ),
+    rates AS (
+      SELECT source, tok_avail,
+             CAST(floor(q * 10000.0 / s) AS BIGINT) AS w_bp,
+             CAST(floor(least(1.0, ({_TEMP_BUDGET} * tot * q)
+                                   / (CAST(s AS DOUBLE) * tok_avail))
+                        * 10000) AS BIGINT) AS keep_bp
+      FROM by_src CROSS JOIN tot
+    )
+    SELECT r.source, r.tok_avail, r.w_bp, r.keep_bp,
+           CAST(COUNT(*) AS BIGINT) AS docs_kept,
+           CAST(SUM(t.n_tok) AS BIGINT) AS tokens_kept
+    FROM toks t JOIN rates r ON t.source = r.source
+    WHERE (t.doc_id * {_MIX}) % 10000 < r.keep_bp
+    GROUP BY r.source, r.tok_avail, r.w_bp, r.keep_bp
+    ORDER BY r.source
+    """,
+    tags=("sample", "mixture", "temperature", "token-budget", "preprocessing"),
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-sampled domain mixture — the standard multilingual /
+    multi-source pretraining mixing rule (target weight ∝ share^α with
+    α = 1/T < 1, the formulation published with XLM-R and mT5): unlike
+    `sample_token_budget_mix`, whose target weights are a FIXED config,
+    here the weights are COMPUTED from the corpus itself — each source's
+    token share is raised to α = 0.5 and renormalized, flattening the
+    source distribution so head domains are downsampled toward the tail
+    and low-resource domains keep a larger share than their raw mass.
+    Since share_d^α / Σ share_e^α = tok_d^α / Σ tok_e^α, the
+    normalization never needs the raw shares — one pass computes both
+    the budget total and the weight denominator. Keep rates clamp at 1
+    (a tail source is never upsampled past itself) and the sample is
+    realized with the family's deterministic multiplicative-hash gate
+    on doc_id, reproducible on any engine and partitioning.
+
+    Cross-engine determinism: the weight numerator is quantized to an
+    INTEGER q = floor(sqrt(tok_avail)·1000) before the normalizing sum,
+    so the denominator is an order-free integer sum — a float Σ√tok
+    would depend on reduce order across 1000 executors and could flip a
+    basis-point floor at a boundary. sqrt/·/÷ are IEEE correctly-rounded
+    in both engines, so every published bp matches the oracle exactly.
+
+    Scale shape: per-source totals are one partial-merge aggregate over
+    the |sources|-row key; the (tot, s) pair is a one-row broadcast
+    (allowlisted) into the |sources|-row rate relation; the keep gate is
+    a map-side scalar predicate; the corpus never shuffles
+    un-aggregated."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    by_src = (
+        toks.groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("tok_avail"))
+        .select(
+            "source",
+            "tok_avail",
+            F.floor(F.sqrt("tok_avail") * 1000).cast("long").alias("q"),
+        )
+    )
+    tot = by_src.agg(
+        F.sum("tok_avail").cast("long").alias("tot"),
+        F.sum("q").cast("long").alias("s"),
+    )
+    rates = by_src.join(F.broadcast(tot)).select(
+        "source",
+        "tok_avail",
+        F.floor(F.col("q") * 10000.0 / F.col("s")).cast("long").alias("w_bp"),
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.lit(_TEMP_BUDGET) * F.col("tot") * F.col("q"))
+                / (F.col("s").cast("double") * F.col("tok_avail")),
+            )
+            * 10000
+        ).cast("long").alias("keep_bp"),
+    )
+    return (
+        toks.join(rates, "source")
+        .filter(F.pmod(F.col("doc_id") * _MIX, F.lit(10000)) < F.col("keep_bp"))
+        .groupBy("source", "tok_avail", "w_bp", "keep_bp")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

@@ -76,6 +76,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "text_unigram_logprob": "one-row corpus-token-total broadcast",
     "sample_token_budget_mix": "one-row corpus-token-total broadcast into the 5-row rate relation",
     "sample_token_budget_mix_bpe": "one-row corpus-token-total broadcast into the 5-row rate relation (BPE-metered twin)",
+    "sample_temperature_mix": "one-row (tot, s) corpus-totals broadcast into the |sources|-row rate relation",
     "dedup_semantic_cell": "K=8 seed-centroid table broadcast for cell assignment",
     "profile_ks_drift": "one-row (lo, hi) bounds broadcast + fixed 17-bucket grid spine",
     "profile_emd_drift": "one-row bounds/total broadcasts onto the fixed 17-slot grid relation",
@@ -254,6 +255,7 @@ BOUNDED_COLLECT: dict[str, str] = {
     "agg_collect_sorted": "per-customer order list — spec-bounded (TPC-H customers hold tens of orders at every SF)",
     "dedup_incremental_batch": "3-row verdict report collects batch doc-id lists — demo-scale readout column; production persists the per-doc verdict relation (the pre-aggregation)",
     "dedup_incremental_bloom": "≤1,024-row bloom word relation into the one-row bitmap + the same demo-scale verdict doc-id report as dedup_incremental_batch",
+    "dedup_minhash_lsh_incremental": "3-row verdict report collects batch doc-id lists — demo-scale readout column; production persists the per-doc verdict relation (same contract as dedup_incremental_batch)",
     "dedup_keeper_selection": "per-cluster member-id roster (report column); the keeper choice itself is the window-argmax — production drops the roster",
     "dedup_semantic_cell_refined": "K=8 refined-centroid component collect for the broadcast assign stage",
     "ds_anova_oneway": "k=8 group-moment rows folded in sorted group order",

@@ -3403,3 +3403,87 @@ def test_tier7_q21_band_and_netting_re_derivable(spark, sf_dir):
         assert (b, a) == (r["inv_before"], r["inv_after"]), r
         assert b > 0 and a > 0
         assert 2 * a <= 3 * b and 2 * b <= 3 * a  # the exact band
+
+
+def test_incremental_lsh_verdicts_match_full_lsh(spark, sf_dir):
+    """Round-12: the incremental fuzzy ingest ledger must agree exactly
+    with the full-corpus LSH run restricted to the batch slice — the
+    probe-the-index formulation changes the JOIN SHAPE (batch bands vs
+    the corpus index, never a corpus self-join), not the answer:
+    near_dup_of_corpus = batch docs in a verified cross pair,
+    near_dup_in_batch = later docs of verified in-batch pairs not
+    already corpus-dups, accept = the rest of the batch."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    ]
+    batch_ids = {
+        r["doc_id"]
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 7)
+        .collect()
+    }
+    exp_corpus = set()
+    exp_batch_later = set()
+    for a, b in pairs:
+        a_in, b_in = a in batch_ids, b in batch_ids
+        if a_in != b_in:
+            exp_corpus.add(a if a_in else b)
+        elif a_in and b_in:
+            exp_batch_later.add(max(a, b))
+    exp_in_batch = exp_batch_later - exp_corpus
+    exp_accept = batch_ids - exp_corpus - exp_in_batch
+    got = {
+        r["verdict"]: (r["n_docs"], list(r["doc_ids"]))
+        for r in SPECS["dedup_minhash_lsh_incremental"].fn(spark, sf_dir).collect()
+    }
+    expected = {
+        "near_dup_of_corpus": exp_corpus,
+        "near_dup_in_batch": exp_in_batch,
+        "accept": exp_accept,
+    }
+    for verdict, exp_ids in expected.items():
+        if not exp_ids:
+            assert verdict not in got, verdict
+            continue
+        n, ids = got[verdict]
+        assert n == len(exp_ids) and ids == sorted(exp_ids), verdict
+    assert sum(n for n, _ in got.values()) == len(batch_ids)
+    assert got.get("near_dup_of_corpus"), "fixture must plant cross-boundary near-dups"
+
+
+def test_temperature_mix_flattens_and_conserves(spark, sf_dir):
+    """Round-12: temperature sampling must (a) publish weights that sum
+    to 1 within the per-source floor loss, (b) order weights WITH token
+    mass but keep rates AGAINST it (the flattening direction), and
+    (c) never keep more docs/tokens than a source has."""
+    rows = SPECS["sample_temperature_mix"].fn(spark, sf_dir).collect()
+    src_truth = {
+        r["source"]: (r["nd"], r["nt"])
+        for r in t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("nt"),
+        )
+        .collect()
+    }
+    assert len(rows) == len(src_truth)
+    w_sum = sum(r["w_bp"] for r in rows)
+    assert 10000 - len(rows) <= w_sum <= 10000  # each floor loses < 1 bp
+    by_tok = sorted(rows, key=lambda r: (r["tok_avail"], r["source"]))
+    for lo, hi in zip(by_tok, by_tok[1:]):
+        if hi["tok_avail"] > lo["tok_avail"]:
+            assert hi["w_bp"] >= lo["w_bp"]          # weight grows with mass
+            assert hi["keep_bp"] <= lo["keep_bp"]    # keep rate shrinks with mass
+    for r in rows:
+        nd, nt = src_truth[r["source"]]
+        assert r["tok_avail"] == nt
+        assert 0 < r["keep_bp"] <= 10000
+        assert r["docs_kept"] <= nd and r["tokens_kept"] <= nt
+    # flattening: the weight RATIO between extreme sources is strictly
+    # inside the raw-mass ratio (sub-linear reweighting is the point)
+    top, bot = by_tok[-1], by_tok[0]
+    if top["tok_avail"] > bot["tok_avail"]:
+        assert top["w_bp"] * bot["tok_avail"] < bot["w_bp"] * top["tok_avail"]
