@@ -24,6 +24,12 @@ after tiers 1–6 (VERDICT r11 "what's missing" #5):
   only inside the [2/3, 3/2] stability band, with Q40's returns netting
   folded in (returned units count negative). One fact scan, the 60-day
   window pushed into the scan, integer cross-multiplied band gate.
+* Q9 (round-12 extension) — the scalar-subquery-battery shape: the spec
+  reads the fact FIFTEEN times (5 quantity bands × {count, avg A,
+  avg B}) and CASE-picks per band; rewritten as one
+  conditional-aggregation scan over the derived decade bucket with a
+  scale-free above-average-density gate (5·n > total, integer
+  cross-multiply), the band total a window over the 5-row aggregate.
 
 Schema mapping and scale posture as tpcds_suite.py: channels from the
 fact grain (orders header = web, lineitem line = store), all money exact
@@ -391,4 +397,89 @@ def ds_tpcds_q21_inventory_date_split(spark, sf_dir):
             ).alias("shift_ratio"),
         )
         .orderBy("s_name")
+    )
+
+
+@query(
+    "ds_tpcds_q9_quantity_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR((l_quantity - 1) / 10) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+             CAST(SUM(CAST(ROUND(l_discount * 100.0) AS BIGINT)) AS BIGINT)
+               AS disc_pct
+      FROM lineitem GROUP BY 1
+    ),
+    w AS (
+      SELECT bucket, n_lines, price_cents, disc_pct,
+             CAST(SUM(n_lines) OVER () AS BIGINT) AS total
+      FROM b
+    )
+    SELECT bucket, n_lines,
+           CASE WHEN 5 * n_lines > total
+                THEN 'high_volume' ELSE 'low_volume' END AS branch,
+           CASE WHEN 5 * n_lines > total
+                THEN price_cents / n_lines
+                ELSE disc_pct / n_lines END AS chosen_avg
+    FROM w ORDER BY bucket
+    """,
+    tags=("analytics", "tpcds", "conditional-aggregation", "single-scan"),
+)
+def ds_tpcds_q9_quantity_buckets(spark, sf_dir):
+    """TPC-DS Q9 (quantity-band conditional averages), fixture-adapted:
+    the spec runs FIFTEEN scalar subqueries — five ss_quantity bands,
+    each scanning store_sales three times (count, avg A, avg B) — and a
+    CASE per band picks which average to report by comparing the count
+    to a literal threshold. Rewritten as the single-scan form: ONE
+    conditional-aggregation pass grouped by the derived decade bucket
+    of l_quantity computes every band's count and BOTH candidate sums
+    (extended-price cents / discount points), and the per-band CASE
+    picks between the two exact-integer averages afterward. The spec's
+    literal count thresholds are replaced by the scale-free
+    above-average-density gate 5·n_lines > total (integer
+    cross-multiply — exact in both engines at any SF, and non-vacuous
+    at every fixture SF: the mid-quantity decades sit above the mean,
+    the first and last below it).
+
+    Scale shape: 15 fact scans become ONE (pinned in
+    test_fact_scan_count_pinned); the aggregate partial-merges
+    map-side onto a 5-value key, so the shuffle is five rows of three
+    integers; the total is a window over that 5-row relation
+    (allowlisted — the Q14 cross-channel precedent: a gate broadcast
+    whose input re-derived the total would re-execute the fact
+    aggregate, the window reuses it); averages are raw divisions of
+    exact integers (bit-identical cross-engine, no rounding step).
+    Spec parity: TPC-DS Q9 (store_sales → lineitem, ss_quantity bands
+    1-20..81-100 → l_quantity decades 1-10..41-50, the reason-table
+    one-row vehicle dropped — the band rows ARE the report)."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.floor((F.col("l_quantity") - 1) / 10).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+        F.sum(F.round(F.col("l_discount") * 100.0).cast("long"))
+        .cast("long")
+        .alias("disc_pct"),
+    )
+    w = b.withColumn(
+        "total", F.sum("n_lines").over(Window.partitionBy()).cast("long")
+    )
+    hi = 5 * F.col("n_lines") > F.col("total")
+    return (
+        w.select(
+            "bucket",
+            "n_lines",
+            F.when(hi, "high_volume").otherwise("low_volume").alias("branch"),
+            F.when(hi, F.col("price_cents") / F.col("n_lines"))
+            .otherwise(F.col("disc_pct") / F.col("n_lines"))
+            .alias("chosen_avg"),
+        )
+        .orderBy("bucket")
     )

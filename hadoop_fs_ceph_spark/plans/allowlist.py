@@ -189,6 +189,7 @@ SINGLE_PARTITION_WINDOW: dict[str, str] = {
     "win_rolling_corr": "28-row trailing frame over the calendar-day aggregate (bounded by days elapsed, not corpus size)",
     "ds_tpcds_q14_cross_channel": "totals window over the (channel x brand) sales spine — bounded by 3 channels x |brands| by construction; replaces a gate broadcast whose input re-executed the full fact aggregation",
     "ds_tpcds_q14_bucketed": "same totals window over the same bounded (channel x brand) sales spine as ds_tpcds_q14_cross_channel — the bucketed twin changes fact layout, not the gate",
+    "ds_tpcds_q9_quantity_buckets": "totals window over the 5-row quantity-decade relation (bounded by the l_quantity domain) — a gate broadcast would re-execute the fact aggregate (the Q14 precedent)",
 }
 
 # --- declared Python-UDF surface ------------------------------------------

@@ -3487,3 +3487,33 @@ def test_temperature_mix_flattens_and_conserves(spark, sf_dir):
     top, bot = by_tok[-1], by_tok[0]
     if top["tok_avail"] > bot["tok_avail"]:
         assert top["w_bp"] * bot["tok_avail"] < bot["w_bp"] * top["tok_avail"]
+
+
+def test_tier7_q9_branch_gate_re_derivable(spark, sf_dir):
+    """Q9's per-band CASE must agree with a direct recount: branch =
+    high_volume iff 5·n_lines > total (integer cross-multiply), n_lines
+    must re-derive from the raw quantity decades, the chosen average
+    must equal the exact-integer ratio of the branch's sum, and both
+    branches must appear at the fixture SF (the scale-free
+    above-average-density gate is non-vacuous by design)."""
+    rows = SPECS["ds_tpcds_q9_quantity_buckets"].fn(spark, sf_dir).collect()
+    truth = {
+        r["bucket"]: (r["n"], r["pc"], r["dp"])
+        for r in t(spark, sf_dir, "lineitem")
+        .groupBy(F.floor((F.col("l_quantity") - 1) / 10).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("long")).alias("pc"),
+            F.sum(F.round(F.col("l_discount") * 100.0).cast("long")).alias("dp"),
+        )
+        .collect()
+    }
+    assert len(rows) == len(truth) == 5  # quantity domain 1..50 → 5 decades
+    total = sum(n for n, _, _ in truth.values())
+    for r in rows:
+        n, pc, dp = truth[r["bucket"]]
+        assert r["n_lines"] == n
+        expect_high = 5 * n > total
+        assert r["branch"] == ("high_volume" if expect_high else "low_volume")
+        assert r["chosen_avg"] == (pc / n if expect_high else dp / n)
+    assert {r["branch"] for r in rows} == {"high_volume", "low_volume"}

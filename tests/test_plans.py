@@ -512,6 +512,11 @@ def fact_scan_count(df, table: str) -> int:
         ("ds_tpcds_q2_week_spine_yoy", "lineitem", 2),
         ("ds_tpcds_q2_week_spine_yoy", "orders", 2),
         ("ds_tpcds_q21_inventory_date_split", "lineitem", 1),
+        # Q9: the spec's 15 scalar subqueries (5 bands x 3 aggregates,
+        # each a full fact scan) collapse to ONE conditional-aggregation
+        # scan; the band total is a window over the 6-row aggregate, so
+        # no second logical fact reference exists
+        ("ds_tpcds_q9_quantity_buckets", "lineitem", 1),
     ],
 )
 def test_fact_scan_count_pinned(spark, sf_dir, name, table, max_scans):
