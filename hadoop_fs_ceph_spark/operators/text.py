@@ -626,19 +626,28 @@ def text_decontaminate(spark, sf_dir):
     operands are exact integers, so the rounded ratio is bit-identical
     cross-engine."""
     d = t(spark, sf_dir, "documents")
-    # persisted: the gram relation feeds the eval-set distinct AND two
-    # aggregations of the train side — one tokenize+hash pass, not three
-    grams = (
+    # persisted at ARRAY grain (round-12, guide §2.3/§2.4): the distinct
+    # gram ARRAY per document feeds the eval-set distinct, the train-side
+    # join, AND the per-doc total — one tokenize+hash pass, and n_grams
+    # is the map-side array size, so the former per-doc COUNT over the
+    # exploded gram stream (a full |grams|-row exchange) is gone. The
+    # cached relation is also smaller than the exploded form it replaces.
+    garr = (
         d.select("doc_id", token_hashes(tokens("text")).alias("th"))
         .select(
             "doc_id",
-            F.explode(F.array_distinct(hashed_shingles(F.col("th"), 5))).alias("g"),
+            F.array_distinct(hashed_shingles(F.col("th"), 5)).alias("ga"),
         )
         .persist()
     )
-    eval_g = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
-    train = grams.filter(F.col("doc_id") % 97 != 0)
-    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    eval_g = (
+        garr.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("ga").alias("g"))
+        .distinct()
+    )
+    train_arr = garr.filter(F.col("doc_id") % 97 != 0)
+    tot = train_arr.select("doc_id", F.size("ga").alias("n_grams"))
+    train = train_arr.select("doc_id", F.explode("ga").alias("g"))
     hits = train.join(eval_g, "g").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )

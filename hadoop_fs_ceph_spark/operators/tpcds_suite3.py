@@ -88,10 +88,22 @@ def ds_tpcds_q17_sale_return_repurchase(spark, sf_dir):
     module's l_returnflag = 'R' convention, repurchase channel = the
     later half-year.
 
-    The chain join is INHERENTLY three fact scans — three different
-    slices (all-sales, returned-sales, later-sales) are three legs of
-    one join tree, not re-executions of a shared subtree (pinned at 3
-    in tests/test_plans.py).
+    Round-12 optimization (guide §1.2 "the distributed algorithm" /
+    §2.3 "aggregate before you shuffle"): the three legs collapse to
+    ONE conditional-aggregation pass. The legs differ only in row
+    predicates (quarter ∈ {1,2} / + returnflag = 'R' / quarter ∈
+    {3,4}), so one lineitem⋈orders(1997)⋈part join grouped by
+    (customer, brand) computes all nine per-cell moments as
+    SUM(CASE)/COUNT(CASE) columns, and the three-way INNER chain join
+    on (ck, b) is exactly the filter n_s > 0 AND n_r > 0 AND n_c > 0
+    (a cell survives the chain iff present in all three legs, and for
+    surviving cells each leg's moments equal the conditional sums).
+    Before: 3 lineitem + 3 orders + 3 part scans, two (ck, b)
+    sort-merge joins (18 scan nodes, 22 exchanges at sf0.1); after:
+    one scan of each table and zero cell-grain joins — the fact is
+    read ONCE (pinned at 1 in tests/test_plans.py; the year-1997
+    orders filter is year(o_orderdate), which parquet cannot prune, so
+    each removed orders leg was a full scan).
 
     Scale/skew shape (round-10 rewrite, caught by the FIRST --skew run
     of this head): the fan-out product S×R×C per (customer, brand) is
@@ -115,37 +127,33 @@ def ds_tpcds_q17_sale_return_repurchase(spark, sf_dir):
     the skew rehearsal's planted whale is now ~free."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1997)
+        .select(
+            "o_orderkey", "o_custkey", F.quarter("o_orderdate").alias("_qtr")
+        )
+    )
+    q = F.round(F.col("l_quantity")).cast("long")
+    in_s = F.col("_qtr").isin(1, 2)
+    in_r = in_s & (F.col("l_returnflag") == "R")
+    in_c = F.col("_qtr").isin(3, 4)
 
-    def leg(quarters, returned_only, tag):
-        o = (
-            t(spark, sf_dir, "orders")
-            .filter(
-                (F.year("o_orderdate") == 1997)
-                & F.quarter("o_orderdate").isin(*quarters)
-            )
-            .select("o_orderkey", "o_custkey")
-        )
-        rows = li
-        if returned_only:
-            rows = rows.filter(F.col("l_returnflag") == "R")
-        q = F.round(F.col("l_quantity")).cast("long")
-        return (
-            rows.join(o, rows.l_orderkey == o.o_orderkey)
-            .join(p, rows.l_partkey == p.p_partkey)
-            .groupBy(
-                F.col("o_custkey").alias("ck"), F.col("p_brand").alias("b")
-            )
-            .agg(
-                F.count(F.lit(1)).alias(f"n_{tag}"),
-                F.sum(q).alias(f"s1_{tag}"),
-                F.sum(q * q).alias(f"s2_{tag}"),
-            )
-        )
+    def leg_aggs(cond, tag):
+        return [
+            F.count(F.when(cond, F.lit(1))).alias(f"n_{tag}"),
+            F.sum(F.when(cond, q)).alias(f"s1_{tag}"),
+            F.sum(F.when(cond, q * q)).alias(f"s2_{tag}"),
+        ]
 
     cells = (
-        leg((1, 2), False, "s")
-        .join(leg((1, 2), True, "r"), ["ck", "b"])
-        .join(leg((3, 4), False, "c"), ["ck", "b"])
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("b"))
+        .agg(*leg_aggs(in_s, "s"), *leg_aggs(in_r, "r"), *leg_aggs(in_c, "c"))
+        .filter(
+            (F.col("n_s") > 0) & (F.col("n_r") > 0) & (F.col("n_c") > 0)
+        )
     )
     n_s, n_r, n_c = F.col("n_s"), F.col("n_r"), F.col("n_c")
     brand = (

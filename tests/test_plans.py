@@ -481,10 +481,15 @@ def fact_scan_count(df, table: str) -> int:
         ("ds_tpcds_q95_multi_supplier_clean", "lineitem", 2),
         ("ds_tpcds_q4_channel_growth_screen", "orders", 1),
         ("ds_tpcds_q75_yoy_item_delta", "lineitem", 2),
-        # tier 5 (round 10): Q17's chain is inherently 3 legs (all-sales,
-        # returned, later-sales feed three sides of one join tree); Q92's
-        # window replan and Q58's pivot hold at exactly one fact scan
-        ("ds_tpcds_q17_sale_return_repurchase", "lineitem", 3),
+        # tier 5 (round 10 / re-planned round 12): Q17's three legs
+        # (all-sales, returned, later-sales) collapse to ONE
+        # conditional-aggregation pass — the legs differ only in row
+        # predicates, so SUM(CASE)/COUNT(CASE) per (customer, brand)
+        # cell plus an n_s/n_r/n_c > 0 filter replaces the three-way
+        # chain join; lineitem, orders, and part are each read once.
+        # Q92's window replan and Q58's pivot hold at one fact scan
+        ("ds_tpcds_q17_sale_return_repurchase", "lineitem", 1),
+        ("ds_tpcds_q17_sale_return_repurchase", "orders", 1),
         ("ds_tpcds_q92_excess_discount", "lineitem", 1),
         ("ds_tpcds_q58_three_channel_agreement", "lineitem", 1),
         # tier 6 (round 11): Q31 scans orders twice by construction (it
