@@ -21,7 +21,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hadoop_fs_ceph_spark.registry import query
-from hadoop_fs_ceph_spark.streaming import audit_gate, events_stream, run_to_memory
+from hadoop_fs_ceph_spark.streaming import (
+    audit_gate,
+    events_stream,
+    run_to_memory,
+    stream_state_width,
+)
 from hadoop_fs_ceph_spark.tables import t
 
 _FIXSUM_VALUE = (
@@ -55,7 +60,10 @@ def stream_tumbling_window(spark, sf_dir):
         )
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
     )
-    return run_to_memory(agg, "stream_tumbling_window", "complete")
+    return run_to_memory(
+        agg, "stream_tumbling_window", "complete",
+        state_width=stream_state_width(sf_dir),
+    )
 
 
 @query(
@@ -83,7 +91,10 @@ def stream_sliding_window(spark, sf_dir):
         )
         .select(F.col("w.start").alias("w_start"), "n", "sum_value")
     )
-    return run_to_memory(agg, "stream_sliding_window", "complete")
+    return run_to_memory(
+        agg, "stream_sliding_window", "complete",
+        state_width=stream_state_width(sf_dir),
+    )
 
 
 @query(
@@ -127,7 +138,10 @@ def stream_session_window(spark, sf_dir):
             "n_events",
         )
     )
-    return run_to_memory(agg, "stream_session_window", "complete")
+    return run_to_memory(
+        agg, "stream_session_window", "complete",
+        state_width=stream_state_width(sf_dir),
+    )
 
 
 @query(
@@ -152,7 +166,10 @@ def stream_dedup_watermark(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_memory(dedup, "stream_dedup_watermark", "append")
+    return run_to_memory(
+        dedup, "stream_dedup_watermark", "append",
+        state_width=stream_state_width(sf_dir),
+    )
 
 
 @query(
@@ -169,7 +186,10 @@ def stream_running_count(spark, sf_dir):
     final counts — the streaming state after draining the input)."""
     s = events_stream(spark, sf_dir)
     agg = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    return run_to_memory(agg, "stream_running_count", "complete")
+    return run_to_memory(
+        agg, "stream_running_count", "complete",
+        state_width=stream_state_width(sf_dir),
+    )
 
 
 @query(
@@ -193,7 +213,10 @@ def stream_static_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(F.round(F.col("value") * 1000000.0).cast("long")).cast("double") / 1000000.0).alias("sum_value"),
     )
-    return run_to_memory(agg, "stream_static_join", "complete")
+    return run_to_memory(
+        agg, "stream_static_join", "complete",
+        state_width=stream_state_width(sf_dir),
+    )
 
 
 @query(
@@ -229,7 +252,10 @@ def stream_custom_state(spark, sf_dir):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sunk = run_to_memory(tracked, "stream_custom_state", "update")
+    sunk = run_to_memory(
+        tracked, "stream_custom_state", "update",
+        state_width=stream_state_width(sf_dir),
+    )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         sunk.withColumn("rn", F.row_number().over(w))
@@ -290,7 +316,10 @@ def stream_stream_join(spark, sf_dir):
         "view_id",
         (F.unix_micros(F.col("v_ts")) - F.unix_micros(F.col("p_ts"))).alias("lag_us"),
     )
-    return run_to_memory(joined, "stream_stream_join", "append")
+    return run_to_memory(
+        joined, "stream_stream_join", "append",
+        state_width=stream_state_width(sf_dir),
+    )
 
 
 @query(
@@ -438,7 +467,10 @@ def stream_content_dedup(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["content_sha"])
         .select("content_sha")
     )
-    return run_to_memory(fingerprinted, "stream_content_dedup", "append")
+    return run_to_memory(
+        fingerprinted, "stream_content_dedup", "append",
+        state_width=stream_state_width(sf_dir),
+    )
 
 
 @query(
@@ -502,7 +534,10 @@ def stream_stream_outer_join(spark, sf_dir):
         (F.unix_micros(F.col("v_ts")) - F.unix_micros(F.col("p_ts"))).alias("lag_us"),
         "p_ts",
     )
-    drained = run_to_memory(joined, "stream_stream_outer_join", "append")
+    drained = run_to_memory(
+        joined, "stream_stream_outer_join", "append",
+        state_width=stream_state_width(sf_dir),
+    )
     # Clamp to the region where emission is layout-independent: how much
     # of the (mx-2h, mx-30m) tail gets its null-extended rows out before
     # the drain ends depends on how the file source batches (one batch at
@@ -629,7 +664,10 @@ def stream_trending_topk(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n")
     )
-    drained = run_to_memory(agg, "stream_trending_topk", "complete")
+    drained = run_to_memory(
+        agg, "stream_trending_topk", "complete",
+        state_width=stream_state_width(sf_dir),
+    )
     wr = Window.partitionBy("w_start").orderBy(F.col("n").desc(), "event_type")
     return (
         drained.withColumn("rnk", F.row_number().over(wr).cast("long"))
@@ -689,7 +727,10 @@ def stream_trending_topk_watermarked(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n")
     )
-    drained = run_to_memory(agg, "stream_trending_topk_wm", "append")
+    drained = run_to_memory(
+        agg, "stream_trending_topk_wm", "append",
+        state_width=stream_state_width(sf_dir),
+    )
     wr = Window.partitionBy("w_start").orderBy(F.col("n").desc(), "event_type")
     return (
         drained.withColumn("rnk", F.row_number().over(wr).cast("long"))
@@ -755,7 +796,10 @@ def stream_session_window_watermarked(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
-    drained = run_to_memory(agg, "stream_session_window_wm", "append")
+    drained = run_to_memory(
+        agg, "stream_session_window_wm", "append",
+        state_width=stream_state_width(sf_dir),
+    )
     return drained.orderBy("user_id", "session_start")
 
 
@@ -877,7 +921,10 @@ def stream_dedup_then_window(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select("event_type", F.col("w.start").alias("w_start"), "n")
     )
-    return run_to_memory(agg, "stream_dedup_then_window", "append")
+    return run_to_memory(
+        agg, "stream_dedup_then_window", "append",
+        state_width=stream_state_width(sf_dir),
+    )
 
 
 def _docs_stream(spark, sf_dir):
@@ -956,7 +1003,10 @@ def stream_doc_quality_filter(spark, sf_dir):
         & F.col("mean_word_len").between(2, 12)
         & (F.col("frac_unique") >= 0.3)
     )
-    return run_to_memory(kept, "stream_doc_quality_filter", "append")
+    return run_to_memory(
+        kept, "stream_doc_quality_filter", "append",
+        state_width=stream_state_width(sf_dir, table="documents"),
+    )
 
 
 @query(
@@ -1096,7 +1146,10 @@ def stream_rocksdb_state_window(spark, sf_dir):
             )
             .select("event_type", F.col("w.start").alias("w_start"), "n", "sum_value")
         )
-        return run_to_memory(agg, "stream_rocksdb_state_window", "append")
+        return run_to_memory(
+        agg, "stream_rocksdb_state_window", "append",
+        state_width=stream_state_width(sf_dir),
+    )
     finally:
         if prev is None:
             spark.conf.unset(key)
@@ -1158,4 +1211,7 @@ def stream_union_two_sources(spark, sf_dir):
         )
         .select(F.col("w.start").alias("w_start"), "feed", "n", "sum_value")
     )
-    return run_to_memory(agg, "stream_union_two_sources", "complete")
+    return run_to_memory(
+        agg, "stream_union_two_sources", "complete",
+        state_width=stream_state_width(sf_dir),
+    )

