@@ -949,6 +949,24 @@ def _quantiles_refine(x, states, key="pct", weight=None):
             f"least(hi, lo + (acc.sel_b + 1) * ({w_expr}) - 1) AS hi",
             "k - acc.cum_before AS k",
         )
+        # Round-12 (guide §3.3/§5 — a materialized intermediate truncates
+        # the plan): each pass references `states` TWICE (the broadcast
+        # into `bound` and the final narrow join), so without a barrier
+        # the state subtree DOUBLES per pass — the 6-pass wide-domain
+        # consumers compiled 2⁶ copies of the base state into one plan
+        # (ds_rfm_segmentation: 447 Exchange / 126 BroadcastExchange
+        # nodes, ~28 s at sf0.1, nearly all AQE re-planning of repeated
+        # tiny stages). The state is ≤|states| rows (bounded by groups ×
+        # quantiles — control-plane-sized, the same class as the k-core
+        # survivor vector), so an eager localCheckpoint per pass costs
+        # one small job and keeps the compiled plan LINEAR in pass
+        # count. Measured at sf0.1: RFM 27.9 → 6.3 s (4.4×), grouped
+        # quantiles 4.3 → 2.9 s cold; the 3-pass single-state consumers
+        # (2³ = 8 copies) roughly break even — the checkpoint jobs cost
+        # what the redundant tiny stages did — and the win grows with
+        # pass count and state width. Hashes unchanged (all seven
+        # refinement consumers re-verified at sf0.001 + sf0.01).
+        .localCheckpoint()
     )
 
 

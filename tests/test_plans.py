@@ -541,3 +541,32 @@ def test_fact_scan_count_pinned(spark, sf_dir, name, table, max_scans):
         f"{name}: {n} fact scans in the optimized plan (max {max_scans}) — "
         "a join-back or scalar-subquery form re-duplicated the fact subtree"
     )
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # Round-12: _quantiles_refine localCheckpoints its ≤|states|-row
+        # state each pass, so the compiled plan is LINEAR in pass count.
+        # Without the barrier the state subtree DOUBLES per pass (each
+        # pass references it twice) — the 6-pass RFM plan compiled 447
+        # Exchange / 126 BroadcastExchange nodes and spent ~28 s at
+        # sf0.1, nearly all AQE re-planning of repeated tiny stages.
+        # Bounds are ~2× the observed post-fix counts (12 and 4) so a
+        # reintroduced doubling trips immediately while plan-shape
+        # noise does not.
+        ("ds_rfm_segmentation", 24),
+        ("agg_exact_median_nosort", 10),
+    ],
+)
+def test_quantile_refine_plan_stays_truncated(spark, sf_dir, name, max_exchanges):
+    """The iterative histogram-refinement consumers must compile a plan
+    whose Exchange count is linear in the pass count, not exponential —
+    the per-pass localCheckpoint barrier is what guarantees it."""
+    spark.catalog.clearCache()
+    plan = plan_of(SPECS[name].fn(spark, sf_dir), mode="simple")
+    n = plan.count("Exchange")
+    assert n <= max_exchanges, (
+        f"{name}: {n} Exchange nodes — the refinement state subtree is "
+        "duplicating across passes again (missing localCheckpoint barrier?)"
+    )
