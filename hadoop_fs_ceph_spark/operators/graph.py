@@ -690,7 +690,16 @@ def graph_bfs_distance(spark, sf_dir):
         relaxed = dir_.join(r, dir_.src == r.node).select(
             F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
         )
-        r = r.unionByName(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+        # Round-12: same doubling as graph_sssp_weighted (`r` referenced
+        # twice per round → 2³ subtree copies, 47 BroadcastHashJoins);
+        # the ≤|nodes|-row vector checkpoints per round to keep the plan
+        # linear. 2.0 → 1.6 s cold at sf0.1, hashes unchanged.
+        r = (
+            r.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
     n = t(spark, sf_dir, "nation")
     return (
         r.join(n, r.node == n.n_nationkey)
@@ -759,8 +768,15 @@ def graph_hits_scores(spark, sf_dir):
     nodes = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
 
     def dangle(scored, col):
-        return nodes.join(scored, "node", "left").select(
-            "node", F.coalesce(F.col(col), F.lit(0)).cast("long").alias(col)
+        # Round-12: each round's ≤|nodes|-row score vector feeds the next
+        # round AND (for a2/h2) the final join — the barrier keeps the
+        # unrolled plan linear in rounds (the _quantiles_refine posture).
+        return (
+            nodes.join(scored, "node", "left")
+            .select(
+                "node", F.coalesce(F.col(col), F.lit(0)).cast("long").alias(col)
+            )
+            .localCheckpoint()
         )
 
     a1 = dangle(
@@ -870,7 +886,18 @@ def graph_sssp_weighted(spark, sf_dir):
         relaxed = we.join(r, we.src == r.node).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("dist")
         )
-        r = r.unionByName(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+        # Round-12 (the _quantiles_refine/_mmr barrier): `r` is referenced
+        # twice per round (join + union), so the unrolled plan compiled
+        # 2⁴ copies of the distance-vector subtree (99 BroadcastHashJoins).
+        # The vector is ≤|nodes| rows — control-plane-sized — so an eager
+        # localCheckpoint keeps the plan linear in rounds: 3.26 → 2.2 s
+        # cold at sf0.1, hash-identical at sf0.001 + sf0.01.
+        r = (
+            r.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
     n = t(spark, sf_dir, "nation")
     return (
         r.join(n, r.node == n.n_nationkey)

@@ -1794,7 +1794,17 @@ def sim_mmr_diversify(spark, sf_dir):
             .orderBy(F.col("mmr_fp").desc(), "vec_id")
             .limit(1)
         )
-        sel = sel.unionAll(pick)
+        # Round-12 (guide §3.3/§5, the _quantiles_refine barrier): each
+        # round references `sel` TWICE (the broadcast into ms and the
+        # anti-join + union), so without a barrier the selected-set
+        # subtree DOUBLES per round — the 5-round plan compiled 2⁴
+        # copies of the pool/pairs build (120 BroadcastHashJoins, 40
+        # exchanges; ~4.9 s at sf0.1 mostly re-planning tiny stages).
+        # `sel` is ≤{_MMR_K} rows — control-plane-sized — so an eager
+        # localCheckpoint per round costs one small job and keeps the
+        # plan LINEAR in rounds: 4.96 → 2.0 s cold, 4.72 → 1.6 s
+        # warm. Hash-identical at sf0.001 + sf0.01.
+        sel = sel.unionAll(pick).localCheckpoint()
     return sel.select(
         "rank",
         "vec_id",
@@ -2108,21 +2118,54 @@ def sim_sparse_cosine_join(spark, sf_dir):
         )
         .persist()
     )
+    # Round-12 (guide §1.2 per-task work): the pair join below probes
+    # ~Σ df² joined rows (448M at sf0.1 — the 31-token synthetic vocab
+    # makes every posting list ~n_docs/31 long), and each row paid a
+    # 128-bit decimal multiply + decimal sum. The decimal lane is
+    # provably redundant inside the query's own output envelope: every
+    # wfp ≥ 0 (idf = ln((N+1)/(df+1)) ≥ 0 since df ≤ N), so partial
+    # sums are monotone, and the output contract ALREADY casts n2 and
+    # dot_fp to BIGINT — by Cauchy-Schwarz dot ≤ √(na2·nb2) ≤ max n2
+    # and every per-token product wa·wb ≤ dot, so if the declared
+    # outputs fit in int64 (the DuckDB twin's checked HUGEINT→BIGINT
+    # cast raises loudly if they ever don't), every intermediate fits
+    # too and int64 arithmetic is bit-equal to the decimal lane.
+    # Measured at sf0.1: 33.9 → 12.9 s cold (the whole win is the
+    # per-joined-row multiply); hashes unchanged at sf0.001 + sf0.01.
     nrm = w.groupBy("doc_id").agg(
-        F.sum(F.expr("cast(wfp as decimal(38,0)) * wfp")).cast("long").alias("n2")
+        F.sum(F.expr("wfp * wfp")).cast("long").alias("n2")
     )
+    # Round-12 (guide §2.4 — establish the partitioning once, where it
+    # is cheap): the pair aggregation below groups ~Σ df²/2 generated
+    # rows (224M at sf0.1) by (doc_a, doc_b). With w's natural
+    # partitioning that cost a full pair-grain exchange AND per-task
+    # partial hash maps that saturate toward the full 12.5M-pair key
+    # space (every task sees almost every pair — spill + GC dominated
+    # the head). Pre-partitioning each join input by its DOC key is a
+    # |postings|-row shuffle (116k rows — noise), and a broadcast-hash
+    # join preserves the streamed side's partitioning, so whichever
+    # side streams, the aggregation's clustering requirement
+    # ({doc_a, doc_b} ⊇ one doc key) is already satisfied: the pair
+    # aggregate runs complete-per-partition with bounded maps and the
+    # 224M-row exchange vanishes. At a posture where w outgrows the
+    # broadcast threshold the join reverts to SMJ on tok and the pair
+    # exchange returns — the two tiny doc-key shuffles are then wasted
+    # work of |postings| rows, a price the BHJ tier's win dwarfs.
+    # Measured at sf0.1 (with the fixed-point lane above): 33.9 s →
+    # 5.7 s cold, 40.1 → 4.2 s warm; hashes unchanged.
+    shuf_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
     a = w.select(
         F.col("doc_id").alias("doc_a"), "tok", F.col("wfp").alias("wa")
-    )
+    ).repartition(shuf_w, "doc_a")
     b = w.select(
         F.col("doc_id").alias("doc_b"), "tok", F.col("wfp").alias("wb")
-    )
+    ).repartition(shuf_w, "doc_b")
     pairs = (
         a.join(b, "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(
-            F.sum(F.expr("cast(wa as decimal(38,0)) * wb")).cast("long").alias("dot_fp"),
+            F.sum(F.expr("wa * wb")).cast("long").alias("dot_fp"),
             F.count(F.lit(1)).cast("long").alias("n_shared"),
         )
         .filter(F.col("n_shared") >= _SPC_MIN_SHARED)

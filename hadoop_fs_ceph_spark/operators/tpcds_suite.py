@@ -1056,34 +1056,61 @@ def ds_tpcds_q72_inventory_shortfall(spark, sf_dir):
     arithmetic both engines.
 
     Scale: THE Q72 lesson is aggregate-before-join — both facts reduce
-    to (part, week) grain BEFORE the shifted join, so the join input is
-    |parts × weeks| per side, not |lineitem|², and the shifted week is
-    computed map-side (no non-equi range join). The final weekly
-    aggregate is a second partial-merged pass over the join output."""
+    to (part, week) grain BEFORE any join, so no |lineitem|²-shaped
+    intermediate ever exists, and the shifted week is computed map-side
+    (no non-equi range join). Round-12 (guide §1.2/§2.3/§2.4, the Q9/Q17
+    discipline): demand and supply live at the SAME (part, week) grain,
+    so the former demand⋈supply LEFT join collapses into ONE conditional
+    aggregation — each line emits a demand row at its order week and a
+    supply row at its ship week + 1 (a 2× map-side explode of three
+    narrow columns), one groupBy computes d_qty/n_lines/s_qty per cell,
+    and the LEFT-join-plus-filter is exactly d_qty > s_qty (demand-less
+    cells have NULL d_qty and never pass; unsupplied demand cells see
+    s_qty = 0 — LEFT semantics preserved). Before: two lineitem scans,
+    two (part, week) exchanges, one left join; after: ONE lineitem scan
+    (pinned in tests/test_plans.py) and one (part, week) exchange whose
+    map-side partial agg reduces the exploded rows to the same cell
+    count the two old exchanges carried combined. Measured at sf0.1:
+    a WASH locally (1.55 vs 1.58 s cold isolated — the saved second
+    scan reads page-cached parquet and the saved cell join was
+    broadcast at this size), kept for the cluster posture where the
+    fact scan is real I/O and the cell join is a real SMJ: one fact
+    pass instead of two, one exchange instead of two, zero joins
+    between fact-derived relations. Hash-identical to the unchanged
+    DuckDB oracle at sf0.001 + sf0.01."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 604800000000").alias("wk"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 604800000000").alias("o_wk"),
     )
-    qty_fix = F.sum(F.round(F.col("l_quantity") * 1000.0).cast("long"))
-    demand = (
+    q_line = F.round(F.col("l_quantity") * 1000.0).cast("long")
+    ship_wk = (
+        F.expr("unix_micros(cast(l_shipdate as timestamp)) div 604800000000") + 1
+    )
+    cells = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_partkey", "wk")
-        .agg(qty_fix.alias("d_qty"), F.count(F.lit(1)).alias("n_lines"))
-    )
-    supply = (
-        li.select(
+        .select(
             "l_partkey",
-            (F.expr("unix_micros(cast(l_shipdate as timestamp)) div 604800000000") + 1).alias("wk"),
-            "l_quantity",
+            q_line.alias("q"),
+            F.explode(
+                F.array(
+                    F.struct(F.col("o_wk").alias("wk"), F.lit(True).alias("dm")),
+                    F.struct(ship_wk.cast("long").alias("wk"), F.lit(False).alias("dm")),
+                )
+            ).alias("e"),
         )
+        .select("l_partkey", "q", "e.wk", "e.dm")
         .groupBy("l_partkey", "wk")
-        .agg(qty_fix.alias("s_qty"))
+        .agg(
+            F.sum(F.when(F.col("dm"), F.col("q"))).alias("d_qty"),
+            F.count(F.when(F.col("dm"), F.lit(1))).alias("n_lines"),
+            F.coalesce(
+                F.sum(F.when(~F.col("dm"), F.col("q"))), F.lit(0).cast("long")
+            ).alias("s_qty"),
+        )
     )
     return (
-        demand.join(supply, ["l_partkey", "wk"], "left")
-        .withColumn("s_qty", F.coalesce(F.col("s_qty"), F.lit(0)))
-        .filter(F.col("d_qty") > F.col("s_qty"))
+        cells.filter(F.col("d_qty") > F.col("s_qty"))
         .groupBy("wk")
         .agg(
             F.count(F.lit(1)).alias("n_parts_short"),

@@ -491,6 +491,9 @@ def fact_scan_count(df, table: str) -> int:
         ("ds_tpcds_q17_sale_return_repurchase", "lineitem", 1),
         ("ds_tpcds_q17_sale_return_repurchase", "orders", 1),
         ("ds_tpcds_q92_excess_discount", "lineitem", 1),
+        # round 12: Q72's demand/supply legs collapse to one conditional
+        # aggregation over a 2x week-explode — lineitem is read once
+        ("ds_tpcds_q72_inventory_shortfall", "lineitem", 1),
         ("ds_tpcds_q58_three_channel_agreement", "lineitem", 1),
         # tier 6 (round 11): Q31 scans orders twice by construction (it
         # is both the web fact and the store leg's date source); Q49's
@@ -540,6 +543,19 @@ def test_fact_scan_count_pinned(spark, sf_dir, name, table, max_scans):
     assert 1 <= n <= max_scans, (
         f"{name}: {n} fact scans in the optimized plan (max {max_scans}) — "
         "a join-back or scalar-subquery form re-duplicated the fact subtree"
+    )
+
+
+def test_sparse_cosine_pair_agg_no_pair_exchange(spark, sf_dir):
+    """sim_sparse_cosine_join pre-partitions both join inputs by their
+    doc key (a |postings|-row shuffle), so the ~Σ df²/2-row pair
+    aggregation inherits a satisfying clustering from the streamed side
+    of the broadcast join and needs NO (doc_a, doc_b) exchange — the
+    plan must never re-grow one (round 12: that exchange plus its
+    saturating partial maps was 5-6x the whole query's runtime)."""
+    plan = plan_of(SPECS["sim_sparse_cosine_join"].fn(spark, sf_dir), mode="simple")
+    assert not re.search(r"Exchange hashpartitioning\(doc_a#\d+L?, doc_b#\d+L?", plan), (
+        "pair-grain exchange reappeared above the (doc_a, doc_b) aggregate"
     )
 
 
