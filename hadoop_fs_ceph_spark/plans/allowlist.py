@@ -25,16 +25,16 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "dedup_incremental_bloom": "one-row 8 KiB corpus-bloom broadcast prefiltering the ingest batch",
     "profile_join_fanout": "one-row (est_rows, n_keys) totals broadcast",
     "agg_quantile_sketch_error": "2-row quantile-state/sketch-answer broadcasts (refinement + rank-count passes)",
-    "ds_mann_whitney_u": "one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
+    "ds_mann_whitney_u": "one-row bounds + ≤4096-row rank-offset relation broadcasts (hash-joined on bin) (distributed-rank pass)",
     "ds_auc_exact": "one-row class-totals broadcast onto the one-row fold result (≤50-row score histogram)",
-    "ds_lift_gains_deciles": "one-row totals + ≤4096-row rank-offset-map broadcasts (distributed-rank pass + 10-row fold)",
+    "ds_lift_gains_deciles": "one-row totals + ≤4096-row rank-offset relation broadcasts (hash-joined on bin) (distributed-rank pass + 10-row fold)",
     "ds_erlang_c_staffing": "one-row measured-load broadcast onto the 12-row agent spine",
-    "ds_abc_classification": "one-row revenue-total + one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
+    "ds_abc_classification": "one-row revenue-total + one-row bounds + ≤4096-row rank-offset relation broadcasts (hash-joined on bin) (distributed-rank pass)",
     "ds_mood_median_test": "one-row grand-median/chi2/margin broadcasts onto the ≤k-row class relation",
-    "ds_kruskal_wallis": "one-row bounds + ≤4096-row rank-offset-map + one-row H-stat broadcasts (distributed-rank pass)",
-    "ds_spearman_rho": "one-row bounds + ≤4096-row rank-offset-map broadcasts (two distributed-rank passes)",
-    "ds_segment_migration_matrix": "one-row period-count + one-row bounds + ≤4096-row rank-offset-map broadcasts (two distributed-rank passes)",
-    "ds_wilcoxon_signed_rank": "one-row corpus-midpoint + one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
+    "ds_kruskal_wallis": "one-row bounds + ≤4096-row rank-offset relation (hash-joined on bin) + one-row H-stat broadcasts (distributed-rank pass)",
+    "ds_spearman_rho": "one-row bounds + ≤4096-row rank-offset relation broadcasts (hash-joined on bin) (two distributed-rank passes)",
+    "ds_segment_migration_matrix": "one-row period-count + one-row bounds + ≤4096-row rank-offset relation broadcasts (hash-joined on bin) (two distributed-rank passes)",
+    "ds_wilcoxon_signed_rank": "one-row corpus-midpoint + one-row bounds + ≤4096-row rank-offset relation broadcasts (hash-joined on bin) (distributed-rank pass)",
     "profile_freshness_lag": "one-row corpus-watermark broadcast onto the per-stream aggregate",
     "ds_tpcds_q23_frequent_best": "one-row max-lifetime-spend broadcast gating the best-customer cut",
     "sample_rolling_origin_folds": "3-row fold spine + one-row corpus-horizon broadcast",
@@ -54,8 +54,8 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "q22_global_sales_opportunity": "one-row average-balance threshold broadcast",
     "ds_funnel_conversion": "three one-row stage counts cross-joined",
     "sim_ann_recall_report": "sampled query-batch broadcast (truth pass)",
-    "ds_pareto_concentration": "one-row totals/bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
-    "agg_gini_concentration": "one-row bounds + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
+    "ds_pareto_concentration": "one-row totals/bounds + ≤4096-row rank-offset relation broadcasts (hash-joined on bin) (distributed-rank pass)",
+    "agg_gini_concentration": "one-row bounds + ≤4096-row rank-offset relation broadcasts (hash-joined on bin) (distributed-rank pass)",
     "ds_rfm_segmentation": "one-row corpus-max-date broadcast",
     "sample_temporal_split": "one-row corpus-horizon (max_ts/test_start/train_end) broadcast",
     "graph_triangle_count": "one-row edge-count broadcast joined to one-row count",
@@ -105,7 +105,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "dedup_semantic_cell_refined": "K=8 seed and refined-centroid table broadcasts (two bounded assign stages)",
     "text_bm25_rank": "one-row (n_docs, total_toks) corpus-stats broadcast",
     "agg_exact_median_nosort": "one-row (lo, hi, k) refinement-state broadcasts between histogram passes",
-    "agg_trimmed_mean_nosort": "one-row bounds/total-count + ≤4096-row rank-offset-map broadcasts (distributed-rank pass)",
+    "agg_trimmed_mean_nosort": "one-row bounds/total-count + ≤4096-row rank-offset relation broadcasts (hash-joined on bin) (distributed-rank pass)",
     "profile_equidepth_histogram": "16-row boundary-rank (sid, lo, hi, k) refinement-state broadcasts between shared histogram passes",
     "agg_exact_quantiles_nosort": "4-row (pct, lo, hi, k) refinement-state broadcasts between shared histogram passes",
     "agg_exact_quantiles_by_group_nosort": "3-row pct-spine broadcast fan-out + per-(group,pct) refinement-state broadcasts between shared passes",

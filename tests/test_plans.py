@@ -559,6 +559,21 @@ def test_sparse_cosine_pair_agg_no_pair_exchange(spark, sf_dir):
     )
 
 
+@pytest.mark.parametrize("name", ["agg_trimmed_mean_nosort", "agg_gini_concentration"])
+def test_ranked_nosort_offsets_hash_joined_not_map_probed(spark, sf_dir, name):
+    """_ranked_nosort must attach its ≤bins-row offset relation with a
+    broadcast-hash JOIN on bin (O(1) probe per row), never as a one-row
+    broadcast MAP read per row — GetMapValue is a LINEAR scan of the map,
+    so the old om[bin] form cost O(rows × bins) twice per consumer
+    (round 12: agg_trimmed_mean_nosort spent 152 s at sf0.1 in exactly
+    this expression; the join form runs it in ~2 s)."""
+    plan = plan_of(SPECS[name].fn(spark, sf_dir), mode="simple")
+    assert "map_from_entries" not in plan, (
+        f"{name}: the rank-offset broadcast MAP (per-row linear GetMapValue "
+        "probe) reappeared — offsets must be exploded and hash-joined on bin"
+    )
+
+
 @pytest.mark.parametrize(
     "name,max_exchanges",
     [
