@@ -274,12 +274,34 @@ def dedup_simhash(spark, sf_dir):
     Band width is the knob that keeps the candidate join sub-quadratic;
     the fingerprint stays one BIGINT however wide the input."""
     d = t(spark, sf_dir, "documents")
+    # Round-12 (guide §1.2 per-row work, measured): the token-hash array
+    # is lambda-bound (transform over a 1-element array) so it evaluates
+    # ONCE per document. As a separate select it was CollapseProject-ed
+    # back into simhash's 16 per-bit votes, re-running the whole
+    # per-char poly_hash fold over every token 16× per doc — 8.4 s at
+    # sf0.1 for 5000 docs on the single-file scan; bound once, 2.0 s.
     docs = (
         d.select(
             "doc_id",
-            F.transform(F.array_distinct(tokens("text")), lambda s: poly_hash(s)).alias("th"),
+            F.element_at(
+                F.transform(
+                    F.array(
+                        F.transform(
+                            F.array_distinct(tokens("text")), lambda s: poly_hash(s)
+                        )
+                    ),
+                    lambda th: simhash(th),
+                ),
+                1,
+            ).alias("sim"),
         )
-        .select("doc_id", simhash(F.col("th")).alias("sim"))
+        # One hash exchange spreads the single-file scan across executor
+        # cores BEFORE the band self-join: the broadcast join preserves
+        # its streamed side's layout, so without this the ~19M joined
+        # pairs and their pair-grain partial aggregation all ran in ONE
+        # task (16.5 s of the 8.4 s cold / measured in isolation).
+        # defaultParallelism is cluster-derived, not a local constant.
+        .repartition(max(8, spark.sparkContext.defaultParallelism), "doc_id")
         .persist()  # referenced by both sides of the band self-join
     )
     bands = docs.select(
@@ -1599,12 +1621,30 @@ def dedup_prefix_filter_join(spark, sf_dir):
     per_doc = per_doc.persist()
     prefixes = per_doc.select(
         "doc_id",
+        "n",
         F.explode(F.slice("toks_rare_first", F.lit(1), F.col("plen"))).alias("ptok"),
     )
+    # Round-12 (guide §2.2 shuffle fewer bytes): PPJoin's LENGTH filter at
+    # candidate generation — J ≥ 0.6 forces 10·i ≥ 6·(n_a + n_b − i) with
+    # i ≤ min(n_a, n_b), hence 3·(n_a + n_b) ≤ 8·min(n_a, n_b); any pair
+    # failing this integer test cannot reach the threshold, so dropping it
+    # BEFORE the pair-grain distinct is exact (recall-1.0 preserved by the
+    # same algebra the verification step applies). Measured at sf0.1:
+    # 88.8M → 77.9M generated rows, 12.4M → 9.8M candidate pairs (the
+    # dropped 2.6M also skip the verify intersect); wall a WASH locally
+    # (17.0 vs 17.1 s — this corpus is dense, 7.1M of 12.5M doc pairs
+    # really qualify, so output cost dominates) — kept for the 21%
+    # candidate cut where the verify join is a real shuffle.
     cand = (
         prefixes.alias("a")
         .join(prefixes.alias("b"), F.col("a.ptok") == F.col("b.ptok"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                3 * (F.col("a.n") + F.col("b.n"))
+                <= 8 * F.least(F.col("a.n"), F.col("b.n"))
+            )
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )

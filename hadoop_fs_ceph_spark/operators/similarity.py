@@ -956,20 +956,37 @@ def sim_random_projection(spark, sf_dir):
 
     Components quantize to fixed-point integers BEFORE the signed sum,
     so each reduced coordinate is an exact integer fold — bit-identical
-    cross-engine regardless of fold order or parallelism."""
+    cross-engine regardless of fold order or parallelism.
+
+    Round-12 (guide §1.2 per-row work, measured): the quantized array is
+    bound ONCE per row as a lambda variable (transform over a 1-element
+    array) instead of being inlined into the fold. Inlined, every one of
+    the 16 × 64 element_at probes re-ran the whole 64-element round/cast
+    transform — higher-order lambdas get no common-subexpression
+    elimination, and CollapseProject folds a separate projection straight
+    back into the lambda — ~65k array rebuilds per row, measured 50.7 s
+    at sf0.1 for a pure map operator over 2000 rows. A lambda-bound
+    variable is evaluated once per row by construction and cannot be
+    collapsed away; identical arithmetic, same fold order."""
     e = t(spark, sf_dir, "embeddings")
     qint = F.transform(
         vec_double(F.col("embedding")),
         lambda x: F.round(x * F.lit(1e6)).cast("long"),
     )
-    reduced = F.transform(
-        F.sequence(F.lit(0), F.lit(_JL_OUT_DIM - 1)),
-        lambda j: F.aggregate(
-            F.sequence(F.lit(0), F.lit(_JL_IN_DIM - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc + _jl_sign(i, j) * F.element_at(qint, i + 1),
-        ).cast("double")
-        / F.lit(1e6),
+    reduced = F.element_at(
+        F.transform(
+            F.array(qint),
+            lambda q: F.transform(
+                F.sequence(F.lit(0), F.lit(_JL_OUT_DIM - 1)),
+                lambda j: F.aggregate(
+                    F.sequence(F.lit(0), F.lit(_JL_IN_DIM - 1)),
+                    F.lit(0).cast("long"),
+                    lambda acc, i: acc + _jl_sign(i, j) * F.element_at(q, i + 1),
+                ).cast("double")
+                / F.lit(1e6),
+            ),
+        ),
+        1,
     )
     return e.select("vec_id", "label", reduced.alias("reduced"))
 

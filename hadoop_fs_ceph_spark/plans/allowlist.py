@@ -42,7 +42,6 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sim_knn_bruteforce": "one-row query-vector broadcast (declared truth pass)",
     "sim_ivf_cells": "8-row centroid table + 1-row query vector broadcasts",
     "sim_knn_batch_queries": "5-row query-batch broadcast",
-    "sim_mmr_diversify": "one-row query broadcast + 16-row candidate-pool self-pairs (256-row bounded relation)",
     "sim_ann_multitable": "one-row query-vector + one-row candidate-count broadcasts onto the deduped candidate set",
     "sim_sparse_cosine_join": "one-row corpus-doc-count broadcast onto the tf-idf weight relation",
     "sim_ann_table_sweep": "one-row query-vector/bucket + per-L one-row count broadcasts (4-row sweep assembly; truth pass is the declared exact tier)",
@@ -157,6 +156,15 @@ BOUNDED_SORT: dict[str, str] = {
     "fn_csv_scalar_roundtrip": _FN_DEMO,
     "sql_create_function": _FN_DEMO,
     "dedup_hybrid_signal": "sorts the verified near-dup pair set (candidates after cosine+Jaccard gates, bounded ≪ corpus)",
+    # The four round-12 lineage-barriered iterative loops: the final sort
+    # reads the per-round localCheckpoint RDD, which hides the node/K-grain
+    # aggregation from the auditor — the sorted relation is ≤|nodes| rows
+    # (BFS/SSSP/HITS distance/score vectors) or ≤K rows (MMR's selected
+    # set), never the corpus.
+    "graph_bfs_distance": "sorts the ≤|nodes| distance vector behind the per-round checkpoint barrier",
+    "graph_sssp_weighted": "sorts the ≤|nodes| distance vector behind the per-round checkpoint barrier",
+    "graph_hits_scores": "sorts the ≤|nodes| hub/authority vector behind the per-round checkpoint barrier",
+    "sim_mmr_diversify": "sorts the ≤K selected-set relation behind the per-round checkpoint barrier",
     "sim_knn_batch_queries": "sorts |queries| x k rows (5x3) — the ranked answer set, not the corpus",
     "sim_l2_normalize": "demo slice ordered by doc_id for deterministic output",
     "sql_lateral_topk": "sorts top-2-per-nation output (bounded by 25 nations x k)",
@@ -169,7 +177,6 @@ BOUNDED_SORT: dict[str, str] = {
     "src_binaryfile_scan": "sorts the bounded binaryFile demo sample (doc_id < 100 is an absolute bound, not SF-scaled)",
     "udf_python_udtf": "API-surface demo over a 1/97 sample slice; ORDER BY is the deterministic-output contract, dropped by scale consumers",
     "sample_domain_cap": "sorts the capped sample OUTPUT (≤ cap·|domains| rows, ≪ corpus) for deterministic presentation; scale consumers drop the ordering",
-    "join_er_blocked": "sorts the verified blocked candidate-pair output (Σ|block|² ≪ n², the ER answer set)",
     "join_record_linkage_fs": "sorts the scored blocked candidate-pair output (Σ|block|² ≪ n², the linkage answer set)",
 }
 
