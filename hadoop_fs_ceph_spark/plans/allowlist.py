@@ -239,14 +239,13 @@ _REFINE_COLLECT = (
     "refinement/rank state (histogram-refinement machinery)"
 )
 BOUNDED_COLLECT: dict[str, str] = {
-    "agg_exact_median_nosort": _REFINE_COLLECT,
+    # NB: the direct _quantiles_refine consumers (exact median/quantile
+    # nosort family, sketch-error, equidepth histogram) no longer appear
+    # here — the round-12 per-pass localCheckpoint barrier hides their
+    # collect behind an RDD scan, so the flag stopped firing and the gate
+    # reported the entries stale. The refine state stays ≤4096 rows by
+    # construction (tests/test_plans.py pins the truncated plan shape).
     "agg_trimmed_mean_nosort": _REFINE_COLLECT,
-    "agg_exact_quantiles_nosort": _REFINE_COLLECT,
-    "agg_exact_median_by_group_nosort": _REFINE_COLLECT,
-    "agg_exact_quantiles_by_group_nosort": _REFINE_COLLECT,
-    "agg_exact_weighted_median_nosort": _REFINE_COLLECT,
-    "agg_quantile_sketch_error": _REFINE_COLLECT,
-    "profile_equidepth_histogram": _REFINE_COLLECT,
     "ds_rfm_segmentation": _REFINE_COLLECT,
     "agg_gini_concentration": _REFINE_COLLECT,
     "ds_pareto_concentration": _REFINE_COLLECT,
