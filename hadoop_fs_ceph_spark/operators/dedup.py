@@ -114,6 +114,11 @@ def _minhash_docs(spark, sf_dir, cap=None):
         # an optimizer barrier, so a filter above it would still tokenize
         # and MinHash-sign the whole corpus
         d = d.filter(F.col("doc_id") < cap)
+    # NOT spread with a pre-pipeline repartition (the dedup_simhash /
+    # record-linkage fix): that exchange would carry the raw text column —
+    # at scale a full-corpus shuffle with no quadratic fan-out downstream
+    # to amortize it (banding bounds the pair stream), and the local A/B
+    # measured a wash (LSH heads within noise, keeper −25% only).
     return (
         d.select("doc_id", F.transform(tokens("text"), lambda s: poly_hash(s)).alias("th"))
         .select("doc_id", F.array_distinct(hashed_shingles(F.col("th"), 3)).alias("sh"))

@@ -1418,45 +1418,78 @@ def sim_pq_encode(spark, sf_dir):
     no float tolerance anywhere. Scale shape: the K-codeword table
     broadcasts; encoding is map-side expression work per row (the
     oracle's cross-join formulation is the same bounded K-row
-    broadcast); nothing shuffles."""
+    broadcast); nothing shuffles.
+
+    Per-row work is single-evaluation by construction: the codebook is
+    quantized ONCE inside the broadcast row, the row's fixed-point
+    embedding and the 8×4 distance matrix are bound as lambda variables
+    (higher-order lambdas get no common-subexpression elimination, so
+    the previous inline form re-quantized per probe and evaluated every
+    subspace's distance array three times — argmin + position + sum;
+    measured 1.66 → 0.50 s at sf0.1, identical output)."""
     e = t(spark, sf_dir, "embeddings")
     cb = (
         e.filter(F.col("vec_id") < _PQ_K)
         .select(F.struct(F.col("vec_id").alias("code"), F.col("embedding").alias("sv")).alias("c"))
         .agg(F.array_sort(F.collect_list("c")).alias("cb"))
+        .select(
+            F.transform(
+                "cb",
+                lambda c: F.struct(
+                    c["code"].alias("code"),
+                    F.transform(
+                        c["sv"],
+                        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+                    ).alias("qsv"),
+                ),
+            ).alias("qcb")
+        )
     )
-
-    def qfp(col, idx):
-        return F.round(F.element_at(col, idx).cast("double") * 1e6).cast("long")
-
-    def dist_to(cw, m):
-        acc = F.lit(0).cast("long")
-        for j in range(_PQ_DSUB):
-            idx = m * _PQ_DSUB + j + 1
-            dlt = qfp(F.col("embedding"), idx) - qfp(cw["sv"], idx)
-            acc = acc + dlt * dlt
-        return acc
-
-    def sub_dists(m):
-        return F.transform(F.col("cb"), lambda cw: dist_to(cw, m))
-
     enc = e.crossJoin(F.broadcast(cb))
-    mins = [F.array_min(sub_dists(m)).alias(f"min{m}") for m in range(_PQ_M)]
-    codes = [
-        (F.array_position(sub_dists(m), F.array_min(sub_dists(m))) - 1)
-        .cast("long")
-        .alias(f"c{m}")
-        for m in range(_PQ_M)
-    ]
-    best = enc.select("vec_id", *mins, *codes)
-    total = best.select(
-        "vec_id",
-        F.array(*[F.col(f"c{m}") for m in range(_PQ_M)]).alias("codes"),
-        sum([F.col(f"min{m}") for m in range(_PQ_M)], F.lit(0).cast("long")).alias(
-            "total_sqerr_fp"
-        ),
+    qe = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1e6).cast("long")
     )
-    return total
+
+    def sub_dists(qe_b):
+        # ds[m][k] = ‖qe[m·8+1 .. m·8+8] − qcb[k].qsv[same slice]‖² as an
+        # exact int64 left-fold in dim order (same op order as the
+        # unrolled loop it replaces).
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda m: F.transform(
+                F.col("qcb"),
+                lambda cw: F.aggregate(
+                    F.zip_with(
+                        F.slice(qe_b, m * _PQ_DSUB + 1, _PQ_DSUB),
+                        F.slice(cw["qsv"], m * _PQ_DSUB + 1, _PQ_DSUB),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        )
+
+    res = F.transform(
+        F.array(qe),
+        lambda qe_b: F.transform(
+            F.array(sub_dists(qe_b)),
+            lambda ds: F.struct(
+                F.transform(
+                    ds,
+                    lambda a: (F.array_position(a, F.array_min(a)) - 1).cast("long"),
+                ).alias("codes"),
+                F.aggregate(
+                    F.transform(ds, lambda a: F.array_min(a)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("err"),
+            ),
+        )[0],
+    )[0]
+    return enc.select(
+        "vec_id", res["codes"].alias("codes"), res["err"].alias("total_sqerr_fp")
+    )
 
 
 @query(
