@@ -63,16 +63,6 @@ def fn_calendar_family(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
-def _bigram_of(tokens):
-    """Factory for the bigram lambda — a plain closure would change the
-    registered HOF arity (PySpark counts Python lambda params)."""
-
-    def gram(i):
-        return F.concat_ws(" ", F.element_at(tokens, i + 1), F.element_at(tokens, i + 2))
-
-    return gram
-
-
 @query(
     "text_bigram_freq",
     oracle="""
@@ -97,10 +87,24 @@ def text_bigram_freq(spark, sf_dir):
     explode and count. All JVM-side; per-document work is linear in
     token count, the shuffle carries (bigram, partial count) pairs from
     map-side combine, and the top-50 is TakeOrderedAndProject with a
-    total (freq, bigram) key."""
+    total (freq, bigram) key.
+
+    The token array is bound ONCE per document as a lambda variable —
+    with the split() inlined into the bigram lambda, every element_at
+    probe re-split the full text (no common-subexpression elimination
+    inside higher-order lambdas → O(tokens²) re-splits per doc;
+    measured 3.2 -> 0.45 s at sf0.1, identical output)."""
     docs = t(spark, sf_dir, "documents")
     tokens = F.split(F.col("text"), " ")
-    grams = F.transform(F.sequence(F.lit(0), F.size(tokens) - 2), _bigram_of(tokens))
+    grams = F.transform(
+        F.array(tokens),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    )[0]
     return (
         docs.filter(F.size(tokens) >= 2)
         .select(F.explode(grams).alias("bigram"))
