@@ -1033,31 +1033,50 @@ def text_gopher_rules(spark, sf_dir):
     hundreds of KB would swap that one statistic to the explode +
     groupBy(doc_id, word) formulation (one extra shuffle) with the rest
     of the battery unchanged. Every ratio divides two exact integers,
-    so doubles are bit-identical cross-engine."""
+    so doubles are bit-identical cross-engine.
+
+    The regex token array is bound ONCE per document as a lambda
+    variable: inlined, the token expression sat inside the
+    per-distinct-word dominance lambda, so the document was
+    RE-TOKENIZED once per distinct word (no common-subexpression
+    elimination inside higher-order lambdas; measured 1.90 -> 0.47 s
+    at sf0.1, identical output)."""
     d = t(spark, sf_dir, "documents")
     w = word_tokens_regex("text")
-    stats = d.select(
-        "doc_id",
-        F.size(w).alias("n_words"),
-        (
-            F.aggregate(
-                F.transform(w, lambda x: F.length(x).cast("long")),
-                F.lit(0).cast("long"),
-                lambda a, b: a + b,
-            )
-            / F.size(w)
-        ).alias("mean_word_len"),
-        (F.size(F.array_distinct(w)) / F.size(w)).alias("frac_unique"),
-        (
-            F.array_max(
-                F.transform(
-                    F.array_distinct(w),
-                    lambda u: F.size(F.filter(w, lambda x: x == u)),
+    st = F.transform(
+        F.array(w),
+        lambda wb: F.struct(
+            F.size(wb).alias("n_words"),
+            (
+                F.aggregate(
+                    F.transform(wb, lambda x: F.length(x).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda a, b: a + b,
                 )
-            )
-            / F.size(w)
-        ).alias("top_word_frac"),
-        F.size(F.filter(w, lambda x: x.isin(*_EN))).cast("long").alias("stopword_count"),
+                / F.size(wb)
+            ).alias("mean_word_len"),
+            (F.size(F.array_distinct(wb)) / F.size(wb)).alias("frac_unique"),
+            (
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(wb),
+                        lambda u: F.size(F.filter(wb, lambda x: x == u)),
+                    )
+                )
+                / F.size(wb)
+            ).alias("top_word_frac"),
+            F.size(F.filter(wb, lambda x: x.isin(*_EN)))
+            .cast("long")
+            .alias("stopword_count"),
+        ),
+    )[0]
+    stats = d.select("doc_id", st.alias("s")).select(
+        "doc_id",
+        "s.n_words",
+        "s.mean_word_len",
+        "s.frac_unique",
+        "s.top_word_frac",
+        "s.stopword_count",
     )
     rules = {
         "r_word_count": F.col("n_words").between(8, 5000),
