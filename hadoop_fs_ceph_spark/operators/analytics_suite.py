@@ -291,21 +291,24 @@ def ds_pareto_concentration(spark, sf_dir):
     pc = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rc")
     )
-    tot = pc.agg(
-        F.sum("rc").alias("t"), F.count(F.lit(1)).alias("n_cust")
-    )
     keyed = pc.select(
         (-F.col("rc") * _RFM_C + F.col("o_custkey")).alias("key"),
         F.col("rc").alias("val"),
     )
-    ranked = _ranked_nosort(keyed)
-    kept = ranked.crossJoin(F.broadcast(tot)).filter(
-        (F.col("cum") - F.col("val")).cast("double") < 0.8 * F.col("t").cast("double")
+    # Round-12 (guide §1.2): (t, n_cust) used to be a SECOND aggregate
+    # over pc, cross-joined back — re-executing the per-customer
+    # aggregate (an extra orders scan + groupBy). The rank helper's
+    # with_totals rides the same global COUNT/SUM in on every row
+    # through the offset broadcast: v_tot == Σ rc == t, n_tot == |pc|.
+    ranked = _ranked_nosort(keyed, with_totals=True)
+    kept = ranked.filter(
+        (F.col("cum") - F.col("val")).cast("double")
+        < 0.8 * F.col("v_tot").cast("double")
     )
     return kept.agg(
         F.count(F.lit(1)).alias("n_top_customers"),
-        (F.count(F.lit(1)).cast("double") / F.first("n_cust")).alias("frac_customers"),
-        (F.max("cum").cast("double") / F.first("t").cast("double")).alias(
+        (F.count(F.lit(1)).cast("double") / F.first("n_tot")).alias("frac_customers"),
+        (F.max("cum").cast("double") / F.first("v_tot").cast("double")).alias(
             "share_captured"
         ),
     )
@@ -805,7 +808,7 @@ def _conc_customer_cents(spark, sf_dir):
     )
 
 
-def _ranked_nosort(x, bins=4096):
+def _ranked_nosort(x, bins=4096, with_totals=False):
     """EXACT global rank + inclusive running sum over DISTINCT long keys
     with NO single-partition window — the distributed-rank pattern:
 
@@ -829,7 +832,15 @@ def _ranked_nosort(x, bins=4096):
 
     ``x``: columns ``key`` (distinct long) and ``val`` (long). Returns
     ``key, val, i`` (1-based global rank by key) and ``cum`` (inclusive
-    running sum of val in key order), all exact integers."""
+    running sum of val in key order), all exact integers.
+
+    ``with_totals=True`` additionally returns ``n_tot``/``v_tot`` (the
+    global COUNT and SUM(val)) on every row — the fold's final
+    accumulator already holds both, so exposing them through the same
+    ≤``bins``-row broadcast is FREE, where a caller-side
+    ``ranked.agg(...)`` would re-execute the whole rank pipeline a
+    second time (round-12, guide §1.2: it cost ds_lift_gains_deciles a
+    full extra rank pass)."""
     st = x.agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
     w_expr = f"((hi - lo) div {bins}) + 1"
     b = x.crossJoin(F.broadcast(st)).select(
@@ -875,19 +886,37 @@ def _ranked_nosort(x, bins=4096):
     # by construction, so the inner join drops nothing). Measured:
     # trimmed mean 152 → 2.1 s (72×), gini 5.2 → 1.5 s; all eleven
     # consumers hash-identical at sf0.001 + sf0.01.
-    offs = (
-        per.agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("bin", "cnt", "vs"))),
-                init,
-                step,
-            )["es"].alias("es")
-        )
-        .select(F.explode("es").alias("e"))
-        .select(F.col("e.bin").alias("bin"), F.col("e.cb").alias("cb"), F.col("e.vb").alias("vb"))
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("bin", "cnt", "vs"))),
+        init,
+        step,
     )
+    if with_totals:
+        # the fold's final accumulator c/v ARE the global totals: every
+        # bin's (cnt, vs) was added exactly once, in bin order
+        offs = (
+            per.agg(folded.alias("f"))
+            .select(
+                F.col("f.c").alias("n_tot"),
+                F.col("f.v").alias("v_tot"),
+                F.explode("f.es").alias("e"),
+            )
+            .select(
+                F.col("e.bin").alias("bin"),
+                F.col("e.cb").alias("cb"),
+                F.col("e.vb").alias("vb"),
+                "n_tot",
+                "v_tot",
+            )
+        )
+    else:
+        offs = (
+            per.agg(folded["es"].alias("es"))
+            .select(F.explode("es").alias("e"))
+            .select(F.col("e.bin").alias("bin"), F.col("e.cb").alias("cb"), F.col("e.vb").alias("vb"))
+        )
     w = Window.partitionBy("bin").orderBy("key")
-    return b.join(F.broadcast(offs), "bin").select(
+    out = b.join(F.broadcast(offs), "bin").select(
         "key",
         "val",
         (F.col("cb") + F.row_number().over(w)).alias("i"),
@@ -895,7 +924,9 @@ def _ranked_nosort(x, bins=4096):
             F.col("vb")
             + F.sum("val").over(w.rowsBetween(Window.unboundedPreceding, 0))
         ).alias("cum"),
+        *(["n_tot", "v_tot"] if with_totals else []),
     )
+    return out
 
 
 @query(
@@ -4341,18 +4372,22 @@ def ds_segment_migration_matrix(spark, sf_dir):
         per = df.groupBy(F.col("o_custkey").alias("ck")).agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend")
         )
-        n = per.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # Round-12 (guide §1.2): the quartile denominator used to be a
+        # second aggregate over per, cross-joined back — re-executing
+        # the per-customer aggregate once per period. with_totals rides
+        # the same global count in through the offset broadcast.
         ranked = _ranked_nosort(
             per.select(
                 (F.col("spend") * F.lit(2**32).cast("long") + F.col("ck")).alias(
                     "key"
                 ),
                 F.col("ck").alias("val"),
-            )
+            ),
+            with_totals=True,
         )
-        return ranked.crossJoin(F.broadcast(n)).select(
+        return ranked.select(
             F.col("val").alias("ck"),
-            F.expr("(i - 1) * 4 div n + 1").cast("long").alias("q"),
+            F.expr("(i - 1) * 4 div n_tot + 1").cast("long").alias("q"),
         )
 
     s0 = seg(o.filter(F.col("o_orderdate") < split)).select(
@@ -4823,15 +4858,20 @@ def ds_abc_classification(spark, sf_dir):
     per = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev_c")
     )
-    tot = per.agg(F.sum("rev_c").cast("long").alias("s"))
+    # Round-12 (guide §1.2): the revenue total used to be a second
+    # aggregate over per, cross-joined back — re-executing the
+    # per-part aggregate (an extra LINEITEM scan + groupBy, the big
+    # fact). with_totals rides v_tot == Σ rev_c in through the offset
+    # broadcast instead.
     ranked = _ranked_nosort(
         per.select(
             (F.col("rev_c") * F.lit(2**32).cast("long") + F.col("pk")).alias("key"),
             F.col("rev_c").alias("val"),
-        )
-    )
+        ),
+        with_totals=True,
+    ).withColumn("s", F.col("v_tot").cast("long"))
     cum_top = F.col("s") - F.col("cum") + F.col("val")
-    classed = ranked.crossJoin(F.broadcast(tot)).select(
+    classed = ranked.select(
         F.col("val").alias("rev_c"),
         F.when(cum_top * 100 <= 80 * F.col("s"), "A")
         .when(cum_top * 100 <= 95 * F.col("s"), "B")

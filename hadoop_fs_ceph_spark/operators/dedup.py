@@ -1623,7 +1623,18 @@ def dedup_prefix_filter_join(spark, sf_dir):
             (F.col("n") - F.expr("(n * 6 + 9) div 10") + 1).alias("plen"),
         )
     )
-    per_doc = per_doc.persist()
+    # Round-12 (guide §2.4, the dedup_simhash fix): spread the per-doc
+    # relation across executor cores BEFORE the prefix self-join. The
+    # groupBy above leaves control-plane-sized partitions that AQE
+    # coalesces to ONE, the broadcast self-join preserves its streamed
+    # side's layout, and so the ~78M prefix-collision rows AND the
+    # 9.8M-key pair-grain partial distinct all ran in a single task
+    # (21-68 s isolated, GC-bound). One hash exchange of the ~5k-row
+    # per-doc relation is noise; defaultParallelism is cluster-derived,
+    # not a local constant.
+    per_doc = per_doc.repartition(
+        max(8, spark.sparkContext.defaultParallelism), "doc_id"
+    ).persist()
     prefixes = per_doc.select(
         "doc_id",
         "n",
@@ -1678,6 +1689,18 @@ def dedup_prefix_filter_join(spark, sf_dir):
                 / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
             ).alias("jaccard"),
         )
+        # Round-12 (guide §5.3 persist what is referenced twice): the
+        # global ORDER BY's range partitioner runs a SAMPLING job over its
+        # child, so everything past the last shuffle — both verify BHJs
+        # and the array_intersect over 9.8M candidate pairs — executed
+        # TWICE (+6-7 s measured at sf0.1, ~40% of the wall). The verified
+        # relation is the query's own 7.1M-row output: persisting it turns
+        # the sampling pass into the single real computation and the range
+        # exchange into a cache read. (Reordering the sort BEFORE the
+        # verify joins was A/B-measured instead and REJECTED: 70-343 s —
+        # the early range exchange forces the planner into re-sorted /
+        # resampled cascades downstream.)
+        .persist()
         .orderBy("doc_a", "doc_b")
     )
     return verified

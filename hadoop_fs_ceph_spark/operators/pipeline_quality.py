@@ -3547,28 +3547,38 @@ def ds_kruskal_wallis(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_j"),
         F.sum("i").cast("long").alias("rank_sum"),
     )
-    tot = grp.agg(
-        F.sum("n_j").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("k"),
+    # Round-12 (guide §1.2 touch each byte once): the H-statistic's
+    # (n, k, s100) totals were a SECOND aggregate over grp, cross-joined
+    # back — and since grp sits on top of the whole distributed-rank
+    # pipeline, that second reference re-executed the range-bin shuffle
+    # and per-bin windows end to end (2x the rank pass, 3 extra fact
+    # scans; 5.7 s cold isolated). grp is an aggregated ≤k-row relation,
+    # so the same totals fold into ONE whole-relation window over it —
+    # identical decimal/long arithmetic, zero extra passes (4.4 → 2.6 s
+    # warm isolated).
+    wall = Window.partitionBy()
+    grp = grp.select(
+        "gid",
+        "n_j",
+        "rank_sum",
+        F.sum("n_j").over(wall).cast("long").alias("n"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("k"),
         F.sum(
             F.expr("(cast(rank_sum as decimal(38,0)) * rank_sum * 100) div n_j")
         )
+        .over(wall)
         .cast("long")
         .alias("s100"),
     )
-    h = tot.select(
-        "n",
-        "k",
-        F.expr(
-            "12.0 * (CAST(s100 AS DOUBLE) / 100.0)"
-            " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
-            " - 3.0 * (CAST(n AS DOUBLE) + 1.0)"
-        ).alias("h_raw"),
+    h_raw = F.expr(
+        "12.0 * (CAST(s100 AS DOUBLE) / 100.0)"
+        " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+        " - 3.0 * (CAST(n AS DOUBLE) + 1.0)"
     )
     dim = e.select(gid.alias("gid"), "event_type").distinct()
     return (
         grp.join(F.broadcast(dim), "gid")
-        .crossJoin(F.broadcast(h))
+        .withColumn("h_raw", h_raw)
         .select(
             "event_type",
             "n_j",
@@ -4168,21 +4178,30 @@ def ds_lift_gains_deciles(spark, sf_dir):
         ).alias("key"),
         (F.col("l_returnflag") == "R").cast("long").alias("val"),
     )
-    ranked = _ranked_nosort(keyed)
-    tot = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("val").cast("long").alias("p"),
-    )
+    # Round-12 (guide §1.2 touch each byte once): the (n, p) totals were
+    # a SECOND aggregate over the ranked relation, cross-joined back in —
+    # re-executing the whole distributed-rank pipeline (range-bin
+    # shuffle + per-bin windows + 3 extra fact scans; 4.2 s cold
+    # isolated). The rank helper's offset fold already holds both totals
+    # in its final accumulator, so ``with_totals=True`` rides them in on
+    # every row through the same ≤4096-row broadcast — the rank pass now
+    # runs ONCE, and the final projection's (n, p) fold out of the
+    # 10-row decile aggregate (2.6 s cold isolated).
+    ranked = _ranked_nosort(keyed, with_totals=True)
     dec = (
-        ranked.crossJoin(F.broadcast(tot))
-        .groupBy(F.expr("(i - 1) * 10 div n + 1").cast("long").alias("decile"))
+        ranked
+        .groupBy(F.expr("(i - 1) * 10 div n_tot + 1").cast("long").alias("decile"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_d"),
             F.sum("val").cast("long").alias("pos_d"),
+            F.max("n_tot").cast("long").alias("n"),
+            F.max("v_tot").cast("long").alias("p"),
         )
     )
     arr = dec.agg(
-        F.array_sort(F.collect_list(F.struct("decile", "n_d", "pos_d"))).alias("xs")
+        F.array_sort(F.collect_list(F.struct("decile", "n_d", "pos_d"))).alias("xs"),
+        F.max("n").cast("long").alias("n"),
+        F.max("p").cast("long").alias("p"),
     )
     lz = F.lit(0).cast("long")
     init = F.struct(
@@ -4216,11 +4235,13 @@ def ds_lift_gains_deciles(spark, sf_dir):
         )
 
     rows = arr.select(
-        F.explode(F.aggregate(F.col("xs"), init, step)["es"]).alias("r")
-    ).select("r.*")
+        "n",
+        "p",
+        F.explode(F.aggregate(F.col("xs"), init, step)["es"]).alias("r"),
+    ).select("n", "p", "r.*")
     neg_tot = F.col("n") - F.col("p")
     return (
-        rows.crossJoin(F.broadcast(tot))
+        rows
         .select(
             "decile",
             "n_d",

@@ -197,6 +197,7 @@ SINGLE_PARTITION_WINDOW: dict[str, str] = {
     "ds_tpcds_q14_cross_channel": "totals window over the (channel x brand) sales spine — bounded by 3 channels x |brands| by construction; replaces a gate broadcast whose input re-executed the full fact aggregation",
     "ds_tpcds_q14_bucketed": "same totals window over the same bounded (channel x brand) sales spine as ds_tpcds_q14_cross_channel — the bucketed twin changes fact layout, not the gate",
     "ds_tpcds_q9_quantity_buckets": "totals window over the 5-row quantity-decade relation (bounded by the l_quantity domain) — a gate broadcast would re-execute the fact aggregate (the Q14 precedent)",
+    "ds_kruskal_wallis": "H-statistic totals window over the ≤k-row per-group rank-sum aggregate (k = event streams, spec-bounded at 5) — the previous gate broadcast re-executed the whole distributed-rank pipeline (the Q9/Q14 precedent)",
 }
 
 # --- declared Python-UDF surface ------------------------------------------

@@ -1530,6 +1530,26 @@ def test_ranked_nosort_matches_window_rank(spark):
         assert got == want, name
 
 
+def test_ranked_nosort_with_totals_rides_global_count_and_sum(spark):
+    """with_totals=True must put the EXACT global COUNT/SUM(val) on every
+    row (they ride the offset fold's final accumulator — round 12 removed
+    a second full rank pass in ds_lift_gains_deciles with them), and must
+    not perturb the rank/cum columns."""
+    from hadoop_fs_ceph_spark.operators.analytics_suite import _ranked_nosort
+
+    rows = [(k * 997 % 1009, k % 7 + 1) for k in range(200)]
+    x = spark.createDataFrame(rows, "key long, val long")
+    got = _ranked_nosort(x, bins=8, with_totals=True).collect()
+    n = len(rows)
+    v = sum(val for _, val in rows)
+    assert all(r["n_tot"] == n and r["v_tot"] == v for r in got)
+    base = {
+        r["key"]: (r["i"], r["cum"])
+        for r in _ranked_nosort(x, bins=8).collect()
+    }
+    assert {r["key"]: (r["i"], r["cum"]) for r in got} == base
+
+
 def test_grouped_exact_quantiles_match_sorted_truth(spark, sf_dir):
     """Every (group, pct) refined quantile must equal the rank-k value
     from an actual per-group sort of raw per-order cents, is_exact
