@@ -809,11 +809,21 @@ def agg_bitmap_distinct(spark, sf_dir):
 # the is_exact output column verifies convergence instead of trusting it.
 _MED_B = 4096
 _MED_PASSES = 3
-# Wide-domain pass count: composite keys (value·1e8 + tiebreak — the exact
+# Wide-domain tier: composite keys (value·1e8 + tiebreak — the exact
 # RFM / equi-depth reformulations) span up to the full signed-long range, so
-# 3 passes (4096³ ≈ 6.9e10) cannot collapse them. 4096⁶ = 2^72 > 2^64
-# pins ANY long domain to width 1 — convergence by arithmetic, not luck.
-_MED_PASSES_WIDE = 6
+# 3 passes at B=4096 (4096³ ≈ 6.9e10) cannot collapse them. Each pass
+# narrows the bracket WIDTH to exactly (hi − lo) div B (the selected bucket
+# spans w = (hi−lo) div B + 1 values, so hi_new − lo_new ≤ w − 1), hence
+# 4 passes at B=65536 pin ANY long bracket: floor(w₀ / 65536⁴) =
+# floor(w₀ / 2^64) = 0 — convergence by arithmetic, not luck. Round 12
+# (guide §1.2 — touch each byte once): the wide tier used 6 passes at
+# B=4096 (4096⁶ = 2^72 > 2^64); widening its buckets 16× deletes two full
+# data passes (and two per-pass localCheckpoint barriers) from every
+# wide-domain consumer while the per-pass state stays combiner-sized
+# (≤65536 count rows per refining key). The default 3-pass tier keeps
+# B=4096: its consumers' plans, docs and domain claims are unchanged.
+_MED_B_WIDE = 65536
+_MED_PASSES_WIDE = 4
 
 
 @query(
@@ -883,7 +893,7 @@ def agg_exact_median_nosort(spark, sf_dir):
 _QNT_PCTS = (25, 50, 75, 99)
 
 
-def _quantiles_refine(x, states, key="pct", weight=None):
+def _quantiles_refine(x, states, key="pct", weight=None, b=_MED_B):
     """One shared refinement pass over ALL quantile states at once: the
     bounded (key, lo, hi, k) state relation broadcasts onto the value
     relation, then each state's crossing bucket is located by its own
@@ -904,13 +914,16 @@ def _quantiles_refine(x, states, key="pct", weight=None):
     the 1-row state case. ``weight``: optional integer weight column in
     ``x`` — bucket mass becomes Σweight instead of COUNT (k then binds
     a WEIGHTED rank), and nothing else changes: the weighted median is
-    the same three passes."""
+    the same three passes. ``b``: buckets per pass — ``_MED_B`` (4096)
+    for the default 3-pass tier, ``_MED_B_WIDE`` (65536) for the 4-pass
+    wide-domain tier (see the tier comment above); either way the
+    per-pass state stays ≤b count rows per refining key."""
     bound = (
         x.join(F.broadcast(states), key)
         if key in x.columns
         else x.crossJoin(F.broadcast(states))
     )
-    w_expr = f"((hi - lo) div {_MED_B}) + 1"
+    w_expr = f"((hi - lo) div {b}) + 1"
     binned = (
         bound.filter(F.col("cents").between(F.col("lo"), F.col("hi")))
         .select(

@@ -497,14 +497,16 @@ def ds_rfm_segmentation(spark, sf_dir):
     3 cutpoints are the composite order statistics at the quartile
     boundary ranks end_i = i·(n div 4) + min(i, n mod 4) — exactly
     ntile's deal arithmetic. The 9 boundary values (3 dims × 3 cuts)
-    come from the shared histogram-refinement machinery in SIX shared
-    passes (the wide-domain count: composites span ~2^57, beyond the
-    3-pass 4096³ reach; 4096⁶ > 2^64 collapses any long range) over the
-    9·|customers| exploded (skey, composite) relation — ≤9·4096-row
-    shuffles, zero sorts, zero driver state — then ride into the
-    map-side bucket assignment as a one-row broadcast map.
+    come from the shared histogram-refinement machinery in FOUR shared
+    passes (the wide-domain tier: composites span ~2^57, beyond the
+    3-pass 4096³ reach; 65536⁴ = 2^64 collapses any long bracket — each
+    pass divides the surviving width by exactly 65536) over the
+    9·|customers| exploded (skey, composite) relation — ≤9·65536-row
+    combiner-sized shuffles, zero sorts, zero driver state — then ride
+    into the map-side bucket assignment as a one-row broadcast map.
     Composite bound: holds while custkey < C = 1e8 (docs at _RFM_C)."""
     from hadoop_fs_ceph_spark.operators.aggregates import (
+        _MED_B_WIDE,
         _MED_PASSES_WIDE,
         _quantiles_refine,
     )
@@ -555,7 +557,7 @@ def ds_rfm_segmentation(spark, sf_dir):
         "(skey % 10) * (n div 4) + least(skey % 10, n % 4) AS k",
     )
     for _ in range(_MED_PASSES_WIDE):
-        states = _quantiles_refine(x9, states, key="skey")
+        states = _quantiles_refine(x9, states, key="skey", b=_MED_B_WIDE)
     cuts = states.agg(
         F.map_from_entries(F.collect_list(F.struct("skey", "lo"))).alias("cut")
     )

@@ -245,7 +245,8 @@ BOUNDED_COLLECT: dict[str, str] = {
     # here — the round-12 per-pass localCheckpoint barrier hides their
     # collect behind an RDD scan, so the flag stopped firing and the gate
     # reported the entries stale. The refine state stays ≤4096 rows by
-    # construction (tests/test_plans.py pins the truncated plan shape).
+    # construction (≤65536 for the 4-pass wide-domain tier — still
+    # combiner-sized; tests/test_plans.py pins the truncated plan shape).
     "agg_trimmed_mean_nosort": _REFINE_COLLECT,
     "ds_rfm_segmentation": _REFINE_COLLECT,
     "agg_gini_concentration": _REFINE_COLLECT,
