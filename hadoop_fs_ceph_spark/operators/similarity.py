@@ -2021,9 +2021,16 @@ def sim_ann_table_sweep(spark, sf_dir):
     tie-break, and every emitted number is an exact count — no
     tolerance bands anywhere.
 
-    Scale: each leg is one equality join against the one-row query;
-    the truth pass is the declared exact tier (TakeOrdered); the
-    4-row sweep relation assembles from bounded aggregates."""
+    Scale: ONE corpus pass computes every vector's FIRST matching
+    table index jmin (a vector is a candidate at sweep point L iff
+    jmin < L — the L unions are nested, so the sweep is a cumulative
+    count over jmin, not {_N_TABLES} re-executed leg unions); the
+    truth pass is the declared exact tier (TakeOrdered); the
+    {_N_TABLES}-row sweep relation assembles from one ≤{_N_TABLES}-row
+    aggregate of (count, top10-count, top1-flag) by jmin. Round 12
+    (guide §1.2): the incremental per-L union re-executed leg j
+    (N−j) times — 10 leg scans, 4 distinct exchanges and 4 truth
+    joins collapsed into this single pass."""
     e = t(spark, sf_dir, "embeddings")
     b = e.select(
         "vec_id",
@@ -2043,39 +2050,67 @@ def sim_ann_table_sweep(spark, sf_dir):
         .select("vec_id", F.row_number().over(
             Window.orderBy(F.col("cs").desc(), "vec_id")
         ).alias("rk"))
-        .persist()
     )
-    legs = [
+    # One corpus pass: first matching table index per vector (null = never
+    # admitted by any table); truth membership rides the same rows via a
+    # 10-row broadcast so candidates, top-10 hits and the top-1 flag fold
+    # in ONE ≤_N_TABLES-row aggregate.
+    jm = (
         b.filter(F.col("vec_id") != 0)
-        .join(
-            F.broadcast(q.select(F.col(f"qb{j}").alias("qb"))),
-            F.col(f"b{j}") == F.col("qb"),
+        .crossJoin(
+            F.broadcast(q.select(*[f"qb{j}" for j in range(_N_TABLES)]))
         )
-        .select("vec_id")
-        for j in range(_N_TABLES)
-    ]
-    rows = None
-    cand = None
-    for L in range(1, _N_TABLES + 1):
-        cand = legs[L - 1] if cand is None else cand.unionAll(legs[L - 1])
-        cd = cand.distinct().persist()
-        n_c = cd.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        found = cd.join(truth, "vec_id")
-        n_f = found.agg(
-            F.count(F.lit(1)).cast("long").alias("n_top10_found"),
-            F.max((F.col("rk") == 1).cast("int")).alias("t1"),
+        .select(
+            "vec_id",
+            F.array_min(
+                F.array(
+                    *[
+                        F.when(F.col(f"b{j}") == F.col(f"qb{j}"), F.lit(j))
+                        for j in range(_N_TABLES)
+                    ]
+                )
+            ).alias("jmin"),
         )
-        row = (
-            n_c.crossJoin(F.broadcast(n_f))
-            .select(
-                F.lit(L).cast("long").alias("n_tables"),
-                "n_candidates",
-                "n_top10_found",
-                (F.coalesce(F.col("t1"), F.lit(0)) > 0).alias("top1_found"),
-            )
+        .filter(F.col("jmin").isNotNull())
+        .join(F.broadcast(truth), "vec_id", "left")
+    )
+    by_j = jm.groupBy("jmin").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.count("rk").cast("long").alias("c_t10"),
+        F.max((F.col("rk") == 1).cast("int")).alias("has_t1"),
+    )
+    # A jmin=j vector is inside every sweep point L >= j+1: explode each
+    # ≤_N_TABLES-row bucket to its covered L range, left-join onto the
+    # dense L spine (rows with zero candidates must still appear).
+    per_l = by_j.select(
+        F.explode(
+            F.sequence(F.col("jmin") + 1, F.lit(_N_TABLES))
+        ).alias("l"),
+        "c",
+        "c_t10",
+        "has_t1",
+    )
+    spine = spark.range(1, _N_TABLES + 1).select(
+        F.col("id").cast("int").alias("l")
+    )
+    return (
+        spine.join(F.broadcast(per_l), "l", "left")
+        .groupBy("l")
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce(F.sum("c_t10"), F.lit(0))
+            .cast("long")
+            .alias("n_top10_found"),
+            (F.coalesce(F.max("has_t1"), F.lit(0)) > 0).alias("top1_found"),
         )
-        rows = row if rows is None else rows.unionAll(row)
-    return rows.orderBy("n_tables")
+        .select(
+            F.col("l").cast("long").alias("n_tables"),
+            "n_candidates",
+            "n_top10_found",
+            "top1_found",
+        )
+        .orderBy("n_tables")
+    )
 
 
 _SPC_MIN_SHARED = 3  # candidate gate: pairs sharing >= this many tokens

@@ -44,7 +44,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sim_knn_batch_queries": "5-row query-batch broadcast",
     "sim_ann_multitable": "one-row query-vector + one-row candidate-count broadcasts onto the deduped candidate set",
     "sim_sparse_cosine_join": "one-row corpus-doc-count broadcast onto the tf-idf weight relation",
-    "sim_ann_table_sweep": "one-row query-vector/bucket + per-L one-row count broadcasts (4-row sweep assembly; truth pass is the declared exact tier)",
+    "sim_ann_table_sweep": "one-row query-vector/bucket broadcast + ≤N_TABLES-row jmin-bucket sweep assembly (single corpus pass; truth pass is the declared exact tier)",
     "sim_binary_hamming_topk": "bounded query-set broadcast (vec_id % 97, ~1% of vectors) of 8-byte signatures",
     "q11_important_stock": "one-row global stock-value threshold broadcast",
     "agg_histogram_fixed": "one-row min/max bounds broadcast",

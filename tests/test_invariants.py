@@ -2580,6 +2580,35 @@ def test_ann_sweep_monotone_and_consistent(spark, sf_dir):
     assert rows[-1]["n_candidates"] == multi[0]["n_candidates"]
 
 
+def test_ann_sweep_equals_direct_union(spark, sf_dir):
+    """Round-12 §26b equivalence pin: the single-pass jmin sweep must
+    reproduce, for EVERY L, the candidate count of the direct
+    distinct-union-of-legs formulation it replaced. The DuckDB oracle
+    already pins this cross-engine; this pins it intra-engine against
+    an independently built Spark union, so a regression in the jmin
+    fold (e.g. a dropped table or an off-by-one in the L coverage)
+    cannot hide behind a symmetric oracle edit."""
+    from hadoop_fs_ceph_spark.operators.similarity import _N_TABLES, _bucket_j
+
+    e = t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", *[_bucket_j(j).alias(f"b{j}") for j in range(_N_TABLES)]
+    )
+    q = b.filter(F.col("vec_id") == 0).collect()[0]
+    got = {
+        r["n_tables"]: r["n_candidates"]
+        for r in SPECS["sim_ann_table_sweep"].fn(spark, sf_dir).collect()
+    }
+    cand = None
+    for L in range(1, _N_TABLES + 1):
+        leg = b.filter(
+            (F.col("vec_id") != 0)
+            & (F.col(f"b{L - 1}") == F.lit(q[f"b{L - 1}"]))
+        ).select("vec_id")
+        cand = leg if cand is None else cand.unionAll(leg)
+        assert got[L] == cand.distinct().count()
+
+
 def test_sparse_cosine_bounds(spark, sf_dir):
     for r in SPECS["sim_sparse_cosine_join"].fn(spark, sf_dir).collect():
         assert r["n_shared"] >= 3
