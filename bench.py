@@ -100,9 +100,46 @@ def _prev_round_compact(repo_dir: str, sf) -> tuple[dict | None, str | None]:
                 obj = json.loads(line)
             except ValueError:
                 continue
-            if "q" in obj and "q_cols" in obj:
+            # two compact shapes exist: r11-12's q/q_cols arrays and the
+            # r13+ driver-contract {"queries": {name: cold_sec}} dict
+            if ("q" in obj and "q_cols" in obj) or "queries" in obj:
                 return obj, os.path.basename(path)
     return None, None
+
+
+def _prev_per_query(prev: dict | None) -> dict[str, dict[str, float]]:
+    """Per-query {cold, normalized, spread} from a previous round's compact
+    line, whichever of the two shapes it uses (r11-12 q/q_cols arrays, or
+    the r13+ queries dict with a parallel "s" spread array in sorted-name
+    order). Spreads are normalized to the reference host so tolerance
+    composition is calibration-consistent."""
+    if not prev:
+        return {}
+    pscale = prev.get("calib_ref", 0.285) / max(
+        prev.get("calib_spark_sec", 0.285), 1e-9
+    )
+    out: dict[str, dict[str, float]] = {}
+    if "q" in prev and "q_cols" in prev:
+        cols = {c: i for i, c in enumerate(prev["q_cols"])}
+        if "normalized" not in cols or "spread" not in cols:
+            return {}
+        for n, row in prev["q"].items():
+            out[n] = {
+                "cold": row[cols["cold"]] if "cold" in cols else row[cols["normalized"]],
+                "normalized": row[cols["normalized"]],
+                "spread": row[cols["spread"]] * pscale,
+            }
+    elif "queries" in prev:
+        names = sorted(prev["queries"])
+        s = prev.get("s") or []
+        for i, n in enumerate(names):
+            cold = prev["queries"][n]
+            out[n] = {
+                "cold": cold,
+                "normalized": cold * pscale,
+                "spread": (s[i] if i < len(s) else 0.0) * pscale,
+            }
+    return out
 
 
 def _noise_verdicts(
@@ -116,26 +153,127 @@ def _noise_verdicts(
     relative slack covers the documented single-scalar calibration
     undercorrection on cross-host rounds (VERDICT r10 'what's missing'
     #5: like-for-like drift ~1.18x read as uniform host noise)."""
-    if not prev:
+    pq = _prev_per_query(prev)
+    if not pq:
         return {n: "new" for n in timings}
-    cols = {c: i for i, c in enumerate(prev["q_cols"])}
-    if "normalized" not in cols or "spread" not in cols:
-        return {n: "new" for n in timings}
-    pscale = prev.get("calib_ref", 0.285) / max(
-        prev.get("calib_spark_sec", 0.285), 1e-9
-    )
     out = {}
     for n in timings:
-        row = prev["q"].get(n)
+        row = pq.get(n)
         if not row:
             out[n] = "new"
             continue
-        p_norm = row[cols["normalized"]]
-        p_spread = row[cols["spread"]] * pscale
+        p_norm = row["normalized"]
+        p_spread = row["spread"]
         delta = timings[n] * scale - p_norm
         tol = spread[n] * scale + p_spread + max(0.15, 0.2 * p_norm)
         out[n] = "ok" if abs(delta) <= tol else ("regr" if delta > 0 else "impr")
     return out
+
+
+def _compact_line(
+    timings: dict,
+    warm: dict,
+    spread: dict,
+    exec_sec: dict,
+    noise: dict,
+    scale: float,
+    prev: dict | None,
+    prev_name: str | None,
+    sf,
+    passes: int,
+    calib_spark: float,
+    layout_build_sec: float,
+    budget: int = 1950,
+) -> str:
+    """The FINAL compact JSON line (round-13 shape, VERDICT r12 item 1).
+
+    The driver's BENCH artifact preserves only the last ~2000 characters
+    of stdout and its PERF comparator reads a plain ``{"queries": {name:
+    cold_sec}}`` dict — the r11-12 ``q_cols``/``q`` array encoding parsed
+    as ``n_common: 0``, leaving every per-query regression claim to hand
+    reconstruction. This line therefore leads with the driver-contract
+    ``queries`` dict (1-decimal cold seconds) plus:
+
+    * ``common`` — like-for-like subtotal over the heads present in BOTH
+      this round and the previous artifact (VERDICT r12 item 2: a head-set
+      change must never masquerade as a total regression; ``value`` keeps
+      the full-set total).
+    * ``s`` — per-query cold spreads, parallel to ``sorted(queries)``
+      (feeds the next round's noise verdict).
+    * ``e`` — per-query executor task-time (whole seconds, pass-1 cold,
+      from the AppStatusStore; VERDICT r12 item 6: attributes a flat
+      low-core wall to fixed cost vs serial plans — a compute-bound head
+      shows e >> wall shrinkage, a fixed-cost head shows e ≈ 0).
+
+    Parallel arrays are dropped (``e`` first, then ``s``) if the line
+    would exceed the tail-capture budget; ``queries`` and the scalars
+    always survive whole."""
+    names = sorted(timings)
+    pq = _prev_per_query(prev)
+    common_names = [n for n in names if n in pq]
+    base = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "passes": passes,
+        "queries": {n: round(timings[n], 1) for n in names},
+        "noise": {
+            "prev": prev_name,
+            # capped at 10 names so a pathological round can't push the
+            # compact line past the driver's tail capture
+            "regressed": sorted(n for n, v in noise.items() if v == "regr")[:10],
+            "improved": sum(v == "impr" for v in noise.values()),
+            "new": sum(v == "new" for v in noise.values()),
+        },
+        "common": {
+            "n": len(common_names),
+            "now": round(sum(timings[n] for n in common_names), 2),
+            "prev": round(sum(pq[n]["cold"] for n in common_names), 2),
+        },
+        "total_warm": round(sum(warm.values()), 3),
+        "calib_spark_sec": calib_spark,
+        "calib_ref": 0.285,
+        "layout_build_sec": layout_build_sec,
+        "layouts": list(_OWNED_LAYOUTS),
+        "total_normalized": round(sum(timings.values()) * scale, 3),
+        "total_warm_normalized": round(sum(warm.values()) * scale, 3),
+    }
+    extras = [
+        ("s", [round(spread[n], 1) for n in names]),
+        ("e", [int(round(exec_sec.get(n, 0.0))) for n in names]),
+    ]
+    best = json.dumps(base, separators=(",", ":"))
+    for key, arr in extras:
+        cand = json.dumps({**base, key: arr}, separators=(",", ":"))
+        if len(cand) <= budget:
+            base[key] = arr
+            best = cand
+    return best
+
+
+def _exec_time_totals(spark) -> float:
+    """Cumulative executor task run time (seconds) across all stages in
+    the AppStatusStore — diffed around each query's pass-1 cold run to
+    attribute distributed compute to queries (the wall-vs-task-time split
+    is what makes core-count scaling measurable at a fixed-cost-bound SF)."""
+    sc = spark.sparkContext
+    jvm, gw = sc._jvm, sc._gateway
+    empty = jvm.java.util.ArrayList()
+    quant = gw.new_array(jvm.double, 0)
+    stages = sc._jsc.sc().statusStore().stageList(empty, False, False, quant, empty)
+    ms = 0
+    it = stages.iterator()
+    while it.hasNext():
+        ms += it.next().executorRunTime()
+    return ms / 1000.0
+
+
+# Every owned layout built outside the timed region MUST be named here —
+# the compact line publishes the list (round-13, VERDICT r12 "what's
+# wrong" #2: `value` excludes layout_build_sec, so any NEW prebuilt layout
+# has to be visible in the artifact, not discovered from a diff).
+_OWNED_LAYOUTS = ("q14_bucketed",)
 
 
 def _prebuild_layouts(spark, sf_dir: str) -> float:
@@ -145,7 +283,8 @@ def _prebuild_layouts(spark, sf_dir: str) -> float:
     conflates ETL with the query, masks query regressions behind write
     noise, and can't be compared against the plain-layout twin. Returns
     the build seconds (0.0 when the session already holds the layout);
-    the default suite reports it as ``layout_build_sec``."""
+    the default suite reports it as ``layout_build_sec`` and names the
+    layouts in the compact line (``_OWNED_LAYOUTS``)."""
     from hadoop_fs_ceph_spark.operators.tpcds_suite4 import ensure_q14_layout
 
     _, sec = ensure_q14_layout(spark, sf_dir)
@@ -159,7 +298,13 @@ def main() -> None:
 
     specs = load_all()
     bench_specs = {n: s for n, s in sorted(specs.items()) if s.bench}
-    spark = get_spark("bench", driver_memory="24g")
+    spark = get_spark(
+        "bench",
+        driver_memory="24g",
+        # keep every stage row so the per-query executor-task-time diff
+        # (round-13, VERDICT r12 item 6) never loses history to UI eviction
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     layout_build_sec = _prebuild_layouts(spark, sf_dir)
@@ -216,13 +361,18 @@ def main() -> None:
     _PASSES = 3
     cold_samples: dict[str, list[float]] = {n: [] for n in bench_specs}
     warm_samples: dict[str, list[float]] = {n: [] for n in bench_specs}
+    exec_sec: dict[str, float] = {}
     for _pass in range(_PASSES):
         if _pass:
             calibs.append(_calibrate())  # mid-suite probes, interleaved
         for name, spec in bench_specs.items():
+            if _pass == 0:
+                e0 = _exec_time_totals(spark)
             start = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cold_samples[name].append(time.perf_counter() - start)
+            if _pass == 0:
+                exec_sec[name] = round(_exec_time_totals(spark) - e0, 1)
             start = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             warm_samples[name].append(time.perf_counter() - start)
@@ -267,6 +417,7 @@ def main() -> None:
                 "queries_normalized": {
                     n: round(v * scale, 3) for n, v in timings.items()
                 },
+                "queries_exec_sec": exec_sec,
                 "total_warm": round(sum(warm.values()), 3),
                 "sf": sf,
                 "passes": _PASSES,
@@ -283,58 +434,26 @@ def main() -> None:
         )
     )
 
-    # Final COMPACT line (VERDICT r9 item 5): the driver's BENCH artifact
-    # preserves only the last ~2000 characters of stdout, which truncated
-    # the verbose line above mid-object (BENCH_r09 "parsed": null). This
-    # last line is a complete JSON object small enough to survive the
-    # tail capture whole: per-query [cold, warm, spread, normalized]
-    # (legend in q_cols) plus every total and calibration scalar. If the
-    # head set ever grows it past the capture budget, precision drops a
-    # digit rather than losing queries.
-    # vs_prev codes: 0 = within combined noise, 1 = slower beyond noise,
-    # -1 = faster beyond noise, 9 = no previous observation
-    code = {"ok": 0, "regr": 1, "impr": -1, "new": 9}
-    for digits in (2, 1):
-        compact = json.dumps(
-            {
-                "q_cols": ["cold", "warm", "spread", "normalized", "vs_prev"],
-                "q": {
-                    n: [
-                        round(timings[n], digits),
-                        round(warm[n], digits),
-                        round(spread[n], digits),
-                        round(timings[n] * scale, digits),
-                        code[noise[n]],
-                    ]
-                    for n in timings
-                },
-                "noise": {
-                    "prev": prev_name,
-                    # capped at 10 names so a pathological round can't push
-                    # the compact line past the driver's tail capture
-                    "regressed": sorted(
-                        n for n, v in noise.items() if v == "regr"
-                    )[:10],
-                    "improved": sum(v == "impr" for v in noise.values()),
-                    "new": sum(v == "new" for v in noise.values()),
-                },
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "passes": _PASSES,
-                "total_warm": round(sum(warm.values()), 3),
-                "calib_spark_sec": calib_spark,
-                "calib_ref": calib_ref,
-                "layout_build_sec": layout_build_sec,
-                "total_normalized": round(total * scale, 3),
-                "total_warm_normalized": round(sum(warm.values()) * scale, 3),
-            },
-            separators=(",", ":"),
+    # Final COMPACT line: see _compact_line (round-13 driver-contract
+    # shape — a plain "queries" dict the driver's PERF comparator parses,
+    # plus the like-for-like "common" subtotal and per-query spread /
+    # executor-task-time arrays while they fit the tail-capture budget).
+    print(
+        _compact_line(
+            timings,
+            warm,
+            spread,
+            exec_sec,
+            noise,
+            scale,
+            prev,
+            prev_name,
+            sf,
+            _PASSES,
+            calib_spark,
+            layout_build_sec,
         )
-        if len(compact) <= 1950:
-            break
-    print(compact)
+    )
 
 
 
@@ -548,9 +667,14 @@ def soak_main() -> None:
         return f"{n / 1048576:.1f} MiB" if n >= 1048576 else f"{n / 1024:.0f} KiB"
 
     for name, s, b, wall_ratio, sw_ratio, ok in rows:
+        # displayed ratio computed from the SAME rounded walls shown in the
+        # row (ADVICE r12: a ratio from unrounded walls can disagree with
+        # the two numbers beside it); the linear-gate verdict keeps the
+        # unrounded ratio
+        disp_ratio = round(b["wall"], 2) / max(round(s["wall"], 2), 1e-9)
         md.append(
             f"| {name} | {s['wall']:.2f} | {b['wall']:.2f} | "
-            f"{wall_ratio:.1f}x | {_mb(s['shuffle_write'])} | "
+            f"{disp_ratio:.1f}x | {_mb(s['shuffle_write'])} | "
             f"{_mb(b['shuffle_write'])} | "
             f"{'-' if sw_ratio is None else f'{sw_ratio:.1f}x'} | "
             f"{'linear' if ok else '**SUPERLINEAR**'} |"

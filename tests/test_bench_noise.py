@@ -13,7 +13,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _noise_verdicts, _prev_round_compact
+from bench import _compact_line, _noise_verdicts, _prev_per_query, _prev_round_compact
 
 
 def _artifact(sf, q, calib=0.285):
@@ -88,6 +88,147 @@ def test_noise_verdict_normalizes_prev_spread_by_prev_calib():
 
 def test_all_new_when_no_prev():
     assert _noise_verdicts(None, {"a": 1.0}, {"a": 0.0}, 1.0) == {"a": "new"}
+
+
+def _compact_args(timings, prev=None, prev_name=None, noise=None, **kw):
+    names = sorted(timings)
+    defaults = dict(
+        warm={n: timings[n] * 0.8 for n in names},
+        spread={n: 0.1 for n in names},
+        exec_sec={n: 3.0 for n in names},
+        noise=noise or {n: "ok" for n in names},
+        scale=1.0,
+        prev=prev,
+        prev_name=prev_name,
+        sf=0.1,
+        passes=3,
+        calib_spark=0.285,
+        layout_build_sec=7.0,
+    )
+    defaults.update(kw)
+    return defaults
+
+
+def test_compact_line_is_driver_contract_shape():
+    """Round-13 (VERDICT r12 item 1): the final line must carry a PLAIN
+    {"queries": {name: cold_sec}} dict — the shape the driver's PERF
+    comparator parses — not the r11-12 q/q_cols array encoding."""
+    timings = {"alpha": 1.23, "beta": 0.41}
+    line = _compact_line(timings, **_compact_args(timings))
+    obj = json.loads(line)
+    assert obj["queries"] == {"alpha": 1.2, "beta": 0.4}
+    assert obj["metric"] == "headline_queries_total_wall_clock"
+    assert obj["unit"] == "sec" and obj["sf"] == 0.1
+    assert abs(obj["value"] - 1.64) < 1e-9
+    assert "q" not in obj and "q_cols" not in obj
+    # parallel arrays ride along while the budget allows
+    assert obj["s"] == [0.1, 0.1] and obj["e"] == [3, 3]
+    # every owned layout whose build cost sits OUTSIDE `value` is named
+    assert obj["layouts"] == ["q14_bucketed"]
+    assert "layout_build_sec" in obj
+
+
+def test_compact_line_common_subtotal_vs_prev():
+    """VERDICT r12 item 2: promoting new heads must not read as a total
+    regression — the compact line carries a like-for-like subtotal over
+    the heads present in BOTH rounds."""
+    prev = {
+        "queries": {"alpha": 1.0},
+        "s": [0.1],
+        "calib_spark_sec": 0.285,
+        "calib_ref": 0.285,
+    }
+    timings = {"alpha": 1.2, "newhead": 9.9}
+    line = _compact_line(
+        timings, **_compact_args(timings, prev=prev, prev_name="BENCH_r12.json")
+    )
+    obj = json.loads(line)
+    assert obj["common"] == {"n": 1, "now": 1.2, "prev": 1.0}
+    assert obj["value"] > obj["common"]["now"]  # full set still reported
+
+
+def test_compact_line_fits_budget_for_full_head_set():
+    """The whole point of the compact line is surviving the driver's
+    ~2000-char tail capture — pin it against the REAL registry head set
+    (queries dict + scalars must fit even if the parallel arrays drop)."""
+    from hadoop_fs_ceph_spark.registry import load_all
+
+    names = sorted(n for n, s in load_all().items() if s.bench)
+    timings = {n: 12.345 for n in names}
+    noise = {n: "regr" for n in names}  # worst case: 10-name regressed list
+    line = _compact_line(timings, **_compact_args(timings, noise=noise))
+    assert len(line) <= 1950
+    obj = json.loads(line)
+    assert set(obj["queries"]) == set(names)
+
+
+def test_compact_line_drops_arrays_before_queries():
+    """Degradation order under a tight budget: e then s go first; the
+    driver-contract queries dict and scalars always survive whole."""
+    timings = {f"query_name_{i:02d}": 1.0 for i in range(40)}
+    args = _compact_args(timings)
+    full = _compact_line(timings, **args)
+    assert "s" in json.loads(full) and "e" in json.loads(full)
+    base_obj = {k: v for k, v in json.loads(full).items() if k not in ("s", "e")}
+    base_len = len(json.dumps(base_obj, separators=(",", ":")))
+    # budget one short of the full line: e (lowest priority) must drop
+    # while s stays
+    line = _compact_line(timings, **args, budget=len(full) - 1)
+    obj = json.loads(line)
+    assert len(line) < len(full)
+    assert "s" in obj and "e" not in obj
+    assert set(obj["queries"]) == set(timings)
+    # below even the s array: only the base survives
+    line2 = _compact_line(timings, **args, budget=base_len)
+    obj2 = json.loads(line2)
+    assert "s" not in obj2 and "e" not in obj2
+    assert set(obj2["queries"]) == set(timings)
+
+
+def test_prev_per_query_parses_both_shapes():
+    old = {
+        "q_cols": ["cold", "warm", "spread", "normalized"],
+        "q": {"x": [2.0, 1.8, 0.2, 1.0]},
+        "calib_spark_sec": 0.57,
+        "calib_ref": 0.285,
+    }
+    pq = _prev_per_query(old)
+    assert pq["x"]["cold"] == 2.0 and pq["x"]["normalized"] == 1.0
+    assert abs(pq["x"]["spread"] - 0.1) < 1e-9  # normalized by prev calib
+    new = {
+        "queries": {"x": 2.0, "y": 1.0},
+        "s": [0.2, 0.4],
+        "calib_spark_sec": 0.57,
+        "calib_ref": 0.285,
+    }
+    pq = _prev_per_query(new)
+    assert pq["x"]["cold"] == 2.0 and pq["x"]["normalized"] == 1.0
+    assert abs(pq["x"]["spread"] - 0.1) < 1e-9
+    assert abs(pq["y"]["spread"] - 0.2) < 1e-9  # parallel to sorted names
+
+
+def test_noise_verdict_reads_new_shape_prev():
+    prev = {
+        "queries": {"steady": 2.0, "blown": 1.0},
+        "s": [0.1, 0.1],
+        "calib_spark_sec": 0.285,
+        "calib_ref": 0.285,
+        "sf": 0.1,
+    }
+    v = _noise_verdicts(prev, {"steady": 2.1, "blown": 3.0}, {"steady": 0.1, "blown": 0.1}, 1.0)
+    assert v["steady"] == "ok" and v["blown"] == "regr"
+
+
+def test_prev_round_compact_accepts_new_shape(tmp_path):
+    compact = json.dumps(
+        {"queries": {"q1": 1.5}, "s": [0.1], "sf": 0.1, "metric": "m"},
+        separators=(",", ":"),
+    )
+    (tmp_path / "BENCH_r13.json").write_text(
+        json.dumps({"sf": 0.1, "tail": "noise\n" + compact + "\n"})
+    )
+    obj, name = _prev_round_compact(str(tmp_path), 0.1)
+    assert name == "BENCH_r13.json" and obj["queries"]["q1"] == 1.5
 
 
 def test_prev_round_compact_sorts_rounds_numerically(tmp_path):
