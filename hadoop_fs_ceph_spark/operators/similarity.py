@@ -1190,6 +1190,10 @@ def dedup_semantic_cell_refined(spark, sf_dir):
 
 
 _KM_MAX_ROUNDS = 30
+# Convergence-check cadence for the Lloyd fixpoint loop (round-13): the
+# driver-side shift scalar costs one tiny job per evaluation, so it runs
+# every 5th round; exact-equivalence argument at the loop site.
+_KM_CHECK_EVERY = 5
 
 
 @query(
@@ -1296,21 +1300,56 @@ def sim_kmeans_converged(spark, sf_dir):
         .localCheckpoint()
     )
 
+    # Round-13 (guide §1.2/§2.4, VERDICT r12 item 4 — per-round structure):
+    # the assignment used to be TWO aggregations (groupBy(vec_id, cell)
+    # summing squared diffs, then groupBy(vec_id) taking the tie-broken
+    # min), i.e. two exchanges per round. Since the cell domain is the
+    # query constant K, the first aggregation pivots into K conditional
+    # sums inside ONE groupBy(vec_id) — d_c = SUM(CASE cell = c) — and the
+    # arg-min becomes least(d_0·K+0, …, d_{K-1}·K+K-1) % K, the exact
+    # composite tie-break the row-wise MIN applied (every cell contributes
+    # all 64 positions, so no d_c is NULL). One exchange per round instead
+    # of two; every other structure (localCheckpoint barrier, single
+    # driver-side shift scalar) measured FASTER than the alternatives
+    # tried this round (single-collect rounds, 2-round batched barriers,
+    # one-row-gate HOF distances, collect_list piggyback — all slower;
+    # see OPTIMIZATION_r13.md). Hash-identical at sf0.001 + sf0.01.
     def assign(c):
-        return (
-            exp.join(c.select("cell", "pos", "cu"), "pos")
-            .groupBy("vec_id", "cell")
-            .agg(
-                F.sum(
-                    (F.col("xu") - F.col("cu")) * (F.col("xu") - F.col("cu"))
-                ).alias("d")
-            )
-            .groupBy("vec_id")
-            .agg((F.min(F.col("d") * K + F.col("cell")) % K).alias("cell"))
+        j = exp.join(c.select("cell", "pos", "cu"), "pos")
+        sq = (F.col("xu") - F.col("cu")) * (F.col("xu") - F.col("cu"))
+        g = j.groupBy("vec_id").agg(
+            *[
+                F.sum(F.when(F.col("cell") == ci, sq)).alias(f"d{ci}")
+                for ci in range(K)
+            ]
+        )
+        return g.select(
+            "vec_id",
+            (F.least(*[F.col(f"d{ci}") * K + ci for ci in range(K)]) % K).alias(
+                "cell"
+            ),
         )
 
+    # Round-13 (VERDICT r12 item 4 — convergence-check cadence): the shift
+    # scalar is evaluated every _KM_CHECK_EVERY rounds (and at the cap)
+    # instead of every round. EXACT by lattice-fixpoint monotonicity:
+    # shift_j = 0 means cent_j == cent_{j-1}, so round j+1 computes the
+    # identical assignment and update and shift_{j+1} = 0 too — zero
+    # shifts form a SUFFIX of the round sequence. A zero at a check round
+    # therefore pins convergence somewhere in the block just run, and the
+    # backward walk below recovers the FIRST zero round exactly (each
+    # checkpointed round still holds its own cu_old), so (n_rounds,
+    # final_shift_micro, centroids) are bit-identical to per-round
+    # checking — pinned by test_kmeans_check_cadence_equivalent and the
+    # DuckDB oracle's per-round recursive replay. Rounds past the
+    # fixpoint that a sparse check runs before noticing are no-ops on the
+    # centroids by the same monotonicity.
+    def _shift_of(df):
+        return df.agg(F.max(F.abs(F.col("cu") - F.col("cu_old")))).head()[0]
+
     n_rounds, shift = 0, 1
-    for _ in range(_KM_MAX_ROUNDS):
+    block: list = []  # this check-block's checkpointed rounds, oldest first
+    for i in range(1, _KM_MAX_ROUNDS + 1):
         magg = (
             assign(cent)
             .join(exp, "vec_id")
@@ -1334,11 +1373,23 @@ def sim_kmeans_converged(spark, sf_dir):
             )
             .localCheckpoint()  # eager: materializes + cuts lineage
         )
-        shift = new.agg(F.max(F.abs(F.col("cu") - F.col("cu_old")))).head()[0]
+        block.append(new)
         cent = new.select("cell", "pos", "cu")
-        n_rounds += 1
-        if shift == 0:
-            break
+        if i % _KM_CHECK_EVERY and i != _KM_MAX_ROUNDS:
+            continue
+        shift = _shift_of(new)
+        if shift != 0:
+            n_rounds = i
+            block = []
+            continue
+        # converged inside this block: walk back to the FIRST zero-shift
+        # round (zeros are a suffix, so stop at the first non-zero)
+        n_rounds = i
+        for prev_new in reversed(block[:-1]):
+            if _shift_of(prev_new) != 0:
+                break
+            n_rounds -= 1
+        break
     mem = assign(cent).groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         cent.groupBy("cell")

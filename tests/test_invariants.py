@@ -1619,6 +1619,38 @@ def test_kmeans_converged_fixpoint_on_planted_clusters(spark, tmp_path):
     assert dims == {0, 5}
 
 
+def test_kmeans_check_cadence_equivalent(spark, tmp_path, monkeypatch):
+    """Round-13: the every-5-rounds convergence check (plus backward walk
+    to the first zero-shift round) must be BIT-identical to per-round
+    checking — n_rounds, final_shift_micro, centroids, membership. The
+    planted two-cluster fixture converges mid-block, so the walk actually
+    runs; fixpoint monotonicity (shift_j = 0 ⇒ all later shifts 0) is
+    what makes the sparse cadence exact."""
+    import numpy as np
+
+    from hadoop_fs_ceph_spark.operators import similarity
+
+    def unit(i, eps=0.0, seed=0):
+        v = np.zeros(64)
+        v[i] = 1.0
+        if eps:
+            r = np.random.RandomState(seed)
+            v = v + eps * r.standard_normal(64)
+        return [float(x) for x in v]
+
+    rows = [{"vec_id": i, "embedding": unit(i), "label": 0} for i in range(8)]
+    for j in range(12):
+        rows.append({"vec_id": 100 + j, "embedding": unit(0, 0.05, j), "label": 1})
+        rows.append({"vec_id": 200 + j, "embedding": unit(5, 0.05, 100 + j), "label": 2})
+    d = _write_parquet(tmp_path, "embeddings", rows)
+
+    sparse = [r.asDict() for r in SPECS["sim_kmeans_converged"].fn(spark, d).collect()]
+    monkeypatch.setattr(similarity, "_KM_CHECK_EVERY", 1)
+    dense = [r.asDict() for r in SPECS["sim_kmeans_converged"].fn(spark, d).collect()]
+    assert sparse == dense
+    assert sparse[0]["converged"] and sparse[0]["n_rounds"] >= 1
+
+
 def test_approx_topk_regime_pinned(spark, sf_dir):
     """agg_approx_topk_sketch's hash-match against the plain GROUP BY
     oracle is exactness-BY-CONSTRUCTION: it holds only while the

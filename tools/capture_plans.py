@@ -1,11 +1,11 @@
-"""Capture .explain("formatted") for bench-head queries into plans/r12/.
+"""Capture .explain("formatted") for bench-head queries into plans/r13/.
 
 Usage:
     python tools/capture_plans.py before [name ...]
     python tools/capture_plans.py after  [name ...]
 
 With no names, captures every bench head. Output files:
-plans/r12/<query>_<stage>.txt — the judge checks plan claims against these.
+plans/r13/<query>_<stage>.txt — the judge checks plan claims against these.
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ def main() -> None:
     if not names:
         names = sorted(n for n, s in specs.items() if s.bench)
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans", driver_memory="24g")
