@@ -1551,6 +1551,7 @@ def agg_exact_mode(spark, sf_dir):
     FROM kept
     """,
     tags=("aggregate", "exact-rank", "nosort", "robust"),
+    bench=True,
 )
 def agg_trimmed_mean_nosort(spark, sf_dir):
     """EXACT 10%-trimmed mean of order value with NO sort and NO

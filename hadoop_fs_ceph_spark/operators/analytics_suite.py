@@ -480,6 +480,7 @@ def ds_attribution_touch(spark, sf_dir):
     ORDER BY r_bucket, f_bucket, m_bucket
     """,
     tags=("analytics", "rfm", "segmentation"),
+    bench=True,
 )
 def ds_rfm_segmentation(spark, sf_dir):
     """RFM segmentation: per customer recency (days since last order,

@@ -927,6 +927,7 @@ _ER_JACCARD_MIN = 0.5
     ORDER BY part_a, part_b
     """,
     tags=("join", "entity-resolution", "blocked", "similarity"),
+    bench=True,
 )
 def join_er_blocked(spark, sf_dir):
     """Blocked ENTITY-RESOLUTION join: candidate part pairs come ONLY

@@ -2626,6 +2626,7 @@ def sample_rolling_origin_folds(spark, sf_dir):
     FROM s
     """,
     tags=("analytics", "experiment", "nonparametric", "rank"),
+    bench=True,
 )
 def ds_mann_whitney_u(spark, sf_dir):
     """Mann-Whitney U — the rank-based nonparametric two-sample test

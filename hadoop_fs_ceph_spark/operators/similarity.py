@@ -949,6 +949,7 @@ _SQL_JL_SIGN = (
     FROM embeddings
     """,
     tags=("similarity", "projection", "dimensionality-reduction"),
+    bench=True,
 )
 def sim_random_projection(spark, sf_dir):
     """Johnson-Lindenstrauss random projection 64 → 16 dims with a
@@ -2209,6 +2210,7 @@ _SPC_MIN_SHARED = 3  # candidate gate: pairs sharing >= this many tokens
     LIMIT 25
     """,
     tags=("similarity", "sparse", "tfidf", "join"),
+    bench=True,
 )
 def sim_sparse_cosine_join(spark, sf_dir):
     """SPARSE cosine similarity as a relational join — the tf-idf
