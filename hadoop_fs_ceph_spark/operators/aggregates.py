@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from hadoop_fs_ceph_spark.barrier import eager_barrier
 from hadoop_fs_ceph_spark.canonical import (
     _sql_fixsum as _sql_fix,
     davg,
@@ -991,7 +992,7 @@ def _quantiles_refine(x, states, key="pct", weight=None, b=_MED_B):
         # what the redundant tiny stages did — and the win grows with
         # pass count and state width. Hashes unchanged (all seven
         # refinement consumers re-verified at sf0.001 + sf0.01).
-        .localCheckpoint()
+        .transform(eager_barrier)
     )
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from hadoop_fs_ceph_spark.barrier import eager_barrier
 from hadoop_fs_ceph_spark.functions.similarity import (
     N_BANDS,
     ROWS_PER_BAND,
@@ -486,7 +487,7 @@ def dedup_cluster_cc(spark, sf_dir):
     labels = (
         edges.select(F.col("doc_a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(eager_barrier)
     )
     for _round in range(_CC_MAX_ROUNDS):
         nbr_min = (
@@ -503,7 +504,7 @@ def dedup_cluster_cc(spark, sf_dir):
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()  # eager: materializes + cuts lineage
+            .transform(eager_barrier)  # eager: materializes + cuts lineage
         )
         changed = updated.filter(F.col("label") != F.col("old_label")).count()
         labels = updated.select("node", "label")
@@ -553,7 +554,7 @@ def dedup_cluster_cc_star(spark, sf_dir):
     edges = (
         pairs.select(F.col("doc_b").alias("c"), F.col("doc_a").alias("p"))
         .distinct()
-        .localCheckpoint()
+        .transform(eager_barrier)
     )
 
     def _sym(e):
@@ -586,7 +587,7 @@ def dedup_cluster_cc_star(spark, sf_dir):
 
     prev_n = None
     for _round in range(_CC_MAX_ROUNDS):
-        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        nxt = eager_barrier(_small_star(_large_star(edges)))
         n = nxt.count()
         # equal cardinality + one-sided multiset containment ⇒ equality
         same = prev_n == n and nxt.exceptAll(edges).count() == 0

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hadoop_fs_ceph_spark.barrier import eager_barrier
 from hadoop_fs_ceph_spark.operators.basket_common import (
     OP_CAPPED_CTES,
     capped_order_parts,
@@ -495,7 +496,7 @@ def graph_kcore(spark, sf_dir):
             )
         )
         .repartition(width, "node")
-        .localCheckpoint()
+        .transform(eager_barrier)
     )
     n_prev = alive.count()
     n_mat = n_prev  # alive count when the edge relation was last rebuilt
@@ -519,7 +520,7 @@ def graph_kcore(spark, sf_dir):
             .filter((F.coalesce(F.col("d"), F.lit(0)) >= _KCORE_K) | (F.col("node") == -1))
             .select("node")
             .repartition(width, "node")
-            .localCheckpoint()  # eager: materializes + cuts lineage
+            .transform(eager_barrier)  # eager: materializes + cuts lineage
         )
         n_new = kept.count()
         if n_new == n_prev:
@@ -545,7 +546,7 @@ def graph_kcore(spark, sf_dir):
                 .repartition(width, "dst")
                 .join(alive.select(F.col("node").alias("dst")), "dst")
                 .repartition(width, "src")
-                .localCheckpoint()
+                .transform(eager_barrier)
             )
             if edges is initial_edges:
                 initial_edges.unpersist()
@@ -698,7 +699,7 @@ def graph_bfs_distance(spark, sf_dir):
             r.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .transform(eager_barrier)
         )
     n = t(spark, sf_dir, "nation")
     return (
@@ -776,7 +777,7 @@ def graph_hits_scores(spark, sf_dir):
             .select(
                 "node", F.coalesce(F.col(col), F.lit(0)).cast("long").alias(col)
             )
-            .localCheckpoint()
+            .transform(eager_barrier)
         )
 
     a1 = dangle(
@@ -896,7 +897,7 @@ def graph_sssp_weighted(spark, sf_dir):
             r.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .transform(eager_barrier)
         )
     n = t(spark, sf_dir, "nation")
     return (

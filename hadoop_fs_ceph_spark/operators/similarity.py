@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from hadoop_fs_ceph_spark.barrier import eager_barrier
 from hadoop_fs_ceph_spark.functions.similarity import (
     cosine,
     dot,
@@ -1298,7 +1299,7 @@ def sim_kmeans_converged(spark, sf_dir):
     cent = (
         exp.filter(F.col("vec_id") < K)
         .select(F.col("vec_id").cast("long").alias("cell"), "pos", F.col("xu").alias("cu"))
-        .localCheckpoint()
+        .transform(eager_barrier)
     )
 
     # Round-13 (guide §1.2/§2.4, VERDICT r12 item 4 — per-round structure):
@@ -1372,7 +1373,7 @@ def sim_kmeans_converged(spark, sf_dir):
                     F.col("cu_old"),
                 ).alias("cu"),
             )
-            .localCheckpoint()  # eager: materializes + cuts lineage
+            .transform(eager_barrier)  # eager: materializes + cuts lineage
         )
         block.append(new)
         cent = new.select("cell", "pos", "cu")
@@ -1913,7 +1914,7 @@ def sim_mmr_diversify(spark, sf_dir):
         # localCheckpoint per round costs one small job and keeps the
         # plan LINEAR in rounds: 4.96 → 2.0 s cold, 4.72 → 1.6 s
         # warm. Hash-identical at sf0.001 + sf0.01.
-        sel = sel.unionAll(pick).localCheckpoint()
+        sel = eager_barrier(sel.unionAll(pick))
     return sel.select(
         "rank",
         "vec_id",

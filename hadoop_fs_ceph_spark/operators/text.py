@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from hadoop_fs_ceph_spark.barrier import eager_barrier
 from hadoop_fs_ceph_spark.functions.text import (
     LANG_STOPWORDS,
     hashed_shingles,
@@ -2216,7 +2217,7 @@ def bpe_doc_tokens(spark, sf_dir):
         F.expr(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("h"),
-    ).localCheckpoint()
+    ).transform(eager_barrier)
     n_merges = 0
     for _ in range(_BPE_APPLY_ROUNDS):
         pb = (
@@ -2245,7 +2246,7 @@ def bpe_doc_tokens(spark, sf_dir):
             break
         chars = chars.select(
             "w", "cnt", _bpe_merge_fold(best["a"], best["b"]).alias("h")
-        ).localCheckpoint()
+        ).transform(eager_barrier)
         n_merges += 1
     applied = chars.select("w", F.size("h").cast("long").alias("n_tok"))
     per_doc = (

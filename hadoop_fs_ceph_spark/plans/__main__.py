@@ -25,22 +25,25 @@ from __future__ import annotations
 
 import sys
 
-from hadoop_fs_ceph_spark.plans import scale_audit
 from hadoop_fs_ceph_spark.plans.allowlist import ALLOW_GROUPS, split_flags_detail
+from hadoop_fs_ceph_spark.plans.inspect import audit_with_barriers
 from hadoop_fs_ceph_spark.registry import load_all
 from hadoop_fs_ceph_spark.session import get_spark
 from hadoop_fs_ceph_spark.tables import DEFAULT_SF_DIR
 
 
 def _report(name: str, spec, spark, sf_dir: str):
-    audit = scale_audit(spec.fn(spark, sf_dir))
+    # audit_with_barriers (round-13): flags are merged from the returned
+    # plan AND every pre-barrier sub-plan, so localCheckpoint can no
+    # longer hide a collect/sort/cartesian from the gate
+    audit, problems = audit_with_barriers(spec.fn, spark, sf_dir)
     line = (
         f"{name}: bhj={audit.broadcast_joins} smj={audit.sort_merge_joins} "
         f"shuffles={audit.shuffles} codegen={audit.codegen_spans} "
         f"topk={'y' if audit.take_ordered else 'n'} "
         f"spw={audit.single_partition_windows}"
     )
-    real, allowed, used = split_flags_detail(name, audit.problems())
+    real, allowed, used = split_flags_detail(name, problems)
     return line, real, allowed, used, audit
 
 

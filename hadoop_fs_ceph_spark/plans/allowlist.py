@@ -46,6 +46,7 @@ INTENTIONAL_CROSS: dict[str, str] = {
     "sim_sparse_cosine_join": "one-row corpus-doc-count broadcast onto the tf-idf weight relation",
     "sim_ann_table_sweep": "one-row query-vector/bucket broadcast + ≤N_TABLES-row jmin-bucket sweep assembly (single corpus pass; truth pass is the declared exact tier)",
     "sim_binary_hamming_topk": "bounded query-set broadcast (vec_id % 97, ~1% of vectors) of 8-byte signatures",
+    "sim_mmr_diversify": "one-row query-vector broadcast in the candidate build — visible in the per-round pre-barrier plans now that the auditor sees through checkpoint barriers (round-13)",
     "q11_important_stock": "one-row global stock-value threshold broadcast",
     "agg_histogram_fixed": "one-row min/max bounds broadcast",
     "agg_skyline_2d": "one-row suffix-max map broadcast (value-domain relation, thousands of rows) onto the per-part relation",
@@ -241,12 +242,22 @@ _REFINE_COLLECT = (
 )
 BOUNDED_COLLECT: dict[str, str] = {
     # NB: the direct _quantiles_refine consumers (exact median/quantile
-    # nosort family, sketch-error, equidepth histogram) no longer appear
-    # here — the round-12 per-pass localCheckpoint barrier hides their
-    # collect behind an RDD scan, so the flag stopped firing and the gate
-    # reported the entries stale. The refine state stays ≤4096 rows by
+    # nosort family, sketch-error, equidepth histogram) dropped out of
+    # this dict in round 12 when the per-pass localCheckpoint barrier hid
+    # their collect behind an RDD scan. Round 13 gave the auditor
+    # pre-barrier sight (plans/inspect.py audit_with_barriers over the
+    # barrier.py capture hook), the flags fire again on what the barrier
+    # hides, and the seven entries below are RE-DERIVED from that view
+    # (VERDICT r12 item 3). The refine state stays ≤4096 rows by
     # construction (≤65536 for the 4-pass wide-domain tier — still
     # combiner-sized; tests/test_plans.py pins the truncated plan shape).
+    "agg_exact_median_nosort": _REFINE_COLLECT,
+    "agg_exact_median_by_group_nosort": _REFINE_COLLECT,
+    "agg_exact_weighted_median_nosort": _REFINE_COLLECT,
+    "agg_exact_quantiles_nosort": _REFINE_COLLECT,
+    "agg_exact_quantiles_by_group_nosort": _REFINE_COLLECT,
+    "agg_quantile_sketch_error": _REFINE_COLLECT,
+    "profile_equidepth_histogram": _REFINE_COLLECT,
     "agg_trimmed_mean_nosort": _REFINE_COLLECT,
     "ds_rfm_segmentation": _REFINE_COLLECT,
     "agg_gini_concentration": _REFINE_COLLECT,

@@ -199,6 +199,38 @@ def streaming_state_flags(sdf: DataFrame, output_mode: str) -> list[str]:
     return flags
 
 
+def audit_with_barriers(fn, spark, sf_dir) -> tuple["ScaleAudit", list[str]]:
+    """Run a query function with barrier capture ON and audit BOTH the
+    returned plan and every distinct pre-barrier sub-plan (round-13,
+    VERDICT r12 item 3: ``localCheckpoint`` hides its input behind an RDD
+    scan, so collects/sorts/cartesians placed under a barrier passed the
+    gate silently). Returns (main ScaleAudit, merged problem list —
+    main-plan problems first, then any additional flags surfaced by the
+    barriers' inputs). Iterative loops capture one DataFrame per round;
+    structurally identical rounds are deduped on their simple-plan string
+    before the (more expensive) full audit."""
+    from hadoop_fs_ceph_spark import barrier
+
+    cap: list = []
+    barrier._capture = cap
+    try:
+        df = fn(spark, sf_dir)
+    finally:
+        barrier._capture = None
+    audit = scale_audit(df)
+    problems = list(audit.problems())
+    seen: set[str] = set()
+    for bdf in cap:
+        simple = plan_of(bdf, mode="simple")
+        if simple in seen:
+            continue
+        seen.add(simple)
+        for p in scale_audit(bdf).problems():
+            if p not in problems:
+                problems.append(p)
+    return audit, problems
+
+
 def scale_audit(df: DataFrame, execute: bool = False) -> ScaleAudit:
     """Audit a DataFrame's physical plan for scale red flags."""
     plan = plan_of(df, execute=execute)

@@ -205,8 +205,13 @@ def test_fleet_audit_clean(spark, sf_dir, name):
     exit-0 claim is pinned here. Allowlisted patterns carry a reason
     string in plans/allowlist.py; anything else is the failure mode
     that silently works at test scale and melts at 100 TB."""
-    audit = scale_audit(SPECS[name].fn(spark, sf_dir))
-    real, _allowed = split_flags(name, audit.problems())
+    from hadoop_fs_ceph_spark.plans.inspect import audit_with_barriers
+
+    # round-13: flags are merged from the returned plan AND every
+    # pre-barrier sub-plan (audit_with_barriers), so a localCheckpoint
+    # can no longer hide a collect/sort/cartesian from this gate
+    audit, problems = audit_with_barriers(SPECS[name].fn, spark, sf_dir)
+    real, _allowed = split_flags(name, problems)
     assert real == [], f"{name}: {real}"
     if name not in INTENTIONAL_CROSS:
         assert not audit.cartesian, name
@@ -419,6 +424,44 @@ def test_collect_gate_fires_on_unbounded_collect(spark, sf_dir):
     # every attested carrier names its bound
     for name, reason in BOUNDED_COLLECT.items():
         assert len(reason) > 10, name
+
+
+def test_collect_gate_sees_through_barriers(spark, sf_dir):
+    """Round-13 (VERDICT r12 item 3): a planted UNBOUNDED collect hidden
+    under a localCheckpoint barrier must still trip the gate. Before
+    audit_with_barriers, the barrier replaced the sub-plan with an RDD
+    scan and the exact defect class below passed silently (the r12
+    refine-family allowlist entries went stale this way)."""
+    from hadoop_fs_ceph_spark.plans.allowlist import split_flags
+    from hadoop_fs_ceph_spark.plans.inspect import audit_with_barriers, scale_audit
+    from hadoop_fs_ceph_spark.barrier import eager_barrier
+    from hadoop_fs_ceph_spark.tables import t
+
+    def planted(spark, sf_dir):
+        hidden = eager_barrier(
+            t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.collect_list("props").alias("all_props"))
+        )
+        return hidden.select("user_id", F.size("all_props").alias("n"))
+
+    # the returned plan alone is blind: the barrier hides the collect
+    blind = scale_audit(planted(spark, sf_dir))
+    assert blind.group_collects == 0
+    # the barrier-aware audit sees it, and it is NOT allowlisted
+    _audit, problems = audit_with_barriers(planted, spark, sf_dir)
+    assert any("per-group collect" in p for p in problems)
+    real, _allowed = split_flags("planted_query_zzz", problems)
+    assert any("per-group collect" in p for p in real)
+    # a planted world-sort under a barrier trips the same way
+    def planted_sort(spark, sf_dir):
+        hidden = eager_barrier(
+            t(spark, sf_dir, "events").orderBy("ts", "event_id")
+        )
+        return hidden.select("event_id")
+
+    _audit, problems = audit_with_barriers(planted_sort, spark, sf_dir)
+    assert any("sorts the world" in p for p in problems)
 
 
 def test_hits_consistency(spark, sf_dir):
