@@ -2645,14 +2645,28 @@ def ds_mann_whitney_u(spark, sf_dir):
 
     Scale: one range-binned shuffle + per-bin parallel windows — rank
     statistics on 100 TB without a world sort; the key encoding
-    (cents·2^32 + event_id) holds while event ids fit 32 bits, after
+    (cents·2^44 + event_id) holds while event ids fit 44 bits and cents 18, after
     which the same machinery runs on a composite struct key."""
     from hadoop_fs_ceph_spark.operators.analytics_suite import _ranked_nosort
 
+    # Round-13 (surfaced by the first SOAK run with this head): both key
+    # expressions must survive the soak's per-replica 10^12 key offsets.
+    # The A/B split runs in residue arithmetic — (u·MIX) mod 100 ==
+    # ((u mod 100)·(MIX mod 100)) mod 100 for u ≥ 0, identical values
+    # everywhere the raw product didn't overflow, no overflow anywhere.
+    # The rank key shifts cents by 2^44 (was 2^32, which the shifted
+    # event ids outgrew): order-identical wherever both encodings are
+    # injective, and injective while event_id < 2^44 and |cents| < 2^18
+    # (this corpus: ≤ 56,021 cents); beyond either bound the docstring's
+    # composite-struct fallback applies.
     assigned = t(spark, sf_dir, "events").select(
-        F.when((F.col("user_id") * _MIX) % 100 < 50, 0).otherwise(1).alias("is_b"),
+        F.when(
+            F.pmod(F.pmod(F.col("user_id"), 100) * (_MIX % 100), 100) < 50, 0
+        )
+        .otherwise(1)
+        .alias("is_b"),
         (
-            F.round(F.col("value") * 100).cast("long") * F.lit(2**32).cast("long")
+            F.round(F.col("value") * 100).cast("long") * F.lit(2**44).cast("long")
             + F.col("event_id")
         ).alias("key"),
     )
